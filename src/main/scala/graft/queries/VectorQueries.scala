@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity operators over the `embeddings` table
+  * (`Array[Float]`, 64-dim). The dot/cosine kernels are higher-order
+  * built-in expressions (zip_with + aggregate) — sequential left-to-right
+  * double accumulation, which matches DuckDB's list kernels bit-for-bit,
+  * so the brute-force scores are oracle-checkable.
+  */
+object VectorQueries {
+
+  def all: Seq[GraftQuery] = Seq(q25CosinePairs, q26KnnBruteForce)
+
+  /** embedding::array<float> → array<double> (accumulate in double). */
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column = {
+    val (ad, bd) = (asDouble(a), asDouble(b))
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Brute-force cosine scores: 5 query vectors × all candidates.
+    * Queries are broadcast; at scale this is the exact-scoring baseline
+    * the LSH path (graft.operators.Similarity) is measured against. */
+  val q25CosinePairs: GraftQuery = GraftQuery(
+    "q25_cosine_pairs",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      e.select($"vec_id", $"embedding".as("cv"))
+        .crossJoin(broadcast(q))
+        .select($"query_id", $"vec_id",
+          round(cosine($"qv", $"cv"), 6).as("cos"))
+        .orderBy($"query_id", $"vec_id")
+    },
+    Some(
+      "SELECT q.vec_id AS query_id, c.vec_id AS vec_id, " +
+        "round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) / " +
+        "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * " +
+        "sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id < 5 " +
+        "ORDER BY query_id, vec_id"))
+
+  /** Exact k-NN top-5 per query via ranking window over the scored pairs
+    * (tie-broken on vec_id; scores computed identically in both engines). */
+  val q26KnnBruteForce: GraftQuery = GraftQuery(
+    "q26_knn_brute_force",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val scored = e.select($"vec_id", $"embedding".as("cv"))
+        .crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id", cosine($"qv", $"cv").as("cos_raw"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cos_raw".desc, $"vec_id")
+      scored.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 5)
+        .select($"query_id", $"vec_id", round($"cos_raw", 6).as("cos"), $"rk")
+        .orderBy($"query_id", $"rk")
+    },
+    Some(
+      "WITH scored AS (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS vec_id, " +
+        "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) / " +
+        "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * " +
+        "sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos_raw " +
+        "FROM embeddings q, embeddings c " +
+        "WHERE q.vec_id < 5 AND c.vec_id != q.vec_id) " +
+        "SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rk FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos_raw DESC, vec_id) AS rk FROM scored) " +
+        "WHERE rk <= 5 ORDER BY query_id, rk"))
+}

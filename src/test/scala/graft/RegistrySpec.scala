@@ -1,0 +1,39 @@
+package graft
+
+/** Contract checks for the driver-facing registry: every query runs on the
+  * smoke data, names are unique, and every oracle key has a query. */
+class RegistrySpec extends GraftSuite {
+
+  test("query names are unique") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size === names.size)
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  Registry.all.foreach { q =>
+    test(s"${q.name} runs on sf0.001") {
+      val df = q.run(spark, sf)
+      assert(df.columns.nonEmpty)
+      // force full execution, not just planning
+      df.count()
+    }
+  }
+
+  test("oracle-checked queries are deterministic across runs") {
+    for (name <- Seq("q01_pricing_summary", "q05_window_topk",
+        "q26_knn_brute_force")) {
+      val q = Registry.byName(name)
+      val a = q.run(spark, sf).collect().toSeq
+      val b = q.run(spark, sf).collect().toSeq
+      assert(a === b, s"$name not deterministic")
+    }
+  }
+}
