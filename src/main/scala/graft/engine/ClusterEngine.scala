@@ -1,0 +1,260 @@
+package graft.engine
+
+import org.apache.spark.ml.clustering.{BisectingKMeans, GaussianMixture, KMeans}
+import org.apache.spark.ml.evaluation.ClusteringEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+import scala.util.hashing.MurmurHash3
+
+import graft.ksearch.KPolicy
+import graft.ml.{LocalKMeans, LocalMetrics}
+import graft.preprocess.Scaling
+
+/** The clustering engine — reproduces the reference pipeline
+  * (`/root/reference/scripts/cluster.py:98-170` + `optimal_k.py:103-192`)
+  * with two execution backends:
+  *
+  *  - [[run]] (default, 100 TB path): segment in ONE shuffle via
+  *    `groupByKey(macro, micro).flatMapGroups` and fit each segment with
+  *    the in-JVM seed-deterministic [[LocalKMeans]]. Replaces the
+  *    reference's O(#segments) `distinct().collect()` + filtered-scan job
+  *    storm (`scripts/preprocess.py:114-170`) — segment count can be in
+  *    the millions and the plan is still scan → shuffle → map.
+  *
+  *  - [[runMl]] (parity path): one `spark.ml` fit per segment, for runs
+  *    with FEW, HUGE segments where a single segment itself needs the
+  *    cluster. Architecturally the reference's shape, minus its
+  *    per-metric job storms (entropy/radius/centers are each one
+  *    aggregation here).
+  *
+  * Reference quirks preserved: seed search keeps the FIRST strictly-best
+  * silhouette (`optimal_k.py:46`); radius = sqrt(max sqdist); silhouette
+  * = squared-Euclidean with 0.0 fallback for <2 labels; ≥2-distinct-points
+  * guard drops degenerate segments (`cluster.py:115-119`); GMM "centers"
+  * are per-cluster data means, not gaussian means (`metrics.py:32-54`).
+  */
+object ClusterEngine extends Serializable {
+
+  /** Deterministic per-segment RNG: same (seed, segment) → same seeds
+    * regardless of partitioning or arrival order. */
+  private def segmentRng(conf: EngineConf, ma: String, mi: String): Random =
+    new Random(conf.seed ^ (MurmurHash3.stringHash(s"$ma|$mi").toLong << 17))
+
+  private def nextSeed(rnd: Random): Long =
+    (rnd.nextInt(Int.MaxValue - 1) + 1).toLong // mirrors np.random.randint(1, 2^31-1)
+
+  // ---------------------------------------------------------------- local
+
+  private def localFit(points: Array[Array[Double]], k: Int, alg: String,
+      seed: Long): LocalKMeans.Model = alg match {
+    case "BisectingKMeans" => LocalKMeans.fitBisecting(points, k, seed)
+    case _                 => LocalKMeans.fit(points, k, seed)
+  }
+
+  /** Seed search (`optimal_k.py:16-72`): iterNum random seeds, keep the
+    * first strictly-best silhouette. */
+  private def optimalLocalModel(points: Array[Array[Double]], k: Int,
+      conf: EngineConf, rnd: Random): (LocalKMeans.Model, Double) = {
+    var bestSil = -1.0
+    var best: LocalKMeans.Model = null
+    for (_ <- 0 until conf.iterNum) {
+      val m = localFit(points, k, conf.algorithm, nextSeed(rnd))
+      val sil = LocalMetrics.silhouette(points, m.labels)
+      if (sil > bestSil) { bestSil = sil; best = m }
+    }
+    (best, bestSil)
+  }
+
+  /** k-sweep + selection policy (`optimal_k.py:103-192`) run locally
+    * inside the segment's task. */
+  private def searchK(points: Array[Array[Double]], conf: EngineConf,
+      rnd: Random): Int = {
+    val distinctN = LocalKMeans.distinctPoints(points).length
+    val stop = math.min(conf.stopK, math.max(conf.startK, distinctN))
+    var wssse = Map.empty[Int, Double]
+    var sils = List.empty[KPolicy.KScore]
+    for (k <- conf.startK to stop) {
+      val (m, sil) = optimalLocalModel(points, k, conf, rnd)
+      wssse += k -> m.cost(points)
+      sils = KPolicy.KScore(k, sil) :: sils
+    }
+    if (sils.isEmpty) return conf.startK
+    if (conf.startK == stop) return conf.startK
+    val (k, _) = KPolicy.optimalK(wssse, sils.reverse,
+      conf.algorithm == "GaussianMixture", conf.startK, stop,
+      conf.silhouetteThreshold)
+    k
+  }
+
+  private def segmentResult(ma: String, mi: String,
+      points: Array[Array[Double]], conf: EngineConf,
+      kOverride: Option[Int]): Option[SegmentResult] = {
+    // ≥2-distinct guard (cluster.py:115-119 / optimal_k.py:297)
+    if (points.length < 2 ||
+      LocalKMeans.distinctPoints(points).length < 2) return None
+    val rnd = segmentRng(conf, ma, mi)
+    val k = kOverride.orElse(conf.fixedK).getOrElse(searchK(points, conf, rnd))
+    val (model, sil) = optimalLocalModel(points, k, conf, rnd)
+    val byCluster = model.labels.zipWithIndex.groupBy(_._1)
+    val clusters = byCluster.toSeq.sortBy(_._1).map { case (c, members) =>
+      val pts = members.map(m => points(m._2))
+      ClusterInfo(c, model.centers(c).toSeq, members.length.toLong,
+        LocalMetrics.radius(pts, model.centers(c)))
+    }
+    val ent = LocalMetrics.entropy(clusters.map(_.clusterSize))
+    Some(SegmentResult(ma, mi, conf.algorithm, clusters.size, sil, ent,
+      clusters))
+  }
+
+  /** Scalable backend: all segments clustered in one shuffle.
+    *
+    * `kStore` (optional) is the cached-k broadcast replacing the
+    * reference's per-segment Mongo `find_one` (S6, `cluster.py:19-41`);
+    * misses fall through to the in-task k-search, exactly like the
+    * reference's recompute-on-miss (`cluster.py:105-109`).
+    */
+  def run(df: DataFrame, conf: EngineConf,
+      kStore: Map[(String, String), Int] = Map.empty): Dataset[SegmentResult] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scaled = Scaling.scaleSegments(df, conf.macroCol, conf.microCol,
+      Seq(conf.xCol, conf.yCol), conf.dontScale)
+    val xs = Scaling.scaledName(conf.xCol)
+    val ys = Scaling.scaledName(conf.yCol)
+    val kStoreB = spark.sparkContext.broadcast(kStore)
+    val maxPts = conf.maxPointsPerSegment
+    scaled.select(
+        col(conf.macroCol).cast("string"),
+        col(conf.microCol).cast("string"),
+        col(xs).cast("double"), col(ys).cast("double"))
+      .as[(String, String, Double, Double)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (String, String),
+          it: Iterator[(String, String, Double, Double)]) =>
+        val (ma, mi) = key
+        // Sort points in-task: groupByKey iterator order depends on the
+        // input partitioning, and k-means++ init is order-sensitive — the
+        // sort makes results invariant to how the data arrived.
+        val pts = it.take(maxPts).map(t => Array(t._3, t._4)).toArray
+          .sortBy(p => (p(0), p(1)))
+        segmentResult(ma, mi, pts, conf, kStoreB.value.get((ma, mi))).iterator
+      }
+  }
+
+  // ------------------------------------------------------------- spark.ml
+
+  private def mlFit(df: DataFrame, k: Int, alg: String, seed: Long) = {
+    val model = alg match {
+      case "KMeans" =>
+        new KMeans().setFeaturesCol("features").setK(k).setSeed(seed).fit(df)
+      case "BisectingKMeans" =>
+        new BisectingKMeans().setFeaturesCol("features").setK(k).setSeed(seed)
+          .fit(df)
+      case "GaussianMixture" =>
+        new GaussianMixture().setFeaturesCol("features").setK(k).setSeed(seed)
+          .fit(df)
+      case other => throw new IllegalArgumentException(s"algorithm: $other")
+    }
+    model.asInstanceOf[org.apache.spark.ml.Model[_]]
+  }
+
+  private def mlTransform(model: org.apache.spark.ml.Model[_],
+      df: DataFrame): DataFrame =
+    model.transform(df).asInstanceOf[DataFrame]
+
+  /** Silhouette with the reference's <2-distinct-labels → 0.0 guard
+    * (`metrics.py:140-148`). */
+  private def mlSilhouette(predictions: DataFrame): Double = {
+    val nLabels = predictions.select("prediction").distinct().count()
+    if (nLabels < 2) 0.0
+    else new ClusteringEvaluator()
+      .setPredictionCol("prediction").setFeaturesCol("features")
+      .evaluate(predictions)
+  }
+
+  /** Parity backend: per-segment spark.ml fits. Segment keys are collected
+    * to the driver (keys only, never data rows) — intended for runs with
+    * few, large segments.
+    */
+  def runMl(df: DataFrame, conf: EngineConf): Dataset[SegmentResult] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val xs = Scaling.scaledName(conf.xCol)
+    val ys = Scaling.scaledName(conf.yCol)
+    val scaled = Scaling.scaleSegments(df, conf.macroCol, conf.microCol,
+      Seq(conf.xCol, conf.yCol), conf.dontScale)
+      .select(col(conf.macroCol).cast("string").as("__macro"),
+        col(conf.microCol).cast("string").as("__micro"),
+        col(xs).cast("double").as(xs), col(ys).cast("double").as(ys))
+    val assembled = new VectorAssembler().setInputCols(Array(xs, ys))
+      .setOutputCol("features").transform(scaled)
+      .persist() // reused by every segment fit below
+    try {
+      val keys = assembled.select($"__macro", $"__micro").distinct()
+        .as[(String, String)].collect().sorted
+      val results = keys.toSeq.flatMap { case (ma, mi) =>
+        val seg = assembled.filter($"__macro" === ma && $"__micro" === mi)
+        mlSegmentResult(seg, ma, mi, conf, xs, ys)
+      }
+      spark.createDataset(results)
+    } finally assembled.unpersist()
+  }
+
+  private def mlSegmentResult(seg: DataFrame, ma: String, mi: String,
+      conf: EngineConf, xs: String, ys: String): Option[SegmentResult] = {
+    val spark = seg.sparkSession
+    import spark.implicits._
+    val distinctPts = seg.select(col(xs), col(ys)).distinct().count()
+    if (distinctPts < 2) return None
+    val rnd = segmentRng(conf, ma, mi)
+    val k0 = conf.fixedK.getOrElse(conf.startK)
+    val kEff = math.min(k0, distinctPts.toInt)
+    // seed search (optimal_k.py:16-72)
+    var bestSil = -1.0
+    var bestPred: DataFrame = null
+    var bestModel: org.apache.spark.ml.Model[_] = null
+    for (_ <- 0 until conf.iterNum) {
+      val m = mlFit(seg, kEff, conf.algorithm, nextSeed(rnd))
+      val pred = mlTransform(m, seg)
+      val sil = mlSilhouette(pred)
+      if (sil > bestSil) { bestSil = sil; bestPred = pred; bestModel = m }
+    }
+    val pred = bestPred.persist()
+    try {
+      // A4/A5/A6 as single aggregations (not the reference's k+1 jobs):
+      // per-cluster count + data-mean; centers for KMeans/BKM come from the
+      // model, for GMM from the data means (reference semantics).
+      val modelCenters: Map[Int, Array[Double]] = bestModel match {
+        case km: org.apache.spark.ml.clustering.KMeansModel =>
+          km.clusterCenters.zipWithIndex.map { case (v, i) => i -> v.toArray }.toMap
+        case bk: org.apache.spark.ml.clustering.BisectingKMeansModel =>
+          bk.clusterCenters.zipWithIndex.map { case (v, i) => i -> v.toArray }.toMap
+        case _ => Map.empty
+      }
+      val stats = pred.groupBy($"prediction")
+        .agg(count(lit(1)).as("n"), avg(col(xs)).as("mx"), avg(col(ys)).as("my"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+      val centers: Map[Int, Array[Double]] = stats.map { case (c, (_, mx, my)) =>
+        c -> modelCenters.getOrElse(c, Array(mx, my))
+      }
+      // radius: one pass over predictions with a per-cluster center lookup
+      val centerRows = centers.toSeq.map { case (c, arr) => (c, arr(0), arr(1)) }
+      val centersDf = spark.createDataset(centerRows).toDF("prediction", "cx", "cy")
+      val radii = pred.join(broadcast(centersDf), "prediction")
+        .groupBy($"prediction")
+        .agg(max(pow(col(xs) - $"cx", 2) + pow(col(ys) - $"cy", 2)).as("maxSq"))
+        .collect().map(r => r.getInt(0) -> math.sqrt(r.getDouble(1))).toMap
+      val clusters = stats.toSeq.sortBy(_._1).map { case (c, (n, _, _)) =>
+        ClusterInfo(c, centers(c).toSeq, n, radii.getOrElse(c, 0.0))
+      }
+      val ent = LocalMetrics.entropy(clusters.map(_.clusterSize))
+      Some(SegmentResult(ma, mi, conf.algorithm, clusters.size, bestSil, ent,
+        clusters))
+    } finally pred.unpersist()
+  }
+}

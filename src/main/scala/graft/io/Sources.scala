@@ -1,0 +1,54 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Input-side operators (SURVEY.md §2.1 S1–S4).
+  *
+  * The reference reads header+inferSchema CSV from HDFS through a py4j
+  * gateway (`/root/reference/scripts/preprocess.py:31-71`); here the
+  * Hadoop FileSystem API is a direct JVM call. PERMISSIVE mode plus a
+  * corrupt-record quarantine column covers its dirty-data behavior (BOM
+  * header, 17 shifted rows, `14E+31` customer — FIXTURES.md).
+  */
+object Sources {
+
+  val CorruptRecordCol = "_corrupt_record"
+
+  /** S1: CSV scan. With an explicit schema, malformed rows land in
+    * [[CorruptRecordCol]] instead of being silently truncated. */
+  def readCsv(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptRecordCol)
+    schema match {
+      case Some(s) => base.schema(s).csv(path)
+      case None    => base.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** S2: existence probe before read (`preprocess.py:50-56`). */
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  /** S3: at-most-once input consumption — delete after a successful run
+    * (`cluster.py:292-308`). */
+  def delete(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).delete(new Path(path), false)
+
+  /** S4: ingest down-sampling (`preprocess.py:59-63`): when the row count
+    * exceeds `limit`, Bernoulli-sample fraction = limit/count. The
+    * reference passes no seed (nondeterministic); we require one. */
+  def downsample(df: DataFrame, limit: Long, seed: Long): DataFrame = {
+    val n = df.count()
+    if (n > limit) df.sample(withReplacement = false,
+      fraction = limit.toDouble / n, seed = seed)
+    else df
+  }
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+}

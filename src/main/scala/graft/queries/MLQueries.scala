@@ -1,10 +1,151 @@
 package graft
 
-/** Clustering-parity queries (SURVEY.md §2.9/§2.10) — filled in by the
-  * engine milestone; ML fits are seed-pinned and exposed as rows-only
-  * checks (no SQL oracle), metric formulas (entropy/radius/means) are
-  * oracle-checked in RelationalQueries/MetricQueries instead.
+import org.apache.spark.sql.functions._
+
+import graft.engine.{ClusterEngine, EngineConf}
+import graft.preprocess.Scaling
+
+/** Clustering-parity queries (SURVEY.md §2.9/§2.10).
+  *
+  * ML fits are seed-pinned and deterministic but not SQL-expressible →
+  * rows-only driver checks (no oracle). The deterministic *formula* pieces
+  * the fits consume — per-segment scaling, centroid, radius, guard — are
+  * oracle-checked here (q34/q35) against DuckDB, exercising the same
+  * [[Scaling]] code the engine runs.
   */
 object MLQueries {
-  def all: Seq[GraftQuery] = Seq.empty
+
+  def all: Seq[GraftQuery] = Seq(q30ClusterLocal, q31ClusterMl,
+    q32ClusterGmmMl, q33OptimalKLocal, q34CentroidRadius, q35SegmentGuard)
+
+  private def lineitemConf = EngineConf(
+    macroCol = "l_returnflag", microCol = "l_linestatus",
+    xCol = "l_quantity", yCol = "l_extendedprice",
+    fixedK = Some(3), iterNum = 2, seed = 42L)
+
+  private def flatten(res: org.apache.spark.sql.Dataset[graft.engine.SegmentResult]) =
+    res.select(
+      col("macroId"), col("microId"), col("k"),
+      round(col("silhouette"), 4).as("silhouette"),
+      round(col("entropy"), 4).as("entropy"),
+      explode(col("clusters")).as("c"))
+      .select(col("macroId"), col("microId"), col("k"), col("silhouette"),
+        col("entropy"), col("c.name").as("cluster"),
+        col("c.clusterSize").as("cluster_size"),
+        round(col("c.radius"), 4).as("radius"))
+      .orderBy(col("macroId"), col("microId"), col("cluster"))
+
+  /** Scalable backend: every (returnflag, linestatus) segment KMeans'd in
+    * one shuffle (flatMapGroups + LocalKMeans), k=3, seed-pinned. */
+  val q30ClusterLocal: GraftQuery = GraftQuery(
+    "q30_cluster_local",
+    (s, d) => flatten(ClusterEngine.run(Tables.lineitem(s, d), lineitemConf)))
+
+  /** Parity backend: same segments via spark.ml KMeans fits. */
+  val q31ClusterMl: GraftQuery = GraftQuery(
+    "q31_cluster_ml",
+    (s, d) => flatten(
+      ClusterEngine.runMl(Tables.lineitem(s, d), lineitemConf.copy(iterNum = 1))))
+
+  /** GaussianMixture on event buckets (ml backend; GMM centers = data
+    * means per the reference, `scripts/metrics.py:32-54`). */
+  val q32ClusterGmmMl: GraftQuery = GraftQuery(
+    "q32_cluster_gmm_ml",
+    (s, d) => {
+      import s.implicits._
+      // two event types × two buckets: 4 GMM fits — the ml backend is the
+      // few-huge-segments path, so the query keeps the grid small
+      val ev = Tables.events(s, d)
+        .filter($"event_type".isin("click", "purchase"))
+        .withColumn("user_bucket", ($"user_id" % 2).cast("string"))
+        .withColumn("ts_sec", unix_timestamp($"ts").cast("double"))
+      flatten(ClusterEngine.runMl(ev, EngineConf(
+        macroCol = "event_type", microCol = "user_bucket",
+        xCol = "value", yCol = "ts_sec",
+        algorithm = "GaussianMixture", fixedK = Some(2), iterNum = 1,
+        seed = 42L)))
+    })
+
+  /** Full optimal-k pipeline (k-sweep 2..6 + selection policy M9/M10 +
+    * seed search M7) running inside each segment's task. */
+  val q33OptimalKLocal: GraftQuery = GraftQuery(
+    "q33_optimal_k_local",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("user_bucket", ($"user_id" % 4).cast("string"))
+        .withColumn("ts_sec", unix_timestamp($"ts").cast("double"))
+      val res = ClusterEngine.run(ev, EngineConf(
+        macroCol = "event_type", microCol = "user_bucket",
+        xCol = "value", yCol = "ts_sec",
+        startK = 2, stopK = 6, iterNum = 2, seed = 42L))
+      res.select(col("macroId"), col("microId"), col("k"),
+        round(col("silhouette"), 4).as("silhouette"))
+        .orderBy(col("macroId"), col("microId"))
+    })
+
+  /** A1/A4/A6 formulas, oracle-checked: per-segment min–max scaling (the
+    * engine's Scaling module), centroid = mean point, radius = sqrt of max
+    * squared distance to the centroid. */
+  val q34CentroidRadius: GraftQuery = GraftQuery(
+    "q34_centroid_radius",
+    (s, d) => {
+      import s.implicits._
+      val scaled = Scaling.scaleSegments(Tables.lineitem(s, d),
+        "l_returnflag", "l_linestatus",
+        Seq("l_quantity", "l_extendedprice"))
+      val xs = col(Scaling.scaledName("l_quantity"))
+      val ys = col(Scaling.scaledName("l_extendedprice"))
+      val cent = scaled.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(avg(xs).as("cx"), avg(ys).as("cy"), count(lit(1)).as("n"))
+      scaled.join(broadcast(cent), Seq("l_returnflag", "l_linestatus"))
+        .groupBy($"l_returnflag", $"l_linestatus", $"cx", $"cy", $"n")
+        .agg(max(pow(xs - $"cx", 2) + pow(ys - $"cy", 2)).as("max_sq"))
+        .select($"l_returnflag", $"l_linestatus",
+          round($"cx", 4).as("cx"), round($"cy", 4).as("cy"), $"n",
+          round(sqrt($"max_sq"), 4).as("radius"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some(
+      "WITH bounds AS (" +
+        "SELECT l_returnflag, l_linestatus, " +
+        "min(l_quantity) AS qmin, max(l_quantity) AS qmax, " +
+        "min(l_extendedprice) AS pmin, max(l_extendedprice) AS pmax " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "scaled AS (" +
+        "SELECT l.l_returnflag, l.l_linestatus, " +
+        "CASE WHEN qmax - qmin > 0 THEN (l_quantity - qmin) / (qmax - qmin) * 100.0 ELSE 0.0 END AS xs, " +
+        "CASE WHEN pmax - pmin > 0 THEN (l_extendedprice - pmin) / (pmax - pmin) * 100.0 ELSE 0.0 END AS ys " +
+        "FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag " +
+        "AND l.l_linestatus = b.l_linestatus), " +
+        "cent AS (" +
+        "SELECT l_returnflag, l_linestatus, avg(xs) AS cx, avg(ys) AS cy, " +
+        "count(*) AS n FROM scaled GROUP BY 1, 2) " +
+        "SELECT s.l_returnflag, s.l_linestatus, round(cx, 4) AS cx, " +
+        "round(cy, 4) AS cy, n, " +
+        "round(sqrt(max(pow(xs - cx, 2) + pow(ys - cy, 2))), 4) AS radius " +
+        "FROM scaled s JOIN cent c ON s.l_returnflag = c.l_returnflag " +
+        "AND s.l_linestatus = c.l_linestatus " +
+        "GROUP BY s.l_returnflag, s.l_linestatus, cx, cy, n " +
+        "ORDER BY s.l_returnflag, s.l_linestatus"))
+
+  /** M12: the ≥2-distinct-points segment guard as data. */
+  val q35SegmentGuard: GraftQuery = GraftQuery(
+    "q35_segment_guard",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_points"),
+          countDistinct(struct($"l_quantity", $"l_extendedprice"))
+            .as("n_distinct"))
+        .withColumn("eligible", ($"n_distinct" >= 2).cast("int"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some(
+      "SELECT l_returnflag, l_linestatus, count(*) AS n_points, " +
+        "count(DISTINCT (l_quantity, l_extendedprice)) AS n_distinct, " +
+        "CASE WHEN count(DISTINCT (l_quantity, l_extendedprice)) >= 2 " +
+        "THEN 1 ELSE 0 END AS eligible " +
+        "FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"))
 }

@@ -21,7 +21,7 @@ object SparkSuite {
   val sfSmoke = "/root/testdata/sf0.001"
 }
 
-abstract class GraftSuite extends AnyFunSuite {
+abstract class GraftSuite extends AnyFunSuite with org.scalactic.Tolerance {
   lazy val spark: SparkSession = SparkSuite.spark
   def sf: String = SparkSuite.sfSmoke
 }
