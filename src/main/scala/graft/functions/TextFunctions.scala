@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis expression library (north-star extension): language-ID
+  * (stopword n-gram heuristic), quality scoring, token counting,
+  * document fingerprinting. All pure built-in expressions — codegen'd,
+  * one scan, no shuffle, so they run at ingest bandwidth on any corpus
+  * size.
+  */
+object TextFunctions extends Serializable {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Tiny per-language stopword profiles for the heuristic language ID.
+    * Deliberately small: the operator's shape (profile scoring + argmax)
+    * is the point; profiles are swappable data. */
+  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "no", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "pas", "que", "pour", "dans"))
+
+  /** Fraction of tokens that appear in `words`. */
+  def stopwordRatio(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    size(filter(toks, t => t.isInCollection(words))).cast("double") /
+      size(toks)
+  }
+
+  /** Heuristic language ID: argmax of per-language stopword ratios, 'und'
+    * (undetermined) when no profile scores above `minScore`. Ties break by
+    * profile order (en first) — deterministic. */
+  def langId(text: Column, minScore: Double = 0.02): Column = {
+    val scores = stopwordProfiles.map { case (lang, words) =>
+      lang -> stopwordRatio(text, words)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val picks = scores.map { case (lang, score) =>
+      when(score >= minScore && score === best, lit(lang))
+    }
+    coalesce(picks :+ lit("und"): _*)
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: whitespace tokens plus extra units
+    * for long tokens (every 4 chars beyond the first 4 ≈ one merge-level
+    * subword) — a deterministic, vocabulary-free approximation. */
+  def subwordCountEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + lit(1L) +
+        floor((length(t).cast("double") - 1.0) / 4.0).cast("long"))
+
+  /** Type-token ratio (distinct tokens / tokens) — repetitiveness gauge. */
+  def typeTokenRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    size(array_distinct(toks)).cast("double") / size(toks)
+  }
+
+  /** Composite quality score in [0,1]: length band + lexical diversity +
+    * mean-token-length band. The weights/bands are heuristic data; the
+    * operator shape (pure-expression composite score) is the point. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / 64.0, lit(1.0))
+    val diversity = typeTokenRatio(text)
+    val meanTokLen = (length(text).cast("double") - nTok + 1.0) / nTok
+    val tokLenScore = when(meanTokLen.between(3.0, 9.0), 1.0).otherwise(0.5)
+    round(lenScore * 0.4 + diversity * 0.4 + tokLenScore * 0.2, 6)
+  }
+
+  /** Polynomial rolling fingerprint over the token stream:
+    * fp = fold(7, (acc, t) => (acc*31 + unit(t)) mod 1e9+7) where
+    * unit(t) = length(t) + ascii(first char). Modding every step keeps the
+    * value inside exact-integer range in any engine (no overflow
+    * divergence). Order-sensitive by construction (it fingerprints the
+    * sequence, not the bag). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text),
+        t => (length(t) + ascii(t)).cast("long")),
+      lit(7L),
+      (acc, t) => (acc * 31L + t) % 1000000007L)
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large text corpora (north-star extension):
+  * exact, n-gram Jaccard, MinHash+LSH banding, SimHash. All shuffle-lean:
+  * signatures are computed in one pass per document (map-side), candidate
+  * generation is one groupBy on the band/bucket key, and only candidate
+  * pairs — never all pairs — are verified. That is the shape that holds at
+  * 100 TB: cost scales with Σ|buckets|², not n².
+  *
+  * Everything except SimHash is pure built-in expressions (codegen'd).
+  */
+object Dedup extends Serializable {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles, distinct, as an array column. `greatest(1, …)`
+    * keeps sequence() ascending for docs shorter than n tokens (Spark
+    * would otherwise generate a DESCENDING sequence — silent corruption).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(lit(1), size(toks) - (n - 1))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Exact dedup: keep the smallest id per identical text. At 100 TB,
+    * group on sha2(text, 256) instead of the raw string to shrink the
+    * shuffle key (semantically identical modulo 2^-128 collisions). */
+  def exact(df: DataFrame, idCol: String, textCol: String,
+      byHash: Boolean = false): DataFrame = {
+    val key = if (byHash) sha2(col(textCol).cast("binary"), 256)
+      else col(textCol)
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("dedup_key")
+  }
+
+  /** Jaccard similarity of two shingle-array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_distinct(concat(a, b)))
+
+  /** All-pairs n-gram Jaccard — the exact (quadratic) baseline, for small
+    * collections or for verifying candidates from the LSH path. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+  }
+
+  /** MinHash signatures: numHashes independent min-hashes per doc, one
+    * explode + one groupBy (single shuffle for the whole corpus).
+    * Hash family: xxhash64 seeded by the hash index (deterministic). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleN)).as("sh"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    exploded.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*)
+        .as("signature"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * numHashes/bands rows each; docs sharing any band hash are candidate
+    * pairs. Returns distinct (id_a < id_b) candidates. */
+  def lshCandidates(signatures: DataFrame, bands: Int): DataFrame = {
+    val numHashes = bands * (
+      signatures.select(size(col("signature"))).first().getInt(0) / bands)
+    val rowsPerBand = numHashes / bands
+    val bandHashes = transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, concat_ws("|",
+        slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+    val banded = signatures.select(col("id"), posexplode(bandHashes))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    * exact-Jaccard verification of candidates only. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      shingleN: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
+    val cands = lshCandidates(sigs, bands)
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of a token array (FNV-1a per token, bitwise weighted
+    * vote). Pure JVM function — used both by the UDF below and by tests.
+    */
+  def simhash64(toks: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    toks.foreach { t =>
+      var h = 0xcbf29ce484222325L // FNV-1a 64
+      var i = 0
+      while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  private val simhashUdf = udf((toks: Seq[String]) => simhash64(toks))
+
+  /** SimHash near-dup candidates with Hamming distance ≤ maxHamming,
+    * banded by the pigeonhole principle: split the 64-bit signature into
+    * maxHamming+1 chunks — any pair within the distance budget must agree
+    * on at least one chunk exactly, so candidates come from one groupBy on
+    * (chunk index, chunk value), never an all-pairs scan. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val sigs = df.select(col(idCol).as("id"),
+      simhashUdf(tokens(col(textCol))).as("sig"))
+    val chunkVals = array((0 until chunks).map(c =>
+      shiftright(col("sig"), c * bitsPer)
+        .bitwiseAND(lit((1L << bitsPer) - 1))): _*)
+    val banded = sigs.select(col("id"), col("sig"), posexplode(chunkVals))
+      .select(col("id"), col("sig"), col("pos").as("chunk"),
+        col("col").as("chunk_val"))
+    val l = banded.select(col("chunk"), col("chunk_val"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("chunk"), col("chunk_val"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a seeded
+  * sign-random-projection LSH index as the scale path (bucket the vectors
+  * once, then only score within buckets — candidate cost scales with
+  * bucket occupancy, not corpus size).
+  *
+  * The kernels (dot/cosine) are higher-order built-in expressions — no
+  * UDFs, so scoring stays inside codegen.
+  */
+object Similarity extends Serializable {
+
+  def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column = {
+    val (ad, bd) = (asDouble(a), asDouble(b))
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Exact top-k: broadcast the (small) query set against every candidate,
+    * rank within query. Deterministic tie-break on the candidate id. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+      queryId: String, queryVec: String, candId: String, candVec: String,
+      k: Int): DataFrame = {
+    val scored = candidates.crossJoin(broadcast(queries))
+      .filter(col(candId) =!= col(queryId))
+      .select(col(queryId), col(candId),
+        cosine(col(queryVec), col(candVec)).as("cos"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cos").desc, col(candId))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH. */
+  def hyperplanes(dim: Int, bits: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-random-projection bucket id: bit j = sign(v · plane_j). */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(asDouble(vec), typedLit(p)) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: queries only score candidates in their own LSH
+    * bucket. `bits` trades recall for candidate-set size (2^bits buckets).
+    */
+  def annTopK(queries: DataFrame, candidates: DataFrame,
+      queryId: String, queryVec: String, candId: String, candVec: String,
+      k: Int, bits: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim = candidates.select(size(col(candVec))).first().getInt(0)
+    val planes = hyperplanes(dim, bits, seed)
+    val qb = queries.withColumn("bucket", lshBucket(col(queryVec), planes))
+    val cb = candidates.withColumn("bucket", lshBucket(col(candVec), planes))
+    val scored = cb.join(broadcast(qb), "bucket")
+      .filter(col(candId) =!= col(queryId))
+      .select(col(queryId), col(candId),
+        cosine(col(queryVec), col(candVec)).as("cos"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cos").desc, col(candId))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Recall@k of the ANN path against the exact top-k, per query —
+    * the quality gauge for the bits/seed trade-off. */
+  def annRecall(queries: DataFrame, candidates: DataFrame,
+      queryId: String, queryVec: String, candId: String, candVec: String,
+      k: Int, bits: Int = 8, seed: Long = 42L): DataFrame = {
+    val exact = bruteForceTopK(queries, candidates, queryId, queryVec,
+      candId, candVec, k).select(col(queryId), col(candId))
+    val approx = annTopK(queries, candidates, queryId, queryVec, candId,
+      candVec, k, bits, seed).select(col(queryId), col(candId))
+    val hits = exact.join(approx, Seq(queryId, candId), "left_semi")
+      .groupBy(col(queryId)).agg(count(lit(1)).as("hits"))
+    queries.select(col(queryId)).distinct()
+      .join(hits, Seq(queryId), "left_outer")
+      .select(col(queryId),
+        (coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall"))
+  }
+}

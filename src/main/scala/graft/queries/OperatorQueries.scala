@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import graft.operators.{AsOfJoin, Dedup, Similarity}
+import graft.streaming.EventStream
+
+/** North-star operator queries: as-of join, streaming, multimodal,
+  * dedup (MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
+  * ANN similarity, text analysis. Oracle-checked wherever DuckDB can
+  * express identical semantics; hash-family-dependent ops are rows-only
+  * but seed-deterministic.
+  */
+object OperatorQueries {
+
+  def all: Seq[GraftQuery] = Seq(q40AsOf, q41StreamHourly, q42Multimodal,
+    q43NgramJaccard, q44MinhashNearDups, q45SimhashNearDups,
+    q46EmbeddingNearDups, q47AnnRecall, q48LangId, q49QualityScore,
+    q50Fingerprint, q51SubwordCount)
+
+  /** Backward as-of join via union+window (one shuffle, no range-join
+    * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
+  val q40AsOf: GraftQuery = GraftQuery(
+    "q40_asof_join",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts")
+      AsOfJoin.backward(purchases, clicks, Seq("user_id"), "ts", "ts")
+        .select($"event_id", $"user_id", unix_millis($"ts").as("ts_ms"),
+          unix_millis($"ts_asof").as("click_ms"))
+        .orderBy($"event_id")
+    },
+    Some(
+      "WITH purch AS (SELECT event_id, user_id, ts FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "clicks AS (SELECT user_id, ts FROM events " +
+        "WHERE event_type = 'click') " +
+        "SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, " +
+        "epoch_ms(c.ts) AS click_ms " +
+        "FROM purch p ASOF LEFT JOIN clicks c " +
+        "ON p.user_id = c.user_id AND c.ts <= p.ts " +
+        "ORDER BY p.event_id"))
+
+  /** Structured Streaming replay of the hourly aggregation — must equal
+    * the BATCH oracle (same SQL as q15): streaming and batch agree on a
+    * complete replay. */
+  val q41StreamHourly: GraftQuery = GraftQuery(
+    "q41_stream_hourly",
+    (s, d) => {
+      val name = s"graft_stream_${System.nanoTime()}"
+      EventStream.runToCompletion(s, d, EventStream.hourlyCounts, name)
+        .orderBy(col("hr_ms"), col("event_type"))
+    },
+    Some(
+      "SELECT epoch_ms(date_trunc('hour', ts)) AS hr_ms, event_type, " +
+        "count(*) AS n, round(sum(value),2) AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY hr_ms, event_type"))
+
+  /** Binary-column plumbing + per-partition (stub) decode. Deterministic →
+    * rows-only check; byte_entropy is computed from real bytes. */
+  val q42Multimodal: GraftQuery = GraftQuery(
+    "q42_multimodal_features",
+    (s, d) => {
+      val withBin = Multimodal.attachBinary(Tables.documents(s, d))
+      Multimodal.extractFeatures(withBin).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("byte_entropy"), 4).as("byte_entropy"),
+          round(col("luma_mean"), 4).as("luma_mean"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** Exact n-gram Jaccard, all pairs of a bounded slice (the quadratic
+    * baseline the LSH path approximates). */
+  val q43NgramJaccard: GraftQuery = GraftQuery(
+    "q43_ngram_jaccard",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).filter($"doc_id" < 30)
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+        .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(
+      "WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, greatest(1, len(string_split(text,' ')) - 2)), " +
+        "i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) " +
+        "AS shingles FROM documents WHERE doc_id < 30) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "round(len(list_intersect(a.shingles, b.shingles))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id ORDER BY id_a, id_b"))
+
+  /** MinHash + LSH banding near-dup detection (finds the corpus's planted
+    * near-dup pairs); hash family is engine-side → rows-only. */
+  val q44MinhashNearDups: GraftQuery = GraftQuery(
+    "q44_minhash_neardups",
+    (s, d) => {
+      import s.implicits._
+      Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.5)
+        .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    })
+
+  /** SimHash near-dup candidates (Hamming ≤ 6 over 64-bit signatures,
+    * pigeonhole-banded). */
+  val q45SimhashNearDups: GraftQuery = GraftQuery(
+    "q45_simhash_neardups",
+    (s, d) => {
+      import s.implicits._
+      Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 6)
+        .orderBy($"id_a", $"id_b")
+    })
+
+  /** Embedding-cosine near-dup pairs above a threshold, BLOCKED on the
+    * label column: exact scoring only within blocks, so pair count scales
+    * with Σ|block|² instead of n² — the shape that survives a large
+    * corpus (an unblocked all-pairs version of this query took 100+s at
+    * sf0.1; blocked it is ~25× cheaper with identical within-block
+    * results). Oracle-checked: DuckDB computes the same blocked join with
+    * identical double accumulation. */
+  val q46EmbeddingNearDups: GraftQuery = GraftQuery(
+    "q46_embedding_neardups",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val a = e.select($"label", $"vec_id".as("id_a"), $"embedding".as("va"))
+      val b = e.select($"label", $"vec_id".as("id_b"), $"embedding".as("vb"))
+      a.join(b, Seq("label")).filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b", Similarity.cosine($"va", $"vb").as("c"))
+        .filter($"c" >= 0.4)
+        .select($"id_a", $"id_b", round($"c", 6).as("cos"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(
+      "SELECT id_a, id_b, round(c, 6) AS cos FROM (" +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c " +
+        "FROM embeddings a JOIN embeddings b " +
+        "ON a.label = b.label AND a.vec_id < b.vec_id) " +
+        "WHERE c >= 0.4 ORDER BY id_a, id_b"))
+
+  /** Recall@10 of the sign-LSH ANN path vs exact top-10 per query —
+    * deterministic given the seed; rows-only. */
+  val q47AnnRecall: GraftQuery = GraftQuery(
+    "q47_ann_recall",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val c = e.select($"vec_id", $"embedding".as("cv"))
+      Similarity.annRecall(q, c, "query_id", "qv", "vec_id", "cv",
+        k = 10, bits = 4, seed = 42L)
+        .select($"query_id", round($"recall", 2).as("recall"))
+        .orderBy($"query_id")
+    })
+
+  /** Heuristic language ID (stopword-profile argmax), oracle-checked. */
+  val q48LangId: GraftQuery = GraftQuery(
+    "q48_langid",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", TextFunctions.langId($"text").as("lang_pred"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val ratios = TextFunctions.stopwordProfiles.map { case (lang, words) =>
+        val set = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(lower(text), ' '), " +
+          s"w -> w IN ($set)))::DOUBLE / len(string_split(lower(text), ' ')) AS s_$lang"
+      }.mkString(", ")
+      val langs = TextFunctions.stopwordProfiles.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val cases = langs.map(l =>
+        s"WHEN s_$l >= 0.02 AND s_$l = $best THEN '$l'").mkString(" ")
+      s"SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM " +
+        s"(SELECT doc_id, $ratios FROM documents) ORDER BY doc_id"
+    })
+
+  /** Composite quality score, oracle-checked. */
+  val q49QualityScore: GraftQuery = GraftQuery(
+    "q49_quality_score",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", TextFunctions.qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    },
+    Some(
+      "SELECT doc_id, round(" +
+        "least(n_tok / 64.0, 1.0) * 0.4 + " +
+        "(n_distinct / n_tok) * 0.4 + " +
+        "(CASE WHEN (n_chars - n_tok + 1.0) / n_tok BETWEEN 3.0 AND 9.0 " +
+        "THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality FROM (" +
+        "SELECT doc_id, " +
+        "len(string_split(text, ' '))::DOUBLE AS n_tok, " +
+        "len(list_distinct(string_split(lower(text), ' ')))::DOUBLE AS n_distinct, " +
+        "length(text)::DOUBLE AS n_chars FROM documents) ORDER BY doc_id"))
+
+  /** Order-sensitive polynomial fingerprint of the token stream,
+    * oracle-checked (mod-every-step keeps both engines in exact-integer
+    * range). */
+  val q50Fingerprint: GraftQuery = GraftQuery(
+    "q50_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", TextFunctions.fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    },
+    Some(
+      "SELECT doc_id, list_reduce(list_prepend(7, " +
+        "list_transform(string_split(text, ' '), " +
+        "t -> (length(t) + ascii(t))::BIGINT)), " +
+        "(acc, t) -> (acc * 31 + t) % 1000000007) AS fp " +
+        "FROM documents ORDER BY doc_id"))
+
+  /** BPE-ish subword count estimate, oracle-checked. */
+  val q51SubwordCount: GraftQuery = GraftQuery(
+    "q51_subword_count",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          TextFunctions.subwordCountEstimate($"text").as("n_subwords"),
+          TextFunctions.tokenCount($"text").cast("long").as("n_tokens"))
+        .orderBy($"doc_id")
+    },
+    Some(
+      "SELECT doc_id, list_reduce(list_prepend(0, " +
+        "list_transform(string_split(text, ' '), " +
+        "t -> 1 + (length(t) - 1) // 4)), (acc, t) -> acc + t)::BIGINT " +
+        "AS n_subwords, " +
+        "len(string_split(text, ' '))::BIGINT AS n_tokens " +
+        "FROM documents ORDER BY doc_id"))
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipeline over the events table (SURVEY.md §2.11:
+  * the reference fakes streaming with cron + delete-after-read; here it is
+  * a real `readStream` with event-time semantics).
+  *
+  *  - [[hourlyCounts]]: watermarked tumbling-window aggregation.
+  *  - [[sessionize]]: stateful gap-based sessionization via
+  *    `flatMapGroupsWithState` (the custom-state escape hatch).
+  *
+  * Both run against the parquet file source so a batch of files drives the
+  * stream; in production the source swaps for kafka/delta with no change
+  * to the transforms.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  private final case class SessionState(start: Long, end: Long, n: Long,
+      value: Double)
+
+  /** Streaming source over the events parquet (nanos ts read as long, then
+    * converted — same contract as [[graft.Tables.events]]). */
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file-stream source wants a directory; glob-filter to the table
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour window counts with a 2-hour watermark — the
+    * streaming twin of the batch q15 aggregation (same results on a
+    * complete replay). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("hr_ms"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Runs a streaming aggregation to completion against the file source
+    * and returns the final result table (memory sink, complete mode). */
+  def runToCompletion(spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame,
+      queryName: String = "graft_stream"): DataFrame = {
+    val q = transform(source(spark, dir)).writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
+  /** Gap-based sessionization: events of a user belong to one session
+    * while the gap between consecutive events stays below `gapMinutes`.
+    * Emits closed sessions (append mode); processing-time timeout flushes
+    * dangling sessions.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30)(
+      implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, s.value))
+          } else {
+            val sorted = rows.toArray.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1,
+                    s.value + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n, s.value)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach(state.update)
+            state.setTimeoutDuration(s"$gapMinutes minutes")
+            closed.reverseIterator
+          }
+      }
+  }
+}

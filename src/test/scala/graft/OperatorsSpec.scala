@@ -1,0 +1,248 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import graft.operators.{AsOfJoin, Dedup, Similarity}
+
+class DedupSpec extends GraftSuite {
+  import org.apache.spark.sql.DataFrame
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min id and counts copies") {
+    val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+    val out = Dedup.exact(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq === Seq((1L, 2L), (3L, 1L)))
+    // hash-keyed variant agrees
+    val outH = Dedup.exact(d, "doc_id", "text", byHash = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(outH.toSeq === out.toSeq)
+  }
+
+  test("shingles: n-grams, and whole text for short docs") {
+    val d = docs((1L, "a b c d"), (2L, "a b"))
+    val sh = d.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[String]]("sh")).toMap
+    assert(sh(1L).toSet === Set("a b c", "b c d"))
+    assert(sh(2L).toSet === Set("a b")) // shorter than n → one shingle
+  }
+
+  test("minhash LSH finds planted near-dups, not unrelated docs") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"w$i")
+      .mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val d = docs((1L, base), (2L, nearDup), (3L, other))
+    val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("simhash: identical → 0 hamming; near-dup found, unrelated not") {
+    assert(Dedup.simhash64(Seq("a", "b")) === Dedup.simhash64(Seq("a", "b")))
+    val base = (1 to 60).map(i => s"w$i")
+    val d = docs((1L, base.mkString(" ")),
+      (2L, base.updated(5, "CHANGED").mkString(" ")),
+      (3L, (200 to 260).map(i => s"v$i").mkString(" ")))
+    val pairs = Dedup.simhashNearDups(d, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("jaccard formula") {
+    val d = docs((1L, "irrelevant"))
+    val j = d.select(Dedup.jaccard(
+      typedLit(Seq("a", "b", "c")), typedLit(Seq("b", "c", "d"))).as("j"))
+      .first().getDouble(0)
+    assert(j === 0.5 +- 1e-12) // |{b,c}| / |{a,b,c,d}|
+  }
+}
+
+class SimilaritySpec extends GraftSuite {
+
+  test("cosine of identical / orthogonal vectors") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("same"),
+      Similarity.cosine(col("a"), col("c")).as("orth")).first()
+    assert(r.getDouble(0) === 1.0 +- 1e-12)
+    assert(r.getDouble(1) === 0.0 +- 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine with id tie-break") {
+    val s = spark
+    import s.implicits._
+    val cands = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "cv")
+    val qs = Seq((99L, Seq(1.0f, 0.0f))).toDF("query_id", "qv")
+    val top = Similarity.bruteForceTopK(qs, cands, "query_id", "qv",
+      "vec_id", "cv", 2).select("vec_id").collect().map(_.getLong(0))
+    assert(top.toSeq === Seq(1L, 2L))
+  }
+
+  test("annRecall emits every query with recall in [0,1]") {
+    val e = Tables.embeddings(spark, sf)
+    val s = spark
+    import s.implicits._
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = e.select($"vec_id", $"embedding".as("cv"))
+    val rec = Similarity.annRecall(q, c, "query_id", "qv", "vec_id", "cv",
+      k = 5, bits = 4, seed = 42L).collect()
+    assert(rec.length === 5)
+    assert(rec.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+}
+
+class TextFunctionsSpec extends GraftSuite {
+
+  private def one(text: String) = {
+    val s = spark
+    import s.implicits._
+    Seq(text).toDF("text")
+  }
+
+  test("langId spots obvious languages and falls back to und") {
+    def lid(t: String): String =
+      one(t).select(TextFunctions.langId(col("text"))).first().getString(0)
+    assert(lid("the cat sat on the mat and it is a cat") === "en")
+    assert(lid("der hund und die katze ist nicht da und das ist gut") === "de")
+    assert(lid("xyzzy plugh qwerty asdf") === "und")
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    def fp(t: String): Long =
+      one(t).select(TextFunctions.fingerprint(col("text"))).first().getLong(0)
+    assert(fp("a b c") === fp("a b c"))
+    assert(fp("a b c") !== fp("c b a"))
+  }
+
+  test("subword estimate grows with token length") {
+    def sw(t: String): Long =
+      one(t).select(TextFunctions.subwordCountEstimate(col("text")))
+        .first().getLong(0)
+    assert(sw("a b c") === 3L)              // short tokens: 1 unit each
+    assert(sw("abcdefgh") === 2L)           // 8 chars → 1 + (7/4=1)
+    assert(sw("abcdefghijkl xy") === 4L)    // 12 chars → 1+2, "xy" → 1
+  }
+
+  test("quality score stays in [0,1] on real docs") {
+    val q = Tables.documents(spark, sf)
+      .select(TextFunctions.qualityScore(col("text")).as("q"))
+      .agg(min("q"), max("q")).first()
+    assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
+  }
+}
+
+class AsOfJoinSpec extends GraftSuite {
+
+  test("backward as-of picks the latest right row at or before left ts") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq((1L, "u1", ts(100)), (2L, "u1", ts(50)), (3L, "u2", ts(10)))
+      .toDF("id", "user", "t")
+    val right = Seq(("u1", ts(40), 40.0), ("u1", ts(100), 99.0),
+      ("u2", ts(20), 1.0)).toDF("user", "t", "v")
+    val out = AsOfJoin.backward(left, right, Seq("user"), "t", "t", Seq("v"))
+      .select($"id", $"v_asof").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) === Some(99.0)) // equal ts matches (<=)
+    assert(out(2L) === Some(40.0))
+    assert(out(3L) === None)       // no right row at/before t=10
+  }
+
+  test("as-of result matches naive join-filter-max formulation on events") {
+    val s = spark
+    import s.implicits._
+    val ev = Tables.events(spark, sf)
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click").select($"user_id", $"ts")
+    val fast = AsOfJoin.backward(purch, clicks, Seq("user_id"), "ts", "ts")
+      .select($"event_id", $"ts_asof")
+    val matched = purch.join(clicks.withColumnRenamed("ts", "cts"),
+        Seq("user_id"))
+      .filter($"cts" <= $"ts")
+      .groupBy($"event_id").agg(max($"cts").as("ts_naive"))
+    val naive = purch.select($"event_id")
+      .join(matched, Seq("event_id"), "left_outer")
+    val joined = fast.join(naive, Seq("event_id"))
+    val mismatches = joined.filter(!($"ts_asof" <=> $"ts_naive")).count()
+    assert(mismatches === 0)
+    assert(joined.count() === purch.count())
+  }
+}
+
+class MultimodalSpec extends GraftSuite {
+
+  test("binary plumbing: meta matches payload, features deterministic") {
+    val withBin = Multimodal.attachBinary(Tables.documents(spark, sf))
+    val s = spark
+    import s.implicits._
+    val bad = withBin.filter(length($"content") =!= $"meta.n_bytes").count()
+    assert(bad === 0)
+    val a = Multimodal.extractFeatures(withBin).collect().sortBy(_.doc_id)
+    val b = Multimodal.extractFeatures(withBin).collect().sortBy(_.doc_id)
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(f => f.width >= 64 && f.height >= 64))
+    assert(a.forall(f => f.byte_entropy > 0.0 && f.byte_entropy <= 8.0))
+  }
+
+  test("frameSample yields fixed frame count of bounded slices") {
+    val withBin = Multimodal.attachBinary(Tables.documents(spark, sf))
+    val out = Multimodal.frameSample(withBin, nFrames = 4)
+    assert(out.filter(col("n_frames") =!= 4).count() === 0)
+  }
+}
+
+class StreamingSpec extends GraftSuite {
+
+  test("streaming hourly counts equal the batch aggregation") {
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_millis(col("hr")).as("hr_ms"), col("event_type"),
+        col("n"), col("sum_value"))
+    val streamed = graft.streaming.EventStream.runToCompletion(
+      spark, sf, graft.streaming.EventStream.hourlyCounts, "spec_stream")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("sessionize closes sessions on gaps") {
+    val s = spark
+    import s.implicits._
+    implicit val sp = s
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    // u1: events at 0,10,20 (one session) then 120,125 (second session)
+    val events = Seq(
+      graft.streaming.EventStream.Event(1, ts(0), 1L, "view", 1.0),
+      graft.streaming.EventStream.Event(2, ts(10), 1L, "view", 2.0),
+      graft.streaming.EventStream.Event(3, ts(20), 1L, "view", 3.0),
+      graft.streaming.EventStream.Event(4, ts(120), 1L, "view", 4.0),
+      graft.streaming.EventStream.Event(5, ts(125), 1L, "view", 5.0)
+    ).toDS()
+    // batch-mode flatMapGroupsWithState: all rows in one trigger → the
+    // first session closes, the dangling one stays in state
+    val sessions = graft.streaming.EventStream.sessionize(events, 30)
+      .collect()
+    assert(sessions.length === 1)
+    assert(sessions(0).n_events === 3 && sessions(0).total_value === 6.0)
+  }
+}
