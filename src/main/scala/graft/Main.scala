@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.GraftConfig
+import graft.engine.{ClusterEngine, EngineConf, ResultDocs}
+import graft.io.{KStore, Sinks, Sources}
+
+/** CLI entry points mirroring the reference's two scripts
+  * (`/root/reference/scripts/cluster.py:238-308`,
+  * `scripts/optimal_k.py:351-393`):
+  *
+  *   graft.Main cluster   <interval> <inputCsvOrParquetDir> <outDir> [conf.json]
+  *   graft.Main optimal-k <inputCsvOrParquetDir> <outDir> [conf.json]
+  *
+  * `cluster` runs the config task grid over the input, writes
+  * originalCollection/d3Collection-shaped JSON docs per task, and consults
+  * the k-store under `<outDir>/kstore` (recompute-on-miss). `optimal-k`
+  * runs the k-search for every task and upserts the k-store. The task grid
+  * runs SEQUENTIALLY with internal Spark parallelism — the reference's
+  * 12-thread driver pool exists to hide its per-segment job storms; with
+  * segmentation in one shuffle there is nothing to hide.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "cluster" :: interval :: input :: outDir :: rest =>
+      run(loadConf(rest), interval, input, outDir, searchK = false)
+    case "optimal-k" :: input :: outDir :: rest =>
+      run(loadConf(rest), "optimal-k", input, outDir, searchK = true)
+    case other =>
+      System.err.println(
+        s"""usage: graft.Main cluster <interval> <input> <outDir> [conf.json]
+           |       graft.Main optimal-k <input> <outDir> [conf.json]
+           |(got: ${other.mkString(" ")})""".stripMargin)
+      sys.exit(2)
+  }
+
+  private def loadConf(rest: List[String]): GraftConfig = rest match {
+    case path :: _ => GraftConfig.fromFile(path)
+    case Nil       => GraftConfig()
+  }
+
+  def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def run(gc: GraftConfig, interval: String, input: String,
+      outDir: String, searchK: Boolean): Unit = {
+    val spark = session()
+    val date = java.time.LocalDate.now().toString
+    val raw =
+      if (input.endsWith(".csv")) Sources.readCsv(spark, input)
+      else spark.read.parquet(input)
+    // S4: interval row-limit as a sampling threshold, not LIMIT
+    val limit = gc.args.get(interval).map(_.limit)
+      .getOrElse(gc.args(gc.optimalKarg).limit)
+    val df = Sources.downsample(raw, limit, seed = 42L)
+
+    gc.taskGrid.foreach { case (macroCol, microCol, xCol, yCol, alg) =>
+      val conf = EngineConf(
+        macroCol = macroCol, microCol = microCol, xCol = xCol, yCol = yCol,
+        algorithm = alg, startK = gc.startK, stopK = gc.stopK,
+        iterNum = gc.iterNum, thresholdedIterNum = gc.thresholdedIterNum,
+        silhouetteThreshold = gc.silhouetteThreshold,
+        oldSilhouetteThreshold = gc.oldSilhouetteThreshold,
+        d3NormalizeMax = gc.d3NormalizeMax, dontScale = gc.dontScale)
+      val taskTag = s"$alg-$macroCol-$microCol-$xCol-$yCol"
+      val kStorePath = s"$outDir/kstore"
+      if (searchK) {
+        val results = ClusterEngine.run(df, conf).persist()
+        try {
+          KStore.write(KStore.fromResults(results, conf, date), kStorePath)
+          println(s">>> [optimal-k] $taskTag: ${results.count()} segments")
+        } finally results.unpersist()
+      } else {
+        val cached =
+          try KStore.read(spark, kStorePath, conf)
+          catch { case _: Exception => Map.empty[(String, String), graft.engine.KEntry] }
+        val results = ClusterEngine.run(df, conf, cached).persist()
+        try {
+          Sinks.writeJson(ResultDocs.original(results, conf, date),
+            s"$outDir/${interval}_originalCollection/$taskTag")
+          Sinks.writeJson(ResultDocs.d3(results, conf, date),
+            s"$outDir/${interval}_d3Collection/$taskTag")
+          println(s">>> [cluster] $taskTag: ${results.count()} segments")
+        } finally results.unpersist()
+      }
+    }
+    spark.stop()
+  }
+}

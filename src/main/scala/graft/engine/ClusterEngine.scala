@@ -89,15 +89,51 @@ object ClusterEngine extends Serializable {
     k
   }
 
+  /** Thresholded seed search (`optimal_k.py:75-100`): retry fresh seeds
+    * until the silhouette reaches oldSilhouette·threshold or the retry
+    * budget runs out, keeping the best model seen. Unlike the reference
+    * (which can return no model when oldSilhouette ≤ 0 — a latent crash),
+    * at least one fit always happens. */
+  private def thresholdedModel(points: Array[Array[Double]], k: Int,
+      conf: EngineConf, rnd: Random,
+      oldSil: Double): (LocalKMeans.Model, Double) = {
+    var iter = conf.thresholdedIterNum
+    var bestSil = -1.0
+    var best: LocalKMeans.Model = null
+    var sil = 0.0
+    var first = true
+    while (first || (iter > 0 && sil < oldSil * conf.oldSilhouetteThreshold)) {
+      first = false
+      val m = localFit(points, k, conf.algorithm, nextSeed(rnd))
+      sil = LocalMetrics.silhouette(points, m.labels)
+      if (sil > bestSil) { bestSil = sil; best = m }
+      iter -= 1
+    }
+    (best, bestSil)
+  }
+
   private def segmentResult(ma: String, mi: String,
       points: Array[Array[Double]], conf: EngineConf,
-      kOverride: Option[Int]): Option[SegmentResult] = {
+      kOverride: Option[KEntry]): Option[SegmentResult] = {
     // ≥2-distinct guard (cluster.py:115-119 / optimal_k.py:297)
     if (points.length < 2 ||
       LocalKMeans.distinctPoints(points).length < 2) return None
     val rnd = segmentRng(conf, ma, mi)
-    val k = kOverride.orElse(conf.fixedK).getOrElse(searchK(points, conf, rnd))
-    val (model, sil) = optimalLocalModel(points, k, conf, rnd)
+    // cached-k fast path with quality re-check (cluster.py:98-136):
+    // cluster with the cached k via the thresholded seed search (M8); if
+    // quality degraded below oldSilhouette·threshold, re-derive k and
+    // re-cluster (M11). No cache → k-search (or fixedK) + plain search.
+    val (model, sil) = kOverride match {
+      case Some(KEntry(cachedK, oldSil)) =>
+        val (m0, s0) = thresholdedModel(points, cachedK, conf, rnd, oldSil)
+        if (s0 < oldSil * conf.oldSilhouetteThreshold) {
+          val newK = conf.fixedK.getOrElse(searchK(points, conf, rnd))
+          optimalLocalModel(points, newK, conf, rnd)
+        } else (m0, s0)
+      case None =>
+        val k = conf.fixedK.getOrElse(searchK(points, conf, rnd))
+        optimalLocalModel(points, k, conf, rnd)
+    }
     val byCluster = model.labels.zipWithIndex.groupBy(_._1)
     val clusters = byCluster.toSeq.sortBy(_._1).map { case (c, members) =>
       val pts = members.map(m => points(m._2))
@@ -117,7 +153,7 @@ object ClusterEngine extends Serializable {
     * reference's recompute-on-miss (`cluster.py:105-109`).
     */
   def run(df: DataFrame, conf: EngineConf,
-      kStore: Map[(String, String), Int] = Map.empty): Dataset[SegmentResult] = {
+      kStore: Map[(String, String), KEntry] = Map.empty): Dataset[SegmentResult] = {
     val spark = df.sparkSession
     import spark.implicits._
     val scaled = Scaling.scaleSegments(df, conf.macroCol, conf.microCol,

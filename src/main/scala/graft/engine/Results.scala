@@ -24,3 +24,9 @@ final case class SegmentResult(
     silhouette: Double,
     entropy: Double,
     clusters: Seq[ClusterInfo])
+
+/** Cached k + the silhouette it achieved — one k-store entry per
+  * (macro, micro) segment (the reference's `kCollection` leaf,
+  * `/root/reference/scripts/optimal_k.py:216-249`). The silhouette feeds
+  * the degradation re-check (M11). */
+final case class KEntry(k: Int, silhouette: Double)

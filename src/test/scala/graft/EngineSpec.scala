@@ -39,7 +39,7 @@ class EngineSpec extends GraftSuite {
   }
 
   test("kStore override pins k per segment") {
-    val kStore = Map(("A", "F") -> 2)
+    val kStore = Map(("A", "F") -> graft.engine.KEntry(2, 0.0))
     val res = ClusterEngine.run(li, conf.copy(fixedK = None, stopK = 4,
       iterNum = 1), kStore).collect()
     val af = res.find(r => r.macroId == "A" && r.microId == "F").get

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.{ClusterEngine, EngineConf}
+import graft.io.{KStore, Sources}
+
+/** Dirty-data CSV semantics (SURVEY.md §5.2: BOM header, shifted rows,
+  * scientific-notation customer) + k-store round-trip + CLI run. The CSV
+  * fixture is generated here with the reference data's wart *shapes* —
+  * no reference bytes are copied. */
+class IoSpec extends GraftSuite {
+
+  private def writeFixture(dir: Path): String = {
+    val rows = new StringBuilder
+    rows.append("﻿") // UTF-8 BOM, like the reference's daily_data.csv
+    rows.append("ram_usage,cpu_percent,customer_id,application_id,ram_limit,time\n")
+    for (i <- 1 to 40) {
+      val cust = if (i % 10 == 0) "14E+31" else s"cust${i % 3}"
+      rows.append(s"${i * 10.0},${i % 100}.5,$cust,app${i % 2},400.0,${1000000L + i}\n")
+    }
+    // two shifted rows (an extra 7th field) — PERMISSIVE must not throw
+    rows.append("10.0,1.5,custX,app1,400.0,Teknosa,99\n")
+    rows.append("11.0,2.5,custX,app1,400.0,Teknosa,98\n")
+    val f = dir.resolve("dirty.csv")
+    Files.write(f, rows.toString.getBytes(StandardCharsets.UTF_8))
+    f.toString
+  }
+
+  private lazy val fixtureDir = Files.createTempDirectory("graft_io")
+
+  test("PERMISSIVE CSV scan survives BOM, shifted rows, 14E+31 customer") {
+    val path = writeFixture(fixtureDir)
+    val schema = StructType(Seq(
+      StructField("ram_usage", DoubleType),
+      StructField("cpu_percent", DoubleType),
+      StructField("customer_id", StringType),
+      StructField("application_id", StringType),
+      StructField("ram_limit", DoubleType),
+      StructField("time", LongType),
+      StructField(Sources.CorruptRecordCol, StringType)))
+    val df = Sources.readCsv(spark, path, Some(schema)).cache()
+    assert(df.count() === 42)
+    // BOM must not corrupt the first column name's data
+    assert(df.filter(col("ram_usage") === 10.0).count() >= 1)
+    // shifted rows land in the quarantine column, not silently truncated
+    assert(df.filter(col(Sources.CorruptRecordCol).isNotNull).count() === 2)
+    // the Excel-mangled customer flows through as a plain string
+    assert(df.filter(col("customer_id") === "14E+31").count() === 4)
+    // inferSchema path also parses (header without BOM garbage)
+    val inferred = Sources.readCsv(spark, path)
+    assert(inferred.columns.take(2).toSeq === Seq("ram_usage", "cpu_percent"))
+  }
+
+  test("downsample keeps small inputs and samples large ones with a seed") {
+    val df = Tables.lineitem(spark, sf)
+    assert(Sources.downsample(df, 1000000L, 1L).count() === df.count())
+    val sampled = Sources.downsample(df, 100L, 1L).count()
+    // Bernoulli sampling: expected 100, loosely bounded
+    assert(sampled > 30 && sampled < 300)
+    assert(Sources.downsample(df, 100L, 1L).count() === sampled) // seeded
+  }
+
+  test("k-store round-trip: write from results, read as broadcastable map") {
+    val conf = EngineConf("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", fixedK = Some(3), iterNum = 1)
+    val results = ClusterEngine.run(Tables.lineitem(spark, sf), conf)
+    val path = fixtureDir.resolve("kstore").toString
+    KStore.write(KStore.fromResults(results, conf, "2026-08-12"), path)
+    val loaded = KStore.read(spark, path, conf)
+    assert(loaded.size === 6)
+    assert(loaded.values.forall(e => e.k === 3 &&
+      e.silhouette >= -1.0 && e.silhouette <= 1.0))
+    // wrong task key reads nothing
+    val other = KStore.read(spark, path, conf.copy(algorithm = "BisectingKMeans"))
+    assert(other.isEmpty)
+  }
+
+  test("M11 re-cluster path: degraded cached silhouette triggers k re-search") {
+    val conf = EngineConf("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", startK = 2, stopK = 4, iterNum = 1,
+      thresholdedIterNum = 2)
+    // cached entry claims an unattainable silhouette 0.99 with k=2 →
+    // thresholded search fails the 0.8·0.99 bar → engine re-derives k
+    val cached = Map(("A", "F") -> graft.engine.KEntry(2, 0.99))
+    val res = ClusterEngine.run(Tables.lineitem(spark, sf), conf, cached)
+      .collect().find(r => r.macroId == "A" && r.microId == "F").get
+    assert(res.k >= 2 && res.k <= 4)
+    // and with an easily-satisfied cache the cached k sticks
+    val easy = Map(("A", "F") -> graft.engine.KEntry(2, -1.0))
+    val res2 = ClusterEngine.run(Tables.lineitem(spark, sf), conf, easy)
+      .collect().find(r => r.macroId == "A" && r.microId == "F").get
+    assert(res2.k === 2)
+  }
+}
