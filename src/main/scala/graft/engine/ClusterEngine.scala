@@ -51,6 +51,7 @@ object ClusterEngine extends Serializable {
   private def localFit(points: Array[Array[Double]], k: Int, alg: String,
       seed: Long): LocalKMeans.Model = alg match {
     case "BisectingKMeans" => LocalKMeans.fitBisecting(points, k, seed)
+    case "GaussianMixture" => graft.ml.LocalGMM.fit(points, k, seed)
     case _                 => LocalKMeans.fit(points, k, seed)
   }
 

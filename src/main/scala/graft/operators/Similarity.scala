@@ -17,15 +17,26 @@ import scala.util.Random
   */
 object Similarity extends Serializable {
 
-  def asDouble(c: Column): Column = transform(c, _.cast("double"))
+  /** array<float> → array<double> via native Cast (codegen'd; a
+    * transform() lambda here would knock the projection out of
+    * whole-stage codegen). Exact widening either way. */
+  def asDouble(c: Column): Column = c.cast("array<double>")
 
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Composed higher-order formulation (4 array walks) — kept as the
+    * reference implementation the native expression is tested against. */
+  def cosineHof(a: Column, b: Column): Column = {
     val (ad, bd) = (asDouble(a), asDouble(b))
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
+
+  /** Cosine similarity — single-pass native Catalyst expression with
+    * codegen ([[graft.expressions.ArrayCosine]]); bit-for-bit equal to
+    * [[cosineHof]]. */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.ArrayCosine(asDouble(a), asDouble(b))
 
   /** Exact top-k: broadcast the (small) query set against every candidate,
     * rank within query. Deterministic tie-break on the candidate id. */

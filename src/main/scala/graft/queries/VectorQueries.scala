@@ -13,16 +13,10 @@ object VectorQueries {
 
   def all: Seq[GraftQuery] = Seq(q25CosinePairs, q26KnnBruteForce)
 
-  /** embedding::array<float> → array<double> (accumulate in double). */
-  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-  def cosine(a: Column, b: Column): Column = {
-    val (ad, bd) = (asDouble(a), asDouble(b))
-    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
-  }
+  /** Cosine kernel — the native single-pass expression (see
+    * [[graft.operators.Similarity.cosine]]). */
+  def cosine(a: Column, b: Column): Column =
+    graft.operators.Similarity.cosine(a, b)
 
   /** Brute-force cosine scores: 5 query vectors × all candidates.
     * Queries are broadcast; at scale this is the exact-scoring baseline

@@ -76,3 +76,40 @@ class LocalKMeansSpec extends GraftSuite {
       Array.fill(threeBlobs.length)(0)) === 0.0)
   }
 }
+
+class LocalGMMSpec extends GraftSuite {
+  private def blob(cx: Double, cy: Double, n: Int, seed: Long) = {
+    val r = new scala.util.Random(seed)
+    Array.fill(n)(Array(cx + r.nextGaussian() * 0.5,
+      cy + r.nextGaussian() * 0.5))
+  }
+
+  test("GMM recovers separable blobs deterministically") {
+    val pts = blob(0, 0, 60, 1) ++ blob(30, 0, 60, 2) ++ blob(0, 30, 60, 3)
+    val a = graft.ml.LocalGMM.fit(pts, 3, 42L)
+    val b = graft.ml.LocalGMM.fit(pts, 3, 42L)
+    assert(a.labels.toSeq === b.labels.toSeq)
+    val purity = pts.indices.grouped(60).map { idx =>
+      idx.map(a.labels).groupBy(identity).values.map(_.size).max / 60.0
+    }.toSeq
+    assert(purity.forall(_ >= 0.95), s"purity=$purity")
+  }
+
+  test("GMM handles k > distinct points and k == 1") {
+    val tiny = Array(Array(1.0, 1.0), Array(1.0, 1.0), Array(2.0, 2.0))
+    assert(graft.ml.LocalGMM.fit(tiny, 5, 7L).k <= 2)
+    assert(graft.ml.LocalGMM.fit(tiny, 1, 7L).k === 1)
+  }
+
+  test("engine local backend runs GaussianMixture end-to-end") {
+    val conf = graft.engine.EngineConf(
+      macroCol = "l_returnflag", microCol = "l_linestatus",
+      xCol = "l_quantity", yCol = "l_extendedprice",
+      algorithm = "GaussianMixture", fixedK = Some(2), iterNum = 1,
+      maxPointsPerSegment = 500)
+    val res = graft.engine.ClusterEngine.run(
+      Tables.lineitem(spark, sf), conf).collect()
+    assert(res.length === 6)
+    assert(res.forall(r => r.silhouette >= -1.0 && r.silhouette <= 1.0))
+  }
+}
