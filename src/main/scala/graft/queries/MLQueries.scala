@@ -16,7 +16,8 @@ import graft.preprocess.Scaling
 object MLQueries {
 
   def all: Seq[GraftQuery] = Seq(q30ClusterLocal, q31ClusterMl,
-    q32ClusterGmmMl, q33OptimalKLocal, q34CentroidRadius, q35SegmentGuard)
+    q32ClusterGmmMl, q33OptimalKLocal, q34CentroidRadius, q35SegmentGuard,
+    q36ClusterBisecting, q37ClusterGmmLocal)
 
   private def lineitemConf = EngineConf(
     macroCol = "l_returnflag", microCol = "l_linestatus",
@@ -41,11 +42,40 @@ object MLQueries {
     "q30_cluster_local",
     (s, d) => flatten(ClusterEngine.run(Tables.lineitem(s, d), lineitemConf)))
 
-  /** Parity backend: same segments via spark.ml KMeans fits. */
+  /** Parity backend: spark.ml KMeans fits on the two 'A' segments (the
+    * few-huge-segments path; scoped to keep its per-segment-job cost from
+    * dominating the bench — the contrast with q30 is the point). */
   val q31ClusterMl: GraftQuery = GraftQuery(
     "q31_cluster_ml",
-    (s, d) => flatten(
-      ClusterEngine.runMl(Tables.lineitem(s, d), lineitemConf.copy(iterNum = 1))))
+    (s, d) => {
+      import s.implicits._
+      flatten(ClusterEngine.runMl(
+        Tables.lineitem(s, d).filter($"l_returnflag" === "A"),
+        lineitemConf.copy(iterNum = 1)))
+    })
+
+  /** Scalable backend, BisectingKMeans leg (recursive largest-cluster
+    * 2-splits in-task). */
+  val q36ClusterBisecting: GraftQuery = GraftQuery(
+    "q36_cluster_bisecting_local",
+    (s, d) => flatten(ClusterEngine.run(Tables.lineitem(s, d),
+      lineitemConf.copy(algorithm = "BisectingKMeans"))))
+
+  /** Scalable backend, GaussianMixture leg (in-task full-covariance EM;
+    * capped points per segment keep EM cost bounded). */
+  val q37ClusterGmmLocal: GraftQuery = GraftQuery(
+    "q37_cluster_gmm_local",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("user_bucket", ($"user_id" % 3).cast("string"))
+        .withColumn("ts_sec", unix_timestamp($"ts").cast("double"))
+      flatten(ClusterEngine.run(ev, EngineConf(
+        macroCol = "event_type", microCol = "user_bucket",
+        xCol = "value", yCol = "ts_sec",
+        algorithm = "GaussianMixture", fixedK = Some(2), iterNum = 1,
+        seed = 42L, maxPointsPerSegment = 2000)))
+    })
 
   /** GaussianMixture on event buckets (ml backend; GMM centers = data
     * means per the reference, `scripts/metrics.py:32-54`). */
@@ -53,10 +83,10 @@ object MLQueries {
     "q32_cluster_gmm_ml",
     (s, d) => {
       import s.implicits._
-      // two event types × two buckets: 4 GMM fits — the ml backend is the
+      // one event type × two buckets: 2 GMM fits — the ml backend is the
       // few-huge-segments path, so the query keeps the grid small
       val ev = Tables.events(s, d)
-        .filter($"event_type".isin("click", "purchase"))
+        .filter($"event_type" === "purchase")
         .withColumn("user_bucket", ($"user_id" % 2).cast("string"))
         .withColumn("ts_sec", unix_timestamp($"ts").cast("double"))
       flatten(ClusterEngine.runMl(ev, EngineConf(

@@ -18,7 +18,8 @@ object OperatorQueries {
   def all: Seq[GraftQuery] = Seq(q40AsOf, q41StreamHourly, q42Multimodal,
     q43NgramJaccard, q44MinhashNearDups, q45SimhashNearDups,
     q46EmbeddingNearDups, q47AnnRecall, q48LangId, q49QualityScore,
-    q50Fingerprint, q51SubwordCount)
+    q50Fingerprint, q51SubwordCount, q63SaltedJoin, q64AnnTopK,
+    q65ApproxStats)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -244,4 +245,61 @@ object OperatorQueries {
         "AS n_subwords, " +
         "len(string_split(text, ' '))::BIGINT AS n_tokens " +
         "FROM documents ORDER BY doc_id"))
+
+  /** Salted skew join — semantics-preserving, so it's oracle-checked
+    * against the PLAIN join: revenue per order-priority via
+    * lineitem⋈orders with the join key salted 8 ways. */
+  val q63SaltedJoin: GraftQuery = GraftQuery(
+    "q63_salted_join",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      val o = Tables.orders(s, d)
+        .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+      graft.operators.SkewJoin.saltedInnerJoin(li, o, "l_orderkey", salts = 8)
+        .groupBy($"o_orderpriority")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy($"o_orderpriority")
+    },
+    Some(
+      "SELECT o_orderpriority, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "count(*) AS n_lines " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY o_orderpriority"))
+
+  /** ANN top-k per query via the sign-LSH bucket index (rows-only:
+    * approximate by construction, deterministic given the seed). */
+  val q64AnnTopK: GraftQuery = GraftQuery(
+    "q64_ann_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val c = e.select($"vec_id", $"embedding".as("cv"))
+      graft.operators.Similarity.annTopK(q, c, "query_id", "qv", "vec_id",
+        "cv", k = 5, bits = 4, seed = 42L)
+        .select($"query_id", $"vec_id", round($"cos", 6).as("cos"), $"rk")
+        .orderBy($"query_id", $"rk")
+    })
+
+  /** Sketch-based approximate aggregates (HLL distinct + t-digest-style
+    * quantile): the 100 TB substitutes for exact countDistinct /
+    * percentile when a 1-2% error is acceptable. Deterministic
+    * (merge-order-independent sketches) but engine-specific → rows-only. */
+  val q65ApproxStats: GraftQuery = GraftQuery(
+    "q65_approx_stats",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+          round(element_at(percentile_approx($"l_extendedprice",
+            typedLit(Seq(0.5)), lit(1000)), 1), 2).as("approx_median"))
+        .orderBy($"l_returnflag")
+    })
 }
+

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SkewJoin
+
+/** Plan-quality regression tests: the properties that make these queries
+  * scale are asserted on the PHYSICAL plan, so a refactor that silently
+  * loses a pushdown or a broadcast fails CI, not the 100 TB run.
+  */
+class PlanSpec extends GraftSuite {
+
+  private def plan(name: String): String =
+    Registry.byName(name).run(spark, sf).queryExecution.executedPlan.toString()
+
+  test("q02: predicates and column pruning reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("GreaterThan(l_discount,"), p) // list elided with "..."
+
+    // pruned scan: untouched columns must not be read
+    assert(!p.contains("l_tax") && !p.contains("l_shipdate"), p)
+  }
+
+  test("q04: all four dimension joins are broadcast") {
+    val p = plan("q04_multi_join_agg")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q13: scaling bounds come back via broadcast join, not a window") {
+    val p = plan("q13_minmax_scale")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q01: aggregation is partial (map-side combine) + final") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("engine local backend plans exactly one shuffle for segmentation") {
+    val conf = graft.engine.EngineConf("l_returnflag", "l_linestatus",
+      "l_quantity", "l_extendedprice", fixedK = Some(2), iterNum = 1)
+    val p = graft.engine.ClusterEngine.run(Tables.lineitem(spark, sf), conf)
+      .queryExecution.executedPlan.toString()
+    // one Exchange for the scaling-bounds agg, one for groupByKey;
+    // dimension bounds come back broadcast (not counted as Exchange here)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"expected <=2 shuffles, got $shuffles in:\n$p")
+  }
+
+  test("native cosine projection stays inside whole-stage codegen") {
+    val s = spark
+    import s.implicits._
+    val p = Tables.embeddings(spark, sf)
+      .select(graft.operators.Similarity.cosine($"embedding", $"embedding"))
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("*(1) Project [arraycosine"), p)
+  }
+}
+
+class SkewJoinSpec extends GraftSuite {
+
+  test("salted join returns exactly the plain join result") {
+    val s = spark
+    import s.implicits._
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_quantity")
+    val o = Tables.orders(spark, sf)
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+    val salted = SkewJoin.saltedInnerJoin(li, o, "l_orderkey", salts = 4)
+      .groupBy($"o_orderpriority").agg(round(sum($"l_quantity"), 2).as("q"))
+    val plain = li.join(o, Seq("l_orderkey"))
+      .groupBy($"o_orderpriority").agg(round(sum($"l_quantity"), 2).as("q"))
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
+  test("salted count equals plain count per key") {
+    val s = spark
+    import s.implicits._
+    val ev = Tables.events(spark, sf)
+    val salted = SkewJoin.saltedCount(ev, "event_type")
+    val plain = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    assert(salted.exceptAll(plain).count() === 0)
+  }
+}
+
+class ScaleShapeSpec extends GraftSuite {
+
+  test("local backend handles 500+ segments in a single pass") {
+    val s = spark
+    import s.implicits._
+    // 5 event types × ~50 user buckets ≈ 250 segments (sf0.01 events)
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .withColumn("bucket", ($"user_id" % 50).cast("string"))
+      .withColumn("ts_sec", unix_timestamp($"ts").cast("double"))
+    val conf = graft.engine.EngineConf("event_type", "bucket", "value",
+      "ts_sec", fixedK = Some(2), iterNum = 1)
+    val t0 = System.nanoTime()
+    val res = graft.engine.ClusterEngine.run(ev, conf).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(res.length > 150, s"only ${res.length} segments")
+    // the point: hundreds of segments cost one job, not hundreds
+    assert(secs < 60.0, s"took ${secs}s")
+  }
+
+  test("Viz.scatterData bounds the collect") {
+    val got = graft.io.Viz.scatterData(
+      Tables.events(spark, sf).withColumn("lbl", lit(1)),
+      "value", "value", "lbl", limit = 50)
+    assert(got.length === 50)
+    intercept[IllegalArgumentException] {
+      graft.io.Viz.scatterData(Tables.events(spark, sf), "value", "value",
+        "value", limit = 1000000)
+    }
+  }
+}
