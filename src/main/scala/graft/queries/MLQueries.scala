@@ -17,7 +17,7 @@ object MLQueries {
 
   def all: Seq[GraftQuery] = Seq(q30ClusterLocal, q31ClusterMl,
     q32ClusterGmmMl, q33OptimalKLocal, q34CentroidRadius, q35SegmentGuard,
-    q36ClusterBisecting, q37ClusterGmmLocal)
+    q36ClusterBisecting, q37ClusterGmmLocal, q38TfIdf)
 
   private def lineitemConf = EngineConf(
     macroCol = "l_returnflag", microCol = "l_linestatus",
@@ -178,4 +178,25 @@ object MLQueries {
         "CASE WHEN count(DISTINCT (l_quantity, l_extendedprice)) >= 2 " +
         "THEN 1 ELSE 0 END AS eligible " +
         "FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"))
+
+  /** TF-IDF featurization of the documents corpus (HashingTF + IDF —
+    * fixed hashing, so deterministic); per-doc L2 norm of the tf-idf
+    * vector as the scalar fingerprint. Rows-only (spark.ml specific). */
+  val q38TfIdf: GraftQuery = GraftQuery(
+    "q38_tfidf_norm",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.ml.feature.{HashingTF, IDF, Tokenizer}
+      val docs = Tables.documents(s, d)
+      val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+      val tf = new HashingTF().setInputCol("words").setOutputCol("tf")
+        .setNumFeatures(1 << 12)
+      val tfed = tf.transform(tok.transform(docs))
+      val idf = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tfed)
+      val normUdf = udf((v: org.apache.spark.ml.linalg.Vector) =>
+        math.sqrt(v.toArray.map(x => x * x).sum))
+      idf.transform(tfed)
+        .select($"doc_id", round(normUdf($"tfidf"), 4).as("tfidf_norm"))
+        .orderBy($"doc_id")
+    })
 }

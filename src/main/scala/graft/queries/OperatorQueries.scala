@@ -19,7 +19,7 @@ object OperatorQueries {
     q43NgramJaccard, q44MinhashNearDups, q45SimhashNearDups,
     q46EmbeddingNearDups, q47AnnRecall, q48LangId, q49QualityScore,
     q50Fingerprint, q51SubwordCount, q63SaltedJoin, q64AnnTopK,
-    q65ApproxStats)
+    q65ApproxStats, q66IvfRecall)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -301,5 +301,22 @@ object OperatorQueries {
             typedLit(Seq(0.5)), lit(1000)), 1), 2).as("approx_median"))
         .orderBy($"l_returnflag")
     })
-}
 
+  /** Recall@10 of the IVF coarse-quantization ANN path (16 lists, probe
+    * 4) vs exact top-10 — the scale path for similarity search: per-query
+    * candidate cost ~nprobe/nlist of the corpus. Deterministic (seeded
+    * LocalKMeans centroids); rows-only. */
+  val q66IvfRecall: GraftQuery = GraftQuery(
+    "q66_ivf_recall",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val c = e.select($"vec_id", $"embedding".as("cv"))
+      graft.operators.IvfIndex.recall(q, c, "query_id", "qv", "vec_id",
+        "cv", k = 10, nlist = 16, nprobe = 4, seed = 42L)
+        .select($"query_id", round($"recall", 2).as("recall"))
+        .orderBy($"query_id")
+    })
+}

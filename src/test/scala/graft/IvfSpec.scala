@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IvfIndex, Similarity}
+
+class IvfSpec extends GraftSuite {
+
+  private lazy val e = Tables.embeddings(spark, sf)
+
+  test("IVF assigns every candidate to a bucket in [1, nlist]") {
+    val s = spark
+    import s.implicits._
+    val cents = IvfIndex.trainCentroids(
+      e.select($"vec_id", $"embedding".as("cv")), "vec_id", "cv", 8, 42L)
+    assert(cents.length === 8)
+    val buckets = e.select(IvfIndex.bucketOf(
+        Similarity.asDouble($"embedding"), cents).as("b"))
+      .agg(min($"b"), max($"b")).first()
+    assert(buckets.getLong(0) >= 1 && buckets.getLong(1) <= 8)
+  }
+
+  test("probeBuckets returns nprobe distinct buckets, best first") {
+    val s = spark
+    import s.implicits._
+    val cents = IvfIndex.trainCentroids(
+      e.select($"vec_id", $"embedding".as("cv")), "vec_id", "cv", 8, 42L)
+    val probes = e.limit(5)
+      .select(IvfIndex.probeBuckets(
+        Similarity.asDouble($"embedding"), cents, 3).as("p"))
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("p"))
+    assert(probes.forall(p => p.length === 3 && p.distinct.length === 3))
+    // the top probe must equal the assignment bucket
+    val both = e.limit(20).select(
+      IvfIndex.bucketOf(Similarity.asDouble($"embedding"), cents).as("b"),
+      IvfIndex.probeBuckets(Similarity.asDouble($"embedding"), cents, 1)
+        .getItem(0).as("p"))
+    assert(both.filter($"b" =!= $"p").count() === 0)
+  }
+
+  test("IVF recall improves with nprobe and hits 1.0 at nprobe = nlist") {
+    val s = spark
+    import s.implicits._
+    val q = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = e.select($"vec_id", $"embedding".as("cv"))
+    def meanRecall(nprobe: Int): Double =
+      IvfIndex.recall(q, c, "query_id", "qv", "vec_id", "cv",
+        k = 5, nlist = 8, nprobe = nprobe, seed = 42L)
+        .agg(avg($"recall")).first().getDouble(0)
+    val r1 = meanRecall(1)
+    val rAll = meanRecall(8)
+    assert(rAll === 1.0 +- 1e-9) // probing all lists = exact
+    assert(r1 <= rAll + 1e-9)
+  }
+}
