@@ -50,6 +50,29 @@ object EventStream {
       .select(unix_millis(col("window.start")).as("hr_ms"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding 1-hour windows every 15 minutes — each event lands in 4
+    * windows; same transform shape as [[hourlyCounts]]. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("win_ms"),
+        col("event_type"), col("n"))
+
+  /** Append-mode run: only watermark-finalized windows are emitted — the
+    * at-most-once-per-window delivery a downstream sink wants. */
+  def runAppend(spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame,
+      queryName: String): DataFrame = {
+    val q = transform(source(spark, dir)).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Runs a streaming aggregation to completion against the file source
     * and returns the final result table (memory sink, complete mode). */
   def runToCompletion(spark: SparkSession, dir: String,

@@ -246,3 +246,30 @@ class StreamingSpec extends GraftSuite {
     assert(sessions(0).n_events === 3 && sessions(0).total_value === 6.0)
   }
 }
+
+class StreamingWindowsSpec extends GraftSuite {
+
+  test("sliding-window stream equals the batch sliding aggregation") {
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("win_ms"),
+        col("event_type"), col("n"))
+    val streamed = graft.streaming.EventStream.runToCompletion(
+      spark, sf, graft.streaming.EventStream.slidingCounts, "spec_sliding")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+  }
+
+  test("append mode emits only watermark-finalized windows (subset of complete)") {
+    val complete = graft.streaming.EventStream.runToCompletion(
+      spark, sf, graft.streaming.EventStream.hourlyCounts, "spec_c2")
+    val appended = graft.streaming.EventStream.runAppend(
+      spark, sf, graft.streaming.EventStream.hourlyCounts, "spec_a2")
+    // finalized rows are a subset of the complete result, identical values
+    assert(appended.count() <= complete.count())
+    assert(appended.exceptAll(complete).count() === 0)
+    // with a 2h watermark over a 30-day event span, most windows finalize
+    assert(appended.count() > complete.count() / 2)
+  }
+}
