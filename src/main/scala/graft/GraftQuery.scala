@@ -22,7 +22,8 @@ final case class GraftQuery(
 object Registry {
   def all: Seq[GraftQuery] =
     RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
-      MLQueries.all ++ OperatorQueries.all ++ SqlCoverageQueries.all
+      MLQueries.all ++ OperatorQueries.all ++ SqlCoverageQueries.all ++
+      SqlCoverageQueries2.all
 
   def byName(name: String): GraftQuery =
     all.find(_.name == name).getOrElse(

@@ -10,9 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The flagship is the engine's defining capability: every segment
+    * clustered in one shuffle (q30), 18 rows at sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    Registry.byName("q04_multi_join_agg").run(spark, "/root/testdata/sf0.001")
+    Registry.byName("q30_cluster_local").run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

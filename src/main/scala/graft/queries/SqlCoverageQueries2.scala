@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Third coverage wave: cube grouping sets, explode/unnest, and a
+  * correlated-subquery shape decorrelated into the join+window form that
+  * scales (compute the per-group aggregate once, join back broadcast).
+  */
+object SqlCoverageQueries2 {
+
+  def all: Seq[GraftQuery] = Seq(q67Cube, q68ExplodeUnnest,
+    q69AboveCustomerAvg)
+
+  /** CUBE over two dimensions with grouping-id disambiguation. */
+  val q67Cube: GraftQuery = GraftQuery(
+    "q67_cube",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("rev"))
+        .select(
+          coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"n", $"rev")
+        .orderBy($"status", $"priority")
+    },
+    Some(
+      "SELECT coalesce(o_orderstatus, 'ALL') AS status, " +
+        "coalesce(o_orderpriority, 'ALL') AS priority, " +
+        "count(*) AS n, round(sum(o_totalprice), 2) AS rev " +
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
+        "ORDER BY status, priority"))
+
+  /** Generator/unnest: explode tokens with position, re-aggregate. */
+  val q68ExplodeUnnest: GraftQuery = GraftQuery(
+    "q68_explode_unnest",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).filter($"doc_id" < 50)
+        .select($"doc_id", posexplode(split($"text", " ")))
+        .select($"doc_id", $"pos", $"col".as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("n"), min($"doc_id").as("first_doc"),
+          min($"pos").as("min_pos"))
+        .filter($"n" >= 10)
+        .orderBy($"token")
+    },
+    Some(
+      "SELECT token, count(*) AS n, min(doc_id) AS first_doc, " +
+        "min(pos) AS min_pos FROM (" +
+        "SELECT doc_id, u.token AS token, u.pos AS pos FROM (" +
+        "SELECT doc_id, unnest(list_transform(string_split(text, ' '), " +
+        "(t, i) -> struct_pack(token := t, pos := i - 1))) AS u " +
+        "FROM documents WHERE doc_id < 50)) " +
+        "GROUP BY token HAVING count(*) >= 10 ORDER BY token"))
+
+  /** "Orders above their customer's average" — the correlated-subquery
+    * classic, decorrelated: one groupBy for the per-customer mean,
+    * broadcast join-back, filter. Same rows as the correlated form. */
+  val q69AboveCustomerAvg: GraftQuery = GraftQuery(
+    "q69_above_customer_avg",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val avgs = o.groupBy($"o_custkey").agg(avg($"o_totalprice").as("cavg"))
+      // the averaged value itself is not emitted: engines sum doubles in
+      // different orders, and a last-ulp difference at a .xx5 boundary
+      // flips round(avg, 2) — membership under the > filter is the test
+      o.join(broadcast(avgs), Seq("o_custkey"))
+        .filter($"o_totalprice" > $"cavg")
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some(
+      "SELECT o_custkey, o_orderkey, o_totalprice FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cavg " +
+        "FROM orders) WHERE o_totalprice > cavg " +
+        "ORDER BY o_custkey, o_orderkey"))
+}
