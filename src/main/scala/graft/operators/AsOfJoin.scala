@@ -47,4 +47,33 @@ object AsOfJoin extends Serializable {
     filled.filter(col("__isLeft") === 1)
       .drop(("__ts" +: "__isLeft" +: payload.map(c => s"__p_$c")): _*)
   }
+
+  /** Forward as-of join: the EARLIEST right row with `rightTs >= leftTs`.
+    * Same union+window mechanics with the scan direction flipped (the
+    * window looks at following rows, `first(..., ignoreNulls)`). */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      rightCols: Seq[String] = Nil): DataFrame = {
+    val payload = (rightTs +: rightCols).distinct
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__isLeft", lit(1))
+      .withColumns(payload.map(c => s"__p_$c" -> lit(null)).toMap)
+    val rTagged = right
+      .select((keys.map(col) :+ col(rightTs).as("__ts")) ++
+        payload.map(c => col(c).as(s"__p_$c")): _*)
+      .withColumn("__isLeft", lit(2))
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    // at equal ts the right row (tag 2) sorts AFTER the left row, and the
+    // forward-looking frame includes it (>= match)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__isLeft").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = payload.foldLeft(unioned) { (acc, c) =>
+      acc.withColumn(s"${c}_asof",
+        first(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__isLeft") === 1)
+      .drop(("__ts" +: "__isLeft" +: payload.map(c => s"__p_$c")): _*)
+  }
 }

@@ -273,3 +273,23 @@ class StreamingWindowsSpec extends GraftSuite {
     assert(appended.count() > complete.count() / 2)
   }
 }
+
+class AsOfForwardSpec extends GraftSuite {
+
+  test("forward as-of picks the earliest right row at or after left ts") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq((1L, "u1", ts(100)), (2L, "u1", ts(50)), (3L, "u2", ts(90)))
+      .toDF("id", "user", "t")
+    val right = Seq(("u1", ts(100), 99.0), ("u1", ts(60), 60.0),
+      ("u2", ts(20), 1.0)).toDF("user", "t", "v")
+    val out = graft.operators.AsOfJoin
+      .forward(left, right, Seq("user"), "t", "t", Seq("v"))
+      .select($"id", $"v_asof").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) === Some(99.0)) // equal ts matches (>=)
+    assert(out(2L) === Some(60.0)) // earliest at/after 50
+    assert(out(3L) === None)       // nothing at/after t=90 for u2
+  }
+}
