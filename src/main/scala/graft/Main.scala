@@ -17,9 +17,9 @@ import graft.io.{KStore, Sinks, Sources}
   * originalCollection/d3Collection-shaped JSON docs per task, and consults
   * the k-store under `<outDir>/kstore` (recompute-on-miss). `optimal-k`
   * runs the k-search for every task and upserts the k-store. The task grid
-  * runs SEQUENTIALLY with internal Spark parallelism — the reference's
-  * 12-thread driver pool exists to hide its per-segment job storms; with
-  * segmentation in one shuffle there is nothing to hide.
+  * honors `threadNum` (G3) via a Future pool + FAIR scheduler when > 1;
+  * with one-shuffle segmentation each task is a single job, so this only
+  * overlaps scheduling gaps, never a job storm.
   */
 object Main {
 
@@ -67,7 +67,8 @@ object Main {
       .getOrElse(gc.args(gc.optimalKarg).limit)
     val df = Sources.downsample(raw, limit, seed = 42L)
 
-    gc.taskGrid.foreach { case (macroCol, microCol, xCol, yCol, alg) =>
+    def runTask(task: (String, String, String, String, String)): Unit = {
+      val (macroCol, microCol, xCol, yCol, alg) = task
       val conf = EngineConf(
         macroCol = macroCol, microCol = microCol, xCol = xCol, yCol = yCol,
         algorithm = alg, startK = gc.startK, stopK = gc.stopK,
@@ -97,6 +98,25 @@ object Main {
         } finally results.unpersist()
       }
     }
+
+    // G3: the reference fans the grid over threadNum driver threads
+    // (conf.json:24) to hide its per-segment job storms. With one-shuffle
+    // segmentation a task is one job, so concurrency only overlaps
+    // scheduling gaps — still honored via a Future pool + FAIR scheduler
+    // when threadNum > 1. The k-store writes stay race-free either way
+    // (each task overwrites only its own partition).
+    val grid = gc.taskGrid
+    if (gc.threadNum > 1 && grid.size > 1) {
+      spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(gc.threadNum, grid.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence(grid.map(t => Future(runTask(t)))), Duration.Inf)
+      finally pool.shutdown()
+    } else grid.foreach(runTask)
     spark.stop()
   }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 object SqlCoverageQueries2 {
 
   def all: Seq[GraftQuery] = Seq(q67Cube, q68ExplodeUnnest,
-    q69AboveCustomerAvg)
+    q69AboveCustomerAvg, q70CollectList, q71Unpivot, q72FirstLast)
 
   /** CUBE over two dimensions with grouping-id disambiguation. */
   val q67Cube: GraftQuery = GraftQuery(
@@ -77,5 +77,71 @@ object SqlCoverageQueries2 {
         "SELECT o_custkey, o_orderkey, o_totalprice, " +
         "avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cavg " +
         "FROM orders) WHERE o_totalprice > cavg " +
+        "ORDER BY o_custkey, o_orderkey"))
+
+  /** Ordered collect_list rendered as a string (array surface kept
+    * engine-portable for the hash compare). */
+  val q70CollectList: GraftQuery = GraftQuery(
+    "q70_collect_list",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(concat_ws(",",
+          array_sort(collect_set($"l_linestatus"))).as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+    Some(
+      "SELECT l_returnflag, array_to_string(list_sort(" +
+        "list_distinct(list(l_linestatus))), ',') AS statuses, " +
+        "count(*) AS n FROM lineitem GROUP BY 1 ORDER BY l_returnflag"))
+
+  /** Unpivot (wide→long): acctbal columns of two entity kinds stacked. */
+  val q71Unpivot: GraftQuery = GraftQuery(
+    "q71_unpivot",
+    (s, d) => {
+      import s.implicits._
+      val wide = Tables.customer(s, d)
+        .select($"c_custkey".as("id"), $"c_acctbal".as("bal_now"),
+          ($"c_acctbal" * 2.0).as("bal_proj")) // 2x is exact in binary —
+          // a 1.1x projection would mint .xx5 halves where engines'
+          // rounding diverges
+        .filter($"id" <= 50)
+      wide.unpivot(Array($"id"), Array($"bal_now", $"bal_proj"),
+          "measure", "value")
+        .orderBy($"id", $"measure")
+    },
+    Some(
+      "SELECT id, measure, value FROM (" +
+        "SELECT c_custkey AS id, c_acctbal AS bal_now, " +
+        "c_acctbal * 2 AS bal_proj FROM customer " +
+        "WHERE c_custkey <= 50) " +
+        "UNPIVOT (value FOR measure IN (bal_now, bal_proj)) " +
+        "ORDER BY id, measure"))
+
+  /** first_value / last_value over an explicit full frame. */
+  val q72FirstLast: GraftQuery = GraftQuery(
+    "q72_first_last",
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey",
+          first($"o_totalprice").over(w).as("first_price"),
+          last($"o_totalprice").over(w).as("last_price"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some(
+      "SELECT o_custkey, o_orderkey, " +
+        "first_value(o_totalprice) OVER w AS first_price, " +
+        "last_value(o_totalprice) OVER w AS last_price " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
         "ORDER BY o_custkey, o_orderkey"))
 }
