@@ -230,22 +230,25 @@ object ClusterEngine extends Serializable {
       .setOutputCol("features").transform(scaled)
       .persist() // reused by every segment fit below
     try {
-      val keys = assembled.select($"__macro", $"__micro").distinct()
-        .as[(String, String)].collect().sorted
-      val results = keys.toSeq.flatMap { case (ma, mi) =>
-        val seg = assembled.filter($"__macro" === ma && $"__micro" === mi)
-        mlSegmentResult(seg, ma, mi, conf, xs, ys)
-      }
+      // M12 guard for ALL segments in one aggregation (the reference runs
+      // one distinct().count() job per segment; this is a single job)
+      val keys = assembled.groupBy($"__macro", $"__micro")
+        .agg(countDistinct(struct(col(xs), col(ys))).as("nd"))
+        .as[(String, String, Long)].collect().sortBy(t => (t._1, t._2))
+      val results = keys.toSeq.collect {
+        case (ma, mi, nd) if nd >= 2 =>
+          val seg = assembled.filter($"__macro" === ma && $"__micro" === mi)
+          mlSegmentResult(seg, ma, mi, conf, xs, ys, nd)
+      }.flatten
       spark.createDataset(results)
     } finally assembled.unpersist()
   }
 
   private def mlSegmentResult(seg: DataFrame, ma: String, mi: String,
-      conf: EngineConf, xs: String, ys: String): Option[SegmentResult] = {
+      conf: EngineConf, xs: String, ys: String,
+      distinctPts: Long): Option[SegmentResult] = {
     val spark = seg.sparkSession
     import spark.implicits._
-    val distinctPts = seg.select(col(xs), col(ys)).distinct().count()
-    if (distinctPts < 2) return None
     val rnd = segmentRng(conf, ma, mi)
     val k0 = conf.fixedK.getOrElse(conf.startK)
     val kEff = math.min(k0, distinctPts.toInt)

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{ClusterEngine, EngineConf}
+
+/** Degenerate-input robustness: empty frames, all-identical points,
+  * all-null metrics, single segments — no crashes, sensible emptiness. */
+class EdgeCaseSpec extends GraftSuite {
+
+  private val conf = EngineConf("ma", "mi", "x", "y",
+    fixedK = Some(2), iterNum = 1)
+
+  test("empty input → empty results on both backends") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(String, String, Double, Double)]
+      .toDF("ma", "mi", "x", "y")
+    assert(ClusterEngine.run(empty, conf).count() === 0)
+    assert(ClusterEngine.runMl(empty, conf).count() === 0)
+  }
+
+  test("all-null metrics → rows dropped, empty results") {
+    val s = spark
+    import s.implicits._
+    val nulls = Seq(("a", "b"), ("a", "b")).toDF("ma", "mi")
+      .withColumn("x", lit(null).cast("double"))
+      .withColumn("y", lit(null).cast("double"))
+    assert(ClusterEngine.run(nulls, conf).count() === 0)
+  }
+
+  test("all-identical points in every segment → guard drops them all") {
+    val s = spark
+    import s.implicits._
+    val flat = Seq.fill(20)(("a", "b", 5.0, 7.0)).toDF("ma", "mi", "x", "y")
+    assert(ClusterEngine.run(flat, conf).count() === 0)
+    assert(ClusterEngine.runMl(flat, conf).count() === 0)
+  }
+
+  test("single eligible segment works end to end") {
+    val s = spark
+    import s.implicits._
+    val one = Seq(("a", "b", 1.0, 1.0), ("a", "b", 2.0, 5.0),
+      ("a", "b", 9.0, 3.0)).toDF("ma", "mi", "x", "y")
+    val r = ClusterEngine.run(one, conf).collect()
+    assert(r.length === 1)
+    assert(r(0).clusters.map(_.clusterSize).sum === 3)
+  }
+
+  test("rows-only registry queries are deterministic across runs (sf0.001)") {
+    for (name <- Seq("q33_optimal_k_local", "q36_cluster_bisecting_local",
+        "q37_cluster_gmm_local", "q42_multimodal_features",
+        "q44_minhash_neardups", "q45_simhash_neardups", "q47_ann_recall",
+        "q64_ann_topk", "q66_ivf_recall", "q38_tfidf_norm")) {
+      val q = Registry.byName(name)
+      val a = q.run(spark, sf).collect().toSeq
+      val b = q.run(spark, sf).collect().toSeq
+      assert(a === b, s"$name not deterministic")
+    }
+  }
+}
