@@ -80,9 +80,8 @@ object Dedup extends Serializable {
   /** LSH banding: split the signature into `bands` bands of
     * numHashes/bands rows each; docs sharing any band hash are candidate
     * pairs. Returns distinct (id_a < id_b) candidates. */
-  def lshCandidates(signatures: DataFrame, bands: Int): DataFrame = {
-    val numHashes = bands * (
-      signatures.select(size(col("signature"))).first().getInt(0) / bands)
+  def lshCandidates(signatures: DataFrame, bands: Int,
+      numHashes: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandHashes = transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, concat_ws("|",
@@ -102,7 +101,7 @@ object Dedup extends Serializable {
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
       shingleN: Int = 3): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
-    val cands = lshCandidates(sigs, bands)
+    val cands = lshCandidates(sigs, bands, numHashes)
     val sh = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
     cands
