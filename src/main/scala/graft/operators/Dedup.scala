@@ -77,22 +77,58 @@ object Dedup extends Serializable {
         .as("signature"))
   }
 
-  /** LSH banding: split the signature into `bands` bands of
-    * numHashes/bands rows each; docs sharing any band hash are candidate
-    * pairs. Returns distinct (id_a < id_b) candidates. */
-  def lshCandidates(signatures: DataFrame, bands: Int,
+  /** Band buckets for a signature set: (id, band, bucket) — the
+    * persistable LSH index (write it out once per corpus; incremental
+    * batches join against it). */
+  def bandBuckets(signatures: DataFrame, bands: Int,
       numHashes: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandHashes = transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, concat_ws("|",
         slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-    val banded = signatures.select(col("id"), posexplode(bandHashes))
+    signatures.select(col("id"), posexplode(bandHashes))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+  }
+
+  /** LSH banding: docs sharing any band hash are candidate pairs.
+    * Returns distinct (id_a < id_b) candidates. */
+  def lshCandidates(signatures: DataFrame, bands: Int,
+      numHashes: Int): DataFrame = {
+    val banded = bandBuckets(signatures, bands, numHashes)
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Incremental near-dup: a NEW batch against an EXISTING corpus without
+    * re-signaturing the corpus — new-batch band buckets join the corpus's
+    * (persisted) band index; only cross candidates are verified. The
+    * production shape: the corpus index grows append-only, each ingest
+    * batch costs O(batch) signatures + one bucket join. */
+  def minhashNearDupsAgainst(corpus: DataFrame, newBatch: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+    val corpusBands = bandBuckets(
+      minhashSignatures(corpus, idCol, textCol, numHashes, shingleN),
+      bands, numHashes)
+    val newBands = bandBuckets(
+      minhashSignatures(newBatch, idCol, textCol, numHashes, shingleN),
+      bands, numHashes)
+    val cands = newBands.select(col("band"), col("bucket"),
+        col("id").as("new_id"))
+      .join(corpusBands.select(col("band"), col("bucket"),
+        col("id").as("corpus_id")), Seq("band", "bucket"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    val shNew = newBatch.select(col(idCol).as("new_id"),
+      shingles(col(textCol), shingleN).as("sh_n"))
+    val shCorpus = corpus.select(col(idCol).as("corpus_id"),
+      shingles(col(textCol), shingleN).as("sh_c"))
+    cands.join(shNew, "new_id").join(shCorpus, "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        jaccard(col("sh_n"), col("sh_c")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates →

@@ -293,3 +293,42 @@ class AsOfForwardSpec extends GraftSuite {
     assert(out(3L) === None)       // nothing at/after t=90 for u2
   }
 }
+
+class IncrementalDedupSpec extends GraftSuite {
+
+  test("new batch is deduped against the corpus without self-pairs") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, base),
+      (2L, (100 to 140).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val nearDup = (1 to 40).map(i => if (i == 3) "X" else s"w$i").mkString(" ")
+    val newBatch = Seq((100L, nearDup),
+      (101L, (200 to 240).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .minhashNearDupsAgainst(corpus, newBatch, "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((100L, 1L))) // only the cross near-dup
+  }
+
+  test("incremental result agrees with batch LSH on the union") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" < 80)
+    val newBatch = docs.filter($"doc_id" >= 80)
+    val incremental = graft.operators.Dedup
+      .minhashNearDupsAgainst(corpus, newBatch, "doc_id", "text",
+        threshold = 0.5)
+      .select($"new_id", $"corpus_id").collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toSet
+    val batch = graft.operators.Dedup
+      .minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 80 && b >= 80 }.toSet
+    assert(incremental === batch)
+  }
+}
