@@ -19,7 +19,7 @@ object OperatorQueries {
     q43NgramJaccard, q44MinhashNearDups, q45SimhashNearDups,
     q46EmbeddingNearDups, q47AnnRecall, q48LangId, q49QualityScore,
     q50Fingerprint, q51SubwordCount, q63SaltedJoin, q64AnnTopK,
-    q65ApproxStats, q66IvfRecall)
+    q65ApproxStats, q66IvfRecall, q73AsOfForward)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -319,4 +319,31 @@ object OperatorQueries {
         .select($"query_id", round($"recall", 2).as("recall"))
         .orderBy($"query_id")
     })
+
+  /** Forward as-of join (earliest right row at/after the left ts) —
+    * oracle = DuckDB ASOF with the inequality flipped. */
+  val q73AsOfForward: GraftQuery = GraftQuery(
+    "q73_asof_forward",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts")
+      AsOfJoin.forward(purchases, clicks, Seq("user_id"), "ts", "ts")
+        .select($"event_id", $"user_id", unix_millis($"ts").as("ts_ms"),
+          unix_millis($"ts_asof").as("next_click_ms"))
+        .orderBy($"event_id")
+    },
+    Some(
+      "WITH purch AS (SELECT event_id, user_id, ts FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "clicks AS (SELECT user_id, ts FROM events " +
+        "WHERE event_type = 'click') " +
+        "SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, " +
+        "epoch_ms(c.ts) AS next_click_ms " +
+        "FROM purch p ASOF LEFT JOIN clicks c " +
+        "ON p.user_id = c.user_id AND c.ts >= p.ts " +
+        "ORDER BY p.event_id"))
 }
