@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
 object SqlCoverageQueries2 {
 
   def all: Seq[GraftQuery] = Seq(q67Cube, q68ExplodeUnnest,
-    q69AboveCustomerAvg, q70CollectList, q71Unpivot, q72FirstLast)
+    q69AboveCustomerAvg, q70CollectList, q71Unpivot, q72FirstLast,
+    q74ManySegments, q75BoolAggs, q76StatsAggs)
 
   /** CUBE over two dimensions with grouping-id disambiguation. */
   val q67Cube: GraftQuery = GraftQuery(
@@ -144,4 +145,63 @@ object SqlCoverageQueries2 {
         "ORDER BY o_orderdate, o_orderkey " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
         "ORDER BY o_custkey, o_orderkey"))
+
+  /** Many-segment engine stress: ~500 (event_type × user-bucket) segments
+    * with the full k-search, still one shuffle (rows-only; the BENCH
+    * number is the point — segment count does not multiply job count). */
+  val q74ManySegments: GraftQuery = GraftQuery(
+    "q74_cluster_many_segments",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("bucket", ($"user_id" % 100).cast("string"))
+        .withColumn("ts_sec", unix_timestamp($"ts").cast("double"))
+      val res = graft.engine.ClusterEngine.run(ev, graft.engine.EngineConf(
+        macroCol = "event_type", microCol = "bucket",
+        xCol = "value", yCol = "ts_sec",
+        startK = 2, stopK = 4, iterNum = 1, seed = 42L))
+      res.select(col("macroId"), col("microId"), col("k"),
+        round(col("silhouette"), 4).as("silhouette"))
+        .orderBy(col("macroId"), col("microId"))
+    })
+
+  /** Boolean aggregates (every / any). */
+  val q75BoolAggs: GraftQuery = GraftQuery(
+    "q75_bool_aggs",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          bool_and($"l_discount" <= 0.1).cast("int").as("all_low_disc"),
+          bool_or($"l_quantity" > 49.0).cast("int").as("any_big_qty"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+    Some(
+      "SELECT l_returnflag, " +
+        "bool_and(l_discount <= 0.1)::INT AS all_low_disc, " +
+        "bool_or(l_quantity > 49.0)::INT AS any_big_qty, " +
+        "count(*) AS n FROM lineitem GROUP BY 1 ORDER BY l_returnflag"))
+
+  /** Statistical aggregates: sample stddev/variance + Pearson
+    * correlation (both engines compute the same two-pass-free formulas;
+    * rounded to absorb summation-order ulps). */
+  val q76StatsAggs: GraftQuery = GraftQuery(
+    "q76_stats_aggs",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(stddev_samp($"l_quantity"), 6).as("sd_qty"),
+          round(var_samp($"l_discount"), 8).as("var_disc"),
+          round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qp"))
+        .orderBy($"l_returnflag")
+    },
+    Some(
+      "SELECT l_returnflag, round(stddev_samp(l_quantity), 6) AS sd_qty, " +
+        "round(var_samp(l_discount), 8) AS var_disc, " +
+        "round(corr(l_quantity, l_extendedprice), 6) AS corr_qp " +
+        "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"))
 }
