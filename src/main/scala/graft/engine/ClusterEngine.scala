@@ -154,29 +154,43 @@ object ClusterEngine extends Serializable {
     * reference's recompute-on-miss (`cluster.py:105-109`).
     */
   def run(df: DataFrame, conf: EngineConf,
+      kStore: Map[(String, String), KEntry] = Map.empty): Dataset[SegmentResult] =
+    runNd(df, conf, Seq(conf.xCol, conf.yCol), kStore)
+
+  /** n-dimensional variant of [[run]]: cluster on ANY number of metric
+    * columns (the local kernels — k-means++/Lloyd, bisecting, GMM EM,
+    * silhouette/entropy/radius — are dimension-agnostic; the reference's
+    * 2-column shape is just its config convention). */
+  def runNd(df: DataFrame, conf: EngineConf, metricCols: Seq[String],
       kStore: Map[(String, String), KEntry] = Map.empty): Dataset[SegmentResult] = {
+    require(metricCols.nonEmpty, "need at least one metric column")
     val spark = df.sparkSession
     import spark.implicits._
     val scaled = Scaling.scaleSegments(df, conf.macroCol, conf.microCol,
-      Seq(conf.xCol, conf.yCol), conf.dontScale)
-    val xs = Scaling.scaledName(conf.xCol)
-    val ys = Scaling.scaledName(conf.yCol)
+      metricCols, conf.dontScale)
+    val vec = array(metricCols.map(c =>
+      col(Scaling.scaledName(c)).cast("double")): _*)
     val kStoreB = spark.sparkContext.broadcast(kStore)
     val maxPts = conf.maxPointsPerSegment
     scaled.select(
         col(conf.macroCol).cast("string"),
         col(conf.microCol).cast("string"),
-        col(xs).cast("double"), col(ys).cast("double"))
-      .as[(String, String, Double, Double)]
+        vec.as("v"))
+      .as[(String, String, Seq[Double])]
       .groupByKey(t => (t._1, t._2))
       .flatMapGroups { (key: (String, String),
-          it: Iterator[(String, String, Double, Double)]) =>
+          it: Iterator[(String, String, Seq[Double])]) =>
         val (ma, mi) = key
-        // Sort points in-task: groupByKey iterator order depends on the
-        // input partitioning, and k-means++ init is order-sensitive — the
-        // sort makes results invariant to how the data arrived.
-        val pts = it.take(maxPts).map(t => Array(t._3, t._4)).toArray
-          .sortBy(p => (p(0), p(1)))
+        // Sort points in-task (lexicographic over all dims): groupByKey
+        // iterator order depends on the input partitioning, and k-means++
+        // init is order-sensitive — the sort makes results invariant to
+        // how the data arrived.
+        val pts = it.take(maxPts).map(_._3.toArray).toArray
+          .sortWith { (a, b) =>
+            var i = 0
+            while (i < a.length && a(i) == b(i)) i += 1
+            i < a.length && a(i) < b(i)
+          }
         segmentResult(ma, mi, pts, conf, kStoreB.value.get((ma, mi))).iterator
       }
   }

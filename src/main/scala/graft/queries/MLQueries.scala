@@ -17,7 +17,7 @@ object MLQueries {
 
   def all: Seq[GraftQuery] = Seq(q30ClusterLocal, q31ClusterMl,
     q32ClusterGmmMl, q33OptimalKLocal, q34CentroidRadius, q35SegmentGuard,
-    q36ClusterBisecting, q37ClusterGmmLocal, q38TfIdf)
+    q36ClusterBisecting, q37ClusterGmmLocal, q38TfIdf, q39Cluster3d)
 
   private def lineitemConf = EngineConf(
     macroCol = "l_returnflag", microCol = "l_linestatus",
@@ -198,5 +198,17 @@ object MLQueries {
       idf.transform(tfed)
         .select($"doc_id", round(normUdf($"tfidf"), 4).as("tfidf_norm"))
         .orderBy($"doc_id")
+    })
+
+  /** n-dimensional clustering: three scaled lineitem metrics per point
+    * (quantity, extendedprice, discount) through the same one-shuffle
+    * backend — centers come back 3-D. Rows-only, seed-pinned. */
+  val q39Cluster3d: GraftQuery = GraftQuery(
+    "q39_cluster_3d_local",
+    (s, d) => {
+      val res = ClusterEngine.runNd(Tables.lineitem(s, d),
+        lineitemConf.copy(iterNum = 1),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      flatten(res)
     })
 }

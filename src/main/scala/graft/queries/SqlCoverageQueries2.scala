@@ -10,7 +10,7 @@ object SqlCoverageQueries2 {
 
   def all: Seq[GraftQuery] = Seq(q67Cube, q68ExplodeUnnest,
     q69AboveCustomerAvg, q70CollectList, q71Unpivot, q72FirstLast,
-    q74ManySegments, q75BoolAggs, q76StatsAggs)
+    q74ManySegments, q75BoolAggs, q76StatsAggs, q77TopKAgg)
 
   /** CUBE over two dimensions with grouping-id disambiguation. */
   val q67Cube: GraftQuery = GraftQuery(
@@ -204,4 +204,28 @@ object SqlCoverageQueries2 {
         "round(var_samp(l_discount), 8) AS var_disc, " +
         "round(corr(l_quantity, l_extendedprice), 6) AS corr_qp " +
         "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"))
+
+  /** Top-3 orders per customer via the heap AGGREGATOR (map-side partial
+    * top-k; at most k rows per group per map partition reach the shuffle,
+    * vs the window formulation sorting every row). Oracle = the window
+    * formulation: results are identical. */
+  val q77TopKAgg: GraftQuery = GraftQuery(
+    "q77_topk_agg",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(graft.functions.TopKAgg.topK(3)(
+          $"o_totalprice", $"o_orderkey").as("top"))
+        .select($"o_custkey", posexplode($"top"))
+        .select($"o_custkey", ($"pos" + 1).as("rk"),
+          $"col._2".as("o_orderkey"), $"col._1".as("o_totalprice"))
+        .orderBy($"o_custkey", $"rk")
+    },
+    Some(
+      "SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) " +
+        "WHERE rk <= 3 ORDER BY o_custkey, rk"))
 }

@@ -110,3 +110,37 @@ class EngineSpec extends GraftSuite {
     assert(c.taskGrid.nonEmpty)
   }
 }
+
+class NdEngineSpec extends GraftSuite {
+
+  test("3-D clustering produces 3-D centers with same segment coverage") {
+    val conf = graft.engine.EngineConf("l_returnflag", "l_linestatus",
+      "l_quantity", "l_extendedprice", fixedK = Some(3), iterNum = 1)
+    val res = graft.engine.ClusterEngine.runNd(Tables.lineitem(spark, sf),
+      conf, Seq("l_quantity", "l_extendedprice", "l_discount")).collect()
+    assert(res.length === 6)
+    assert(res.forall(_.clusters.forall(_.center.length === 3)))
+    assert(res.forall(r => r.silhouette >= -1.0 && r.silhouette <= 1.0))
+  }
+
+  test("runNd with two metrics equals run (delegation identity)") {
+    val conf = graft.engine.EngineConf("l_returnflag", "l_linestatus",
+      "l_quantity", "l_extendedprice", fixedK = Some(2), iterNum = 1)
+    val li = Tables.lineitem(spark, sf)
+    val a = graft.engine.ClusterEngine.run(li, conf).collect()
+      .sortBy(r => (r.macroId, r.microId))
+    val b = graft.engine.ClusterEngine.runNd(li, conf,
+      Seq("l_quantity", "l_extendedprice")).collect()
+      .sortBy(r => (r.macroId, r.microId))
+    assert(a.map(_.silhouette).toSeq === b.map(_.silhouette).toSeq)
+  }
+
+  test("1-D clustering works (single metric column)") {
+    val conf = graft.engine.EngineConf("l_returnflag", "l_linestatus",
+      "l_quantity", "l_quantity", fixedK = Some(2), iterNum = 1)
+    val res = graft.engine.ClusterEngine.runNd(Tables.lineitem(spark, sf),
+      conf, Seq("l_quantity")).collect()
+    assert(res.length === 6)
+    assert(res.forall(_.clusters.forall(_.center.length === 1)))
+  }
+}
