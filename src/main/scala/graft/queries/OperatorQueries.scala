@@ -19,7 +19,7 @@ object OperatorQueries {
     q43NgramJaccard, q44MinhashNearDups, q45SimhashNearDups,
     q46EmbeddingNearDups, q47AnnRecall, q48LangId, q49QualityScore,
     q50Fingerprint, q51SubwordCount, q63SaltedJoin, q64AnnTopK,
-    q65ApproxStats, q66IvfRecall, q73AsOfForward)
+    q65ApproxStats, q66IvfRecall, q73AsOfForward, q80SampleSplit)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -346,4 +346,22 @@ object OperatorQueries {
         "FROM purch p ASOF LEFT JOIN clicks c " +
         "ON p.user_id = c.user_id AND c.ts >= p.ts " +
         "ORDER BY p.event_id"))
+
+  /** Stratified sampling + hash-keyed train/val split summary
+    * (deterministic given seeds; engine-RNG-specific → rows-only). */
+  val q80SampleSplit: GraftQuery = GraftQuery(
+    "q80_sample_split",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val (tr, va) = graft.operators.Sampling.splitByHash(docs, "doc_id",
+        0.8, seed = 42L)
+      val trainStats = tr.groupBy($"lang")
+        .agg(count(lit(1)).as("n_train"))
+      val valStats = va.groupBy($"lang").agg(count(lit(1)).as("n_val"))
+      trainStats.join(valStats, Seq("lang"), "full_outer")
+        .select($"lang", coalesce($"n_train", lit(0L)).as("n_train"),
+          coalesce($"n_val", lit(0L)).as("n_val"))
+        .orderBy($"lang")
+    })
 }

@@ -332,3 +332,32 @@ class IncrementalDedupSpec extends GraftSuite {
     assert(incremental === batch)
   }
 }
+
+class SamplingSpec extends GraftSuite {
+
+  test("stratified sample respects per-stratum fractions (loosely)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val sampled = graft.operators.Sampling.stratified(docs, "lang",
+      Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.0, "fr" -> 0.0, "zh" -> 0.0),
+      seed = 7L)
+    val counts = sampled.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enTotal = docs.filter(col("lang") === "en").count()
+    val deTotal = docs.filter(col("lang") === "de").count()
+    assert(counts.getOrElse("de", 0L) === deTotal)       // fraction 1.0
+    assert(!counts.contains("es") && !counts.contains("zh"))
+    val enFrac = counts.getOrElse("en", 0L).toDouble / enTotal
+    assert(enFrac > 0.3 && enFrac < 0.7, s"en fraction $enFrac")
+  }
+
+  test("hash split: disjoint, exhaustive, partitioning-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val (tr, va) = graft.operators.Sampling.splitByHash(docs, "doc_id",
+      0.8, seed = 42L)
+    assert(tr.count() + va.count() === docs.count())
+    assert(tr.join(va, Seq("doc_id"), "inner").count() === 0)
+    val (tr2, _) = graft.operators.Sampling.splitByHash(
+      docs.repartition(13), "doc_id", 0.8, seed = 42L)
+    assert(tr.select("doc_id").exceptAll(tr2.select("doc_id")).count() === 0)
+  }
+}
