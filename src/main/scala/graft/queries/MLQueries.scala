@@ -17,7 +17,8 @@ object MLQueries {
 
   def all: Seq[GraftQuery] = Seq(q30ClusterLocal, q31ClusterMl,
     q32ClusterGmmMl, q33OptimalKLocal, q34CentroidRadius, q35SegmentGuard,
-    q36ClusterBisecting, q37ClusterGmmLocal, q38TfIdf, q39Cluster3d)
+    q36ClusterBisecting, q37ClusterGmmLocal, q38TfIdf, q39Cluster3d,
+    q81Word2Vec)
 
   private def lineitemConf = EngineConf(
     macroCol = "l_returnflag", microCol = "l_linestatus",
@@ -210,5 +211,25 @@ object MLQueries {
         lineitemConf.copy(iterNum = 1),
         Seq("l_quantity", "l_extendedprice", "l_discount"))
       flatten(res)
+    })
+
+  /** Train word embeddings on the corpus (spark.ml Word2Vec, seed-pinned,
+    * single partition for run-to-run determinism) and report per-word
+    * vector norms for the most frequent terms. Rows-only. */
+  val q81Word2Vec: GraftQuery = GraftQuery(
+    "q81_word2vec",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.ml.feature.Word2Vec
+      val docs = Tables.documents(s, d)
+        .select(split($"text", " ").as("words")).coalesce(1)
+      val model = new Word2Vec().setInputCol("words").setOutputCol("vec")
+        .setVectorSize(16).setMinCount(5).setSeed(42L).setNumPartitions(1)
+        .fit(docs)
+      val normUdf = udf((v: org.apache.spark.ml.linalg.Vector) =>
+        math.sqrt(v.toArray.map(x => x * x).sum))
+      model.getVectors
+        .select($"word", round(normUdf($"vector"), 4).as("vec_norm"))
+        .orderBy($"word")
     })
 }
