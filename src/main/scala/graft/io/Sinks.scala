@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
 
 /** Output-side operators (SURVEY.md §2.1 S7/S8): the reference's Mongo
   * insert/upsert become JSON / parquet directory writes keyed the same
@@ -24,4 +25,13 @@ object Sinks {
       .partitionBy("algorithm", "macro", "micro", "firstColumn",
         "secondColumn")
       .json(path)
+
+  /** MERGE-style upsert without a table format: rows from `updates`
+    * replace same-key rows of `existing`, new keys append. One
+    * anti-join + union — the emulation to use until a Delta/Iceberg
+    * catalog is available; with one, this becomes MERGE INTO. */
+  def upsertByKey(existing: DataFrame, updates: DataFrame,
+      keys: Seq[String]): DataFrame =
+    existing.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates)
 }
