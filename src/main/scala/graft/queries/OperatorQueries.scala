@@ -19,7 +19,8 @@ object OperatorQueries {
     q43NgramJaccard, q44MinhashNearDups, q45SimhashNearDups,
     q46EmbeddingNearDups, q47AnnRecall, q48LangId, q49QualityScore,
     q50Fingerprint, q51SubwordCount, q63SaltedJoin, q64AnnTopK,
-    q65ApproxStats, q66IvfRecall, q73AsOfForward, q80SampleSplit)
+    q65ApproxStats, q66IvfRecall, q73AsOfForward, q80SampleSplit,
+    q82Upsert)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -364,4 +365,30 @@ object OperatorQueries {
           coalesce($"n_val", lit(0L)).as("n_val"))
         .orderBy($"lang")
     })
+
+  /** MERGE-style upsert (anti-join + union): low-id docs replaced by
+    * updated rows, the rest untouched; oracle replays the same merge in
+    * SQL. */
+  val q82Upsert: GraftQuery = GraftQuery(
+    "q82_upsert",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val updates = docs.filter($"doc_id" < 10)
+        .withColumn("text", lit("UPDATED"))
+      val merged = graft.io.Sinks.upsertByKey(docs, updates, Seq("doc_id"))
+      merged.groupBy($"lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"text" === "UPDATED", 1).otherwise(0)).as("n_updated"))
+        .orderBy($"lang")
+    },
+    Some(
+      "WITH updates AS (SELECT doc_id, 'UPDATED' AS text, lang, source, " +
+        "n_chars FROM documents WHERE doc_id < 10), " +
+        "merged AS (SELECT * FROM documents " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM updates) " +
+        "UNION ALL SELECT * FROM updates) " +
+        "SELECT lang, count(*) AS n, " +
+        "sum(CASE WHEN text = 'UPDATED' THEN 1 ELSE 0 END) AS n_updated " +
+        "FROM merged GROUP BY 1 ORDER BY lang"))
 }
