@@ -198,4 +198,45 @@ object Dedup extends Serializable {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // -------------------------------------------------- dedup finalization
+
+  /** Connected components over near-dup pair edges: groups transitive
+    * duplicates into clusters keyed by their minimum id (so "keep min id
+    * per component" deduplicates whole duplicate FAMILIES, not just
+    * pairs). Alternating min-label propagation — each iteration is two
+    * hash joins; converges in O(log n) iterations for duplicate clusters
+    * (which are tiny in practice). This is the simple variant of the
+    * large-star/small-star map-reduce CC algorithm.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id"))
+      var iter = 0
+      var changed = 1L
+      while (iter < maxIter && changed > 0) {
+        // every node adopts the min component among itself + neighbors
+        val next = edges
+          .join(labels.withColumnRenamed("id", "dst")
+            .withColumnRenamed("component", "dst_comp"), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("dst_comp")).as("nbr_comp"))
+          .join(labels, Seq("id"))
+          .select(col("id"),
+            least(col("component"), col("nbr_comp")).as("component"))
+        val nextP = next.persist()
+        changed = nextP.join(labels.withColumnRenamed("component", "old"),
+          Seq("id")).filter(col("component") =!= col("old")).count()
+        labels = nextP
+        iter += 1
+      }
+      labels
+    } finally edges.unpersist()
+  }
 }

@@ -99,4 +99,23 @@ object Similarity extends Serializable {
       .select(col(queryId),
         (coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall"))
   }
+
+  /** Exact top-k via the heap AGGREGATOR instead of a ranking window:
+    * identical results (same tie-break), but only k rows per (query ×
+    * map partition) reach the shuffle — the formulation for huge
+    * candidate sets. */
+  def bruteForceTopKAgg(queries: DataFrame, candidates: DataFrame,
+      queryId: String, queryVec: String, candId: String, candVec: String,
+      k: Int): DataFrame = {
+    val scored = candidates.crossJoin(broadcast(queries))
+      .filter(col(candId) =!= col(queryId))
+      .select(col(queryId), col(candId),
+        cosine(col(queryVec), col(candVec)).as("cos"))
+    scored.groupBy(col(queryId))
+      .agg(graft.functions.TopKAgg.topK(k)(col("cos"), col(candId))
+        .as("top"))
+      .select(col(queryId), posexplode(col("top")))
+      .select(col(queryId), col("col._2").as(candId),
+        col("col._1").as("cos"), (col("pos") + 1).as("rk"))
+  }
 }

@@ -20,7 +20,8 @@ object OperatorQueries {
     q46EmbeddingNearDups, q47AnnRecall, q48LangId, q49QualityScore,
     q50Fingerprint, q51SubwordCount, q63SaltedJoin, q64AnnTopK,
     q65ApproxStats, q66IvfRecall, q73AsOfForward, q80SampleSplit,
-    q82Upsert)
+    q82Upsert, q83TopKAggKnn, q84Normalize, q85DedupComponents,
+    q86Histogram)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -391,4 +392,91 @@ object OperatorQueries {
         "SELECT lang, count(*) AS n, " +
         "sum(CASE WHEN text = 'UPDATED' THEN 1 ELSE 0 END) AS n_updated " +
         "FROM merged GROUP BY 1 ORDER BY lang"))
+
+  /** k-NN via the heap aggregator path — same oracle as the window
+    * formulation (results are identical by construction). */
+  val q83TopKAggKnn: GraftQuery = GraftQuery(
+    "q83_topk_agg_knn",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val c = e.select($"vec_id", $"embedding".as("cv"))
+      graft.operators.Similarity.bruteForceTopKAgg(q, c, "query_id", "qv",
+        "vec_id", "cv", 5)
+        .select($"query_id", $"vec_id", round($"cos", 6).as("cos"), $"rk")
+        .orderBy($"query_id", $"rk")
+    },
+    Some(
+      "WITH scored AS (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS vec_id, " +
+        "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) / " +
+        "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * " +
+        "sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos_raw " +
+        "FROM embeddings q, embeddings c " +
+        "WHERE q.vec_id < 5 AND c.vec_id != q.vec_id) " +
+        "SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rk FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos_raw DESC, vec_id) AS rk FROM scored) " +
+        "WHERE rk <= 5 ORDER BY query_id, rk"))
+
+  /** Text normalization pipeline: lowercase, strip punctuation, squeeze
+    * whitespace — the canonicalization step before exact dedup. */
+  val q84Normalize: GraftQuery = GraftQuery(
+    "q84_normalize",
+    (s, d) => {
+      import s.implicits._
+      val norm = trim(regexp_replace(
+        regexp_replace(lower($"text"), "[.,!?;:]", " "),
+        " +", " "))
+      Tables.documents(s, d)
+        .select($"doc_id", substring(norm, 1, 60).as("norm_prefix"),
+          length(norm).as("norm_len"))
+        .orderBy($"doc_id")
+    },
+    Some(
+      "SELECT doc_id, substr(norm, 1, 60) AS norm_prefix, " +
+        "length(norm) AS norm_len FROM (" +
+        "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[.,!?;:]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents) " +
+        "ORDER BY doc_id"))
+
+  /** Duplicate FAMILIES: connected components over the near-dup pairs;
+    * one row per family with size and canonical (min) id. Rows-only
+    * (built on the minhash pair set). */
+  val q85DedupComponents: GraftQuery = GraftQuery(
+    "q85_dedup_components",
+    (s, d) => {
+      import s.implicits._
+      val pairs = graft.operators.Dedup.minhashNearDups(
+        Tables.documents(s, d), "doc_id", "text", threshold = 0.5)
+      graft.operators.Dedup.connectedComponents(pairs)
+        .groupBy($"component")
+        .agg(count(lit(1)).as("family_size"),
+          min($"id").as("canonical_id"))
+        .orderBy($"component")
+    })
+
+  /** Fixed-width histogram with an explicit bucket formula (identical in
+    * both engines — no width_bucket semantics drift). */
+  val q86Histogram: GraftQuery = GraftQuery(
+    "q86_histogram",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val bounds = o.agg(min($"o_totalprice").as("lo"),
+        max($"o_totalprice").as("hi"))
+      o.crossJoin(broadcast(bounds))
+        .select(least(lit(9), floor(($"o_totalprice" - $"lo") /
+          (($"hi" - $"lo") / 10.0)).cast("int")).as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    },
+    Some(
+      "WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi " +
+        "FROM orders) " +
+        "SELECT least(9, floor((o_totalprice - lo) / ((hi - lo) / 10.0))::INT) " +
+        "AS bucket, count(*) AS n FROM orders, b " +
+        "GROUP BY 1 ORDER BY bucket"))
 }

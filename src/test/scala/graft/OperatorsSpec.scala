@@ -361,3 +361,47 @@ class SamplingSpec extends GraftSuite {
     assert(tr.select("doc_id").exceptAll(tr2.select("doc_id")).count() === 0)
   }
 }
+
+class TopKAggPathSpec extends GraftSuite {
+  test("aggregator top-k equals the window top-k exactly") {
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = e.select($"vec_id", $"embedding".as("cv"))
+    val win = graft.operators.Similarity.bruteForceTopK(
+      q, c, "query_id", "qv", "vec_id", "cv", 7)
+      .select($"query_id", $"vec_id", $"rk")
+    val agg = graft.operators.Similarity.bruteForceTopKAgg(
+      q, c, "query_id", "qv", "vec_id", "cv", 7)
+      .select($"query_id", $"vec_id", $"rk")
+    assert(win.exceptAll(agg).count() === 0)
+    assert(agg.exceptAll(win).count() === 0)
+  }
+}
+
+class ConnectedComponentsSpec extends GraftSuite {
+  test("transitive duplicate chains collapse into one component") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2, 2-3 plus isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) === 1L && comps(2L) === 1L && comps(3L) === 1L)
+    assert(comps(10L) === 10L && comps(11L) === 10L)
+  }
+
+  test("components over the corpus near-dup pairs are canonical-min") {
+    val pairs = graft.operators.Dedup.minhashNearDups(
+      Tables.documents(spark, "/root/testdata/sf0.01"), "doc_id", "text",
+      threshold = 0.5)
+    val comps = graft.operators.Dedup.connectedComponents(pairs)
+    val s = spark
+    import s.implicits._
+    // every component label is <= every member id
+    assert(comps.filter($"component" > $"id").count() === 0)
+    assert(comps.count() > 0)
+  }
+}
