@@ -10,7 +10,8 @@ object SqlCoverageQueries2 {
 
   def all: Seq[GraftQuery] = Seq(q67Cube, q68ExplodeUnnest,
     q69AboveCustomerAvg, q70CollectList, q71Unpivot, q72FirstLast,
-    q74ManySegments, q75BoolAggs, q76StatsAggs, q77TopKAgg)
+    q74ManySegments, q75BoolAggs, q76StatsAggs, q77TopKAgg,
+    q87GroupingId)
 
   /** CUBE over two dimensions with grouping-id disambiguation. */
   val q67Cube: GraftQuery = GraftQuery(
@@ -228,4 +229,29 @@ object SqlCoverageQueries2 {
         "row_number() OVER (PARTITION BY o_custkey " +
         "ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) " +
         "WHERE rk <= 3 ORDER BY o_custkey, rk"))
+
+  /** GROUPING() disambiguation over a rollup: tells real NULL data apart
+    * from subtotal rows — the correct way to consume grouping sets. */
+  val q87GroupingId: GraftQuery = GraftQuery(
+    "q87_grouping_id",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          grouping($"o_orderstatus").cast("int").as("g_status"),
+          grouping($"o_orderpriority").cast("int").as("g_priority"))
+        .select(
+          coalesce($"o_orderstatus", lit("-")).as("status"),
+          coalesce($"o_orderpriority", lit("-")).as("priority"),
+          $"g_status", $"g_priority", $"n")
+        .orderBy($"g_status", $"g_priority", $"status", $"priority")
+    },
+    Some(
+      "SELECT coalesce(o_orderstatus, '-') AS status, " +
+        "coalesce(o_orderpriority, '-') AS priority, " +
+        "grouping(o_orderstatus)::INT AS g_status, " +
+        "grouping(o_orderpriority)::INT AS g_priority, count(*) AS n " +
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) " +
+        "ORDER BY g_status, g_priority, status, priority"))
 }

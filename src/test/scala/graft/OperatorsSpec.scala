@@ -405,3 +405,21 @@ class ConnectedComponentsSpec extends GraftSuite {
     assert(comps.count() > 0)
   }
 }
+
+class StreamingDedupSpec extends GraftSuite {
+
+  test("streaming dropDuplicates emits each event_id once") {
+    // duplicate the source rows, then dedupe on the stream
+    val dedup = graft.streaming.EventStream.runToCompletion(
+      spark, sf,
+      df => df.select(col("event_id"), col("event_type"))
+        .union(df.select(col("event_id"), col("event_type")))
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+      "spec_sdedup")
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(countDistinct(col("event_id")).as("n"))
+    assert(dedup.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(dedup).count() === 0)
+  }
+}
