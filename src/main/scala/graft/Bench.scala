@@ -29,10 +29,21 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the tail of this process's output (observed
+    // window: 2000 chars in BENCH_r01.json), so the JSON line must stay well
+    // under that or it is truncated and unparseable. Keys are shortened to
+    // the qNN prefix and values rounded to 3 decimals; run with
+    // SPARK_GRAFT_BENCH_VERBOSE=1 for full names on stderr.
+    if (sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE")) {
+      results.foreach { case (k, v) =>
+        System.err.println(f"[bench] $k%-28s $v%.3f s")
+      }
+    }
+    val qs = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -390,7 +390,11 @@ object OperatorQueries {
         "WHERE doc_id NOT IN (SELECT doc_id FROM updates) " +
         "UNION ALL SELECT * FROM updates) " +
         "SELECT lang, count(*) AS n, " +
-        "sum(CASE WHEN text = 'UPDATED' THEN 1 ELSE 0 END) AS n_updated " +
+        // ::BIGINT — DuckDB's integer sum() is HUGEINT (INT128); Spark's is
+        // BIGINT. Round 1's driver gate flagged exactly this as a hash
+        // mismatch (rows/schema ok). Every other sum() oracle is double.
+        "sum(CASE WHEN text = 'UPDATED' THEN 1 ELSE 0 END)::BIGINT " +
+        "AS n_updated " +
         "FROM merged GROUP BY 1 ORDER BY lang"))
 
   /** k-NN via the heap aggregator path — same oracle as the window
