@@ -197,16 +197,23 @@ object ClusterEngine extends Serializable {
 
   // ------------------------------------------------------------- spark.ml
 
-  private def mlFit(df: DataFrame, k: Int, alg: String, seed: Long) = {
+  private def mlFit(df: DataFrame, k: Int, alg: String, seed: Long,
+      maxIter: Option[Int]) = {
     val model = alg match {
       case "KMeans" =>
-        new KMeans().setFeaturesCol("features").setK(k).setSeed(seed).fit(df)
+        val km = new KMeans().setFeaturesCol("features").setK(k).setSeed(seed)
+        maxIter.foreach(km.setMaxIter)
+        km.fit(df)
       case "BisectingKMeans" =>
-        new BisectingKMeans().setFeaturesCol("features").setK(k).setSeed(seed)
-          .fit(df)
+        val bk = new BisectingKMeans().setFeaturesCol("features").setK(k)
+          .setSeed(seed)
+        maxIter.foreach(bk.setMaxIter)
+        bk.fit(df)
       case "GaussianMixture" =>
-        new GaussianMixture().setFeaturesCol("features").setK(k).setSeed(seed)
-          .fit(df)
+        val gm = new GaussianMixture().setFeaturesCol("features").setK(k)
+          .setSeed(seed)
+        maxIter.foreach(gm.setMaxIter)
+        gm.fit(df)
       case other => throw new IllegalArgumentException(s"algorithm: $other")
     }
     model.asInstanceOf[org.apache.spark.ml.Model[_]]
@@ -271,7 +278,7 @@ object ClusterEngine extends Serializable {
     var bestPred: DataFrame = null
     var bestModel: org.apache.spark.ml.Model[_] = null
     for (_ <- 0 until conf.iterNum) {
-      val m = mlFit(seg, kEff, conf.algorithm, nextSeed(rnd))
+      val m = mlFit(seg, kEff, conf.algorithm, nextSeed(rnd), conf.mlMaxIter)
       val pred = mlTransform(m, seg)
       val sil = mlSilhouette(pred)
       if (sil > bestSil) { bestSil = sil; bestPred = pred; bestModel = m }

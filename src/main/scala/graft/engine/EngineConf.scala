@@ -31,4 +31,11 @@ final case class EngineConf(
       * the local fit (the reference samples whole files on ingest,
       * `scripts/preprocess.py:59-63`; per-segment is the scale-safe spot). */
     maxPointsPerSegment: Int = 100000,
-    dontScale: Seq[String] = Nil)
+    dontScale: Seq[String] = Nil,
+    /** Iteration cap for the spark.ml backend's fits ([[ClusterEngine.runMl]]).
+      * None = the library defaults (KMeans 20, GaussianMixture 100), which
+      * match the reference's unset-maxIter behavior on PySpark
+      * (`requirements.txt:1` pins 2.4.4, same defaults). Demo/bench runs can
+      * lower it: on small-per-segment data the per-iteration Spark job
+      * overhead dominates long before convergence quality changes. */
+    mlMaxIter: Option[Int] = None)

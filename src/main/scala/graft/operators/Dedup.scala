@@ -65,17 +65,37 @@ object Dedup extends Serializable {
     * wrapping arithmetic: Spark 4 runs ANSI mode, where an overflowing
     * multiply throws. Deterministic. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, shingleN: Int = 3): DataFrame =
+    minhashIndex(df, idCol, textCol, numHashes, shingleN)
+      .select(col("id"), col("signature"))
+
+  /** One-pass MinHash INDEX: per doc, both the banding signature and the
+    * full distinct shingle-HASH set. The set makes candidate verification
+    * self-contained — exact Jaccard over 8-byte hashes (set identity is
+    * preserved by xxhash64 up to 2^-64 collisions) instead of re-reading
+    * and re-shingling the corpus text per join branch. One corpus scan,
+    * one shuffle; every branch that consumes the index shares the same
+    * map-side aggregation via Spark's exchange reuse. This is also the
+    * persistable artifact for incremental dedup (append-only corpus
+    * index). */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
         explode(shingles(col(textCol), shingleN)).as("sh"))
       .select(col("id"), xxhash64(col("sh")).as("h"))
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(col("h"), lit(i.toLong))).as(s"h$i"))
+    val aggs = mins :+ collect_set(col("h")).as("hs")
     exploded.groupBy(col("id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*)
-        .as("signature"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"),
+        col("hs"))
   }
+
+  /** Exact Jaccard of two distinct-hash-set columns. */
+  def hashSetJaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** Band buckets for a signature set: (id, band, bucket) — the
     * persistable LSH index (write it out once per corpus; incremental
@@ -110,41 +130,37 @@ object Dedup extends Serializable {
   def minhashNearDupsAgainst(corpus: DataFrame, newBatch: DataFrame,
       idCol: String, textCol: String, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
-    val corpusBands = bandBuckets(
-      minhashSignatures(corpus, idCol, textCol, numHashes, shingleN),
-      bands, numHashes)
-    val newBands = bandBuckets(
-      minhashSignatures(newBatch, idCol, textCol, numHashes, shingleN),
-      bands, numHashes)
-    val cands = newBands.select(col("band"), col("bucket"),
-        col("id").as("new_id"))
-      .join(corpusBands.select(col("band"), col("bucket"),
-        col("id").as("corpus_id")), Seq("band", "bucket"))
+    val corpusIdx = minhashIndex(corpus, idCol, textCol, numHashes, shingleN)
+    val newIdx = minhashIndex(newBatch, idCol, textCol, numHashes, shingleN)
+    val cands = bandBuckets(newIdx, bands, numHashes)
+      .select(col("band"), col("bucket"), col("id").as("new_id"))
+      .join(bandBuckets(corpusIdx, bands, numHashes)
+        .select(col("band"), col("bucket"), col("id").as("corpus_id")),
+        Seq("band", "bucket"))
       .select(col("new_id"), col("corpus_id")).distinct()
-    val shNew = newBatch.select(col(idCol).as("new_id"),
-      shingles(col(textCol), shingleN).as("sh_n"))
-    val shCorpus = corpus.select(col(idCol).as("corpus_id"),
-      shingles(col(textCol), shingleN).as("sh_c"))
-    cands.join(shNew, "new_id").join(shCorpus, "corpus_id")
+    cands
+      .join(newIdx.select(col("id").as("new_id"), col("hs").as("hs_n")),
+        "new_id")
+      .join(corpusIdx.select(col("id").as("corpus_id"), col("hs").as("hs_c")),
+        "corpus_id")
       .select(col("new_id"), col("corpus_id"),
-        jaccard(col("sh_n"), col("sh_c")).as("jaccard"))
+        hashSetJaccard(col("hs_n"), col("hs_c")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
-    * exact-Jaccard verification of candidates only. */
+  /** Full MinHash-LSH near-dup pipeline: one-pass index → banded
+    * candidates → exact-Jaccard verification of candidates only, against
+    * the index's own hash sets (the corpus text is read exactly once). */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
       shingleN: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
-    val cands = lshCandidates(sigs, bands, numHashes)
-    val sh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
+    val idx = minhashIndex(df, idCol, textCol, numHashes, shingleN)
+    val cands = lshCandidates(idx, bands, numHashes)
     cands
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(idx.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(idx.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        hashSetJaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -204,39 +220,79 @@ object Dedup extends Serializable {
   /** Connected components over near-dup pair edges: groups transitive
     * duplicates into clusters keyed by their minimum id (so "keep min id
     * per component" deduplicates whole duplicate FAMILIES, not just
-    * pairs). Alternating min-label propagation — each iteration is two
-    * hash joins; converges in O(log n) iterations for duplicate clusters
-    * (which are tiny in practice). This is the simple variant of the
-    * large-star/small-star map-reduce CC algorithm.
+    * pairs). Ids must be integral (long-castable).
+    *
+    * Two paths, chosen by measured edge count:
+    *
+    *  - edge list ≤ `localEdgeLimit`: union-find on the driver. The edge
+    *    list is pairs of near-DUPLICATES — a vanishing fraction of the
+    *    corpus — so even a 100 TB corpus's dup-pair set (millions of
+    *    edges ≈ tens of MB) fits comfortably; one collect replaces an
+    *    O(diameter) join loop. This is a finishing step on reduced data,
+    *    not a driver-side scan of data rows.
+    *
+    *  - larger: distributed min-label propagation. Each iteration is one
+    *    edge⋈label join + one aggregation, with the convergence flag
+    *    computed inline (no second join); converges in O(diameter)
+    *    iterations, and duplicate families have tiny diameters.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+      localEdgeLimit: Long = 4L << 20): DataFrame = {
     val spark = pairs.sparkSession
+    import spark.implicits._
     // undirected edge list, both directions
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
       .distinct().persist()
-    try {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("component", col("id"))
-      var iter = 0
-      var changed = 1L
-      while (iter < maxIter && changed > 0) {
-        // every node adopts the min component among itself + neighbors
-        val next = edges
-          .join(labels.withColumnRenamed("id", "dst")
-            .withColumnRenamed("component", "dst_comp"), Seq("dst"))
-          .groupBy(col("src").as("id"))
-          .agg(min(col("dst_comp")).as("nbr_comp"))
-          .join(labels, Seq("id"))
-          .select(col("id"),
-            least(col("component"), col("nbr_comp")).as("component"))
-        val nextP = next.persist()
-        changed = nextP.join(labels.withColumnRenamed("component", "old"),
-          Seq("id")).filter(col("component") =!= col("old")).count()
-        labels = nextP
-        iter += 1
+    val nEdges = edges.count()
+    if (nEdges <= localEdgeLimit) {
+      val es = edges.as[(Long, Long)].collect()
+      edges.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
       }
-      labels
-    } finally edges.unpersist()
+      es.foreach { case (s, d) =>
+        parent.getOrElseUpdate(s, s)
+        parent.getOrElseUpdate(d, d)
+        val rs = find(s); val rd = find(d)
+        if (rs != rd) parent(math.max(rs, rd)) = math.min(rs, rd)
+      }
+      val rows = parent.keysIterator.toSeq.sorted.map(id => (id, find(id)))
+      spark.createDataset(rows).toDF("id", "component")
+    } else {
+      try {
+        var labels = edges.select(col("src").as("id")).distinct()
+          .withColumn("component", col("id")).persist()
+        var iter = 0
+        var changed = 1L
+        while (iter < maxIter && changed > 0) {
+          // every node adopts the min component among itself + neighbors;
+          // 'moved' rides along so convergence costs no extra join
+          val next = edges
+            .join(labels.withColumnRenamed("id", "dst")
+              .withColumnRenamed("component", "dst_comp"), Seq("dst"))
+            .groupBy(col("src").as("id"))
+            .agg(min(col("dst_comp")).as("nbr_comp"))
+            .join(labels, Seq("id"))
+            .select(col("id"),
+              least(col("component"), col("nbr_comp")).as("component"),
+              (col("nbr_comp") < col("component")).as("moved"))
+            .persist()
+          changed = next.filter(col("moved")).count()
+          labels.unpersist()
+          labels = next.drop("moved")
+          iter += 1
+        }
+        labels
+      } finally edges.unpersist()
+    }
   }
 }
