@@ -21,7 +21,7 @@ object SimplifySelfCosine extends Rule[LogicalPlan] {
 }
 
 /** SparkSessionExtensions entry point — registers the graft optimizer
-  * rules (and is the anchor for future planner strategies):
+  * rules and planner strategies:
   *
   *   SparkSession.builder().withExtensions(new GraftExtensions)…
   *   // or: spark.sql.extensions=graft.expressions.GraftExtensions
@@ -29,5 +29,6 @@ object SimplifySelfCosine extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SimplifySelfCosine)
+    e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }

@@ -21,7 +21,7 @@ object OperatorQueries {
     q50Fingerprint, q51SubwordCount, q63SaltedJoin, q64AnnTopK,
     q65ApproxStats, q66IvfRecall, q73AsOfForward, q80SampleSplit,
     q82Upsert, q83TopKAggKnn, q84Normalize, q85DedupComponents,
-    q86Histogram)
+    q86Histogram, q88AsOfNative)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -45,6 +45,37 @@ object OperatorQueries {
         "clicks AS (SELECT user_id, ts FROM events " +
         "WHERE event_type = 'click') " +
         "SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, " +
+        "epoch_ms(c.ts) AS click_ms " +
+        "FROM purch p ASOF LEFT JOIN clicks c " +
+        "ON p.user_id = c.user_id AND c.ts <= p.ts " +
+        "ORDER BY p.event_id"))
+
+  /** The same backward as-of join through the PLAN-LEVEL operator
+    * ([[graft.plans.NativeAsOf]]: custom LogicalPlan + SparkStrategy +
+    * sorted-merge AsOfJoinExec) — the custom physical operator must
+    * hash-match DuckDB's native ASOF LEFT JOIN, same oracle family as
+    * q40's union+window realization. */
+  val q88AsOfNative: GraftQuery = GraftQuery(
+    "q88_asof_native",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("c_ts"))
+      graft.plans.NativeAsOf.join(purchases, clicks, Seq("user_id"),
+        "ts", "c_ts")
+        .select($"event_id", unix_millis($"ts").as("ts_ms"),
+          unix_millis($"c_ts").as("click_ms"))
+        .orderBy($"event_id")
+    },
+    Some(
+      "WITH purch AS (SELECT event_id, user_id, ts FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "clicks AS (SELECT user_id, ts FROM events " +
+        "WHERE event_type = 'click') " +
+        "SELECT p.event_id, epoch_ms(p.ts) AS ts_ms, " +
         "epoch_ms(c.ts) AS click_ms " +
         "FROM purch p ASOF LEFT JOIN clicks c " +
         "ON p.user_id = c.user_id AND c.ts <= p.ts " +

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.plans.NativeAsOf
+
+/** The plan-level as-of join ([[graft.plans.AsOfJoinExec]]) must agree
+  * with the composed union+window realization on real data, and handle
+  * the merge-sweep edge cases (ties, empty right, null keys/ts, multiple
+  * partitions) that a two-pointer implementation can get wrong.
+  */
+class NativeAsOfSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def purchasesClicks() = {
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+    (purchases, clicks)
+  }
+
+  test("native backward as-of matches the union+window operator") {
+    val (purchases, clicks) = purchasesClicks()
+    // NativeAsOf keys must share names across sides -> rename right key
+    val nativeFixed = NativeAsOf.join(purchases,
+      clicks.withColumnRenamed("c_user", "user_id"), Seq("user_id"),
+      "ts", "c_ts")
+      .select($"event_id", unix_millis($"c_ts").as("click_ms"))
+    val windowed = AsOfJoin.backward(purchases,
+      clicks.withColumnRenamed("c_user", "user_id")
+        .withColumnRenamed("c_ts", "ts"),
+      Seq("user_id"), "ts", "ts")
+      .select($"event_id", unix_millis($"ts_asof").as("click_ms"))
+    assert(nativeFixed.orderBy($"event_id").collect().toSeq ===
+      windowed.orderBy($"event_id").collect().toSeq)
+  }
+
+  test("native forward as-of matches the union+window operator") {
+    val (purchases, clicks) = purchasesClicks()
+    val native = NativeAsOf.join(purchases,
+      clicks.withColumnRenamed("c_user", "user_id"), Seq("user_id"),
+      "ts", "c_ts", forward = true)
+      .select($"event_id", unix_millis($"c_ts").as("click_ms"))
+    val windowed = AsOfJoin.forward(purchases,
+      clicks.withColumnRenamed("c_user", "user_id")
+        .withColumnRenamed("c_ts", "ts"),
+      Seq("user_id"), "ts", "ts")
+      .select($"event_id", unix_millis($"ts_asof").as("click_ms"))
+    assert(native.orderBy($"event_id").collect().toSeq ===
+      windowed.orderBy($"event_id").collect().toSeq)
+  }
+
+  test("ties, misses, null keys and null timestamps") {
+    val left = Seq(
+      (1L, Option(1L), Option(10L)), // exact-tie match at ts=10
+      (2L, Option(1L), Option(5L)),  // before all right rows -> null
+      (3L, Option(2L), Option(99L)), // key with no right rows -> null
+      (4L, None, Option(10L)),       // null key -> null
+      (5L, Option(1L), None)         // null ts -> null
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (Option(1L), Option(10L), "a"),
+      (Option(1L), Option(10L), "b"), // duplicate ts: either value is a
+                                      // valid as-of answer; both rows tie
+      (Option(1L), Option(20L), "c"),
+      (Option(1L), None, "nullts"),   // never matches
+      (None, Option(1L), "nullkey")   // never matches
+    ).toDF("k", "rts", "v")
+      .withColumnRenamed("k", "k2")
+    val out = NativeAsOf.join(left,
+      right.withColumnRenamed("k2", "k").withColumnRenamed("rts", "ts2"),
+      Seq("k"), "ts", "ts2")
+      .select($"id", $"v").orderBy($"id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(out(0)._1 === 1L && Set("a", "b").contains(out(0)._2))
+    assert(out(1) === (2L, null))
+    assert(out(2) === (3L, null))
+    assert(out(3) === (4L, null))
+    assert(out(4) === (5L, null))
+  }
+
+  test("plan contains the custom exec node and declared exchanges") {
+    val (purchases, clicks) = purchasesClicks()
+    val df = NativeAsOf.join(purchases,
+      clicks.withColumnRenamed("c_user", "user_id"), Seq("user_id"),
+      "ts", "c_ts")
+    val plan = df.queryExecution.executedPlan.toString
+    // the exec node renders without the Exec suffix
+    assert(plan.contains("AsOfJoin ") || plan.contains("AsOfJoin ["),
+      s"expected AsOfJoin exec node in:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"),
+      "expected Catalyst-planned exchanges from the declared distribution")
+    df.count() // executes end-to-end
+  }
+
+  test("empty right side yields all-null right columns") {
+    val left = Seq((1L, 1L, 1L)).toDF("id", "k", "ts")
+    val right = Seq.empty[(Long, Long, String)].toDF("k", "rts", "v")
+      .withColumnRenamed("k", "k_r")
+    val out = NativeAsOf.join(left,
+      right.withColumnRenamed("k_r", "k").withColumnRenamed("rts", "ts2"),
+      Seq("k"), "ts", "ts2").collect()
+    assert(out.length === 1 && out(0).isNullAt(4))
+  }
+}
