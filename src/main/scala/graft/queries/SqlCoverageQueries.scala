@@ -145,17 +145,25 @@ object SqlCoverageQueries {
         "(SELECT c_nationkey AS nationkey, count(*) AS n_cust " +
         "FROM customer GROUP BY 1) c USING (nationkey) ORDER BY nationkey"))
 
-  /** Non-equi (band) range join: similar-size parts per probe part. */
+  /** Non-equi (band) range join: similar-size parts per probe part.
+    * Realized as explode-to-equi-join: a ±1 integer band is exactly 3
+    * discrete target values, so each probe explodes into 3 (key, target)
+    * rows and the band condition becomes a hash-joinable equality. A
+    * direct `BETWEEN` join plans as a (broadcast) nested loop — O(|L|·|R|)
+    * predicate evaluations — while this shape is O(bandwidth·|L| + |R|)
+    * through one shuffle, which is what survives when neither side is
+    * broadcastable. */
   val q58RangeJoin: GraftQuery = GraftQuery(
     "q58_range_join",
     (s, d) => {
       import s.implicits._
       val p = Tables.part(s, d)
-      val probes = p.filter($"p_partkey" % 10 === 0)
-        .select($"p_partkey".as("probe_key"), $"p_size".as("probe_size"))
-      probes.join(p,
-          $"p_size" >= $"probe_size" - 1 && $"p_size" <= $"probe_size" + 1 &&
-            $"p_partkey" =!= $"probe_key")
+      val targets = p.filter($"p_partkey" % 10 === 0)
+        .select($"p_partkey".as("probe_key"),
+          explode(array($"p_size" - 1, $"p_size", $"p_size" + 1))
+            .as("p_size"))
+      targets.join(p, Seq("p_size"))
+        .filter($"p_partkey" =!= $"probe_key")
         .groupBy($"probe_key")
         .agg(count(lit(1)).as("n_similar"),
           round(avg($"p_retailprice"), 2).as("avg_price"))

@@ -96,6 +96,38 @@ class NativeAsOfSpec extends GraftSuite {
     df.count() // executes end-to-end
   }
 
+  test("randomized agreement with a driver-side brute-force oracle") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val lRows = (1 to 200).map(i =>
+        (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(50).toLong))
+      // unique (key, ts) on the right so the matched value is well-defined
+      val rPairs = rnd.shuffle(
+        for (k <- 0L until 8L; t <- 0L until 50L) yield (k, t)).take(150)
+      val rRows = rPairs.zipWithIndex.map { case ((k, t), i) =>
+        (k, t, i.toLong)
+      }
+      val left = lRows.toDF("id", "k", "ts")
+      val right = rRows.toDF("k", "rts", "v")
+      def expected(fwd: Boolean): Map[Long, Option[Long]] =
+        lRows.map { case (id, k, ts) =>
+          val c = rRows.filter(r => r._1 == k &&
+            (if (fwd) r._2 >= ts else r._2 <= ts))
+          id -> (if (c.isEmpty) None
+                 else Some((if (fwd) c.minBy(_._2) else c.maxBy(_._2))._3))
+        }.toMap
+      for (fwd <- Seq(false, true)) {
+        val got = NativeAsOf.join(left,
+          right.withColumnRenamed("rts", "ts2"), Seq("k"), "ts", "ts2",
+          forward = fwd)
+          .select($"id", $"v").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        assert(got === expected(fwd), s"seed=$seed forward=$fwd")
+      }
+    }
+  }
+
   test("empty right side yields all-null right columns") {
     val left = Seq((1L, 1L, 1L)).toDF("id", "k", "ts")
     val right = Seq.empty[(Long, Long, String)].toDF("k", "rts", "v")

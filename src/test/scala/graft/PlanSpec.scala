@@ -50,6 +50,21 @@ class PlanSpec extends GraftSuite {
     assert(shuffles <= 2, s"expected <=2 shuffles, got $shuffles in:\n$p")
   }
 
+  test("q58: band join plans as a hash join, not a nested loop") {
+    val p = plan("q58_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"band join fell back to a quadratic join:\n$p")
+    assert(p.contains("HashJoin"), p)
+  }
+
+  test("q88: native as-of join declares its exchanges and ordering") {
+    val p = plan("q88_asof_native")
+    assert(p.contains("AsOfJoin"), p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window"), p) // no union+window detour
+  }
+
   test("native cosine projection stays inside whole-stage codegen") {
     val s = spark
     import s.implicits._
