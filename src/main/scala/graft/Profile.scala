@@ -92,6 +92,22 @@ object Profile {
     evAsm.unpersist()
 
     // ---- q85 internals
+    // ---- native vs union+window as-of at scale
+    val evAll = Tables.events(spark, sfDir)
+    val purchases = evAll.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = evAll.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("c_ts"))
+    time("as-of union+window") {
+      graft.operators.AsOfJoin.backward(purchases,
+        clicks.withColumnRenamed("c_ts", "ts"),
+        Seq("user_id"), "ts", "ts").count()
+    }
+    time("as-of native plan") {
+      graft.plans.NativeAsOf.join(purchases, clicks, Seq("user_id"),
+        "ts", "c_ts").count()
+    }
+
     val docs = Tables.documents(spark, sfDir)
     time("minhash idx only") {
       graft.operators.Dedup.minhashIndex(docs, "doc_id", "text").count()

@@ -207,6 +207,8 @@ object NativeAsOf {
       forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     GraftExprBridge.ensureStrategy(spark, new AsOfJoinStrategy)
+    GraftExprBridge.ensureOptimization(spark,
+      graft.expressions.AsOfJoinPushdown)
     val lPlan = GraftExprBridge.analyzed(left)
     val rAnalyzed = GraftExprBridge.analyzed(right)
     // Self-join hygiene: the analyzer's DeduplicateRelations only rewrites

@@ -30,4 +30,12 @@ object GraftExprBridge {
     if (!exp.extraStrategies.exists(_.getClass == s.getClass))
       exp.extraStrategies = exp.extraStrategies :+ s
   }
+
+  /** Idempotently add an optimizer rule to the session. */
+  def ensureOptimization(spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.exists(_.getClass == r.getClass))
+      exp.extraOptimizations = exp.extraOptimizations :+ r
+  }
 }

@@ -128,6 +128,33 @@ class NativeAsOfSpec extends GraftSuite {
     }
   }
 
+  test("left filters push below the join; unused right columns are pruned") {
+    val s = spark
+    val ev = Tables.events(spark, sf)
+    val left = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val right = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("c_ts"), $"value".as("c_value"),
+        $"event_id".as("c_event_id"))
+    val df = NativeAsOf.join(left, right, Seq("user_id"), "ts", "c_ts")
+      .filter($"event_id" > 100) // left-only predicate, added ABOVE the join
+      .select($"event_id", $"c_ts") // c_value / c_event_id unused
+    // the filter must reach the left parquet scan as a pushed filter
+    val physical = df.queryExecution.executedPlan.toString
+    // (PushedFilters elides long lists -> match the prefix)
+    assert(physical.contains("GreaterThan(event_id"),
+      s"left filter did not reach the scan:\n$physical")
+    // the unused right columns must not survive to the exchange
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("c_value"),
+      s"unused right column not pruned:\n$optimized")
+    // and the result is still correct vs the post-hoc filter
+    val expected = NativeAsOf.join(left, right, Seq("user_id"),
+      "ts", "c_ts").select($"event_id", $"c_ts")
+      .collect().filter(r => r.getLong(0) > 100)
+    assert(df.count() === expected.length)
+  }
+
   test("empty right side yields all-null right columns") {
     val left = Seq((1L, 1L, 1L)).toDF("id", "k", "ts")
     val right = Seq.empty[(Long, Long, String)].toDF("k", "rts", "v")
