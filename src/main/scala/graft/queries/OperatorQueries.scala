@@ -21,7 +21,7 @@ object OperatorQueries {
     q50Fingerprint, q51SubwordCount, q63SaltedJoin, q64AnnTopK,
     q65ApproxStats, q66IvfRecall, q73AsOfForward, q80SampleSplit,
     q82Upsert, q83TopKAggKnn, q84Normalize, q85DedupComponents,
-    q86Histogram, q88AsOfNative)
+    q86Histogram, q88AsOfNative, q89StreamIntervalJoin)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -80,6 +80,28 @@ object OperatorQueries {
         "FROM purch p ASOF LEFT JOIN clicks c " +
         "ON p.user_id = c.user_id AND c.ts <= p.ts " +
         "ORDER BY p.event_id"))
+
+  /** Stream-stream interval join (purchases × same-user clicks within the
+    * preceding hour), replayed through Structured Streaming with
+    * watermarks on both sides — must equal the BATCH oracle (plain SQL
+    * range join in DuckDB). */
+  val q89StreamIntervalJoin: GraftQuery = GraftQuery(
+    "q89_stream_interval_join",
+    (s, d) => {
+      val name = s"graft_ssj_${System.nanoTime()}"
+      EventStream.runAppend(s, d, EventStream.purchaseClickPairs, name)
+        .orderBy(col("p_event_id"), col("c_ms"))
+    },
+    Some(
+      "SELECT p.event_id AS p_event_id, p.user_id AS p_user, " +
+        "epoch_ms(p.ts) AS p_ms, epoch_ms(c.ts) AS c_ms " +
+        "FROM (SELECT event_id, user_id, ts FROM events " +
+        "WHERE event_type = 'purchase') p " +
+        "JOIN (SELECT user_id, ts FROM events " +
+        "WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id " +
+        "AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts " +
+        "ORDER BY p_event_id, c_ms"))
 
   /** Structured Streaming replay of the hourly aggregation — must equal
     * the BATCH oracle (same SQL as q15): streaming and batch agree on a

@@ -60,6 +60,28 @@ object EventStream {
       .select(unix_millis(col("window.start")).as("win_ms"),
         col("event_type"), col("n"))
 
+  /** Stream-stream INTERVAL JOIN with watermarks on both sides: each
+    * purchase pairs with the same user's clicks from the preceding hour.
+    * The watermark + the two-sided time-range condition bound the join
+    * state on both sides (Spark evicts rows that can no longer match) —
+    * the canonical two-stream enrichment shape that survives unbounded
+    * input. Inner join → append mode. */
+  def purchaseClickPairs(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks, expr(
+        "p_user = c_user AND " +
+          "c_ts >= p_ts - interval 1 hour AND c_ts <= p_ts"))
+      .select(col("p_event_id"), col("p_user"),
+        unix_millis(col("p_ts")).as("p_ms"),
+        unix_millis(col("c_ts")).as("c_ms"))
+  }
+
   /** Append-mode run: only watermark-finalized windows are emitted — the
     * at-most-once-per-window delivery a downstream sink wants. */
   def runAppend(spark: SparkSession, dir: String,

@@ -212,6 +212,26 @@ class MultimodalSpec extends GraftSuite {
 
 class StreamingSpec extends GraftSuite {
 
+  test("stream-stream interval join equals the batch range join") {
+    val s = spark
+    import s.implicits._
+    val ev = Tables.events(spark, sf)
+    val batch = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_event_id"), $"user_id".as("p_user"),
+        $"ts".as("p_ts"))
+      .join(ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("c_ts")),
+        expr("p_user = c_user AND " +
+          "c_ts >= p_ts - interval 1 hour AND c_ts <= p_ts"))
+      .select($"p_event_id", $"p_user", unix_millis($"p_ts").as("p_ms"),
+        unix_millis($"c_ts").as("c_ms"))
+    val streamed = graft.streaming.EventStream.runAppend(
+      spark, sf, graft.streaming.EventStream.purchaseClickPairs, "spec_ssj")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streaming hourly counts equal the batch aggregation") {
     val batch = Tables.events(spark, sf)
       .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
