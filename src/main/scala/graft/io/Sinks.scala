@@ -1,7 +1,9 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Output-side operators (SURVEY.md §2.1 S7/S8): the reference's Mongo
   * insert/upsert become JSON / parquet directory writes keyed the same
@@ -34,4 +36,37 @@ object Sinks {
       keys: Seq[String]): DataFrame =
     existing.join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates)
+
+  /** Streaming MERGE sink: every micro-batch upserts by key into a
+    * parquet store via `foreachBatch` + [[upsertByKey]]. The merged state
+    * is written to a scratch dir and swapped in with filesystem renames,
+    * so a reader never observes a half-written store and the merge can
+    * safely read the store it replaces. Re-delivered batches converge to
+    * the same state (keyed merge = idempotent), which together with the
+    * checkpoint gives effectively-once semantics — the pattern to port
+    * onto MERGE INTO when a transactional table format is available.
+    */
+  def streamUpsertByKey(stream: DataFrame, storePath: String,
+      keys: Seq[String], checkpointPath: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val store = new Path(storePath)
+        val fs = store.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(store))
+            upsertByKey(spark.read.parquet(storePath), batch.toDF(), keys)
+          else batch.toDF()
+        val tmp = new Path(storePath + "__tmp")
+        val old = new Path(storePath + "__old")
+        merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(store)) fs.rename(store, old)
+        fs.rename(tmp, store)
+        fs.delete(old, true)
+        ()
+      }
+      .start()
 }

@@ -46,4 +46,42 @@ class BucketingSpec extends GraftSuite {
         $"l_orderkey" === $"o_orderkey")
     assert(joined.count() === plain.count())
   }
+
+  test("native as-of join on bucketed tables elides both exchanges") {
+    val s = spark
+    import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS purch_b")
+    spark.sql("DROP TABLE IF EXISTS click_b")
+    val ev = Tables.events(spark, sf)
+    ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+      .write.bucketBy(8, "user_id").sortBy("user_id", "ts")
+      .saveAsTable("purch_b")
+    ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("c_ts"))
+      .write.bucketBy(8, "user_id").sortBy("user_id", "c_ts")
+      .saveAsTable("click_b")
+
+    val j = graft.plans.NativeAsOf.join(spark.table("purch_b"),
+      spark.table("click_b"), Seq("user_id"), "ts", "c_ts")
+    val plan = j.queryExecution.executedPlan.toString()
+    // declared ClusteredDistribution is satisfied by the bucketing: the
+    // plan-level operator pays ZERO shuffles (the union+window
+    // realization cannot express this — its union breaks bucketing)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed as-of still shuffles:\n$plan")
+    assert(plan.contains("AsOfJoin"), plan)
+
+    // same results as the unbucketed native join
+    val plainJ = graft.plans.NativeAsOf.join(
+      ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts"),
+      ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("c_ts")),
+      Seq("user_id"), "ts", "c_ts")
+      .select($"event_id", $"c_ts")
+    val bucketed = j.select($"event_id", $"c_ts")
+    assert(bucketed.exceptAll(plainJ).count() === 0)
+    assert(plainJ.exceptAll(bucketed).count() === 0)
+  }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** The streaming MERGE sink: micro-batches upsert by key into a parquet
+  * store (foreachBatch + upsertByKey + atomic dir swap). Three files
+  * with overlapping key ranges stream one-per-trigger; the store must
+  * converge to the keyed merge with later batches overwriting earlier
+  * ones.
+  */
+class StreamSinkSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("streaming upsert sink converges to the keyed merge of all batches") {
+    val root = Files.createTempDirectory("graft_ssink").toString
+    val in = s"$root/in"
+    // slice i marks its rows with batch=i; ranges overlap on purpose
+    def slice(ids: Range, marker: Int) =
+      ids.map(i => (i.toLong, marker)).toDF("id", "batch")
+    slice(0 until 1000, 0).write.parquet(s"$in/f0")
+    slice(500 until 1500, 1).write.parquet(s"$in/f1")
+    slice(1000 until 2000, 2).write.parquet(s"$in/f2")
+
+    val schema = spark.read.parquet(s"$in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$in/*")
+    val q = graft.io.Sinks.streamUpsertByKey(stream, s"$root/store",
+      Seq("id"), s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    val store = spark.read.parquet(s"$root/store")
+    assert(store.count() === 2000)
+    assert(store.select($"id").distinct().count() === 2000)
+    // disjoint ranges keep their only writer...
+    assert(store.filter($"id" < 500 && $"batch" =!= 0).count() === 0)
+    assert(store.filter($"id" >= 1500 && $"batch" =!= 2).count() === 0)
+    // ...and overlaps resolve to the later batch (files stream in order)
+    assert(store.filter($"id" >= 500 && $"id" < 1000 && $"batch" =!= 1)
+      .count() === 0)
+    assert(store.filter($"id" >= 1000 && $"id" < 1500 && $"batch" =!= 2)
+      .count() === 0)
+  }
+}
