@@ -8,8 +8,10 @@ import org.apache.spark.sql.catalyst.expressions.{
   UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
-  ClusteredDistribution, Distribution}
+  BroadcastDistribution, ClusteredDistribution, Distribution,
+  IdentityBroadcastMode, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.internal.SQLConf
 
 /** Whole-operator Catalyst integration of the as-of join (SURVEY.md §4.3's
   * "custom pieces" ladder, rung (c)): a custom [[LogicalPlan]] node, a
@@ -42,14 +44,25 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner strategy: AsOfJoinPlan → AsOfJoinExec. Registered via
+/** Planner strategy: AsOfJoinPlan → a physical realization chosen like
+  * Spark's own join planning — broadcast the right side when its
+  * estimated size fits under `spark.sql.autoBroadcastJoinThreshold`
+  * (zero shuffles on EITHER side: the big fact is never moved),
+  * otherwise the co-partitioned sorted merge. Registered via
   * [[graft.expressions.GraftExtensions]] or lazily through
   * [[NativeAsOf.join]] (spark.experimental.extraStrategies). */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
-      AsOfJoinExec(p.leftKeys, p.rightKeys, p.leftTs, p.rightTs, p.forward,
-        planLater(p.left), planLater(p.right)) :: Nil
+      val threshold = SQLConf.get.autoBroadcastJoinThreshold
+      val exec =
+        if (threshold >= 0 && p.right.stats.sizeInBytes <= threshold)
+          BroadcastAsOfJoinExec(p.leftKeys, p.rightKeys, p.leftTs, p.rightTs,
+            p.forward, planLater(p.left), planLater(p.right))
+        else
+          AsOfJoinExec(p.leftKeys, p.rightKeys, p.leftTs, p.rightTs,
+            p.forward, planLater(p.left), planLater(p.right))
+      exec :: Nil
     case _ => Nil
   }
 }
@@ -186,6 +199,111 @@ case class AsOfJoinExec(
             if (cand != null && keyOrd.compare(candKey, lk) == 0)
               joined(l, cand)
             else joined(l, nullRight))
+        }
+      }
+    }
+  }
+}
+
+/** Broadcast as-of join: the whole (small) right side ships to every
+  * task as an identity broadcast; each partition builds a per-key
+  * ts-sorted index once, then answers every left row with a binary
+  * search. NO exchange on either side — the realization for a huge fact
+  * stream against a small dimension timeline (model-version history,
+  * config rollouts), where shuffling the fact just to co-partition it
+  * would dominate the query.
+  */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression,
+    forward: Boolean,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution ::
+      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val tsType = leftTs.dataType
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTsExpr = leftTs
+    val rTsExpr = rightTs
+    val fwd = forward
+    val nRight = rOut.size
+    val outAttrs = output
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIter =>
+      val tsOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .createNaturalAscendingOrdering(Seq(tsType))
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val lTsProj = UnsafeProjection.create(Seq(lTsExpr), lOut)
+      val rTsProj = UnsafeProjection.create(Seq(rTsExpr), rOut)
+      // per-key index: ts-sorted arrays of (tsRow, row) — built once per
+      // partition from the broadcast rows (copies: projections reuse
+      // their buffers)
+      val index = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]()
+      bcast.value.foreach { r =>
+        val k = rKeyProj(r)
+        val ts = rTsProj(r)
+        if (!k.anyNull && !ts.isNullAt(0)) {
+          var bucket = index.get(k)
+          if (bucket == null) {
+            bucket = scala.collection.mutable.ArrayBuffer
+              .empty[(UnsafeRow, InternalRow)]
+            index.put(k.copy(), bucket)
+          }
+          bucket += ((ts.copy(), r))
+        }
+      }
+      index.values().forEach { b =>
+        b.sortInPlace()(
+          Ordering.by[(UnsafeRow, InternalRow), InternalRow](_._1)(tsOrd))
+        ()
+      }
+      val nullRight = new GenericInternalRow(nRight)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
+      lIter.map { l =>
+        val lk = lKeyProj(l)
+        val lts = lTsProj(l)
+        val bucket = if (lk.anyNull || lts.isNullAt(0)) null else index.get(lk)
+        if (bucket == null) resultProj(joined(l, nullRight))
+        else {
+          // binary search: last rts <= lts (backward) / first rts >= lts
+          var lo = 0
+          var hi = bucket.length - 1
+          var found = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            val c = tsOrd.compare(bucket(mid)._1, lts)
+            if (fwd) {
+              if (c >= 0) { found = mid; hi = mid - 1 } else lo = mid + 1
+            } else {
+              if (c <= 0) { found = mid; lo = mid + 1 } else hi = mid - 1
+            }
+          }
+          if (found < 0) resultProj(joined(l, nullRight))
+          else resultProj(joined(l, bucket(found)._2))
         }
       }
     }

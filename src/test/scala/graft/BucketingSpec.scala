@@ -62,15 +62,25 @@ class BucketingSpec extends GraftSuite {
       .write.bucketBy(8, "user_id").sortBy("user_id", "c_ts")
       .saveAsTable("click_b")
 
-    val j = graft.plans.NativeAsOf.join(spark.table("purch_b"),
-      spark.table("click_b"), Seq("user_id"), "ts", "c_ts")
-    val plan = j.queryExecution.executedPlan.toString()
-    // declared ClusteredDistribution is satisfied by the bucketing: the
-    // plan-level operator pays ZERO shuffles (the union+window
-    // realization cannot express this — its union breaks bucketing)
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"bucketed as-of still shuffles:\n$plan")
-    assert(plan.contains("AsOfJoin"), plan)
+    // threshold -1 forces the sorted-merge exec (the broadcast variant
+    // would trivially have no exchange; the point here is bucketing)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val j =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = graft.plans.NativeAsOf.join(spark.table("purch_b"),
+          spark.table("click_b"), Seq("user_id"), "ts", "c_ts")
+        val plan = df.queryExecution.executedPlan.toString()
+        // declared ClusteredDistribution is satisfied by the bucketing:
+        // the plan-level operator pays ZERO shuffles (the union+window
+        // realization cannot express this — its union breaks bucketing)
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"bucketed as-of still shuffles:\n$plan")
+        assert(plan.contains("AsOfJoin "), plan)
+        assert(!plan.contains("BroadcastAsOfJoin"), plan)
+        df.count() // execute under the no-broadcast conf
+        df
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
     // same results as the unbucketed native join
     val plainJ = graft.plans.NativeAsOf.join(

@@ -82,18 +82,29 @@ class NativeAsOfSpec extends GraftSuite {
     assert(out(4) === (5L, null))
   }
 
-  test("plan contains the custom exec node and declared exchanges") {
+  test("planner picks sorted-merge or broadcast by right-side size") {
     val (purchases, clicks) = purchasesClicks()
-    val df = NativeAsOf.join(purchases,
-      clicks.withColumnRenamed("c_user", "user_id"), Seq("user_id"),
-      "ts", "c_ts")
-    val plan = df.queryExecution.executedPlan.toString
-    // the exec node renders without the Exec suffix
-    assert(plan.contains("AsOfJoin ") || plan.contains("AsOfJoin ["),
-      s"expected AsOfJoin exec node in:\n$plan")
-    assert(plan.contains("Exchange hashpartitioning"),
+    def planOf(threshold: String): String = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        val df = NativeAsOf.join(purchases,
+          clicks.withColumnRenamed("c_user", "user_id"), Seq("user_id"),
+          "ts", "c_ts")
+        df.count() // executes end-to-end under this conf
+        df.queryExecution.executedPlan.toString
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    val merge = planOf("-1")
+    assert(merge.contains("AsOfJoin ") || merge.contains("AsOfJoin ["),
+      s"expected AsOfJoin exec node in:\n$merge")
+    assert(merge.contains("Exchange hashpartitioning"),
       "expected Catalyst-planned exchanges from the declared distribution")
-    df.count() // executes end-to-end
+    val bcast = planOf("10485760")
+    assert(bcast.contains("BroadcastAsOfJoin"),
+      s"expected BroadcastAsOfJoin exec node in:\n$bcast")
+    assert(!bcast.contains("Exchange hashpartitioning"),
+      s"broadcast as-of must not shuffle either side:\n$bcast")
   }
 
   test("randomized agreement with a driver-side brute-force oracle") {
@@ -116,14 +127,24 @@ class NativeAsOfSpec extends GraftSuite {
           id -> (if (c.isEmpty) None
                  else Some((if (fwd) c.minBy(_._2) else c.maxBy(_._2))._3))
         }.toMap
-      for (fwd <- Seq(false, true)) {
-        val got = NativeAsOf.join(left,
-          right.withColumnRenamed("rts", "ts2"), Seq("k"), "ts", "ts2",
-          forward = fwd)
-          .select($"id", $"v").collect()
-          .map(r => r.getLong(0) ->
-            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
-        assert(got === expected(fwd), s"seed=$seed forward=$fwd")
+      // threshold -1 forces the sorted-merge exec; default picks the
+      // broadcast exec for this tiny right side — both must agree with
+      // the brute-force oracle
+      for (fwd <- Seq(false, true); threshold <- Seq("-1", "10485760")) {
+        val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val got =
+          try {
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+            NativeAsOf.join(left,
+              right.withColumnRenamed("rts", "ts2"), Seq("k"), "ts", "ts2",
+              forward = fwd)
+              .select($"id", $"v").collect()
+              .map(r => r.getLong(0) ->
+                (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+          } finally spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", prev)
+        assert(got === expected(fwd),
+          s"seed=$seed forward=$fwd threshold=$threshold")
       }
     }
   }

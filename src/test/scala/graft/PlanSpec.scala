@@ -58,10 +58,9 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("HashJoin"), p)
   }
 
-  test("q88: native as-of join declares its exchanges and ordering") {
+  test("q88: native as-of join plans a custom exec, no window detour") {
     val p = plan("q88_asof_native")
-    assert(p.contains("AsOfJoin"), p)
-    assert(p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("AsOfJoin"), p) // merge or broadcast variant
     assert(!p.contains("Window"), p) // no union+window detour
   }
 
