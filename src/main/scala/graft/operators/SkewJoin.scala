@@ -32,6 +32,20 @@ object SkewJoin extends Serializable {
     * partial aggregate on (key, salt), final on key. For algebraic
     * aggregates Spark's partial aggregation already does this map-side;
     * the explicit form matters for high-cardinality collect-style aggs. */
+  /** Key-distribution profile: the top-k heaviest keys with their row
+    * counts and corpus share — the diagnosis step BEFORE choosing a skew
+    * mitigation (salting factor, AQE skew thresholds, broadcast). One
+    * aggregation + a tiny top-k; run it on a sample at 100 TB. */
+  def keyProfile(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col(key), col("n"),
+        round(col("n") / col("total") * 100.0, 4).as("pct"))
+      .orderBy(col("n").desc, col(key))
+      .limit(topK)
+  }
+
   def saltedCount(df: DataFrame, key: String, salts: Int = 8): DataFrame =
     df.withColumn("__salt",
         pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts.toLong)))

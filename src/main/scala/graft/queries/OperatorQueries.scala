@@ -21,7 +21,8 @@ object OperatorQueries {
     q50Fingerprint, q51SubwordCount, q63SaltedJoin, q64AnnTopK,
     q65ApproxStats, q66IvfRecall, q73AsOfForward, q80SampleSplit,
     q82Upsert, q83TopKAggKnn, q84Normalize, q85DedupComponents,
-    q86Histogram, q88AsOfNative, q89StreamIntervalJoin)
+    q86Histogram, q88AsOfNative, q89StreamIntervalJoin, q90PipelineFilter,
+    q91HeavyHitters, q92BigramCounts)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -80,6 +81,100 @@ object OperatorQueries {
         "FROM purch p ASOF LEFT JOIN clicks c " +
         "ON p.user_id = c.user_id AND c.ts <= p.ts " +
         "ORDER BY p.event_id"))
+
+  /** End-to-end training-data FILTER PIPELINE in one plan: language-ID →
+    * quality score → keep confident English docs → exact dedup (min
+    * doc_id per identical text, source via min_by) → per-source corpus
+    * stats. Every stage is the same library operator its standalone
+    * query uses (q48/q49/q21); the oracle replays the whole pipeline in
+    * SQL, so the composition — not just the pieces — is hash-checked. */
+  val q90PipelineFilter: GraftQuery = GraftQuery(
+    "q90_pipeline_filter",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(s, d)
+      val scored = docs.select($"doc_id", $"source", $"text",
+        TextFunctions.langId($"text").as("lang_pred"),
+        round(TextFunctions.qualityScore($"text"), 6).as("quality"))
+      val kept = scored.filter($"lang_pred" === "en" && $"quality" >= 0.5)
+      val dedup = kept.groupBy($"text")
+        .agg(min($"doc_id").as("doc_id"),
+          expr("min_by(source, doc_id)").as("source"),
+          min($"quality").as("quality"))
+      dedup.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg($"quality"), 6).as("avg_quality"))
+        .orderBy($"source")
+    },
+    Some(
+      "WITH base AS (SELECT doc_id, source, text, " +
+        "len(string_split(text, ' '))::DOUBLE AS n_tok, " +
+        "len(list_distinct(string_split(lower(text), ' ')))::DOUBLE " +
+        "AS n_distinct, " +
+        "length(text)::DOUBLE AS n_chars, " +
+        "len(list_filter(string_split(lower(text), ' '), w -> w IN " +
+        "('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that', 'it', 'for')))" +
+        "::DOUBLE / len(string_split(lower(text), ' ')) AS s_en, " +
+        "len(list_filter(string_split(lower(text), ' '), w -> w IN " +
+        "('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein', 'zu', 'mit', " +
+        "'den')))::DOUBLE / len(string_split(lower(text), ' ')) AS s_de, " +
+        "len(list_filter(string_split(lower(text), ' '), w -> w IN " +
+        "('el', 'la', 'de', 'que', 'y', 'en', 'un', 'es', 'no', 'por')))" +
+        "::DOUBLE / len(string_split(lower(text), ' ')) AS s_es, " +
+        "len(list_filter(string_split(lower(text), ' '), w -> w IN " +
+        "('le', 'la', 'de', 'et', 'un', 'est', 'pas', 'que', 'pour', " +
+        "'dans')))::DOUBLE / len(string_split(lower(text), ' ')) AS s_fr " +
+        "FROM documents), " +
+        "feats AS (SELECT doc_id, source, text, " +
+        "CASE WHEN s_en >= 0.02 AND s_en = greatest(s_en, s_de, s_es, s_fr) " +
+        "THEN 'en' WHEN s_de >= 0.02 AND s_de = greatest(s_en, s_de, s_es, " +
+        "s_fr) THEN 'de' WHEN s_es >= 0.02 AND s_es = greatest(s_en, s_de, " +
+        "s_es, s_fr) THEN 'es' WHEN s_fr >= 0.02 AND s_fr = greatest(s_en, " +
+        "s_de, s_es, s_fr) THEN 'fr' ELSE 'und' END AS lang_pred, " +
+        "round(least(n_tok / 64.0, 1.0) * 0.4 + (n_distinct / n_tok) * 0.4 " +
+        "+ (CASE WHEN (n_chars - n_tok + 1.0) / n_tok BETWEEN 3.0 AND 9.0 " +
+        "THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality FROM base), " +
+        "kept AS (SELECT * FROM feats " +
+        "WHERE lang_pred = 'en' AND quality >= 0.5), " +
+        "dedup AS (SELECT min(doc_id) AS doc_id, " +
+        "arg_min(source, doc_id) AS source, min(quality) AS quality " +
+        "FROM kept GROUP BY text) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "round(avg(quality), 6) AS avg_quality " +
+        "FROM dedup GROUP BY 1 ORDER BY source"))
+
+  /** Skew diagnosis: the top-10 heaviest event users with counts and
+    * corpus share ([[graft.operators.SkewJoin.keyProfile]]) — the
+    * measurement that picks salting factors / AQE thresholds. */
+  val q91HeavyHitters: GraftQuery = GraftQuery(
+    "q91_heavy_hitters",
+    (s, d) => graft.operators.SkewJoin.keyProfile(
+      Tables.events(s, d), "user_id", topK = 10),
+    Some(
+      "WITH counts AS (SELECT user_id, count(*) AS n FROM events " +
+        "GROUP BY 1), t AS (SELECT sum(n) AS total FROM counts) " +
+        "SELECT user_id, n, round(n / total * 100.0, 4) AS pct " +
+        "FROM counts, t ORDER BY n DESC, user_id LIMIT 10"))
+
+  /** Word-bigram counts over the corpus (top 20) — n-gram language-model
+    * statistics from the same shingling kernel the dedup path uses. */
+  val q92BigramCounts: GraftQuery = GraftQuery(
+    "q92_bigram_counts",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(Dedup.shingles(lower($"text"), 2)).as("bigram"))
+        .groupBy($"bigram").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"bigram").limit(20)
+    },
+    Some(
+      "WITH grams AS (SELECT unnest(list_distinct(list_transform(" +
+        "generate_series(1, greatest(1, len(string_split(lower(text), ' ')) " +
+        "- 1)), i -> array_to_string(list_slice(string_split(lower(text), " +
+        "' '), i, i+1), ' ')))) AS bigram FROM documents) " +
+        "SELECT bigram, count(*) AS n FROM grams " +
+        "GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"))
 
   /** Stream-stream interval join (purchases × same-user clicks within the
     * preceding hour), replayed through Structured Streaming with
