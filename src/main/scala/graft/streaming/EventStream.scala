@@ -83,30 +83,48 @@ object EventStream {
   }
 
   /** Append-mode run: only watermark-finalized windows are emitted — the
-    * at-most-once-per-window delivery a downstream sink wants. */
+    * at-most-once-per-window delivery a downstream sink wants.
+    * `shufflePartitions` sizes the stateful-operator partition count for
+    * the run (state stores are per partition per stateful op — size to
+    * the stream's volume, not the session default) and is restored after.
+    */
   def runAppend(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame,
-      queryName: String): DataFrame = {
-    val q = transform(source(spark, dir)).writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
+      queryName: String,
+      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+    withPartitions(spark, shufflePartitions) {
+      val q = transform(source(spark, dir)).writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(queryName)
+    }
+
+  private def withPartitions[A](spark: SparkSession,
+      n: Option[Int])(body: => A): A = n match {
+    case None => body
+    case Some(parts) =>
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, parts.toString)
+      try body finally spark.conf.set(key, prev)
   }
 
   /** Runs a streaming aggregation to completion against the file source
     * and returns the final result table (memory sink, complete mode). */
   def runToCompletion(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame,
-      queryName: String = "graft_stream"): DataFrame = {
-    val q = transform(source(spark, dir)).writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory").queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
-  }
+      queryName: String = "graft_stream",
+      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+    withPartitions(spark, shufflePartitions) {
+      val q = transform(source(spark, dir)).writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory").queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(queryName)
+    }
 
   /** Gap-based sessionization: events of a user belong to one session
     * while the gap between consecutive events stays below `gapMinutes`.
