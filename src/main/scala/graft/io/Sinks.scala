@@ -18,6 +18,22 @@ object Sinks {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Size-governed parquet write: bounds rows per output file
+    * (maxRecordsPerFile) and pre-coalesces to an expected file count so
+    * a 100 TB write neither produces multi-GB unsplittable files nor a
+    * small-files storm. `expectedRows` can come from a cheap count() or
+    * upstream metrics. */
+  def writeParquetSized(df: DataFrame, path: String, expectedRows: Long,
+      targetRowsPerFile: Long): Unit = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val files = math.max(1L,
+      (expectedRows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartition(files)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(path)
+  }
+
   /** S8: k-store upsert — overwrite the partition keyed by
     * (algorithm, macro, micro, firstColumn, secondColumn), the
     * deterministic-reduce replacement for the reference's 12-thread Mongo
