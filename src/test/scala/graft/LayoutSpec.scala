@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: after the rewrite, every parquet file must cover a
+  * narrow range of EACH z-ordered column (that is what lets min/max
+  * stats prune files for range predicates on any dimension). Compared
+  * against the same data written in insertion order, where every file
+  * spans nearly the full domain of the non-leading column.
+  */
+class LayoutSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def perFileAvgSpan(dir: String, column: String): Double = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 8, s"expected >=8 files in $dir")
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col(column)).cast("double"),
+          max(col(column)).cast("double")).head()
+      r.getDouble(1) - r.getDouble(0)
+    }
+    spans.sum / spans.length
+  }
+
+  test("z-ordered files cover narrow ranges of both dimensions") {
+    val root = Files.createTempDirectory("graft_zorder").toString
+    // deterministic pseudo-random uniform 2-D data
+    val df = spark.range(40000).select(
+      (xxhash64($"id").cast("double") / Long.MaxValue.toDouble)
+        .as("x"),
+      (xxhash64($"id", lit(1)).cast("double") / Long.MaxValue.toDouble)
+        .as("y"))
+    df.write.parquet(s"$root/naive") // insertion order, same partitions
+    graft.io.Layout.writeZOrdered(df, s"$root/zorder",
+      Seq("x", "y"), numFiles = 16)
+
+    assert(spark.read.parquet(s"$root/zorder").count() === 40000)
+    // global span ~2.0 (x,y in [-1,1]); 16 z-ordered files ≈ 4×4 grid →
+    // per-file span ≈ 1/4 of the domain in EACH dimension
+    val zx = perFileAvgSpan(s"$root/zorder", "x")
+    val zy = perFileAvgSpan(s"$root/zorder", "y")
+    assert(zx < 1.0 && zy < 1.0, s"z-order spans too wide: x=$zx y=$zy")
+    // unordered baseline: every file spans nearly the full domain
+    val nx = perFileAvgSpan(s"$root/naive", "x")
+    assert(nx > 1.5, s"baseline unexpectedly clustered: $nx")
+    assert(zx < nx / 2 && zy < nx / 2,
+      s"z-order not better than baseline: zx=$zx zy=$zy naive=$nx")
+  }
+
+  test("z-value interleaves bits monotonically per dimension") {
+    val df = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0))
+      .toDF("x", "y")
+    val (withBounds, z) = graft.io.Layout.zvalue(df, Seq("x", "y"))
+    val zs = withBounds.select($"x", $"y", z.as("z")).collect()
+      .map(r => ((r.getDouble(0), r.getDouble(1)), r.getLong(2))).toMap
+    assert(zs((0.0, 0.0)) === 0L)
+    // corner (max, max) has all 32 interleaved bits set
+    assert(zs((1.0, 1.0)) === (1L << 32) - 1)
+    // x and y occupy complementary bit positions (even/odd interleave)
+    assert(zs((1.0, 0.0)) + zs((0.0, 1.0)) === (1L << 32) - 1)
+    assert((zs((1.0, 0.0)) & zs((0.0, 1.0))) === 0L)
+  }
+}
