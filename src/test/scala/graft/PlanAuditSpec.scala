@@ -1,0 +1,54 @@
+package graft
+
+/** Global plan-quality gate: NO registry query may silently plan a
+  * quadratic join. Every query's physical plan is checked for
+  * CartesianProduct / BroadcastNestedLoopJoin; the few deliberate
+  * all-pairs kernels are whitelisted with their justification. A new
+  * query that accidentally loses its equi-join key fails here, not on
+  * the 100 TB run.
+  */
+class PlanAuditSpec extends GraftSuite {
+
+  /** Queries whose build step executes Spark jobs eagerly (ML fits,
+    * streaming replays, iterative loops) — their plan is not a single
+    * DataFrame and they are covered by their own specs. */
+  private val eager = Set(
+    "q31_cluster_ml", "q32_cluster_gmm_ml", "q41_stream_hourly",
+    "q81_word2vec", "q85_dedup_components", "q89_stream_interval_join",
+    "q47_ann_recall", "q66_ivf_recall", "q80_sample_split")
+
+  /** Deliberate all-pairs kernels: tiny, explicitly-bounded sides where
+    * the quadratic shape IS the semantics (exact-scoring baselines). */
+  private val nlAllowed = Set(
+    "q25_cosine_pairs",     // 50×50 exact cosine matrix (bounded probe set)
+    "q26_knn_brute_force",  // brute-force baseline the ANN path is judged by
+    "q43_ngram_jaccard",    // exact Jaccard on a bounded 30-doc slice
+    "q83_topk_agg_knn")     // same probe set through the aggregator path
+
+  /** crossJoin(broadcast(global aggregate)) — a 1-row side, |L|×1 and
+    * linear; Spark renders it as BroadcastNestedLoopJoin but it is the
+    * scalar-subquery pattern, not a quadratic join. */
+  private val scalarBroadcast = Set(
+    "q14_entropy",            // ÷ corpus total
+    "q38_tfidf_norm",         // × corpus doc count (idf)
+    "q62_inter_cluster_dist", // global scaling bounds
+    "q86_histogram",          // global min/max bucket bounds
+    "q91_heavy_hitters")      // ÷ total rows (share %)
+
+  test("no registry query plans an unintended quadratic join") {
+    val offenders = Registry.all
+      .filterNot(q => eager.contains(q.name))
+      .flatMap { q =>
+        val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+        val cart = plan.contains("CartesianProduct")
+        val bnl = plan.contains("BroadcastNestedLoopJoin") &&
+          !nlAllowed.contains(q.name) && !scalarBroadcast.contains(q.name)
+        if (cart || bnl)
+          Some(s"${q.name}: ${if (cart) "CartesianProduct " else ""}" +
+            s"${if (bnl) "BroadcastNestedLoopJoin" else ""}")
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"quadratic joins in:\n${offenders.mkString("\n")}")
+  }
+}
