@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ml.LocalKMeans
+
+/** Product quantization (PQ) for approximate nearest neighbour search:
+  * split each D-dim vector into `m` subvectors, k-means a tiny codebook
+  * per subspace, and store every vector as `m` small codes — here
+  * 64×float → 8×byte-scale codes (32× compression). Queries score
+  * candidates with ADC (asymmetric distance computation): one
+  * m×k lookup table per query, then each candidate costs m table adds —
+  * no float vector is ever touched at query time. This is the
+  * memory-bound scale path: at 100 TB of embeddings the PQ codes fit in
+  * a fraction of the footprint, and the exact re-rank (IVF/brute) runs
+  * only on the short list.
+  *
+  * Deterministic: codebooks come from a seeded [[LocalKMeans]] on a
+  * bounded id-ordered sample; encoding ties break on the first minimum.
+  */
+object PqIndex extends Serializable {
+
+  /** [subspace][centroid][dim] */
+  final case class Codebook(m: Int, subDim: Int,
+      centers: Array[Array[Array[Double]]]) extends Serializable
+
+  /** Train per-subspace codebooks on a deterministic sample (first
+    * `sampleN` by id — bounded driver materialization, standard for
+    * codebook training). */
+  def train(candidates: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, seed: Long, sampleN: Int = 10000): Codebook = {
+    val sample = candidates
+      .select(col(idCol), Similarity.asDouble(col(vecCol)).as("v"))
+      .orderBy(col(idCol)).limit(sampleN)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val subDim = d / m
+    val centers = Array.tabulate(m) { s =>
+      val sub = sample.map(v => v.slice(s * subDim, (s + 1) * subDim))
+      LocalKMeans.fit(sub, math.min(k, sub.length), seed + s).centers
+    }
+    Codebook(m, subDim, centers)
+  }
+
+  private def encodeVec(cb: Codebook, v: Seq[Double]): Seq[Int] =
+    (0 until cb.m).map { s =>
+      val off = s * cb.subDim
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.centers(s).length) {
+        var d2 = 0.0
+        var i = 0
+        while (i < cb.subDim) {
+          val diff = v(off + i) - cb.centers(s)(c)(i)
+          d2 += diff * diff
+          i += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c } // first-min tie-break
+        c += 1
+      }
+      best
+    }
+
+  /** Encode every candidate vector into its PQ code (array<int> of
+    * length m; values < k fit a byte at rest). One map-side pass. */
+  def encode(candidates: DataFrame, idCol: String, vecCol: String,
+      cb: Codebook): DataFrame = {
+    val enc = udf((v: Seq[Double]) => encodeVec(cb, v))
+    candidates.select(col(idCol).as("cand_id"),
+      enc(Similarity.asDouble(col(vecCol))).as("code"))
+  }
+
+  /** ADC top-k: per query, an m×k table of partial squared distances is
+    * computed once (driver-side — queries are the bounded probe set) and
+    * broadcast; every candidate then costs m lookups. Returns
+    * (query_id, cand_id, adc_dist, rk). */
+  def adcTopK(spark: SparkSession, queries: Seq[(Long, Array[Double])],
+      encoded: DataFrame, cb: Codebook, k: Int): DataFrame = {
+    import spark.implicits._
+    val tables: Map[Long, Array[Array[Double]]] = queries.map {
+      case (qid, qv) =>
+        qid -> Array.tabulate(cb.m) { s =>
+          val off = s * cb.subDim
+          cb.centers(s).map { c =>
+            var d2 = 0.0
+            var i = 0
+            while (i < cb.subDim) {
+              val diff = qv(off + i) - c(i)
+              d2 += diff * diff
+              i += 1
+            }
+            d2
+          }
+        }
+    }.toMap
+    val bc = spark.sparkContext.broadcast(tables)
+    val score = udf((qid: Long, code: Seq[Int]) => {
+      val t = bc.value(qid)
+      var s = 0.0
+      var i = 0
+      while (i < code.length) { s += t(i)(code(i)); i += 1 }
+      s
+    })
+    val qDf = queries.map(_._1).toDF("query_id")
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"adc_dist".asc, $"cand_id".asc)
+    qDf.crossJoin(encoded)
+      .filter($"query_id" =!= $"cand_id")
+      .select($"query_id", $"cand_id",
+        score($"query_id", $"code").as("adc_dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+  }
+
+  /** Recall@k of the ADC short list against the exact (brute-force
+    * squared-L2) top-k. */
+  def recall(spark: SparkSession, candidates: DataFrame, idCol: String,
+      vecCol: String, queryIds: Seq[Long], m: Int, kCent: Int, seed: Long,
+      topK: Int): DataFrame = {
+    import spark.implicits._
+    val cb = train(candidates, idCol, vecCol, m, kCent, seed)
+    val encoded = encode(candidates, idCol, vecCol, cb)
+    val vecs = candidates
+      .select(col(idCol).cast("long").as("id"),
+        Similarity.asDouble(col(vecCol)).as("v"))
+    val queries = vecs.filter($"id".isin(queryIds: _*))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]]("v").toArray)
+      .toSeq.sortBy(_._1)
+    val approx = adcTopK(spark, queries, encoded, cb, topK)
+      .select($"query_id", $"cand_id")
+    // exact squared-L2 top-k over the same candidates
+    val q = vecs.filter($"id".isin(queryIds: _*))
+      .select($"id".as("query_id"), $"v".as("qv"))
+    val exact = q.crossJoin(vecs.select($"id".as("cand_id"), $"v".as("cv")))
+      .filter($"query_id" =!= $"cand_id")
+      .select($"query_id", $"cand_id",
+        aggregate(zip_with($"qv", $"cv", (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"d2".asc, $"cand_id".asc)))
+      .filter($"rk" <= topK)
+      .select($"query_id", $"cand_id")
+    approx.join(exact, Seq("query_id", "cand_id"))
+      .groupBy($"query_id").agg(count(lit(1)).as("hits"))
+      .select($"query_id",
+        round($"hits".cast("double") / topK, 4).as("recall"))
+      .orderBy($"query_id")
+  }
+}

@@ -22,7 +22,7 @@ object OperatorQueries {
     q65ApproxStats, q66IvfRecall, q73AsOfForward, q80SampleSplit,
     q82Upsert, q83TopKAggKnn, q84Normalize, q85DedupComponents,
     q86Histogram, q88AsOfNative, q89StreamIntervalJoin, q90PipelineFilter,
-    q91HeavyHitters, q92BigramCounts)
+    q91HeavyHitters, q92BigramCounts, q93PqRecall)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -143,6 +143,16 @@ object OperatorQueries {
         "SELECT source, count(*) AS n_docs, " +
         "round(avg(quality), 6) AS avg_quality " +
         "FROM dedup GROUP BY 1 ORDER BY source"))
+
+  /** Product-quantization ANN: per-query ADC recall@10 against the
+    * exact squared-L2 top-10 (PqIndex: 8 subspaces x 16-centroid
+    * codebooks = 32x compression; seeded + first-min tie-breaks ->
+    * deterministic, but the fit is iterative -> rows-only). */
+  val q93PqRecall: GraftQuery = GraftQuery(
+    "q93_pq_recall",
+    (s, d) => graft.operators.PqIndex.recall(s, Tables.embeddings(s, d),
+      "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+      m = 8, kCent = 16, seed = 42L, topK = 10))
 
   /** Skew diagnosis: the top-10 heaviest event users with counts and
     * corpus share ([[graft.operators.SkewJoin.keyProfile]]) — the

@@ -15,7 +15,8 @@ class PlanAuditSpec extends GraftSuite {
   private val eager = Set(
     "q31_cluster_ml", "q32_cluster_gmm_ml", "q41_stream_hourly",
     "q81_word2vec", "q85_dedup_components", "q89_stream_interval_join",
-    "q47_ann_recall", "q66_ivf_recall", "q80_sample_split")
+    "q47_ann_recall", "q66_ivf_recall", "q80_sample_split",
+    "q93_pq_recall") // codebook training collects a bounded sample
 
   /** Deliberate all-pairs kernels: tiny, explicitly-bounded sides where
     * the quadratic shape IS the semantics (exact-scoring baselines). */
