@@ -51,11 +51,46 @@ class EdgeCaseSpec extends GraftSuite {
     for (name <- Seq("q33_optimal_k_local", "q36_cluster_bisecting_local",
         "q37_cluster_gmm_local", "q42_multimodal_features",
         "q44_minhash_neardups", "q45_simhash_neardups", "q47_ann_recall",
-        "q64_ann_topk", "q66_ivf_recall", "q38_tfidf_norm")) {
+        "q64_ann_topk", "q66_ivf_recall", "q38_tfidf_norm",
+        "q93_pq_recall")) {
       val q = Registry.byName(name)
       val a = q.run(spark, sf).collect().toSeq
       val b = q.run(spark, sf).collect().toSeq
       assert(a === b, s"$name not deterministic")
     }
+  }
+
+  test("native as-of with an empty LEFT side returns no rows") {
+    val s = spark
+    import s.implicits._
+    val left = Seq.empty[(Long, Long, Long)].toDF("id", "k", "ts")
+    val right = Seq((1L, 1L, "v")).toDF("k", "ts2", "v")
+      .withColumnRenamed("k", "k_r")
+    val out = graft.plans.NativeAsOf.join(left,
+      right.withColumnRenamed("k_r", "k"), Seq("k"), "ts", "ts2")
+    assert(out.count() === 0)
+  }
+
+  test("z-order handles a constant column (zero span)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "y")
+    val (withBounds, z) = graft.io.Layout.zvalue(df, Seq("x", "y"))
+    // constant column ranks to 0 everywhere; no division by zero
+    val zs = withBounds.select(z.as("z")).collect().map(_.getLong(0))
+    assert(zs.length === 3 && zs.distinct.length === 3)
+  }
+
+  test("PQ trains when sample is smaller than the codebook") {
+    val s = spark
+    import s.implicits._
+    val tiny = Seq((0L, Seq.fill(8)(0.1)), (1L, Seq.fill(8)(0.9)))
+      .toDF("vec_id", "embedding")
+    val cb = graft.operators.PqIndex.train(tiny, "vec_id", "embedding",
+      m = 4, k = 16, seed = 1L)
+    assert(cb.m === 4 && cb.centers.forall(_.length <= 2))
+    val codes = graft.operators.PqIndex
+      .encode(tiny, "vec_id", "embedding", cb).collect()
+    assert(codes.length === 2)
   }
 }
