@@ -83,23 +83,52 @@ object PqIndex extends Serializable {
   def adcTopK(spark: SparkSession, queries: Seq[(Long, Array[Double])],
       encoded: DataFrame, cb: Codebook, k: Int): DataFrame = {
     import spark.implicits._
-    val tables: Map[Long, Array[Array[Double]]] = queries.map {
-      case (qid, qv) =>
-        qid -> Array.tabulate(cb.m) { s =>
-          val off = s * cb.subDim
-          cb.centers(s).map { c =>
-            var d2 = 0.0
-            var i = 0
-            while (i < cb.subDim) {
-              val diff = qv(off + i) - c(i)
-              d2 += diff * diff
-              i += 1
-            }
-            d2
-          }
-        }
-    }.toMap
-    val bc = spark.sparkContext.broadcast(tables)
+    val qDf = queries.map(_._1).toDF("query_id")
+    val pairs = qDf.crossJoin(encoded)
+      .filter($"query_id" =!= $"cand_id")
+      .select($"query_id", $"cand_id", $"code")
+    scoreAdc(spark, queries, pairs, cb, k)
+  }
+
+  /** IVF-PQ: coarse quantization prunes the candidate set to the
+    * query's `nprobe` nearest IVF buckets, then PQ/ADC scores only those
+    * — the FAISS-style pairing where candidate COUNT drops by
+    * ~nprobe/nlist and candidate COST drops to m table adds. Index
+    * artifacts (bucket id + PQ code per vector) are both one map-side
+    * pass; at 100 TB they are the only thing read at query time. */
+  def ivfPqTopK(spark: SparkSession, candidates: DataFrame, idCol: String,
+      vecCol: String, queryIds: Seq[Long], nlist: Int, nprobe: Int,
+      m: Int, kCent: Int, seed: Long, topK: Int): DataFrame = {
+    import spark.implicits._
+    val centroids = IvfIndex.trainCentroids(candidates, idCol, vecCol,
+      nlist, seed)
+    val cb = train(candidates, idCol, vecCol, m, kCent, seed)
+    val indexed = encode(candidates, idCol, vecCol, cb)
+      .join(candidates.select(col(idCol).as("cand_id"),
+        IvfIndex.bucketOf(Similarity.asDouble(col(vecCol)), centroids)
+          .as("bucket")), "cand_id")
+    val vecs = candidates.select(col(idCol).cast("long").as("id"),
+      Similarity.asDouble(col(vecCol)).as("v"))
+    val queries = vecs.filter($"id".isin(queryIds: _*)).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]]("v").toArray)
+      .toSeq.sortBy(_._1)
+    val qBuckets = candidates.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).cast("long").as("query_id"),
+        explode(IvfIndex.probeBuckets(
+          Similarity.asDouble(col(vecCol)), centroids, nprobe))
+          .as("bucket"))
+    val pruned = qBuckets.join(indexed, "bucket")
+      .filter($"query_id" =!= $"cand_id")
+      .select($"query_id", $"cand_id", $"code")
+    scoreAdc(spark, queries, pruned, cb, topK)
+  }
+
+  private def scoreAdc(spark: SparkSession,
+      queries: Seq[(Long, Array[Double])], pairs: DataFrame, cb: Codebook,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(adcTables(queries, cb))
     val score = udf((qid: Long, code: Seq[Int]) => {
       val t = bc.value(qid)
       var s = 0.0
@@ -107,16 +136,31 @@ object PqIndex extends Serializable {
       while (i < code.length) { s += t(i)(code(i)); i += 1 }
       s
     })
-    val qDf = queries.map(_._1).toDF("query_id")
     val w = Window.partitionBy($"query_id")
       .orderBy($"adc_dist".asc, $"cand_id".asc)
-    qDf.crossJoin(encoded)
-      .filter($"query_id" =!= $"cand_id")
-      .select($"query_id", $"cand_id",
+    pairs.select($"query_id", $"cand_id",
         score($"query_id", $"code").as("adc_dist"))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
   }
+
+  private def adcTables(queries: Seq[(Long, Array[Double])],
+      cb: Codebook): Map[Long, Array[Array[Double]]] =
+    queries.map { case (qid, qv) =>
+      qid -> Array.tabulate(cb.m) { s =>
+        val off = s * cb.subDim
+        cb.centers(s).map { c =>
+          var d2 = 0.0
+          var i = 0
+          while (i < cb.subDim) {
+            val diff = qv(off + i) - c(i)
+            d2 += diff * diff
+            i += 1
+          }
+          d2
+        }
+      }
+    }.toMap
 
   /** Recall@k of the ADC short list against the exact (brute-force
     * squared-L2) top-k. */

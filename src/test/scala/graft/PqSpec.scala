@@ -33,6 +33,33 @@ class PqSpec extends GraftSuite {
     assert(a === b)
   }
 
+  test("IVF-PQ prunes candidates and keeps useful recall") {
+    val s = spark
+    import s.implicits._
+    val e01 = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val short = graft.operators.PqIndex.ivfPqTopK(spark, e01,
+      "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+      nlist = 8, nprobe = 4, m = 8, kCent = 16, seed = 42L, topK = 10)
+    val got = short.groupBy($"query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    got.values.foreach(n => assert(n <= 10))
+    // pruned + quantized search still overlaps the exact top-10
+    val cb = graft.operators.PqIndex.train(e01, "vec_id", "embedding",
+      8, 16, 42L)
+    val full = graft.operators.PqIndex.adcTopK(spark,
+      e01.select($"vec_id".cast("long").as("id"),
+        graft.operators.Similarity.asDouble($"embedding").as("v"))
+        .filter($"id" < 5).collect()
+        .map(r => r.getLong(0) ->
+          r.getAs[scala.collection.Seq[Double]]("v").toArray).toSeq,
+      graft.operators.PqIndex.encode(e01, "vec_id", "embedding", cb),
+      cb, 10).select($"query_id", $"cand_id")
+    val overlap = short.select($"query_id", $"cand_id")
+      .join(full, Seq("query_id", "cand_id")).count()
+    assert(overlap >= 25, s"IVF pruning lost too much: $overlap/50")
+  }
+
   test("ADC recall@10 beats random by a wide margin") {
     // sf0.01: 500 candidates -> random recall@10 ≈ 10/499 ≈ 0.02
     val e01 = Tables.embeddings(spark, "/root/testdata/sf0.01")
