@@ -22,7 +22,7 @@ object OperatorQueries {
     q65ApproxStats, q66IvfRecall, q73AsOfForward, q80SampleSplit,
     q82Upsert, q83TopKAggKnn, q84Normalize, q85DedupComponents,
     q86Histogram, q88AsOfNative, q89StreamIntervalJoin, q90PipelineFilter,
-    q91HeavyHitters, q92BigramCounts, q93PqRecall)
+    q91HeavyHitters, q92BigramCounts, q93PqRecall, q94IvfPqTopK)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -153,6 +153,20 @@ object OperatorQueries {
     (s, d) => graft.operators.PqIndex.recall(s, Tables.embeddings(s, d),
       "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
       m = 8, kCent = 16, seed = 42L, topK = 10))
+
+  /** IVF-PQ composed search: coarse buckets prune candidates, PQ/ADC
+    * scores the survivors (rows-only; fully seed-deterministic). */
+  val q94IvfPqTopK: GraftQuery = GraftQuery(
+    "q94_ivfpq_topk",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.PqIndex.ivfPqTopK(s, Tables.embeddings(s, d),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+        nlist = 8, nprobe = 4, m = 8, kCent = 16, seed = 42L, topK = 10)
+        .select($"query_id", $"cand_id", round($"adc_dist", 6).as("adc_dist"),
+          $"rk")
+        .orderBy($"query_id", $"rk")
+    })
 
   /** Skew diagnosis: the top-10 heaviest event users with counts and
     * corpus share ([[graft.operators.SkewJoin.keyProfile]]) — the

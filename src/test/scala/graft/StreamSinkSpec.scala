@@ -13,6 +13,42 @@ import org.apache.spark.sql.functions._
 class StreamSinkSpec extends GraftSuite {
   import spark.implicits._
 
+  test("multi-batch replay of the hourly aggregation equals batch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mb").toString
+    // split events into 4 time-ordered files so the stream sees 4
+    // micro-batches; the watermark logic must still converge to the
+    // batch answer in complete mode
+    val ev = Tables.events(spark, sf).orderBy($"ts")
+    val n = ev.count()
+    val parts = 4
+    val slice = (n / parts + 1).toInt
+    val rows = ev.collect()
+    rows.grouped(slice).zipWithIndex.foreach { case (chunk, i) =>
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk.toSeq, 1), ev.schema)
+        .write.parquet(s"$root/f$i")
+    }
+    val schema = ev.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/*")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis($"window.start").as("hr_ms"), $"event_type", $"n")
+    val q = stream.writeStream
+      .outputMode("complete").format("memory").queryName("mb_hourly")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("mb_hourly")
+    val batch = Tables.events(spark, sf)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis($"window.start").as("hr_ms"), $"event_type", $"n")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+  }
+
   test("streaming upsert sink converges to the keyed merge of all batches") {
     val root = Files.createTempDirectory("graft_ssink").toString
     val in = s"$root/in"
