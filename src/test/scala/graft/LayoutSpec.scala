@@ -51,6 +51,35 @@ class LayoutSpec extends GraftSuite {
       s"z-order not better than baseline: zx=$zx zy=$zy naive=$nx")
   }
 
+  test("z-ordered layout skips row groups for a 2-D range predicate") {
+    val root = Files.createTempDirectory("graft_zskip").toString
+    val df = spark.range(200000).select(
+      (xxhash64($"id").cast("double") / Long.MaxValue.toDouble).as("x"),
+      (xxhash64($"id", lit(1)).cast("double") / Long.MaxValue.toDouble)
+        .as("y"))
+    // small row groups so statistics pruning has granularity to work with
+    spark.conf.set("parquet.block.size", (64 * 1024).toString)
+    try {
+      df.write.parquet(s"$root/naive")
+      graft.io.Layout.writeZOrdered(df, s"$root/zorder",
+        Seq("x", "y"), numFiles = 16)
+    } finally spark.conf.unset("parquet.block.size")
+
+    def scannedRows(dir: String): Long = {
+      val q = spark.read.parquet(dir)
+        .filter(col("x").between(0.0, 0.1) && col("y").between(0.0, 0.1))
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val naive = scannedRows(s"$root/naive")
+    val zord = scannedRows(s"$root/zorder")
+    // same answer, far fewer rows surfaced by the scan: row-group
+    // min/max stats prune on BOTH dimensions only under the z layout
+    assert(zord < naive / 2,
+      s"z-order did not reduce scanned rows: zorder=$zord naive=$naive")
+  }
+
   test("z-value interleaves bits monotonically per dimension") {
     val df = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0))
       .toDF("x", "y")
