@@ -39,4 +39,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** SQL surface: registers every table as a temp view (events with the
+    * nanos→timestamp conversion applied) and the engine's native SQL
+    * functions, so the whole dataset is queryable via `spark.sql` —
+    * including `array_cosine` inside plain SQL. */
+  def createViews(s: SparkSession, d: String): Unit = {
+    names.foreach {
+      case "events" => events(s, d).createOrReplaceTempView("events")
+      case n        => load(s, d, n).createOrReplaceTempView(n)
+    }
+    graft.expressions.ArrayCosine.register(s)
+  }
 }

@@ -13,6 +13,26 @@ import graft.io.{KStore, Sources}
   * scientific-notation customer) + k-store round-trip + CLI run. The CSV
   * fixture is generated here with the reference data's wart *shapes* —
   * no reference bytes are copied. */
+class SqlSurfaceSpec extends GraftSuite {
+
+  test("createViews exposes every table and native function to spark.sql") {
+    Tables.createViews(spark, sf)
+    Tables.names.foreach { n =>
+      assert(spark.sql(s"SELECT count(*) FROM $n").head().getLong(0) > 0,
+        s"view $n empty")
+    }
+    // events view carries the converted timestamp
+    assert(spark.sql("SELECT ts FROM events LIMIT 1").schema.head
+      .dataType.typeName === "timestamp")
+    // the native codegen expression works inside plain SQL
+    val c = spark.sql(
+      "SELECT array_cosine(cast(embedding AS array<double>), " +
+        "cast(embedding AS array<double>)) AS c FROM embeddings LIMIT 1")
+      .head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-9)
+  }
+}
+
 class IoSpec extends GraftSuite {
 
   private def writeFixture(dir: Path): String = {
