@@ -34,6 +34,12 @@ final case class GraftConfig(
     /** x column → y columns (conf.json:36-42). */
     columns: Map[String, Seq[String]] = Map(
       "cpu_percent" -> Seq("ram_usage")),
+    /** n-D EXTENSION beyond the reference's pairwise shape: when
+      * non-empty, each entry is a full metric-column set clustered
+      * together through [[graft.engine.ClusterEngine.runNd]] (the local
+      * kernels are dimension-agnostic); `columns` pairs are ignored for
+      * grid building in that case. */
+    metricSets: Seq[Seq[String]] = Nil,
     dontScale: Seq[String] = Seq("cpu_percent")) {
 
   /** The task grid (G3, `scripts/cluster.py:276-287`): every
@@ -46,6 +52,20 @@ final case class GraftConfig(
       yCol <- ys
       alg <- algorithms
     } yield (macroCol, microCol, xCol, yCol, alg)
+
+  /** n-D task grid: (macro, micro, metricCols, algorithm) — the shape
+    * [[metricSets]] drives. Falls back to the pairwise grid's (x, y)
+    * sets when no metric sets are configured. */
+  def taskGridNd: Seq[(String, String, Seq[String], String)] = {
+    val sets = if (metricSets.nonEmpty) metricSets
+      else columns.toSeq.flatMap { case (x, ys) => ys.map(y => Seq(x, y)) }
+    for {
+      (macroCol, micros) <- filteringColumns.toSeq
+      microCol <- micros
+      set <- sets
+      alg <- algorithms
+    } yield (macroCol, microCol, set, alg)
+  }
 }
 
 object GraftConfig {

@@ -109,6 +109,18 @@ class EngineSpec extends GraftSuite {
     assert(c.algorithms === Seq("BisectingKMeans"))
     assert(c.taskGrid.nonEmpty)
   }
+
+  test("metricSets drive an n-D task grid; default falls back to pairs") {
+    val c = graft.config.GraftConfig.fromJson(
+      """{"metricSets": [["cpu_percent", "ram_usage", "disk_io"]]}""")
+    val grid = c.taskGridNd
+    assert(grid.nonEmpty)
+    assert(grid.forall(_._3 === Seq("cpu_percent", "ram_usage", "disk_io")))
+    // without metricSets the n-D grid mirrors the pairwise grid
+    val d = graft.config.GraftConfig()
+    assert(d.taskGridNd.map(t => (t._1, t._2, t._3(0), t._3(1), t._4)) ===
+      d.taskGrid)
+  }
 }
 
 class NdEngineSpec extends GraftSuite {
