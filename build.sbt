@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run`/`runMain` output goes straight to this process's
+// stdout/stderr instead of through sbt's logger — the logger prefixes
+// every line with `[info] `, which made the Bench metric line
+// machine-unparseable for two rounds (BENCH_r0{1,2}.json "parsed": null).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

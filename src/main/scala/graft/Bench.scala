@@ -39,11 +39,25 @@ object Bench {
         System.err.println(f"[bench] $k%-28s $v%.3f s")
       }
     }
-    val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
+    // Keys are shortened to the qNN prefix to fit the driver's tail window;
+    // guard against two registry names sharing a prefix, which would emit
+    // duplicate JSON keys and silently shadow one timing.
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    require(prefixes.distinct.size == results.size,
+      s"duplicate bench key prefixes: ${prefixes.diff(prefixes.distinct).distinct.mkString(",")}")
+    val qs = prefixes.zip(results.map(_._2))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces for the driver's parser: the bare line on stdout
+    // (build.sbt routes forked output past sbt's `[info]` logger) AND a
+    // file copy it can read regardless of how the tail is captured.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_result.json"),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }

@@ -34,7 +34,13 @@ object Layout {
       val span = hi - lo
       val norm = when(span > 0.0,
         (col(c).cast("double") - lo) / span).otherwise(0.0)
-      least(lit(maxRank), floor(norm * maxRank).cast("long"))
+      // A NULL value must rank explicitly: least() SKIPS null arguments,
+      // so without the guard null rows would rank maxRank and interleave
+      // with the max-value corner of the curve, widening every file's
+      // min/max span. Rank 0 clusters all-null rows together at the
+      // curve origin instead.
+      when(col(c).isNull, lit(0L)).otherwise(
+        least(lit(maxRank), floor(norm * maxRank).cast("long")))
     }
     val z = (0 until Bits).foldLeft(lit(0L)) { (acc, b) =>
       ranks.zipWithIndex.foldLeft(acc) { case (a, (r, i)) =>

@@ -55,12 +55,16 @@ object Sinks {
 
   /** Streaming MERGE sink: every micro-batch upserts by key into a
     * parquet store via `foreachBatch` + [[upsertByKey]]. The merged state
-    * is written to a scratch dir and swapped in with filesystem renames,
-    * so a reader never observes a half-written store and the merge can
-    * safely read the store it replaces. Re-delivered batches converge to
-    * the same state (keyed merge = idempotent), which together with the
-    * checkpoint gives effectively-once semantics — the pattern to port
-    * onto MERGE INTO when a transactional table format is available.
+    * is written to a scratch dir and swapped in with filesystem renames;
+    * [[recoverStore]] runs at the start of every batch so a crash at any
+    * point of the swap never loses merged state: the next batch first
+    * reinstates the newest complete store (`__tmp` if the swap had started,
+    * else `__old`) before merging. A concurrent READER can observe a brief
+    * store-missing window between the two renames — writer-side state is
+    * still never lost; move to MERGE INTO on a transactional table format
+    * for reader-side atomicity. Re-delivered batches converge to the same
+    * state (keyed merge = idempotent), which together with the checkpoint
+    * gives effectively-once semantics for the writer.
     */
   def streamUpsertByKey(stream: DataFrame, storePath: String,
       keys: Seq[String], checkpointPath: String): StreamingQuery =
@@ -71,6 +75,7 @@ object Sinks {
         val store = new Path(storePath)
         val fs = store.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
+        recoverStore(fs, storePath)
         val merged =
           if (fs.exists(store))
             upsertByKey(spark.read.parquet(storePath), batch.toDF(), keys)
@@ -85,4 +90,23 @@ object Sinks {
         ()
       }
       .start()
+
+  /** Crash recovery for [[streamUpsertByKey]]'s rename swap. If the store
+    * is missing, the previous batch died mid-swap: `__tmp` (when present)
+    * is the COMPLETE newly-merged state — its parquet write finished
+    * before any rename ran, or the store would still exist — so it wins;
+    * `__old` is the complete previous state and is the fallback. If the
+    * store exists, any leftover `__tmp`/`__old` is stale scratch from a
+    * crash before/after the swap and the normal path clobbers it. */
+  private[graft] def recoverStore(fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String): Unit = {
+    val store = new Path(storePath)
+    if (!fs.exists(store)) {
+      val tmp = new Path(storePath + "__tmp")
+      val old = new Path(storePath + "__old")
+      if (fs.exists(tmp)) { fs.rename(tmp, store); fs.delete(old, true) }
+      else if (fs.exists(old)) fs.rename(old, store)
+    }
+    ()
+  }
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Zero-extra-pass logging for bucket-occupancy caps: the capped-bucket
+  * counts are attached to the plan as a `CollectMetrics` node
+  * (`Dataset.observe`), so they are computed during the SAME job that
+  * builds the candidates — no second scan, no eager `count()` inside an
+  * operator — and a session-level [[QueryExecutionListener]] logs them
+  * after each action that touched a capped operator.
+  */
+object CapObserver {
+
+  private val seq = new AtomicLong()
+  private val sessions =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Attach capped-bucket metrics to a per-bucket size DataFrame (one row
+    * per bucket, occupancy in column `n`). Metric names are unique per
+    * call so several capped operators can share one query plan. */
+  def observeCapped(sizes: DataFrame, tag: String, maxBucket: Int): DataFrame = {
+    ensureListener(sizes)
+    sizes.observe(s"graft_cap_${tag}_${seq.incrementAndGet()}",
+      sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("capped_buckets"),
+      sum(when(col("n") > maxBucket, col("n")).otherwise(0L)).as("capped_rows"),
+      max(col("n")).as("max_occupancy"),
+      lit(maxBucket.toLong).as("max_bucket"))
+  }
+
+  private def ensureListener(df: DataFrame): Unit = {
+    val spark = df.sparkSession
+    if (sessions.add(String.valueOf(System.identityHashCode(spark)))) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_cap_") &&
+                row.getAs[Long]("capped_buckets") > 0L)
+              log.warn(s"$name: capped ${row.getAs[Long]("capped_buckets")} " +
+                s"bucket(s) holding ${row.getAs[Long]("capped_rows")} rows " +
+                s"(max occupancy ${row.getAs[Long]("max_occupancy")} > " +
+                s"cap ${row.getAs[Long]("max_bucket")}) — oversized buckets " +
+                "degraded to star candidates around their min-id representative")
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    }
+  }
+}

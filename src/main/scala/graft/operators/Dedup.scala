@@ -110,16 +110,51 @@ object Dedup extends Serializable {
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
   }
 
+  /** Default bucket-occupancy cap for LSH candidate generation: bounds
+    * per-bucket self-join work at maxBucket² comparisons. */
+  val DefaultMaxBucket = 1000
+
   /** LSH banding: docs sharing any band hash are candidate pairs.
-    * Returns distinct (id_a < id_b) candidates. */
+    * Returns distinct (id_a < id_b) candidates.
+    *
+    * `maxBucket` caps bucket occupancy — the one quadratic-blowup hazard
+    * of banded LSH: a degenerate bucket (empty docs, boilerplate) makes
+    * the candidate self-join quadratic IN THAT BUCKET no matter how good
+    * the banding is. Buckets over the cap do not self-join; they emit a
+    * linear STAR of candidates around their min-id representative, which
+    * keeps a pathological clone family connected (verification + connected
+    * components still groups it; pairs between non-representative members
+    * of a mixed oversized bucket are the accepted loss). Capped bucket
+    * counts are computed in the same pass and logged via [[CapObserver]].
+    * `maxBucket <= 0` disables the cap. */
   def lshCandidates(signatures: DataFrame, bands: Int,
-      numHashes: Int): DataFrame = {
+      numHashes: Int, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val banded = bandBuckets(signatures, bands, numHashes)
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    if (maxBucket <= 0) {
+      val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+      l.join(r, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+    } else {
+      val sizes = CapObserver.observeCapped(
+        banded.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("n"), min(col("id")).as("rep")),
+        "lsh", maxBucket)
+      val sized = banded.join(sizes, Seq("band", "bucket"))
+      val small = sized.filter(col("n") <= maxBucket)
+      val smallPairs = small
+        .select(col("band"), col("bucket"), col("id").as("id_a"))
+        .join(small.select(col("band"), col("bucket"), col("id").as("id_b")),
+          Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      // rep = min(id) of the bucket, so (rep, id) is already ordered
+      val starPairs = sized
+        .filter(col("n") > maxBucket && col("id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("id").as("id_b"))
+      smallPairs.union(starPairs).distinct()
+    }
   }
 
   /** Incremental near-dup: a NEW batch against an EXISTING corpus without
@@ -129,12 +164,30 @@ object Dedup extends Serializable {
     * batch costs O(batch) signatures + one bucket join. */
   def minhashNearDupsAgainst(corpus: DataFrame, newBatch: DataFrame,
       idCol: String, textCol: String, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+      threshold: Double = 0.5, shingleN: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val corpusIdx = minhashIndex(corpus, idCol, textCol, numHashes, shingleN)
     val newIdx = minhashIndex(newBatch, idCol, textCol, numHashes, shingleN)
+    // Corpus-side occupancy cap: an oversized corpus bucket (boilerplate
+    // family) contributes only its min-id representative as a join
+    // partner, so one hot bucket costs each new doc ONE candidate instead
+    // of |bucket| of them. Same pass, logged via CapObserver.
+    val corpusBuckets = {
+      val b = bandBuckets(corpusIdx, bands, numHashes)
+      if (maxBucket <= 0) b
+      else {
+        val sizes = CapObserver.observeCapped(
+          b.groupBy(col("band"), col("bucket"))
+            .agg(count(lit(1)).as("n"), min(col("id")).as("rep")),
+          "lsh_inc", maxBucket)
+        b.join(sizes, Seq("band", "bucket"))
+          .filter(col("n") <= maxBucket || col("id") === col("rep"))
+          .select(col("band"), col("bucket"), col("id"))
+      }
+    }
     val cands = bandBuckets(newIdx, bands, numHashes)
       .select(col("band"), col("bucket"), col("id").as("new_id"))
-      .join(bandBuckets(corpusIdx, bands, numHashes)
+      .join(corpusBuckets
         .select(col("band"), col("bucket"), col("id").as("corpus_id")),
         Seq("band", "bucket"))
       .select(col("new_id"), col("corpus_id")).distinct()
@@ -153,9 +206,9 @@ object Dedup extends Serializable {
     * the index's own hash sets (the corpus text is read exactly once). */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val idx = minhashIndex(df, idCol, textCol, numHashes, shingleN)
-    val cands = lshCandidates(idx, bands, numHashes)
+    val cands = lshCandidates(idx, bands, numHashes, maxBucket)
     cands
       .join(idx.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(idx.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
@@ -192,7 +245,7 @@ object Dedup extends Serializable {
     * on at least one chunk exactly, so candidates come from one groupBy on
     * (chunk index, chunk value), never an all-pairs scan. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     val sigs = df.select(col(idCol).as("id"),
@@ -203,16 +256,42 @@ object Dedup extends Serializable {
     val banded = sigs.select(col("id"), col("sig"), posexplode(chunkVals))
       .select(col("id"), col("sig"), col("pos").as("chunk"),
         col("col").as("chunk_val"))
-    val l = banded.select(col("chunk"), col("chunk_val"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("chunk"), col("chunk_val"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("chunk", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    val pairs =
+      if (maxBucket <= 0) {
+        val l = banded.select(col("chunk"), col("chunk_val"),
+          col("id").as("id_a"), col("sig").as("sig_a"))
+        val r = banded.select(col("chunk"), col("chunk_val"),
+          col("id").as("id_b"), col("sig").as("sig_b"))
+        l.join(r, Seq("chunk", "chunk_val"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      } else {
+        // same occupancy cap as lshCandidates: oversized chunk buckets
+        // emit a linear star around their min-id representative
+        val sizes = CapObserver.observeCapped(
+          banded.groupBy(col("chunk"), col("chunk_val"))
+            .agg(count(lit(1)).as("n"), min(col("id")).as("rep"),
+              min_by(col("sig"), col("id")).as("rep_sig")),
+          "simhash", maxBucket)
+        val sized = banded.join(sizes, Seq("chunk", "chunk_val"))
+        val small = sized.filter(col("n") <= maxBucket)
+        val smallPairs = small
+          .select(col("chunk"), col("chunk_val"),
+            col("id").as("id_a"), col("sig").as("sig_a"))
+          .join(small.select(col("chunk"), col("chunk_val"),
+            col("id").as("id_b"), col("sig").as("sig_b")),
+            Seq("chunk", "chunk_val"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        val starPairs = sized
+          .filter(col("n") > maxBucket && col("id") =!= col("rep"))
+          .select(col("rep").as("id_a"), col("id").as("id_b"),
+            bit_count(col("rep_sig").bitwiseXOR(col("sig"))).as("hamming"))
+        smallPairs.union(starPairs)
+      }
+    pairs.distinct().filter(col("hamming") <= maxHamming)
   }
 
   // -------------------------------------------------- dedup finalization

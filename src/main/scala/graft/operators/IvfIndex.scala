@@ -17,15 +17,25 @@ import graft.ml.LocalKMeans
   */
 object IvfIndex extends Serializable {
 
-  /** Train coarse centroids from a deterministic sample of the candidate
-    * vectors (first `sampleN` by id — bounded driver materialization). */
-  def trainCentroids(candidates: DataFrame, candId: String, candVec: String,
-      nlist: Int, seed: Long, sampleN: Int = 10000): Seq[Seq[Double]] = {
-    val sample = candidates
+  /** Seeded uniform training sample: rank rows by `xxhash64(id, seed)`
+    * (id as tie-break) and take the first `n`. Deterministic for a given
+    * seed yet independent of id ORDER — "first n by id" would bias the
+    * sample whenever ids correlate with insertion order or content, which
+    * they usually do. Bounded driver materialization (n vectors), the
+    * standard shape for codebook/centroid training. */
+  private[graft] def seededSample(candidates: DataFrame, candId: String,
+      candVec: String, n: Int, seed: Long): Array[Array[Double]] =
+    candidates
       .select(col(candId), Similarity.asDouble(col(candVec)).as("v"))
-      .orderBy(col(candId)).limit(sampleN)
+      .orderBy(xxhash64(col(candId), lit(seed)), col(candId)).limit(n)
       .collect()
       .map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+
+  /** Train coarse centroids from a seeded uniform sample of the candidate
+    * vectors (see [[seededSample]]). */
+  def trainCentroids(candidates: DataFrame, candId: String, candVec: String,
+      nlist: Int, seed: Long, sampleN: Int = 10000): Seq[Seq[Double]] = {
+    val sample = seededSample(candidates, candId, candVec, sampleN, seed)
     LocalKMeans.fit(sample, nlist, seed).centers.map(_.toSeq).toSeq
   }
 
@@ -53,6 +63,37 @@ object IvfIndex extends Serializable {
       zip_with(cosines, idx, (c, i) => struct(c.as("c"), i.as("i"))),
       (l, r) => when(l.getField("c") > r.getField("c"), -1)
         .when(l.getField("c") < r.getField("c"), 1)
+        .otherwise(l.getField("i") - r.getField("i")))
+    transform(slice(ranked, 1, nprobe), s => s.getField("i"))
+  }
+
+  /** Squared-L2 distance of a vector column to each centroid. */
+  private def centroidSqDists(vec: Column,
+      centroids: Seq[Seq[Double]]): Column =
+    array(centroids.map(c =>
+      aggregate(zip_with(vec, typedLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)): _*)
+
+  /** 1-based index of the nearest (min squared-L2) centroid — first min
+    * wins. Use this variant when downstream scoring is L2 (e.g. PQ/ADC)
+    * so coarse pruning and fine scoring agree on the metric for
+    * unnormalized embeddings. */
+  def bucketOfL2(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val d2 = centroidSqDists(vec, centroids)
+    array_position(d2, array_min(d2))
+  }
+
+  /** The `nprobe` nearest buckets under squared-L2 — the coarse probe to
+    * pair with ADC scoring ([[graft.operators.PqIndex.ivfPqTopK]]). */
+  def probeBucketsL2(vec: Column, centroids: Seq[Seq[Double]],
+      nprobe: Int): Column = {
+    val nlist = centroids.length
+    val d2 = centroidSqDists(vec, centroids)
+    val idx = sequence(lit(1), lit(nlist))
+    val ranked = array_sort(
+      zip_with(d2, idx, (d, i) => struct(d.as("d"), i.as("i"))),
+      (l, r) => when(l.getField("d") < r.getField("d"), -1)
+        .when(l.getField("d") > r.getField("d"), 1)
         .otherwise(l.getField("i") - r.getField("i")))
     transform(slice(ranked, 1, nprobe), s => s.getField("i"))
   }

@@ -18,7 +18,8 @@ import graft.ml.LocalKMeans
   * only on the short list.
   *
   * Deterministic: codebooks come from a seeded [[LocalKMeans]] on a
-  * bounded id-ordered sample; encoding ties break on the first minimum.
+  * bounded seeded-uniform sample; encoding ties break on the first
+  * minimum.
   */
 object PqIndex extends Serializable {
 
@@ -26,16 +27,13 @@ object PqIndex extends Serializable {
   final case class Codebook(m: Int, subDim: Int,
       centers: Array[Array[Array[Double]]]) extends Serializable
 
-  /** Train per-subspace codebooks on a deterministic sample (first
-    * `sampleN` by id — bounded driver materialization, standard for
-    * codebook training). */
+  /** Train per-subspace codebooks on a seeded uniform sample
+    * ([[IvfIndex.seededSample]] — deterministic but id-order-independent;
+    * bounded driver materialization, standard for codebook training). */
   def train(candidates: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, seed: Long, sampleN: Int = 10000): Codebook = {
-    val sample = candidates
-      .select(col(idCol), Similarity.asDouble(col(vecCol)).as("v"))
-      .orderBy(col(idCol)).limit(sampleN)
-      .collect()
-      .map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+    val sample = IvfIndex.seededSample(candidates, idCol, vecCol,
+      sampleN, seed)
     require(sample.nonEmpty, "empty training sample")
     val d = sample.head.length
     require(d % m == 0, s"dim $d not divisible by m=$m")
@@ -103,9 +101,13 @@ object PqIndex extends Serializable {
     val centroids = IvfIndex.trainCentroids(candidates, idCol, vecCol,
       nlist, seed)
     val cb = train(candidates, idCol, vecCol, m, kCent, seed)
+    // Coarse quantization uses squared-L2 (bucketOfL2/probeBucketsL2) so
+    // it ranks buckets with the SAME metric ADC scores candidates with —
+    // cosine pruning over unnormalized embeddings could discard true L2
+    // nearest neighbours before ADC ever sees them.
     val indexed = encode(candidates, idCol, vecCol, cb)
       .join(candidates.select(col(idCol).as("cand_id"),
-        IvfIndex.bucketOf(Similarity.asDouble(col(vecCol)), centroids)
+        IvfIndex.bucketOfL2(Similarity.asDouble(col(vecCol)), centroids)
           .as("bucket")), "cand_id")
     val vecs = candidates.select(col(idCol).cast("long").as("id"),
       Similarity.asDouble(col(vecCol)).as("v"))
@@ -115,7 +117,7 @@ object PqIndex extends Serializable {
       .toSeq.sortBy(_._1)
     val qBuckets = candidates.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).cast("long").as("query_id"),
-        explode(IvfIndex.probeBuckets(
+        explode(IvfIndex.probeBucketsL2(
           Similarity.asDouble(col(vecCol)), centroids, nprobe))
           .as("bucket"))
     val pruned = qBuckets.join(indexed, "bucket")

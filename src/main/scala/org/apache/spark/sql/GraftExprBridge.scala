@@ -24,18 +24,37 @@ object GraftExprBridge {
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
   /** Idempotently add a planner strategy to the session (covers sessions
-    * built without `withExtensions`). */
+    * built without `withExtensions`). The check runs against the FULL
+    * planner strategy list — which includes both `experimental` additions
+    * and extension-injected strategies — so a session already carrying the
+    * strategy via `GraftExtensions` is not registered twice; the
+    * read-modify-write of the experimental list is serialized on the
+    * experimental object so concurrent ensure calls can't drop or
+    * duplicate an entry. */
   def ensureStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
-    val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraStrategies.exists(_.getClass == s.getClass))
-      exp.extraStrategies = exp.extraStrategies :+ s
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val exp = cs.experimental
+    exp.synchronized {
+      if (!cs.sessionState.planner.strategies.exists(_.getClass == s.getClass))
+        exp.extraStrategies = exp.extraStrategies :+ s
+    }
   }
 
-  /** Idempotently add an optimizer rule to the session. */
+  /** Idempotently add an optimizer rule to the session; like
+    * [[ensureStrategy]], dedupes against extension-injected rules
+    * (`extendedOperatorOptimizationRules`) as well as prior experimental
+    * registrations, under the same lock. */
   def ensureOptimization(spark: SparkSession,
       r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
-    val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraOptimizations.exists(_.getClass == r.getClass))
-      exp.extraOptimizations = exp.extraOptimizations :+ r
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val exp = cs.experimental
+    exp.synchronized {
+      val viaExtensions = cs.sessionState.optimizer
+        .extendedOperatorOptimizationRules
+        .exists(_.getClass == r.getClass)
+      if (!viaExtensions &&
+          !exp.extraOptimizations.exists(_.getClass == r.getClass))
+        exp.extraOptimizations = exp.extraOptimizations :+ r
+    }
   }
 }

@@ -38,6 +38,27 @@ class IvfSpec extends GraftSuite {
     assert(both.filter($"b" =!= $"p").count() === 0)
   }
 
+  test("training sample is seeded-uniform: order-independent, not first-N") {
+    val s = spark
+    import s.implicits._
+    val cands = e.select($"vec_id", $"embedding".as("cv"))
+    def sampleIds(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+      IvfIndex.seededSample(df, "vec_id", "cv", 20, 42L).map(_.head).toSeq
+    val base = sampleIds(cands)
+    // deterministic and independent of physical row order / partitioning
+    assert(sampleIds(cands.repartition(13)) === base)
+    assert(sampleIds(cands.orderBy($"vec_id".desc)) === base)
+    // NOT the first-N-by-id sample: xxhash64 spreads the picks, so the
+    // sampled rows differ from the 20 smallest ids (which would bias
+    // training whenever ids correlate with content)
+    val firstN = cands.orderBy($"vec_id").limit(20)
+      .select(Similarity.asDouble($"cv").getItem(0)).as[Double].collect().toSeq
+    assert(base !== firstN)
+    // different seed → different (still deterministic) sample
+    assert(IvfIndex.seededSample(cands, "vec_id", "cv", 20, 43L)
+      .map(_.head).toSeq !== base)
+  }
+
   test("IVF recall improves with nprobe and hits 1.0 at nprobe = nlist") {
     val s = spark
     import s.implicits._

@@ -93,4 +93,19 @@ class LayoutSpec extends GraftSuite {
     assert(zs((1.0, 0.0)) + zs((0.0, 1.0)) === (1L << 32) - 1)
     assert((zs((1.0, 0.0)) & zs((0.0, 1.0))) === 0L)
   }
+
+  test("null values rank 0: null rows cluster at the curve origin") {
+    val df = Seq((Some(0.0), 0.0), (Some(1.0), 0.0), (None, 0.0),
+      (None, 1.0)).toDF("x", "y")
+    val (withBounds, z) = graft.io.Layout.zvalue(df, Seq("x", "y"))
+    val zs = withBounds.select($"x", $"y", z.as("z")).collect()
+      .map(r => ((Option(r.get(0)), r.getDouble(1)), r.getLong(2))).toMap
+    // least() skips nulls, so an unguarded rank would send null rows to
+    // the maxRank corner; the guard pins them to rank 0 = same z as the
+    // column minimum
+    assert(zs((None, 0.0)) === zs((Some(0.0), 0.0)))
+    // null x contributes NO x-bits (rank 0), not the maxRank corner —
+    // x occupies the even interleaved bit positions
+    assert((zs((None, 1.0)) & 0x5555555555555555L) === 0L)
+  }
 }

@@ -314,6 +314,81 @@ class AsOfForwardSpec extends GraftSuite {
   }
 }
 
+/** Adversarial-occupancy gates for the LSH bucket cap (VERDICT r2 #1):
+  * a clone-heavy corpus (500 identical docs) must NOT make candidate
+  * generation quadratic, while planted near-dups stay found and the clone
+  * family stays fully grouped via the star representative + connected
+  * components. */
+class BucketCapSpec extends GraftSuite {
+
+  private def cloneCorpus(n: Int): Seq[(Long, String)] = {
+    val boilerplate = (1 to 30).map(i => s"b$i").mkString(" ")
+    (1 to n).map(i => (i.toLong, boilerplate))
+  }
+
+  private val base = (1 to 40).map(i => s"w$i").mkString(" ")
+  private val nearDup =
+    (1 to 40).map(i => if (i == 7) "CHANGED" else s"w$i").mkString(" ")
+
+  test("minhash cap: clone bucket stays linear, planted pair + family kept") {
+    val s = spark
+    import s.implicits._
+    val d = (cloneCorpus(500) ++ Seq((1000L, base), (1001L, nearDup)))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(d, "doc_id", "text", 32, 3)
+    val uncapped = Dedup.lshCandidates(idx, 8, 32, maxBucket = 0).count()
+    val capped = Dedup.lshCandidates(idx, 8, 32, maxBucket = 50).count()
+    assert(uncapped >= 500L * 499 / 2) // the quadratic blowup is real
+    assert(capped <= 499 + 10,         // star around the rep + planted pair
+      s"capped candidates not linear: $capped")
+    val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+      threshold = 0.5, maxBucket = 50)
+    val ps = pairs.select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ps.contains((1000L, 1001L))) // planted near-dup still found
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 to 500).foreach(i => assert(comps(i.toLong) === 1L,
+      s"clone $i not grouped with the family"))
+  }
+
+  test("simhash cap: clone bucket stays linear, planted pair kept") {
+    val s = spark
+    import s.implicits._
+    val longBase = (1 to 60).map(i => s"w$i")
+    val d = (cloneCorpus(500) ++ Seq(
+      (1000L, longBase.mkString(" ")),
+      (1001L, longBase.updated(5, "CHANGED").mkString(" "))))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.simhashNearDups(d, "doc_id", "text",
+      maxHamming = 6, maxBucket = 0).count()
+    val capped = Dedup.simhashNearDups(d, "doc_id", "text",
+      maxHamming = 6, maxBucket = 50)
+    assert(uncapped >= 500L * 499 / 2)
+    assert(capped.count() <= 499 + 10)
+    val ps = capped.select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ps.contains((1000L, 1001L)))
+    (2 to 500).foreach(i => assert(ps.contains((1L, i.toLong)),
+      s"clone $i lost its star edge"))
+  }
+
+  test("incremental cap: hot corpus bucket costs one candidate per new doc") {
+    val s = spark
+    import s.implicits._
+    val corpus = cloneCorpus(500).toDF("doc_id", "text")
+    val boilerplate = (1 to 30).map(i => s"b$i").mkString(" ")
+    val newBatch = Seq((9000L, boilerplate), (9001L, base))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupsAgainst(corpus, newBatch,
+      "doc_id", "text", threshold = 0.5, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // only the representative partners the new clone; the unrelated new
+    // doc pairs with nothing
+    assert(pairs.toSeq === Seq((9000L, 1L)))
+  }
+}
+
 class IncrementalDedupSpec extends GraftSuite {
 
   test("new batch is deduped against the corpus without self-pairs") {

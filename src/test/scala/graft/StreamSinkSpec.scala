@@ -79,4 +79,40 @@ class StreamSinkSpec extends GraftSuite {
     assert(store.filter($"id" >= 1000 && $"id" < 1500 && $"batch" =!= 2)
       .count() === 0)
   }
+
+  test("upsert store recovers after a crash at any point of the swap") {
+    val root = Files.createTempDirectory("graft_recover").toString
+    val storePath = s"$root/store"
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeAt(path: String, marker: Int): Unit =
+      Seq((1L, marker)).toDF("id", "batch")
+        .write.mode("overwrite").parquet(path)
+    def markerAt(path: String): Int =
+      spark.read.parquet(path).select($"batch").first().getInt(0)
+
+    // crash BETWEEN rename(store, old) and rename(tmp, store): the store
+    // is gone, __old holds the previous state, __tmp the newly merged
+    // state — recovery must reinstate __tmp (the newest complete state)
+    writeAt(s"${storePath}__old", 1)
+    writeAt(s"${storePath}__tmp", 2)
+    graft.io.Sinks.recoverStore(fs, storePath)
+    assert(markerAt(storePath) === 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${storePath}__tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${storePath}__old")))
+
+    // crash with only __old left (tmp already promoted then store lost is
+    // impossible; this models rename(store, old) then driver death before
+    // the tmp write finished in a REDELIVERED batch): fall back to __old
+    fs.delete(new org.apache.hadoop.fs.Path(storePath), true)
+    writeAt(s"${storePath}__old", 3)
+    graft.io.Sinks.recoverStore(fs, storePath)
+    assert(markerAt(storePath) === 3)
+
+    // store present: recovery is a no-op and stale scratch is left for
+    // the normal path to clobber
+    writeAt(s"${storePath}__tmp", 9)
+    graft.io.Sinks.recoverStore(fs, storePath)
+    assert(markerAt(storePath) === 3)
+  }
 }
