@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Scale experiment for the MinHash-LSH dedup stack: replicate the corpus
+  * m× at a FIXED duplicate rate and measure candidate-pair count, found
+  * dup-pair count, and wall time per m. The claim being exhibited: banded
+  * LSH cost grows ~LINEARLY with corpus size at fixed dup rate (cost is
+  * Σ|bucket|², and bucket count grows with the corpus while occupancy
+  * stays put) — the property that makes the design survive 100 TB, unlike
+  * the all-pairs baseline's m² growth.
+  *
+  * Replicas must be DISTINCT documents (clones would RAISE the dup rate
+  * and melt every bucket): each replica r rewrites the text through a
+  * rotated-alphabet substitution, which changes every shingle while
+  * preserving the replica's internal near-dup structure — so the planted
+  * dup rate is constant across m by construction.
+  */
+object DedupScaleProbe {
+
+  private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Corpus replicated m× with disjoint shingle spaces per replica. */
+  def replicate(docs: DataFrame, m: Int): DataFrame =
+    (0 until m).map { r =>
+      val rot = Alphabet.drop(r % 26) + Alphabet.take(r % 26)
+      docs.select(
+        (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        (if (r == 0) col("text")
+         else translate(col("text"), Alphabet, rot)).as("text"))
+    }.reduce(_ unionAll _)
+
+  /** (candidate pairs, dup pairs ≥ threshold) at replication m. */
+  def counts(docs: DataFrame, m: Int,
+      threshold: Double = 0.5): (Long, Long) = {
+    val corpus = replicate(docs, m)
+    val idx = Dedup.minhashIndex(corpus, "doc_id", "text", 32, 3)
+    val cands = Dedup.lshCandidates(idx, 8, 32).count()
+    val dups = Dedup.minhashNearDups(corpus, "doc_id", "text",
+      threshold = threshold).count()
+    (cands, dups)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark: SparkSession = Main.session()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.01")
+    val docs = Tables.documents(spark, sfDir).persist()
+    val nBase = docs.count() // materialize; probe measures dedup cost only
+    val rows = Seq(1, 2, 5, 10, 20).map { m =>
+      val t0 = System.nanoTime()
+      val (cands, dups) = counts(docs, m)
+      val secs = (System.nanoTime() - t0) / 1e9
+      f""""x$m":{"docs":${nBase * m},"cands":$cands,"dups":$dups,"secs":$secs%.2f}"""
+    }
+    println(rows.mkString("{", ",", "}"))
+    spark.stop()
+  }
+}

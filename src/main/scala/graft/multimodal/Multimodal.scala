@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * feature-extraction runs per-partition so a real codec drops in without
   * touching the pipeline shape.
   *
-  * DECODE IS A STUB: this container has no image/audio codecs, so
-  * [[fakeDecode]] derives deterministic pseudo-features from the bytes
-  * (documented below). Everything around it — schema, batching,
-  * partition-level execution, feature join-back — is the real Spark
-  * plumbing and is tested.
+  * IMAGE decode is REAL: [[decodeImage]] uses `javax.imageio` (PNG / JPEG
+  * / GIF / BMP readers ship with the JDK — no external codec dependency),
+  * returning true dimensions and mean Rec.601 luma from the decoded
+  * raster. Payloads that are not a decodable image (and audio/video,
+  * whose codecs are NOT in the JDK) fall back to [[fakeDecode]]'s
+  * deterministic byte-derived pseudo-features, clearly marked as such.
   */
 object Multimodal extends Serializable {
 
@@ -21,9 +22,9 @@ object Multimodal extends Serializable {
 
   final case class MediaFeatures(
       doc_id: Long,
-      width: Int, height: Int,          // stub: derived, not decoded
+      width: Int, height: Int,          // real for images; derived otherwise
       byte_entropy: Double,             // real: Shannon entropy of bytes
-      luma_mean: Double)                // stub: mean byte as fake luma
+      luma_mean: Double)                // real Rec.601 for images; mean byte otherwise
 
   /** Attach a binary payload column + metadata struct. In this testbed the
     * "media" bytes are the document text encoded UTF-8; in production this
@@ -34,31 +35,74 @@ object Multimodal extends Serializable {
       .withColumn("meta", struct(lit("application/octet-stream").as("mime"),
         length(col("content")).cast("long").as("n_bytes")))
 
-  /** ??? — REAL DECODER GOES HERE. Deterministic fake: dimensions from a
-    * rolling byte hash, luma = mean byte value. Byte entropy is computed
-    * for real (it only needs the bytes). */
-  def fakeDecode(id: Long, bytes: Array[Byte]): MediaFeatures = {
-    var h = 1125899906842597L
-    var i = 0
-    var sum = 0L
+  /** Shannon entropy (bits/byte) of a payload — needs only the bytes,
+    * shared by the real and fallback decode paths. */
+  def byteEntropy(bytes: Array[Byte]): Double = {
     val hist = new Array[Long](256)
-    while (i < bytes.length) {
-      h = 31 * h + bytes(i)
-      sum += bytes(i) & 0xff
-      hist(bytes(i) & 0xff) += 1
-      i += 1
-    }
+    var i = 0
+    while (i < bytes.length) { hist(bytes(i) & 0xff) += 1; i += 1 }
     val n = math.max(1, bytes.length)
     var ent = 0.0
     hist.foreach { c =>
       if (c > 0) { val p = c.toDouble / n; ent -= p * math.log(p) / math.log(2) }
     }
+    ent
+  }
+
+  /** REAL image decode via the JDK's `javax.imageio` readers: true
+    * width/height and mean Rec.601 luma (0.299R + 0.587G + 0.114B) over
+    * the decoded raster. Returns None when the bytes are not an image the
+    * JDK can decode — the magic-byte probe rejects non-images cheaply, so
+    * calling this on every payload of a mixed corpus is safe. */
+  def decodeImage(id: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      Some(MediaFeatures(id, w, h, byteEntropy(bytes),
+        sum / (w.toLong * h)))
+    }
+  }
+
+  /** Fallback for payloads with no JDK codec (audio/video, opaque blobs):
+    * deterministic pseudo-features — dimensions from a rolling byte hash,
+    * luma = mean byte value. Byte entropy is computed for real. */
+  def fakeDecode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    var h = 1125899906842597L
+    var i = 0
+    var sum = 0L
+    while (i < bytes.length) {
+      h = 31 * h + bytes(i)
+      sum += bytes(i) & 0xff
+      i += 1
+    }
+    val n = math.max(1, bytes.length)
     MediaFeatures(id,
       width = 64 + (math.abs(h) % 1024).toInt,
       height = 64 + (math.abs(h >> 10) % 1024).toInt,
-      byte_entropy = ent,
+      byte_entropy = byteEntropy(bytes),
       luma_mean = sum.toDouble / n)
   }
+
+  /** Image payloads decode for real; everything else degrades to the
+    * deterministic fallback. */
+  def decode(id: Long, bytes: Array[Byte]): MediaFeatures =
+    decodeImage(id, bytes).getOrElse(fakeDecode(id, bytes))
 
   /** Per-partition feature extraction over (id, content) — the decode
     * batches by partition, so a vectorized/codec-backed implementation
@@ -68,7 +112,7 @@ object Multimodal extends Serializable {
     import spark.implicits._
     withBinary.select(col("doc_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => fakeDecode(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) => decode(id, bytes) })
   }
 
   /** Fixed-count frame sampling from a byte stream (stub: equal-width byte

@@ -100,6 +100,23 @@ object Similarity extends Serializable {
         (coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall"))
   }
 
+  /** Recall floor as a driver-visible invariant: eagerly asserts the MEAN
+    * recall meets `floor`, then tags every row with the asserted floor as
+    * a `min_recall` column. Wired into the recall queries (q47/q66/q93)
+    * so an index regression fails the QUERY run loudly — not just a
+    * ScalaTest gate — and the floor itself is recorded in the output the
+    * driver hashes. Floors are deliberately conservative: they must hold
+    * across scale factors (candidate sets grow 10× between sf0.01 and
+    * sf0.1 while index parameters stay fixed), and they exist to catch
+    * broken-metric regressions (recall collapsing to chance level), not
+    * to pin exact values — the tight per-SF values live in the specs. */
+  def assertRecallFloor(recalls: DataFrame, floor: Double): DataFrame = {
+    val mean = recalls.agg(avg(col("recall"))).first().getDouble(0)
+    require(mean >= floor,
+      f"recall regression: mean recall $mean%.4f < floor $floor%.2f")
+    recalls.withColumn("min_recall", lit(floor))
+  }
+
   /** Exact top-k via the heap AGGREGATOR instead of a ranking window:
     * identical results (same tie-break), but only k rows per (query ×
     * map partition) reach the shuffle — the formulation for huge

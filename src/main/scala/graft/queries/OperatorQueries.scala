@@ -22,7 +22,8 @@ object OperatorQueries {
     q65ApproxStats, q66IvfRecall, q73AsOfForward, q80SampleSplit,
     q82Upsert, q83TopKAggKnn, q84Normalize, q85DedupComponents,
     q86Histogram, q88AsOfNative, q89StreamIntervalJoin, q90PipelineFilter,
-    q91HeavyHitters, q92BigramCounts, q93PqRecall, q94IvfPqTopK)
+    q91HeavyHitters, q92BigramCounts, q93PqRecall, q94IvfPqTopK,
+    q95Sessionize)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -150,9 +151,10 @@ object OperatorQueries {
     * deterministic, but the fit is iterative -> rows-only). */
   val q93PqRecall: GraftQuery = GraftQuery(
     "q93_pq_recall",
-    (s, d) => graft.operators.PqIndex.recall(s, Tables.embeddings(s, d),
-      "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
-      m = 8, kCent = 16, seed = 42L, topK = 10))
+    (s, d) => graft.operators.Similarity.assertRecallFloor(
+      graft.operators.PqIndex.recall(s, Tables.embeddings(s, d),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+        m = 8, kCent = 16, seed = 42L, topK = 10), floor = 0.1))
 
   /** IVF-PQ composed search: coarse buckets prune candidates, PQ/ADC
     * scores the survivors (rows-only; fully seed-deterministic). */
@@ -334,9 +336,11 @@ object OperatorQueries {
       val q = e.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), $"embedding".as("qv"))
       val c = e.select($"vec_id", $"embedding".as("cv"))
-      Similarity.annRecall(q, c, "query_id", "qv", "vec_id", "cv",
-        k = 10, bits = 4, seed = 42L)
-        .select($"query_id", round($"recall", 2).as("recall"))
+      Similarity.assertRecallFloor(
+        Similarity.annRecall(q, c, "query_id", "qv", "vec_id", "cv",
+          k = 10, bits = 4, seed = 42L), floor = 0.01)
+        .select($"query_id", round($"recall", 2).as("recall"),
+          $"min_recall")
         .orderBy($"query_id")
     })
 
@@ -488,9 +492,11 @@ object OperatorQueries {
       val q = e.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), $"embedding".as("qv"))
       val c = e.select($"vec_id", $"embedding".as("cv"))
-      graft.operators.IvfIndex.recall(q, c, "query_id", "qv", "vec_id",
-        "cv", k = 10, nlist = 16, nprobe = 4, seed = 42L)
-        .select($"query_id", round($"recall", 2).as("recall"))
+      Similarity.assertRecallFloor(
+        graft.operators.IvfIndex.recall(q, c, "query_id", "qv", "vec_id",
+          "cv", k = 10, nlist = 16, nprobe = 4, seed = 42L), floor = 0.15)
+        .select($"query_id", round($"recall", 2).as("recall"),
+          $"min_recall")
         .orderBy($"query_id")
     })
 
@@ -618,21 +624,83 @@ object OperatorQueries {
         "'[.,!?;:]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents) " +
         "ORDER BY doc_id"))
 
-  /** Duplicate FAMILIES: connected components over the near-dup pairs;
-    * one row per family with size and canonical (min) id. Rows-only
-    * (built on the minhash pair set). */
+  /** Duplicate FAMILIES: connected components over near-dup pair edges;
+    * one row per family with size and canonical (min) id. The edge list
+    * here is exact n-gram Jaccard ≥ 0.5 over a bounded doc slice so the
+    * WHOLE query — edges AND the transitive CC labeling — is oracled
+    * (DuckDB: recursive CTE min-label closure). The slice bounds the
+    * all-pairs edge generation the oracle needs; at corpus scale the SAME
+    * [[graft.operators.Dedup.connectedComponents]] operator consumes the
+    * banded LSH pair set instead (q44's path, spec-gated). */
   val q85DedupComponents: GraftQuery = GraftQuery(
     "q85_dedup_components",
     (s, d) => {
       import s.implicits._
-      val pairs = graft.operators.Dedup.minhashNearDups(
-        Tables.documents(s, d), "doc_id", "text", threshold = 0.5)
+      val docs = Tables.documents(s, d).filter($"doc_id" < 300)
+      val pairs = graft.operators.Dedup
+        .ngramJaccardPairs(docs, "doc_id", "text")
+        .filter($"jaccard" >= 0.5)
       graft.operators.Dedup.connectedComponents(pairs)
         .groupBy($"component")
         .agg(count(lit(1)).as("family_size"),
           min($"id").as("canonical_id"))
         .orderBy($"component")
-    })
+    },
+    Some(
+      "WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, greatest(1, len(string_split(text,' ')) - 2)), " +
+        "i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) " +
+        "AS shingles FROM documents WHERE doc_id < 300), " +
+        "edges AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5), " +
+        "bidir AS (SELECT id_a AS src, id_b AS dst FROM edges " +
+        "UNION SELECT id_b, id_a FROM edges), " +
+        "reach(id, lbl) AS (SELECT src, src FROM bidir " +
+        "UNION SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.id) " +
+        "SELECT component, count(*) AS family_size, min(id) AS canonical_id " +
+        "FROM (SELECT id, min(lbl) AS component FROM reach GROUP BY id) " +
+        "GROUP BY component ORDER BY component"))
+
+  /** STREAMING sessionization parity: replay the events file through the
+    * stateful `flatMapGroupsWithState` sessionizer
+    * ([[graft.streaming.EventStream.sessionize]]) and hash-match its
+    * closed sessions against a DuckDB gaps-and-islands oracle. Append
+    * semantics: a session is emitted when an in-data gap > 30 min closes
+    * it, so each user's final (dangling) session is excluded on both
+    * sides — the oracle drops each user's max session id. Note the
+    * boundary differs from q53's `session_window`: the custom state keeps
+    * a gap of EXACTLY 30 min in-session (`<= gap`), so the oracle splits
+    * strictly on `> INTERVAL 30 MINUTE`. */
+  val q95Sessionize: GraftQuery = GraftQuery(
+    "q95_sessionize",
+    (s, d) => {
+      import s.implicits._
+      graft.streaming.EventStream.runSessionize(s, d, gapMinutes = 30,
+          queryName = "graft_sessions_q95")
+        .select($"user_id", unix_millis($"session_start").as("start_ms"),
+          unix_millis($"session_end").as("end_ms"), $"n_events",
+          round($"total_value", 2).as("total_value"))
+        .orderBy($"user_id", $"start_ms")
+    },
+    Some(
+      "WITH o AS (SELECT user_id, ts, value, CASE WHEN " +
+        "lag(ts) OVER w IS NULL OR " +
+        "ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END " +
+        "AS new_s FROM events WINDOW w AS " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "g AS (SELECT user_id, ts, value, sum(new_s) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, new_s " +
+        "ROWS UNBOUNDED PRECEDING) AS sess FROM o), " +
+        "a AS (SELECT user_id, sess, epoch_ms(min(ts)) AS start_ms, " +
+        "epoch_ms(max(ts)) AS end_ms, count(*) AS n_events, " +
+        "round(sum(value), 2) AS total_value " +
+        "FROM g GROUP BY user_id, sess), " +
+        "m AS (SELECT *, max(sess) OVER (PARTITION BY user_id) AS last_sess " +
+        "FROM a) " +
+        "SELECT user_id, start_ms, end_ms, n_events, total_value " +
+        "FROM m WHERE sess < last_sess ORDER BY user_id, start_ms"))
 
   /** Fixed-width histogram with an explicit bucket formula (identical in
     * both engines — no width_bucket semantics drift). */

@@ -24,8 +24,12 @@ object EventStream {
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
 
-  private final case class SessionState(start: Long, end: Long, n: Long,
-      value: Double)
+  // NOT private: the streaming state-store encoder generates bytecode in
+  // another package, and a private constructor fails Janino compilation
+  // ("no applicable constructor") only once the STREAMING path serializes
+  // state — batch flatMapGroupsWithState never hits it.
+  final case class SessionState(start: Long, end: Long, n: Long,
+      total: Double)
 
   /** Streaming source over the events parquet (nanos ts read as long, then
     * converted — same contract as [[graft.Tables.events]]). */
@@ -126,24 +130,57 @@ object EventStream {
       spark.table(queryName)
     }
 
+  /** Streaming replay of [[sessionize]] against the events file source:
+    * returns the CLOSED sessions (append mode — a session is emitted once
+    * the stream has seen an in-data gap larger than `gapMinutes` for that
+    * user; each user's final session stays in state until its
+    * processing-time timeout, so a finite replay deliberately excludes
+    * it). This closed-session set is deterministic and batch-expressible,
+    * which is what q95's DuckDB oracle checks. */
+  def runSessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30,
+      queryName: String = "graft_sessions",
+      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+    withPartitions(spark, shufflePartitions) {
+      import spark.implicits._
+      implicit val sp: SparkSession = spark
+      val events = source(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event]
+      val q = sessionize(events, gapMinutes,
+          timeout = GroupStateTimeout.NoTimeout).writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(queryName)
+    }
+
   /** Gap-based sessionization: events of a user belong to one session
     * while the gap between consecutive events stays below `gapMinutes`.
-    * Emits closed sessions (append mode); processing-time timeout flushes
-    * dangling sessions.
-    */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30)(
+    * Emits closed sessions (append mode).
+    *
+    * `timeout` picks the dangling-session flush policy:
+    * `ProcessingTimeTimeout` (default) flushes a user's idle session after
+    * the gap elapses on the CLOCK — the production choice for an unbounded
+    * stream, but on a finite replay the engine keeps scheduling
+    * micro-batches to re-check pending clock timeouts, so
+    * `processAllAvailable` never settles. `NoTimeout` emits in-data
+    * gap-closed sessions only (each user's final session stays in state) —
+    * the deterministic replay/backfill choice ([[runSessionize]], q95). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)(
       implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
     val gapMs = gapMinutes * 60L * 1000L
+    val withTimeout = timeout != GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.ProcessingTimeTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
             Iterator.single(Session(userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.end), s.n, s.value))
+              new java.sql.Timestamp(s.end), s.n, s.total))
           } else {
             val sorted = rows.toArray.sortBy(_.ts.getTime)
             var closed = List.empty[Session]
@@ -153,17 +190,17 @@ object EventStream {
               cur match {
                 case Some(s) if t - s.end <= gapMs =>
                   cur = Some(SessionState(s.start, t, s.n + 1,
-                    s.value + e.value))
+                    s.total + e.value))
                 case Some(s) =>
                   closed ::= Session(userId, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.end), s.n, s.value)
+                    new java.sql.Timestamp(s.end), s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
             cur.foreach(state.update)
-            state.setTimeoutDuration(s"$gapMinutes minutes")
+            if (withTimeout) state.setTimeoutDuration(s"$gapMinutes minutes")
             closed.reverseIterator
           }
       }

@@ -208,6 +208,45 @@ class MultimodalSpec extends GraftSuite {
     val out = Multimodal.frameSample(withBin, nFrames = 4)
     assert(out.filter(col("n_frames") =!= 4).count() === 0)
   }
+
+  /** PNG bytes for a w×h image whose pixel (x, y) = rgb(x, y). Built with
+    * the JDK only — no fixture file, no external codec. */
+  private def pngBytes(w: Int, h: Int,
+      rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("image payloads decode for REAL: true dimensions and Rec.601 luma") {
+    // 5×3 all-white: luma exactly 255; dimensions must be the true ones
+    val white = Multimodal.decode(1L, pngBytes(5, 3, (_, _) => 0xffffff))
+    assert(white.width === 5 && white.height === 3)
+    assert(white.luma_mean === 255.0 +- 1e-9)
+    // pure-red square: Rec.601 luma = 0.299 × 255
+    val red = Multimodal.decode(2L, pngBytes(4, 4, (_, _) => 0xff0000))
+    assert(red.luma_mean === 0.299 * 255 +- 1e-9)
+    // non-image bytes keep the deterministic fallback (never throw)
+    val blob = "not an image".getBytes("UTF-8")
+    assert(Multimodal.decode(3L, blob) === Multimodal.fakeDecode(3L, blob))
+  }
+
+  test("decode runs distributed: image rows and text rows share a column") {
+    val s = spark
+    import s.implicits._
+    val img = pngBytes(7, 2, (_, _) => 0x000000) // all-black: luma 0
+    val rows = Seq((1L, img), (2L, "plain text payload".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val feats = Multimodal.extractFeatures(rows)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).width === 7 && feats(1L).height === 2)
+    assert(feats(1L).luma_mean === 0.0 +- 1e-9)
+    assert(feats(2L) === Multimodal.fakeDecode(2L,
+      "plain text payload".getBytes("UTF-8")))
+  }
 }
 
 class StreamingSpec extends GraftSuite {
@@ -264,6 +303,46 @@ class StreamingSpec extends GraftSuite {
       .collect()
     assert(sessions.length === 1)
     assert(sessions(0).n_events === 3 && sessions(0).total_value === 6.0)
+  }
+}
+
+class SessionizeReplaySpec extends GraftSuite {
+
+  test("streaming sessionize replay equals the batch gaps-and-islands " +
+      "closed-session set") {
+    val s = spark
+    import s.implicits._
+    val streamed = graft.streaming.EventStream
+      .runSessionize(spark, sf, gapMinutes = 30,
+        queryName = "spec_sessions")
+      .select($"user_id", unix_millis($"session_start").as("start_ms"),
+        unix_millis($"session_end").as("end_ms"), $"n_events",
+        round($"total_value", 2).as("total_value"))
+    // batch twin: lag + cumulative-sum session ids, each user's LAST
+    // session dropped (it dangles in stream state until timeout)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val batch = Tables.events(spark, sf)
+      .withColumn("new_s",
+        when(lag($"ts", 1).over(w).isNull ||
+          unix_millis($"ts") - unix_millis(lag($"ts", 1).over(w)) >
+            30L * 60 * 1000, 1).otherwise(0))
+      .withColumn("sess", sum($"new_s").over(
+        w.rowsBetween(Long.MinValue, 0)))
+      .groupBy($"user_id", $"sess")
+      .agg(unix_millis(min($"ts")).as("start_ms"),
+        unix_millis(max($"ts")).as("end_ms"),
+        count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("total_value"))
+      .withColumn("last_sess",
+        max($"sess").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id")))
+      .filter($"sess" < $"last_sess")
+      .select($"user_id", $"start_ms", $"end_ms", $"n_events",
+        $"total_value")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
   }
 }
 
@@ -386,6 +465,27 @@ class BucketCapSpec extends GraftSuite {
     // only the representative partners the new clone; the unrelated new
     // doc pairs with nothing
     assert(pairs.toSeq === Seq((9000L, 1L)))
+  }
+}
+
+/** Linear-growth gate for the MinHash stack ([[graft.DedupScaleProbe]]):
+  * at fixed dup rate, candidate pairs and found dup pairs must grow
+  * ~linearly with corpus size — the 100 TB survival property (the
+  * all-pairs baseline grows quadratically). */
+class DedupScaleSpec extends GraftSuite {
+
+  test("candidates and dup pairs grow linearly in corpus replication") {
+    val docs = Tables.documents(spark, sf)
+    val (c1, d1) = graft.DedupScaleProbe.counts(docs, 1)
+    val (c4, d4) = graft.DedupScaleProbe.counts(docs, 4)
+    assert(d1 > 0, "no planted dups found at base size")
+    // dup structure replicates exactly: disjoint shingle spaces mean no
+    // cross-replica pairs, so dups scale by exactly m
+    assert(d4 === 4 * d1)
+    // candidates scale ~linearly (replica buckets are disjoint; allow
+    // slack for incidental band collisions across replicas)
+    assert(c4 <= 4 * c1 + math.max(20L, c1 / 2),
+      s"candidate growth superlinear: x1=$c1 x4=$c4")
   }
 }
 
