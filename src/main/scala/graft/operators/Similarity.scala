@@ -111,10 +111,13 @@ object Similarity extends Serializable {
     * broken-metric regressions (recall collapsing to chance level), not
     * to pin exact values — the tight per-SF values live in the specs. */
   def assertRecallFloor(recalls: DataFrame, floor: Double): DataFrame = {
-    val mean = recalls.agg(avg(col("recall"))).first().getDouble(0)
+    // persist: the floor check is eager and the caller then materializes
+    // the same tiny per-query table — one computation, not two
+    val cached = recalls.persist()
+    val mean = cached.agg(avg(col("recall"))).first().getDouble(0)
     require(mean >= floor,
       f"recall regression: mean recall $mean%.4f < floor $floor%.2f")
-    recalls.withColumn("min_recall", lit(floor))
+    cached.withColumn("min_recall", lit(floor))
   }
 
   /** Exact top-k via the heap AGGREGATOR instead of a ranking window:

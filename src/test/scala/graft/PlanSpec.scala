@@ -130,4 +130,30 @@ class ScaleShapeSpec extends GraftSuite {
         "value", limit = 1000000)
     }
   }
+
+  test("Viz renders a REAL PNG scatter: decodable, points where mapped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_viz").toString
+    val path = s"$dir/scatter.png"
+    val pts = Array((0.0, 0.0, 0), (1.0, 1.0, 1), (0.5, 0.5, 2))
+    graft.io.Viz.renderScatterPng(pts, path, width = 320, height = 240)
+    val img = javax.imageio.ImageIO.read(new java.io.File(path))
+    assert(img.getWidth === 320 && img.getHeight === 240)
+    // every point's mapped pixel carries its label's palette color
+    pts.foreach { case (x, y, label) =>
+      val (px, py) = graft.io.Viz.pixelOf(x, y, 0.0, 1.0, 0.0, 1.0, 320, 240)
+      assert((img.getRGB(px, py) & 0xffffff) === graft.io.Viz.Palette(label),
+        s"point ($x,$y) label $label not drawn at ($px,$py)")
+    }
+  }
+
+  test("Viz.scatterPng: the full sink writes a PNG from a DataFrame") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_viz2").toString
+    val path = s"$dir/clusters.png"
+    graft.io.Viz.scatterPng(
+      Tables.events(spark, sf).withColumn("lbl", (col("user_id") % 3).cast("int")),
+      "value", "value", "lbl", path, limit = 200)
+    val img = javax.imageio.ImageIO.read(new java.io.File(path))
+    assert(img != null)
+    assert(img.getWidth === 640 && img.getHeight === 480)
+  }
 }
