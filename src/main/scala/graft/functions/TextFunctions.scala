@@ -72,6 +72,50 @@ object TextFunctions extends Serializable {
     round(lenScore * 0.4 + diversity * 0.4 + tokLenScore * 0.2, 6)
   }
 
+  /** Email/phone patterns for PII scrubbing — deliberately simple,
+    * RE2-compatible syntax so the same pattern runs identically in Spark
+    * (Java regex) and DuckDB (RE2): no backreferences, no lookaround. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{2,4}"
+
+  /** PII scrubbing: emails → `<EMAIL>`, international-format phone
+    * numbers → `<PHONE>`. Pure regexp_replace — codegen'd, one pass, the
+    * standard pre-training redaction step. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** How many PII hits a redaction pass would scrub (audit metric). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Word 2-grams of the token stream, NON-distinct (repetition analysis
+    * needs the duplicates). */
+  def wordBigrams(text: Column): Column = {
+    val toks = tokens(text)
+    transform(sequence(lit(1), greatest(lit(1), size(toks) - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+  }
+
+  /** Gopher-style repetition signals per document:
+    * `dup_bigram_frac` = fraction of bigram occurrences that are repeats
+    * (1 − distinct/total); `top_bigram_share` = share of the most frequent
+    * bigram. Both pure expressions — the per-doc occurrence count is
+    * O(distinct × total) inside one row, fine at document length and
+    * embarrassingly parallel across the corpus. */
+  def dupBigramFrac(text: Column): Column = {
+    val bg = wordBigrams(text)
+    round(lit(1.0) -
+      size(array_distinct(bg)).cast("double") / size(bg), 4)
+  }
+
+  def topBigramShare(text: Column): Column = {
+    val bg = wordBigrams(text)
+    val counts = transform(array_distinct(bg),
+      b => size(filter(bg, x => x === b)))
+    round(array_max(counts).cast("double") / size(bg), 4)
+  }
+
   /** Polynomial rolling fingerprint over the token stream:
     * fp = fold(7, (acc, t) => (acc*31 + unit(t)) mod 1e9+7) where
     * unit(t) = length(t) + ascii(first char). Modding every step keeps the

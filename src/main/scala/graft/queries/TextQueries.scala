@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   def all: Seq[GraftQuery] = Seq(q20TokenStats, q21DedupExact,
-    q22DedupPrefixKey, q23StopwordRatio)
+    q22DedupPrefixKey, q23StopwordRatio, q96PiiRedact, q97Repetition,
+    q98Contamination)
 
   /** Token counting: whitespace tokens, distinct tokens, char length. */
   val q20TokenStats: GraftQuery = GraftQuery(
@@ -90,4 +91,94 @@ object TextQueries {
         "t -> t IN ('the','a','of','and','to')))::DOUBLE / " +
         "len(string_split(text,' ')), 4) AS stop_ratio " +
         "FROM documents ORDER BY doc_id"))
+
+  /** PII scrubbing ([[graft.functions.TextFunctions.redactPii]]): emails and phone
+    * numbers → placeholder tokens, plus scrub-audit counts. The corpus
+    * text carries no PII, so each doc gets a deterministic synthetic
+    * email + phone prefixed IN THE QUERY (both engines build the same
+    * string) — what the oracle then verifies is the regex semantics
+    * parity, the risky part of a redaction operator. */
+  val q96PiiRedact: GraftQuery = GraftQuery(
+    "q96_pii_redact",
+    (s, d) => {
+      import s.implicits._
+      val raw = concat(lit("contact u"), $"doc_id", lit("@corp.example"),
+        lit(" tel +1-202-555-01"), lpad(($"doc_id" % 100).cast("string"),
+          2, "0"), lit(" "), $"text")
+      Tables.documents(s, d)
+        .select($"doc_id",
+          substring(graft.functions.TextFunctions.redactPii(raw), 1, 60).as("red_prefix"),
+          graft.functions.TextFunctions.piiCount(raw, graft.functions.TextFunctions.EmailRe).as("n_emails"),
+          graft.functions.TextFunctions.piiCount(raw, graft.functions.TextFunctions.PhoneRe).as("n_phones"))
+        .orderBy($"doc_id")
+    },
+    Some(
+      "WITH raw AS (SELECT doc_id, 'contact u' || doc_id || " +
+        "'@corp.example tel +1-202-555-01' || " +
+        "lpad((doc_id % 100)::VARCHAR, 2, '0') || ' ' || text AS r " +
+        "FROM documents) " +
+        "SELECT doc_id, substr(regexp_replace(regexp_replace(r, " +
+        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{2,4}', '<PHONE>', 'g'), " +
+        "1, 60) AS red_prefix, " +
+        "len(regexp_extract_all(r, " +
+        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails, " +
+        "len(regexp_extract_all(r, " +
+        "'\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{2,4}')) AS n_phones " +
+        "FROM raw ORDER BY doc_id"))
+
+  /** Gopher-style repetition filter signals: duplicate-bigram fraction
+    * and top-bigram share per document ([[graft.functions.TextFunctions.dupBigramFrac]] /
+    * [[graft.functions.TextFunctions.topBigramShare]]) — the quality gate that drops
+    * boilerplate/looping documents before training. */
+  val q97Repetition: GraftQuery = GraftQuery(
+    "q97_repetition",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          graft.functions.TextFunctions.dupBigramFrac($"text").as("dup_bigram_frac"),
+          graft.functions.TextFunctions.topBigramShare($"text").as("top_bigram_share"))
+        .orderBy($"doc_id")
+    },
+    Some(
+      "WITH bg AS (SELECT doc_id, list_transform(" +
+        "generate_series(1, greatest(1, len(string_split(text,' ')) - 1)), " +
+        "i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' ')) " +
+        "AS b FROM documents) " +
+        "SELECT doc_id, " +
+        "round(1.0 - len(list_distinct(b))::DOUBLE / len(b), 4) " +
+        "AS dup_bigram_frac, " +
+        "round(list_max(list_transform(list_distinct(b), " +
+        "x -> len(list_filter(b, y -> y = x))))::DOUBLE / len(b), 4) " +
+        "AS top_bigram_share " +
+        "FROM bg ORDER BY doc_id"))
+
+  /** Benchmark-contamination detection: corpus documents sharing any
+    * 3-gram shingle with a benchmark set (stand-in: docs 0-19). The
+    * benchmark shingle set is tiny → broadcast semi-structure; the corpus
+    * is scanned ONCE and only matches shuffle — the shape that holds when
+    * the corpus is 100 TB and the benchmark is a few MB. */
+  val q98Contamination: GraftQuery = GraftQuery(
+    "q98_contamination",
+    (s, d) => {
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .select($"doc_id",
+          explode(graft.operators.Dedup.shingles($"text", 3)).as("sh"))
+      val bench = sh.filter($"doc_id" < 20).select($"sh").distinct()
+      sh.filter($"doc_id" >= 20)
+        .join(broadcast(bench), "sh")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy($"doc_id")
+    },
+    Some(
+      "WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "generate_series(1, greatest(1, len(string_split(text,' ')) - 2)), " +
+        "i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')))) " +
+        "AS sh FROM documents), " +
+        "bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20), " +
+        "corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 20) " +
+        "SELECT c.doc_id, count(*) AS n_shared FROM corpus c " +
+        "JOIN bench b USING (sh) GROUP BY c.doc_id ORDER BY doc_id"))
 }
