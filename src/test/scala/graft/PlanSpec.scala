@@ -58,6 +58,14 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("HashJoin"), p)
   }
 
+  test("q98: contamination joins the benchmark set by broadcast") {
+    val p = plan("q98_contamination")
+    // the benchmark shingle set must ship to the corpus, never the
+    // reverse: a shuffle of the corpus side would not survive 100 TB
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q88: native as-of join plans a custom exec, no window detour") {
     val p = plan("q88_asof_native")
     assert(p.contains("AsOfJoin"), p) // merge or broadcast variant
