@@ -40,7 +40,20 @@ final case class GraftConfig(
       * kernels are dimension-agnostic); `columns` pairs are ignored for
       * grid building in that case. */
     metricSets: Seq[Seq[String]] = Nil,
-    dontScale: Seq[String] = Seq("cpu_percent")) {
+    dontScale: Seq[String] = Seq("cpu_percent"),
+    /** NORTH-STAR EXTENSION knobs — the dedup / similarity-index
+      * parameters, overlayable through the same JSON document as the
+      * reference's clustering knobs (defaults mirror the operator
+      * defaults in `operators/Dedup` / `IvfIndex` / `PqIndex`). */
+    minhashNumHashes: Int = 32,
+    minhashBands: Int = 8,
+    dedupThreshold: Double = 0.5,
+    shingleN: Int = 3,
+    maxBucket: Int = 1000,
+    annNlist: Int = 16,
+    annNprobe: Int = 4,
+    pqSubspaces: Int = 8,
+    pqCentroids: Int = 16) {
 
   /** The task grid (G3, `scripts/cluster.py:276-287`): every
     * (macro, micro) × (x, y) × algorithm combination. */

@@ -165,8 +165,21 @@ object Dedup extends Serializable {
   def minhashNearDupsAgainst(corpus: DataFrame, newBatch: DataFrame,
       idCol: String, textCol: String, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, shingleN: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    minhashNearDupsAgainstIndex(
+      minhashIndex(corpus, idCol, textCol, numHashes, shingleN),
+      newBatch, idCol, textCol, numHashes, bands, threshold, shingleN,
+      maxBucket)
+
+  /** Incremental near-dup against a PRE-BUILT corpus index (the
+    * (id, signature, hs) table from [[minhashIndex]], usually read back
+    * from parquet via [[readIndex]]): the corpus TEXT is never touched —
+    * at 100 TB the index is a small fraction of the corpus footprint and
+    * the only thing an ingest batch reads. */
+  def minhashNearDupsAgainstIndex(corpusIdx: DataFrame, newBatch: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, shingleN: Int = 3,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val corpusIdx = minhashIndex(corpus, idCol, textCol, numHashes, shingleN)
     val newIdx = minhashIndex(newBatch, idCol, textCol, numHashes, shingleN)
     // Corpus-side occupancy cap: an oversized corpus bucket (boilerplate
     // family) contributes only its min-id representative as a join
@@ -200,6 +213,19 @@ object Dedup extends Serializable {
         hashSetJaccard(col("hs_n"), col("hs_c")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Persist a corpus's MinHash index: one corpus scan, append-mode write
+    * — repeated calls with successive ingest batches GROW the index
+    * without rewriting it (ids must be disjoint across batches, the
+    * usual monotonic-id ingest contract). */
+  def writeIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 32, shingleN: Int = 3): Unit =
+    minhashIndex(df, idCol, textCol, numHashes, shingleN)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+
+  /** Read a persisted MinHash index back ((id, signature, hs) rows). */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
 
   /** Full MinHash-LSH near-dup pipeline: one-pass index → banded
     * candidates → exact-Jaccard verification of candidates only, against

@@ -110,6 +110,15 @@ class EngineSpec extends GraftSuite {
     assert(c.taskGrid.nonEmpty)
   }
 
+  test("dedup/ANN knobs overlay like the reference's clustering knobs") {
+    val c = graft.config.GraftConfig.fromJson(
+      """{"minhashBands": 16, "maxBucket": 50, "annNprobe": 8}""")
+    assert(c.minhashBands === 16 && c.maxBucket === 50 && c.annNprobe === 8)
+    // absent extension knobs keep operator defaults
+    assert(c.minhashNumHashes === 32 && c.dedupThreshold === 0.5)
+    assert(c.pqSubspaces === 8 && c.annNlist === 16 && c.shingleN === 3)
+  }
+
   test("metricSets drive an n-D task grid; default falls back to pairs") {
     val c = graft.config.GraftConfig.fromJson(
       """{"metricSets": [["cpu_percent", "ram_usage", "disk_io"]]}""")

@@ -509,6 +509,36 @@ class IncrementalDedupSpec extends GraftSuite {
     assert(pairs.toSeq === Seq((100L, 1L))) // only the cross near-dup
   }
 
+  test("persisted index: ingest dedups against parquet, corpus never re-read") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" < 80)
+    val newBatch = docs.filter($"doc_id" >= 80)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    val path = s"$dir/minhash_index"
+    // index built once and persisted in two appended slices (append-only
+    // growth contract)
+    graft.operators.Dedup.writeIndex(
+      corpus.filter($"doc_id" < 40), "doc_id", "text", path)
+    graft.operators.Dedup.writeIndex(
+      corpus.filter($"doc_id" >= 40), "doc_id", "text", path)
+    val idx = graft.operators.Dedup.readIndex(spark, path)
+    assert(idx.count() === corpus.count())
+    val viaIndex = graft.operators.Dedup
+      .minhashNearDupsAgainstIndex(idx, newBatch, "doc_id", "text",
+        threshold = 0.5)
+      .select($"new_id", $"corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = graft.operators.Dedup
+      .minhashNearDupsAgainst(corpus, newBatch, "doc_id", "text",
+        threshold = 0.5)
+      .select($"new_id", $"corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex === direct)
+    assert(viaIndex.nonEmpty)
+  }
+
   test("incremental result agrees with batch LSH on the union") {
     val s = spark
     import s.implicits._
