@@ -126,43 +126,49 @@ object PqIndex extends Serializable {
     scoreAdc(spark, queries, pruned, cb, topK)
   }
 
+  /** ADC scoring with NO UDF: the per-query m×k lookup table rides along
+    * as an `array<array<double>>` column on a broadcast-joined one-row-
+    * per-query table, and the score is pure higher-order expressions —
+    * `zip_with(code, adc, (c, t) => t[c+1])` then an ordered `aggregate`
+    * sum (same left-to-right addition order as a hand loop, so results
+    * are bit-identical and deterministic). No driver-side broadcast
+    * variable, and the plan shows the join + projection instead of an
+    * opaque function call. */
   private def scoreAdc(spark: SparkSession,
       queries: Seq[(Long, Array[Double])], pairs: DataFrame, cb: Codebook,
       k: Int): DataFrame = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(adcTables(queries, cb))
-    val score = udf((qid: Long, code: Seq[Int]) => {
-      val t = bc.value(qid)
-      var s = 0.0
-      var i = 0
-      while (i < code.length) { s += t(i)(code(i)); i += 1 }
-      s
-    })
+    val adcDf = queries
+      .map { case (qid, qv) => (qid, adcTable(qv, cb).map(_.toSeq).toSeq) }
+      .toDF("query_id", "adc")
     val w = Window.partitionBy($"query_id")
       .orderBy($"adc_dist".asc, $"cand_id".asc)
-    pairs.select($"query_id", $"cand_id",
-        score($"query_id", $"code").as("adc_dist"))
+    pairs.join(broadcast(adcDf), "query_id")
+      .select($"query_id", $"cand_id",
+        aggregate(
+          zip_with($"code", $"adc", (c, t) => element_at(t, c + lit(1))),
+          lit(0.0), (acc, x) => acc + x).as("adc_dist"))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
   }
 
-  private def adcTables(queries: Seq[(Long, Array[Double])],
-      cb: Codebook): Map[Long, Array[Array[Double]]] =
-    queries.map { case (qid, qv) =>
-      qid -> Array.tabulate(cb.m) { s =>
-        val off = s * cb.subDim
-        cb.centers(s).map { c =>
-          var d2 = 0.0
-          var i = 0
-          while (i < cb.subDim) {
-            val diff = qv(off + i) - c(i)
-            d2 += diff * diff
-            i += 1
-          }
-          d2
+  /** Per-query ADC table: partial squared distance of each subvector to
+    * every centroid of its subspace. */
+  private def adcTable(qv: Array[Double],
+      cb: Codebook): Array[Array[Double]] =
+    Array.tabulate(cb.m) { s =>
+      val off = s * cb.subDim
+      cb.centers(s).map { c =>
+        var d2 = 0.0
+        var i = 0
+        while (i < cb.subDim) {
+          val diff = qv(off + i) - c(i)
+          d2 += diff * diff
+          i += 1
         }
+        d2
       }
-    }.toMap
+    }
 
   /** Recall@k of the ADC short list against the exact (brute-force
     * squared-L2) top-k. */

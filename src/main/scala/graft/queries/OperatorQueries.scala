@@ -637,8 +637,11 @@ object OperatorQueries {
     (s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d).filter($"doc_id" < 300)
+      // minJaccard pushes the size prefilter into the pair join; the
+      // explicit threshold below is then exact (identical result set)
       val pairs = graft.operators.Dedup
-        .ngramJaccardPairs(docs, "doc_id", "text")
+        .ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+          minJaccard = Some(0.5))
         .filter($"jaccard" >= 0.5)
       graft.operators.Dedup.connectedComponents(pairs)
         .groupBy($"component")

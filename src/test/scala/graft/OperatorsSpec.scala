@@ -59,6 +59,17 @@ class DedupSpec extends GraftSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("length prefilter preserves the thresholded Jaccard pair set") {
+    val d = Tables.documents(spark, sf)
+    def pairs(mj: Option[Double]) =
+      Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, mj)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Some(0.5)) === pairs(None))
+    assert(pairs(Some(0.5)).nonEmpty)
+  }
+
   test("jaccard formula") {
     val d = docs((1L, "irrelevant"))
     val j = d.select(Dedup.jaccard(
