@@ -339,6 +339,19 @@ object Dedup extends Serializable {
 
   // -------------------------------------------------- dedup finalization
 
+  /** Materialize the DEDUPLICATED corpus: keep every document except
+    * non-canonical members of a duplicate family (id ≠ component min).
+    * One anti-join against the reduced victim list — the final step of
+    * identify → group → keep-one; at 100 TB the victim list is the only
+    * thing shuffled alongside the corpus scan. */
+  def keepCanonical(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val victims = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(victims, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over near-dup pair edges: groups transitive
     * duplicates into clusters keyed by their minimum id (so "keep min id
     * per component" deduplicates whole duplicate FAMILIES, not just

@@ -23,7 +23,7 @@ object OperatorQueries {
     q82Upsert, q83TopKAggKnn, q84Normalize, q85DedupComponents,
     q86Histogram, q88AsOfNative, q89StreamIntervalJoin, q90PipelineFilter,
     q91HeavyHitters, q92BigramCounts, q93PqRecall, q94IvfPqTopK,
-    q95Sessionize)
+    q95Sessionize, q99DedupKeep)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -704,6 +704,43 @@ object OperatorQueries {
         "FROM a) " +
         "SELECT user_id, start_ms, end_ms, n_events, total_value " +
         "FROM m WHERE sess < last_sess ORDER BY user_id, start_ms"))
+
+  /** Deduplicated-corpus materialization ([[graft.operators.Dedup
+    * .keepCanonical]]): the final step of the dedup pipeline — drop every
+    * non-canonical member of a duplicate family, keep everything else.
+    * Same deterministic edge list as q85, so the oracle extends q85's
+    * recursive-CTE closure with the keep-side anti-join. */
+  val q99DedupKeep: GraftQuery = GraftQuery(
+    "q99_dedup_keep",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).filter($"doc_id" < 300)
+      val pairs = graft.operators.Dedup
+        .ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+          minJaccard = Some(0.5))
+        .filter($"jaccard" >= 0.5)
+      graft.operators.Dedup.keepCanonical(docs, "doc_id", pairs)
+        .select($"doc_id", length($"text").as("len_chars"))
+        .orderBy($"doc_id")
+    },
+    Some(
+      "WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, greatest(1, len(string_split(text,' ')) - 2)), " +
+        "i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) " +
+        "AS shingles FROM documents WHERE doc_id < 300), " +
+        "edges AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5), " +
+        "bidir AS (SELECT id_a AS src, id_b AS dst FROM edges " +
+        "UNION SELECT id_b, id_a FROM edges), " +
+        "reach(id, lbl) AS (SELECT src, src FROM bidir " +
+        "UNION SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.id), " +
+        "victims AS (SELECT id FROM (SELECT id, min(lbl) AS component " +
+        "FROM reach GROUP BY id) WHERE id != component) " +
+        "SELECT doc_id, length(text) AS len_chars FROM documents " +
+        "WHERE doc_id < 300 AND doc_id NOT IN (SELECT id FROM victims) " +
+        "ORDER BY doc_id"))
 
   /** Fixed-width histogram with an explicit bucket formula (identical in
     * both engines — no width_bucket semantics drift). */

@@ -81,6 +81,39 @@ class EdgeCaseSpec extends GraftSuite {
     assert(zs.length === 3 && zs.distinct.length === 3)
   }
 
+  test("capped LSH on an empty corpus → empty candidates, no crash") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val idx = graft.operators.Dedup.minhashIndex(empty, "doc_id", "text")
+    assert(graft.operators.Dedup.lshCandidates(idx, 8, 32).count() === 0)
+    assert(graft.operators.Dedup
+      .simhashNearDups(empty, "doc_id", "text").count() === 0)
+  }
+
+  test("single-token docs: bigram signals defined, redaction no-ops") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
+    val rows = d.select($"doc_id",
+        graft.functions.TextFunctions.dupBigramFrac($"text").as("f"),
+        graft.functions.TextFunctions.topBigramShare($"text").as("t"),
+        graft.functions.TextFunctions.redactPii($"text").as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getString(3))).toMap
+    assert(rows(1L) === ((0.0, 1.0, "solo"))) // one "bigram" = the token
+    assert(rows(2L)._1 === 0.0 && rows(2L)._3 === "a b")
+  }
+
+  test("keepCanonical with no duplicate pairs keeps the whole corpus") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "x y z"), (2L, "p q r")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.operators.Dedup
+      .keepCanonical(d, "doc_id", noPairs).count() === 2)
+  }
+
   test("PQ trains when sample is smaller than the codebook") {
     val s = spark
     import s.implicits._
