@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * feature-extraction runs per-partition so a real codec drops in without
   * touching the pipeline shape.
   *
-  * IMAGE decode is REAL: [[decodeImage]] uses `javax.imageio` (PNG / JPEG
-  * / GIF / BMP readers ship with the JDK — no external codec dependency),
-  * returning true dimensions and mean Rec.601 luma from the decoded
-  * raster. Payloads that are not a decodable image (and audio/video,
-  * whose codecs are NOT in the JDK) fall back to [[fakeDecode]]'s
-  * deterministic byte-derived pseudo-features, clearly marked as such.
+  * IMAGE and AUDIO decode are REAL, JDK-native: [[decodeImage]] uses
+  * `javax.imageio` (PNG/JPEG/GIF/BMP) for true dimensions + Rec.601
+  * luma; [[decodeAudio]] uses `javax.sound.sampled` (WAV/AIFF/AU PCM)
+  * for true sample rate / channels / frames + RMS amplitude. Payloads
+  * with no JDK codec (video, compressed audio) fall back to
+  * [[fakeDecode]]'s deterministic byte-derived pseudo-features, clearly
+  * marked as such.
   */
 object Multimodal extends Serializable {
 
@@ -103,6 +104,57 @@ object Multimodal extends Serializable {
     * deterministic fallback. */
   def decode(id: Long, bytes: Array[Byte]): MediaFeatures =
     decodeImage(id, bytes).getOrElse(fakeDecode(id, bytes))
+
+  final case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Double, channels: Int, n_frames: Long,
+      duration_s: Double,
+      rms: Double) // root-mean-square amplitude in [0, 1]
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * PCM readers ship with the JDK): true sample rate / channel count /
+    * frame count, and RMS amplitude over 16-bit PCM samples. Returns
+    * None for payloads the JDK cannot parse as audio (MP3/OGG need
+    * external codecs and stay out of scope). */
+  def decodeAudio(id: Long, bytes: Array[Byte]): Option[AudioFeatures] =
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val data = in.readAllBytes()
+        var sumSq = 0.0
+        var n = 0
+        if (fmt.getSampleSizeInBits == 16) {
+          val bigEndian = fmt.isBigEndian
+          var i = 0
+          while (i + 1 < data.length) {
+            val s =
+              if (bigEndian) (data(i) << 8) | (data(i + 1) & 0xff)
+              else (data(i + 1) << 8) | (data(i) & 0xff)
+            val x = s / 32768.0
+            sumSq += x * x
+            n += 1
+            i += 2
+          }
+        }
+        Some(AudioFeatures(id, fmt.getSampleRate.toDouble,
+          fmt.getChannels, frames,
+          frames / fmt.getFrameRate.toDouble,
+          if (n > 0) math.sqrt(sumSq / n) else 0.0))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Per-partition audio feature extraction: decodable rows yield
+    * features, the rest are dropped (a mixed corpus filters itself). */
+  def extractAudioFeatures(withBinary: DataFrame): Dataset[AudioFeatures] = {
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary.select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => decodeAudio(id, bytes) })
+  }
 
   /** Per-partition feature extraction over (id, content) — the decode
     * batches by partition, so a vectorized/codec-backed implementation

@@ -245,6 +245,52 @@ class MultimodalSpec extends GraftSuite {
     assert(Multimodal.decode(3L, blob) === Multimodal.fakeDecode(3L, blob))
   }
 
+  /** In-memory 16-bit mono PCM WAV of a sine wave — JDK-only fixture. */
+  private def wavBytes(sampleRate: Float, seconds: Double,
+      amplitude: Double, hz: Double): Array[Byte] = {
+    val n = (sampleRate * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (amplitude * math.sin(2 * math.Pi * hz * i / sampleRate) *
+        32767).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true,
+      false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audio payloads decode for REAL: format, duration, sine RMS") {
+    val wav = wavBytes(8000f, 0.1, amplitude = 0.5, hz = 440)
+    val f = Multimodal.decodeAudio(1L, wav).get
+    assert(f.sample_rate === 8000.0 && f.channels === 1)
+    assert(f.n_frames === 800L)
+    assert(f.duration_s === 0.1 +- 1e-9)
+    // RMS of a sine of amplitude a is a/sqrt(2)
+    assert(f.rms === 0.5 / math.sqrt(2) +- 0.01)
+    // non-audio bytes are rejected, not mangled
+    assert(Multimodal.decodeAudio(2L, "not audio".getBytes).isEmpty)
+  }
+
+  test("mixed corpus: audio extraction keeps only decodable rows") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, wavBytes(16000f, 0.05, 0.25, 220)),
+      (2L, "plain text".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val feats = Multimodal.extractAudioFeatures(rows).collect()
+    assert(feats.map(_.doc_id).toSeq === Seq(1L))
+    assert(feats.head.sample_rate === 16000.0)
+    assert(feats.head.n_frames === 800L)
+  }
+
   test("decode runs distributed: image rows and text rows share a column") {
     val s = spark
     import s.implicits._
