@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,7 +45,8 @@ object PqIndex extends Serializable {
     Codebook(m, subDim, centers)
   }
 
-  private def encodeVec(cb: Codebook, v: Seq[Double]): Seq[Int] =
+  /** Reference encoder (plain JVM) — kept for spec cross-checks. */
+  private[graft] def encodeVec(cb: Codebook, v: Seq[Double]): Seq[Int] =
     (0 until cb.m).map { s =>
       val off = s * cb.subDim
       var best = 0
@@ -65,14 +66,30 @@ object PqIndex extends Serializable {
       best
     }
 
+  /** PQ code of a vector column as PURE higher-order expressions, no UDF:
+    * for each subspace, squared distances to its centroids ride a
+    * `transform` over the centroid literal, and `array_position(d2,
+    * array_min(d2))` picks the winner — array_position returns the FIRST
+    * match, preserving the reference encoder's first-min tie-break.
+    * Addition order inside each distance matches the hand loop
+    * (`aggregate` folds left), so codes are bit-identical. */
+  private[graft] def encodeExpr(vec: Column, cb: Codebook): Column =
+    array((0 until cb.m).map { s =>
+      val sub = slice(vec, s * cb.subDim + 1, cb.subDim)
+      val d2s = transform(
+        typedLit(cb.centers(s).map(_.toSeq).toSeq),
+        c => aggregate(zip_with(sub, c, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      (array_position(d2s, array_min(d2s)) - 1L).cast("int")
+    }: _*)
+
   /** Encode every candidate vector into its PQ code (array<int> of
-    * length m; values < k fit a byte at rest). One map-side pass. */
+    * length m; values < k fit a byte at rest). One map-side pass of
+    * built-in expressions. */
   def encode(candidates: DataFrame, idCol: String, vecCol: String,
-      cb: Codebook): DataFrame = {
-    val enc = udf((v: Seq[Double]) => encodeVec(cb, v))
+      cb: Codebook): DataFrame =
     candidates.select(col(idCol).as("cand_id"),
-      enc(Similarity.asDouble(col(vecCol))).as("code"))
-  }
+      encodeExpr(Similarity.asDouble(col(vecCol)), cb).as("code"))
 
   /** ADC top-k: per query, an m×k table of partial squared distances is
     * computed once (driver-side — queries are the bounded probe set) and

@@ -24,6 +24,22 @@ class PqSpec extends GraftSuite {
     assert(codes.count() === embeddings.count())
   }
 
+  test("expression encoder matches the JVM reference encoder exactly") {
+    val cb = PqIndex.train(embeddings, "vec_id", "embedding", 8, 16, 42L)
+    val fromExpr = PqIndex.encode(embeddings, "vec_id", "embedding", cb)
+      .orderBy($"cand_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Int]]("code").toSeq)
+    val vecs = embeddings.orderBy($"vec_id")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(_.toDouble).toSeq)
+    vecs.zip(fromExpr).foreach { case ((id1, v), (id2, code)) =>
+      assert(id1 === id2)
+      assert(PqIndex.encodeVec(cb, v) === code, s"mismatch for vec $id1")
+    }
+  }
+
   test("encoding is deterministic") {
     val cb = PqIndex.train(embeddings, "vec_id", "embedding", 8, 16, 42L)
     val a = PqIndex.encode(embeddings, "vec_id", "embedding", cb)
