@@ -16,6 +16,21 @@ object Sampling extends Serializable {
       fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Per-group quota cap: keep at most `n` rows per group, chosen by the
+    * deterministic `orderCol` ranking — the "cap documents per domain"
+    * rebalancing step of a pretraining pipeline. One shuffle (the ranking
+    * window); for pathologically hot groups pair with the usual skew
+    * tools (the window only ranks, it never materializes a group in one
+    * buffer — state is a running count per partition-ordered stream). */
+  def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
   /** Deterministic train/validation split keyed on a stable id column:
     * membership depends only on (id, seed) — invariant to partitioning,
     * re-runs, and data order, unlike randomSplit. trainFraction in (0,1).

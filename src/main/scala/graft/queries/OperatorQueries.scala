@@ -23,7 +23,7 @@ object OperatorQueries {
     q82Upsert, q83TopKAggKnn, q84Normalize, q85DedupComponents,
     q86Histogram, q88AsOfNative, q89StreamIntervalJoin, q90PipelineFilter,
     q91HeavyHitters, q92BigramCounts, q93PqRecall, q94IvfPqTopK,
-    q95Sessionize, q99DedupKeep)
+    q95Sessionize, q99DedupKeep, q100GroupCap)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -741,6 +741,24 @@ object OperatorQueries {
         "SELECT doc_id, length(text) AS len_chars FROM documents " +
         "WHERE doc_id < 300 AND doc_id NOT IN (SELECT id FROM victims) " +
         "ORDER BY doc_id"))
+
+  /** Per-group quota cap ([[graft.operators.Sampling.capPerGroup]]): at
+    * most 50 documents per language, deterministic doc_id ranking — the
+    * per-domain rebalancing step of a corpus pipeline, oracled as a
+    * ranking-window query. */
+  val q100GroupCap: GraftQuery = GraftQuery(
+    "q100_group_cap",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Sampling.capPerGroup(
+        Tables.documents(s, d), "lang", "doc_id", 50)
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    },
+    Some(
+      "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY doc_id) AS rn FROM documents) " +
+        "WHERE rn <= 50 ORDER BY doc_id"))
 
   /** Fixed-width histogram with an explicit bucket formula (identical in
     * both engines — no width_bucket semantics drift). */

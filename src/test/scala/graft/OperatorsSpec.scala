@@ -632,6 +632,21 @@ class SamplingSpec extends GraftSuite {
     assert(enFrac > 0.3 && enFrac < 0.7, s"en fraction $enFrac")
   }
 
+  test("capPerGroup keeps at most n per group, deterministically") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val capped = graft.operators.Sampling
+      .capPerGroup(docs, "lang", "doc_id", 10)
+    val sizes = capped.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.values.forall(_ <= 10))
+    assert(sizes.values.exists(_ === 10L)) // big groups hit the cap
+    // deterministic: the kept set is the n smallest ids per group
+    val again = graft.operators.Sampling
+      .capPerGroup(docs.repartition(13), "lang", "doc_id", 10)
+    assert(capped.select("doc_id").exceptAll(again.select("doc_id"))
+      .count() === 0)
+  }
+
   test("hash split: disjoint, exhaustive, partitioning-invariant") {
     val docs = Tables.documents(spark, sf)
     val (tr, va) = graft.operators.Sampling.splitByHash(docs, "doc_id",
