@@ -53,11 +53,16 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces for the driver's parser: the bare line on stdout
     // (build.sbt routes forked output past sbt's `[info]` logger) AND a
-    // file copy it can read regardless of how the tail is captured.
-    java.nio.file.Files.write(
+    // file copy it can read regardless of how the tail is captured. The
+    // stdout line is the primary channel — print it FIRST so a failed
+    // file write (read-only cwd) can't suppress it.
+    println(line)
+    try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_result.json"),
       (line + "\n").getBytes("UTF-8"))
-    println(line)
+    catch { case e: Exception =>
+      System.err.println(s"[bench] bench_result.json not written: $e")
+    }
     spark.stop()
   }
 }

@@ -28,12 +28,40 @@ object Main {
       run(loadConf(rest), interval, input, outDir, searchK = false)
     case "optimal-k" :: input :: outDir :: rest =>
       run(loadConf(rest), "optimal-k", input, outDir, searchK = true)
+    case "dedup" :: input :: outDir :: rest =>
+      runDedup(loadConf(rest), input, outDir)
     case other =>
       System.err.println(
         s"""usage: graft.Main cluster <interval> <input> <outDir> [conf.json]
            |       graft.Main optimal-k <input> <outDir> [conf.json]
+           |       graft.Main dedup <docsParquet> <outDir> [conf.json]
            |(got: ${other.mkString(" ")})""".stripMargin)
       sys.exit(2)
+  }
+
+  /** North-star CLI: MinHash near-dup detection + duplicate families +
+    * the surviving corpus, parameterized by the config overlay's dedup
+    * knobs (minhashNumHashes/minhashBands/dedupThreshold/shingleN/
+    * maxBucket). Writes `pairs`, `families`, `kept` under outDir. */
+  private def runDedup(gc: GraftConfig, input: String,
+      outDir: String): Unit = {
+    val spark = session()
+    val docs = spark.read.parquet(input)
+    val pairs = graft.operators.Dedup.minhashNearDups(docs, "doc_id",
+      "text", numHashes = gc.minhashNumHashes, bands = gc.minhashBands,
+      threshold = gc.dedupThreshold, shingleN = gc.shingleN,
+      maxBucket = gc.maxBucket).persist()
+    Sinks.writeParquet(pairs, s"$outDir/pairs")
+    val families = graft.operators.Dedup.connectedComponents(pairs)
+      .groupBy(org.apache.spark.sql.functions.col("component"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("family_size"))
+    Sinks.writeParquet(families, s"$outDir/families")
+    Sinks.writeParquet(
+      graft.operators.Dedup.keepCanonical(docs, "doc_id", pairs),
+      s"$outDir/kept")
+    pairs.unpersist()
+    spark.stop()
   }
 
   private def loadConf(rest: List[String]): GraftConfig = rest match {

@@ -44,7 +44,9 @@ final case class GraftConfig(
     /** NORTH-STAR EXTENSION knobs — the dedup / similarity-index
       * parameters, overlayable through the same JSON document as the
       * reference's clustering knobs (defaults mirror the operator
-      * defaults in `operators/Dedup` / `IvfIndex` / `PqIndex`). */
+      * defaults in `operators/Dedup` / `IvfIndex` / `PqIndex`). The
+      * minhash/threshold/bucket knobs drive the `graft.Main dedup` CLI;
+      * the ANN/PQ knobs parameterize index builds the same way. */
     minhashNumHashes: Int = 32,
     minhashBands: Int = 8,
     dedupThreshold: Double = 0.5,

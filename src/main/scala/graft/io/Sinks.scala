@@ -84,28 +84,41 @@ object Sinks {
         val old = new Path(storePath + "__old")
         merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         if (fs.exists(old)) fs.delete(old, true)
-        if (fs.exists(store)) fs.rename(store, old)
-        fs.rename(tmp, store)
+        if (fs.exists(store))
+          require(fs.rename(store, old), s"swap failed: $store -> $old")
+        require(fs.rename(tmp, store), s"swap failed: $tmp -> $store")
         fs.delete(old, true)
         ()
       }
       .start()
 
   /** Crash recovery for [[streamUpsertByKey]]'s rename swap. If the store
-    * is missing, the previous batch died mid-swap: `__tmp` (when present)
-    * is the COMPLETE newly-merged state — its parquet write finished
-    * before any rename ran, or the store would still exist — so it wins;
-    * `__old` is the complete previous state and is the fallback. If the
-    * store exists, any leftover `__tmp`/`__old` is stale scratch from a
-    * crash before/after the swap and the normal path clobbers it. */
+    * is missing, the previous batch died mid-swap: a COMMITTED `__tmp`
+    * (its `_SUCCESS` marker proves the parquet job finished — a bare
+    * directory could be a first-ever batch that died mid-write) is the
+    * newest complete state and wins; `__old` is the complete previous
+    * state and is the fallback; an UNcommitted `__tmp` is deleted. Every
+    * `rename` return value is checked — several Hadoop filesystems report
+    * failure by returning false, not by throwing — and `__old` is only
+    * deleted once the promotion actually succeeded, so a failed rename
+    * can never destroy the one remaining complete copy. If the store
+    * exists, any leftover scratch is left for the normal path to clobber.
+    */
   private[graft] def recoverStore(fs: org.apache.hadoop.fs.FileSystem,
       storePath: String): Unit = {
     val store = new Path(storePath)
     if (!fs.exists(store)) {
       val tmp = new Path(storePath + "__tmp")
       val old = new Path(storePath + "__old")
-      if (fs.exists(tmp)) { fs.rename(tmp, store); fs.delete(old, true) }
-      else if (fs.exists(old)) fs.rename(old, store)
+      val tmpCommitted = fs.exists(new Path(tmp, "_SUCCESS"))
+      if (tmpCommitted && fs.rename(tmp, store)) fs.delete(old, true)
+      else {
+        if (fs.exists(tmp) && !tmpCommitted) fs.delete(tmp, true)
+        if (fs.exists(old)) {
+          require(fs.rename(old, store),
+            s"recovery rename failed: $old -> $store")
+        }
+      }
     }
     ()
   }

@@ -50,12 +50,29 @@ object Multimodal extends Serializable {
     ent
   }
 
+  /** True when the payload starts with a PNG/JPEG/GIF/BMP signature —
+    * the cheap gate that keeps `ImageIO.read` (reader-SPI probing) off
+    * the overwhelmingly-non-image rows of a mixed corpus. */
+  def looksLikeImage(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && {
+      val b0 = bytes(0) & 0xff
+      val b1 = bytes(1) & 0xff
+      (b0 == 0x89 && b1 == 'P') ||                  // PNG
+      (b0 == 0xff && b1 == 0xd8) ||                 // JPEG
+      (b0 == 'G' && b1 == 'I' && bytes(2) == 'F') || // GIF
+      (b0 == 'B' && b1 == 'M')                      // BMP
+    }
+
   /** REAL image decode via the JDK's `javax.imageio` readers: true
     * width/height and mean Rec.601 luma (0.299R + 0.587G + 0.114B) over
     * the decoded raster. Returns None when the bytes are not an image the
-    * JDK can decode — the magic-byte probe rejects non-images cheaply, so
-    * calling this on every payload of a mixed corpus is safe. */
+    * JDK can decode — [[looksLikeImage]] rejects non-images on 4 bytes
+    * before any reader runs, and the in-memory stream cache avoids
+    * ImageIO's default temp-FILE-per-read, so calling this on every
+    * payload of a mixed corpus is safe. */
   def decodeImage(id: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+    if (!looksLikeImage(bytes)) return None
+    javax.imageio.ImageIO.setUseCache(false) // idempotent, JVM-wide
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: Exception => null }
@@ -115,7 +132,11 @@ object Multimodal extends Serializable {
     * PCM readers ship with the JDK): true sample rate / channel count /
     * frame count, and RMS amplitude over 16-bit PCM samples. Returns
     * None for payloads the JDK cannot parse as audio (MP3/OGG need
-    * external codecs and stay out of scope). */
+    * external codecs and stay out of scope), and ALSO for formats whose
+    * features would be wrong rather than missing: NOT_SPECIFIED (-1)
+    * frame geometry would yield negative durations, and non-16-bit
+    * sample sizes would report a bogus silence RMS — undecodable beats
+    * silently wrong. */
   def decodeAudio(id: Long, bytes: Array[Byte]): Option[AudioFeatures] =
     try {
       val in = javax.sound.sampled.AudioSystem
@@ -123,10 +144,12 @@ object Multimodal extends Serializable {
       try {
         val fmt = in.getFormat
         val frames = in.getFrameLength
-        val data = in.readAllBytes()
-        var sumSq = 0.0
-        var n = 0
-        if (fmt.getSampleSizeInBits == 16) {
+        if (frames < 0 || fmt.getFrameRate <= 0 ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = in.readAllBytes()
+          var sumSq = 0.0
+          var n = 0
           val bigEndian = fmt.isBigEndian
           var i = 0
           while (i + 1 < data.length) {
@@ -138,11 +161,11 @@ object Multimodal extends Serializable {
             n += 1
             i += 2
           }
+          Some(AudioFeatures(id, fmt.getSampleRate.toDouble,
+            fmt.getChannels, frames,
+            frames / fmt.getFrameRate.toDouble,
+            if (n > 0) math.sqrt(sumSq / n) else 0.0))
         }
-        Some(AudioFeatures(id, fmt.getSampleRate.toDouble,
-          fmt.getChannels, frames,
-          frames / fmt.getFrameRate.toDouble,
-          if (n > 0) math.sqrt(sumSq / n) else 0.0))
       } finally in.close()
     } catch { case _: Exception => None }
 

@@ -40,12 +40,16 @@ object CapObserver {
             qe: org.apache.spark.sql.execution.QueryExecution,
             durationNs: Long): Unit =
           qe.observedMetrics.foreach { case (name, row) =>
-            if (name.startsWith("graft_cap_") &&
-                row.getAs[Long]("capped_buckets") > 0L)
-              log.warn(s"$name: capped ${row.getAs[Long]("capped_buckets")} " +
-                s"bucket(s) holding ${row.getAs[Long]("capped_rows")} rows " +
-                s"(max occupancy ${row.getAs[Long]("max_occupancy")} > " +
-                s"cap ${row.getAs[Long]("max_bucket")}) — oversized buckets " +
+            // sum()/max() over ZERO observed rows (empty corpus) yield
+            // null metrics — read boxed and null-guard, never unbox
+            def metric(col: String): Long =
+              Option(row.getAs[java.lang.Long](col)).map(_.longValue)
+                .getOrElse(0L)
+            if (name.startsWith("graft_cap_") && metric("capped_buckets") > 0L)
+              log.warn(s"$name: capped ${metric("capped_buckets")} " +
+                s"bucket(s) holding ${metric("capped_rows")} rows " +
+                s"(max occupancy ${metric("max_occupancy")} > " +
+                s"cap ${metric("max_bucket")}) — oversized buckets " +
                 "degraded to star candidates around their min-id representative")
           }
         override def onFailure(funcName: String,

@@ -197,6 +197,17 @@ object Dedup extends Serializable {
       idCol: String, textCol: String, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, shingleN: Int = 3,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // Geometry guard: banding a persisted index with the wrong numHashes
+    // would silently slice short/empty bands and miss near-dups. The
+    // signature length is checked on one row (a parquet-footer-cheap
+    // head); shingleN is NOT recoverable from the index — the caller owns
+    // keeping it consistent across ingest jobs.
+    corpusIdx.select(col("signature")).head(1).foreach { r =>
+      val len = r.getAs[scala.collection.Seq[Long]](0).length
+      require(len == numHashes,
+        s"index geometry mismatch: persisted signatures carry $len " +
+          s"hashes, caller banding expects $numHashes")
+    }
     val newIdx = minhashIndex(newBatch, idCol, textCol, numHashes, shingleN)
     // Corpus-side occupancy cap: an oversized corpus bucket (boilerplate
     // family) contributes only its min-id representative as a join

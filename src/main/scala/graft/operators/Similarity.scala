@@ -111,13 +111,18 @@ object Similarity extends Serializable {
     * broken-metric regressions (recall collapsing to chance level), not
     * to pin exact values — the tight per-SF values live in the specs. */
   def assertRecallFloor(recalls: DataFrame, floor: Double): DataFrame = {
-    // persist: the floor check is eager and the caller then materializes
-    // the same tiny per-query table — one computation, not two
-    val cached = recalls.persist()
-    val mean = cached.agg(avg(col("recall"))).first().getDouble(0)
+    // The recall table is one row per probe query (bounded by design), so
+    // a local materialization both asserts the floor and feeds the result
+    // without caching anything in executor storage — persist() here would
+    // pin a new cache entry per run and never release it.
+    val rows = recalls.collect()
+    require(rows.nonEmpty, "recall floor check: recall table is empty")
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
     require(mean >= floor,
       f"recall regression: mean recall $mean%.4f < floor $floor%.2f")
-    cached.withColumn("min_recall", lit(floor))
+    recalls.sparkSession
+      .createDataFrame(java.util.Arrays.asList(rows: _*), recalls.schema)
+      .withColumn("min_recall", lit(floor))
   }
 
   /** Exact top-k via the heap AGGREGATOR instead of a ranking window:

@@ -688,13 +688,16 @@ object OperatorQueries {
         .orderBy($"user_id", $"start_ms")
     },
     Some(
-      "WITH o AS (SELECT user_id, ts, value, CASE WHEN " +
+      "WITH o AS (SELECT user_id, ts, event_id, value, CASE WHEN " +
         "lag(ts) OVER w IS NULL OR " +
         "ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END " +
         "AS new_s FROM events WINDOW w AS " +
         "(PARTITION BY user_id ORDER BY ts, event_id)), " +
+        // the cumulative sum must use the SAME total order as the lag
+        // window ((ts, event_id)) — ordering ties by new_s would assign a
+        // tied boundary row to the previous session
         "g AS (SELECT user_id, ts, value, sum(new_s) OVER " +
-        "(PARTITION BY user_id ORDER BY ts, new_s " +
+        "(PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS UNBOUNDED PRECEDING) AS sess FROM o), " +
         "a AS (SELECT user_id, sess, epoch_ms(min(ts)) AS start_ms, " +
         "epoch_ms(max(ts)) AS end_ms, count(*) AS n_events, " +

@@ -53,13 +53,16 @@ object SqlCoverageQueries {
         .orderBy($"user_id", $"start_ms")
     },
     Some(
-      "WITH o AS (SELECT user_id, ts, value, CASE WHEN " +
+      "WITH o AS (SELECT user_id, ts, event_id, value, CASE WHEN " +
         "lag(ts) OVER w IS NULL OR " +
         "ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END " +
         "AS new_s FROM events WINDOW w AS " +
         "(PARTITION BY user_id ORDER BY ts, event_id)), " +
+        // cumulative sum in the SAME (ts, event_id) total order as the
+        // lag window — a new_s tie-break would misassign a tied boundary
+        // row to the previous session
         "g AS (SELECT user_id, ts, value, sum(new_s) OVER " +
-        "(PARTITION BY user_id ORDER BY ts, new_s " +
+        "(PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS UNBOUNDED PRECEDING) AS sess FROM o) " +
         "SELECT user_id, epoch_ms(min(ts)) AS start_ms, " +
         "count(*) AS n_events, round(sum(value), 2) AS session_value " +

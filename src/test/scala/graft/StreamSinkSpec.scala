@@ -114,5 +114,26 @@ class StreamSinkSpec extends GraftSuite {
     writeAt(s"${storePath}__tmp", 9)
     graft.io.Sinks.recoverStore(fs, storePath)
     assert(markerAt(storePath) === 3)
+
+    // an UNCOMMITTED __tmp (no _SUCCESS — the write died mid-flight on a
+    // first-ever batch) must NOT be promoted; __old wins instead
+    fs.delete(new org.apache.hadoop.fs.Path(storePath), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${storePath}__tmp"), true)
+    writeAt(s"${storePath}__tmp", 4)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${storePath}__tmp/_SUCCESS"), false)
+    writeAt(s"${storePath}__old", 5)
+    graft.io.Sinks.recoverStore(fs, storePath)
+    assert(markerAt(storePath) === 5)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${storePath}__tmp")))
+
+    // uncommitted __tmp with NO fallback: nothing is promoted (the
+    // checkpoint re-delivers the batch into an absent store)
+    fs.delete(new org.apache.hadoop.fs.Path(storePath), true)
+    writeAt(s"${storePath}__tmp", 6)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${storePath}__tmp/_SUCCESS"), false)
+    graft.io.Sinks.recoverStore(fs, storePath)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(storePath)))
   }
 }
