@@ -98,6 +98,57 @@ object IvfIndex extends Serializable {
     transform(slice(ranked, 1, nprobe), s => s.getField("i"))
   }
 
+  /** Persist the IVF index: the trained centroids (one row, as an
+    * `array<array<double>>`) and the per-candidate bucket assignment
+    * alongside its vector. Both are one map-side pass; at query time the
+    * index is the ONLY thing read — no retraining, no corpus re-scan —
+    * which is the production shape for a 100 TB embedding store (the
+    * bucket table can additionally be partitioned by `bucket` on disk so
+    * probes prune files). */
+  def writeIndex(candidates: DataFrame, candId: String, candVec: String,
+      path: String, nlist: Int = 16, seed: Long = 42L): Unit = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(candidates, candId, candVec, nlist, seed)
+    Seq(Tuple1(centroids.map(_.toSeq)))
+      .toDF("centroids")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    candidates
+      .select(col(candId).as("cand_id"),
+        Similarity.asDouble(col(candVec)).as("cv"),
+        bucketOf(Similarity.asDouble(col(candVec)), centroids).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/buckets")
+  }
+
+  /** Read a persisted IVF index back: (centroids, bucketed candidates). */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[Seq[Double]], DataFrame) = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .head().getAs[scala.collection.Seq[scala.collection.Seq[Double]]](0)
+      .map(_.toSeq).toSeq
+    (centroids, spark.read.parquet(s"$path/buckets"))
+  }
+
+  /** IVF top-k against a PERSISTED index: probe buckets from the stored
+    * centroids, join only those bucket partitions. Same ranking and
+    * tie-breaks as [[topK]], so results are identical for the same
+    * (nlist, seed) geometry. */
+  def topKAgainstIndex(queries: DataFrame, centroids: Seq[Seq[Double]],
+      buckets: DataFrame, queryId: String, queryVec: String,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val qb = queries.select(col(queryId), col(queryVec),
+      explode(probeBuckets(Similarity.asDouble(col(queryVec)), centroids,
+        nprobe)).as("bucket"))
+    val scored = buckets.join(broadcast(qb), "bucket")
+      .filter(col("cand_id") =!= col(queryId))
+      .select(col(queryId), col("cand_id"),
+        Similarity.cosine(col(queryVec), col("cv")).as("cos"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** IVF top-k: candidates scored only inside the query's probed buckets.
     */
   def topK(queries: DataFrame, candidates: DataFrame,

@@ -59,6 +59,28 @@ class IvfSpec extends GraftSuite {
       .map(_.head).toSeq !== base)
   }
 
+  test("persisted IVF index answers identically to the direct path") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val cands = e.select($"vec_id", $"embedding".as("cv"))
+    IvfIndex.writeIndex(cands, "vec_id", "cv", s"$dir/ivf",
+      nlist = 8, seed = 42L)
+    val (centroids, buckets) = IvfIndex.readIndex(spark, s"$dir/ivf")
+    assert(centroids.length === 8)
+    assert(buckets.count() === cands.count())
+    val q = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val viaIndex = IvfIndex.topKAgainstIndex(q, centroids, buckets,
+      "query_id", "qv", k = 5, nprobe = 3)
+      .select($"query_id", $"cand_id", $"rk")
+    val direct = IvfIndex.topK(q, cands, "query_id", "qv", "vec_id", "cv",
+      k = 5, nlist = 8, nprobe = 3, seed = 42L)
+      .select($"query_id", $"vec_id".as("cand_id"), $"rk")
+    assert(viaIndex.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(viaIndex).count() === 0)
+  }
+
   test("IVF recall improves with nprobe and hits 1.0 at nprobe = nlist") {
     val s = spark
     import s.implicits._
