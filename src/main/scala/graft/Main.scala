@@ -30,13 +30,52 @@ object Main {
       run(loadConf(rest), "optimal-k", input, outDir, searchK = true)
     case "dedup" :: input :: outDir :: rest =>
       runDedup(loadConf(rest), input, outDir)
+    case "ann-index" :: input :: outDir :: rest =>
+      runAnnIndex(loadConf(rest), input, outDir)
+    case "ann-query" :: indexDir :: queries :: outDir :: rest =>
+      runAnnQuery(loadConf(rest), indexDir, queries, outDir)
     case other =>
       System.err.println(
         s"""usage: graft.Main cluster <interval> <input> <outDir> [conf.json]
            |       graft.Main optimal-k <input> <outDir> [conf.json]
            |       graft.Main dedup <docsParquet> <outDir> [conf.json]
+           |       graft.Main ann-index <embeddingsParquet> <outDir> [conf.json]
+           |       graft.Main ann-query <indexDir> <queriesParquet> <outDir> [conf.json]
            |(got: ${other.mkString(" ")})""".stripMargin)
       sys.exit(2)
+  }
+
+  /** Build the persisted similarity indexes (IVF buckets + PQ codes)
+    * from the config overlay's ANN knobs (annNlist, pqSubspaces,
+    * pqCentroids). */
+  private def runAnnIndex(gc: GraftConfig, input: String,
+      outDir: String): Unit = {
+    val spark = session()
+    val emb = spark.read.parquet(input)
+    graft.operators.IvfIndex.writeIndex(emb, "vec_id", "embedding",
+      s"$outDir/ivf", nlist = gc.annNlist, seed = 42L)
+    graft.operators.PqIndex.writeIndex(emb, "vec_id", "embedding",
+      s"$outDir/pq", m = gc.pqSubspaces, k = gc.pqCentroids, seed = 42L)
+    spark.stop()
+  }
+
+  /** Answer top-k queries from the PERSISTED IVF index (annNprobe from
+    * the overlay) — no retraining, no corpus scan. */
+  private def runAnnQuery(gc: GraftConfig, indexDir: String,
+      queries: String, outDir: String): Unit = {
+    val spark = session()
+    val (centroids, buckets) =
+      graft.operators.IvfIndex.readIndex(spark, s"$indexDir/ivf")
+    val q = spark.read.parquet(queries)
+      .select(org.apache.spark.sql.functions.col("vec_id")
+          .as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("qv"))
+    Sinks.writeParquet(
+      graft.operators.IvfIndex.topKAgainstIndex(q, centroids, buckets,
+        "query_id", "qv", k = 10, nprobe = gc.annNprobe)
+        .drop("qv"),
+      outDir)
+    spark.stop()
   }
 
   /** North-star CLI: MinHash near-dup detection + duplicate families +

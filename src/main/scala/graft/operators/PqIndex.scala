@@ -91,6 +91,34 @@ object PqIndex extends Serializable {
     candidates.select(col(idCol).as("cand_id"),
       encodeExpr(Similarity.asDouble(col(vecCol)), cb).as("code"))
 
+  /** Persist the PQ index: the codebook (one row) and the per-candidate
+    * codes. At query time the codes table + codebook answer ADC searches
+    * with no float vector and no retraining — the memory-bound scale
+    * artifact (32× smaller than the embeddings it indexes). */
+  def writeIndex(candidates: DataFrame, idCol: String, vecCol: String,
+      path: String, m: Int, k: Int, seed: Long): Unit = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cb = train(candidates, idCol, vecCol, m, k, seed)
+    Seq((cb.m, cb.subDim,
+        cb.centers.map(_.map(_.toSeq).toSeq).toSeq))
+      .toDF("m", "subDim", "centers")
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    encode(candidates, idCol, vecCol, cb)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Read a persisted PQ index back: (codebook, codes). The codes
+    * DataFrame plugs straight into [[adcTopK]]. */
+  def readIndex(spark: SparkSession, path: String): (Codebook, DataFrame) = {
+    val r = spark.read.parquet(s"$path/codebook").head()
+    val centers = r.getAs[scala.collection.Seq[
+        scala.collection.Seq[scala.collection.Seq[Double]]]]("centers")
+      .map(_.map(_.toArray).toArray).toArray
+    (Codebook(r.getAs[Int]("m"), r.getAs[Int]("subDim"), centers),
+      spark.read.parquet(s"$path/codes"))
+  }
+
   /** ADC top-k: per query, an m×k table of partial squared distances is
     * computed once (driver-side — queries are the bounded probe set) and
     * broadcast; every candidate then costs m lookups. Returns

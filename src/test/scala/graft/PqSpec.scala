@@ -40,6 +40,32 @@ class PqSpec extends GraftSuite {
     }
   }
 
+  test("persisted PQ index answers identically to the direct ADC path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    PqIndex.writeIndex(embeddings, "vec_id", "embedding", s"$dir/pq",
+      m = 8, k = 16, seed = 42L)
+    val (cb, codes) = PqIndex.readIndex(spark, s"$dir/pq")
+    assert(cb.m === 8 && cb.subDim === 8)
+    assert(codes.count() === embeddings.count())
+    val vecs = embeddings
+      .select($"vec_id".cast("long").as("id"),
+        graft.operators.Similarity.asDouble($"embedding").as("v"))
+    val queries = vecs.filter($"id" < 3).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]]("v").toArray)
+      .toSeq.sortBy(_._1)
+    val viaIndex = PqIndex.adcTopK(spark, queries, codes, cb, 5)
+      .select($"query_id", $"cand_id", $"rk")
+    val cbDirect = PqIndex.train(embeddings, "vec_id", "embedding",
+      8, 16, 42L)
+    val direct = PqIndex.adcTopK(spark, queries,
+      PqIndex.encode(embeddings, "vec_id", "embedding", cbDirect),
+      cbDirect, 5)
+      .select($"query_id", $"cand_id", $"rk")
+    assert(viaIndex.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(viaIndex).count() === 0)
+  }
+
   test("encoding is deterministic") {
     val cb = PqIndex.train(embeddings, "vec_id", "embedding", 8, 16, 42L)
     val a = PqIndex.encode(embeddings, "vec_id", "embedding", cb)
