@@ -43,6 +43,66 @@ object ClusterEngine extends Serializable {
   private def segmentRng(conf: EngineConf, ma: String, mi: String): Random =
     new Random(conf.seed ^ (MurmurHash3.stringHash(s"$ma|$mi").toLong << 17))
 
+  /** Value hash of a point (xxhash64-style avalanche over the raw double
+    * bits, mixed with the seed) — the ranking key for [[capDeterministic]].
+    * Depends only on the point VALUES and the seed, never on position. */
+  private[graft] def pointHash(p: Array[Double], seed: Long): Long = {
+    var h = seed ^ 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < p.length) {
+      h ^= java.lang.Double.doubleToLongBits(p(i)) * 0xC2B2AE3D27D4EB4FL
+      h = java.lang.Long.rotateLeft(h, 31) * 0x9E3779B185EBCA87L
+      i += 1
+    }
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    h
+  }
+
+  /** Lexicographic point compare (hash tie-break; ties between IDENTICAL
+    * points are harmless — the retained multiset is the same either way). */
+  private[graft] def lexCompare(a: Array[Double], b: Array[Double]): Int = {
+    var i = 0
+    while (i < a.length && i < b.length && a(i) == b(i)) i += 1
+    if (i < a.length && i < b.length) java.lang.Double.compare(a(i), b(i))
+    else Integer.compare(a.length, b.length)
+  }
+
+  /** Deterministic per-segment down-sample: keep the `maxPts` points with
+    * the smallest `(pointHash, lexicographic)` key, via a bounded max-heap
+    * over the streaming iterator — O(n log maxPts) time, O(maxPts) memory.
+    *
+    * The selection is a pure function of (point values, seed): unlike the
+    * naive `it.take(maxPts)` (which keeps whatever arrived first and so
+    * made over-cap segments depend on the input partitioning), the same
+    * multiset of points yields the same retained subset no matter how the
+    * rows were partitioned or ordered. This is what makes the engine's
+    * partition-invariance guarantee hold ABOVE the cap, not just below it.
+    */
+  private[graft] def capDeterministic(it: Iterator[Array[Double]],
+      maxPts: Int, seed: Long): Array[Array[Double]] = {
+    require(maxPts > 0, s"maxPointsPerSegment must be positive, got $maxPts")
+    val ord = new Ordering[(Long, Array[Double])] {
+      def compare(x: (Long, Array[Double]), y: (Long, Array[Double])): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c else lexCompare(x._2, y._2)
+      }
+    }
+    // max-heap on the key: head is the current worst keeper
+    val heap = new scala.collection.mutable.PriorityQueue[(Long, Array[Double])]()(ord)
+    while (it.hasNext) {
+      val p = it.next()
+      if (heap.size < maxPts) heap.enqueue((pointHash(p, seed), p))
+      else {
+        val h = pointHash(p, seed)
+        if (h <= heap.head._1) { // cheap reject: most rows fail this once full
+          val key = (h, p)
+          if (ord.compare(key, heap.head) < 0) { heap.dequeue(); heap.enqueue(key) }
+        }
+      }
+    }
+    heap.iterator.map(_._2).toArray
+  }
+
   private def nextSeed(rnd: Random): Long =
     (rnd.nextInt(Int.MaxValue - 1) + 1).toLong // mirrors np.random.randint(1, 2^31-1)
 
@@ -172,6 +232,7 @@ object ClusterEngine extends Serializable {
       col(Scaling.scaledName(c)).cast("double")): _*)
     val kStoreB = spark.sparkContext.broadcast(kStore)
     val maxPts = conf.maxPointsPerSegment
+    val seed = conf.seed
     scaled.select(
         col(conf.macroCol).cast("string"),
         col(conf.microCol).cast("string"),
@@ -181,16 +242,13 @@ object ClusterEngine extends Serializable {
       .flatMapGroups { (key: (String, String),
           it: Iterator[(String, String, Seq[Double])]) =>
         val (ma, mi) = key
-        // Sort points in-task (lexicographic over all dims): groupByKey
+        // Deterministic cap (selection by value-hash, not arrival order),
+        // then sort in-task (lexicographic over all dims): groupByKey
         // iterator order depends on the input partitioning, and k-means++
-        // init is order-sensitive — the sort makes results invariant to
-        // how the data arrived.
-        val pts = it.take(maxPts).map(_._3.toArray).toArray
-          .sortWith { (a, b) =>
-            var i = 0
-            while (i < a.length && a(i) == b(i)) i += 1
-            i < a.length && a(i) < b(i)
-          }
+        // init is order-sensitive — cap + sort together make results
+        // invariant to how the data arrived, including above the cap.
+        val pts = capDeterministic(it.map(_._3.toArray), maxPts, seed)
+          .sortWith(lexCompare(_, _) < 0)
         segmentResult(ma, mi, pts, conf, kStoreB.value.get((ma, mi))).iterator
       }
   }
