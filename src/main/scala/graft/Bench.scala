@@ -3,14 +3,37 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — one JSON line per run, consumed by the driver as
-  * BENCH_r{N}.json. Queries run in sorted-name order after a warm-up
-  * action, so per-query numbers are comparable across rounds (the first
-  * query otherwise absorbs JVM/codegen warm-up).
+  * BENCH_r{N}.json.
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_REPEATS` (default 3) times
+  * back-to-back and reports `[median, min]` seconds: a single cold run
+  * cannot distinguish a real regression from scheduler noise (round-3
+  * review burned time adjudicating 4× "regressions" on queries with no
+  * code change), while the median absorbs the cold first sample and the
+  * min shows the warm floor. Queries run in sorted-name order after a
+  * warm-up action, so numbers are comparable across rounds.
   */
 object Bench {
+  private def fmt(v: Double): String = {
+    // 2-decimal, trailing-zero-trimmed: the emitted line must stay well
+    // under the driver's ~2000-char capture window for 94+ queries.
+    val s = f"$v%.2f"
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    else s
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeats = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Keys are shortened to the qNN prefix to fit the capture window; a
+    // prefix collision would emit duplicate JSON keys and shadow one
+    // timing — fail fast BEFORE spending minutes running queries.
+    val prefixes = queries.map(_._1.takeWhile(_ != '_'))
+    require(prefixes.distinct.size == queries.size,
+      s"duplicate bench key prefixes: ${prefixes.diff(prefixes.distinct).distinct.mkString(",")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,47 +44,51 @@ object Bench {
     // warm-up: JIT + codegen + parquet footer caches
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results = queries.map { case (name, fn) =>
+      val samples = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val median = samples(samples.size / 2)
+      (name, median, samples.head, samples)
     }
-    // The driver captures only the tail of this process's output (observed
-    // window: 2000 chars in BENCH_r01.json), so the JSON line must stay well
-    // under that or it is truncated and unparseable. Keys are shortened to
-    // the qNN prefix and values rounded to 3 decimals; run with
-    // SPARK_GRAFT_BENCH_VERBOSE=1 for full names on stderr.
     if (sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE")) {
-      results.foreach { case (k, v) =>
-        System.err.println(f"[bench] $k%-28s $v%.3f s")
+      results.foreach { case (k, med, min, all) =>
+        System.err.println(f"[bench] $k%-28s med=$med%.3f min=$min%.3f all=${all.map(s => f"$s%.3f").mkString(",")}")
       }
     }
-    // Keys are shortened to the qNN prefix to fit the driver's tail window;
-    // guard against two registry names sharing a prefix, which would emit
-    // duplicate JSON keys and silently shadow one timing.
-    val prefixes = results.map(_._1.takeWhile(_ != '_'))
-    require(prefixes.distinct.size == results.size,
-      s"duplicate bench key prefixes: ${prefixes.diff(prefixes.distinct).distinct.mkString(",")}")
-    val qs = prefixes.zip(results.map(_._2))
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = prefixes.zip(results)
+      .map { case (k, (_, med, min, _)) =>
+        "\"" + k + "\":[" + fmt(med) + "," + fmt(min) + "]"
+      }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).sum // sum of per-query medians
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$repeats,"queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces for the driver's parser: the bare line on stdout
     // (build.sbt routes forked output past sbt's `[info]` logger) AND a
     // file copy it can read regardless of how the tail is captured. The
     // stdout line is the primary channel — print it FIRST so a failed
     // file write (read-only cwd) can't suppress it.
     println(line)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_result.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] bench_result.json not written: $e")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_result.json"),
+        (line + "\n").getBytes("UTF-8"))
+      // full-precision per-query samples for BASELINE.md adjudication
+      val detail = results.map { case (name, med, min, all) =>
+        "\"" + name + "\":{\"median\":" + f"$med%.3f" + ",\"min\":" + f"$min%.3f" +
+          ",\"all\":[" + all.map(s => f"$s%.3f").mkString(",") + "]}"
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_detail.json"),
+        (detail + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] bench files not written: $e")
     }
     spark.stop()
   }
