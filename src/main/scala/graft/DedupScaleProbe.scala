@@ -17,21 +17,29 @@ import graft.operators.Dedup
   * and melt every bucket): each replica r rewrites the text through a
   * rotated-alphabet substitution, which changes every shingle while
   * preserving the replica's internal near-dup structure — so the planted
-  * dup rate is constant across m by construction.
+  * dup rate is constant across m by construction. The rotation touches
+  * LOWERCASE letters only: uppercase/digit-heavy corpora would keep some
+  * shingles identical across replicas and weaken the disjoint-shingle
+  * premise (the testdata documents are lowercase prose, where it holds).
   */
 object DedupScaleProbe {
 
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
 
-  /** Corpus replicated m× with disjoint shingle spaces per replica. */
-  def replicate(docs: DataFrame, m: Int): DataFrame =
+  /** Corpus replicated m× with disjoint shingle spaces per replica.
+    * Replica ids are offset by max(doc_id)+1 per replica — derived from
+    * the data, so they stay collision-free for any base id range (a fixed
+    * 10M stride would collide once base ids reach 10M). */
+  def replicate(docs: DataFrame, m: Int): DataFrame = {
+    val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     (0 until m).map { r =>
       val rot = Alphabet.drop(r % 26) + Alphabet.take(r % 26)
       docs.select(
-        (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        (col("doc_id") + lit(r * stride)).as("doc_id"),
         (if (r == 0) col("text")
          else translate(col("text"), Alphabet, rot)).as("text"))
     }.reduce(_ unionAll _)
+  }
 
   /** (candidate pairs, dup pairs ≥ threshold) at replication m. */
   def counts(docs: DataFrame, m: Int,

@@ -134,9 +134,9 @@ object Multimodal extends Serializable {
     * None for payloads the JDK cannot parse as audio (MP3/OGG need
     * external codecs and stay out of scope), and ALSO for formats whose
     * features would be wrong rather than missing: NOT_SPECIFIED (-1)
-    * frame geometry would yield negative durations, and non-16-bit
-    * sample sizes would report a bogus silence RMS — undecodable beats
-    * silently wrong. */
+    * frame geometry would yield negative durations, and non-16-bit or
+    * non-signed-PCM encodings (e.g. PCM_UNSIGNED, ULAW) would decode to
+    * a bogus RMS — undecodable beats silently wrong. */
   def decodeAudio(id: Long, bytes: Array[Byte]): Option[AudioFeatures] =
     try {
       val in = javax.sound.sampled.AudioSystem
@@ -145,7 +145,8 @@ object Multimodal extends Serializable {
         val fmt = in.getFormat
         val frames = in.getFrameLength
         if (frames < 0 || fmt.getFrameRate <= 0 ||
-            fmt.getSampleSizeInBits != 16) None
+            fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
         else {
           val data = in.readAllBytes()
           var sumSq = 0.0

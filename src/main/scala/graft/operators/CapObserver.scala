@@ -16,8 +16,13 @@ import org.apache.spark.sql.util.QueryExecutionListener
 object CapObserver {
 
   private val seq = new AtomicLong()
+  // Weak keys: a GC'd session releases its entry, so a NEW session that
+  // happens to reuse the old identity hash still gets a listener (keying
+  // on identityHashCode strings both leaked entries and could silently
+  // skip registration after such a reuse).
   private val sessions =
-    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Attach capped-bucket metrics to a per-bucket size DataFrame (one row
@@ -34,7 +39,7 @@ object CapObserver {
 
   private def ensureListener(df: DataFrame): Unit = {
     val spark = df.sparkSession
-    if (sessions.add(String.valueOf(System.identityHashCode(spark)))) {
+    if (sessions.put(spark, java.lang.Boolean.TRUE) == null) {
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,

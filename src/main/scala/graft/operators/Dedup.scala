@@ -257,7 +257,19 @@ object Dedup extends Serializable {
 
   /** Full MinHash-LSH near-dup pipeline: one-pass index → banded
     * candidates → exact-Jaccard verification of candidates only, against
-    * the index's own hash sets (the corpus text is read exactly once). */
+    * the index's own hash sets (the corpus text is read exactly once).
+    *
+    * RECALL NOTE on `maxBucket` (default [[DefaultMaxBucket]]): in a
+    * bucket OVER the cap, only star pairs around the min-id representative
+    * are emitted — a near-dup pair between two NON-representative members
+    * of a mixed oversized bucket is found only if it shares some other
+    * (band, bucket), so duplicates can survive [[keepCanonical]] when the
+    * cap fires. This is the deliberate cost/recall trade that bounds the
+    * candidate join at scale; capped-bucket counts are logged via
+    * [[CapObserver]] in the same pass. Pass `maxBucket <= 0` for EXACT
+    * banded candidate generation when the corpus is small enough that a
+    * hot bucket's quadratic self-join is affordable (e.g. verification
+    * runs, corpora ≲ 1M docs with non-degenerate text). */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
       shingleN: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
@@ -297,7 +309,11 @@ object Dedup extends Serializable {
     * banded by the pigeonhole principle: split the 64-bit signature into
     * maxHamming+1 chunks — any pair within the distance budget must agree
     * on at least one chunk exactly, so candidates come from one groupBy on
-    * (chunk index, chunk value), never an all-pairs scan. */
+    * (chunk index, chunk value), never an all-pairs scan.
+    *
+    * `maxBucket` carries the same recall trade as [[minhashNearDups]]:
+    * over-cap chunk buckets emit only star pairs around their min-id
+    * representative; pass `maxBucket <= 0` for exact pigeonhole recall. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val chunks = maxHamming + 1
@@ -354,7 +370,13 @@ object Dedup extends Serializable {
     * non-canonical members of a duplicate family (id ≠ component min).
     * One anti-join against the reduced victim list — the final step of
     * identify → group → keep-one; at 100 TB the victim list is the only
-    * thing shuffled alongside the corpus scan. */
+    * thing shuffled alongside the corpus scan.
+    *
+    * Completeness is bounded by the recall of `pairs`: when they come
+    * from a `maxBucket`-capped LSH run (see [[minhashNearDups]]), dup
+    * pairs dropped by the cap are invisible here and both copies are
+    * kept. Feed uncapped pairs (`maxBucket <= 0`) when exhaustive
+    * keep-one matters more than bounding the candidate join. */
   def keepCanonical(docs: DataFrame, idCol: String,
       pairs: DataFrame): DataFrame = {
     val victims = connectedComponents(pairs)
