@@ -84,45 +84,67 @@ object Similarity extends Serializable {
   }
 
   /** Recall@k of the ANN path against the exact top-k, per query —
-    * the quality gauge for the bits/seed trade-off. */
+    * the quality gauge for the bits/seed trade-off. `exact` optionally
+    * injects a precomputed exact top-k table ((query_id, cand_id) rows,
+    * any column names in that order) so recall queries over the same
+    * corpus share one brute-force baseline instead of each recomputing
+    * it. */
   def annRecall(queries: DataFrame, candidates: DataFrame,
       queryId: String, queryVec: String, candId: String, candVec: String,
-      k: Int, bits: Int = 8, seed: Long = 42L): DataFrame = {
-    val exact = bruteForceTopK(queries, candidates, queryId, queryVec,
-      candId, candVec, k).select(col(queryId), col(candId))
+      k: Int, bits: Int = 8, seed: Long = 42L,
+      exact: Option[DataFrame] = None): DataFrame = {
+    val exactTop = exact
+      .map(df => df.toDF("query_id", "cand_id"))
+      .getOrElse(bruteForceTopK(queries, candidates, queryId, queryVec,
+        candId, candVec, k)
+        .select(col(queryId).as("query_id"), col(candId).as("cand_id")))
     val approx = annTopK(queries, candidates, queryId, queryVec, candId,
-      candVec, k, bits, seed).select(col(queryId), col(candId))
-    val hits = exact.join(approx, Seq(queryId, candId), "left_semi")
-      .groupBy(col(queryId)).agg(count(lit(1)).as("hits"))
-    queries.select(col(queryId)).distinct()
-      .join(hits, Seq(queryId), "left_outer")
-      .select(col(queryId),
+      candVec, k, bits, seed)
+      .select(col(queryId).as("query_id"), col(candId).as("cand_id"))
+    val hits = exactTop.join(approx, Seq("query_id", "cand_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    queries.select(col(queryId).as("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id").as(queryId),
         (coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall"))
   }
 
-  /** Recall floor as a driver-visible invariant: eagerly asserts the MEAN
-    * recall meets `floor`, then tags every row with the asserted floor as
-    * a `min_recall` column. Wired into the recall queries (q47/q66/q93)
-    * so an index regression fails the QUERY run loudly — not just a
-    * ScalaTest gate — and the floor itself is recorded in the output the
-    * driver hashes. Floors are deliberately conservative: they must hold
-    * across scale factors (candidate sets grow 10× between sf0.01 and
-    * sf0.1 while index parameters stay fixed), and they exist to catch
-    * broken-metric regressions (recall collapsing to chance level), not
-    * to pin exact values — the tight per-SF values live in the specs. */
+  /** Recall floor as a driver-visible invariant: asserts the MEAN recall
+    * meets `floor` AT EXECUTION TIME, and tags every row with the asserted
+    * floor as a `min_recall` column. Wired into the recall queries
+    * (q47/q66/q93) so an index regression fails the QUERY run loudly —
+    * not just a ScalaTest gate — and the floor itself is recorded in the
+    * output the driver hashes.
+    *
+    * The gate is a one-row aggregate (`count`, `avg(recall)`) whose
+    * projection wraps `assert_true`; it rides a broadcast cross-join, so
+    * the check runs on the cluster when the CALLER executes the frame —
+    * the query stays lazy (plan-only callers pay nothing) and only a
+    * single aggregated row ever reaches the driver, instead of the old
+    * collect-everything-then-rebuild-a-local-relation eager path. An
+    * EMPTY recall table yields an empty result without tripping the gate
+    * (AQE's empty-relation propagation elides the join before the gate
+    * row is built) — emptiness is surfaced by row-count checks downstream,
+    * while this gate guards the recall VALUES.
+    *
+    * Floors are deliberately conservative: they must hold across scale
+    * factors (candidate sets grow 10× between sf0.01 and sf0.1 while
+    * index parameters stay fixed), and they exist to catch broken-metric
+    * regressions (recall collapsing to chance level), not to pin exact
+    * values — the tight per-SF values live in the specs. */
   def assertRecallFloor(recalls: DataFrame, floor: Double): DataFrame = {
-    // The recall table is one row per probe query (bounded by design), so
-    // a local materialization both asserts the floor and feeds the result
-    // without caching anything in executor storage — persist() here would
-    // pin a new cache entry per run and never release it.
-    val rows = recalls.collect()
-    require(rows.nonEmpty, "recall floor check: recall table is empty")
-    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
-    require(mean >= floor,
-      f"recall regression: mean recall $mean%.4f < floor $floor%.2f")
-    recalls.sparkSession
-      .createDataFrame(java.util.Arrays.asList(rows: _*), recalls.schema)
-      .withColumn("min_recall", lit(floor))
+    // min_recall is derived THROUGH the assert column (null on success →
+    // when(...isNull) yields the floor literal) so column pruning can
+    // never drop the assertion out of the plan.
+    val gate = recalls
+      .agg(count(lit(1)).as("n"), avg(col("recall")).as("mean_recall"))
+      .select(when(
+        assert_true(col("n") >= 1 && col("mean_recall") >= floor,
+          concat(lit("recall regression: mean recall "),
+            coalesce(col("mean_recall").cast("string"), lit("NULL (empty)")),
+            lit(f" < floor $floor%.2f"))).isNull,
+        lit(floor)).as("min_recall"))
+    recalls.crossJoin(broadcast(gate))
   }
 
   /** Exact top-k via the heap AGGREGATOR instead of a ranking window:
