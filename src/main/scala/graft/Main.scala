@@ -34,6 +34,10 @@ object Main {
       runAnnIndex(loadConf(rest), input, outDir)
     case "ann-query" :: indexDir :: queries :: outDir :: rest =>
       runAnnQuery(loadConf(rest), indexDir, queries, outDir)
+    case "ann-query-pq" :: indexDir :: queries :: outDir :: rest =>
+      runAnnQueryPq(loadConf(rest), indexDir, queries, outDir)
+    case "ann-query-ivfpq" :: indexDir :: queries :: outDir :: rest =>
+      runAnnQueryIvfPq(loadConf(rest), indexDir, queries, outDir)
     case other =>
       System.err.println(
         s"""usage: graft.Main cluster <interval> <input> <outDir> [conf.json]
@@ -41,29 +45,37 @@ object Main {
            |       graft.Main dedup <docsParquet> <outDir> [conf.json]
            |       graft.Main ann-index <embeddingsParquet> <outDir> [conf.json]
            |       graft.Main ann-query <indexDir> <queriesParquet> <outDir> [conf.json]
+           |       graft.Main ann-query-pq <indexDir> <queriesParquet> <outDir> [conf.json]
+           |       graft.Main ann-query-ivfpq <indexDir> <queriesParquet> <outDir> [conf.json]
            |(got: ${other.mkString(" ")})""".stripMargin)
       sys.exit(2)
   }
 
-  /** Build the persisted similarity indexes (IVF buckets + PQ codes)
-    * from the config overlay's ANN knobs (annNlist, pqSubspaces,
-    * pqCentroids). */
+  /** Build the persisted similarity indexes from the config overlay's
+    * ANN knobs (annNlist, pqSubspaces, pqCentroids): a cosine IVF for
+    * `ann-query`, an L2 IVF for the `ann-query-ivfpq` composition (the
+    * coarse metric must match ADC's), and the PQ codebook + codes. */
   private def runAnnIndex(gc: GraftConfig, input: String,
       outDir: String): Unit = {
     val spark = session()
     val emb = spark.read.parquet(input)
     graft.operators.IvfIndex.writeIndex(emb, "vec_id", "embedding",
       s"$outDir/ivf", nlist = gc.annNlist, seed = 42L)
+    graft.operators.IvfIndex.writeIndex(emb, "vec_id", "embedding",
+      s"$outDir/ivf_l2", nlist = gc.annNlist, seed = 42L, metric = "l2")
     graft.operators.PqIndex.writeIndex(emb, "vec_id", "embedding",
       s"$outDir/pq", m = gc.pqSubspaces, k = gc.pqCentroids, seed = 42L)
     spark.stop()
   }
 
   /** Answer top-k queries from the PERSISTED IVF index (annNprobe from
-    * the overlay) — no retraining, no corpus scan. */
+    * the overlay) — no retraining, no corpus scan; only the probed
+    * bucket partitions are read. */
   private def runAnnQuery(gc: GraftConfig, indexDir: String,
       queries: String, outDir: String): Unit = {
     val spark = session()
+    require(graft.operators.IvfIndex.readIndexMetric(spark,
+      s"$indexDir/ivf") == "cosine", "ann-query serves the cosine index")
     val (centroids, buckets) =
       graft.operators.IvfIndex.readIndex(spark, s"$indexDir/ivf")
     val q = spark.read.parquet(queries)
@@ -74,6 +86,58 @@ object Main {
       graft.operators.IvfIndex.topKAgainstIndex(q, centroids, buckets,
         "query_id", "qv", k = 10, nprobe = gc.annNprobe)
         .drop("qv"),
+      outDir)
+    spark.stop()
+  }
+
+  /** Collect the bounded query probe set as local (id, vector) pairs —
+    * the shape the ADC scorers take their per-query lookup tables from.
+    */
+  private def loadQueryVectors(spark: SparkSession,
+      queries: String): Seq[(Long, Array[Double])] = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(queries)
+      .select(col("vec_id").cast("long"),
+        graft.operators.Similarity.asDouble(col("embedding")))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]](1).toArray)
+      .toSeq.sortBy(_._1)
+  }
+
+  /** Answer top-k from the PERSISTED PQ index alone (codebook + codes —
+    * the 32×-compressed artifact; no float vector is read). */
+  private def runAnnQueryPq(gc: GraftConfig, indexDir: String,
+      queries: String, outDir: String): Unit = {
+    val spark = session()
+    val (cb, codes) =
+      graft.operators.PqIndex.readIndex(spark, s"$indexDir/pq")
+    Sinks.writeParquet(
+      graft.operators.PqIndex.adcTopK(spark,
+        loadQueryVectors(spark, queries), codes, cb, k = 10),
+      outDir)
+    spark.stop()
+  }
+
+  /** Answer top-k from the PERSISTED IVF-PQ composition: the L2 IVF
+    * prunes to annNprobe bucket partitions, the PQ codes score the
+    * survivors via ADC — the FAISS-style serving path, entirely from
+    * stored artifacts. */
+  private def runAnnQueryIvfPq(gc: GraftConfig, indexDir: String,
+      queries: String, outDir: String): Unit = {
+    val spark = session()
+    require(graft.operators.IvfIndex.readIndexMetric(spark,
+      s"$indexDir/ivf_l2") == "l2",
+      "ann-query-ivfpq needs the L2-bucketed index (coarse metric must " +
+        "match ADC)")
+    val (centroids, buckets) =
+      graft.operators.IvfIndex.readIndex(spark, s"$indexDir/ivf_l2")
+    val (cb, codes) =
+      graft.operators.PqIndex.readIndex(spark, s"$indexDir/pq")
+    Sinks.writeParquet(
+      graft.operators.PqIndex.ivfPqTopKAgainstIndex(spark,
+        loadQueryVectors(spark, queries), centroids, buckets, cb, codes,
+        nprobe = gc.annNprobe, topK = 10),
       outDir)
     spark.stop()
   }

@@ -22,14 +22,44 @@ object IvfIndex extends Serializable {
     * seed yet independent of id ORDER — "first n by id" would bias the
     * sample whenever ids correlate with insertion order or content, which
     * they usually do. Bounded driver materialization (n vectors), the
-    * standard shape for codebook/centroid training. */
+    * standard shape for codebook/centroid training.
+    *
+    * Large corpora don't pay a full top-n rank: when the (parquet-
+    * metadata-cheap) row count exceeds `OverselectFactor² · n`, a hash-
+    * THRESHOLD prefilter keeps only rows whose rank key falls in the
+    * smallest ~`OverselectFactor · n / total` fraction of the hash range
+    * before the rank runs. The filter is a pure function of (id, seed) —
+    * partition-invariant, unlike `df.sample` whose per-partition RNG
+    * changes with layout — and since it keeps a superset of the n
+    * smallest keys (with margin `OverselectFactor`, short only with
+    * probability ≈ exp(-Ω(n))), the selected sample is IDENTICAL to the
+    * unfiltered rank's. A row-count guard falls back to the full rank in
+    * the astronomically-unlikely short case. */
+  private val OverselectFactor = 10L
+
   private[graft] def seededSample(candidates: DataFrame, candId: String,
-      candVec: String, n: Int, seed: Long): Array[Array[Double]] =
-    candidates
+      candVec: String, n: Int, seed: Long): Array[Array[Double]] = {
+    val base = candidates
       .select(col(candId), Similarity.asDouble(col(candVec)).as("v"))
-      .orderBy(xxhash64(col(candId), lit(seed)), col(candId)).limit(n)
-      .collect()
-      .map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+    val rankKey = xxhash64(col(candId), lit(seed))
+    def ranked(df: DataFrame): Array[Array[Double]] =
+      df.orderBy(rankKey, col(candId)).limit(n)
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+    val total = candidates.count()
+    if (total <= OverselectFactor * OverselectFactor * n) ranked(base)
+    else {
+      // keep hash <= Long.MinValue + frac·2^64, frac = Overselect·n/total
+      val frac = BigDecimal(OverselectFactor * n.toLong) / BigDecimal(total)
+      val bound = (BigDecimal(Long.MinValue) +
+        BigDecimal(2).pow(64) * frac).toBigInt
+      val boundL =
+        if (bound >= BigInt(Long.MaxValue)) Long.MaxValue else bound.toLong
+      val sample = ranked(base.filter(rankKey <= lit(boundL)))
+      if (sample.length >= math.min(n.toLong, total)) sample
+      else ranked(base) // short prefilter (≈ never): exact fallback
+    }
+  }
 
   /** Train coarse centroids from a seeded uniform sample of the candidate
     * vectors (see [[seededSample]]). */
@@ -98,6 +128,22 @@ object IvfIndex extends Serializable {
     transform(slice(ranked, 1, nprobe), s => s.getField("i"))
   }
 
+  /** JVM twin of [[probeBucketsL2]] for a LOCAL query vector (serving
+    * paths hold the bounded query set on the driver): same left-to-right
+    * distance accumulation and same (distance, index) tie-break, so the
+    * probed buckets are bit-identical to the expression's. 1-based. */
+  private[graft] def probeBucketsL2Local(qv: Array[Double],
+      centroids: Seq[Seq[Double]], nprobe: Int): Seq[Long] = {
+    val d2 = centroids.map { c =>
+      var s = 0.0
+      var i = 0
+      while (i < qv.length) { val d = qv(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    d2.zipWithIndex.sortBy { case (d, i) => (d, i) }
+      .take(nprobe).map(_._2 + 1L)
+  }
+
   /** Persist the IVF index: the trained centroids (one row, as an
     * `array<array<double>>`) and the per-candidate bucket assignment
     * alongside its vector. Both are one map-side pass; at query time the
@@ -106,17 +152,20 @@ object IvfIndex extends Serializable {
     * bucket table can additionally be partitioned by `bucket` on disk so
     * probes prune files). */
   def writeIndex(candidates: DataFrame, candId: String, candVec: String,
-      path: String, nlist: Int = 16, seed: Long = 42L): Unit = {
+      path: String, nlist: Int = 16, seed: Long = 42L,
+      metric: String = "cosine"): Unit = {
+    require(metric == "cosine" || metric == "l2", s"metric: $metric")
     val spark = candidates.sparkSession
     import spark.implicits._
     val centroids = trainCentroids(candidates, candId, candVec, nlist, seed)
-    Seq(Tuple1(centroids.map(_.toSeq)))
-      .toDF("centroids")
+    Seq((centroids.map(_.toSeq), metric))
+      .toDF("centroids", "metric")
       .write.mode("overwrite").parquet(s"$path/centroids")
+    val cv = Similarity.asDouble(col(candVec))
+    val bucket =
+      if (metric == "l2") bucketOfL2(cv, centroids) else bucketOf(cv, centroids)
     candidates
-      .select(col(candId).as("cand_id"),
-        Similarity.asDouble(col(candVec)).as("cv"),
-        bucketOf(Similarity.asDouble(col(candVec)), centroids).as("bucket"))
+      .select(col(candId).as("cand_id"), cv.as("cv"), bucket.as("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/buckets")
   }
@@ -125,28 +174,73 @@ object IvfIndex extends Serializable {
   def readIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): (Seq[Seq[Double]], DataFrame) = {
     val centroids = spark.read.parquet(s"$path/centroids")
-      .head().getAs[scala.collection.Seq[scala.collection.Seq[Double]]](0)
+      .head().getAs[scala.collection.Seq[scala.collection.Seq[Double]]](
+        "centroids")
       .map(_.toSeq).toSeq
     (centroids, spark.read.parquet(s"$path/buckets"))
   }
 
+  /** The metric a persisted index was bucketed under ("cosine" | "l2") —
+    * serving paths must score with the SAME metric the coarse
+    * quantization pruned with. */
+  def readIndexMetric(spark: org.apache.spark.sql.SparkSession,
+      path: String): String =
+    spark.read.parquet(s"$path/centroids").head().getAs[String]("metric")
+
   /** IVF top-k against a PERSISTED index: probe buckets from the stored
-    * centroids, join only those bucket partitions. Same ranking and
+    * centroids, read only those bucket partitions. Same ranking and
     * tie-breaks as [[topK]], so results are identical for the same
-    * (nlist, seed) geometry. */
+    * (nlist, seed) geometry.
+    *
+    * Partition pruning is EXPLICIT, not left to dynamic pruning: the
+    * probed bucket ids are evaluated first (bounded — queries are the
+    * probe set, ≤ |queries|·nprobe values) and pushed as a static
+    * `bucket IN (...)` partition filter, so the parquet scan lists only
+    * the probed directories no matter what the optimizer decides about
+    * the broadcast join. At 100 TB this is the difference between
+    * reading nprobe/nlist of the index and reading all of it. */
   def topKAgainstIndex(queries: DataFrame, centroids: Seq[Seq[Double]],
       buckets: DataFrame, queryId: String, queryVec: String,
       k: Int, nprobe: Int = 4): DataFrame = {
     val qb = queries.select(col(queryId), col(queryVec),
       explode(probeBuckets(Similarity.asDouble(col(queryVec)), centroids,
         nprobe)).as("bucket"))
-    val scored = buckets.join(broadcast(qb), "bucket")
+    val probed = qb.select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val scored = buckets.filter(col("bucket").isin(probed: _*))
+      .join(broadcast(qb), "bucket")
       .filter(col("cand_id") =!= col(queryId))
       .select(col(queryId), col("cand_id"),
         Similarity.cosine(col(queryVec), col("cv")).as("cos"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Recall@k served from a PERSISTED index: the approximate side probes
+    * only `nprobe` bucket partitions; the exact baseline scans the
+    * index's own stored vectors — the corpus is never re-read and the
+    * centroids are never retrained. `exact` optionally injects a
+    * precomputed exact top-k table ((query_id, cand_id) rows) so several
+    * recall queries over the same corpus can share one baseline. */
+  def recallAgainstIndex(queries: DataFrame, centroids: Seq[Seq[Double]],
+      buckets: DataFrame, queryId: String, queryVec: String,
+      k: Int, nprobe: Int = 4,
+      exact: Option[DataFrame] = None): DataFrame = {
+    val exactTop = exact.getOrElse(
+      Similarity.bruteForceTopK(queries,
+        buckets.select(col("cand_id"), col("cv")),
+        queryId, queryVec, "cand_id", "cv", k)
+        .select(col(queryId).as("query_id"), col("cand_id")))
+    val approx = topKAgainstIndex(queries, centroids, buckets, queryId,
+      queryVec, k, nprobe)
+      .select(col(queryId).as("query_id"), col("cand_id"))
+    val hits = exactTop.join(approx, Seq("query_id", "cand_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    queries.select(col(queryId).as("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id").as(queryId),
+        (coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall"))
   }
 
   /** IVF top-k: candidates scored only inside the query's probed buckets.

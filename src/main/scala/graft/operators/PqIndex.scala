@@ -215,14 +215,41 @@ object PqIndex extends Serializable {
       }
     }
 
-  /** Recall@k of the ADC short list against the exact (brute-force
-    * squared-L2) top-k. */
-  def recall(spark: SparkSession, candidates: DataFrame, idCol: String,
-      vecCol: String, queryIds: Seq[Long], m: Int, kCent: Int, seed: Long,
-      topK: Int): DataFrame = {
+  /** IVF-PQ served entirely from PERSISTED artifacts: the L2-bucketed
+    * IVF index ([[IvfIndex.writeIndex]] with `metric = "l2"`) prunes to
+    * the `nprobe` probed bucket partitions (explicit `bucket IN (...)`
+    * partition filter — nothing else is read), and the persisted PQ
+    * codes + codebook score the survivors via ADC. No retraining, no
+    * float-vector scan: exactly the artifacts, which is the point of the
+    * index at 100 TB. Results are identical to [[ivfPqTopK]] for the
+    * same geometry and seed. */
+  def ivfPqTopKAgainstIndex(spark: SparkSession,
+      queries: Seq[(Long, Array[Double])], centroids: Seq[Seq[Double]],
+      buckets: DataFrame, cb: Codebook, codes: DataFrame,
+      nprobe: Int, topK: Int): DataFrame = {
     import spark.implicits._
-    val cb = train(candidates, idCol, vecCol, m, kCent, seed)
-    val encoded = encode(candidates, idCol, vecCol, cb)
+    val qProbe = queries.flatMap { case (qid, qv) =>
+      IvfIndex.probeBucketsL2Local(qv, centroids, nprobe).map(b => (qid, b))
+    }
+    val probed = qProbe.map(_._2).distinct.sorted
+    val qbDf = qProbe.toDF("query_id", "bucket")
+    val pruned = buckets.filter(col("bucket").isin(probed: _*))
+      .select(col("cand_id"), col("bucket"))
+      .join(broadcast(qbDf), "bucket")
+      .filter($"query_id" =!= $"cand_id")
+      .join(codes, "cand_id")
+      .select($"query_id", $"cand_id", $"code")
+    scoreAdc(spark, queries, pruned, cb, topK)
+  }
+
+  /** Recall@k of the ADC short list against the exact (brute-force
+    * squared-L2) top-k, with the quantization side served from PREBUILT
+    * artifacts (codebook + codes — persisted or cached): only the exact
+    * baseline touches float vectors. */
+  def recallAgainstIndex(spark: SparkSession, candidates: DataFrame,
+      idCol: String, vecCol: String, queryIds: Seq[Long], cb: Codebook,
+      encoded: DataFrame, topK: Int): DataFrame = {
+    import spark.implicits._
     val vecs = candidates
       .select(col(idCol).cast("long").as("id"),
         Similarity.asDouble(col(vecCol)).as("v"))
@@ -250,5 +277,17 @@ object PqIndex extends Serializable {
       .select($"query_id",
         round($"hits".cast("double") / topK, 4).as("recall"))
       .orderBy($"query_id")
+  }
+
+  /** Recall@k of the ADC short list against the exact (brute-force
+    * squared-L2) top-k, training + encoding in-query (the one-shot
+    * form; production callers pass persisted artifacts to
+    * [[recallAgainstIndex]]). */
+  def recall(spark: SparkSession, candidates: DataFrame, idCol: String,
+      vecCol: String, queryIds: Seq[Long], m: Int, kCent: Int, seed: Long,
+      topK: Int): DataFrame = {
+    val cb = train(candidates, idCol, vecCol, m, kCent, seed)
+    recallAgainstIndex(spark, candidates, idCol, vecCol, queryIds, cb,
+      encode(candidates, idCol, vecCol, cb), topK)
   }
 }

@@ -148,23 +148,40 @@ object OperatorQueries {
   /** Product-quantization ANN: per-query ADC recall@10 against the
     * exact squared-L2 top-10 (PqIndex: 8 subspaces x 16-centroid
     * codebooks = 32x compression; seeded + first-min tie-breaks ->
-    * deterministic, but the fit is iterative -> rows-only). */
+    * deterministic, but the fit is iterative -> rows-only). The
+    * quantized side serves from the PERSISTED codebook + codes
+    * ([[AnnIndexes.pq]]) — no per-execution training. */
   val q93PqRecall: GraftQuery = GraftQuery(
     "q93_pq_recall",
-    (s, d) => graft.operators.Similarity.assertRecallFloor(
-      graft.operators.PqIndex.recall(s, Tables.embeddings(s, d),
-        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
-        m = 8, kCent = 16, seed = 42L, topK = 10), floor = 0.1))
+    (s, d) => {
+      val (cb, codes) = AnnIndexes.pq(s, d)
+      graft.operators.Similarity.assertRecallFloor(
+        graft.operators.PqIndex.recallAgainstIndex(s,
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), cb, codes, topK = 10),
+        floor = 0.1)
+    })
 
   /** IVF-PQ composed search: coarse buckets prune candidates, PQ/ADC
-    * scores the survivors (rows-only; fully seed-deterministic). */
+    * scores the survivors (rows-only; fully seed-deterministic). Served
+    * from the persisted L2-IVF + PQ artifact pair ([[AnnIndexes.ivfL2]]
+    * / [[AnnIndexes.pq]]) with explicit bucket-partition pruning —
+    * identical results to the in-query-training form (PqSpec parity). */
   val q94IvfPqTopK: GraftQuery = GraftQuery(
     "q94_ivfpq_topk",
     (s, d) => {
       import s.implicits._
-      graft.operators.PqIndex.ivfPqTopK(s, Tables.embeddings(s, d),
-        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
-        nlist = 8, nprobe = 4, m = 8, kCent = 16, seed = 42L, topK = 10)
+      val (centroids, buckets) = AnnIndexes.ivfL2(s, d)
+      val (cb, codes) = AnnIndexes.pq(s, d)
+      val queries = Tables.embeddings(s, d)
+        .select($"vec_id".cast("long").as("id"),
+          graft.operators.Similarity.asDouble($"embedding").as("v"))
+        .filter($"id".isin(0L, 1L, 2L, 3L, 4L)).collect()
+        .map(r => r.getLong(0) ->
+          r.getAs[scala.collection.Seq[Double]]("v").toArray)
+        .toSeq.sortBy(_._1)
+      graft.operators.PqIndex.ivfPqTopKAgainstIndex(s, queries,
+        centroids, buckets, cb, codes, nprobe = 4, topK = 10)
         .select($"query_id", $"cand_id", round($"adc_dist", 6).as("adc_dist"),
           $"rk")
         .orderBy($"query_id", $"rk")
@@ -327,7 +344,9 @@ object OperatorQueries {
         "WHERE c >= 0.4 ORDER BY id_a, id_b"))
 
   /** Recall@10 of the sign-LSH ANN path vs exact top-10 per query —
-    * deterministic given the seed; rows-only. */
+    * deterministic given the seed; rows-only. The exact baseline comes
+    * from the shared per-JVM cache ([[AnnIndexes.exactCosineTopK]]) so
+    * q47 and q66 grade against ONE brute-force computation. */
   val q47AnnRecall: GraftQuery = GraftQuery(
     "q47_ann_recall",
     (s, d) => {
@@ -338,7 +357,9 @@ object OperatorQueries {
       val c = e.select($"vec_id", $"embedding".as("cv"))
       Similarity.assertRecallFloor(
         Similarity.annRecall(q, c, "query_id", "qv", "vec_id", "cv",
-          k = 10, bits = 4, seed = 42L), floor = 0.01)
+          k = 10, bits = 4, seed = 42L,
+          exact = Some(AnnIndexes.exactCosineTopK(s, d, 10))),
+        floor = 0.01)
         .select($"query_id", round($"recall", 2).as("recall"),
           $"min_recall")
         .orderBy($"query_id")
@@ -483,7 +504,10 @@ object OperatorQueries {
   /** Recall@10 of the IVF coarse-quantization ANN path (16 lists, probe
     * 4) vs exact top-10 — the scale path for similarity search: per-query
     * candidate cost ~nprobe/nlist of the corpus. Deterministic (seeded
-    * LocalKMeans centroids); rows-only. */
+    * LocalKMeans centroids); rows-only. Served from the PERSISTED index
+    * ([[AnnIndexes.ivfCosine]]): built once per JVM, probed via explicit
+    * bucket-partition pruning, centroids never retrained per execution;
+    * the exact baseline is the shared cached one. */
   val q66IvfRecall: GraftQuery = GraftQuery(
     "q66_ivf_recall",
     (s, d) => {
@@ -491,10 +515,12 @@ object OperatorQueries {
       val e = Tables.embeddings(s, d)
       val q = e.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), $"embedding".as("qv"))
-      val c = e.select($"vec_id", $"embedding".as("cv"))
+      val (centroids, buckets) = AnnIndexes.ivfCosine(s, d)
       Similarity.assertRecallFloor(
-        graft.operators.IvfIndex.recall(q, c, "query_id", "qv", "vec_id",
-          "cv", k = 10, nlist = 16, nprobe = 4, seed = 42L), floor = 0.15)
+        graft.operators.IvfIndex.recallAgainstIndex(q, centroids, buckets,
+          "query_id", "qv", k = 10, nprobe = 4,
+          exact = Some(AnnIndexes.exactCosineTopK(s, d, 10))),
+        floor = 0.15)
         .select($"query_id", round($"recall", 2).as("recall"),
           $"min_recall")
         .orderBy($"query_id")

@@ -81,6 +81,55 @@ class IvfSpec extends GraftSuite {
     assert(direct.exceptAll(viaIndex).count() === 0)
   }
 
+  test("seededSample hash-threshold prefilter returns the exact full-rank sample") {
+    val s = spark
+    import s.implicits._
+    val cands = e.select($"vec_id", $"embedding".as("cv"))
+    val total = cands.count()
+    // n small enough that total > OverselectFactor^2 * n → prefilter path
+    val n = math.max(1, (total / 150).toInt)
+    assert(total > 100L * n, s"fixture too small: $total rows, n=$n")
+    val viaPrefilter = IvfIndex.seededSample(cands, "vec_id", "cv", n, 42L)
+    // ground truth: the unfiltered global rank
+    val full = cands
+      .select($"vec_id", graft.operators.Similarity.asDouble($"cv").as("v"))
+      .orderBy(xxhash64($"vec_id", lit(42L)), $"vec_id").limit(n)
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+    assert(viaPrefilter.length === n)
+    assert(viaPrefilter.map(_.toSeq).toSeq === full.map(_.toSeq).toSeq)
+  }
+
+  test("persisted-IVF probes read ONLY the probed bucket partitions") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfp").toString
+    val cands = e.select($"vec_id", $"embedding".as("cv"))
+    IvfIndex.writeIndex(cands, "vec_id", "cv", s"$dir/ivf",
+      nlist = 8, seed = 42L)
+    val (centroids, buckets) = IvfIndex.readIndex(spark, s"$dir/ivf")
+    val q = e.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val nprobe = 2
+    val res = IvfIndex.topKAgainstIndex(q, centroids, buckets,
+      "query_id", "qv", k = 3, nprobe = nprobe)
+    val probed = q.select(explode(IvfIndex.probeBuckets(
+        graft.operators.Similarity.asDouble($"qv"), centroids, nprobe)))
+      .distinct().count()
+    val scans = res.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val bucketScan = scans.find(_.output.exists(_.name == "cv"))
+      .getOrElse(fail("no parquet scan over the bucket table in the plan"))
+    // static bucket IN (...) partition filter, evaluated at listing time
+    assert(bucketScan.partitionFilters.nonEmpty,
+      "probe join carries no partition filter — the whole index is read")
+    val read = bucketScan.selectedPartitions.partitionCount
+    assert(read <= probed && read < 8,
+      s"scan read $read partitions, probed $probed of 8")
+    // and the pruned path still answers correctly
+    assert(res.groupBy($"query_id").count().collect().forall(_.getLong(1) <= 3))
+  }
+
   test("IVF recall improves with nprobe and hits 1.0 at nprobe = nlist") {
     val s = spark
     import s.implicits._

@@ -102,6 +102,37 @@ class PqSpec extends GraftSuite {
     assert(overlap >= 25, s"IVF pruning lost too much: $overlap/50")
   }
 
+  test("persisted IVF-PQ serve path equals the in-query-training path") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val e = embeddings
+    graft.operators.IvfIndex.writeIndex(e, "vec_id", "embedding",
+      s"$dir/ivf_l2", nlist = 8, seed = 42L, metric = "l2")
+    PqIndex.writeIndex(e, "vec_id", "embedding", s"$dir/pq",
+      m = 8, k = 16, seed = 42L)
+    assert(graft.operators.IvfIndex.readIndexMetric(spark, s"$dir/ivf_l2")
+      === "l2")
+    val (centroids, buckets) =
+      graft.operators.IvfIndex.readIndex(spark, s"$dir/ivf_l2")
+    val (cb, codes) = PqIndex.readIndex(spark, s"$dir/pq")
+    val queries = e.select($"vec_id".cast("long").as("id"),
+        Similarity.asDouble($"embedding").as("v"))
+      .filter($"id" < 5).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]]("v").toArray)
+      .toSeq.sortBy(_._1)
+    val served = PqIndex.ivfPqTopKAgainstIndex(spark, queries, centroids,
+      buckets, cb, codes, nprobe = 4, topK = 10)
+      .select($"query_id", $"cand_id", round($"adc_dist", 6).as("d"), $"rk")
+    val direct = PqIndex.ivfPqTopK(spark, e, "vec_id", "embedding",
+      queryIds = Seq(0L, 1L, 2L, 3L, 4L), nlist = 8, nprobe = 4,
+      m = 8, kCent = 16, seed = 42L, topK = 10)
+      .select($"query_id", $"cand_id", round($"adc_dist", 6).as("d"), $"rk")
+    assert(served.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(served).count() === 0)
+  }
+
   test("ADC recall@10 beats random by a wide margin") {
     // sf0.01: 500 candidates -> random recall@10 ≈ 10/499 ≈ 0.02
     val e01 = Tables.embeddings(spark, "/root/testdata/sf0.01")
