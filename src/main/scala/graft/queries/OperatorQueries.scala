@@ -256,8 +256,14 @@ object OperatorQueries {
         "count(*) AS n, round(sum(value),2) AS sum_value " +
         "FROM events GROUP BY 1, 2 ORDER BY hr_ms, event_type"))
 
-  /** Binary-column plumbing + per-partition (stub) decode. Deterministic →
-    * rows-only check; byte_entropy is computed from real bytes. */
+  /** Binary-column plumbing + per-partition decode (text corpus → every
+    * row takes the deterministic byte-derived fallback). ORACLED: the
+    * fallback features are pure integer/float math over the UTF-8 bytes,
+    * so DuckDB replays them — the rolling 31· hash in wrapping 64-bit
+    * (HUGEINT mod 2^64 with a signed reinterpretation), the byte
+    * histogram entropy with the same ascending-code fold order, and
+    * luma = exact integer byte sum / n (bit-identical division, left
+    * unrounded). The corpus is ASCII, so char codes ARE the bytes. */
   val q42Multimodal: GraftQuery = GraftQuery(
     "q42_multimodal_features",
     (s, d) => {
@@ -265,9 +271,38 @@ object OperatorQueries {
       Multimodal.extractFeatures(withBin).toDF()
         .select(col("doc_id"), col("width"), col("height"),
           round(col("byte_entropy"), 4).as("byte_entropy"),
-          round(col("luma_mean"), 4).as("luma_mean"))
+          col("luma_mean"))
         .orderBy(col("doc_id"))
-    })
+    },
+    Some(
+      "WITH codes AS (SELECT doc_id, " +
+        "list_transform(range(1, length(text) + 1), " +
+        "i -> ord(substr(text, i::INT, 1))) AS cs, " +
+        "greatest(1, length(text)) AS n FROM documents), " +
+        "roll AS (SELECT doc_id, n, cs, " +
+        "list_reduce(list_prepend(1125899906842597::HUGEINT, cs), " +
+        "(a, b) -> (31 * a + b) % 18446744073709551616::HUGEINT) AS h " +
+        "FROM codes), " +
+        "dims AS (SELECT doc_id, n, cs, " +
+        "(64 + abs(CASE WHEN h >= 9223372036854775808::HUGEINT " +
+        "THEN h - 18446744073709551616::HUGEINT ELSE h END) % 1024)" +
+        "::INTEGER AS width, " +
+        "(64 + abs((h // 1024) - CASE WHEN h >= 9223372036854775808::HUGEINT " +
+        "THEN 18014398509481984::HUGEINT ELSE 0::HUGEINT END) % 1024)" +
+        "::INTEGER AS height, " +
+        "(list_sum(cs)::DOUBLE / n) AS luma_mean FROM roll), " +
+        "hist AS (SELECT doc_id, code, count(*) AS cnt FROM (" +
+        "SELECT doc_id, unnest(cs) AS code FROM codes) GROUP BY 1, 2), " +
+        "ent AS (SELECT hist.doc_id, " +
+        "list_reduce(list_prepend(0.0, " +
+        "list((cnt::DOUBLE / n) * ln(cnt::DOUBLE / n) / ln(2) " +
+        "ORDER BY code)), (a, b) -> a - b) AS entropy " +
+        "FROM hist JOIN codes ON hist.doc_id = codes.doc_id " +
+        "GROUP BY hist.doc_id, codes.n) " +
+        "SELECT d.doc_id, d.width, d.height, " +
+        "round(coalesce(e.entropy, 0.0), 4) AS byte_entropy, d.luma_mean " +
+        "FROM dims d LEFT JOIN ent e ON d.doc_id = e.doc_id " +
+        "ORDER BY d.doc_id"))
 
   /** Exact n-gram Jaccard, all pairs of a bounded slice (the quadratic
     * baseline the LSH path approximates). */
