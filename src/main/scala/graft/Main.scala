@@ -30,6 +30,8 @@ object Main {
       run(loadConf(rest), "optimal-k", input, outDir, searchK = true)
     case "dedup" :: input :: outDir :: rest =>
       runDedup(loadConf(rest), input, outDir)
+    case "dedup-ingest" :: batch :: indexDir :: outDir :: rest =>
+      runDedupIngest(loadConf(rest), batch, indexDir, outDir)
     case "ann-index" :: input :: outDir :: rest =>
       runAnnIndex(loadConf(rest), input, outDir)
     case "ann-query" :: indexDir :: queries :: outDir :: rest =>
@@ -43,6 +45,7 @@ object Main {
         s"""usage: graft.Main cluster <interval> <input> <outDir> [conf.json]
            |       graft.Main optimal-k <input> <outDir> [conf.json]
            |       graft.Main dedup <docsParquet> <outDir> [conf.json]
+           |       graft.Main dedup-ingest <batchParquet> <indexDir> <outDir> [conf.json]
            |       graft.Main ann-index <embeddingsParquet> <outDir> [conf.json]
            |       graft.Main ann-query <indexDir> <queriesParquet> <outDir> [conf.json]
            |       graft.Main ann-query-pq <indexDir> <queriesParquet> <outDir> [conf.json]
@@ -164,6 +167,22 @@ object Main {
       graft.operators.Dedup.keepCanonical(docs, "doc_id", pairs),
       s"$outDir/kept")
     pairs.unpersist()
+    spark.stop()
+  }
+
+  /** Production ingest loop: dedup one batch against the growing
+    * persisted MinHash index (and itself), keep survivors, append only
+    * their signatures — batch-1 text is never re-read when batch 2
+    * arrives. Knobs from the config overlay, like `dedup`. */
+  private def runDedupIngest(gc: GraftConfig, batch: String,
+      indexDir: String, outDir: String): Unit = {
+    val spark = session()
+    val (cross, inBatch, kept) = graft.operators.Dedup.ingest(spark,
+      spark.read.parquet(batch), indexDir, outDir,
+      numHashes = gc.minhashNumHashes, bands = gc.minhashBands,
+      threshold = gc.dedupThreshold, shingleN = gc.shingleN,
+      maxBucket = gc.maxBucket)
+    println(s">>> [dedup-ingest] cross=$cross in_batch=$inBatch kept=$kept")
     spark.stop()
   }
 

@@ -242,6 +242,59 @@ object Dedup extends Serializable {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** One production ingest step: dedup `batch` against the growing
+    * persisted index AND against itself, keep the survivors, and append
+    * ONLY the survivors' signatures to the index. The corpus text behind
+    * the index is never read — each ingest costs O(batch) signatures plus
+    * one bucket join against the index, which is the loop that holds at
+    * 100 TB.
+    *
+    * Write order is the correctness mechanism: `cross_pairs` /
+    * `batch_pairs` / `kept` are materialized to `outDir` BEFORE the
+    * index append, because every frame here is lazy over the index
+    * parquet — deferring execution past the append would make the batch
+    * match its own freshly-appended signatures. Downstream steps consume
+    * the written artifacts, not the live plans.
+    *
+    * First call (no index at `indexDir`) bootstraps: in-batch dedup only,
+    * then the index is created from the survivors. Returns (#cross dup
+    * pairs, #in-batch dup pairs, #kept). */
+  def ingest(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      indexDir: String, outDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      shingleN: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): (Long, Long, Long) = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(indexDir))
+    val batchPairs = minhashNearDups(batch, idCol, textCol, numHashes,
+      bands, threshold, shingleN, maxBucket)
+    val crossPairs =
+      if (hasIndex)
+        minhashNearDupsAgainstIndex(readIndex(spark, indexDir), batch,
+          idCol, textCol, numHashes, bands, threshold, shingleN, maxBucket)
+      else Seq.empty[(Long, Long, Double)]
+        .toDF("new_id", "corpus_id", "jaccard")
+    batchPairs.write.mode("overwrite").parquet(s"$outDir/batch_pairs")
+    crossPairs.write.mode("overwrite").parquet(s"$outDir/cross_pairs")
+    val writtenBatchPairs = spark.read.parquet(s"$outDir/batch_pairs")
+    val writtenCrossPairs = spark.read.parquet(s"$outDir/cross_pairs")
+    // victims: every batch doc matching the corpus, plus non-canonical
+    // members of in-batch duplicate families
+    val victims = writtenCrossPairs.select(col("new_id").as(idCol))
+      .union(connectedComponents(writtenBatchPairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as(idCol)))
+      .distinct()
+    batch.join(victims, Seq(idCol), "left_anti")
+      .write.mode("overwrite").parquet(s"$outDir/kept")
+    val kept = spark.read.parquet(s"$outDir/kept")
+    writeIndex(kept, idCol, textCol, indexDir, numHashes, shingleN)
+    (writtenCrossPairs.count(), writtenBatchPairs.count(), kept.count())
+  }
+
   /** Persist a corpus's MinHash index: one corpus scan, append-mode write
     * — repeated calls with successive ingest batches GROW the index
     * without rewriting it (ids must be disjoint across batches, the
