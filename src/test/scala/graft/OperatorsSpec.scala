@@ -401,6 +401,40 @@ class SessionizeReplaySpec extends GraftSuite {
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
   }
+
+  test("built-in session_window agrees row-for-row with the custom " +
+      "sessionizer (the operator implemented twice)") {
+    // q53 uses session_window (splits on gap >= G); q95's
+    // flatMapGroupsWithState keeps gap == G in-session (splits on > G).
+    // On ms-quantized timestamps, session_window with G+1ms reproduces
+    // the strict-> boundary exactly, so after dropping each user's
+    // dangling last session both ENGINE paths must emit identical rows —
+    // closing the loop q53-vs-DuckDB and q95-vs-DuckDB leave open.
+    val s = spark
+    import s.implicits._
+    val streamed = graft.streaming.EventStream
+      .runSessionize(spark, sf, gapMinutes = 30,
+        queryName = "spec_sessions_sw")
+      .select($"user_id", unix_millis($"session_start").as("start_ms"),
+        unix_millis($"session_end").as("end_ms"), $"n_events",
+        round($"total_value", 2).as("total_value"))
+    val sw = Tables.events(spark, sf)
+      .groupBy(session_window($"ts", "1800001 milliseconds"), $"user_id")
+      .agg(unix_millis(min($"ts")).as("start_ms"),
+        unix_millis(max($"ts")).as("end_ms"),
+        count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("total_value"))
+      .withColumn("last_start",
+        max($"start_ms").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id")))
+      .filter($"start_ms" < $"last_start")
+      .select($"user_id", $"start_ms", $"end_ms", $"n_events",
+        $"total_value")
+    assert(streamed.count() > 0)
+    assert(streamed.count() === sw.count())
+    assert(streamed.exceptAll(sw).count() === 0)
+    assert(sw.exceptAll(streamed).count() === 0)
+  }
 }
 
 class StreamingWindowsSpec extends GraftSuite {
