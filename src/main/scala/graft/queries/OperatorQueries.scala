@@ -23,7 +23,7 @@ object OperatorQueries {
     q82Upsert, q83TopKAggKnn, q84Normalize, q85DedupComponents,
     q86Histogram, q88AsOfNative, q89StreamIntervalJoin, q90PipelineFilter,
     q91HeavyHitters, q92BigramCounts, q93PqRecall, q94IvfPqTopK,
-    q95Sessionize, q99DedupKeep, q100GroupCap)
+    q95Sessionize, q99DedupKeep, q100GroupCap, q101SessionizeFlush)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -103,9 +103,15 @@ object OperatorQueries {
         .agg(min($"doc_id").as("doc_id"),
           expr("min_by(source, doc_id)").as("source"),
           min($"quality").as("quality"))
+      // avg over exact micro-units: quality is a 6-decimal value, so
+      // sum(round(q·10^6)) is an exact integer and ONE double division
+      // yields a bit-identical avg in both engines — round(avg(q), 6)
+      // could land on an exact half tie (sum/2^k groups), where Spark
+      // HALF_UP and DuckDB disagree in the last digit (seen at sf0.001)
       dedup.groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
-          round(avg($"quality"), 6).as("avg_quality"))
+          (sum(round($"quality" * 1e6).cast("long")).cast("double") /
+            (count(lit(1)) * lit(1000000.0))).as("avg_quality"))
         .orderBy($"source")
     },
     Some(
@@ -142,7 +148,8 @@ object OperatorQueries {
         "arg_min(source, doc_id) AS source, min(quality) AS quality " +
         "FROM kept GROUP BY text) " +
         "SELECT source, count(*) AS n_docs, " +
-        "round(avg(quality), 6) AS avg_quality " +
+        "sum(round(quality * 1000000)::BIGINT)::DOUBLE / " +
+        "(count(*) * 1000000.0) AS avg_quality " +
         "FROM dedup GROUP BY 1 ORDER BY source"))
 
   /** Product-quantization ANN: per-query ADC recall@10 against the
@@ -768,6 +775,37 @@ object OperatorQueries {
         "FROM a) " +
         "SELECT user_id, start_ms, end_ms, n_events, total_value " +
         "FROM m WHERE sess < last_sess ORDER BY user_id, start_ms"))
+
+  /** COMPLETE streaming sessionization: the event-time-timeout variant —
+    * a far-future sentinel advances the watermark after the replay
+    * drains, so the stateful sessionizer flushes every dangling session
+    * too. Oracle = the FULL gaps-and-islands session set (q95's oracle
+    * without the last-session drop): append-mode streaming with
+    * watermark flush reproduces the batch answer exactly. */
+  val q101SessionizeFlush: GraftQuery = GraftQuery(
+    "q101_sessionize_flush",
+    (s, d) => {
+      import s.implicits._
+      graft.streaming.EventStream.runSessionizeFlush(s, d,
+          gapMinutes = 30, queryName = "graft_sessions_q101")
+        .select($"user_id", unix_millis($"session_start").as("start_ms"),
+          unix_millis($"session_end").as("end_ms"), $"n_events",
+          round($"total_value", 2).as("total_value"))
+        .orderBy($"user_id", $"start_ms")
+    },
+    Some(
+      "WITH o AS (SELECT user_id, ts, event_id, value, CASE WHEN " +
+        "lag(ts) OVER w IS NULL OR " +
+        "ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END " +
+        "AS new_s FROM events WINDOW w AS " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "g AS (SELECT user_id, ts, value, sum(new_s) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS sess FROM o) " +
+        "SELECT user_id, epoch_ms(min(ts)) AS start_ms, " +
+        "epoch_ms(max(ts)) AS end_ms, count(*) AS n_events, " +
+        "round(sum(value), 2) AS total_value " +
+        "FROM g GROUP BY user_id, sess ORDER BY user_id, start_ms"))
 
   /** Deduplicated-corpus materialization ([[graft.operators.Dedup
     * .keepCanonical]]): the final step of the dedup pipeline — drop every

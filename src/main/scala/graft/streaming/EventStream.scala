@@ -164,15 +164,20 @@ object EventStream {
     * the gap elapses on the CLOCK — the production choice for an unbounded
     * stream, but on a finite replay the engine keeps scheduling
     * micro-batches to re-check pending clock timeouts, so
-    * `processAllAvailable` never settles. `NoTimeout` emits in-data
-    * gap-closed sessions only (each user's final session stays in state) —
-    * the deterministic replay/backfill choice ([[runSessionize]], q95). */
+    * `processAllAvailable` never settles. `EventTimeTimeout` flushes when
+    * the WATERMARK passes session end + gap — deterministic in event
+    * time; the input must carry `withWatermark("ts", …)` and
+    * [[runSessionizeFlush]] shows the complete-replay harness.
+    * `NoTimeout` emits in-data gap-closed sessions only (each user's
+    * final session stays in state) — the deterministic replay/backfill
+    * choice ([[runSessionize]], q95). */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
       timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)(
       implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
     val gapMs = gapMinutes * 60L * 1000L
-    val withTimeout = timeout != GroupStateTimeout.NoTimeout
+    val eventTime = timeout == GroupStateTimeout.EventTimeTimeout
+    val procTime = timeout == GroupStateTimeout.ProcessingTimeTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, timeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
@@ -199,10 +204,62 @@ object EventStream {
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
-            cur.foreach(state.update)
-            if (withTimeout) state.setTimeoutDuration(s"$gapMinutes minutes")
+            cur.foreach { s =>
+              state.update(s)
+              // flush when event time (the watermark) passes the gap —
+              // the in-data close condition, applied to stream silence
+              if (eventTime) state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            if (procTime) state.setTimeoutDuration(s"$gapMinutes minutes")
             closed.reverseIterator
           }
       }
   }
+
+  /** COMPLETE sessionization of a finite replay: every session is
+    * emitted, including each user's final (dangling) one — the
+    * event-time-timeout twin of [[runSessionize]], whose append-mode
+    * replay can only emit in-data gap-closed sessions.
+    *
+    * Mechanics: the file source unions a one-event memory stream; the
+    * watermark delay is far larger than any data span (so no session
+    * flushes mid-replay regardless of how files split into
+    * micro-batches — emission timing stays deterministic), and after the
+    * file replay drains, a single far-future SENTINEL event advances the
+    * watermark past every session's end + gap, firing the event-time
+    * timeouts that flush the dangling sessions. The sentinel user's own
+    * state never times out (nothing advances the watermark past it) and
+    * is filtered from the output. */
+  def runSessionizeFlush(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30, queryName: String = "graft_sessions_flush",
+      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+    withPartitions(spark, shufflePartitions) {
+      import spark.implicits._
+      implicit val sp: SparkSession = spark
+      val sentinelUser = -1L
+      val delayDays = 3650L
+      val maxTsMs = graft.Tables.events(spark, dir)
+        .agg(max(unix_millis(col("ts")))).head().getLong(0)
+      val sentinelTs = new java.sql.Timestamp(
+        maxTsMs + delayDays * 86400000L + gapMinutes * 60000L + 3600000L)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]],
+          spark)
+      val fileEvents = source(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event]
+      val all = fileEvents.unionByName(mem.toDS())
+        .withWatermark("ts", s"$delayDays days").as[Event]
+      val q = sessionize(all, gapMinutes,
+          timeout = GroupStateTimeout.EventTimeTimeout).writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .start()
+      try {
+        q.processAllAvailable() // drain the file replay, watermark ≈ 0
+        mem.addData(Event(-1L, sentinelTs, sentinelUser, "sentinel", 0.0))
+        q.processAllAvailable() // sentinel batch + timeout-firing batch
+      } finally q.stop()
+      spark.table(queryName).filter(col("user_id") =!= sentinelUser)
+    }
 }

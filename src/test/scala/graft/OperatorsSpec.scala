@@ -402,6 +402,39 @@ class SessionizeReplaySpec extends GraftSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("event-time-timeout flush emits the COMPLETE session set") {
+    // runSessionizeFlush must equal the full batch gaps-and-islands
+    // answer INCLUDING each user's dangling last session (which the
+    // NoTimeout replay deliberately leaves in state)
+    val s = spark
+    import s.implicits._
+    val flushed = graft.streaming.EventStream
+      .runSessionizeFlush(spark, sf, gapMinutes = 30,
+        queryName = "spec_sessions_flush")
+      .select($"user_id", unix_millis($"session_start").as("start_ms"),
+        unix_millis($"session_end").as("end_ms"), $"n_events",
+        round($"total_value", 2).as("total_value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val batch = Tables.events(spark, sf)
+      .withColumn("new_s",
+        when(lag($"ts", 1).over(w).isNull ||
+          unix_millis($"ts") - unix_millis(lag($"ts", 1).over(w)) >
+            30L * 60 * 1000, 1).otherwise(0))
+      .withColumn("sess", sum($"new_s").over(
+        w.rowsBetween(Long.MinValue, 0)))
+      .groupBy($"user_id", $"sess")
+      .agg(unix_millis(min($"ts")).as("start_ms"),
+        unix_millis(max($"ts")).as("end_ms"),
+        count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("total_value"))
+      .select($"user_id", $"start_ms", $"end_ms", $"n_events",
+        $"total_value")
+    assert(flushed.count() === batch.count()) // danglers included
+    assert(flushed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(flushed).count() === 0)
+  }
+
   test("built-in session_window agrees row-for-row with the custom " +
       "sessionizer (the operator implemented twice)") {
     // q53 uses session_window (splits on gap >= G); q95's
