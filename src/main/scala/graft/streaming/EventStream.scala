@@ -262,4 +262,32 @@ object EventStream {
       } finally q.stop()
       spark.table(queryName).filter(col("user_id") =!= sentinelUser)
     }
+
+  /** Exactly-once restoration of an at-least-once stream: the same events
+    * file is delivered by TWO independent file sources (each tracks its
+    * own progress, so every row arrives twice — the standard redelivery
+    * shape of an at-least-once bus), and a keyed streaming dedup on
+    * `event_id` drops the replays. Every surviving row's payload is
+    * deterministic because all deliveries of an id are identical, so the
+    * result equals the batch table exactly — q102's oracle.
+    *
+    * This replay uses unwatermarked [[Dataset.dropDuplicates]] (exact:
+    * state = one entry per id, never evicted) so a finite file replay is
+    * complete regardless of how far apart the two deliveries land. On an
+    * unbounded production stream, swap in
+    * `dropDuplicatesWithinWatermark("event_id")` after `withWatermark` —
+    * redeliveries in real buses arrive within a bounded delay, and the
+    * watermark evicts ids older than that bound, keeping state finite. */
+  def runExactlyOnce(spark: SparkSession, dir: String,
+      queryName: String = "graft_exactly_once",
+      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+    withPartitions(spark, shufflePartitions) {
+      val delivered = source(spark, dir).unionByName(source(spark, dir))
+      val q = delivered.dropDuplicates("event_id").writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(queryName)
+    }
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Chunker
+
+/** Training-data shaping operators: sliding-window chunking,
+  * concat-and-chunk sequence packing, exactly-once stream restoration. */
+class PipelineSpec extends GraftSuite {
+
+  test("chunk: windows, stride, short-doc and exact-boundary cases") {
+    val s = spark
+    import s.implicits._
+    // 10 tokens, size 4 / stride 3: starts 0,3,6 — [6,10) reaches the
+    // end, so the contained tail start 9 is NOT emitted
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y"), // shorter than one chunk → exactly one chunk
+      (3L, "p q r s") // exactly chunkSize → one chunk (covers all)
+    ).toDF("doc_id", "text")
+    val out = Chunker.chunk(docs, "doc_id", "text",
+        chunkSize = 4, stride = 3)
+      .orderBy($"doc_id", $"chunk_id")
+      .select($"doc_id", $"chunk_id", $"start_tok", $"n_tok", $"chunk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getString(4)))
+    assert(out.toSeq === Seq(
+      (1L, 0, 0, 4, "a b c d"),
+      (1L, 1, 3, 4, "d e f g"),
+      (1L, 2, 6, 4, "g h i j"),
+      (2L, 0, 0, 2, "x y"),
+      (3L, 0, 0, 4, "p q r s")))
+  }
+
+  test("chunk: every token is covered and overlaps equal size - stride") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf).limit(50)
+    val chunks = Chunker.chunk(docs, "doc_id", "text",
+      chunkSize = 32, stride = 24)
+    // non-final chunks contribute exactly `stride` new tokens; the union
+    // of [start, start+n_tok) intervals tiles [0, n) without gaps
+    val bad = chunks
+      .withColumn("next_start", lead($"start_tok", 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"chunk_id")))
+      .filter($"next_start".isNotNull &&
+        ($"next_start" =!= $"start_tok" + 24 ||
+          $"start_tok" + $"n_tok" < $"next_start"))
+      .count()
+    assert(bad === 0)
+    // reconstruction: stride-prefix of each chunk + full last chunk
+    // re-concatenates to the original text
+    val rebuilt = chunks
+      .withColumn("is_last", lead($"chunk_id", 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"chunk_id")).isNull)
+      .withColumn("piece", when($"is_last", $"chunk")
+        .otherwise(array_join(slice(split($"chunk", " "), 1, 24), " ")))
+      .groupBy($"doc_id")
+      .agg(array_join(collect_list($"piece"), " ").as("rebuilt"))
+    val diff = rebuilt.join(docs, "doc_id")
+      .filter($"rebuilt" =!= $"text").count()
+    assert(diff === 0)
+  }
+
+  test("packSequences: occupancy, token conservation, straddle flags") {
+    val s = spark
+    import s.implicits._
+    // token counts 3,4,5,2 in one group, seqLen 6:
+    // offsets 0,3,7,12 → seq ids 0,0,1,2; straddle: doc2 ([3,6]) crosses
+    // 6-boundary? tokens 3..6 end at 6 → (3+4-1)=6 → floor(6/6)=1 > 0 yes
+    val docs = Seq(
+      (1L, "a a a", "g1"), (2L, "b b b b", "g1"),
+      (3L, "c c c c c", "g1"), (4L, "d d", "g1")
+    ).toDF("doc_id", "text", "source")
+    val out = Chunker.packSequences(docs, "doc_id", "text", "source",
+        seqLen = 6)
+      .orderBy($"seq_id")
+      .select($"seq_id", $"n_docs", $"n_tokens", $"n_straddle")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // doc 3 occupies tokens 7..11, ending exactly at the seq-1 boundary
+    // (floor(11/6)=1): no straddle
+    assert(out.toSeq === Seq((0L, 2L, 7L, 1L), (1L, 1L, 5L, 0L),
+      (2L, 1L, 2L, 0L)))
+    // conservation: packed token total == corpus token total
+    val corpus = Tables.documents(spark, sf)
+    val packed = Chunker.packSequences(corpus, "doc_id", "text",
+      "source", seqLen = 512)
+    val total = packed.agg(sum($"n_tokens")).head().getLong(0)
+    val direct = corpus.agg(sum(size(split($"text", " "))))
+      .head().getLong(0)
+    assert(total === direct)
+  }
+
+  test("exactly-once restoration equals the batch table") {
+    val s = spark
+    import s.implicits._
+    val streamed = graft.streaming.EventStream
+      .runExactlyOnce(spark, sf, queryName = "spec_exactly_once")
+      .select($"event_id", $"user_id", unix_millis($"ts").as("ts_ms"),
+        $"event_type", $"value")
+    val batch = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", unix_millis($"ts").as("ts_ms"),
+        $"event_type", $"value")
+    assert(streamed.count() === batch.count()) // each id exactly once
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+}
