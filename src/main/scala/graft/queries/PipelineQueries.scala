@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Chunker
+import graft.operators.{Chunker, IvfIndex, SemDedup}
 import graft.streaming.EventStream
 
 /** Training-data pipeline queries: exactly-once stream restoration,
@@ -10,7 +10,8 @@ import graft.streaming.EventStream
   * deterministic and ANSI-expressible — every query here is oracled. */
 object PipelineQueries {
 
-  def all: Seq[GraftQuery] = Seq(q102ExactlyOnce, q103Chunk, q104Pack)
+  def all: Seq[GraftQuery] =
+    Seq(q102ExactlyOnce, q103Chunk, q104Pack, q105SemDedup)
 
   /** Exactly-once restoration of at-least-once delivery: two independent
     * file sources redeliver every event, a keyed streaming dedup drops
@@ -83,4 +84,45 @@ object PipelineQueries {
         "sum(n_tok)::BIGINT AS n_tokens, " +
         "sum(straddles)::BIGINT AS n_straddle " +
         "FROM m GROUP BY 1, 2 ORDER BY source, seq_id"))
+
+  /** Semantic dedup (SemDeDup): the embeddings table + planted
+    * near-identical clones (every 20th vector, one coordinate nudged,
+    * id offset by 1e6) → coarse k-means clusters → within-cluster cosine
+    * pairs → keep-one. Per-cluster report; rows-only (k-means is not
+    * DuckDB-expressible) but a pure function of (data, seed) — the
+    * planted-clone recovery is asserted in SemDedupSpec. */
+  val q105SemDedup: GraftQuery = GraftQuery(
+    "q105_semdedup",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding")
+      val clones = e.filter($"vec_id" % 20 === 0)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          transform($"embedding",
+            (x, i) => x + when(i === 0, lit(0.05f)).otherwise(lit(0.0f)))
+            .as("embedding"))
+      val corpus = e.unionByName(clones)
+      val centroids = IvfIndex.trainCentroids(corpus, "vec_id",
+        "embedding", nlist = 8, seed = 42L)
+      val assigned = SemDedup.assignClusters(corpus, "vec_id",
+        "embedding", centroids)
+      val pairs = SemDedup.pairsWithin(assigned, "vec_id",
+        tau = 0.95, maxCluster = 1000)
+      val kept = SemDedup.keep(corpus, "vec_id", pairs)
+      val nVecs = assigned.groupBy($"cluster")
+        .agg(count(lit(1)).as("n_vecs"))
+      val nPairs = pairs.groupBy($"cluster")
+        .agg(count(lit(1)).as("n_pairs"))
+      val nRemoved = assigned
+        .join(kept.select($"vec_id"), Seq("vec_id"), "left_anti")
+        .groupBy($"cluster").agg(count(lit(1)).as("n_removed"))
+      nVecs
+        .join(nPairs, Seq("cluster"), "left_outer")
+        .join(nRemoved, Seq("cluster"), "left_outer")
+        .select($"cluster", $"n_vecs",
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+          coalesce($"n_removed", lit(0L)).as("n_removed"))
+        .orderBy($"cluster")
+    })
 }
