@@ -34,6 +34,8 @@ object Main {
       runDedupIngest(loadConf(rest), batch, indexDir, outDir)
     case "ann-index" :: input :: outDir :: rest =>
       runAnnIndex(loadConf(rest), input, outDir)
+    case "ann-ingest" :: batch :: indexDir :: rest =>
+      runAnnIngest(loadConf(rest), batch, indexDir)
     case "ann-query" :: indexDir :: queries :: outDir :: rest =>
       runAnnQuery(loadConf(rest), indexDir, queries, outDir)
     case "ann-query-pq" :: indexDir :: queries :: outDir :: rest =>
@@ -47,6 +49,7 @@ object Main {
            |       graft.Main dedup <docsParquet> <outDir> [conf.json]
            |       graft.Main dedup-ingest <batchParquet> <indexDir> <outDir> [conf.json]
            |       graft.Main ann-index <embeddingsParquet> <outDir> [conf.json]
+           |       graft.Main ann-ingest <batchParquet> <indexDir> [conf.json]
            |       graft.Main ann-query <indexDir> <queriesParquet> <outDir> [conf.json]
            |       graft.Main ann-query-pq <indexDir> <queriesParquet> <outDir> [conf.json]
            |       graft.Main ann-query-ivfpq <indexDir> <queriesParquet> <outDir> [conf.json]
@@ -68,6 +71,21 @@ object Main {
       s"$outDir/ivf_l2", nlist = gc.annNlist, seed = 42L, metric = "l2")
     graft.operators.PqIndex.writeIndex(emb, "vec_id", "embedding",
       s"$outDir/pq", m = gc.pqSubspaces, k = gc.pqCentroids, seed = 42L)
+    spark.stop()
+  }
+
+  /** Ingest a new embedding batch into the persisted IVF indexes built
+    * by `ann-index` (both the cosine and the L2 one) — bucket-assign
+    * under the stored centroids, append; no retraining, no corpus
+    * re-read. */
+  private def runAnnIngest(gc: GraftConfig, batch: String,
+      indexDir: String): Unit = {
+    val spark = session()
+    val emb = spark.read.parquet(batch)
+    graft.operators.IvfIndex.appendVectors(spark, s"$indexDir/ivf",
+      emb, "vec_id", "embedding")
+    graft.operators.IvfIndex.appendVectors(spark, s"$indexDir/ivf_l2",
+      emb, "vec_id", "embedding")
     spark.stop()
   }
 

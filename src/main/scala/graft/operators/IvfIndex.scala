@@ -170,6 +170,28 @@ object IvfIndex extends Serializable {
       .parquet(s"$path/buckets")
   }
 
+  /** Ingest NEW vectors into a persisted index WITHOUT retraining:
+    * assign each to its bucket under the STORED centroids (and the
+    * stored metric, so coarse geometry stays consistent) and append to
+    * the bucket-partitioned parquet. O(batch) work per ingest — one
+    * map-side projection + a partitioned append; the corpus already in
+    * the index is never re-read. The centroids drift from the true
+    * k-means of the grown corpus over time — the standard IVF trade;
+    * retrain (writeIndex) when recall floors degrade. */
+  def appendVectors(spark: org.apache.spark.sql.SparkSession,
+      path: String, newVecs: DataFrame, idCol: String,
+      vecCol: String): Unit = {
+    val (centroids, _) = readIndex(spark, path)
+    val metric = readIndexMetric(spark, path)
+    val cv = Similarity.asDouble(col(vecCol))
+    val bucket =
+      if (metric == "l2") bucketOfL2(cv, centroids) else bucketOf(cv, centroids)
+    newVecs
+      .select(col(idCol).as("cand_id"), cv.as("cv"), bucket.as("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/buckets")
+  }
+
   /** Read a persisted IVF index back: (centroids, bucketed candidates). */
   def readIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): (Seq[Seq[Double]], DataFrame) = {

@@ -145,4 +145,38 @@ class IvfSpec extends GraftSuite {
     assert(rAll === 1.0 +- 1e-9) // probing all lists = exact
     assert(r1 <= rAll + 1e-9)
   }
+
+  test("appendVectors ingests a batch the index then serves, no retrain") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_in").toString
+    val half1 = e.filter($"vec_id" % 2 === 0)
+      .select($"vec_id", $"embedding".as("cv"))
+    val half2 = e.filter($"vec_id" % 2 === 1)
+      .select($"vec_id", $"embedding".as("cv"))
+    IvfIndex.writeIndex(half1, "vec_id", "cv", s"$dir/ivf",
+      nlist = 8, seed = 42L)
+    val centsBefore = IvfIndex.readIndex(spark, s"$dir/ivf")._1
+    IvfIndex.appendVectors(spark, s"$dir/ivf", half2, "vec_id", "cv")
+    val (cents, buckets) = IvfIndex.readIndex(spark, s"$dir/ivf")
+    assert(cents === centsBefore) // centroids untouched — no retraining
+    assert(buckets.count() === e.count()) // index grew by the batch
+    // an ingested vector is served: query with ITS OWN embedding (fresh
+    // query id so the self-exclusion filter doesn't drop it) → top-1
+    val probe = e.filter($"vec_id" === 7).select(
+      lit(-1L).as("query_id"), $"embedding".as("qv"))
+    val top1 = IvfIndex.topKAgainstIndex(probe, cents, buckets,
+      "query_id", "qv", k = 1, nprobe = 2)
+      .select($"cand_id").head().getLong(0)
+    assert(top1 === 7L)
+    // and the appended rows landed in the SAME buckets the stored
+    // centroids dictate (partition layout stays consistent)
+    val expected = half2.select($"vec_id",
+      IvfIndex.bucketOf(Similarity.asDouble($"cv"), cents).cast("long")
+        .as("b"))
+    val stored = buckets.filter($"cand_id" % 2 === 1)
+      .select($"cand_id".as("vec_id"), $"bucket".cast("long").as("b"))
+    assert(stored.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(stored).count() === 0)
+  }
 }
