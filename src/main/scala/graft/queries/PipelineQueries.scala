@@ -11,7 +11,7 @@ import graft.streaming.EventStream
 object PipelineQueries {
 
   def all: Seq[GraftQuery] =
-    Seq(q102ExactlyOnce, q103Chunk, q104Pack, q105SemDedup)
+    Seq(q102ExactlyOnce, q103Chunk, q104Pack, q105SemDedup, q106Pipeline)
 
   /** Exactly-once restoration of at-least-once delivery: two independent
     * file sources redeliver every event, a keyed streaming dedup drops
@@ -125,4 +125,60 @@ object PipelineQueries {
           coalesce($"n_removed", lit(0L)).as("n_removed"))
         .orderBy($"cluster")
     })
+
+  /** The END-TO-END pretraining shaping pipeline in one composition,
+    * hash-checked as a whole: quality filter (composite score ≥ 0.6) →
+    * exact dedup (keep min doc_id per identical text) → per-source
+    * concat-and-chunk packing into 512-token sequences → per-source
+    * occupancy report. Each stage is individually oracled elsewhere
+    * (q49, q21, q104); this query proves the COMPOSITION matches DuckDB
+    * end-to-end — the whole-pipeline guarantee a data team actually
+    * needs. */
+  val q106Pipeline: GraftQuery = GraftQuery(
+    "q106_shaping_pipeline",
+    (s, d) => {
+      import s.implicits._
+      val good = Tables.documents(s, d)
+        .select($"doc_id", $"text", $"source",
+          graft.functions.TextFunctions.qualityScore($"text").as("q"))
+        .filter($"q" >= 0.6)
+      val dedup = good.groupBy($"text")
+        .agg(min($"doc_id").as("doc_id"),
+          expr("min_by(source, doc_id)").as("source"))
+      val packed = Chunker.packSequences(dedup, "doc_id", "text",
+        "source", seqLen = 512)
+      packed.groupBy($"source")
+        .agg((max($"seq_id") + 1).as("n_seqs"),
+          sum($"n_docs").as("n_docs"),
+          sum($"n_tokens").as("n_tokens"),
+          sum($"n_straddle").cast("long").as("n_straddle"))
+        .orderBy($"source")
+    },
+    Some(
+      "WITH s AS (SELECT doc_id, text, source, " +
+        "round(least(n_tok / 64.0, 1.0) * 0.4 + " +
+        "(n_distinct / n_tok) * 0.4 + " +
+        "(CASE WHEN (n_chars - n_tok + 1.0) / n_tok BETWEEN 3.0 AND 9.0 " +
+        "THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS q FROM (" +
+        "SELECT doc_id, text, source, " +
+        "len(string_split(text, ' '))::DOUBLE AS n_tok, " +
+        "len(list_distinct(string_split(lower(text), ' ')))::DOUBLE " +
+        "AS n_distinct, length(text)::DOUBLE AS n_chars " +
+        "FROM documents)), " +
+        "g AS (SELECT * FROM s WHERE q >= 0.6), " +
+        "dd AS (SELECT text, min(doc_id) AS doc_id, " +
+        "arg_min(source, doc_id) AS source FROM g GROUP BY text), " +
+        "t AS (SELECT source, doc_id, " +
+        "len(string_split(text, ' ')) AS n_tok FROM dd), " +
+        "o AS (SELECT source, doc_id, n_tok, " +
+        "sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) - n_tok AS tok_off FROM t), " +
+        "m AS (SELECT source, n_tok, " +
+        "floor(tok_off / 512)::BIGINT AS seq_id, " +
+        "(floor((tok_off + n_tok - 1) / 512) > floor(tok_off / 512))" +
+        "::INT AS straddles FROM o) " +
+        "SELECT source, max(seq_id) + 1 AS n_seqs, " +
+        "count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens, " +
+        "sum(straddles)::BIGINT AS n_straddle " +
+        "FROM m GROUP BY 1 ORDER BY source"))
 }
