@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.DocIngest
+
+/** The STREAMING ingest front door: document files arriving in a
+  * directory are deduped per micro-batch against the growing persisted
+  * index via foreachBatch — and a restarted query resumes from the
+  * checkpoint against the index the previous run left behind. */
+class DocIngestSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf)
+    .select($"doc_id", $"text")
+
+  /** Write df as ONE plain parquet file at `dest` (the file-arrival
+    * granularity the stream source ingests). */
+  private def writeOneFile(df: org.apache.spark.sql.DataFrame,
+      dest: String): Unit = {
+    val tmp = Files.createTempDirectory("graft_onefile").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    new java.io.File(dest).getParentFile.mkdirs()
+    Files.move(part.toPath, java.nio.file.Paths.get(dest))
+  }
+
+  test("file-per-batch stream dedups each batch against the index") {
+    val root = Files.createTempDirectory("graft_stream_ing").toString
+    val srcDir = s"$root/src"
+    val indexDir = s"$root/idx"
+    val outDir = s"$root/out"
+    val ckpt1 = s"$root/ckpt" // shared across both runs: one logical query
+
+    // batch 1 lands alone; the first run drains it
+    writeOneFile(docs.filter($"doc_id" < 40), s"$srcDir/b1.parquet")
+    DocIngest.runToCompletion(spark, srcDir, indexDir, outDir, ckpt1)
+    val kept1 = spark.read.parquet(s"$outDir/batch_0/kept")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept1.nonEmpty)
+
+    // batch 2 arrives later: 5 exact clones of batch-1 survivors (new
+    // ids) + fresh docs. RESTART the stream — the checkpoint must skip
+    // the already-ingested b1 file, and the clones must be caught from
+    // the PERSISTED index alone.
+    val cloneIds = kept1.toSeq.sorted.take(5)
+    writeOneFile(
+      docs.filter($"doc_id".isin(cloneIds.map(Long.box): _*))
+        .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+        .unionAll(docs.filter($"doc_id" >= 40 && $"doc_id" < 60)),
+      s"$srcDir/b2.parquet")
+    DocIngest.runToCompletion(spark, srcDir, indexDir, outDir, ckpt1)
+
+    // b1 was NOT re-ingested (no batch dir beyond batch_0 and batch_1)
+    val batchDirs = new java.io.File(outDir).listFiles()
+      .map(_.getName).sorted.toSeq
+    assert(batchDirs === Seq("batch_0", "batch_1"))
+
+    val crossNewIds = spark.read.parquet(s"$outDir/batch_1/cross_pairs")
+      .select($"new_id").as[Long].collect().toSet
+    assert(cloneIds.map(_ + 100000L).toSet.subsetOf(crossNewIds),
+      s"clones not caught from the index: $crossNewIds")
+    val kept2 = spark.read.parquet(s"$outDir/batch_1/kept")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept2.forall(_ < 100000L)) // clones dropped, fresh kept
+    assert(kept2.nonEmpty)
+
+    // index grew append-only across the restart
+    assert(graft.operators.Dedup.readIndex(spark, indexDir).count()
+      === (kept1.size + kept2.size).toLong)
+  }
+
+  test("stateless shaping ops run unchanged on a stream") {
+    // Chunker.chunk is a projection + explode — no state, no watermark:
+    // the SAME operator code drives batch jobs and streams, and the
+    // streaming replay must equal the batch result exactly.
+    val root = Files.createTempDirectory("graft_stream_chunk").toString
+    val batch = docs.filter($"doc_id" < 30)
+    writeOneFile(batch, s"$root/src/d.parquet")
+    val schema = spark.read.parquet(s"$root/src").schema
+    val streamed = graft.operators.Chunker.chunk(
+      spark.readStream.schema(schema).parquet(s"$root/src").toDF(),
+      "doc_id", "text", chunkSize = 32, stride = 24)
+    val q = streamed.writeStream.format("memory")
+      .queryName("spec_stream_chunks").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("spec_stream_chunks")
+    val want = graft.operators.Chunker.chunk(batch, "doc_id", "text",
+      chunkSize = 32, stride = 24)
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+}
