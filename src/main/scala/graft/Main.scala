@@ -74,10 +74,10 @@ object Main {
     spark.stop()
   }
 
-  /** Ingest a new embedding batch into the persisted IVF indexes built
-    * by `ann-index` (both the cosine and the L2 one) — bucket-assign
-    * under the stored centroids, append; no retraining, no corpus
-    * re-read. */
+  /** Ingest a new embedding batch into EVERY persisted index built by
+    * `ann-index`: both IVF variants (bucket-assign under the stored
+    * centroids) and the PQ codes (encode under the stored codebook) —
+    * no retraining, no corpus re-read. */
   private def runAnnIngest(gc: GraftConfig, batch: String,
       indexDir: String): Unit = {
     val spark = session()
@@ -85,6 +85,8 @@ object Main {
     graft.operators.IvfIndex.appendVectors(spark, s"$indexDir/ivf",
       emb, "vec_id", "embedding")
     graft.operators.IvfIndex.appendVectors(spark, s"$indexDir/ivf_l2",
+      emb, "vec_id", "embedding")
+    graft.operators.PqIndex.appendVectors(spark, s"$indexDir/pq",
       emb, "vec_id", "embedding")
     spark.stop()
   }

@@ -103,5 +103,21 @@ object ResultDocs extends Serializable {
         lit(date).as("date"))
   }
 
+  /** The GUI's read path (reference `project_gui/gui/views.py:31-35`):
+    * fetch the LATEST doc for (algorithm, macro, micro, x, y) where the
+    * (x, y) column pair is UNORDERED — the reference retries its lookup
+    * with the two columns swapped when the first orientation misses.
+    * Engine-side equivalent over a doc table ([[original]] or [[d3]]
+    * rows): one filter accepting both orientations, newest `date` kept
+    * (date is the injected run stamp, ISO-sortable). */
+  def latestFor(docs: DataFrame, algorithm: String, macroName: String,
+      microName: String, xCol: String, yCol: String): DataFrame =
+    docs.filter(col("algorithm") === algorithm &&
+        col("macro") === macroName && col("micro") === microName &&
+        ((col("firstColumn") === xCol && col("secondColumn") === yCol) ||
+          (col("firstColumn") === yCol && col("secondColumn") === xCol)))
+      .orderBy(col("date").desc)
+      .limit(1)
+
   private def algName(conf: EngineConf): String = conf.algorithm
 }

@@ -108,6 +108,19 @@ object PqIndex extends Serializable {
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
+  /** Ingest NEW vectors into a persisted PQ index WITHOUT retraining:
+    * encode the batch under the STORED codebook and append the codes —
+    * O(batch) work, the indexed corpus (and its codes) is never
+    * re-read. Same trade as [[IvfIndex.appendVectors]]: the codebook
+    * drifts from the grown corpus's optimum; retrain when recall floors
+    * degrade. */
+  def appendVectors(spark: SparkSession, path: String,
+      newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    val (cb, _) = readIndex(spark, path)
+    encode(newVecs, idCol, vecCol, cb)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   /** Read a persisted PQ index back: (codebook, codes). The codes
     * DataFrame plugs straight into [[adcTopK]]. */
   def readIndex(spark: SparkSession, path: String): (Codebook, DataFrame) = {

@@ -101,6 +101,23 @@ class EngineSpec extends GraftSuite {
     assert(sizes.exists(_ === 1.0) && sizes.exists(_ > 49.0)) // spans range
   }
 
+  test("latestFor: unordered (x,y) lookup returns the newest doc") {
+    // the GUI quirk (views.py:31-35): a doc written as (x=qty, y=price)
+    // must be found when asked for (price, qty), and the LATEST date wins
+    val res = ClusterEngine.run(li, conf)
+    val docs = ResultDocs.original(res, conf, "2026-08-11")
+      .unionByName(ResultDocs.original(res, conf, "2026-08-12"))
+    val hitSwapped = ResultDocs.latestFor(docs, "KMeans",
+      conf.macroCol, conf.microCol, conf.yCol, conf.xCol)
+    val rows = hitSwapped.collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("date") === "2026-08-12")
+    assert(rows(0).getAs[String]("firstColumn") === conf.xCol)
+    val miss = ResultDocs.latestFor(docs, "KMeans",
+      conf.macroCol, conf.microCol, conf.xCol, "no_such_col")
+    assert(miss.count() === 0)
+  }
+
   test("config JSON overlay keeps defaults for absent fields") {
     val c = graft.config.GraftConfig.fromJson(
       """{"startK": 3, "algorithms": ["BisectingKMeans"]}""")

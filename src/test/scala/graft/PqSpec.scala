@@ -133,6 +133,38 @@ class PqSpec extends GraftSuite {
     assert(direct.exceptAll(served).count() === 0)
   }
 
+  test("appendVectors encodes a batch under the STORED codebook") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_in").toString
+    val e = Tables.embeddings(spark, sf)
+    val half1 = e.filter($"vec_id" % 2 === 0)
+    val half2 = e.filter($"vec_id" % 2 === 1)
+    PqIndex.writeIndex(half1, "vec_id", "embedding", s"$dir/pq",
+      m = 8, k = 16, seed = 42L)
+    val cbBefore = PqIndex.readIndex(spark, s"$dir/pq")._1
+    PqIndex.appendVectors(spark, s"$dir/pq", half2, "vec_id", "embedding")
+    val (cb, codes) = PqIndex.readIndex(spark, s"$dir/pq")
+    // codebook untouched; codes grew by exactly the batch
+    assert(cb.centers.map(_.map(_.toSeq).toSeq).toSeq
+      === cbBefore.centers.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(codes.count() === e.count())
+    // appended codes are EXACTLY what encoding under the stored codebook
+    // yields (serving stays consistent with the codebook on disk)
+    val expected = PqIndex.encode(half2, "vec_id", "embedding", cb)
+    val stored = codes.filter($"cand_id" % 2 === 1)
+    assert(stored.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(stored).count() === 0)
+    // and an ingested vector is served top-1 by ADC from the grown index
+    val probe = e.filter($"vec_id" === 7)
+      .select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+      .collect().map(r => -1L ->
+        r.getAs[scala.collection.Seq[Double]]("v").toArray).toSeq
+    val top1 = PqIndex.adcTopK(spark, probe, codes, cb, k = 1)
+      .select($"cand_id").head().getLong(0)
+    assert(top1 === 7L)
+  }
+
   test("ADC recall@10 beats random by a wide margin") {
     // sf0.01: 500 candidates -> random recall@10 ≈ 10/499 ≈ 0.02
     val e01 = Tables.embeddings(spark, "/root/testdata/sf0.01")
