@@ -31,6 +31,20 @@ object Sampling extends Serializable {
       .filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** Deterministic global shuffle for training order: rows sorted by
+    * `xxhash64(id, seed)` — a pure function of (id, seed), so the order
+    * is reproducible across runs, partitionings, and cluster sizes
+    * (unlike `orderBy(rand(seed))`, whose draw depends on row-to-
+    * partition placement). Epoch reshuffles = new seeds. One range
+    * shuffle, exactly what a global sort costs; at 100 TB this is the
+    * final pass that writes the training shards, so the sort IS the
+    * shard-assignment shuffle — no extra pass. Ties are impossible for
+    * distinct ids (64-bit hash of a unique key, collision odds ~n²/2⁶⁵),
+    * but the id itself breaks them deterministically anyway. */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      seed: Long): DataFrame =
+    df.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+
   /** Deterministic train/validation split keyed on a stable id column:
     * membership depends only on (id, seed) — invariant to partitioning,
     * re-runs, and data order, unlike randomSplit. trainFraction in (0,1).

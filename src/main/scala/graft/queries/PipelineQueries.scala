@@ -11,7 +11,8 @@ import graft.streaming.EventStream
 object PipelineQueries {
 
   def all: Seq[GraftQuery] =
-    Seq(q102ExactlyOnce, q103Chunk, q104Pack, q105SemDedup, q106Pipeline)
+    Seq(q102ExactlyOnce, q103Chunk, q104Pack, q105SemDedup, q106Pipeline,
+      q107TokenQuantiles)
 
   /** Exactly-once restoration of at-least-once delivery: two independent
     * file sources redeliver every event, a keyed streaming dedup drops
@@ -181,4 +182,33 @@ object PipelineQueries {
         "count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens, " +
         "sum(straddles)::BIGINT AS n_straddle " +
         "FROM m GROUP BY 1 ORDER BY source"))
+
+  /** Per-source token-length EXACT quantiles (p50/p90/p99, linear
+    * interpolation) — the corpus-profile report that sizes chunking and
+    * packing budgets. Spark's `percentile` and DuckDB's `quantile_cont`
+    * share the rank = p·(n-1) interpolation, so the whole profile is
+    * hash-checked. (At 100 TB swap in `approx_percentile` — same query
+    * shape, sketch-mergeable; the exact form is the oracle-able
+    * verifier.) */
+  val q107TokenQuantiles: GraftQuery = GraftQuery(
+    "q107_token_quantiles",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"source",
+          size(split($"text", " ")).cast("double").as("n_tok"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(n_tok, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_tok, 0.9)"), 6).as("p90"),
+          round(expr("percentile(n_tok, 0.99)"), 6).as("p99"))
+        .orderBy($"source")
+    },
+    Some(
+      "SELECT source, count(*) AS n_docs, " +
+        "round(quantile_cont(n_tok, 0.5), 6) AS p50, " +
+        "round(quantile_cont(n_tok, 0.9), 6) AS p90, " +
+        "round(quantile_cont(n_tok, 0.99), 6) AS p99 FROM (" +
+        "SELECT source, len(string_split(text, ' '))::DOUBLE AS n_tok " +
+        "FROM documents) GROUP BY source ORDER BY source"))
 }

@@ -94,6 +94,22 @@ class PipelineSpec extends GraftSuite {
     assert(total === direct)
   }
 
+  test("deterministicShuffle: same order at any partitioning, new seed reshuffles") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"source")
+    def order(df: org.apache.spark.sql.DataFrame, seed: Long): Seq[Long] =
+      graft.operators.Sampling.deterministicShuffle(df, "doc_id", seed)
+        .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    val o3 = order(docs.repartition(3), 42L)
+    val o8 = order(docs.repartition(8), 42L)
+    assert(o3 === o8) // placement-independent, unlike orderBy(rand)
+    assert(o3.toSet === docs.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet) // a permutation, nothing dropped
+    assert(o3 !== o3.sorted) // actually shuffled
+    assert(order(docs, 43L) !== o3) // epoch reshuffle = new seed
+  }
+
   test("exactly-once restoration equals the batch table") {
     val s = spark
     import s.implicits._
