@@ -45,6 +45,31 @@ object Sampling extends Serializable {
       seed: Long): DataFrame =
     df.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
 
+  /** The last mile of the training-data pipeline: write the corpus as
+    * SHUFFLED SHARDS — rows in [[deterministicShuffle]] order, range-
+    * partitioned into ~`rowsPerShard`-row parquet files, each file a
+    * contiguous slice of the global shuffled order. The ORDER is a pure
+    * function of (ids, seed) — invariant to input partitioning — while
+    * shard BOUNDARIES come from range sampling and are only
+    * approximately balanced; concatenating the shards in range order
+    * always replays the same stream. One range shuffle total: the sort
+    * IS the shard assignment, no second pass. Returns the row count. */
+  def writeShuffledShards(df: DataFrame, idCol: String, path: String,
+      seed: Long, rowsPerShard: Long): Long = {
+    require(rowsPerShard > 0, "rowsPerShard must be positive")
+    val n = df.count()
+    val files = math.max(1L, (n + rowsPerShard - 1) / rowsPerShard).toInt
+    val key = xxhash64(col(idCol), lit(seed))
+    df.withColumn("__shuffle_key", key)
+      .repartitionByRange(files, col("__shuffle_key"), col(idCol))
+      .sortWithinPartitions(col("__shuffle_key"), col(idCol))
+      .drop("__shuffle_key")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("maxRecordsPerFile", rowsPerShard)
+      .parquet(path)
+    n
+  }
+
   /** Deterministic train/validation split keyed on a stable id column:
     * membership depends only on (id, seed) — invariant to partitioning,
     * re-runs, and data order, unlike randomSplit. trainFraction in (0,1).

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.{IvfIndex, PqIndex}
+
+/** STREAMING vector ingest: embedding files arriving in a directory are
+  * appended to the persisted ANN indexes per micro-batch — the vector
+  * twin of [[DocIngest]]. Each batch is bucket-assigned under the
+  * STORED IVF centroids and encoded under the STORED PQ codebook
+  * ([[IvfIndex.appendVectors]] / [[PqIndex.appendVectors]]): O(batch)
+  * work, no retraining, the indexed corpus is never re-read, and the
+  * checkpoint makes file delivery effectively-once, so a restarted
+  * query resumes appending exactly where it stopped.
+  *
+  * Serving continues from the same artifacts between batches — an
+  * `ann-query` against the index simply sees more candidates after the
+  * next batch commits. Centroid/codebook drift is the standard IVF/PQ
+  * trade: retrain (`ann-index`) when recall floors degrade. */
+object VecIngest {
+
+  /** Start the ingest stream over `srcDir` (parquet embedding files
+    * with (idCol, vecCol) columns; globally unique ids). Appends each
+    * batch to whichever persisted indexes exist under `indexDir`
+    * (`ivf/`, `ivf_l2/`, `pq/` — the layout `ann-index` writes). */
+  def start(spark: SparkSession, srcDir: String, indexDir: String,
+      checkpointDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      oneFilePerBatch: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    def has(sub: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$sub"))
+    val schema = spark.read.parquet(srcDir).schema
+    val reader = spark.readStream.schema(schema)
+    val src =
+      (if (oneFilePerBatch) reader.option("maxFilesPerTrigger", 1)
+       else reader)
+        .parquet(srcDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          if (has("ivf"))
+            IvfIndex.appendVectors(spark, s"$indexDir/ivf", batch,
+              idCol, vecCol)
+          if (has("ivf_l2"))
+            IvfIndex.appendVectors(spark, s"$indexDir/ivf_l2", batch,
+              idCol, vecCol)
+          if (has("pq"))
+            PqIndex.appendVectors(spark, s"$indexDir/pq", batch,
+              idCol, vecCol)
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .info(s"[vec-ingest] batch=$batchId appended")
+        }
+      }
+      .start()
+  }
+
+  /** Drain the current backlog and stop ([[Trigger.AvailableNow]]) —
+    * the replay/backfill harness; production keeps the query running. */
+  def runToCompletion(spark: SparkSession, srcDir: String,
+      indexDir: String, checkpointDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      oneFilePerBatch: Boolean = true): Unit = {
+    val q = start(spark, srcDir, indexDir, checkpointDir, idCol, vecCol,
+      oneFilePerBatch = oneFilePerBatch)
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+}

@@ -74,6 +74,39 @@ class DocIngestSpec extends GraftSuite {
       === (kept1.size + kept2.size).toLong)
   }
 
+  test("streaming vector ingest grows every persisted index, restart-safe") {
+    val root = Files.createTempDirectory("graft_stream_vec").toString
+    val e = Tables.embeddings(spark, sf)
+    val half1 = e.filter($"vec_id" % 2 === 0)
+    val half2 = e.filter($"vec_id" % 2 === 1)
+    // bootstrap indexes from batch 1 (what `ann-index` does)
+    graft.operators.IvfIndex.writeIndex(half1, "vec_id", "embedding",
+      s"$root/idx/ivf", nlist = 8, seed = 42L)
+    graft.operators.PqIndex.writeIndex(half1, "vec_id", "embedding",
+      s"$root/idx/pq", m = 8, k = 16, seed = 42L)
+    // batch 2 arrives as a file; the stream appends it everywhere
+    writeOneFile(half2, s"$root/src/b2.parquet")
+    graft.streaming.VecIngest.runToCompletion(spark, s"$root/src",
+      s"$root/idx", s"$root/ckpt")
+    val (cents, buckets) =
+      graft.operators.IvfIndex.readIndex(spark, s"$root/idx/ivf")
+    val (_, codes) =
+      graft.operators.PqIndex.readIndex(spark, s"$root/idx/pq")
+    assert(buckets.count() === e.count())
+    assert(codes.count() === e.count())
+    // an ingested vector is served from the grown IVF index
+    val probe = e.filter($"vec_id" === 7)
+      .select(lit(-1L).as("query_id"), $"embedding".as("qv"))
+    assert(graft.operators.IvfIndex.topKAgainstIndex(probe, cents,
+      buckets, "query_id", "qv", k = 1, nprobe = 2)
+      .select($"cand_id").head().getLong(0) === 7L)
+    // restart with no new files: checkpoint skips b2, nothing re-appends
+    graft.streaming.VecIngest.runToCompletion(spark, s"$root/src",
+      s"$root/idx", s"$root/ckpt")
+    assert(graft.operators.IvfIndex.readIndex(spark, s"$root/idx/ivf")
+      ._2.count() === e.count())
+  }
+
   test("stateless shaping ops run unchanged on a stream") {
     // Chunker.chunk is a projection + explode — no state, no watermark:
     // the SAME operator code drives batch jobs and streams, and the

@@ -110,6 +110,36 @@ class PipelineSpec extends GraftSuite {
     assert(order(docs, 43L) !== o3) // epoch reshuffle = new seed
   }
 
+  test("writeShuffledShards: contiguous hash ranges, nothing lost") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString + "/shards"
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val n = graft.operators.Sampling.writeShuffledShards(
+      docs, "doc_id", dir, seed = 42L, rowsPerShard = 120)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === n) // a permutation on disk, nothing dropped
+    assert(back.select($"doc_id").exceptAll(docs.select($"doc_id"))
+      .count() === 0)
+    // each shard file is a CONTIGUOUS slice of the global shuffled
+    // order: per-file [min,max] hash-key intervals must not overlap
+    val intervals = back
+      .withColumn("f", input_file_name())
+      .withColumn("k", xxhash64($"doc_id", lit(42L)))
+      .groupBy($"f")
+      .agg(min($"k").as("lo"), max($"k").as("hi"),
+        count(lit(1)).as("rows"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(intervals.length >= 4) // 500 docs / 120 per shard
+    intervals.foreach { case (_, _, rows) => assert(rows <= 120L) }
+    intervals.sliding(2).foreach {
+      case Array((_, hi1, _), (lo2, _, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+  }
+
   test("exactly-once restoration equals the batch table") {
     val s = spark
     import s.implicits._
