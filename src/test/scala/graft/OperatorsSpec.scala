@@ -220,6 +220,56 @@ class MultimodalSpec extends GraftSuite {
     assert(out.filter(col("n_frames") =!= 4).count() === 0)
   }
 
+  /** Animated-GIF bytes: `grays.length` solid 8×8 frames, built with the
+    * JDK's own gif sequence writer — no fixture file, no external codec. */
+  private def animatedGifBytes(grays: Seq[Int]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    grays.foreach { g =>
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    baos.toByteArray
+  }
+
+  test("animated GIF frames decode for REAL: even sampling, true luma") {
+    val s = spark
+    import s.implicits._
+    val bytes = animatedGifBytes(Seq(40, 120, 200))
+    // take=2 of n=3: indices floor(0·3/2)=0 and floor(1·3/2)=1
+    val sampled = Multimodal.decodeGifFrames(1L, bytes, maxFrames = 2).get
+    assert(sampled.map(_.frame_index) === Seq(0, 1))
+    assert(sampled.forall(f => f.n_frames === 3 && f.width === 8 &&
+      f.height === 8))
+    // solid gray g has Rec.601 luma g; GIF palettization is lossless for
+    // a one-color frame (±2 guards rounding in the writer's quantizer)
+    val all = Multimodal.decodeGifFrames(1L, bytes, maxFrames = 4).get
+    assert(all.map(_.frame_index) === Seq(0, 1, 2))
+    all.map(_.luma_mean).zip(Seq(40.0, 120.0, 200.0)).foreach {
+      case (got, want) => assert(math.abs(got - want) <= 2.0, s"$got/$want")
+    }
+    // Dataset path: GIF rows yield frames, codec-less rows are skipped
+    val df = Seq((1L, bytes),
+      (2L, "not a gif".getBytes("UTF-8"))).toDF("doc_id", "content")
+    val frames = Multimodal.extractFrames(df, maxFrames = 3).collect()
+    assert(frames.map(_.doc_id).distinct.toSeq === Seq(1L))
+    assert(frames.length === 3)
+    // single-frame GIFs stay decodeImage territory
+    assert(Multimodal.decodeGifFrames(3L,
+      animatedGifBytes(Seq(99)), 4).isEmpty)
+  }
+
   /** PNG bytes for a w×h image whose pixel (x, y) = rgb(x, y). Built with
     * the JDK only — no fixture file, no external codec. */
   private def pngBytes(w: Int, h: Int,
