@@ -67,8 +67,11 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum // sum of per-query medians
+    // basename only: the full path spends ~15 chars of the driver's
+    // ~2000-char capture window on redundant prefix
+    val sfName = new java.io.File(sfDir).getName
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$repeats,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$repeats,"queries":$qs,"sf":"$sfName"}"""
     // Belt and braces for the driver's parser: the bare line on stdout
     // (build.sbt routes forked output past sbt's `[info]` logger) AND a
     // file copy it can read regardless of how the tail is captured. The

@@ -57,20 +57,39 @@ object Chunker {
     * how many tokens they contribute in total, and how many straddle into
     * the next sequence — the occupancy report a packing job emits.
     * One shuffle for the window (hash by group), one for the final
-    * group-by; both scale by partitioning on the group key. */
+    * group-by; both scale by partitioning on the group key.
+    *
+    * SCALE KNOB `subShards`: the running token count is sequential
+    * WITHIN a group — a mega-group (one domain holding half the corpus)
+    * makes that window partition the straggler. `subShards = s > 1`
+    * splits every group into `s` deterministic sub-streams
+    * (`xxhash64(id) % s`) packed independently; each sub-stream yields
+    * its own sequence space (seq ids offset by sub-shard so they stay
+    * disjoint), costing at most `s` partial tail sequences per group —
+    * the standard parallel-packing trade. The default 1 keeps one
+    * contiguous stream per group (the oracle-checked shape, q104). */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-      groupCol: String, seqLen: Int = 512): DataFrame = {
+      groupCol: String, seqLen: Int = 512, subShards: Int = 1): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    require(subShards > 0, s"subShards must be positive, got $subShards")
+    val shard: Column =
+      if (subShards == 1) lit(0L)
+      else pmod(xxhash64(col(idCol)), lit(subShards.toLong))
+    val w = Window.partitionBy(col(groupCol), col("__shard"))
+      .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nTok: Column = size(split(col(textCol), " "))
     docs
-      .select(col(groupCol), col(idCol), nTok.as("n_tok"))
+      .select(col(groupCol), col(idCol), nTok.as("n_tok"),
+        shard.as("__shard"))
       .withColumn("offset", sum(col("n_tok")).over(w) - col("n_tok"))
-      .withColumn("seq_id", floor(col("offset") / seqLen))
+      // interleave sub-shard sequence spaces (local·s + shard) so ids
+      // stay disjoint per group; s = 1 degenerates to floor(offset/len)
+      .withColumn("seq_id",
+        floor(col("offset") / seqLen) * subShards + col("__shard"))
       .withColumn("straddles",
         (floor((col("offset") + col("n_tok") - 1) / seqLen) >
-          col("seq_id")).cast("int"))
+          floor(col("offset") / seqLen)).cast("int"))
       .groupBy(col(groupCol), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
         sum(col("straddles")).as("n_straddle"))

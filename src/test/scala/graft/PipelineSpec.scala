@@ -94,6 +94,32 @@ class PipelineSpec extends GraftSuite {
     assert(total === direct)
   }
 
+  test("packSequences subShards: token conservation, disjoint seq ids") {
+    val s = spark
+    import s.implicits._
+    val corpus = Tables.documents(spark, sf)
+    val sharded = Chunker.packSequences(corpus, "doc_id", "text",
+      "source", seqLen = 512, subShards = 4)
+    val flat = Chunker.packSequences(corpus, "doc_id", "text",
+      "source", seqLen = 512)
+    // every token is packed exactly once regardless of sharding
+    assert(sharded.agg(sum($"n_tokens")).head().getLong(0)
+      === flat.agg(sum($"n_tokens")).head().getLong(0))
+    assert(sharded.agg(sum($"n_docs")).head().getLong(0)
+      === flat.agg(sum($"n_docs")).head().getLong(0))
+    // seq ids are unique per group (sub-shard spaces interleave,
+    // never collide)
+    assert(sharded.groupBy($"source", $"seq_id").count()
+      .filter($"count" > 1).count() === 0)
+    // the parallelism trade is bounded: at most subShards partial tail
+    // sequences per group → sequence count grows by < 4 per source
+    val nFlat = flat.count()
+    val nSharded = sharded.count()
+    val nSources = corpus.select($"source").distinct().count()
+    assert(nSharded >= nFlat)
+    assert(nSharded <= nFlat + 4 * nSources)
+  }
+
   test("deterministicShuffle: same order at any partitioning, new seed reshuffles") {
     val s = spark
     import s.implicits._
