@@ -81,13 +81,25 @@ object Main {
   private def runAnnIngest(gc: GraftConfig, batch: String,
       indexDir: String): Unit = {
     val spark = session()
+    // guard each sub-index like VecIngest: a partial layout (only ivf/)
+    // must not throw after the first append already committed, and a
+    // fully absent layout must fail fast instead of silently no-opping
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    def has(sub: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$sub"))
+    require(has("ivf") || has("ivf_l2") || has("pq"),
+      s"no index found under $indexDir — run ann-index first")
     val emb = spark.read.parquet(batch)
-    graft.operators.IvfIndex.appendVectors(spark, s"$indexDir/ivf",
-      emb, "vec_id", "embedding")
-    graft.operators.IvfIndex.appendVectors(spark, s"$indexDir/ivf_l2",
-      emb, "vec_id", "embedding")
-    graft.operators.PqIndex.appendVectors(spark, s"$indexDir/pq",
-      emb, "vec_id", "embedding")
+    if (has("ivf"))
+      graft.operators.IvfIndex.appendVectors(spark, s"$indexDir/ivf",
+        emb, "vec_id", "embedding")
+    if (has("ivf_l2"))
+      graft.operators.IvfIndex.appendVectors(spark, s"$indexDir/ivf_l2",
+        emb, "vec_id", "embedding")
+    if (has("pq"))
+      graft.operators.PqIndex.appendVectors(spark, s"$indexDir/pq",
+        emb, "vec_id", "embedding")
     spark.stop()
   }
 

@@ -108,15 +108,19 @@ object ResultDocs extends Serializable {
     * (x, y) column pair is UNORDERED — the reference retries its lookup
     * with the two columns swapped when the first orientation misses.
     * Engine-side equivalent over a doc table ([[original]] or [[d3]]
-    * rows): one filter accepting both orientations, newest `date` kept
-    * (date is the injected run stamp, ISO-sortable). */
+    * rows): one filter accepting both orientations, ranked exactly like
+    * the reference — the EXACT orientation's newest doc wins even when
+    * a newer swapped-orientation doc exists (the reference only falls
+    * back to the swap when the exact lookup misses entirely); `date` is
+    * the injected run stamp, ISO-sortable. */
   def latestFor(docs: DataFrame, algorithm: String, macroName: String,
       microName: String, xCol: String, yCol: String): DataFrame =
     docs.filter(col("algorithm") === algorithm &&
         col("macro") === macroName && col("micro") === microName &&
         ((col("firstColumn") === xCol && col("secondColumn") === yCol) ||
           (col("firstColumn") === yCol && col("secondColumn") === xCol)))
-      .orderBy(col("date").desc)
+      .orderBy((col("firstColumn") === xCol &&
+        col("secondColumn") === yCol).desc, col("date").desc)
       .limit(1)
 
   private def algName(conf: EngineConf): String = conf.algorithm

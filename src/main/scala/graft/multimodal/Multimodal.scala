@@ -202,16 +202,37 @@ object Multimodal extends Serializable {
     sum / (w.toLong * h)
   }
 
+  /** Attribute of a named child node in an IIOMetadata tree, if present.
+    */
+  private def metaAttr(root: org.w3c.dom.Node, nodeName: String,
+      attr: String): Option[Int] = {
+    var c = root.getFirstChild
+    while (c != null) {
+      if (c.getNodeName == nodeName) {
+        val a = c.getAttributes.getNamedItem(attr)
+        if (a != null) return scala.util.Try(a.getNodeValue.toInt).toOption
+      }
+      c = c.getNextSibling
+    }
+    None
+  }
+
   /** REAL multi-frame decode — animated GIF is the one multi-frame
     * container the JDK reads natively, so "video" frame sampling is
-    * genuine for it: up to `maxFrames` frames sampled EVENLY across the
-    * container (indices ⌊i·n/take⌋ — first frame always included, the
-    * rest spread over the timeline), each decoded to true dimensions +
-    * Rec.601 luma. Returns None for anything that is not a decodable
-    * multi-frame GIF (incl. single-frame GIFs, which [[decodeImage]]
-    * already covers) — callers fall back to the byte-slice stub, which
-    * remains the honest stand-in for containers with no JDK codec
-    * (MP4/WebM). */
+    * genuine for it. Frames are COMPOSITED in order onto the logical
+    * canvas (frame-optimized GIFs store later frames as dirty-rect
+    * deltas at an (x, y) offset — reading them raw would report the
+    * patch, not the picture), and up to `maxFrames` canvas snapshots
+    * are sampled EVENLY across the timeline (indices ⌊i·n/take⌋ — the
+    * first frame always included). Each sampled frame reports the
+    * canvas dimensions and the composited Rec.601 luma. Disposal is
+    * draw-over (the none/doNotDispose modes that dominate real files;
+    * restore-to-background/previous frames composite over the previous
+    * canvas instead of clearing — the accepted approximation). Returns
+    * None for anything that is not a decodable multi-frame GIF
+    * (single-frame GIFs are [[decodeImage]] territory) — callers fall
+    * back to the byte-slice stub, the honest stand-in for containers
+    * with no JDK codec (MP4/WebM). */
   def decodeGifFrames(id: Long, bytes: Array[Byte],
       maxFrames: Int = 4): Option[Seq[FrameFeatures]] = {
     val isGif = bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
@@ -229,13 +250,39 @@ object Multimodal extends Serializable {
         val n = reader.getNumImages(true)
         if (n < 2) return None // single-frame: decodeImage territory
         val take = math.min(maxFrames, n)
-        val idxs = (0 until take).map(i => (i.toLong * n / take).toInt)
-          .distinct
-        Some(idxs.map { fi =>
-          val img = reader.read(fi)
-          FrameFeatures(id, fi, n, img.getWidth, img.getHeight,
-            lumaMean(img))
-        })
+        val wanted = (0 until take).map(i => (i.toLong * n / take).toInt)
+          .toSet
+        // canvas = logical screen descriptor; frame-0 extent fallback
+        val (cw, ch) = (for {
+          sm <- Option(reader.getStreamMetadata)
+          root = sm.getAsTree("javax_imageio_gif_stream_1.0")
+          w <- metaAttr(root, "LogicalScreenDescriptor",
+            "logicalScreenWidth")
+          h <- metaAttr(root, "LogicalScreenDescriptor",
+            "logicalScreenHeight")
+        } yield (w, h)).getOrElse((reader.getWidth(0), reader.getHeight(0)))
+        val canvas = new java.awt.image.BufferedImage(cw, ch,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = canvas.createGraphics()
+        try {
+          val out = Seq.newBuilder[FrameFeatures]
+          val maxIdx = wanted.max
+          var fi = 0
+          while (fi <= maxIdx) {
+            val img = reader.read(fi)
+            val root = reader.getImageMetadata(fi)
+              .getAsTree("javax_imageio_gif_image_1.0")
+            g.drawImage(img,
+              metaAttr(root, "ImageDescriptor", "imageLeftPosition")
+                .getOrElse(0),
+              metaAttr(root, "ImageDescriptor", "imageTopPosition")
+                .getOrElse(0), null)
+            if (wanted(fi))
+              out += FrameFeatures(id, fi, n, cw, ch, lumaMean(canvas))
+            fi += 1
+          }
+          Some(out.result())
+        } finally g.dispose()
       } catch { case _: Exception => None }
       finally reader.dispose()
     } finally iis.close()

@@ -226,11 +226,16 @@ object Dedup extends Serializable {
           .select(col("band"), col("bucket"), col("id"))
       }
     }
+    // new_id =!= corpus_id: the same id on both sides is the same
+    // document re-presented (a redelivered/retried batch whose
+    // signatures already reached the index) — matching a doc against
+    // ITSELF would turn every retried row into a jaccard-1.0 victim
     val cands = bandBuckets(newIdx, bands, numHashes)
       .select(col("band"), col("bucket"), col("id").as("new_id"))
       .join(corpusBuckets
         .select(col("band"), col("bucket"), col("id").as("corpus_id")),
         Seq("band", "bucket"))
+      .filter(col("new_id") =!= col("corpus_id"))
       .select(col("new_id"), col("corpus_id")).distinct()
     cands
       .join(newIdx.select(col("id").as("new_id"), col("hs").as("hs_n")),
@@ -291,7 +296,20 @@ object Dedup extends Serializable {
     batch.join(victims, Seq(idCol), "left_anti")
       .write.mode("overwrite").parquet(s"$outDir/kept")
     val kept = spark.read.parquet(s"$outDir/kept")
-    writeIndex(kept, idCol, textCol, indexDir, numHashes, shingleN)
+    // Idempotent append: a RETRIED batch (redelivery, crash between this
+    // append and a streaming checkpoint commit) re-keeps the same ids —
+    // appending their signatures again would double them in the index.
+    // One anti-join of the reduced kept set against the index's id
+    // column (a pruned single-column scan) makes re-running a no-op;
+    // materialized to outDir first so the append never writes a path the
+    // live plan still reads (same write-order mechanism as above).
+    if (hasIndex) {
+      kept.join(readIndex(spark, indexDir).select(col("id").as(idCol)),
+          Seq(idCol), "left_anti")
+        .write.mode("overwrite").parquet(s"$outDir/kept_new")
+      writeIndex(spark.read.parquet(s"$outDir/kept_new"), idCol, textCol,
+        indexDir, numHashes, shingleN)
+    } else writeIndex(kept, idCol, textCol, indexDir, numHashes, shingleN)
     (writtenCrossPairs.count(), writtenBatchPairs.count(), kept.count())
   }
 

@@ -177,16 +177,22 @@ object IvfIndex extends Serializable {
     * map-side projection + a partitioned append; the corpus already in
     * the index is never re-read. The centroids drift from the true
     * k-means of the grown corpus over time — the standard IVF trade;
-    * retrain (writeIndex) when recall floors degrade. */
+    * retrain (writeIndex) when recall floors degrade. Idempotent: ids
+    * already present in the index are skipped (one anti-join against
+    * the pruned cand_id column), so a redelivered/retried batch —
+    * e.g. a crash between this append and a streaming checkpoint
+    * commit — never duplicates candidates in served top-k. */
   def appendVectors(spark: org.apache.spark.sql.SparkSession,
       path: String, newVecs: DataFrame, idCol: String,
       vecCol: String): Unit = {
-    val (centroids, _) = readIndex(spark, path)
+    val (centroids, existing) = readIndex(spark, path)
     val metric = readIndexMetric(spark, path)
     val cv = Similarity.asDouble(col(vecCol))
     val bucket =
       if (metric == "l2") bucketOfL2(cv, centroids) else bucketOf(cv, centroids)
     newVecs
+      .join(existing.select(col("cand_id").as(idCol)), Seq(idCol),
+        "left_anti")
       .select(col(idCol).as("cand_id"), cv.as("cv"), bucket.as("bucket"))
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$path/buckets")

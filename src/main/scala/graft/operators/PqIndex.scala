@@ -116,8 +116,12 @@ object PqIndex extends Serializable {
     * degrade. */
   def appendVectors(spark: SparkSession, path: String,
       newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
-    val (cb, _) = readIndex(spark, path)
-    encode(newVecs, idCol, vecCol, cb)
+    // idempotent like IvfIndex.appendVectors: already-indexed ids are
+    // anti-joined away so a retried batch never duplicates codes
+    val (cb, existing) = readIndex(spark, path)
+    encode(newVecs.join(existing.select(col("cand_id").as(idCol)),
+        Seq(idCol), "left_anti"),
+      idCol, vecCol, cb)
       .write.mode("append").parquet(s"$path/codes")
   }
 

@@ -53,11 +53,14 @@ object Sampling extends Serializable {
     * shard BOUNDARIES come from range sampling and are only
     * approximately balanced; concatenating the shards in range order
     * always replays the same stream. One range shuffle total: the sort
-    * IS the shard assignment, no second pass. Returns the row count. */
+    * IS the shard assignment. Pass `expectedRows` (an upstream count or
+    * metric) to avoid the sizing count() — when negative, the shard
+    * count costs one extra pass over `df`, which at the tail of a heavy
+    * pipeline recomputes the upstream DAG. Returns the row count used. */
   def writeShuffledShards(df: DataFrame, idCol: String, path: String,
-      seed: Long, rowsPerShard: Long): Long = {
+      seed: Long, rowsPerShard: Long, expectedRows: Long = -1L): Long = {
     require(rowsPerShard > 0, "rowsPerShard must be positive")
-    val n = df.count()
+    val n = if (expectedRows >= 0) expectedRows else df.count()
     val files = math.max(1L, (n + rowsPerShard - 1) / rowsPerShard).toInt
     val key = xxhash64(col(idCol), lit(seed))
     df.withColumn("__shuffle_key", key)

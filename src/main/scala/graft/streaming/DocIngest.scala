@@ -1,7 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.SparkSession
 
 import graft.operators.Dedup
 
@@ -43,28 +42,16 @@ object DocIngest {
       shingleN: Int = 3,
       maxBucket: Int = Dedup.DefaultMaxBucket,
       oneFilePerBatch: Boolean = false)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val schema = spark.read.parquet(srcDir).schema
-    val reader = spark.readStream.schema(schema)
-    val src =
-      (if (oneFilePerBatch) reader.option("maxFilesPerTrigger", 1)
-       else reader)
-        .parquet(srcDir)
-    src.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val (cross, within, kept) = Dedup.ingest(spark, batch,
-            indexDir, s"$outDir/batch_$batchId", idCol, textCol,
-            numHashes, bands, threshold, shingleN, maxBucket)
-          org.slf4j.LoggerFactory.getLogger(getClass).info(
-            s"[doc-ingest] batch=$batchId cross=$cross within=$within " +
-              s"kept=$kept")
-        }
-      }
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
+      (batch, batchId) =>
+        val (cross, within, kept) = Dedup.ingest(spark, batch,
+          indexDir, s"$outDir/batch_$batchId", idCol, textCol,
+          numHashes, bands, threshold, shingleN, maxBucket)
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"[doc-ingest] batch=$batchId cross=$cross within=$within " +
+            s"kept=$kept")
+    }
 
   /** Run the ingest stream to completion over the files currently in
     * `srcDir` and return per-batch kept counts (ordered by batch id).
@@ -74,9 +61,7 @@ object DocIngest {
   def runToCompletion(spark: SparkSession, srcDir: String,
       indexDir: String, outDir: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",
-      oneFilePerBatch: Boolean = true): Unit = {
-    val q = start(spark, srcDir, indexDir, outDir, checkpointDir,
-      idCol, textCol, oneFilePerBatch = oneFilePerBatch)
-    try q.awaitTermination() finally if (q.isActive) q.stop()
-  }
+      oneFilePerBatch: Boolean = true): Unit =
+    FileIngest.drain(start(spark, srcDir, indexDir, outDir, checkpointDir,
+      idCol, textCol, oneFilePerBatch = oneFilePerBatch))
 }

@@ -207,8 +207,14 @@ object EventStream {
             cur.foreach { s =>
               state.update(s)
               // flush when event time (the watermark) passes the gap —
-              // the in-data close condition, applied to stream silence
-              if (eventTime) state.setTimeoutTimestamp(s.end + gapMs)
+              // the in-data close condition, applied to stream silence.
+              // Clamped: a LATE event (flatMapGroupsWithState does not
+              // drop late rows) can put end + gap at or below the
+              // current watermark, and an un-clamped timestamp throws
+              // and kills the query; the clamp fires the flush on the
+              // next watermark advance instead.
+              if (eventTime) state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs + 1))
             }
             if (procTime) state.setTimeoutDuration(s"$gapMinutes minutes")
             closed.reverseIterator
@@ -238,8 +244,11 @@ object EventStream {
       implicit val sp: SparkSession = spark
       val sentinelUser = -1L
       val delayDays = 3650L
-      val maxTsMs = graft.Tables.events(spark, dir)
-        .agg(max(unix_millis(col("ts")))).head().getLong(0)
+      // empty replay: max(ts) is NULL — any sentinel time works, the
+      // output is empty either way
+      val maxTsRow = graft.Tables.events(spark, dir)
+        .agg(max(unix_millis(col("ts")))).head()
+      val maxTsMs = if (maxTsRow.isNullAt(0)) 0L else maxTsRow.getLong(0)
       val sentinelTs = new java.sql.Timestamp(
         maxTsMs + delayDays * 86400000L + gapMinutes * 60000L + 3600000L)
       val mem = org.apache.spark.sql.execution.streaming.runtime

@@ -1,7 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.SparkSession
 
 import graft.operators.{IvfIndex, PqIndex}
 
@@ -33,31 +32,27 @@ object VecIngest {
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
     def has(sub: String): Boolean =
       fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$sub"))
-    val schema = spark.read.parquet(srcDir).schema
-    val reader = spark.readStream.schema(schema)
-    val src =
-      (if (oneFilePerBatch) reader.option("maxFilesPerTrigger", 1)
-       else reader)
-        .parquet(srcDir)
-    src.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          if (has("ivf"))
-            IvfIndex.appendVectors(spark, s"$indexDir/ivf", batch,
-              idCol, vecCol)
-          if (has("ivf_l2"))
-            IvfIndex.appendVectors(spark, s"$indexDir/ivf_l2", batch,
-              idCol, vecCol)
-          if (has("pq"))
-            PqIndex.appendVectors(spark, s"$indexDir/pq", batch,
-              idCol, vecCol)
-          org.slf4j.LoggerFactory.getLogger(getClass)
-            .info(s"[vec-ingest] batch=$batchId appended")
-        }
-      }
-      .start()
+    // Fail fast BEFORE the query starts: with no index present the
+    // foreachBatch body would do nothing while the checkpoint still
+    // marks the files consumed — a mistyped indexDir would silently
+    // lose every batch from every index, unrecoverably.
+    require(has("ivf") || has("ivf_l2") || has("pq"),
+      s"no index found under $indexDir (expected ivf/, ivf_l2/ or pq/ " +
+        "— run ann-index first)")
+    FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
+      (batch, batchId) =>
+        if (has("ivf"))
+          IvfIndex.appendVectors(spark, s"$indexDir/ivf", batch,
+            idCol, vecCol)
+        if (has("ivf_l2"))
+          IvfIndex.appendVectors(spark, s"$indexDir/ivf_l2", batch,
+            idCol, vecCol)
+        if (has("pq"))
+          PqIndex.appendVectors(spark, s"$indexDir/pq", batch,
+            idCol, vecCol)
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .info(s"[vec-ingest] batch=$batchId appended")
+    }
   }
 
   /** Drain the current backlog and stop ([[Trigger.AvailableNow]]) —
@@ -65,9 +60,7 @@ object VecIngest {
   def runToCompletion(spark: SparkSession, srcDir: String,
       indexDir: String, checkpointDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      oneFilePerBatch: Boolean = true): Unit = {
-    val q = start(spark, srcDir, indexDir, checkpointDir, idCol, vecCol,
-      oneFilePerBatch = oneFilePerBatch)
-    try q.awaitTermination() finally if (q.isActive) q.stop()
-  }
+      oneFilePerBatch: Boolean = true): Unit =
+    FileIngest.drain(start(spark, srcDir, indexDir, checkpointDir,
+      idCol, vecCol, oneFilePerBatch = oneFilePerBatch))
 }

@@ -54,6 +54,18 @@ class DedupIngestSpec extends GraftSuite {
     val idx = Dedup.readIndex(spark, indexDir)
     assert(idx.count() === k1 + k2)
 
+    // RETRY idempotence (redelivery / crash between index append and a
+    // streaming checkpoint commit): re-ingesting batch 2 must not match
+    // docs against their own now-indexed signatures (which would empty
+    // kept) and must not double their signatures in the index
+    val out2b = Files.createTempDirectory("graft_ing_o2b").toString
+    val (_, _, k2b) = Dedup.ingest(spark, batch2, indexDir, out2b,
+      threshold = 0.5)
+    assert(k2b === k2) // same survivors, not zero
+    assert(spark.read.parquet(s"$out2b/kept").select($"doc_id")
+      .as[Long].collect().toSet === keptIds2)
+    assert(Dedup.readIndex(spark, indexDir).count() === k1 + k2) // no dupes
+
     // geometry guard: a third ingest with mismatched numHashes refuses
     val out3 = Files.createTempDirectory("graft_ing_o3").toString
     val e = intercept[IllegalArgumentException] {

@@ -116,6 +116,21 @@ class EngineSpec extends GraftSuite {
     val miss = ResultDocs.latestFor(docs, "KMeans",
       conf.macroCol, conf.microCol, conf.xCol, "no_such_col")
     assert(miss.count() === 0)
+    // reference precedence: when BOTH orientations exist, the exact
+    // orientation wins even against a NEWER swapped doc (views.py only
+    // falls back to the swap when the exact lookup misses)
+    val res2 = ClusterEngine.run(li, conf)
+    val swapped = ResultDocs.original(res2, conf, "2026-08-13")
+      .withColumn("firstColumn", org.apache.spark.sql.functions
+        .lit(conf.yCol))
+      .withColumn("secondColumn", org.apache.spark.sql.functions
+        .lit(conf.xCol))
+    val both = docs.unionByName(swapped)
+    val hit = ResultDocs.latestFor(both, "KMeans",
+      conf.macroCol, conf.microCol, conf.xCol, conf.yCol).collect()
+    assert(hit.length === 1)
+    assert(hit(0).getAs[String]("firstColumn") === conf.xCol)
+    assert(hit(0).getAs[String]("date") === "2026-08-12") // not the newer swap
   }
 
   test("config JSON overlay keeps defaults for absent fields") {

@@ -178,5 +178,10 @@ class IvfSpec extends GraftSuite {
       .select($"cand_id".as("vec_id"), $"bucket".cast("long").as("b"))
     assert(stored.exceptAll(expected).count() === 0)
     assert(expected.exceptAll(stored).count() === 0)
+    // retry idempotence: re-appending the same batch (redelivery, crash
+    // before a checkpoint commit) must not duplicate candidates
+    IvfIndex.appendVectors(spark, s"$dir/ivf", half2, "vec_id", "cv")
+    assert(IvfIndex.readIndex(spark, s"$dir/ivf")._2.count()
+      === e.count())
   }
 }

@@ -220,20 +220,22 @@ class MultimodalSpec extends GraftSuite {
     assert(out.filter(col("n_frames") =!= 4).count() === 0)
   }
 
-  /** Animated-GIF bytes: `grays.length` solid 8×8 frames, built with the
-    * JDK's own gif sequence writer — no fixture file, no external codec. */
-  private def animatedGifBytes(grays: Seq[Int]): Array[Byte] = {
+  /** Animated-GIF bytes: one solid `size`×`size` frame per (gray, size)
+    * pair, built with the JDK's own gif sequence writer — no fixture
+    * file, no external codec. Undersized later frames mimic the
+    * dirty-rect deltas frame-optimized GIFs store. */
+  private def animatedGifBytes(frames: Seq[(Int, Int)]): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
     val writer = javax.imageio.ImageIO
       .getImageWritersByFormatName("gif").next()
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
-    grays.foreach { g =>
-      val img = new java.awt.image.BufferedImage(8, 8,
+    frames.foreach { case (g, size) =>
+      val img = new java.awt.image.BufferedImage(size, size,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       val rgb = (g << 16) | (g << 8) | g
-      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      for (y <- 0 until size; x <- 0 until size) img.setRGB(x, y, rgb)
       writer.writeToSequence(
         new javax.imageio.IIOImage(img, null, null), null)
     }
@@ -246,7 +248,7 @@ class MultimodalSpec extends GraftSuite {
   test("animated GIF frames decode for REAL: even sampling, true luma") {
     val s = spark
     import s.implicits._
-    val bytes = animatedGifBytes(Seq(40, 120, 200))
+    val bytes = animatedGifBytes(Seq(40 -> 8, 120 -> 8, 200 -> 8))
     // take=2 of n=3: indices floor(0·3/2)=0 and floor(1·3/2)=1
     val sampled = Multimodal.decodeGifFrames(1L, bytes, maxFrames = 2).get
     assert(sampled.map(_.frame_index) === Seq(0, 1))
@@ -267,7 +269,20 @@ class MultimodalSpec extends GraftSuite {
     assert(frames.length === 3)
     // single-frame GIFs stay decodeImage territory
     assert(Multimodal.decodeGifFrames(3L,
-      animatedGifBytes(Seq(99)), 4).isEmpty)
+      animatedGifBytes(Seq(99 -> 8)), 4).isEmpty)
+  }
+
+  test("delta frames composite onto the canvas, not reported raw") {
+    // frame 1 is a 4×4 patch over an 8×8 canvas — the dirty-rect shape
+    // frame-optimized GIFs store. The report must describe the
+    // composited canvas: 8×8 dims, luma = (16·200 + 48·40) / 64
+    val bytes = animatedGifBytes(Seq(40 -> 8, 200 -> 4))
+    val frames = Multimodal.decodeGifFrames(1L, bytes, maxFrames = 2).get
+    assert(frames.map(_.frame_index) === Seq(0, 1))
+    assert(frames.forall(f => f.width === 8 && f.height === 8))
+    val expected = (16.0 * 200 + 48.0 * 40) / 64
+    assert(math.abs(frames(1).luma_mean - expected) <= 2.0,
+      s"${frames(1).luma_mean} vs $expected")
   }
 
   /** PNG bytes for a w×h image whose pixel (x, y) = rgb(x, y). Built with

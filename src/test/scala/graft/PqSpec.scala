@@ -163,6 +163,9 @@ class PqSpec extends GraftSuite {
     val top1 = PqIndex.adcTopK(spark, probe, codes, cb, k = 1)
       .select($"cand_id").head().getLong(0)
     assert(top1 === 7L)
+    // retry idempotence: re-appending the same batch never dupes codes
+    PqIndex.appendVectors(spark, s"$dir/pq", half2, "vec_id", "embedding")
+    assert(PqIndex.readIndex(spark, s"$dir/pq")._2.count() === e.count())
   }
 
   test("ADC recall@10 beats random by a wide margin") {
