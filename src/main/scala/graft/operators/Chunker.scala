@@ -69,12 +69,17 @@ object Chunker {
     * the standard parallel-packing trade. The default 1 keeps one
     * contiguous stream per group (the oracle-checked shape, q104). */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-      groupCol: String, seqLen: Int = 512, subShards: Int = 1): DataFrame = {
+      groupCol: String, seqLen: Int = 512, subShards: Int = 1,
+      shardKey: Option[Column] = None): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     require(subShards > 0, s"subShards must be positive, got $subShards")
+    // shardKey overrides the default hash shard assignment (taken mod
+    // subShards) — e.g. the id itself for an ANSI-replayable sharding
+    // (q108's oracle); the hash default balances adversarial id ranges
     val shard: Column =
       if (subShards == 1) lit(0L)
-      else pmod(xxhash64(col(idCol)), lit(subShards.toLong))
+      else pmod(shardKey.getOrElse(xxhash64(col(idCol))),
+        lit(subShards.toLong))
     val w = Window.partitionBy(col(groupCol), col("__shard"))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

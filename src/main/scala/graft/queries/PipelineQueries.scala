@@ -12,7 +12,7 @@ object PipelineQueries {
 
   def all: Seq[GraftQuery] =
     Seq(q102ExactlyOnce, q103Chunk, q104Pack, q105SemDedup, q106Pipeline,
-      q107TokenQuantiles)
+      q107TokenQuantiles, q108PackSharded)
 
   /** Exactly-once restoration of at-least-once delivery: two independent
     * file sources redeliver every event, a keyed streaming dedup drops
@@ -211,4 +211,36 @@ object PipelineQueries {
         "round(quantile_cont(n_tok, 0.99), 6) AS p99 FROM (" +
         "SELECT source, len(string_split(text, ' '))::DOUBLE AS n_tok " +
         "FROM documents) GROUP BY source ORDER BY source"))
+
+  /** PARALLEL sequence packing, hash-checked: the subShards path splits
+    * each source into 4 independent sub-streams (shard = doc_id % 4 —
+    * id-keyed so DuckDB replays it exactly; production defaults to the
+    * hash key) with interleaved sequence-id spaces. This is the shape
+    * that removes the mega-group window straggler at 100 TB, and the
+    * oracle proves the sharded occupancy report is still exact. */
+  val q108PackSharded: GraftQuery = GraftQuery(
+    "q108_pack_sharded",
+    (s, d) => {
+      import s.implicits._
+      Chunker.packSequences(Tables.documents(s, d), "doc_id", "text",
+          "source", seqLen = 512, subShards = 4,
+          shardKey = Some($"doc_id"))
+        .select($"source", $"seq_id", $"n_docs", $"n_tokens",
+          $"n_straddle".cast("long").as("n_straddle"))
+        .orderBy($"source", $"seq_id")
+    },
+    Some(
+      "WITH t AS (SELECT source, doc_id, doc_id % 4 AS shard, " +
+        "len(string_split(text, ' ')) AS n_tok FROM documents), " +
+        "o AS (SELECT source, shard, doc_id, n_tok, " +
+        "sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) - n_tok AS tok_off FROM t), " +
+        "m AS (SELECT source, n_tok, " +
+        "(floor(tok_off / 512)::BIGINT * 4 + shard) AS seq_id, " +
+        "(floor((tok_off + n_tok - 1) / 512) > floor(tok_off / 512))" +
+        "::INT AS straddles FROM o) " +
+        "SELECT source, seq_id, count(*) AS n_docs, " +
+        "sum(n_tok)::BIGINT AS n_tokens, " +
+        "sum(straddles)::BIGINT AS n_straddle " +
+        "FROM m GROUP BY 1, 2 ORDER BY source, seq_id"))
 }
