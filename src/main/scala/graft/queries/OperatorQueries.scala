@@ -23,7 +23,8 @@ object OperatorQueries {
     q82Upsert, q83TopKAggKnn, q84Normalize, q85DedupComponents,
     q86Histogram, q88AsOfNative, q89StreamIntervalJoin, q90PipelineFilter,
     q91HeavyHitters, q92BigramCounts, q93PqRecall, q94IvfPqTopK,
-    q95Sessionize, q99DedupKeep, q100GroupCap, q101SessionizeFlush)
+    q95Sessionize, q99DedupKeep, q100GroupCap, q101SessionizeFlush,
+    q109DupSpans)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -331,6 +332,40 @@ object OperatorQueries {
         "round(len(list_intersect(a.shingles, b.shingles))::DOUBLE / " +
         "len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard " +
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id ORDER BY id_a, id_b"))
+
+  /** Span-level exact substring dedup ([[Dedup.duplicateSpans]]): every
+    * maximal 8-token-window span appearing verbatim in ≥2 documents —
+    * doc-level near-dup misses these when the rest of the doc differs.
+    * Linear shape (aggregate + self-join on the gram key, no pair
+    * enumeration); oracle replays the full gaps-and-islands merge. */
+  val q109DupSpans: GraftQuery = GraftQuery(
+    "q109_dup_spans",
+    (s, d) => {
+      import s.implicits._
+      Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text", w = 8)
+        .select($"id".as("doc_id"),
+          $"span_start".cast("long").as("span_start"),
+          $"span_end".cast("long").as("span_end"),
+          $"span_tokens".cast("long").as("span_tokens"))
+        .orderBy($"doc_id", $"span_start")
+    },
+    Some(
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS toks " +
+        "FROM documents), " +
+        "win AS (SELECT doc_id, i AS pos, " +
+        "array_to_string(toks[i : i + 7], ' ') AS gram " +
+        "FROM t, unnest(generate_series(1, len(toks) - 7)) AS s(i)), " +
+        "dup AS (SELECT gram FROM win GROUP BY gram " +
+        "HAVING count(DISTINCT doc_id) >= 2), " +
+        "mk AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (gram)), " +
+        "g AS (SELECT doc_id, pos, CASE WHEN pos - coalesce(lag(pos) " +
+        "OVER (PARTITION BY doc_id ORDER BY pos), pos) > 8 " +
+        "THEN 1 ELSE 0 END AS gap FROM mk), " +
+        "isl AS (SELECT doc_id, pos, sum(gap) OVER (PARTITION BY doc_id " +
+        "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM g) " +
+        "SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end, " +
+        "max(pos) + 7 - min(pos) + 1 AS span_tokens FROM isl " +
+        "GROUP BY doc_id, island ORDER BY doc_id, span_start"))
 
   /** MinHash + LSH banding near-dup detection (finds the corpus's planted
     * near-dup pairs); hash family is engine-side → rows-only. */

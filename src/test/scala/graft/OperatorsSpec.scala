@@ -70,6 +70,45 @@ class DedupSpec extends GraftSuite {
     assert(pairs(Some(0.5)).nonEmpty)
   }
 
+  test("duplicateSpans: maximal shared spans, gap separation, hash parity") {
+    // doc 1 and 2 share two verbatim runs: S (12 tokens) and T (6 tokens),
+    // separated by >w unique filler, so they must surface as TWO spans per
+    // doc, each exactly covering the shared run. doc 3 is all-unique.
+    val S = (1 to 12).map(i => s"s$i").mkString(" ")
+    val T = (1 to 6).map(i => s"t$i").mkString(" ")
+    def uniq(tag: String, n: Int) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val d = docs(
+      (1L, s"${uniq("a", 5)} $S ${uniq("b", 10)} $T ${uniq("c", 3)}"),
+      (2L, s"${uniq("d", 7)} $S ${uniq("e", 9)} $T ${uniq("f", 4)}"),
+      (3L, uniq("g", 30)))
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text", w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sortBy(x => (x._1, x._2))
+    // doc1: S at tokens 6..17, T at 28..33; doc2: S at 8..19, T at 29..34
+    assert(spans.toSeq === Seq(
+      (1L, 6, 17), (1L, 28, 33), (2L, 8, 19), (2L, 29, 34)))
+    // adjacent shared runs (gap <= w) merge into one maximal span
+    val dm = docs(
+      (1L, s"$S ${uniq("h", 2)} $T"),
+      (2L, s"$S ${uniq("h", 2)} $T"))
+    val merged = Dedup.duplicateSpans(dm, "doc_id", "text", w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(merged.toSeq.sorted === Seq((1L, 1, 20), (2L, 1, 20)))
+    // hash-keyed shuffle variant returns the identical span set
+    val byHash = Dedup.duplicateSpans(d, "doc_id", "text", w = 4,
+      byHash = true).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sortBy(x => (x._1, x._2))
+    assert(byHash.toSeq === spans.toSeq)
+  }
+
+  test("duplicateSpans: within-doc repeats alone do not mark a span") {
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val d = docs((1L, s"$rep x1 x2 x3 $rep"), (2L, "y1 y2 y3 y4 y5 y6"))
+    assert(Dedup.duplicateSpans(d, "doc_id", "text", w = 4).count() === 0L)
+  }
+
   test("jaccard formula") {
     val d = docs((1L, "irrelevant"))
     val j = d.select(Dedup.jaccard(
