@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
-  def all: Seq[GraftQuery] = Seq(q25CosinePairs, q26KnnBruteForce)
+  def all: Seq[GraftQuery] =
+    Seq(q25CosinePairs, q26KnnBruteForce, q110Covariance, q111PcaProject)
 
   /** Cosine kernel — the native single-pass expression (see
     * [[graft.operators.Similarity.cosine]]). */
@@ -74,4 +75,44 @@ object VectorQueries {
         "SELECT *, row_number() OVER (PARTITION BY query_id " +
         "ORDER BY cos_raw DESC, vec_id) AS rk FROM scored) " +
         "WHERE rk <= 5 ORDER BY query_id, rk"))
+
+  /** Upper-triangle sample covariance of the 64-dim embedding column —
+    * the distributed Gramian pass behind [[graft.ml.Pca]] (one d×d
+    * partial per partition, partition-index-ordered combine, no shuffle
+    * of pair rows). The oracle recomputes every entry from scratch with
+    * DuckDB's covar_samp over unnested (index, value) pairs. */
+  val q110Covariance: GraftQuery = GraftQuery(
+    "q110_embedding_covariance",
+    (s, d) => {
+      import s.implicits._
+      graft.ml.Pca.covarianceLong(
+          Tables.embeddings(s, d), "embedding", dim = 64, roundTo = 8)
+        .orderBy($"i", $"j")
+    },
+    Some(
+      "WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, " +
+        "unnest(generate_series(1, len(embedding))) AS i " +
+        "FROM embeddings), " +
+        "p AS (SELECT a.i AS i, b.i AS j, covar_samp(a.v, b.v) AS cov " +
+        "FROM e a JOIN e b USING (vec_id) WHERE a.i <= b.i " +
+        "GROUP BY 1, 2) " +
+        "SELECT i, j, round(cov, 8) AS cov FROM p ORDER BY i, j"))
+
+  /** PCA projection ([[graft.ml.Pca]]): 64-dim embeddings reduced to the
+    * top-3 principal components. Eigensolve happens on the driver's d×d
+    * covariance; the projection is pure zip_with/aggregate expressions.
+    * No SQL oracle (eigendecomposition isn't expressible) — rows-only,
+    * deterministic: index-ordered Gramian combine + fixed sign
+    * convention, verified against spark.ml in PcaSpec. */
+  val q111PcaProject: GraftQuery = GraftQuery(
+    "q111_pca_project",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val model = graft.ml.Pca.fit(emb, "embedding", dim = 64, k = 3)
+      model.transform(emb, "embedding")
+        .select($"vec_id", round($"pc1", 6).as("pc1"),
+          round($"pc2", 6).as("pc2"), round($"pc3", 6).as("pc3"))
+        .orderBy($"vec_id")
+    })
 }

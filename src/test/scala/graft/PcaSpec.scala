@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.ml.feature.{PCA => SparkPca, VectorAssembler}
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.functions._
+
+import graft.ml.Pca
+
+class PcaSpec extends GraftSuite {
+
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  test("jacobiEigen reconstructs a known symmetric spectrum") {
+    // A = Q diag(5,2,1) Qᵀ for an orthonormal Q built from a rotation
+    val q = Array(
+      Array(0.6, -0.8, 0.0),
+      Array(0.8, 0.6, 0.0),
+      Array(0.0, 0.0, 1.0))
+    val lam = Array(5.0, 2.0, 1.0)
+    val a = Array.tabulate(3, 3)((i, j) =>
+      (0 until 3).map(k => q(i)(k) * lam(k) * q(j)(k)).sum)
+    val (values, vectors) = Pca.jacobiEigen(a)
+    assert(values.sorted.zip(Array(1.0, 2.0, 5.0)).forall {
+      case (got, want) => math.abs(got - want) < 1e-10 })
+    // each recovered column is an eigenvector: ||A v − λ v|| ≈ 0
+    for (c <- 0 until 3) {
+      val v = Array.tabulate(3)(r => vectors(r)(c))
+      val av = Array.tabulate(3)(r => (0 until 3).map(k =>
+        a(r)(k) * v(k)).sum)
+      val res = av.zip(v.map(_ * values(c)))
+        .map { case (x, y) => math.abs(x - y) }.max
+      assert(res < 1e-10)
+    }
+  }
+
+  test("fit matches spark.ml PCA: components (up to sign) and variance") {
+    val k = 4
+    val model = Pca.fit(emb, "embedding", dim = 64, k = k)
+    // spark.ml baseline on the same rows
+    val withVec = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("arr"))
+      .select(col("vec_id"), array_to_vector_udf(col("arr")).as("features"))
+    val ml = new SparkPca().setInputCol("features").setOutputCol("pca")
+      .setK(k).fit(withVec)
+    val mlComps = Array.tabulate(k)(j =>
+      Array.tabulate(64)(i => ml.pc(i, j)))
+    model.components.zip(mlComps).foreach { case (ours, theirs) =>
+      val dot = ours.zip(theirs).map { case (x, y) => x * y }.sum
+      assert(math.abs(math.abs(dot) - 1.0) < 1e-6,
+        s"component cosine ${math.abs(dot)} != 1")
+    }
+    // explained variance agrees with spark.ml's
+    model.explainedVariance.zip(ml.explainedVariance.toArray)
+      .foreach { case (ours, theirs) =>
+        assert(math.abs(ours - theirs) < 1e-9) }
+    // eigenvalues strictly ordered
+    assert(model.eigenvalues.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  private def array_to_vector_udf =
+    udf((a: Seq[Double]) => Vectors.dense(a.toArray): Vector)
+
+  test("transform projects with pure expressions and matches spark.ml") {
+    val k = 3
+    val model = Pca.fit(emb, "embedding", dim = 64, k = k)
+    val got = model.transform(emb, "embedding")
+      .select(col("vec_id"), col("pc1"), col("pc2"), col("pc3"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // spark.ml PCA does NOT center; replicate its projection minus the
+    // mean offset == our centered projection (column-wise comparison up
+    // to each component's sign).
+    val withVec = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("arr"))
+      .select(col("vec_id"), array_to_vector_udf(col("arr")).as("features"))
+    val ml = new SparkPca().setInputCol("features").setOutputCol("pca")
+      .setK(k).fit(withVec)
+    val mlRows = ml.transform(withVec)
+      .select(col("vec_id"), col("pca")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Vector]("pca")).toMap
+    val mlMean = Array.tabulate(k)(j =>
+      mlRows.values.map(_(j)).sum / mlRows.size)
+    for (j <- 0 until k) {
+      val ourComp = model.components(j)
+      val mlComp = Array.tabulate(64)(i => ml.pc(i, j))
+      val sign = math.signum(
+        ourComp.zip(mlComp).map { case (x, y) => x * y }.sum)
+      mlRows.foreach { case (id, vec) =>
+        val ours = j match {
+          case 0 => got(id)._1
+          case 1 => got(id)._2
+          case 2 => got(id)._3
+        }
+        val theirs = sign * (vec(j) - mlMean(j))
+        assert(math.abs(ours - theirs) < 1e-8,
+          s"row $id pc${j + 1}: $ours vs $theirs")
+      }
+    }
+  }
+
+  test("fit is invariant to input partitioning (index-ordered combine)") {
+    val m3 = Pca.fit(emb.repartition(3), "embedding", 64, 2)
+    val m8 = Pca.fit(emb.repartition(8), "embedding", 64, 2)
+    // repartition(n) redistributes rows, so partials differ; components
+    // must still agree to fp-roundoff of the covariance entries
+    m3.components.zip(m8.components).foreach { case (a, b) =>
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot - 1.0) < 1e-9)
+    }
+    // and identical inputs give bit-identical models
+    val r1 = Pca.fit(emb, "embedding", 64, 2)
+    val r2 = Pca.fit(emb, "embedding", 64, 2)
+    assert(r1.components.flatten.toSeq === r2.components.flatten.toSeq)
+    assert(r1.eigenvalues.toSeq === r2.eigenvalues.toSeq)
+  }
+
+  test("covarianceLong upper triangle matches a local computation") {
+    val rows = emb.select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = rows.length
+    val dim = 64
+    val mu = Array.tabulate(dim)(i => rows.map(_(i)).sum / n)
+    def covLocal(i: Int, j: Int): Double =
+      rows.map(r => (r(i) - mu(i)) * (r(j) - mu(j))).sum / (n - 1)
+    val got = Pca.covarianceLong(emb, "embedding", dim, roundTo = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.size === dim * (dim + 1) / 2)
+    for ((i, j) <- Seq((0, 0), (0, 5), (10, 32), (63, 63))) {
+      val want = covLocal(i, j)
+      assert(math.abs(got((i + 1L, j + 1L)) - want) < 1e-7,
+        s"cov($i,$j)")
+    }
+  }
+}
