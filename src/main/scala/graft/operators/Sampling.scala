@@ -73,6 +73,41 @@ object Sampling extends Serializable {
     n
   }
 
+  /** Training-mix construction: per-source sampling RATES that hit a
+    * target mixture by WEIGHT. Given target proportions (e.g. web 0.6,
+    * code 0.3, papers 0.1) and the observed per-source row counts,
+    * compute the per-source keep-fraction that realizes the mixture at
+    * the largest total size no source can't supply (the binding source
+    * is kept whole; everything else is down-sampled — no up-sampling).
+    * Rates are driver math on one tiny count aggregate. */
+  def mixtureRates(counts: Map[String, Long],
+      weights: Map[String, Double]): Map[String, Double] = {
+    require(weights.keySet.subsetOf(counts.keySet),
+      s"weights for unknown sources: ${weights.keySet -- counts.keySet}")
+    val w = weights.filter(_._2 > 0)
+    val totalW = w.values.sum
+    // largest achievable total T: for each source, count/share caps T
+    val t = w.map { case (s, wt) => counts(s) / (wt / totalW) }.min
+    w.map { case (s, wt) =>
+      s -> math.min(1.0, t * (wt / totalW) / counts(s)) }
+  }
+
+  /** Deterministic weighted mixture sample: keep each row iff
+    * xxhash64(id, seed) lands under its source's keep-rate threshold —
+    * membership is a pure function of (id, seed, rates), invariant to
+    * partitioning and cluster size, unlike sampleBy's RNG-per-partition
+    * draw. One broadcast-joined literal map, no shuffle. */
+  def sampleByMixture(df: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, Double], seed: Long): DataFrame = {
+    val buckets = 1000000L
+    val rateExpr = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(
+      pmod(xxhash64(col(idCol), lit(seed)), lit(buckets)).cast("double") <
+        rateExpr * buckets)
+  }
+
   /** Deterministic train/validation split keyed on a stable id column:
     * membership depends only on (id, seed) — invariant to partitioning,
     * re-runs, and data order, unlike randomSplit. trainFraction in (0,1).

@@ -12,7 +12,7 @@ object PipelineQueries {
 
   def all: Seq[GraftQuery] =
     Seq(q102ExactlyOnce, q103Chunk, q104Pack, q105SemDedup, q106Pipeline,
-      q107TokenQuantiles, q108PackSharded)
+      q107TokenQuantiles, q108PackSharded, q112MixtureSample)
 
   /** Exactly-once restoration of at-least-once delivery: two independent
     * file sources redeliver every event, a keyed streaming dedup drops
@@ -243,4 +243,30 @@ object PipelineQueries {
         "sum(n_tok)::BIGINT AS n_tokens, " +
         "sum(straddles)::BIGINT AS n_straddle " +
         "FROM m GROUP BY 1, 2 ORDER BY source, seq_id"))
+
+  /** Training-mix construction ([[Sampling.mixtureRates]] +
+    * [[Sampling.sampleByMixture]]): rebalance the corpus to a target
+    * language mixture. Rates come from one tiny count aggregate (driver
+    * math); membership is xxhash64(doc_id, seed)-thresholded — a pure
+    * function of (id, seed, rates), so the sample is identical at any
+    * partitioning/cluster size. Hash family is engine-side → rows-only,
+    * but fully deterministic (MixtureSpec checks proportions + the
+    * no-upsample guarantee; the binding language is kept whole). */
+  val q112MixtureSample: GraftQuery = GraftQuery(
+    "q112_mixture_sample",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val weights = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2,
+        "es" -> 0.1, "zh" -> 0.1)
+      val counts = docs.groupBy($"lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rates = graft.operators.Sampling.mixtureRates(counts, weights)
+      val kept = graft.operators.Sampling.sampleByMixture(
+        docs, "doc_id", "lang", rates, seed = 42L)
+      val rateMap = typedLit(rates)
+      kept.groupBy($"lang").agg(count(lit(1)).as("n_kept"))
+        .withColumn("rate", round(element_at(rateMap, $"lang"), 6))
+        .orderBy($"lang")
+    })
 }

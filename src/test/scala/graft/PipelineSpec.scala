@@ -136,6 +136,54 @@ class PipelineSpec extends GraftSuite {
     assert(order(docs, 43L) !== o3) // epoch reshuffle = new seed
   }
 
+  test("mixtureRates: binding source kept whole, shares hit the target") {
+    val counts = Map("en" -> 600L, "de" -> 100L, "fr" -> 300L)
+    // target 50/25/25: de can only supply 100 → total T = 400,
+    // en → 200/600, fr → 100/300, de kept whole
+    val rates = graft.operators.Sampling.mixtureRates(counts,
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
+    assert(math.abs(rates("de") - 1.0) < 1e-12)
+    assert(math.abs(rates("en") - 200.0 / 600) < 1e-12)
+    assert(math.abs(rates("fr") - 100.0 / 300) < 1e-12)
+    // expected kept mass realizes the target mixture exactly
+    val kept = rates.map { case (s, r) => s -> r * counts(s) }
+    val tot = kept.values.sum
+    assert(math.abs(kept("en") / tot - 0.5) < 1e-12)
+    // zero- and missing-weight sources are dropped from the rate map
+    val partial = graft.operators.Sampling.mixtureRates(counts,
+      Map("en" -> 1.0, "de" -> 0.0))
+    assert(partial.keySet === Set("en"))
+  }
+
+  test("sampleByMixture: deterministic, placement-invariant, near-target") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf)
+    val weights = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2,
+      "es" -> 0.1, "zh" -> 0.1)
+    val counts = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = graft.operators.Sampling.mixtureRates(counts, weights)
+    def keptIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      graft.operators.Sampling.sampleByMixture(df, "doc_id", "lang",
+        rates, seed = 7L).select($"doc_id").collect()
+        .map(_.getLong(0)).toSet
+    val k3 = keptIds(docs.repartition(3))
+    val k8 = keptIds(docs.repartition(8))
+    assert(k3 === k8) // pure function of (id, seed, rates)
+    assert(k3.nonEmpty && k3.size < counts.values.sum)
+    // every kept row existed (a filter, never an upsample)
+    val all = docs.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(k3.subsetOf(all))
+    // rate-1.0 languages are kept whole
+    val whole = rates.filter { case (_, r) => r >= 1.0 }.keySet
+    if (whole.nonEmpty) {
+      val wholeIds = docs.filter($"lang".isin(whole.toSeq: _*))
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(wholeIds.subsetOf(k3))
+    }
+  }
+
   test("writeShuffledShards: contiguous hash ranges, nothing lost") {
     val s = spark
     import s.implicits._

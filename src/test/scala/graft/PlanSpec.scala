@@ -84,6 +84,47 @@ class PlanSpec extends GraftSuite {
 
 class SkewJoinSpec extends GraftSuite {
 
+  test("runtime bloom filter prunes the big side of a selective " +
+      "shuffle join") {
+    // The 100 TB shape: fact ⋈ fact on a shuffle join, one side made
+    // selective by a predicate — Spark should inject a bloom filter from
+    // the selective side into the big side's scan so most rows die
+    // BEFORE the shuffle. Thresholds are tuned for clusters, not sf0.001
+    // (application side must look big), so only that knob is lowered —
+    // the injection itself is what's under test.
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set(keys(0), "-1") // force a shuffle join, as at scale
+      conf.set(keys(1), "0")
+      val li = Tables.lineitem(spark, sf)
+      val sel = Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > lit(400000.0))
+      val j = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val p = j.queryExecution.executedPlan.toString()
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p)
+      // and the filtered plan still returns the exact join result
+      val expected = {
+        conf.set(keys(1), "10GB") // injection off at this size again
+        li.join(sel, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("l_quantity")).as("qty"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      }
+      val got = j.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got === expected)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("salted join returns exactly the plain join result") {
     val s = spark
     import s.implicits._
