@@ -6,12 +6,12 @@ import org.apache.spark.sql.SparkSession
   * BENCH_r{N}.json.
   *
   * Each query runs `SPARK_GRAFT_BENCH_REPEATS` (default 3) times
-  * back-to-back and reports `[median, min]` seconds: a single cold run
+  * back-to-back and reports the MEDIAN seconds: a single cold run
   * cannot distinguish a real regression from scheduler noise (round-3
   * review burned time adjudicating 4× "regressions" on queries with no
-  * code change), while the median absorbs the cold first sample and the
-  * min shows the warm floor. Queries run in sorted-name order after a
-  * warm-up action, so numbers are comparable across rounds.
+  * code change). Per-query min + all samples go to `bench_detail.json`.
+  * Queries run in sorted-name order after a warm-up action, so numbers
+  * are comparable across rounds.
   */
 object Bench {
   private def fmt(v: Double): String = {
@@ -61,10 +61,12 @@ object Bench {
         System.err.println(f"[bench] $k%-28s med=$med%.3f min=$min%.3f all=${all.map(s => f"$s%.3f").mkString(",")}")
       }
     }
+    // Scalar median per query (the driver contract's {"q1":sec} shape).
+    // r4 briefly shipped [median,min] pairs, which left <4 queries of
+    // headroom in the driver's ~2000-char capture window at 102 queries;
+    // the min lives on in bench_detail.json for adjudication.
     val qs = prefixes.zip(results)
-      .map { case (k, (_, med, min, _)) =>
-        "\"" + k + "\":[" + fmt(med) + "," + fmt(min) + "]"
-      }
+      .map { case (k, (_, med, _, _)) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum // sum of per-query medians
     // basename only: the full path spends ~15 chars of the driver's

@@ -116,6 +116,30 @@ object TextFunctions extends Serializable {
     round(array_max(counts).cast("double") / size(bg), 4)
   }
 
+  /** Top-`topN` vocabulary by token frequency (ties broken by token
+    * string, so the set is a total-order-deterministic function of the
+    * corpus). One explode + one groupBy shuffle; the result is tiny by
+    * construction (≤ topN rows) — safe to collect and broadcast as a
+    * literal into [[oovFraction]]. */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, textCol: String,
+      topN: Int): org.apache.spark.sql.DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topN)
+
+  /** Out-of-vocabulary fraction of a document's tokens against a
+    * (driver-bounded) vocabulary — the tokenizer-coverage signal of a
+    * pretraining pipeline. Pure expressions: the vocab rides along as an
+    * array literal (sorted for binary-searchable semantics; size is
+    * topN, not corpus-sized). */
+  def oovFraction(text: Column, vocab: Seq[String]): Column = {
+    val vlit = array(vocab.sorted.map(lit): _*)
+    val toks = tokens(text)
+    size(filter(toks, t => !array_contains(vlit, t))).cast("double") /
+      size(toks)
+  }
+
   /** Polynomial rolling fingerprint over the token stream:
     * fp = fold(7, (acc, t) => (acc*31 + unit(t)) mod 1e9+7) where
     * unit(t) = length(t) + ascii(first char). Modding every step keeps the

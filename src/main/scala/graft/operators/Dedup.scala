@@ -100,6 +100,43 @@ object Dedup extends Serializable {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** Excise duplicated spans: rebuild every document WITHOUT the tokens
+    * inside its [[duplicateSpans]] regions — the decontamination /
+    * boilerplate-strip step that follows span identification (content
+    * appearing verbatim in ≥ minDocs documents is removed everywhere;
+    * use doc-level [[keepCanonical]] when one copy should survive).
+    *
+    * Spans are collected per doc (bounded: spans per doc ≤ tokens/w) and
+    * the rebuild is pure higher-order expressions — zip tokens with
+    * positions, drop positions covered by any span, reassemble — so the
+    * only cost beyond [[duplicateSpans]] is one aggregation + one join.
+    * Docs with no duplicated span pass through untouched (anti-join
+    * branch, no array work). Output: (id, n_removed, clean_text). */
+  def exciseDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 12, minDocs: Int = 2): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, w, minDocs)
+    val perDoc = spans.groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    val toks = tokens(col(textCol))
+    val zipped = zip_with(toks, sequence(lit(1), size(toks)),
+      (t, i) => struct(t.as("t"), i.as("i")))
+    val keptArr = filter(zipped, x =>
+      !exists(col("__spans"), s =>
+        x.getField("i") >= s.getField("span_start") &&
+          x.getField("i") <= s.getField("span_end")))
+    val touched = df.join(perDoc, df(idCol) === perDoc("id"), "inner")
+      .select(col(idCol),
+        (size(toks) - size(keptArr)).as("n_removed"),
+        concat_ws(" ", transform(keptArr, _.getField("t")))
+          .as("clean_text"))
+    val untouched = df.join(perDoc, df(idCol) === perDoc("id"),
+        "left_anti")
+      .select(col(idCol), lit(0).as("n_removed"),
+        col(textCol).as("clean_text"))
+    touched.unionAll(untouched)
+  }
+
   /** Jaccard similarity of two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -24,7 +24,7 @@ object OperatorQueries {
     q86Histogram, q88AsOfNative, q89StreamIntervalJoin, q90PipelineFilter,
     q91HeavyHitters, q92BigramCounts, q93PqRecall, q94IvfPqTopK,
     q95Sessionize, q99DedupKeep, q100GroupCap, q101SessionizeFlush,
-    q109DupSpans)
+    q109DupSpans, q113ExciseSpans)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -366,6 +366,48 @@ object OperatorQueries {
         "SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end, " +
         "max(pos) + 7 - min(pos) + 1 AS span_tokens FROM isl " +
         "GROUP BY doc_id, island ORDER BY doc_id, span_start"))
+
+  /** Span excision ([[Dedup.exciseDuplicateSpans]]): the corpus with
+    * every duplicated 8-token span stripped — q109's identify step
+    * completed by the decontamination rewrite. The oracle replays
+    * identification AND the positional token rebuild. */
+  val q113ExciseSpans: GraftQuery = GraftQuery(
+    "q113_excise_spans",
+    (s, d) => {
+      import s.implicits._
+      Dedup.exciseDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+          w = 8)
+        .select($"doc_id", $"n_removed".cast("long").as("n_removed"),
+          $"clean_text")
+        .orderBy($"doc_id")
+    },
+    Some(
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS toks " +
+        "FROM documents), " +
+        "win AS (SELECT doc_id, i AS pos, " +
+        "array_to_string(toks[i : i + 7], ' ') AS gram " +
+        "FROM t, unnest(generate_series(1, len(toks) - 7)) AS s(i)), " +
+        "dup AS (SELECT gram FROM win GROUP BY gram " +
+        "HAVING count(DISTINCT doc_id) >= 2), " +
+        "mk AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (gram)), " +
+        "g AS (SELECT doc_id, pos, CASE WHEN pos - coalesce(lag(pos) " +
+        "OVER (PARTITION BY doc_id ORDER BY pos), pos) > 8 " +
+        "THEN 1 ELSE 0 END AS gap FROM mk), " +
+        "isl AS (SELECT doc_id, pos, sum(gap) OVER (PARTITION BY doc_id " +
+        "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM g), " +
+        "sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e " +
+        "FROM isl GROUP BY doc_id, island), " +
+        "tok AS (SELECT doc_id, unnest(toks) AS tk, " +
+        "unnest(generate_series(1, len(toks))) AS p FROM t), " +
+        "keep AS (SELECT k.doc_id, k.tk, k.p FROM tok k " +
+        "WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = k.doc_id " +
+        "AND k.p BETWEEN sp.s AND sp.e)) " +
+        "SELECT d.doc_id, " +
+        "len(string_split(d.text,' ')) - coalesce(k.n_kept, 0) " +
+        "AS n_removed, coalesce(k.txt, '') AS clean_text " +
+        "FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n_kept, " +
+        "string_agg(tk, ' ' ORDER BY p) AS txt FROM keep GROUP BY doc_id) " +
+        "k USING (doc_id) ORDER BY d.doc_id"))
 
   /** MinHash + LSH banding near-dup detection (finds the corpus's planted
     * near-dup pairs); hash family is engine-side → rows-only. */

@@ -11,7 +11,7 @@ object TextQueries {
 
   def all: Seq[GraftQuery] = Seq(q20TokenStats, q21DedupExact,
     q22DedupPrefixKey, q23StopwordRatio, q96PiiRedact, q97Repetition,
-    q98Contamination)
+    q98Contamination, q114OovRate)
 
   /** Token counting: whitespace tokens, distinct tokens, char length. */
   val q20TokenStats: GraftQuery = GraftQuery(
@@ -181,4 +181,38 @@ object TextQueries {
         "corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 20) " +
         "SELECT c.doc_id, count(*) AS n_shared FROM corpus c " +
         "JOIN bench b USING (sh) GROUP BY c.doc_id ORDER BY doc_id"))
+
+  /** Vocabulary coverage ([[TextFunctions.vocabulary]] +
+    * [[TextFunctions.oovFraction]]): top-25 corpus vocabulary (count
+    * desc, token asc — a deterministic total order), then per-language
+    * mean out-of-vocabulary token fraction. topN=25 against the
+    * synthetic corpus's 31-token vocabulary so the rate is non-trivially
+    * exercised (~0.16); production would use 30k+. The vocab is bounded
+    * by construction, so it travels as an expression literal — at
+    * 100 TB the frequency count is the only shuffle. */
+  val q114OovRate: GraftQuery = GraftQuery(
+    "q114_oov_rate",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val vocab = graft.functions.TextFunctions
+        .vocabulary(docs, "text", topN = 25)
+        .collect().map(_.getString(0)).toSeq
+      docs.select($"lang",
+          graft.functions.TextFunctions.oovFraction($"text", vocab)
+            .as("oov"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), round(avg($"oov"), 6).as("avg_oov"))
+        .orderBy($"lang")
+    },
+    Some(
+      "WITH tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) " +
+        "AS t FROM documents), " +
+        "v AS (SELECT t FROM tok GROUP BY t " +
+        "ORDER BY count(*) DESC, t LIMIT 25), " +
+        "o AS (SELECT doc_id, lang, " +
+        "sum(CASE WHEN t NOT IN (SELECT t FROM v) THEN 1 ELSE 0 END)" +
+        "::DOUBLE / count(*) AS oov FROM tok GROUP BY 1, 2) " +
+        "SELECT lang, count(*) AS n_docs, round(avg(oov), 6) AS avg_oov " +
+        "FROM o GROUP BY lang ORDER BY lang"))
 }

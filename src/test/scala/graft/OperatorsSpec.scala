@@ -103,6 +103,29 @@ class DedupSpec extends GraftSuite {
     assert(byHash.toSeq === spans.toSeq)
   }
 
+  test("exciseDuplicateSpans strips exactly the duplicated spans") {
+    val S = (1 to 12).map(i => s"s$i").mkString(" ")
+    def uniq(tag: String, n: Int) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val d = docs(
+      (1L, s"${uniq("a", 5)} $S ${uniq("b", 4)}"),
+      (2L, s"$S ${uniq("e", 6)}"),
+      (3L, uniq("g", 20)))
+    val out = Dedup.exciseDuplicateSpans(d, "doc_id", "text", w = 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2)))
+      .toMap
+    assert(out(1L) === (12, s"${uniq("a", 5)} ${uniq("b", 4)}"))
+    assert(out(2L) === (12, uniq("e", 6)))
+    assert(out(3L) === (0, uniq("g", 20))) // untouched passes through
+    // a doc that is ENTIRELY a duplicated span empties, not drops
+    val full = docs((1L, S), (2L, S))
+    val fo = Dedup.exciseDuplicateSpans(full, "doc_id", "text", w = 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2)))
+      .toMap
+    assert(fo(1L) === (12, "")) // present, empty
+    assert(fo(2L) === (12, ""))
+  }
+
   test("duplicateSpans: within-doc repeats alone do not mark a span") {
     val rep = (1 to 8).map(i => s"r$i").mkString(" ")
     val d = docs((1L, s"$rep x1 x2 x3 $rep"), (2L, "y1 y2 y3 y4 y5 y6"))
@@ -172,6 +195,22 @@ class TextFunctionsSpec extends GraftSuite {
     assert(lid("the cat sat on the mat and it is a cat") === "en")
     assert(lid("der hund und die katze ist nicht da und das ist gut") === "de")
     assert(lid("xyzzy plugh qwerty asdf") === "und")
+  }
+
+  test("vocabulary is a deterministic top-N; oovFraction counts misses") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b d")).toDF("doc_id", "text")
+    val v = TextFunctions.vocabulary(d, "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(v === Seq(("a", 4L), ("b", 3L))) // count desc, token asc
+    val oov = d.select($"doc_id",
+        TextFunctions.oovFraction($"text", v.map(_._1)).as("o"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(oov(1L) - 1.0 / 6) < 1e-12) // only "c" misses
+    assert(math.abs(oov(2L) - 1.0 / 3) < 1e-12) // only "d" misses
   }
 
   test("fingerprint is deterministic and order-sensitive") {
