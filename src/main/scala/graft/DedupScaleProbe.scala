@@ -41,6 +41,15 @@ object DedupScaleProbe {
     }.reduce(_ unionAll _)
   }
 
+  /** Duplicated-span count ([[Dedup.duplicateSpans]]) at replication m.
+    * Same disjoint-shingle-space construction: every duplicated w-gram
+    * lives inside one replica, so the span set replicates exactly —
+    * span count must be EXACTLY m× the base, confirming the span
+    * pipeline has no cross-corpus pair term (it is one aggregation on
+    * the gram key, linear by construction). */
+  def spanCounts(docs: DataFrame, m: Int, w: Int = 8): Long =
+    Dedup.duplicateSpans(replicate(docs, m), "doc_id", "text", w).count()
+
   /** (candidate pairs, dup pairs ≥ threshold) at replication m. */
   def counts(docs: DataFrame, m: Int,
       threshold: Double = 0.5): (Long, Long) = {

@@ -32,6 +32,9 @@ object Main {
       runDedup(loadConf(rest), input, outDir)
     case "dedup-ingest" :: batch :: indexDir :: outDir :: rest =>
       runDedupIngest(loadConf(rest), batch, indexDir, outDir)
+    case "dedup-spans" :: input :: outDir :: rest =>
+      runDedupSpans(input, outDir,
+        rest.headOption.map(_.toInt).getOrElse(12))
     case "ann-index" :: input :: outDir :: rest =>
       runAnnIndex(loadConf(rest), input, outDir)
     case "ann-ingest" :: batch :: indexDir :: rest =>
@@ -48,6 +51,7 @@ object Main {
            |       graft.Main optimal-k <input> <outDir> [conf.json]
            |       graft.Main dedup <docsParquet> <outDir> [conf.json]
            |       graft.Main dedup-ingest <batchParquet> <indexDir> <outDir> [conf.json]
+           |       graft.Main dedup-spans <docsParquet> <outDir> [w]
            |       graft.Main ann-index <embeddingsParquet> <outDir> [conf.json]
            |       graft.Main ann-ingest <batchParquet> <indexDir> [conf.json]
            |       graft.Main ann-query <indexDir> <queriesParquet> <outDir> [conf.json]
@@ -206,6 +210,27 @@ object Main {
     * persisted MinHash index (and itself), keep survivors, append only
     * their signatures — batch-1 text is never re-read when batch 2
     * arrives. Knobs from the config overlay, like `dedup`. */
+  /** Span-level dedup end-to-end: identify duplicated w-token spans
+    * ([[graft.operators.Dedup.duplicateSpans]]) and write both the span
+    * table and the excised corpus — the decontamination run of a
+    * training-data pipeline. */
+  private def runDedupSpans(input: String, outDir: String,
+      w: Int): Unit = {
+    val spark = session()
+    val docs = spark.read.parquet(input)
+    val spans = graft.operators.Dedup.duplicateSpans(docs, "doc_id",
+      "text", w)
+    Sinks.writeParquet(spans, s"$outDir/spans")
+    val clean = graft.operators.Dedup.exciseDuplicateSpans(docs, "doc_id",
+      "text", w)
+    Sinks.writeParquet(clean, s"$outDir/clean")
+    val n = spans.count()
+    val removed = clean.agg(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.col("n_removed"))).head().getLong(0)
+    println(s">>> [dedup-spans] w=$w spans=$n tokens_removed=$removed")
+    spark.stop()
+  }
+
   private def runDedupIngest(gc: GraftConfig, batch: String,
       indexDir: String, outDir: String): Unit = {
     val spark = session()

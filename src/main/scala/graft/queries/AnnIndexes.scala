@@ -89,6 +89,21 @@ object AnnIndexes {
     rows.toDF("query_id", "cand_id")
   }
 
+  private val pcaModels =
+    new ConcurrentHashMap[String, graft.ml.Pca.Model]()
+
+  /** PCA model over the embeddings table (q115 geometry: 64 → 16 dims,
+    * the dimensionality-reduction stage ahead of reduced-space scoring).
+    * The model is a handful of KB (means + 16 components) — cached as an
+    * object, it is the "stored artifact" equivalent for PCA. */
+  def pcaModel(spark: SparkSession, sfDir: String,
+      k: Int): graft.ml.Pca.Model =
+    pcaModels.computeIfAbsent(s"$sfDir|$k", { _ =>
+      graft.ml.Pca.fit(Tables.embeddings(spark, sfDir), "embedding",
+        dim = 64, k = k)
+    })
+
   /** Drop all cached artifacts (test hook). */
-  private[graft] def reset(): Unit = { dirs.clear(); exactTops.clear() }
+  private[graft] def reset(): Unit =
+    { dirs.clear(); exactTops.clear(); pcaModels.clear() }
 }

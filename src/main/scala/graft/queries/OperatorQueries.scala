@@ -24,7 +24,7 @@ object OperatorQueries {
     q86Histogram, q88AsOfNative, q89StreamIntervalJoin, q90PipelineFilter,
     q91HeavyHitters, q92BigramCounts, q93PqRecall, q94IvfPqTopK,
     q95Sessionize, q99DedupKeep, q100GroupCap, q101SessionizeFlush,
-    q109DupSpans, q113ExciseSpans)
+    q109DupSpans, q113ExciseSpans, q117StreamStaticJoin)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -263,6 +263,26 @@ object OperatorQueries {
       "SELECT epoch_ms(date_trunc('hour', ts)) AS hr_ms, event_type, " +
         "count(*) AS n, round(sum(value),2) AS sum_value " +
         "FROM events GROUP BY 1, 2 ORDER BY hr_ms, event_type"))
+
+  /** STREAM-STATIC join ([[EventStream.enrichedSegmentStats]]): the
+    * event stream enriched per micro-batch with the broadcast customer
+    * dimension, aggregated by market segment. A complete replay must
+    * equal the batch join — which is exactly what the oracle computes. */
+  val q117StreamStaticJoin: GraftQuery = GraftQuery(
+    "q117_stream_static_join",
+    (s, d) => {
+      val name = s"graft_stream_${System.nanoTime()}"
+      val customers = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      EventStream.runToCompletion(s, d,
+          ev => EventStream.enrichedSegmentStats(ev, customers), name)
+        .orderBy(col("c_mktsegment"), col("event_type"))
+    },
+    Some(
+      "SELECT c_mktsegment, event_type, count(*) AS n, " +
+        "round(sum(value), 2) AS sum_value " +
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
+        "GROUP BY 1, 2 ORDER BY c_mktsegment, event_type"))
 
   /** Binary-column plumbing + per-partition decode (text corpus → every
     * row takes the deterministic byte-derived fallback). ORACLED: the

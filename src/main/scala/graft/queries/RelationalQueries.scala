@@ -24,7 +24,8 @@ object RelationalQueries {
     q04MultiJoinAgg, q05WindowTopK, q06TopNOrders, q07DistinctFlags,
     q08ExceptCustomers, q09SemiJoin, q10AntiJoin, q11ScalarFuncs,
     q12DateParts, q13MinMaxScale, q14Entropy, q15EventsHourly,
-    q16RollupAgg, q17CaseAggPivot, q18RunningWindow, q19UnionAll)
+    q16RollupAgg, q17CaseAggPivot, q18RunningWindow, q19UnionAll,
+    q116QualityGate)
 
   /** A1/A2 fused multi-aggregate, one shuffle (TPC-H Q1 shape). */
   val q01PricingSummary: GraftQuery = GraftQuery(
@@ -413,4 +414,49 @@ object RelationalQueries {
         "UNION ALL " +
         "SELECT 'supplier' AS src, s_suppkey AS id, s_acctbal AS bal " +
         "FROM supplier) ORDER BY src, id"))
+
+  /** Data-quality gate ([[graft.operators.Profiler]]): five declarative
+    * validity rules over lineitem evaluated in ONE aggregation pass
+    * (2·rules+1 accumulators, one scan, no shuffle beyond the final
+    * single row) — the ingest "expectations" report of a production
+    * pipeline. The oracle recomputes each rule as its own aggregate. */
+  val q116QualityGate: GraftQuery = GraftQuery(
+    "q116_quality_gate",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Profiler
+      import graft.operators.Profiler.Rule
+      Profiler.check(Tables.lineitem(s, d), Seq(
+          Rule("disc_range", $"l_discount" >= 0.0 && $"l_discount" <= 0.1),
+          Rule("flag_domain", $"l_returnflag".isin("A", "N", "R")),
+          Rule("price_pos", $"l_extendedprice" > 0.0),
+          Rule("qty_range", $"l_quantity" >= 1.0 && $"l_quantity" <= 50.0),
+          Rule("ship_not_null", $"l_shipdate".isNotNull)))
+        .orderBy($"rule")
+    },
+    Some(
+      "SELECT 'disc_range' AS rule, count(*) AS n_rows, " +
+        "sum(CASE WHEN (l_discount >= 0.0 AND l_discount <= 0.1) " +
+        "IS NULL THEN 1 ELSE 0 END) AS n_null, " +
+        "sum(CASE WHEN NOT (l_discount >= 0.0 AND l_discount <= 0.1) " +
+        "THEN 1 ELSE 0 END) AS n_violations FROM lineitem " +
+        "UNION ALL SELECT 'flag_domain', count(*), " +
+        "sum(CASE WHEN (l_returnflag IN ('A','N','R')) IS NULL " +
+        "THEN 1 ELSE 0 END), " +
+        "sum(CASE WHEN NOT (l_returnflag IN ('A','N','R')) " +
+        "THEN 1 ELSE 0 END) FROM lineitem " +
+        "UNION ALL SELECT 'price_pos', count(*), " +
+        "sum(CASE WHEN (l_extendedprice > 0.0) IS NULL THEN 1 ELSE 0 END)::BIGINT, " +
+        "sum(CASE WHEN NOT (l_extendedprice > 0.0) THEN 1 ELSE 0 END)::BIGINT " +
+        "FROM lineitem " +
+        "UNION ALL SELECT 'qty_range', count(*), " +
+        "sum(CASE WHEN (l_quantity >= 1.0 AND l_quantity <= 50.0) " +
+        "IS NULL THEN 1 ELSE 0 END), " +
+        "sum(CASE WHEN NOT (l_quantity >= 1.0 AND l_quantity <= 50.0) " +
+        "THEN 1 ELSE 0 END) FROM lineitem " +
+        "UNION ALL SELECT 'ship_not_null', count(*), " +
+        "sum(CASE WHEN (l_shipdate IS NOT NULL) IS NULL " +
+        "THEN 1 ELSE 0 END), " +
+        "sum(CASE WHEN NOT (l_shipdate IS NOT NULL) THEN 1 ELSE 0 END)::BIGINT " +
+        "FROM lineitem ORDER BY rule"))
 }

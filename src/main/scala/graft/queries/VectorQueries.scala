@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
 object VectorQueries {
 
   def all: Seq[GraftQuery] =
-    Seq(q25CosinePairs, q26KnnBruteForce, q110Covariance, q111PcaProject)
+    Seq(q25CosinePairs, q26KnnBruteForce, q110Covariance, q111PcaProject,
+      q115PcaAnnRecall)
 
   /** Cosine kernel — the native single-pass expression (see
     * [[graft.operators.Similarity.cosine]]). */
@@ -104,6 +105,46 @@ object VectorQueries {
     * No SQL oracle (eigendecomposition isn't expressible) — rows-only,
     * deterministic: index-ordered Gramian combine + fixed sign
     * convention, verified against spark.ml in PcaSpec. */
+  /** Dimensionality-reduced retrieval recall ([[graft.ml.Pca]] as an
+    * index accelerator): score the standard probe set in 16-dim PCA
+    * space (4× fewer flops and bytes per comparison than the 64-dim
+    * original; at 100 TB the reduced vectors ARE the stored scan) and
+    * grade the reduced-space cosine top-10 against the shared exact
+    * full-dim baseline. Model is fit once per JVM ([[AnnIndexes]]);
+    * rows-only (eigensolve isn't SQL) but deterministic, floor-gated at
+    * execution time like q47/q66/q93. Measured mean recall ~0.22 at
+    * sf0.01: the synthetic embeddings are near-isotropic (16/64 dims ≈
+    * 25% of variance), which is exactly what the query surfaces — PCA
+    * compression only pays when the spectrum decays. */
+  val q115PcaAnnRecall: GraftQuery = GraftQuery(
+    "q115_pca_ann_recall",
+    (s, d) => {
+      import s.implicits._
+      val k = 10
+      val model = AnnIndexes.pcaModel(s, d, k = 16)
+      val reduced = model.transform(Tables.embeddings(s, d), "embedding")
+        .select($"vec_id",
+          array((1 to 16).map(j => col(s"pc$j")): _*).as("rvec"))
+      val q = reduced.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"rvec".as("qv"))
+      val approx = graft.operators.Similarity.bruteForceTopK(
+          q, reduced.select($"vec_id", $"rvec".as("cv")),
+          "query_id", "qv", "vec_id", "cv", k)
+        .select($"query_id", $"vec_id".as("cand_id"))
+      val exact = AnnIndexes.exactCosineTopK(s, d, k)
+      val hits = exact.join(approx, Seq("query_id", "cand_id"),
+          "left_semi")
+        .groupBy($"query_id").agg(count(lit(1)).as("hits"))
+      val recalls = exact.select($"query_id").distinct()
+        .join(hits, Seq("query_id"), "left_outer")
+        .select($"query_id",
+          (coalesce($"hits", lit(0L)).cast("double") / k).as("recall"))
+      graft.operators.Similarity.assertRecallFloor(recalls, 0.1)
+        .select($"query_id", round($"recall", 2).as("recall"),
+          $"min_recall")
+        .orderBy($"query_id")
+    })
+
   val q111PcaProject: GraftQuery = GraftQuery(
     "q111_pca_project",
     (s, d) => {

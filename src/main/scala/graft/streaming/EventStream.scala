@@ -86,6 +86,21 @@ object EventStream {
         unix_millis(col("c_ts")).as("c_ms"))
   }
 
+  /** STREAM-STATIC enrichment: the event stream joined to a batch
+    * dimension table (customer market segment), then aggregated. The
+    * static side needs no watermark and holds no streaming state — each
+    * micro-batch joins against the (broadcast) dimension as-of that
+    * batch, the canonical "enrich events with reference data" shape.
+    * At scale the dimension is the small side by construction: broadcast
+    * keeps the stream's shuffle for the aggregation only. */
+  def enrichedSegmentStats(events: DataFrame,
+      customers: DataFrame): DataFrame =
+    events.join(broadcast(customers),
+        events("user_id") === customers("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"))
+
   /** Append-mode run: only watermark-finalized windows are emitted — the
     * at-most-once-per-window delivery a downstream sink wants.
     * `shufflePartitions` sizes the stateful-operator partition count for

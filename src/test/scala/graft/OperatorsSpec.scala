@@ -141,6 +141,39 @@ class DedupSpec extends GraftSuite {
   }
 }
 
+class ProfilerSpec extends GraftSuite {
+  import graft.operators.Profiler
+  import graft.operators.Profiler.Rule
+
+  test("check: one pass separates nulls from violations, per rule") {
+    val s = spark
+    import s.implicits._
+    val d = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 0.05), (2L, 0.20), (3L, null), (null, 0.01))
+      .toDF("id", "disc")
+    val out = Profiler.check(d, Seq(
+        Rule("disc_range", col("disc") >= 0.0 && col("disc") <= 0.1),
+        Rule("id_present", col("id").isNotNull)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // disc: 4 rows, 1 null (row 3), 1 violation (0.20)
+    assert(out("disc_range") === ((4L, 1L, 1L)))
+    // isNotNull never evaluates to NULL: 1 violation, 0 nulls
+    assert(out("id_present") === ((4L, 0L, 1L)))
+  }
+
+  test("check: duplicate rule names and empty rule sets are rejected") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1, 2)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Profiler.check(d, Seq.empty) }
+    intercept[IllegalArgumentException] {
+      Profiler.check(d, Seq(Rule("x", col("a") > 0), Rule("x", col("b") > 0)))
+    }
+  }
+}
+
 class SimilaritySpec extends GraftSuite {
 
   test("cosine of identical / orthogonal vectors") {
@@ -753,6 +786,14 @@ class DedupScaleSpec extends GraftSuite {
     // slack for incidental band collisions across replicas)
     assert(c4 <= 4 * c1 + math.max(20L, c1 / 2),
       s"candidate growth superlinear: x1=$c1 x4=$c4")
+  }
+
+  test("duplicated spans replicate EXACTLY m× — no cross-corpus term") {
+    val docs = Tables.documents(spark, sf)
+    val s1 = graft.DedupScaleProbe.spanCounts(docs, 1)
+    val s3 = graft.DedupScaleProbe.spanCounts(docs, 3)
+    assert(s1 > 0, "no duplicated spans found at base size")
+    assert(s3 === 3 * s1)
   }
 }
 

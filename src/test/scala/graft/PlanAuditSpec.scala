@@ -24,7 +24,8 @@ class PlanAuditSpec extends GraftSuite {
     "q25_cosine_pairs",     // 50×50 exact cosine matrix (bounded probe set)
     "q26_knn_brute_force",  // brute-force baseline the ANN path is judged by
     "q43_ngram_jaccard",    // exact Jaccard on a bounded 30-doc slice
-    "q83_topk_agg_knn")     // same probe set through the aggregator path
+    "q83_topk_agg_knn",     // same probe set through the aggregator path
+    "q115_pca_ann_recall")  // 5-probe reduced-space scoring + 1-row floor gate
 
   /** crossJoin(broadcast(global aggregate)) — a 1-row side, |L|×1 and
     * linear; Spark renders it as BroadcastNestedLoopJoin but it is the
