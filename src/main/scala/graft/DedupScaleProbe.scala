@@ -48,7 +48,8 @@ object DedupScaleProbe {
     * pipeline has no cross-corpus pair term (it is one aggregation on
     * the gram key, linear by construction). */
   def spanCounts(docs: DataFrame, m: Int, w: Int = 8): Long =
-    Dedup.duplicateSpans(replicate(docs, m), "doc_id", "text", w).count()
+    Dedup.duplicateSpans(replicate(docs, m), "doc_id", "text", w,
+      byHash = true).count()
 
   /** (candidate pairs, dup pairs ≥ threshold) at replication m. */
   def counts(docs: DataFrame, m: Int,
@@ -67,12 +68,23 @@ object DedupScaleProbe {
       "/root/testdata/sf0.01")
     val docs = Tables.documents(spark, sfDir).persist()
     val nBase = docs.count() // materialize; probe measures dedup cost only
-    val rows = Seq(1, 2, 5, 10, 20).map { m =>
-      val t0 = System.nanoTime()
-      val (cands, dups) = counts(docs, m)
-      val secs = (System.nanoTime() - t0) / 1e9
-      f""""x$m":{"docs":${nBase * m},"cands":$cands,"dups":$dups,"secs":$secs%.2f}"""
-    }
+    val rows =
+      if (args.headOption.contains("--spans"))
+        // span-dedup sweep: span count must be EXACTLY m× the base
+        // (disjoint shingle spaces), wall ~linear — no pair term.
+        Seq(1, 2, 5, 10).map { m =>
+          val t0 = System.nanoTime()
+          val spans = spanCounts(docs, m)
+          val secs = (System.nanoTime() - t0) / 1e9
+          f""""x$m":{"docs":${nBase * m},"spans":$spans,"secs":$secs%.2f}"""
+        }
+      else
+        Seq(1, 2, 5, 10, 20).map { m =>
+          val t0 = System.nanoTime()
+          val (cands, dups) = counts(docs, m)
+          val secs = (System.nanoTime() - t0) / 1e9
+          f""""x$m":{"docs":${nBase * m},"cands":$cands,"dups":$dups,"secs":$secs%.2f}"""
+        }
     println(rows.mkString("{", ",", "}"))
     spark.stop()
   }

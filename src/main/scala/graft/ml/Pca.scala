@@ -143,6 +143,204 @@ object Pca extends Serializable {
       values.sum)
   }
 
+  /** Build a Model from raw moments (n, Σx, Σxxᵀ upper triangle). */
+  private def modelFromMoments(n: Long, sums: Array[Double],
+      gramUpper: Array[Double], dim: Int, k: Int): Model = {
+    require(n >= 2, s"covariance needs >=2 rows, got $n")
+    val mu = sums.map(_ / n)
+    val gram = Array.ofDim[Double](dim, dim)
+    var idx = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        gram(i)(j) = gramUpper(idx); gram(j)(i) = gramUpper(idx)
+        idx += 1; j += 1
+      }
+      i += 1
+    }
+    val cov = Array.tabulate(dim, dim)((a, b) =>
+      (gram(a)(b) - n * mu(a) * mu(b)) / (n - 1))
+    val (values, vectors) = jacobiEigen(cov)
+    val order = values.zipWithIndex.sortBy { case (v, i2) => (-v, i2) }
+      .map(_._2)
+    val comps = order.take(k).map { c =>
+      val vec = Array.tabulate(dim)(r => vectors(r)(c))
+      val m = vec.maxBy(math.abs)
+      if (m < 0) vec.map(-_) else vec
+    }
+    Model(dim, k, mu, comps, order.take(k).map(values), values.sum)
+  }
+
+  // ---- Persisted-moments lifecycle -----------------------------------
+  //
+  // The PCA twin of the dedup/ANN index story: moments (n, Σx, Σxxᵀ) are
+  // ASSOCIATIVE, so a model over a growing corpus never re-reads old
+  // data — each ingested batch appends ONE moments row (~d²/2 doubles)
+  // and fitting sums the rows in batch order. At 100 TB the artifact is
+  // a few KB per batch regardless of corpus size.
+
+  /** One global moments row for `df` — a single aggregation. */
+  private def momentsRow(df: DataFrame, vecCol: String,
+      dim: Int): (Long, Seq[Double], Seq[Double]) = {
+    val mom = udaf(new MomentsAgg(dim),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[Double]]())
+    val m = df.select(col(vecCol).cast("array<double>").as("v"))
+      .agg(mom(col("v")).as("m")).head().getSeq[Double](0)
+    (m(0).toLong, m.slice(1, 1 + dim),
+      m.slice(1 + dim, m.length))
+  }
+
+  /** Start a persisted moments artifact at `dir` (batch_id 0). */
+  def writeMoments(df: DataFrame, vecCol: String, dim: Int,
+      dir: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (n, s, g) = momentsRow(df, vecCol, dim)
+    Seq((0L, dim, n, s, g))
+      .toDF("batch_id", "dim", "n", "sums", "gram_upper")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Append a batch's moments (batch_id = max + 1). Append-only: old
+    * rows are never rewritten, exactly like the dedup index. */
+  def appendMoments(batch: DataFrame, vecCol: String, dim: Int,
+      dir: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val existing = spark.read.parquet(dir)
+    val storedDim = existing.select(col("dim")).head().getInt(0)
+    require(storedDim == dim,
+      s"moments artifact has dim $storedDim, batch has $dim")
+    val next = existing.agg(max(col("batch_id"))).head().getLong(0) + 1L
+    val (n, s, g) = momentsRow(batch, vecCol, dim)
+    Seq((next, dim, n, s, g))
+      .toDF("batch_id", "dim", "n", "sums", "gram_upper")
+      .coalesce(1).write.mode("append").parquet(dir)
+  }
+
+  /** Fit from the persisted artifact alone — no corpus read. Batch rows
+    * are combined in batch_id order (deterministic). */
+  def fitFromMoments(spark: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int): Model = {
+    val rows = spark.read.parquet(dir)
+      .orderBy(col("batch_id"))
+      .select(col("dim"), col("n"), col("sums"), col("gram_upper"))
+      .collect()
+    require(rows.nonEmpty, s"no moments rows at $dir")
+    val dim = rows.head.getInt(0)
+    val sums = new Array[Double](dim)
+    val gram = new Array[Double](dim * (dim + 1) / 2)
+    var n = 0L
+    rows.foreach { r =>
+      n += r.getLong(1)
+      val s = r.getSeq[Double](2); val g = r.getSeq[Double](3)
+      var i = 0
+      while (i < sums.length) { sums(i) += s(i); i += 1 }
+      i = 0
+      while (i < gram.length) { gram(i) += g(i); i += 1 }
+    }
+    modelFromMoments(n, sums, gram, dim, k)
+  }
+
+  /** Per-group moments aggregator: buffer = [n, Σx (d), Σxxᵀ upper
+    * triangle (d(d+1)/2)] — the Gramian pass as a map-side-combining
+    * UDAF, so per-GROUP covariance costs one shuffle of one buffer per
+    * (group × map partition), never a shuffle of rows. */
+  private class MomentsAgg(dim: Int) extends org.apache.spark.sql
+      .expressions.Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+    private val gsize = dim * (dim + 1) / 2
+    override def zero: Array[Double] = new Array[Double](1 + dim + gsize)
+    override def reduce(b: Array[Double],
+        v: Seq[Double]): Array[Double] = {
+      require(v.length == dim, s"vector length ${v.length} != dim $dim")
+      b(0) += 1
+      var i = 0
+      var g = 1 + dim
+      while (i < dim) {
+        val vi = v(i)
+        b(1 + i) += vi
+        var j = i
+        while (j < dim) { b(g) += vi * v(j); g += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+    override def merge(b1: Array[Double],
+        b2: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+    override def finish(r: Array[Double]): Seq[Double] =
+      r.toIndexedSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** PER-GROUP PCA (segment-wise dimensionality reduction, the
+    * bridge between the engine's segmentation flagship and [[fit]]):
+    * one distributed aggregation computes every group's moments
+    * simultaneously (map-side combined — rows never shuffle, buffers
+    * do), then each group's d×d covariance is eigensolved on the
+    * driver. Driver traffic is #groups × (1 + d + d(d+1)/2) doubles —
+    * the same bounded-by-construction class as the engine's segment
+    * keys, NOT data rows. Groups with fewer than 2 rows are skipped
+    * (no covariance). Keys are compared as strings. */
+  def fitPerGroup(df: DataFrame, groupCol: String, vecCol: String,
+      dim: Int, k: Int): Map[String, Model] = {
+    require(k >= 1 && k <= dim, s"k=$k out of range 1..$dim")
+    val mom = udaf(new MomentsAgg(dim),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[Double]]())
+    val rows = df.select(col(groupCol).cast("string").as("g"),
+        col(vecCol).cast("array<double>").as("v"))
+      .groupBy(col("g")).agg(mom(col("v")).as("m"))
+      .collect()
+    rows.flatMap { r =>
+      val g = r.getString(0)
+      val m = r.getSeq[Double](1)
+      val n = m(0).toLong
+      if (n < 2) None
+      else Some(g -> modelFromMoments(n,
+        m.slice(1, 1 + dim).toArray,
+        m.slice(1 + dim, m.length).toArray, dim, k))
+    }.toMap
+  }
+
+  /** Project every row with ITS group's model: the per-group components
+    * ride a broadcast join as literal-like arrays and the projection is
+    * zip_with/aggregate — one broadcast, no shuffle, codegen'd. Rows
+    * whose group has no model (under-sized) are dropped. Output adds a
+    * `pcs` array column (k centered projections). */
+  def transformPerGroup(df: DataFrame, models: Map[String, Model],
+      groupCol: String, vecCol: String): DataFrame = {
+    require(models.nonEmpty, "no group models")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val modelRows = models.toSeq.map { case (g, m) =>
+      (g, m.components.map(_.toSeq).toSeq,
+        m.components.map(c =>
+          c.zip(m.means).map { case (a, b) => a * b }.sum).toSeq)
+    }
+    val mdf = broadcast(
+      modelRows.toDF("__g", "__comps", "__offs"))
+    df.join(mdf, col(groupCol).cast("string") === col("__g"))
+      .withColumn("pcs", zip_with(
+        transform(col("__comps"), c =>
+          aggregate(
+            zip_with(col(vecCol).cast("array<double>"), c,
+              (x, w) => x * w),
+            lit(0.0), (s, x) => s + x)),
+        col("__offs"), (p, o) => p - o))
+      .drop("__g", "__comps", "__offs")
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix. Returns
     * (eigenvalues, eigenvector COLUMNS). O(sweeps·d³), driver-side; d is
     * the embedding width, not the corpus size. */

@@ -113,8 +113,8 @@ object Dedup extends Serializable {
     * Docs with no duplicated span pass through untouched (anti-join
     * branch, no array work). Output: (id, n_removed, clean_text). */
   def exciseDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      w: Int = 12, minDocs: Int = 2): DataFrame = {
-    val spans = duplicateSpans(df, idCol, textCol, w, minDocs)
+      w: Int = 12, minDocs: Int = 2, byHash: Boolean = false): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, w, minDocs, byHash)
     val perDoc = spans.groupBy(col("id"))
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("__spans"))

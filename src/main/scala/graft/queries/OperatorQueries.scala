@@ -362,7 +362,11 @@ object OperatorQueries {
     "q109_dup_spans",
     (s, d) => {
       import s.implicits._
-      Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text", w = 8)
+      // byHash: group/join on xxhash64(gram), the 100 TB shuffle key —
+      // span VALUES are identical to string keying (2^-64 collisions),
+      // which is exactly what the string-keyed DuckDB oracle checks.
+      Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text", w = 8,
+          byHash = true)
         .select($"id".as("doc_id"),
           $"span_start".cast("long").as("span_start"),
           $"span_end".cast("long").as("span_end"),
@@ -396,7 +400,7 @@ object OperatorQueries {
     (s, d) => {
       import s.implicits._
       Dedup.exciseDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
-          w = 8)
+          w = 8, byHash = true)
         .select($"doc_id", $"n_removed".cast("long").as("n_removed"),
           $"clean_text")
         .orderBy($"doc_id")

@@ -13,7 +13,7 @@ object VectorQueries {
 
   def all: Seq[GraftQuery] =
     Seq(q25CosinePairs, q26KnnBruteForce, q110Covariance, q111PcaProject,
-      q115PcaAnnRecall)
+      q115PcaAnnRecall, q118PcaPerLabel)
 
   /** Cosine kernel — the native single-pass expression (see
     * [[graft.operators.Similarity.cosine]]). */
@@ -143,6 +143,30 @@ object VectorQueries {
         .select($"query_id", round($"recall", 2).as("recall"),
           $"min_recall")
         .orderBy($"query_id")
+    })
+
+  /** PER-GROUP PCA ([[graft.ml.Pca.fitPerGroup]]): every label's own
+    * 2-component model fit in ONE distributed aggregation (a moments
+    * buffer per group × map partition — rows never shuffle), eigensolved
+    * per group on the driver, projections applied via a broadcast join.
+    * The segment-wise twin of q111; rows-only (eigensolve), summarized
+    * per label. mean(pc1) ≡ 0 by centering, so the summary reports
+    * mean |pc1| and max pc1 — values an uncentered or wrong-group
+    * projection would break. */
+  val q118PcaPerLabel: GraftQuery = GraftQuery(
+    "q118_pca_per_label",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val models = graft.ml.Pca.fitPerGroup(emb, "label", "embedding",
+        dim = 64, k = 2)
+      graft.ml.Pca.transformPerGroup(emb, models, "label", "embedding")
+        .select($"label", element_at($"pcs", 1).as("pc1"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          round(avg(abs($"pc1")), 6).as("mean_abs_pc1"),
+          round(max($"pc1"), 6).as("max_pc1"))
+        .orderBy($"label")
     })
 
   val q111PcaProject: GraftQuery = GraftQuery(

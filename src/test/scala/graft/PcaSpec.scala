@@ -114,6 +114,74 @@ class PcaSpec extends GraftSuite {
     assert(r1.eigenvalues.toSeq === r2.eigenvalues.toSeq)
   }
 
+  test("fitPerGroup: each group's model equals a whole-fit on its slice") {
+    val models = Pca.fitPerGroup(emb, "label", "embedding", 64, 2)
+    assert(models.size === 10)
+    for (lbl <- Seq("0", "7")) {
+      val slice = emb.filter(col("label") === lbl.toInt)
+      val direct = Pca.fit(slice, "embedding", 64, 2)
+      val grouped = models(lbl)
+      grouped.components.zip(direct.components).foreach { case (a, b) =>
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        assert(math.abs(dot - 1.0) < 1e-9)
+      }
+      grouped.eigenvalues.zip(direct.eigenvalues).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9)
+      }
+      // transformPerGroup projects with the group's own model
+      val viaGroup = Pca.transformPerGroup(slice, models, "label",
+          "embedding")
+        .select(col("vec_id"), element_at(col("pcs"), 1).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val viaDirect = direct.transform(slice, "embedding")
+        .select(col("vec_id"), col("pc1"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      viaGroup.foreach { case (id, p) =>
+        assert(math.abs(p - viaDirect(id)) < 1e-9, s"label $lbl id $id") }
+    }
+    // under-sized groups are skipped, not mis-fit
+    val s = spark
+    import s.implicits._
+    val tiny = Seq((1L, "a", Seq(1.0, 2.0)), (2L, "b", Seq(3.0, 4.0)),
+      (3L, "b", Seq(5.0, 6.0))).toDF("id", "g", "v")
+    val m2 = Pca.fitPerGroup(tiny, "g", "v", 2, 1)
+    assert(m2.keySet === Set("b"))
+  }
+
+  test("persisted moments: append-only ingest fits the whole-corpus model") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca_mom")
+      .toString
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    Pca.writeMoments(a, "embedding", 64, dir)
+    val before = spark.read.parquet(dir)
+      .select(col("batch_id"), col("n")).collect().toSeq.toString
+    Pca.appendMoments(b, "embedding", 64, dir)
+    // append-only: batch 0's row is untouched, batch 1 landed
+    val rows = spark.read.parquet(dir)
+      .select(col("batch_id"), col("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === Set(0L, 1L))
+    assert(spark.read.parquet(dir).filter(col("batch_id") === 0)
+      .select(col("batch_id"), col("n")).collect().toSeq.toString
+      === before)
+    // fitting from the artifact alone equals fitting the whole corpus
+    val fromMoments = Pca.fitFromMoments(spark, dir, k = 3)
+    val direct = Pca.fit(emb, "embedding", 64, 3)
+    fromMoments.components.zip(direct.components).foreach { case (x, y) =>
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum
+      assert(math.abs(dot - 1.0) < 1e-9)
+    }
+    fromMoments.eigenvalues.zip(direct.eigenvalues).foreach {
+      case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    // dimension guard refuses a mismatched batch
+    intercept[IllegalArgumentException] {
+      Pca.appendMoments(
+        b.select(col("vec_id"), slice(col("embedding"), 1, 32)
+          .as("embedding")), "embedding", 32, dir)
+    }
+  }
+
   test("covarianceLong upper triangle matches a local computation") {
     val rows = emb.select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
