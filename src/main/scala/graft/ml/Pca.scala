@@ -204,7 +204,11 @@ object Pca extends Serializable {
   }
 
   /** Append a batch's moments (batch_id = max + 1). Append-only: old
-    * rows are never rewritten, exactly like the dedup index. */
+    * rows are never rewritten, exactly like the dedup index.
+    * SINGLE-WRITER, like every ingest path here: for streaming ingest
+    * wrap in foreachBatch (the DocIngest pattern), where the
+    * checkpoint serializes batches; a redelivered batch would double
+    * its moments, so exactly-once delivery must come from the stream. */
   def appendMoments(batch: DataFrame, vecCol: String, dim: Int,
       dir: String): Unit = {
     val spark = batch.sparkSession

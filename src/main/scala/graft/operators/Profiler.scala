@@ -25,6 +25,10 @@ object Profiler extends Serializable {
     require(rules.nonEmpty, "at least one rule")
     require(rules.map(_.name).distinct.size == rules.size,
       "rule names must be unique")
+    // rule names become internal column names — a dot or backtick would
+    // be parsed as a nested-field path in col()
+    rules.foreach(r => require(r.name.matches("[A-Za-z0-9_-]+"),
+      s"rule name '${r.name}' must match [A-Za-z0-9_-]+"))
     val aggs = rules.flatMap { r =>
       Seq(
         sum(when(r.valid.isNull, 1L).otherwise(0L)).as(s"${r.name}__null"),

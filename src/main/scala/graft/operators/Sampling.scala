@@ -85,6 +85,7 @@ object Sampling extends Serializable {
     require(weights.keySet.subsetOf(counts.keySet),
       s"weights for unknown sources: ${weights.keySet -- counts.keySet}")
     val w = weights.filter(_._2 > 0)
+    require(w.nonEmpty, "at least one positive weight")
     val totalW = w.values.sum
     // largest achievable total T: for each source, count/share caps T
     val t = w.map { case (s, wt) => counts(s) / (wt / totalW) }.min

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Profiler
+
+/** Streaming data-quality monitoring: the declarative [[Profiler]]
+  * rules evaluated over every arriving file batch, with the long-form
+  * report (tagged by batch_id) APPENDED to a parquet report store —
+  * "expectations at the ingest front door", continuously.
+  *
+  * Same architecture as [[DocIngest]]: durable state is the append-only
+  * report itself, the checkpoint tracks only file progress, so a
+  * restart resumes monitoring exactly where it stopped and batch jobs
+  * can read the same report store. Each batch costs one scan + a
+  * 2·|rules|+1-accumulator aggregate — ingest-bandwidth monitoring at
+  * any corpus size. */
+object QualityMonitor {
+
+  def start(spark: SparkSession, srcDir: String, reportDir: String,
+      checkpointDir: String, rules: Seq[Profiler.Rule],
+      oneFilePerBatch: Boolean = false): StreamingQuery =
+    FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
+      (batch, batchId) =>
+        Profiler.check(batch, rules)
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1)
+          .write.mode("append").parquet(reportDir)
+    }
+
+  /** Drain the current backlog and stop — replay/backfill harness;
+    * production keeps the query running. */
+  def runToCompletion(spark: SparkSession, srcDir: String,
+      reportDir: String, checkpointDir: String,
+      rules: Seq[Profiler.Rule],
+      oneFilePerBatch: Boolean = true): Unit =
+    FileIngest.drain(start(spark, srcDir, reportDir, checkpointDir,
+      rules, oneFilePerBatch))
+}

@@ -29,6 +29,39 @@ class DocIngestSpec extends GraftSuite {
     Files.move(part.toPath, java.nio.file.Paths.get(dest))
   }
 
+  test("streaming quality monitor: per-batch reports, resumed checkpoint") {
+    val root = Files.createTempDirectory("graft_qmon").toString
+    val srcDir = s"$root/src"
+    val reportDir = s"$root/report"
+    val ckpt = s"$root/ckpt"
+    val rules = Seq(
+      graft.operators.Profiler.Rule("has_text", length($"text") > 0),
+      graft.operators.Profiler.Rule("id_pos", $"doc_id" >= 0))
+    writeOneFile(docs.filter($"doc_id" < 30), s"$srcDir/b1.parquet")
+    writeOneFile(docs.filter($"doc_id" >= 30 && $"doc_id" < 50),
+      s"$srcDir/b2.parquet")
+    graft.streaming.QualityMonitor.runToCompletion(spark, srcDir,
+      reportDir, ckpt, rules)
+    val rep = spark.read.parquet(reportDir)
+    // 2 batches × 2 rules, every row clean
+    assert(rep.count() === 4)
+    assert(rep.select(countDistinct($"batch_id")).head().getLong(0) === 2)
+    assert(rep.agg(sum($"n_violations"), sum($"n_null")).head()
+      .toSeq === Seq(0L, 0L))
+    // per-rule row totals cover every ingested document exactly once
+    val totals = rep.groupBy($"rule").agg(sum($"n_rows").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals === Map("has_text" -> 50L, "id_pos" -> 50L))
+    // a late file appends ONLY its own batch report on restart
+    writeOneFile(docs.filter($"doc_id" >= 50 && $"doc_id" < 60),
+      s"$srcDir/b3.parquet")
+    graft.streaming.QualityMonitor.runToCompletion(spark, srcDir,
+      reportDir, ckpt, rules)
+    val rep2 = spark.read.parquet(reportDir)
+    assert(rep2.count() === 6)
+    assert(rep2.agg(sum($"n_rows")).head().getLong(0) === 2L * 60)
+  }
+
   test("file-per-batch stream dedups each batch against the index") {
     val root = Files.createTempDirectory("graft_stream_ing").toString
     val srcDir = s"$root/src"

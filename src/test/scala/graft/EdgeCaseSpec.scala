@@ -114,6 +114,41 @@ class EdgeCaseSpec extends GraftSuite {
       .keepCanonical(d, "doc_id", noPairs).count() === 2)
   }
 
+  test("span dedup degenerate inputs: empty corpus, all-short docs") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Dedup.duplicateSpans(empty, "doc_id", "text",
+      w = 4).count() === 0)
+    assert(graft.operators.Dedup.exciseDuplicateSpans(empty, "doc_id",
+      "text", w = 4).count() === 0)
+    // every doc shorter than w: no windows, nothing excised
+    val short = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    assert(graft.operators.Dedup.duplicateSpans(short, "doc_id", "text",
+      w = 4).count() === 0)
+    val kept = graft.operators.Dedup.exciseDuplicateSpans(short,
+      "doc_id", "text", w = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(kept === Map(1L -> "a b", 2L -> "a b"))
+  }
+
+  test("PCA guards: bad k, under-sized corpus, mismatched vectors") {
+    val s = spark
+    import s.implicits._
+    val two = Seq((0L, Seq(1.0, 2.0)), (1L, Seq(3.0, 4.0)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.ml.Pca.fit(two, "embedding", dim = 2, k = 3) }
+    val one = Seq((0L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.ml.Pca.fit(one, "embedding", dim = 2, k = 1) }
+    // a wrong-length vector fails loudly, not silently
+    val ragged = Seq((0L, Seq(1.0, 2.0)), (1L, Seq(3.0)))
+      .toDF("vec_id", "embedding")
+    intercept[Exception] {
+      graft.ml.Pca.fit(ragged, "embedding", dim = 2, k = 1) }
+  }
+
   test("PQ trains when sample is smaller than the codebook") {
     val s = spark
     import s.implicits._
