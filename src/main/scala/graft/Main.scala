@@ -35,6 +35,8 @@ object Main {
     case "dedup-spans" :: input :: outDir :: rest =>
       runDedupSpans(input, outDir,
         rest.headOption.map(_.toInt).getOrElse(12))
+    case "score" :: input :: outDir :: _ =>
+      runScore(input, outDir)
     case "ann-index" :: input :: outDir :: rest =>
       runAnnIndex(loadConf(rest), input, outDir)
     case "ann-ingest" :: batch :: indexDir :: rest =>
@@ -52,6 +54,7 @@ object Main {
            |       graft.Main dedup <docsParquet> <outDir> [conf.json]
            |       graft.Main dedup-ingest <batchParquet> <indexDir> <outDir> [conf.json]
            |       graft.Main dedup-spans <docsParquet> <outDir> [w]
+           |       graft.Main score <docsParquet> <outDir>
            |       graft.Main ann-index <embeddingsParquet> <outDir> [conf.json]
            |       graft.Main ann-ingest <batchParquet> <indexDir> [conf.json]
            |       graft.Main ann-query <indexDir> <queriesParquet> <outDir> [conf.json]
@@ -228,6 +231,31 @@ object Main {
     val removed = clean.agg(org.apache.spark.sql.functions.sum(
       org.apache.spark.sql.functions.col("n_removed"))).head().getLong(0)
     println(s">>> [dedup-spans] w=$w spans=$n tokens_removed=$removed")
+    spark.stop()
+  }
+
+  /** Corpus quality scoring in one pass: per document, the text-quality
+    * signals a pretraining filter consumes — token stats, heuristic
+    * language ID, composite quality score, repetition signals, and the
+    * mean unigram log-probability (the perplexity-style signal, trained
+    * on the corpus itself). Pure expressions plus the LM's one counts
+    * shuffle + scoring join. */
+  private def runScore(input: String, outDir: String): Unit = {
+    val spark = session()
+    import org.apache.spark.sql.functions.{col, round}
+    val docs = spark.read.parquet(input)
+    val tf = graft.functions.TextFunctions
+    val signals = docs.select(
+      col("doc_id"),
+      tf.tokenCount(col("text")).as("n_tokens"),
+      tf.langId(col("text")).as("lang_id"),
+      round(tf.qualityScore(col("text")), 6).as("quality"),
+      round(tf.dupBigramFrac(col("text")), 6).as("dup_bigram_frac"))
+    val lm = tf.unigramLogProb(docs, "doc_id", "text")
+      .select(col("doc_id"), round(col("avg_logprob"), 6).as("avg_logprob"))
+    val out = signals.join(lm, Seq("doc_id"), "left_outer")
+    Sinks.writeParquet(out, outDir)
+    println(s">>> [score] docs=${out.count()}")
     spark.stop()
   }
 

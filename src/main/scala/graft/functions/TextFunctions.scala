@@ -140,6 +140,38 @@ object TextFunctions extends Serializable {
       size(toks)
   }
 
+  /** Laplace-smoothed unigram language-model scores — the
+    * perplexity-filtering signal of a CCNet-style quality pipeline:
+    * p(t) = (count(t) + 1) / (N + V) over the given training corpus,
+    * score(doc) = mean ln p(t) over its tokens (higher = more typical;
+    * gibberish and outlier docs score low). Train and score corpora may
+    * differ (score web text under a trusted-corpus LM).
+    *
+    * Shape: one groupBy(token) shuffle builds the counts, one
+    * equi-join scores (AQE broadcasts it while the vocab is small; a
+    * 100 TB vocab degrades gracefully to a shuffle join), one
+    * groupBy(doc) aggregates. All built-in expressions. */
+  def unigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      train: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val corpus = train.getOrElse(df)
+    val tok = corpus.select(explode(tokens(col(textCol))).as("t"))
+    val counts = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val Array(n, v) = counts
+      .agg(sum(col("c")), count(lit(1))).head() match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+    val scored = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .join(counts, Seq("t"), "left_outer")
+      .select(col(idCol),
+        log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          lit((n + v).toDouble)).as("lp"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), avg(col("lp")).as("avg_logprob"))
+  }
+
   /** Polynomial rolling fingerprint over the token stream:
     * fp = fold(7, (acc, t) => (acc*31 + unit(t)) mod 1e9+7) where
     * unit(t) = length(t) + ascii(first char). Modding every step keeps the

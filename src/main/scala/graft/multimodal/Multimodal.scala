@@ -288,11 +288,67 @@ object Multimodal extends Serializable {
     } finally iis.close()
   }
 
+  /** Decode frames from an MJPEG-in-AVI byte stream — REAL video frame
+    * decode for the one video container a pure JVM can handle: a RIFF
+    * chunk walk collects the `##dc`/`##db` JPEG payloads from the
+    * `movi` list (unknown chunks — headers, index, audio — are
+    * skipped), then ImageIO decodes an even-timeline sample of
+    * `maxFrames`. MJPEG frames are standalone JPEGs, so no compositing
+    * is needed (unlike GIF deltas). Returns None for non-AVI bytes, an
+    * AVI with no JPEG video chunks, or a corrupt chunk tree — the
+    * undecodable-beats-silently-wrong policy. */
+  def decodeMjpegAviFrames(id: Long, bytes: Array[Byte],
+      maxFrames: Int = 4): Option[Seq[FrameFeatures]] = {
+    val isAvi = bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F' && bytes(8) == 'A' && bytes(9) == 'V' &&
+      bytes(10) == 'I' && bytes(11) == ' '
+    if (!isAvi) return None
+    def le32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      var ok = true
+      while (ok && p + 8 <= end) {
+        val cc = new String(bytes, p, 4, "US-ASCII")
+        val sz = le32(p + 4).toInt
+        if (sz < 0 || p + 8 + sz > end) ok = false // corrupt → stop
+        else {
+          if (cc == "LIST" && sz >= 4) walk(p + 12, p + 8 + sz)
+          else if ((cc.endsWith("dc") || cc.endsWith("db")) && sz >= 2 &&
+              (bytes(p + 8) & 0xff) == 0xff &&
+              (bytes(p + 9) & 0xff) == 0xd8)
+            frames += ((p + 8, sz))
+          p += 8 + sz + (sz & 1) // chunks pad to even size
+        }
+      }
+    }
+    walk(12, math.min(bytes.length.toLong, 8L + le32(4)).toInt)
+    val n = frames.length
+    if (n == 0) return None
+    val take = math.min(maxFrames, n)
+    javax.imageio.ImageIO.setUseCache(false)
+    try {
+      Some((0 until take).map { i =>
+        val fi = (i.toLong * n / take).toInt
+        val (off, len) = frames(fi)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes, off, len))
+        if (img == null) return None
+        FrameFeatures(id, fi, n, img.getWidth, img.getHeight,
+          lumaMean(img))
+      })
+    } catch { case _: Exception => None }
+  }
+
   /** Per-partition frame feature extraction over (id, content): animated
-    * GIFs decode for REAL ([[decodeGifFrames]]); everything else is
+    * GIFs ([[decodeGifFrames]]) and MJPEG AVIs
+    * ([[decodeMjpegAviFrames]]) decode for REAL; everything else is
     * skipped (no fake frames in the typed output — the byte-slice stub
     * below keeps the shape-only pipeline covered for codec-less
-    * containers). */
+    * containers like MP4/WebM). */
   def extractFrames(withBinary: DataFrame,
       maxFrames: Int = 4): Dataset[FrameFeatures] = {
     val spark = withBinary.sparkSession
@@ -300,7 +356,9 @@ object Multimodal extends Serializable {
     withBinary.select(col("doc_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        decodeGifFrames(id, bytes, maxFrames).getOrElse(Seq.empty)
+        decodeGifFrames(id, bytes, maxFrames)
+          .orElse(decodeMjpegAviFrames(id, bytes, maxFrames))
+          .getOrElse(Seq.empty)
       })
   }
 

@@ -11,7 +11,7 @@ object TextQueries {
 
   def all: Seq[GraftQuery] = Seq(q20TokenStats, q21DedupExact,
     q22DedupPrefixKey, q23StopwordRatio, q96PiiRedact, q97Repetition,
-    q98Contamination, q114OovRate)
+    q98Contamination, q114OovRate, q119UnigramLogProb)
 
   /** Token counting: whitespace tokens, distinct tokens, char length. */
   val q20TokenStats: GraftQuery = GraftQuery(
@@ -215,4 +215,32 @@ object TextQueries {
         "::DOUBLE / count(*) AS oov FROM tok GROUP BY 1, 2) " +
         "SELECT lang, count(*) AS n_docs, round(avg(oov), 6) AS avg_oov " +
         "FROM o GROUP BY lang ORDER BY lang"))
+
+  /** Perplexity-style quality scoring
+    * ([[TextFunctions.unigramLogProb]]): each document's mean
+    * Laplace-smoothed unigram log-probability under the corpus's own
+    * LM — the CCNet filtering signal. Oracle replays counts, smoothing
+    * and the log-mean. */
+  val q119UnigramLogProb: GraftQuery = GraftQuery(
+    "q119_unigram_logprob",
+    (s, d) => {
+      import s.implicits._
+      graft.functions.TextFunctions
+        .unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .select($"doc_id", $"n_tokens",
+          round($"avg_logprob", 6).as("avg_logprob"))
+        .orderBy($"doc_id")
+    },
+    Some(
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t " +
+        "FROM documents), " +
+        "cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t), " +
+        "tot AS (SELECT (SELECT count(*) FROM tok) AS n, " +
+        "(SELECT count(*) FROM cnt) AS v), " +
+        "sc AS (SELECT k.doc_id, " +
+        "ln((cnt.c + 1.0) / (tot.n + tot.v)) AS lp " +
+        "FROM tok k JOIN cnt ON k.t = cnt.t, tot) " +
+        "SELECT doc_id, count(*) AS n_tokens, " +
+        "round(avg(lp), 6) AS avg_logprob FROM sc " +
+        "GROUP BY doc_id ORDER BY doc_id"))
 }

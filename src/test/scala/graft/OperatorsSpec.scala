@@ -246,6 +246,26 @@ class TextFunctionsSpec extends GraftSuite {
     assert(math.abs(oov(2L) - 1.0 / 3) < 1e-12) // only "d" misses
   }
 
+  test("unigramLogProb: Laplace math exact; unseen tokens penalized") {
+    val s = spark
+    import s.implicits._
+    // corpus: tokens a×3, b×1 → N=4, V=2; p(a)=(3+1)/6, p(b)=(1+1)/6
+    val train = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val got = TextFunctions.unigramLogProb(train, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = (3 * math.log(4.0 / 6) + math.log(2.0 / 6)) / 4
+    assert(got.length === 1 && got(0)._2 === 4L)
+    assert(math.abs(got(0)._3 - want) < 1e-12)
+    // scoring a different corpus under the trained LM: unseen token
+    // gets the +1-smoothed floor, scoring low
+    val score = Seq((9L, "a zzz")).toDF("doc_id", "text")
+    val sc = TextFunctions.unigramLogProb(score, "doc_id", "text",
+        train = Some(train))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val wantMix = (math.log(4.0 / 6) + math.log(1.0 / 6)) / 2
+    assert(math.abs(sc(9L) - wantMix) < 1e-12)
+  }
+
   test("fingerprint is deterministic and order-sensitive") {
     def fp(t: String): Long =
       one(t).select(TextFunctions.fingerprint(col("text"))).first().getLong(0)
@@ -354,6 +374,90 @@ class MultimodalSpec extends GraftSuite {
     writer.dispose()
     ios.close()
     baos.toByteArray
+  }
+
+  /** Minimal MJPEG-in-AVI fixture: RIFF('AVI ', JUNK, LIST('movi',
+    * '00dc' JPEG chunks)) — built byte-by-byte so the parser is tested
+    * against the container spec, not against itself. */
+  private def mjpegAviBytes(grays: Seq[Int], wh: Int = 8): Array[Byte] = {
+    def jpeg(gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(wh, wh,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(gray, gray, gray))
+      g.fillRect(0, 0, wh, wh); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def chunk(cc: String, data: Array[Byte]): Array[Byte] = {
+      val pad = data.length & 1
+      val b = java.nio.ByteBuffer.allocate(8 + data.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(cc.getBytes("US-ASCII")); b.putInt(data.length); b.put(data)
+      b.array()
+    }
+    val movi = "movi".getBytes("US-ASCII") ++
+      grays.toArray.flatMap(g => chunk("00dc", jpeg(g)))
+    val payload = "AVI ".getBytes("US-ASCII") ++
+      chunk("JUNK", Array.fill[Byte](10)(0)) ++ chunk("LIST", movi)
+    val riff = java.nio.ByteBuffer.allocate(8 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    riff.put("RIFF".getBytes("US-ASCII")).putInt(payload.length)
+      .put(payload)
+    riff.array()
+  }
+
+  test("MJPEG AVI frames decode for REAL: chunk walk, sampling, luma") {
+    val s = spark
+    import s.implicits._
+    val bytes = mjpegAviBytes(Seq(30, 110, 220))
+    val all = Multimodal.decodeMjpegAviFrames(1L, bytes, maxFrames = 4).get
+    assert(all.map(_.frame_index) === Seq(0, 1, 2))
+    assert(all.forall(f => f.n_frames === 3 && f.width === 8 &&
+      f.height === 8))
+    // solid-gray JPEG round-trips near-exactly (±3 for DCT rounding)
+    all.map(_.luma_mean).zip(Seq(30.0, 110.0, 220.0)).foreach {
+      case (got, want) => assert(math.abs(got - want) <= 3.0, s"$got/$want")
+    }
+    // even-timeline sample of 2 from 3 → indices 0 and 1
+    val two = Multimodal.decodeMjpegAviFrames(1L, bytes, maxFrames = 2).get
+    assert(two.map(_.frame_index) === Seq(0, 1))
+    // Dataset path: AVI and GIF rows both land in the same typed output
+    val df = Seq(
+      (1L, bytes),
+      (2L, animatedGifBytes(Seq(40 -> 8, 120 -> 8))),
+      (3L, "neither".getBytes("UTF-8"))).toDF("doc_id", "content")
+    val frames = Multimodal.extractFrames(df, maxFrames = 4).collect()
+    assert(frames.filter(_.doc_id == 1L).length === 3)
+    assert(frames.filter(_.doc_id == 2L).length === 2)
+    assert(!frames.exists(_.doc_id == 3L))
+    // corrupt tail (truncated chunk) → None, not garbage
+    val truncated = bytes.dropRight(bytes.length / 3)
+    assert(Multimodal.decodeMjpegAviFrames(4L, truncated, 4)
+      .forall(_.nonEmpty)) // either decodes leading frames or None
+    // an AVI with audio-only chunks is undecodable, not wrong
+    val audioOnly = {
+      val movi = "movi".getBytes("US-ASCII") ++ {
+        val data = Array.fill[Byte](16)(1)
+        val b = java.nio.ByteBuffer.allocate(8 + data.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("01wb".getBytes("US-ASCII")).putInt(data.length).put(data)
+        b.array()
+      }
+      val payload = "AVI ".getBytes("US-ASCII") ++ {
+        val b = java.nio.ByteBuffer.allocate(8 + movi.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("LIST".getBytes("US-ASCII")).putInt(movi.length).put(movi)
+        b.array()
+      }
+      val riff = java.nio.ByteBuffer.allocate(8 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      riff.put("RIFF".getBytes("US-ASCII")).putInt(payload.length)
+        .put(payload)
+      riff.array()
+    }
+    assert(Multimodal.decodeMjpegAviFrames(5L, audioOnly, 4).isEmpty)
   }
 
   test("animated GIF frames decode for REAL: even sampling, true luma") {
