@@ -37,6 +37,13 @@ object Main {
         rest.headOption.map(_.toInt).getOrElse(12))
     case "score" :: input :: outDir :: _ =>
       runScore(input, outDir)
+    case "pca-train" :: input :: momentsDir :: _ =>
+      runPcaTrain(input, momentsDir)
+    case "pca-ingest" :: batch :: momentsDir :: _ =>
+      runPcaIngest(batch, momentsDir)
+    case "pca-project" :: input :: momentsDir :: outDir :: rest =>
+      runPcaProject(input, momentsDir, outDir,
+        rest.headOption.map(_.toInt).getOrElse(16))
     case "ann-index" :: input :: outDir :: rest =>
       runAnnIndex(loadConf(rest), input, outDir)
     case "ann-ingest" :: batch :: indexDir :: rest =>
@@ -55,6 +62,9 @@ object Main {
            |       graft.Main dedup-ingest <batchParquet> <indexDir> <outDir> [conf.json]
            |       graft.Main dedup-spans <docsParquet> <outDir> [w]
            |       graft.Main score <docsParquet> <outDir>
+           |       graft.Main pca-train <embParquet> <momentsDir>
+           |       graft.Main pca-ingest <batchParquet> <momentsDir>
+           |       graft.Main pca-project <embParquet> <momentsDir> <outDir> [k]
            |       graft.Main ann-index <embeddingsParquet> <outDir> [conf.json]
            |       graft.Main ann-ingest <batchParquet> <indexDir> [conf.json]
            |       graft.Main ann-query <indexDir> <queriesParquet> <outDir> [conf.json]
@@ -256,6 +266,44 @@ object Main {
     val out = signals.join(lm, Seq("doc_id"), "left_outer")
     Sinks.writeParquet(out, outDir)
     println(s">>> [score] docs=${out.count()}")
+    spark.stop()
+  }
+
+  /** PCA moments lifecycle from the command line — the model twin of
+    * ann-index/ann-ingest: train starts the append-only moments
+    * artifact, ingest appends a batch's moments (no old data re-read),
+    * project fits from the artifact alone and writes pc columns. The
+    * embedding width is read from the data. */
+  private def embDim(df: org.apache.spark.sql.DataFrame): Int =
+    df.select(org.apache.spark.sql.functions
+      .size(org.apache.spark.sql.functions.col("embedding"))).head()
+      .getInt(0)
+
+  private def runPcaTrain(input: String, momentsDir: String): Unit = {
+    val spark = session()
+    val emb = spark.read.parquet(input)
+    val dim = embDim(emb)
+    graft.ml.Pca.writeMoments(emb, "embedding", dim, momentsDir)
+    println(s">>> [pca-train] dim=$dim rows=${emb.count()}")
+    spark.stop()
+  }
+
+  private def runPcaIngest(batch: String, momentsDir: String): Unit = {
+    val spark = session()
+    val emb = spark.read.parquet(batch)
+    graft.ml.Pca.appendMoments(emb, "embedding", embDim(emb), momentsDir)
+    println(s">>> [pca-ingest] appended=${emb.count()}")
+    spark.stop()
+  }
+
+  private def runPcaProject(input: String, momentsDir: String,
+      outDir: String, k: Int): Unit = {
+    val spark = session()
+    val model = graft.ml.Pca.fitFromMoments(spark, momentsDir, k)
+    val emb = spark.read.parquet(input)
+    Sinks.writeParquet(model.transform(emb, "embedding"), outDir)
+    println(s">>> [pca-project] k=$k explained=" +
+      f"${model.explainedVariance.sum}%.4f")
     spark.stop()
   }
 
