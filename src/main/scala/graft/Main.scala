@@ -231,15 +231,17 @@ object Main {
       w: Int): Unit = {
     val spark = session()
     val docs = spark.read.parquet(input)
-    val spans = graft.operators.Dedup.duplicateSpans(docs, "doc_id",
-      "text", w)
-    Sinks.writeParquet(spans, s"$outDir/spans")
-    val clean = graft.operators.Dedup.exciseDuplicateSpans(docs, "doc_id",
-      "text", w)
-    Sinks.writeParquet(clean, s"$outDir/clean")
-    val n = spans.count()
-    val removed = clean.agg(org.apache.spark.sql.functions.sum(
-      org.apache.spark.sql.functions.col("n_removed"))).head().getLong(0)
+    Sinks.writeParquet(graft.operators.Dedup.duplicateSpans(docs,
+      "doc_id", "text", w), s"$outDir/spans")
+    // excise from the span table just WRITTEN — identification runs
+    // exactly once, and the report reads files, not the DAG
+    Sinks.writeParquet(graft.operators.Dedup.exciseSpans(docs, "doc_id",
+      "text", spark.read.parquet(s"$outDir/spans")), s"$outDir/clean")
+    val n = spark.read.parquet(s"$outDir/spans").count()
+    val removed = spark.read.parquet(s"$outDir/clean")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("n_removed")))
+      .head().getLong(0)
     println(s">>> [dedup-spans] w=$w spans=$n tokens_removed=$removed")
     spark.stop()
   }
@@ -265,7 +267,9 @@ object Main {
       .select(col("doc_id"), round(col("avg_logprob"), 6).as("avg_logprob"))
     val out = signals.join(lm, Seq("doc_id"), "left_outer")
     Sinks.writeParquet(out, outDir)
-    println(s">>> [score] docs=${out.count()}")
+    // count the written files, not the scoring DAG (which would re-run
+    // the LM counts shuffle end to end)
+    println(s">>> [score] docs=${spark.read.parquet(outDir).count()}")
     spark.stop()
   }
 

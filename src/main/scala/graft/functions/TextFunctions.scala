@@ -158,16 +158,19 @@ object TextFunctions extends Serializable {
     val corpus = train.getOrElse(df)
     val tok = corpus.select(explode(tokens(col(textCol))).as("t"))
     val counts = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
-    val Array(n, v) = counts
-      .agg(sum(col("c")), count(lit(1))).head() match {
-        case r => Array(r.getLong(0), r.getLong(1))
-      }
+    // (N + V) rides along as a broadcast one-row cross join instead of
+    // an eager .head(): the query stays lazy, and exchange reuse shares
+    // ONE counts aggregation between the totals and the scoring join
+    // (an eager head() would run the corpus explode+shuffle twice)
+    val totals = broadcast(counts
+      .agg((sum(col("c")) + count(lit(1))).cast("double").as("__nv")))
     val scored = df
       .select(col(idCol), explode(tokens(col(textCol))).as("t"))
       .join(counts, Seq("t"), "left_outer")
+      .crossJoin(totals)
       .select(col(idCol),
-        log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
-          lit((n + v).toDouble)).as("lp"))
+        log((coalesce(col("c"), lit(0L)) + lit(1.0)) / col("__nv"))
+          .as("lp"))
     scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), avg(col("lp")).as("avg_logprob"))
   }

@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   * Determinism: partition partials are combined IN PARTITION-INDEX ORDER
   * (a plain `reduce` merges in task-completion order, which would make
   * the low bits of the covariance — and so the components — depend on
-  * scheduling). Eigenvector sign is fixed so each component's
-  * largest-|coordinate| is positive.
+  * scheduling). This holds for [[fit]], [[covarianceLong]] and the
+  * persisted-moments lifecycle; [[fitPerGroup]] trades it for bounded
+  * driver traffic and documents its own caveat. Eigenvector sign is
+  * fixed so each component's largest-|coordinate| is positive.
   */
 object Pca extends Serializable {
 
@@ -129,18 +131,11 @@ object Pca extends Serializable {
 
   def fit(df: DataFrame, vecCol: String, dim: Int, k: Int): Model = {
     require(k >= 1 && k <= dim, s"k=$k out of range 1..$dim")
-    val (_, mu, cov) = covariance(df, vecCol, dim)
-    val (values, vectors) = jacobiEigen(cov)
-    val order = values.zipWithIndex.sortBy { case (v, i) => (-v, i) }
-      .map(_._2)
-    val comps = order.take(k).map { c =>
-      val vec = Array.tabulate(dim)(r => vectors(r)(c))
-      // sign convention: largest-|coordinate| positive
-      val m = vec.maxBy(math.abs)
-      if (m < 0) vec.map(-_) else vec
-    }
-    Model(dim, k, mu, comps, order.take(k).map(values),
-      values.sum)
+    // one eigensolve/ordering/sign implementation for every fit path —
+    // fit, fitPerGroup and fitFromMoments must never drift apart
+    val (n, s, g) = moments(df, vecCol, dim)
+    val upper = for { i <- 0 until dim; j <- i until dim } yield g(i)(j)
+    modelFromMoments(n, s, upper.toArray, dim, k)
   }
 
   /** Build a Model from raw moments (n, Σx, Σxxᵀ upper triangle). */
@@ -180,16 +175,15 @@ object Pca extends Serializable {
   // and fitting sums the rows in batch order. At 100 TB the artifact is
   // a few KB per batch regardless of corpus size.
 
-  /** One global moments row for `df` — a single aggregation. */
+  /** One global moments row for `df` — the partition-index-ordered
+    * [[moments]] pass (NOT the UDAF: its shuffle-merge order is
+    * scheduling-dependent, and a PERSISTED artifact should be a
+    * bit-stable function of the data). */
   private def momentsRow(df: DataFrame, vecCol: String,
       dim: Int): (Long, Seq[Double], Seq[Double]) = {
-    val mom = udaf(new MomentsAgg(dim),
-      org.apache.spark.sql.catalyst.encoders
-        .ExpressionEncoder[Seq[Double]]())
-    val m = df.select(col(vecCol).cast("array<double>").as("v"))
-      .agg(mom(col("v")).as("m")).head().getSeq[Double](0)
-    (m(0).toLong, m.slice(1, 1 + dim),
-      m.slice(1 + dim, m.length))
+    val (n, s, g) = moments(df, vecCol, dim)
+    val upper = for { i <- 0 until dim; j <- i until dim } yield g(i)(j)
+    (n, s.toIndexedSeq, upper)
   }
 
   /** Start a persisted moments artifact at `dir` (batch_id 0). */
@@ -295,7 +289,16 @@ object Pca extends Serializable {
     * driver. Driver traffic is #groups × (1 + d + d(d+1)/2) doubles —
     * the same bounded-by-construction class as the engine's segment
     * keys, NOT data rows. Groups with fewer than 2 rows are skipped
-    * (no covariance). Keys are compared as strings. */
+    * (no covariance). Keys are compared as strings.
+    *
+    * Determinism caveat: unlike [[fit]]/[[writeMoments]] (partition-
+    * index-ordered combine), the UDAF's partial buffers merge in
+    * shuffle-fetch order, so per-group covariances can vary in the last
+    * ~1e-15 relative bits across schedules — the price of keeping
+    * driver traffic at one buffer per GROUP rather than per
+    * group×partition. Consumers round (q118 rounds to 6 decimals);
+    * anything needing bit-stable models should fit per group via
+    * [[fit]] on a filtered slice. */
   def fitPerGroup(df: DataFrame, groupCol: String, vecCol: String,
       dim: Int, k: Int): Map[String, Model] = {
     require(k >= 1 && k <= dim, s"k=$k out of range 1..$dim")

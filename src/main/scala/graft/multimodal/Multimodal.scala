@@ -313,15 +313,19 @@ object Multimodal extends Serializable {
       var ok = true
       while (ok && p + 8 <= end) {
         val cc = new String(bytes, p, 4, "US-ASCII")
-        val sz = le32(p + 4).toInt
-        if (sz < 0 || p + 8 + sz > end) ok = false // corrupt → stop
+        // size stays a Long: a hostile size field near Int.MaxValue must
+        // trip the corruption guard, not wrap p negative and crash the
+        // walk outside the decode try/catch
+        val sz = le32(p + 4)
+        if (p + 8 + sz > end) ok = false // corrupt → stop
         else {
-          if (cc == "LIST" && sz >= 4) walk(p + 12, p + 8 + sz)
-          else if ((cc.endsWith("dc") || cc.endsWith("db")) && sz >= 2 &&
+          val szi = sz.toInt
+          if (cc == "LIST" && szi >= 4) walk(p + 12, p + 8 + szi)
+          else if ((cc.endsWith("dc") || cc.endsWith("db")) && szi >= 2 &&
               (bytes(p + 8) & 0xff) == 0xff &&
               (bytes(p + 9) & 0xff) == 0xd8)
-            frames += ((p + 8, sz))
-          p += 8 + sz + (sz & 1) // chunks pad to even size
+            frames += ((p + 8, szi))
+          p += 8 + szi + (szi & 1) // chunks pad to even size
         }
       }
     }

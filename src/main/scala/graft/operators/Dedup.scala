@@ -113,8 +113,16 @@ object Dedup extends Serializable {
     * Docs with no duplicated span pass through untouched (anti-join
     * branch, no array work). Output: (id, n_removed, clean_text). */
   def exciseDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      w: Int = 12, minDocs: Int = 2, byHash: Boolean = false): DataFrame = {
-    val spans = duplicateSpans(df, idCol, textCol, w, minDocs, byHash)
+      w: Int = 12, minDocs: Int = 2, byHash: Boolean = false): DataFrame =
+    exciseSpans(df, idCol, textCol,
+      duplicateSpans(df, idCol, textCol, w, minDocs, byHash))
+
+  /** The rewrite half of [[exciseDuplicateSpans]], taking an already-
+    * materialized span table (columns id/span_start/span_end — e.g.
+    * read back from the `dedup-spans` CLI's output) so identification
+    * is never recomputed when both artifacts are wanted. */
+  def exciseSpans(df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
     val perDoc = spans.groupBy(col("id"))
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("__spans"))

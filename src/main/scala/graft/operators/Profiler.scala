@@ -29,10 +29,15 @@ object Profiler extends Serializable {
     // be parsed as a nested-field path in col()
     rules.foreach(r => require(r.name.matches("[A-Za-z0-9_-]+"),
       s"rule name '${r.name}' must match [A-Za-z0-9_-]+"))
+    // coalesce: sum over ZERO rows is NULL, and a NULL violation count
+    // would both slip past a `n_violations > 0` gate and NPE a typed
+    // reader — an empty input must report 0/0/0, not NULL
     val aggs = rules.flatMap { r =>
       Seq(
-        sum(when(r.valid.isNull, 1L).otherwise(0L)).as(s"${r.name}__null"),
-        sum(when(!r.valid, 1L).otherwise(0L)).as(s"${r.name}__bad"))
+        coalesce(sum(when(r.valid.isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"${r.name}__null"),
+        coalesce(sum(when(!r.valid, 1L).otherwise(0L)), lit(0L))
+          .as(s"${r.name}__bad"))
     } :+ count(lit(1)).as("__n")
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stacked = rules.map { r =>

@@ -99,12 +99,6 @@ object VectorQueries {
         "GROUP BY 1, 2) " +
         "SELECT i, j, round(cov, 8) AS cov FROM p ORDER BY i, j"))
 
-  /** PCA projection ([[graft.ml.Pca]]): 64-dim embeddings reduced to the
-    * top-3 principal components. Eigensolve happens on the driver's d×d
-    * covariance; the projection is pure zip_with/aggregate expressions.
-    * No SQL oracle (eigendecomposition isn't expressible) — rows-only,
-    * deterministic: index-ordered Gramian combine + fixed sign
-    * convention, verified against spark.ml in PcaSpec. */
   /** Dimensionality-reduced retrieval recall ([[graft.ml.Pca]] as an
     * index accelerator): score the standard probe set in 16-dim PCA
     * space (4× fewer flops and bytes per comparison than the 64-dim
@@ -169,6 +163,12 @@ object VectorQueries {
         .orderBy($"label")
     })
 
+  /** PCA projection ([[graft.ml.Pca]]): 64-dim embeddings reduced to the
+    * top-3 principal components. Eigensolve happens on the driver's d×d
+    * covariance; the projection is pure zip_with/aggregate expressions.
+    * No SQL oracle (eigendecomposition isn't expressible) — rows-only,
+    * deterministic: index-ordered Gramian combine + fixed sign
+    * convention, verified against spark.ml in PcaSpec. */
   val q111PcaProject: GraftQuery = GraftQuery(
     "q111_pca_project",
     (s, d) => {

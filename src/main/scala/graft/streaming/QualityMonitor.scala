@@ -8,8 +8,10 @@ import graft.operators.Profiler
 
 /** Streaming data-quality monitoring: the declarative [[Profiler]]
   * rules evaluated over every arriving file batch, with the long-form
-  * report (tagged by batch_id) APPENDED to a parquet report store —
-  * "expectations at the ingest front door", continuously.
+  * report (tagged by batch_id) written to its own `batch_<id>` parquet
+  * directory under the report store (read them all back with
+  * `parquet(s"$reportDir/batch_*")`) — "expectations at the ingest
+  * front door", continuously.
   *
   * Same architecture as [[DocIngest]]: durable state is the append-only
   * report itself, the checkpoint tracks only file progress, so a
@@ -24,10 +26,15 @@ object QualityMonitor {
       oneFilePerBatch: Boolean = false): StreamingQuery =
     FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
       (batch, batchId) =>
+        // one OVERWRITTEN directory per batch id: a batch redelivered
+        // after a crash between write and checkpoint commit replaces
+        // its own report instead of appending a duplicate (the same
+        // retry-idempotence contract as DocIngest's per-batch dirs)
         Profiler.check(batch, rules)
           .withColumn("batch_id", lit(batchId))
           .coalesce(1)
-          .write.mode("append").parquet(reportDir)
+          .write.mode("overwrite")
+          .parquet(s"$reportDir/batch_$batchId")
     }
 
   /** Drain the current backlog and stop — replay/backfill harness;

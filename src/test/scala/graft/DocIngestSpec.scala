@@ -42,7 +42,7 @@ class DocIngestSpec extends GraftSuite {
       s"$srcDir/b2.parquet")
     graft.streaming.QualityMonitor.runToCompletion(spark, srcDir,
       reportDir, ckpt, rules)
-    val rep = spark.read.parquet(reportDir)
+    val rep = spark.read.parquet(s"$reportDir/batch_*")
     // 2 batches × 2 rules, every row clean
     assert(rep.count() === 4)
     assert(rep.select(countDistinct($"batch_id")).head().getLong(0) === 2)
@@ -57,7 +57,7 @@ class DocIngestSpec extends GraftSuite {
       s"$srcDir/b3.parquet")
     graft.streaming.QualityMonitor.runToCompletion(spark, srcDir,
       reportDir, ckpt, rules)
-    val rep2 = spark.read.parquet(reportDir)
+    val rep2 = spark.read.parquet(s"$reportDir/batch_*")
     assert(rep2.count() === 6)
     assert(rep2.agg(sum($"n_rows")).head().getLong(0) === 2L * 60)
   }

@@ -162,6 +162,17 @@ class ProfilerSpec extends GraftSuite {
     assert(out("id_present") === ((4L, 0L, 1L)))
   }
 
+  test("check: empty input reports 0/0/0 per rule, never NULL") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Double)].toDF("id", "disc")
+    val out = Profiler.check(empty, Seq(
+        Rule("r1", col("disc") >= 0.0), Rule("r2", col("id").isNotNull)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map("r1" -> ((0L, 0L, 0L)), "r2" -> ((0L, 0L, 0L))))
+  }
+
   test("check: duplicate rule names and empty rule sets are rejected") {
     val s = spark
     import s.implicits._

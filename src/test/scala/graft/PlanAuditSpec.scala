@@ -35,7 +35,8 @@ class PlanAuditSpec extends GraftSuite {
     "q38_tfidf_norm",         // × corpus doc count (idf)
     "q62_inter_cluster_dist", // global scaling bounds
     "q86_histogram",          // global min/max bucket bounds
-    "q91_heavy_hitters")      // ÷ total rows (share %)
+    "q91_heavy_hitters",      // ÷ total rows (share %)
+    "q119_unigram_logprob")   // ÷ (N + V) Laplace denominator
 
   test("no registry query plans an unintended quadratic join") {
     val offenders = Registry.all
