@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over edge DataFrames — the PageRank
+  * companion to [[Dedup.connectedComponents]] (centrality vs
+  * connectivity; e.g. rank canonical documents inside near-dup
+  * families, or find load-bearing suppliers in a part-sourcing graph).
+  *
+  * Power iteration, Spark-first: each round is one equi-join of the
+  * (static, degree-annotated) edge list against the current ranks plus
+  * one aggregation on the destination — the contribution shuffle
+  * partitions by the same key every round, so at scale consecutive
+  * rounds reuse the exchange layout. A FIXED iteration count keeps the
+  * result a pure function of (edges, iterations, damping) — no
+  * convergence test whose trip point could depend on fp noise.
+  */
+object Graph extends Serializable {
+
+  /** PageRank over an UNDIRECTED graph given one row per edge
+    * (idA, idB). Both directions are materialized, so every node has
+    * out-degree ≥ 1 — no dangling-mass correction needed. Returns
+    * (id, rank); ranks over a connected component sum to that
+    * component's share of nodes (global sum = 1). */
+  def pageRankUndirected(pairs: DataFrame, idA: String, idB: String,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val und = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // static per-round operand: (src, dst, deg(src)) — built once
+    val undDeg = und.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .persist()
+    val nodes = deg.select(col("src").as("id")).persist()
+    val n = nodes.count()
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = undDeg
+        .join(ranks, undDeg("src") === ranks("id"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("in_rank"))
+      ranks = nodes
+        .join(contrib, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit((1 - damping) / n) +
+            lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+    }
+    // materialize the chained rounds ONCE while the static operands are
+    // cached, then drop them — the returned frame is persisted so later
+    // consumers replay no joins (same eager pattern as the CC finisher)
+    val out = ranks.persist()
+    out.count()
+    undDeg.unpersist()
+    nodes.unpersist()
+    out
+  }
+}

@@ -24,7 +24,7 @@ object OperatorQueries {
     q86Histogram, q88AsOfNative, q89StreamIntervalJoin, q90PipelineFilter,
     q91HeavyHitters, q92BigramCounts, q93PqRecall, q94IvfPqTopK,
     q95Sessionize, q99DedupKeep, q100GroupCap, q101SessionizeFlush,
-    q109DupSpans, q113ExciseSpans, q117StreamStaticJoin)
+    q109DupSpans, q113ExciseSpans, q117StreamStaticJoin, q120PageRank)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -432,6 +432,45 @@ object OperatorQueries {
         "FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n_kept, " +
         "string_agg(tk, ' ' ORDER BY p) AS txt FROM keep GROUP BY doc_id) " +
         "k USING (doc_id) ORDER BY d.doc_id"))
+
+  /** PageRank over the part–supplier bipartite graph
+    * ([[graft.operators.Graph.pageRankUndirected]]): parts and
+    * suppliers as disjoint node spaces (2·part / 2·supp+1), one edge
+    * per distinct sourcing pair, 10 fixed power-iteration rounds. The
+    * oracle UNROLLS the identical ten rounds as chained CTEs — every
+    * rank hash-checked, not just the shape. */
+  val q120PageRank: GraftQuery = GraftQuery(
+    "q120_pagerank",
+    (s, d) => {
+      import s.implicits._
+      val edges = Tables.lineitem(s, d)
+        .select(($"l_partkey" * 2).as("id_a"),
+          ($"l_suppkey" * 2 + 1).as("id_b"))
+        .distinct()
+      graft.operators.Graph.pageRankUndirected(edges, "id_a", "id_b")
+        .select($"id", round($"rank", 8).as("rank"))
+        .orderBy($"id")
+    },
+    Some {
+      val base =
+        "WITH e AS (SELECT DISTINCT l_partkey * 2 AS src, " +
+          "l_suppkey * 2 + 1 AS dst FROM lineitem), " +
+          "und AS (SELECT src, dst FROM e " +
+          "UNION ALL SELECT dst, src FROM e), " +
+          "deg AS (SELECT src AS id, count(*) AS deg FROM und " +
+          "GROUP BY src), " +
+          "nn AS (SELECT count(*)::DOUBLE AS n FROM deg), " +
+          "pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM deg)"
+      val rounds = (1 to 10).map { i =>
+        s", pr$i AS (SELECT d.id, 0.15 / (SELECT n FROM nn) + " +
+          "0.85 * coalesce(s.c, 0) AS rank FROM deg d LEFT JOIN " +
+          "(SELECT u.dst AS id, sum(p.rank / dg.deg) AS c FROM und u " +
+          s"JOIN pr${i - 1} p ON u.src = p.id " +
+          "JOIN deg dg ON dg.id = u.src GROUP BY u.dst) s USING (id))"
+      }.mkString
+      base + rounds +
+        " SELECT id, round(rank, 8) AS rank FROM pr10 ORDER BY id"
+    })
 
   /** MinHash + LSH banding near-dup detection (finds the corpus's planted
     * near-dup pairs); hash family is engine-side → rows-only. */

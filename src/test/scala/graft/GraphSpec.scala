@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+class GraphSpec extends GraftSuite {
+
+  private def ranksOf(edges: Seq[(Long, Long)],
+      iterations: Int = 10): Map[Long, Double] = {
+    val s = spark
+    import s.implicits._
+    Graph.pageRankUndirected(edges.toDF("id_a", "id_b"), "id_a", "id_b",
+        iterations)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  /** Driver-side reference power iteration (same fixed rounds). */
+  private def localPageRank(edges: Seq[(Long, Long)],
+      iterations: Int): Map[Long, Double] = {
+    val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = und.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val nodes = deg.keys.toSeq.sorted
+    val n = nodes.size
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iterations) {
+      val in = und.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / deg(src) }.sum
+      }
+      rank = nodes.map(id =>
+        id -> (0.15 / n + 0.85 * in.getOrElse(id, 0.0))).toMap
+    }
+    rank
+  }
+
+  test("star graph: hub outranks spokes; ranks sum to 1") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val got = ranksOf(star)
+    assert(got.size === 5)
+    assert(got(0L) > got(1L) * 2, s"hub not dominant: $got")
+    Seq(2L, 3L, 4L).foreach(i => assert(math.abs(got(i) - got(1L)) < 1e-12))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9) // no dangling leak
+  }
+
+  test("matches a driver-side reference power iteration exactly") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (5L, 6L)) // two components
+    val got = ranksOf(edges, iterations = 7)
+    val want = localPageRank(edges, iterations = 7)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (id, r) =>
+      assert(math.abs(r - want(id)) < 1e-12, s"node $id: $r vs ${want(id)}")
+    }
+  }
+
+  test("ranking is placement-invariant at any partitioning") {
+    val s = spark
+    import s.implicits._
+    val edges = (1L to 40L).map(i => (i, i % 7 + 100L))
+    def run(parts: Int): Seq[(Long, Double)] =
+      Graph.pageRankUndirected(
+        edges.toDF("id_a", "id_b").repartition(parts), "id_a", "id_b")
+        .select(col("id"), round(col("rank"), 8).as("r"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(run(3) === run(8))
+  }
+}
