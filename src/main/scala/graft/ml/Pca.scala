@@ -55,47 +55,98 @@ object Pca extends Serializable {
     }
   }
 
+  /** Driver payload cap for the Gramian combine: below it, every
+    * partition's d×d partial is collected directly (the exact combine
+    * order rounds 1-4 shipped, so persisted d=64 artifacts stay
+    * bit-identical); above it, a grouped pre-combine level runs on the
+    * executors first. 64 MB covers d=64 up to ~2048 partitions and
+    * d=512 up to 32 — one grouped level extends each by another
+    * ×(budget/partial) factor, plenty for d≈1k-4k embeddings at
+    * 100k-partition scans. */
+  private val maxDriverCombineBytes = 64L << 20
+
+  /** Element-wise merge of moments partials in the ITERATION ORDER of
+    * `parts` — callers sort by partition/group index first, which is
+    * what makes every fit path a pure function of (data, partitioning)
+    * rather than of task scheduling. */
+  private def mergeOrdered(dim: Int,
+      parts: Iterator[(Long, Array[Double], Array[Double])])
+      : (Long, Array[Double], Array[Double]) = {
+    val gsize = dim * (dim + 1) / 2
+    var n = 0L
+    val s = new Array[Double](dim)
+    val g = new Array[Double](gsize)
+    parts.foreach { case (pn, ps, pg) =>
+      n += pn
+      var i = 0
+      while (i < dim) { s(i) += ps(i); i += 1 }
+      i = 0
+      while (i < gsize) { g(i) += pg(i); i += 1 }
+    }
+    (n, s, g)
+  }
+
   /** (count, sums[d], gram[d][d] upper triangle filled symmetric) —
-    * one job, partials merged in partition-index order. */
+    * one job, partials merged in partition-index order. When the flat
+    * collect would exceed [[maxDriverCombineBytes]] (high dim × many
+    * partitions — the driver-OOM shape at production embedding widths),
+    * partitions are pre-combined on the executors in CONTIGUOUS
+    * index-range groups, each group merged in partition-index order and
+    * the driver merging groups in group-index order — still
+    * deterministic, just a different (but fixed) association of the
+    * same sums. */
   private def moments(df: DataFrame, vecCol: String,
       dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
+    val gsize = dim * (dim + 1) / 2
     val rows = df.select(col(vecCol).cast("array<double>")).rdd
       .map(_.getSeq[Double](0))
     val partials = rows.mapPartitionsWithIndex { (idx, it) =>
       var n = 0L
       val s = new Array[Double](dim)
-      val g = Array.ofDim[Double](dim, dim)
+      val g = new Array[Double](gsize)
       it.foreach { v =>
         require(v.length == dim,
           s"vector length ${v.length} != dim $dim")
         n += 1
         var i = 0
+        var gi = 0
         while (i < dim) {
           val vi = v(i)
           s(i) += vi
           var j = i
-          while (j < dim) { g(i)(j) += vi * v(j); j += 1 }
+          while (j < dim) { g(gi) += vi * v(j); gi += 1; j += 1 }
           i += 1
         }
       }
-      Iterator.single((idx, n, s, g))
-    }.collect().sortBy(_._1)
-    val n = partials.map(_._2).sum
-    val s = new Array[Double](dim)
-    val g = Array.ofDim[Double](dim, dim)
-    partials.foreach { case (_, _, ps, pg) =>
-      var i = 0
-      while (i < dim) {
-        s(i) += ps(i)
-        var j = i
-        while (j < dim) { g(i)(j) += pg(i)(j); j += 1 }
-        i += 1
-      }
+      Iterator.single((idx, (n, s, g)))
     }
+    val numParts = math.max(1, rows.getNumPartitions)
+    val partialBytes = (dim.toLong + gsize) * 8
+    val collected =
+      if (numParts * partialBytes <= maxDriverCombineBytes) {
+        partials.collect()
+      } else {
+        val maxGroups =
+          math.max(1L, maxDriverCombineBytes / partialBytes).toInt
+        val groupSize = (numParts + maxGroups - 1) / maxGroups
+        partials
+          .map { case (idx, p) => (idx / groupSize, (idx, p)) }
+          .groupByKey(math.min(maxGroups, numParts))
+          .map { case (gid, ps) =>
+            (gid, mergeOrdered(dim,
+              ps.toArray.sortBy(_._1).iterator.map(_._2)))
+          }
+          .collect()
+      }
+    val (n, s, gUpper) =
+      mergeOrdered(dim, collected.sortBy(_._1).iterator.map(_._2))
+    val g = Array.ofDim[Double](dim, dim)
     var i = 0
+    var gi = 0
     while (i < dim) {
-      var j = i + 1
-      while (j < dim) { g(j)(i) = g(i)(j); j += 1 }
+      var j = i
+      while (j < dim) { g(i)(j) = gUpper(gi); g(j)(i) = gUpper(gi)
+        gi += 1; j += 1 }
       i += 1
     }
     (n, s, g)

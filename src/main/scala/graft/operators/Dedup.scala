@@ -123,7 +123,10 @@ object Dedup extends Serializable {
     * is never recomputed when both artifacts are wanted. */
   def exciseSpans(df: DataFrame, idCol: String, textCol: String,
       spans: DataFrame): DataFrame = {
-    val perDoc = spans.groupBy(col("id"))
+    // the span id is aliased to a reserved name: if the caller's idCol is
+    // itself "id" (duplicateSpans outputs "id"), an unaliased post-join
+    // col(idCol) would be ambiguous and fail analysis
+    val perDoc = spans.groupBy(col("id").as("__span_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("__spans"))
     val toks = tokens(col(textCol))
@@ -133,12 +136,13 @@ object Dedup extends Serializable {
       !exists(col("__spans"), s =>
         x.getField("i") >= s.getField("span_start") &&
           x.getField("i") <= s.getField("span_end")))
-    val touched = df.join(perDoc, df(idCol) === perDoc("id"), "inner")
-      .select(col(idCol),
+    val touched = df.join(perDoc, df(idCol) === perDoc("__span_id"),
+        "inner")
+      .select(df(idCol),
         (size(toks) - size(keptArr)).as("n_removed"),
         concat_ws(" ", transform(keptArr, _.getField("t")))
           .as("clean_text"))
-    val untouched = df.join(perDoc, df(idCol) === perDoc("id"),
+    val untouched = df.join(perDoc, df(idCol) === perDoc("__span_id"),
         "left_anti")
       .select(col(idCol), lit(0).as("n_removed"),
         col(textCol).as("clean_text"))

@@ -22,10 +22,20 @@ object Graph extends Serializable {
     * (idA, idB). Both directions are materialized, so every node has
     * out-degree ≥ 1 — no dangling-mass correction needed. Returns
     * (id, rank); ranks over a connected component sum to that
-    * component's share of nodes (global sum = 1). */
+    * component's share of nodes (global sum = 1).
+    *
+    * Lineage cadence: every `checkpointEvery` rounds the rank frame is
+    * localCheckpoint'ed (eagerly), cutting the join+agg chain — without
+    * it, iteration counts beyond ~10 accumulate an unbounded plan whose
+    * post-failure recompute at 100 TB replays EVERY round from the
+    * start. localCheckpoint (executor-local blocks) is the right tier
+    * here: the static operands are persisted separately, and a lost
+    * executor costs one cadence-window replay, not the full history. */
   def pageRankUndirected(pairs: DataFrame, idA: String, idB: String,
-      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 10, damping: Double = 0.85,
+      checkpointEvery: Int = 10): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val und = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -36,7 +46,7 @@ object Graph extends Serializable {
     val nodes = deg.select(col("src").as("id")).persist()
     val n = nodes.count()
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
-    for (_ <- 1 to iterations) {
+    for (round <- 1 to iterations) {
       val contrib = undDeg
         .join(ranks, undDeg("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
@@ -46,6 +56,10 @@ object Graph extends Serializable {
         .select(col("id"),
           (lit((1 - damping) / n) +
             lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+      // cut lineage on cadence (but not on the final round — the tail is
+      // materialized once into the persisted output below anyway)
+      if (round % checkpointEvery == 0 && round < iterations)
+        ranks = ranks.localCheckpoint(true)
     }
     // materialize the chained rounds ONCE while the static operands are
     // cached, then drop them — the returned frame is persisted so later

@@ -86,6 +86,12 @@ object Sampling extends Serializable {
       s"weights for unknown sources: ${weights.keySet -- counts.keySet}")
     val w = weights.filter(_._2 > 0)
     require(w.nonEmpty, "at least one positive weight")
+    // a zero-count source would make t = 0 and its rate 0/0 = NaN; Spark
+    // orders NaN above every double, so sampleByMixture's `< rate` filter
+    // would silently keep 100% of that source if the map were reused
+    // against a corpus where the source later has rows
+    w.keys.foreach(s => require(counts(s) > 0,
+      s"source '$s' has positive weight but zero rows"))
     val totalW = w.values.sum
     // largest achievable total T: for each source, count/share caps T
     val t = w.map { case (s, wt) => counts(s) / (wt / totalW) }.min

@@ -427,6 +427,9 @@ object RelationalQueries {
       import graft.operators.Profiler
       import graft.operators.Profiler.Rule
       Profiler.check(Tables.lineitem(s, d), Seq(
+          // nullif makes the rule expression NULL for zero-discount rows,
+          // so the oracle exercises n_null > 0 (not just the spec)
+          Rule("disc_nonzero", nullif($"l_discount", lit(0.0)) > 0.0),
           Rule("disc_range", $"l_discount" >= 0.0 && $"l_discount" <= 0.1),
           Rule("flag_domain", $"l_returnflag".isin("A", "N", "R")),
           Rule("price_pos", $"l_extendedprice" > 0.0),
@@ -434,29 +437,38 @@ object RelationalQueries {
           Rule("ship_not_null", $"l_shipdate".isNotNull)))
         .orderBy($"rule")
     },
+    // every sum(CASE ...) is cast ::BIGINT: DuckDB sum() returns HUGEINT
+    // and UNION ALL type-unifies a column to the widest branch type, so a
+    // single uncast branch silently flips the whole column to HUGEINT and
+    // fails the driver's typed hash compare (the round-1 q82 trap)
     Some(
-      "SELECT 'disc_range' AS rule, count(*) AS n_rows, " +
+      "SELECT 'disc_nonzero' AS rule, count(*) AS n_rows, " +
+        "sum(CASE WHEN (nullif(l_discount, 0.0) > 0.0) " +
+        "IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null, " +
+        "sum(CASE WHEN NOT (nullif(l_discount, 0.0) > 0.0) " +
+        "THEN 1 ELSE 0 END)::BIGINT AS n_violations FROM lineitem " +
+        "UNION ALL SELECT 'disc_range', count(*), " +
         "sum(CASE WHEN (l_discount >= 0.0 AND l_discount <= 0.1) " +
-        "IS NULL THEN 1 ELSE 0 END) AS n_null, " +
+        "IS NULL THEN 1 ELSE 0 END)::BIGINT, " +
         "sum(CASE WHEN NOT (l_discount >= 0.0 AND l_discount <= 0.1) " +
-        "THEN 1 ELSE 0 END) AS n_violations FROM lineitem " +
+        "THEN 1 ELSE 0 END)::BIGINT FROM lineitem " +
         "UNION ALL SELECT 'flag_domain', count(*), " +
         "sum(CASE WHEN (l_returnflag IN ('A','N','R')) IS NULL " +
-        "THEN 1 ELSE 0 END), " +
+        "THEN 1 ELSE 0 END)::BIGINT, " +
         "sum(CASE WHEN NOT (l_returnflag IN ('A','N','R')) " +
-        "THEN 1 ELSE 0 END) FROM lineitem " +
+        "THEN 1 ELSE 0 END)::BIGINT FROM lineitem " +
         "UNION ALL SELECT 'price_pos', count(*), " +
         "sum(CASE WHEN (l_extendedprice > 0.0) IS NULL THEN 1 ELSE 0 END)::BIGINT, " +
         "sum(CASE WHEN NOT (l_extendedprice > 0.0) THEN 1 ELSE 0 END)::BIGINT " +
         "FROM lineitem " +
         "UNION ALL SELECT 'qty_range', count(*), " +
         "sum(CASE WHEN (l_quantity >= 1.0 AND l_quantity <= 50.0) " +
-        "IS NULL THEN 1 ELSE 0 END), " +
+        "IS NULL THEN 1 ELSE 0 END)::BIGINT, " +
         "sum(CASE WHEN NOT (l_quantity >= 1.0 AND l_quantity <= 50.0) " +
-        "THEN 1 ELSE 0 END) FROM lineitem " +
+        "THEN 1 ELSE 0 END)::BIGINT FROM lineitem " +
         "UNION ALL SELECT 'ship_not_null', count(*), " +
         "sum(CASE WHEN (l_shipdate IS NOT NULL) IS NULL " +
-        "THEN 1 ELSE 0 END), " +
+        "THEN 1 ELSE 0 END)::BIGINT, " +
         "sum(CASE WHEN NOT (l_shipdate IS NOT NULL) THEN 1 ELSE 0 END)::BIGINT " +
         "FROM lineitem ORDER BY rule"))
 }

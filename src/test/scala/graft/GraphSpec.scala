@@ -53,6 +53,22 @@ class GraphSpec extends GraftSuite {
     }
   }
 
+  test("50 rounds: checkpoint cadence keeps parity with the reference") {
+    // 50 iterations crosses the localCheckpoint cadence (every 10) four
+    // times — proves cutting lineage changes nothing numerically while
+    // keeping the plan bounded at iteration counts where the unbroken
+    // chain would blow up
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (5L, 6L), (6L, 7L))
+    val got = ranksOf(edges, iterations = 50)
+    val want = localPageRank(edges, iterations = 50)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (id, r) =>
+      assert(math.abs(r - want(id)) < 1e-12, s"node $id: $r vs ${want(id)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
   test("ranking is placement-invariant at any partitioning") {
     val s = spark
     import s.implicits._

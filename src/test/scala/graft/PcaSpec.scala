@@ -182,6 +182,41 @@ class PcaSpec extends GraftSuite {
     }
   }
 
+  test("d=512 grouped combine: covariance parity and determinism") {
+    // 512-wide vectors at 80 partitions put the flat per-partition
+    // collect past the 64 MB driver budget (one partial ≈ 1.05 MB), so
+    // this exercises the executor-side grouped pre-combine level that
+    // replaces the driver-OOM shape at production embedding widths
+    val s = spark
+    import s.implicits._
+    val dim = 512
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 90).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+    val df80 = data.toDF("vec_id", "embedding").repartition(80)
+    val (n, mu, cov) = Pca.covariance(df80, "embedding", dim)
+    assert(n === 90)
+    // parity vs a driver-side naive computation
+    val rows = data.map(_._2.toArray)
+    val muLocal = Array.tabulate(dim)(i => rows.map(_(i)).sum / 90)
+    for ((i, j) <- Seq((0, 0), (3, 77), (200, 511), (511, 511))) {
+      val want = rows.map(r =>
+        (r(i) - muLocal(i)) * (r(j) - muLocal(j))).sum / 89
+      assert(math.abs(cov(i)(j) - want) < 1e-9, s"cov($i,$j)")
+      assert(math.abs(mu(i) - muLocal(i)) < 1e-12)
+    }
+    // grouped combine is deterministic: identical re-run, identical bits
+    val (_, mu2, cov2) = Pca.covariance(df80, "embedding", dim)
+    assert(mu.sameElements(mu2))
+    assert((0 until dim).forall(i => cov(i).sameElements(cov2(i))))
+    // and the flat path (few partitions) agrees to fp tolerance
+    val (_, _, covFlat) =
+      Pca.covariance(data.toDF("vec_id", "embedding").repartition(4),
+        "embedding", dim)
+    for ((i, j) <- Seq((0, 0), (3, 77), (200, 511)))
+      assert(math.abs(cov(i)(j) - covFlat(i)(j)) < 1e-9)
+  }
+
   test("covarianceLong upper triangle matches a local computation") {
     val rows = emb.select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)

@@ -69,6 +69,19 @@ def compare(exp, got):
     exp, got = exp[ecols], got[gcols]
     if len(exp) != len(got):
         return False, f"row count differs: oracle={len(exp)} got={len(got)}"
+    # Type strictness: the driver hashes TYPED values, so a DuckDB HUGEINT
+    # (surfaced as float64/object here) vs a Spark BIGINT (int64) fails
+    # its hash even when every value prints identically — e.g. one uncast
+    # sum() in a UNION ALL branch unifying the whole column to HUGEINT
+    # (q116, r4). Compare dtype KIND (int-vs-int is fine: int32 vs int64
+    # queries are green in the driver series; int-vs-float/object is the
+    # hash-breaking class) so this gate catches it before the driver does.
+    for c in ecols:
+        ek = getattr(exp[c].dtype, "kind", "O")
+        gk = getattr(got[c].dtype, "kind", "O")
+        if ek != gk:
+            return False, (f"col {c} dtype kind differs: "
+                           f"oracle={exp[c].dtype} got={got[c].dtype}")
     for c in ecols:
         ev, gv = exp[c].tolist(), got[c].tolist()
         for i, (a, b) in enumerate(zip(ev, gv)):
