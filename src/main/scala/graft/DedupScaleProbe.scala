@@ -51,6 +51,65 @@ object DedupScaleProbe {
     Dedup.duplicateSpans(replicate(docs, m), "doc_id", "text", w,
       byHash = true).count()
 
+  /** Embedding corpus replicated m× in DISJOINT regions of cosine space:
+    * replica r runs every vector through a per-replica orthogonal
+    * transform (cyclic coordinate shift by r, then a deterministic ±1
+    * diagonal) — orthogonal maps preserve every WITHIN-replica cosine
+    * exactly, so each replica carries an identical near-dup structure,
+    * while cross-replica cosines decorrelate (the semantic analogue of
+    * the rotated-alphabet trick above). Ids stride by 2·(max+1) per
+    * replica; every `cloneEvery`-th vector gets an EXACT clone (cos = 1)
+    * at id + stride — the planted duplicates whose recovery the sweep
+    * gates. */
+  def semReplicate(emb: DataFrame, m: Int,
+      cloneEvery: Int = 20): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val stride = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val s2 = 2L * stride
+    (0 until m).map { r =>
+      val shift = r % dim
+      val signs = array((0 until dim).map(j =>
+        lit(if (((j * 2654435761L + (r + 1) * 40503L) >>> 3) % 2 == 0)
+          1.0 else -1.0)): _*)
+      val v = col("embedding").cast("array<double>")
+      val shifted =
+        if (shift == 0) v
+        else concat(slice(v, shift + 1, dim - shift), slice(v, 1, shift))
+      val tv = zip_with(shifted, signs, (x, s) => x * s)
+      val base = emb.select((col("vec_id") + lit(r * s2)).as("vec_id"),
+        tv.as("embedding"))
+      val clones = base
+        .filter(pmod(col("vec_id") - lit(r * s2), lit(cloneEvery.toLong))
+          === 0)
+        .select((col("vec_id") + lit(stride)).as("vec_id"),
+          col("embedding"))
+      base.unionAll(clones)
+    }.reduce(_ unionAll _)
+  }
+
+  /** (planted clone pairs found, total pairs, planted clone count) at
+    * replication m. Cluster count scales WITH the corpus (16·m) — the
+    * SemDeDup scale posture: occupancy stays put, so Σ|cluster|² (the
+    * pairwise term) grows linearly, not quadratically. A clone pair is
+    * identified by id_b − id_a == stride (impossible for any natural or
+    * cross-replica pair by the id layout). */
+  def semCounts(emb: DataFrame, m: Int, tau: Double = 0.99,
+      maxCluster: Int = 400): (Long, Long, Long) = {
+    val stride = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val corpus = semReplicate(emb, m).persist()
+    val planted = corpus
+      .filter(pmod(col("vec_id"), lit(2L * stride)) >= stride).count()
+    val pairs = graft.operators.SemDedup.nearDupPairs(corpus, "vec_id",
+      "embedding", nClusters = 16 * m, tau = tau, seed = 42L,
+      maxCluster = maxCluster).persist()
+    val total = pairs.count()
+    val plantedFound =
+      pairs.filter(col("id_b") - col("id_a") === stride).count()
+    pairs.unpersist()
+    corpus.unpersist()
+    (plantedFound, total, planted)
+  }
+
   /** (candidate pairs, dup pairs ≥ threshold) at replication m. */
   def counts(docs: DataFrame, m: Int,
       threshold: Double = 0.5): (Long, Long) = {
@@ -69,7 +128,18 @@ object DedupScaleProbe {
     val docs = Tables.documents(spark, sfDir).persist()
     val nBase = docs.count() // materialize; probe measures dedup cost only
     val rows =
-      if (args.headOption.contains("--spans"))
+      if (args.headOption.contains("--sem")) {
+        // SemDedup sweep over the embeddings table: planted clone pairs
+        // must be fully recovered at every m, wall ~linear under the cap
+        val emb = Tables.embeddings(spark, sfDir).persist()
+        emb.count()
+        Seq(1, 2, 5, 10).map { m =>
+          val t0 = System.nanoTime()
+          val (found, total, planted) = semCounts(emb, m)
+          val secs = (System.nanoTime() - t0) / 1e9
+          f""""x$m":{"planted":$planted,"found":$found,"pairs":$total,"secs":$secs%.2f}"""
+        }
+      } else if (args.headOption.contains("--spans"))
         // span-dedup sweep: span count must be EXACTLY m× the base
         // (disjoint shingle spaces), wall ~linear — no pair term.
         Seq(1, 2, 5, 10).map { m =>

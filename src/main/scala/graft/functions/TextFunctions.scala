@@ -175,6 +175,52 @@ object TextFunctions extends Serializable {
       .agg(count(lit(1)).as("n_tokens"), avg(col("lp")).as("avg_logprob"))
   }
 
+  /** Gopher-style document-quality rule pack (Rae et al. 2021,
+    * arXiv:2112.11446, Appendix A1.1 — the document filters of the
+    * MassiveWeb curation pipeline), as ONE struct-valued expression so a
+    * corpus sweep evaluates every rule in a single codegen'd scan:
+    *
+    *  - `n_words`          whitespace token count ∈ [minWords, maxWords]
+    *  - `mean_word_len`    mean token length ∈ [minMeanWordLen, maxMeanWordLen]
+    *  - `symbol_ratio`     fraction of chars in `symbols` ≤ maxSymbolRatio
+    *  - `alpha_word_ratio` fraction of tokens containing an alphabetic
+    *                       char ≥ minAlphaWordRatio
+    *  - `stop_hits`        distinct required-stopword hits ≥ minStopHits
+    *  - `keep`             conjunction of all five
+    *
+    * All pure built-ins (no UDF), so the gate runs at scan bandwidth on
+    * any corpus size and composes with [[graft.operators.Profiler]] for
+    * the report form. Thresholds are parameters because they are
+    * corpus-tuned in practice (the paper's own values assume web text). */
+  def gopherFlags(text: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      symbols: String = "#…", maxSymbolRatio: Double = 0.1,
+      minAlphaWordRatio: Double = 0.8,
+      stopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minStopHits: Int = 2): Column = {
+    val toks = tokens(text)
+    val nWords = size(toks)
+    val meanLen = aggregate(toks, lit(0L), (s, t) => s + length(t))
+      .cast("double") / nWords
+    val symRatio = (length(text) - length(translate(text, symbols, "")))
+      .cast("double") / greatest(length(text), lit(1))
+    val alphaRatio = size(filter(toks, t => t.rlike("[a-zA-Z]")))
+      .cast("double") / nWords
+    val stopHits = size(filter(
+      array(stopwords.map(lit): _*), s => array_contains(toks, s)))
+    val keep = nWords.between(minWords, maxWords) &&
+      meanLen.between(minMeanWordLen, maxMeanWordLen) &&
+      symRatio <= maxSymbolRatio &&
+      alphaRatio >= minAlphaWordRatio &&
+      stopHits >= minStopHits
+    struct(nWords.as("n_words"), round(meanLen, 4).as("mean_word_len"),
+      round(symRatio, 4).as("symbol_ratio"),
+      round(alphaRatio, 4).as("alpha_word_ratio"),
+      stopHits.as("stop_hits"), keep.as("keep"))
+  }
+
   /** Polynomial rolling fingerprint over the token stream:
     * fp = fold(7, (acc, t) => (acc*31 + unit(t)) mod 1e9+7) where
     * unit(t) = length(t) + ascii(first char). Modding every step keeps the

@@ -366,20 +366,32 @@ object Multimodal extends Serializable {
       })
   }
 
-  /** Fixed-count frame sampling from a byte stream (stub: equal-width byte
-    * slices standing in for decoded frames; shape + determinism are what
-    * the pipeline tests). Kept for containers with no JDK codec — for
-    * animated GIF use [[extractFrames]], which decodes real frames. */
+  /** Fixed-count frame sampling as a COLUMN (the wide-row shape a
+    * multimodal pipeline joins on, vs [[extractFrames]]'s long-form
+    * Dataset): each row gains a `frames` array of real decoded frame
+    * features — animated GIF and MJPEG-AVI, the containers a pure JVM
+    * decodes — and `n_frames` = how many were sampled.
+    *
+    * Containers with no JDK codec (MP4, WebM, …) get an EXPLICIT empty
+    * array / n_frames = 0, never synthetic frames: the same
+    * undecodable-beats-silently-wrong policy as the audio PCM_SIGNED
+    * gate. (Rounds ≤4 emitted equal-width byte slices as stand-in
+    * "frames" here; a downstream consumer could not tell those from
+    * decoded content, which is exactly the failure mode the policy
+    * exists to prevent.) */
   def frameSample(withBinary: DataFrame, nFrames: Int = 4): DataFrame = {
-    val slicer = udf { (bytes: Array[Byte]) =>
-      val step = math.max(1, bytes.length / nFrames)
-      (0 until nFrames).map { f =>
-        val from = math.min(f * step, math.max(0, bytes.length - 1))
-        val until = math.min(from + 16, bytes.length)
-        java.util.Arrays.copyOfRange(bytes, from, until)
-      }
+    val sampler = udf { (id: Long, bytes: Array[Byte]) =>
+      decodeGifFrames(id, bytes, nFrames)
+        .orElse(decodeMjpegAviFrames(id, bytes, nFrames))
+        .map(_.map(f =>
+          (f.frame_index, f.width, f.height, f.luma_mean)))
+        .getOrElse(Seq.empty)
     }
-    withBinary.withColumn("frames", slicer(col("content")))
+    withBinary
+      .withColumn("frames",
+        sampler(col("doc_id").cast("long"), col("content"))
+          .cast("array<struct<frame_index:int,width:int,height:int," +
+            "luma_mean:double>>"))
       .withColumn("n_frames", size(col("frames")))
   }
 }

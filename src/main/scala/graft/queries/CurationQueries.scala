@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Bpe
+
+/** Round-5 curation surface: Gopher-style document filtering, robust
+  * (winsorized) statistics, sliding window frames, and BPE tokenizer
+  * training. Everything except the BPE merge table (iterative semantics,
+  * not ANSI-expressible) is DuckDB-oracled. */
+object CurationQueries {
+
+  def all: Seq[GraftQuery] =
+    Seq(q121GopherFilters, q122Winsorize, q123RollingFeatures,
+      q124BpeMerges)
+
+  /** Gopher rule-pack sweep ([[TextFunctions.gopherFlags]]): per-doc
+    * rule values + keep decision in ONE codegen'd scan — the MassiveWeb
+    * document gate. Thresholds tuned to the synthetic corpus so `keep`
+    * actually varies (the defaults assume web text). */
+  val q121GopherFilters: GraftQuery = GraftQuery(
+    "q121_gopher_filters",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("g", TextFunctions.gopherFlags($"text",
+          minWords = 40, maxWords = 100000,
+          stopwords = Seq("the", "a"), minStopHits = 2))
+        .select($"doc_id", $"g.n_words", $"g.mean_word_len",
+          $"g.symbol_ratio", $"g.alpha_word_ratio", $"g.stop_hits",
+          $"g.keep")
+        .orderBy($"doc_id")
+    },
+    Some(
+      "SELECT doc_id, n_words, round(mean_word_len, 4) AS mean_word_len, " +
+        "round(symbol_ratio, 4) AS symbol_ratio, " +
+        "round(alpha_word_ratio, 4) AS alpha_word_ratio, stop_hits, " +
+        "(n_words BETWEEN 40 AND 100000 AND " +
+        "mean_word_len BETWEEN 3.0 AND 10.0 AND " +
+        "symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8 AND " +
+        "stop_hits >= 2) AS keep FROM (" +
+        "SELECT doc_id, " +
+        "len(ws) AS n_words, " +
+        "list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) " +
+        "AS mean_word_len, " +
+        "(length(text) - length(replace(replace(text, '#', ''), '…', '')))" +
+        "::DOUBLE / greatest(length(text), 1) AS symbol_ratio, " +
+        "len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE " +
+        "/ len(ws) AS alpha_word_ratio, " +
+        "len(list_filter(['the', 'a'], s2 -> list_contains(ws, s2))) " +
+        "AS stop_hits " +
+        "FROM (SELECT doc_id, text, string_split(text, ' ') AS ws " +
+        "FROM documents)) ORDER BY doc_id"))
+
+  /** Robust per-group statistics: exact p05/p95/median via one sort-based
+    * aggregation, then winsorized mean and MAD via a BROADCAST join-back
+    * of the 3-row stats table — the outlier-resistant profile of a
+    * numeric column. Two shuffles total and the join side is tiny: the
+    * agg-then-broadcast-back pattern that survives 100 TB (never a
+    * per-group window over the fact table). */
+  val q122Winsorize: GraftQuery = GraftQuery(
+    "q122_winsorize",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .select($"l_returnflag".as("rf"),
+          $"l_extendedprice".cast("double").as("x"))
+      val stats = li.groupBy($"rf").agg(
+        expr("percentile(x, 0.05)").as("p05r"),
+        expr("percentile(x, 0.95)").as("p95r"),
+        expr("percentile(x, 0.5)").as("medr"))
+      li.join(broadcast(stats), Seq("rf"))
+        .select($"rf", $"p05r", $"p95r",
+          greatest($"p05r", least($"p95r", $"x")).as("wx"),
+          abs($"x" - $"medr").as("dev"))
+        .groupBy($"rf")
+        .agg(round(first($"p05r"), 6).as("p05"),
+          round(first($"p95r"), 6).as("p95"),
+          round(avg($"wx"), 4).as("wins_mean"),
+          round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+        .select($"rf".as("l_returnflag"), $"p05", $"p95", $"wins_mean",
+          $"mad")
+        .orderBy($"l_returnflag")
+    },
+    Some(
+      "WITH li AS (SELECT l_returnflag AS rf, l_extendedprice::DOUBLE " +
+        "AS x FROM lineitem), " +
+        "s AS (SELECT rf, quantile_cont(x, 0.05) AS p05r, " +
+        "quantile_cont(x, 0.95) AS p95r, quantile_cont(x, 0.5) AS medr " +
+        "FROM li GROUP BY rf) " +
+        "SELECT li.rf AS l_returnflag, round(s.p05r, 6) AS p05, " +
+        "round(s.p95r, 6) AS p95, " +
+        "round(avg(greatest(s.p05r, least(s.p95r, li.x))), 4) " +
+        "AS wins_mean, " +
+        "round(quantile_cont(abs(li.x - s.medr), 0.5), 6) AS mad " +
+        "FROM li JOIN s ON li.rf = s.rf " +
+        "GROUP BY li.rf, s.p05r, s.p95r, s.medr ORDER BY l_returnflag"))
+
+  /** Sliding ROWS frames (3-event rolling mean/max), cumulative count,
+    * and inter-event gap — the per-entity feature-engineering window
+    * pack. One shuffle on user_id serves every frame (all windows share
+    * the (user_id | ts, event_id) sort), and the total ORDER BY makes the
+    * whole 10k-row feature table hash-checkable. */
+  val q123RollingFeatures: GraftQuery = GraftQuery(
+    "q123_rolling_features",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val w3 = w.rowsBetween(-2, Window.currentRow)
+      Tables.events(s, d)
+        .select($"user_id", $"event_id",
+          round(avg($"value").over(w3), 4).as("avg3"),
+          max($"value").over(w3).as("max3"),
+          count(lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cum_n"),
+          coalesce(unix_millis($"ts") - lag(unix_millis($"ts"), 1)
+            .over(w), lit(0L)).as("gap_ms"))
+        .orderBy($"user_id", $"event_id")
+    },
+    Some(
+      "SELECT user_id, event_id, " +
+        "round(avg(value) OVER w3, 4) AS avg3, " +
+        "max(value) OVER w3 AS max3, " +
+        "count(*) OVER wc AS cum_n, " +
+        "coalesce(epoch_ms(ts) - lag(epoch_ms(ts)) OVER wo, 0) AS gap_ms " +
+        "FROM events WINDOW " +
+        "w3 AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), " +
+        "wc AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wo AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY user_id, event_id"))
+
+  /** BPE merge training ([[Bpe.topMerges]]): distributed word count +
+    * driver merge loop over the bounded vocabulary. Deterministic
+    * (count-then-lexicographic tie-break) but iterative — merge r+1
+    * depends on the text rewritten by merge r — so there is no ANSI
+    * oracle; BpeSpec verifies the loop against an independent reference
+    * implementation. */
+  val q124BpeMerges: GraftQuery = GraftQuery(
+    "q124_bpe_merges",
+    (s, d) => Bpe.topMerges(Tables.documents(s, d), "text", k = 12),
+    None)
+}

@@ -233,6 +233,28 @@ class TextFunctionsSpec extends GraftSuite {
     Seq(text).toDF("text")
   }
 
+  test("gopherFlags: rule values and keep decision") {
+    val s = spark
+    import s.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "some more of the usual filler words keep coming here to make " +
+      "the word count pass the gate with room to spare ok"
+    val df = Seq((1L, good), (2L, "## # ###"), (3L, "the of and"))
+      .toDF("id", "text")
+      .withColumn("g", TextFunctions.gopherFlags($"text", minWords = 20,
+        minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+        stopwords = Seq("the", "of", "and"), minStopHits = 2))
+    val rows = df.select($"id", $"g.n_words", $"g.symbol_ratio",
+      $"g.stop_hits", $"g.keep").collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getInt(3), r.getBoolean(4)))
+      .toMap
+    assert(rows(1L)._4 === true)
+    assert(rows(1L)._3 === 3) // the, of, and all present — DISTINCT hits
+    assert(rows(2L)._2 > 0.5 && rows(2L)._4 === false) // symbol soup
+    assert(rows(3L)._1 === 3 && rows(3L)._4 === false) // too short
+  }
+
   test("langId spots obvious languages and falls back to und") {
     def lid(t: String): String =
       one(t).select(TextFunctions.langId(col("text"))).first().getString(0)
@@ -356,10 +378,29 @@ class MultimodalSpec extends GraftSuite {
     assert(a.forall(f => f.byte_entropy > 0.0 && f.byte_entropy <= 8.0))
   }
 
-  test("frameSample yields fixed frame count of bounded slices") {
-    val withBin = Multimodal.attachBinary(Tables.documents(spark, sf))
-    val out = Multimodal.frameSample(withBin, nFrames = 4)
-    assert(out.filter(col("n_frames") =!= 4).count() === 0)
+  test("frameSample: real frames for decodable containers, explicit " +
+      "empty for codec-less bytes — never synthetic frames") {
+    val s = spark
+    import s.implicits._
+    // text bytes (stand-in for MP4/WebM: no JVM codec) + a real
+    // animated GIF + a real MJPEG AVI in one corpus
+    val rows = Seq(
+      (1L, "just some text bytes".getBytes("UTF-8")),
+      (2L, animatedGifBytes(Seq(40 -> 8, 120 -> 8, 200 -> 8))),
+      (3L, mjpegAviBytes(Seq(30, 110, 220))))
+      .toDF("doc_id", "content")
+    val out = Multimodal.frameSample(rows, nFrames = 2)
+      .select($"doc_id", $"n_frames").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) === 0, "codec-less bytes must yield ZERO frames")
+    assert(out(2L) === 2 && out(3L) === 2)
+    // and the decoded frames carry real dimensions, not byte slices
+    val f = Multimodal.frameSample(rows, nFrames = 2)
+      .filter($"doc_id" === 2L)
+      .select(explode($"frames").as("f")).select($"f.width", $"f.luma_mean")
+      .collect()
+    assert(f.forall(_.getInt(0) === 8))
+    assert(f.map(_.getDouble(1)).distinct.length === 2) // distinct lumas
   }
 
   /** Animated-GIF bytes: one solid `size`×`size` frame per (gray, size)
@@ -909,6 +950,24 @@ class DedupScaleSpec extends GraftSuite {
     val s3 = graft.DedupScaleProbe.spanCounts(docs, 3)
     assert(s1 > 0, "no duplicated spans found at base size")
     assert(s3 === 3 * s1)
+  }
+
+  test("SemDedup recovers every planted clone at 1× and 4× replication") {
+    // per-replica orthogonal transforms keep within-replica cosines
+    // exact, cluster count scales with the corpus (16·m) — so planted
+    // exact clones must ALL be found at any m, and total pair growth
+    // must stay ~linear (the Σ|cluster|² claim, measured rather than
+    // asserted from the plan shape)
+    val emb = Tables.embeddings(spark, sf)
+    val (p1, t1, n1) = graft.DedupScaleProbe.semCounts(emb, 1)
+    val (p4, t4, n4) = graft.DedupScaleProbe.semCounts(emb, 4)
+    assert(n1 > 0, "no clones planted at base size")
+    assert(p1 === n1, s"base recall: found $p1 of $n1 planted pairs")
+    assert(n4 === 4 * n1)
+    assert(p4 === n4, s"4x recall: found $p4 of $n4 planted pairs")
+    // natural + planted pair total grows ~linearly, never quadratically
+    assert(t4 <= 4 * t1 + math.max(20L, t1 / 2),
+      s"pair growth superlinear: x1=$t1 x4=$t4")
   }
 }
 
