@@ -23,7 +23,8 @@ object Registry {
   def all: Seq[GraftQuery] =
     RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       MLQueries.all ++ OperatorQueries.all ++ SqlCoverageQueries.all ++
-      SqlCoverageQueries2.all ++ PipelineQueries.all
+      SqlCoverageQueries2.all ++ PipelineQueries.all ++
+      CurationQueries.all
 
   def byName(name: String): GraftQuery =
     all.find(_.name == name).getOrElse(
