@@ -99,6 +99,24 @@ object Sampling extends Serializable {
       s -> math.min(1.0, t * (wt / totalW) / counts(s)) }
   }
 
+  /** Temperature-scaled mixture weights (the multilingual/typed-corpus
+    * rebalancing knob): weight_s ∝ (count_s)^(1/T), normalized to sum
+    * to 1. T = 1 reproduces natural proportions; T → ∞ flattens toward
+    * uniform; T < 1 sharpens toward the biggest source. Feed the result
+    * to [[mixtureRates]] for realizable per-source keep-fractions.
+    * Driver math over the per-source count map — no data pass. */
+  def temperatureWeights(counts: Map[String, Long],
+      temperature: Double): Map[String, Double] = {
+    require(temperature > 0, "temperature must be > 0")
+    require(counts.nonEmpty, "no sources")
+    counts.foreach { case (s, c) =>
+      require(c > 0, s"source '$s' has zero rows") }
+    val raw = counts.map { case (s, c) =>
+      s -> math.pow(c.toDouble, 1.0 / temperature) }
+    val z = raw.values.sum
+    raw.map { case (s, w) => s -> w / z }
+  }
+
   /** Deterministic weighted mixture sample: keep each row iff
     * xxhash64(id, seed) lands under its source's keep-rate threshold —
     * membership is a pure function of (id, seed, rates), invariant to

@@ -14,7 +14,8 @@ object CurationQueries {
 
   def all: Seq[GraftQuery] =
     Seq(q121GopherFilters, q122Winsorize, q123RollingFeatures,
-      q124BpeMerges)
+      q124BpeMerges, q125QuantileBins, q126RankDistribution,
+      q127BpeEncode)
 
   /** Gopher rule-pack sweep ([[TextFunctions.gopherFlags]]): per-doc
     * rule values + keep decision in ONE codegen'd scan — the MassiveWeb
@@ -134,6 +135,68 @@ object CurationQueries {
         "wo AS (PARTITION BY user_id ORDER BY ts, event_id) " +
         "ORDER BY user_id, event_id"))
 
+  /** Equi-depth binning (the QuantileDiscretizer artifact pattern): fit
+    * decile edges with ONE exact-percentile aggregation, then assign
+    * bins by counting edges below each value — the fitted edges travel
+    * as a 9-double literal, so the transform is a codegen'd scan with no
+    * join. Both engines interpolate percentiles identically, so the
+    * whole fit+transform round trip is hash-checked. */
+  val q125QuantileBins: GraftQuery = GraftQuery(
+    "q125_quantile_bins",
+    (s, d) => {
+      import s.implicits._
+      val ord = Tables.orders(s, d)
+      val edges = ord
+        .select(expr("percentile(o_totalprice, " +
+          "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("e"))
+        .head().getSeq[Double](0)
+      ord.select($"o_totalprice".as("x"),
+          (size(filter(typedLit(edges), e => $"o_totalprice" > e)) + 1)
+            .as("bin"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"), round(min($"x"), 2).as("lo"),
+          round(max($"x"), 2).as("hi"))
+        .orderBy($"bin")
+    },
+    Some(
+      "WITH e AS (SELECT quantile_cont(o_totalprice, " +
+        "[0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges FROM orders) " +
+        "SELECT len(list_filter(e.edges, x -> o_totalprice > x)) + 1 " +
+        "AS bin, count(*) AS n, round(min(o_totalprice), 2) AS lo, " +
+        "round(max(o_totalprice), 2) AS hi " +
+        "FROM orders, e GROUP BY 1 ORDER BY bin"))
+
+  /** Rank-distribution window pack: percent_rank, cume_dist and
+    * nth_value over a full frame — the remaining ANSI ranking functions
+    * (rank/dense_rank/ntile/lag/lead/first/last are covered by
+    * q05/q59/q77). Unique (price, orderkey) ordering makes every value
+    * deterministic; one shuffle on the priority key serves all four
+    * functions. */
+  val q126RankDistribution: GraftQuery = GraftQuery(
+    "q126_rank_distribution",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      Tables.orders(s, d)
+        .select($"o_orderkey", $"o_orderpriority",
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          nth_value($"o_totalprice", 3)
+            .over(w.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)).as("third_price"))
+        .orderBy($"o_orderkey")
+    },
+    Some(
+      "SELECT o_orderkey, o_orderpriority, " +
+        "round(percent_rank() OVER w, 6) AS pr, " +
+        "round(cume_dist() OVER w, 6) AS cd, " +
+        "nth_value(o_totalprice, 3) OVER (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice, o_orderkey ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND UNBOUNDED FOLLOWING) AS third_price " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey"))
+
   /** BPE merge training ([[Bpe.topMerges]]): distributed word count +
     * driver merge loop over the bounded vocabulary. Deterministic
     * (count-then-lexicographic tie-break) but iterative — merge r+1
@@ -143,5 +206,29 @@ object CurationQueries {
   val q124BpeMerges: GraftQuery = GraftQuery(
     "q124_bpe_merges",
     (s, d) => Bpe.topMerges(Tables.documents(s, d), "text", k = 12),
+    None)
+
+  /** Tokenizer lifecycle, closed: train merges ([[Bpe.topMerges]]),
+    * encode the corpus with them ([[Bpe.encode]]), report per-source
+    * token counts and the chars-per-token compression the learned vocab
+    * buys. Deterministic rows-only (the encode replays an iterative
+    * merge list — no ANSI form); the merge table itself is q124. */
+  val q127BpeEncode: GraftQuery = GraftQuery(
+    "q127_bpe_encode",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.topMerges(docs, "text", k = 12)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.encode(docs, "text", merges)
+        .select($"source", size($"bpe_tokens").as("n_bpe"),
+          translate($"text", " ", "").as("squeezed"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_bpe").as("total_bpe_tokens"),
+          round(sum(length($"squeezed")).cast("double") / sum($"n_bpe"), 4)
+            .as("chars_per_token"))
+        .orderBy($"source")
+    },
     None)
 }

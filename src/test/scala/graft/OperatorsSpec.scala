@@ -1072,6 +1072,27 @@ class SamplingSpec extends GraftSuite {
       .count() === 0)
   }
 
+  test("temperatureWeights: T=1 natural, T→∞ flattens, composes with " +
+      "mixtureRates") {
+    val S = graft.operators.Sampling
+    val counts = Map("web" -> 800L, "code" -> 150L, "papers" -> 50L)
+    val nat = S.temperatureWeights(counts, 1.0)
+    assert(math.abs(nat("web") - 0.8) < 1e-12)
+    assert(math.abs(nat.values.sum - 1.0) < 1e-12)
+    val flat = S.temperatureWeights(counts, 1000.0)
+    assert(flat.values.forall(w => math.abs(w - 1.0 / 3) < 0.01))
+    val sharp = S.temperatureWeights(counts, 0.5)
+    assert(sharp("web") > nat("web")) // T<1 sharpens toward the biggest
+    // composition: flattened weights force down-sampling of the big
+    // source; every rate stays realizable (<= 1)
+    val rates = S.mixtureRates(counts, flat)
+    assert(rates.values.forall(r => r > 0 && r <= 1.0))
+    assert(rates("papers") === 1.0) // smallest source binds, kept whole
+    intercept[IllegalArgumentException] {
+      S.temperatureWeights(Map("x" -> 0L), 1.0)
+    }
+  }
+
   test("hash split: disjoint, exhaustive, partitioning-invariant") {
     val docs = Tables.documents(spark, sf)
     val (tr, va) = graft.operators.Sampling.splitByHash(docs, "doc_id",
