@@ -37,6 +37,11 @@ object Main {
         rest.headOption.map(_.toInt).getOrElse(12))
     case "score" :: input :: outDir :: _ =>
       runScore(input, outDir)
+    case "bpe-train" :: input :: mergesDir :: rest =>
+      runBpeTrain(input, mergesDir,
+        rest.headOption.map(_.toInt).getOrElse(32))
+    case "bpe-encode" :: input :: mergesDir :: outDir :: _ =>
+      runBpeEncode(input, mergesDir, outDir)
     case "pca-train" :: input :: momentsDir :: _ =>
       runPcaTrain(input, momentsDir)
     case "pca-ingest" :: batch :: momentsDir :: _ =>
@@ -62,6 +67,8 @@ object Main {
            |       graft.Main dedup-ingest <batchParquet> <indexDir> <outDir> [conf.json]
            |       graft.Main dedup-spans <docsParquet> <outDir> [w]
            |       graft.Main score <docsParquet> <outDir>
+           |       graft.Main bpe-train <docsParquet> <mergesDir> [k]
+           |       graft.Main bpe-encode <docsParquet> <mergesDir> <outDir>
            |       graft.Main pca-train <embParquet> <momentsDir>
            |       graft.Main pca-ingest <batchParquet> <momentsDir>
            |       graft.Main pca-project <embParquet> <momentsDir> <outDir> [k]
@@ -252,6 +259,40 @@ object Main {
     * mean unigram log-probability (the perplexity-style signal, trained
     * on the corpus itself). Pure expressions plus the LM's one counts
     * shuffle + scoring join. */
+  /** BPE artifact lifecycle — tokenizer twin of the ANN/PCA stories:
+    * `bpe-train` runs the distributed word count + driver merge loop and
+    * persists the rank-ordered merge table; `bpe-encode` reads it back
+    * (never retrains) and tokenizes a corpus under the stored merges. */
+  private def runBpeTrain(input: String, mergesDir: String,
+      k: Int): Unit = {
+    val spark = session()
+    val merges =
+      graft.operators.Bpe.topMerges(spark.read.parquet(input), "text", k)
+    merges.coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(mergesDir)
+    println(s">>> [bpe-train] merges=" +
+      s"${spark.read.parquet(mergesDir).count()}")
+    spark.stop()
+  }
+
+  private def runBpeEncode(input: String, mergesDir: String,
+      outDir: String): Unit = {
+    val spark = session()
+    import org.apache.spark.sql.functions.{col, size}
+    val merges = spark.read.parquet(mergesDir)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+      .toSeq
+    require(merges.nonEmpty, s"no merges at $mergesDir — run bpe-train")
+    val out = graft.operators.Bpe
+      .encode(spark.read.parquet(input), "text", merges)
+      .select(col("doc_id"), col("bpe_tokens"),
+        size(col("bpe_tokens")).as("n_bpe"))
+    Sinks.writeParquet(out, outDir)
+    println(s">>> [bpe-encode] docs=${spark.read.parquet(outDir).count()}")
+    spark.stop()
+  }
+
   private def runScore(input: String, outDir: String): Unit = {
     val spark = session()
     import org.apache.spark.sql.functions.{col, round}
