@@ -2,11 +2,13 @@ package graft.expressions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{
-  And, AttributeSet, Literal, PredicateHelper}
+  Add, And, ArrayAggregate, AttributeSet, Divide, Expression,
+  LambdaFunction, Literal, Multiply, NamedLambdaVariable,
+  PredicateHelper, Sqrt, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.plans.AsOfJoinPlan
 
@@ -21,6 +23,63 @@ object SimplifySelfCosine extends Rule[LogicalPlan] {
       case ArrayCosine(l, r)
           if l.deterministic && l.semanticEquals(r) && !l.nullable =>
         Literal(1.0, DoubleType)
+    }
+}
+
+/** Catalyst optimizer rule: FUSE the naive higher-order-function cosine
+  * composition — `aggregate(zip_with(a,b,*),0,+) / (sqrt(dot(a,a)) *
+  * sqrt(dot(b,b)))`, six array walks across four HOF evaluations — into
+  * the single-pass native [[ArrayCosine]] kernel. A user (or a generated
+  * query) writing the textbook formulation gets the fused loop without
+  * knowing the engine has one.
+  *
+  * Semantics-preserving by construction: [[ArrayCosine]] mirrors the HOF
+  * exactly (left-to-right accumulation → bit-identical doubles; NULL on
+  * ragged input, where zip_with pads with null; NULL on a null element,
+  * which poisons the HOF aggregate), and the match requires the three
+  * dot-product subtrees to be semantically equal, deterministic,
+  * double-array-typed trees of the exact aggregate/zip_with shape the
+  * dot kernel produces. */
+object CosineFusion extends Rule[LogicalPlan] {
+
+  /** Matches aggregate(zip_with(a, b, (x,y) => x*y), 0.0,
+    * (acc,v) => acc+v, id) — the HOF dot product. */
+  private object Dot {
+    def unapply(e: Expression): Option[(Expression, Expression)] =
+      e match {
+        case ArrayAggregate(
+            ZipWith(a, b, LambdaFunction(
+              Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _),
+              Seq(ax: NamedLambdaVariable, ay: NamedLambdaVariable), _)),
+            Literal(zero, DoubleType),
+            LambdaFunction(
+              Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _),
+              Seq(aacc: NamedLambdaVariable, av: NamedLambdaVariable), _),
+            LambdaFunction(fin: NamedLambdaVariable,
+              Seq(afin: NamedLambdaVariable), _))
+          if zero == 0.0 &&
+            x.exprId == ax.exprId && y.exprId == ay.exprId &&
+            acc.exprId == aacc.exprId && v.exprId == av.exprId &&
+            fin.exprId == afin.exprId =>
+          Some((a, b))
+        case _ => None
+      }
+  }
+
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Divide(Dot(a, b),
+          Multiply(Sqrt(Dot(a2, a3)), Sqrt(Dot(b2, b3)), _), _)
+        if a.deterministic && b.deterministic &&
+          isDoubleArray(a) && isDoubleArray(b) &&
+          a.semanticEquals(a2) && a.semanticEquals(a3) &&
+          b.semanticEquals(b2) && b.semanticEquals(b3) =>
+        ArrayCosine(a, b)
     }
 }
 
@@ -62,6 +121,7 @@ object AsOfJoinPushdown extends Rule[LogicalPlan] with PredicateHelper {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => CosineFusion)
     e.injectOptimizerRule(_ => SimplifySelfCosine)
     e.injectOptimizerRule(_ => AsOfJoinPushdown)
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
