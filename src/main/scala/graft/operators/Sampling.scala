@@ -73,6 +73,27 @@ object Sampling extends Serializable {
     n
   }
 
+  /** Shard manifest for a [[writeShuffledShards]] output (or any parquet
+    * directory): one row per file with row count and an order-invariant
+    * content checksum (sum of per-row xxhash64-mod-p terms — bounded
+    * per term, so the sum can never hit ANSI overflow at any shard size
+    * a writer can produce) — the integrity artifact a training run
+    * records so a re-read, a copy, or a re-shuffle with the same seed
+    * can be VERIFIED byte-cheaply rather than re-compared row-by-row.
+    * Shards key on the writer-task part NUMBER (file names carry a
+    * per-write UUID; maxRecordsPerFile sub-files of one task fold into
+    * its row), so a re-run of the identical write yields the identical
+    * manifest. One scan, one shuffle on the shard id. */
+  def shardManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String): DataFrame =
+    spark.read.parquet(path)
+      .select(regexp_extract(input_file_name(), "part-(\\d+)-", 1)
+        .cast("int").as("shard"), col(idCol))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(pmod(xxhash64(col(idCol)), lit(1000000007L))).as("checksum"))
+      .orderBy(col("shard"))
+
   /** Training-mix construction: per-source sampling RATES that hit a
     * target mixture by WEIGHT. Given target proportions (e.g. web 0.6,
     * code 0.3, papers 0.1) and the observed per-source row counts,

@@ -27,6 +27,30 @@ class FormatsSpec extends GraftSuite {
     }
   }
 
+  test("parquet schema evolution: mergeSchema unifies an added column") {
+    // the 100 TB ingest reality: batch N+1 ships a column batch N never
+    // had; mergeSchema must surface the union schema with NULLs for the
+    // old files, and a plain read pinned to the old schema must still
+    // work (no rewrite of historical data)
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_evo").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/b=0")
+    Seq((3L, "c", 0.5), (4L, "d", 0.7)).toDF("id", "v", "score")
+      .write.parquet(s"$dir/b=1")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("b", "id", "score", "v"))
+    val rows = merged.select($"id", $"score").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows(1L) === None && rows(4L) === Some(0.7))
+    // old-schema read of the union dir still answers old-schema queries
+    val pinned = spark.read
+      .schema("id bigint, v string").parquet(s"$dir/b=0", s"$dir/b=1")
+    assert(pinned.count() === 4)
+  }
+
   test("upsertByKey: updates replace, inserts append, others untouched") {
     val s = spark
     import s.implicits._

@@ -1072,6 +1072,28 @@ class SamplingSpec extends GraftSuite {
       .count() === 0)
   }
 
+  test("shardManifest: stable across identical writes, moves with seed") {
+    val S = graft.operators.Sampling
+    val docs = Tables.documents(spark, sf)
+    val d1 = java.nio.file.Files.createTempDirectory("graft_sh1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_sh2").toString
+    val d3 = java.nio.file.Files.createTempDirectory("graft_sh3").toString
+    S.writeShuffledShards(docs, "doc_id", d1, seed = 7L, rowsPerShard = 20)
+    S.writeShuffledShards(docs, "doc_id", d2, seed = 7L, rowsPerShard = 20)
+    S.writeShuffledShards(docs, "doc_id", d3, seed = 8L, rowsPerShard = 20)
+    def m(d: String): Seq[(Int, Long, Long)] =
+      S.shardManifest(spark, d, "doc_id")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    val (m1, m2, m3) = (m(d1), m(d2), m(d3))
+    // identical write → identical manifest (reproducible artifact)
+    assert(m1 === m2)
+    assert(m1.map(_._2).sum === docs.count())
+    assert(m1.size > 1)
+    // different seed → different shard contents, manifest catches it
+    assert(m1 !== m3)
+  }
+
   test("temperatureWeights: T=1 natural, T→∞ flattens, composes with " +
       "mixtureRates") {
     val S = graft.operators.Sampling
