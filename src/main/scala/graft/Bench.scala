@@ -142,7 +142,9 @@ object Bench {
       val detail = (results.map { case (name, med, min, all) =>
         "\"" + name + "\":{\"median\":" + f"$med%.3f" + ",\"min\":" + f"$min%.3f" +
           ",\"all\":[" + all.map(s => f"$s%.3f").mkString(",") + "]}"
-      } :+ s""""__env":{$env,"cpus":$cpus}""").mkString("{", ",", "}")
+        // cpus is quoted: SPARK_GRAFT_CPUS="*" is a legitimate setting
+        // (local[*]) that would otherwise emit unparseable JSON
+      } :+ s""""__env":{$env,"cpus":"$cpus"}""").mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),
         (detail + "\n").getBytes("UTF-8"))

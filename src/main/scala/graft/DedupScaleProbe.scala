@@ -103,8 +103,14 @@ object DedupScaleProbe {
       "embedding", nClusters = 16 * m, tau = tau, seed = 42L,
       maxCluster = maxCluster).persist()
     val total = pairs.count()
+    // same-replica guard: clone(r, w) and base w of replica r+1 ALSO
+    // differ by exactly `stride` across the replica boundary, so the
+    // diff test alone could count a (cosmically unlikely but possible)
+    // cross-replica match as planted
     val plantedFound =
-      pairs.filter(col("id_b") - col("id_a") === stride).count()
+      pairs.filter(col("id_b") - col("id_a") === stride &&
+        floor(col("id_a") / (2L * stride)) ===
+          floor(col("id_b") / (2L * stride))).count()
     pairs.unpersist()
     corpus.unpersist()
     (plantedFound, total, planted)

@@ -17,7 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * DuckDB oracle parity is unchanged.
   *
   * Inputs must be array<double> (callers cast float arrays first —
-  * [[graft.operators.Similarity.asDouble]]).
+  * [[graft.operators.Similarity.asDouble]]). Zero-norm and empty inputs
+  * yield IEEE NaN (0/0 in double arithmetic) — NOT the ANSI
+  * DIVIDE_BY_ZERO error the composed HOF form raises; see the
+  * [[GraftOptimizations]] CosineFusion note.
   */
 case class ArrayCosine(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {

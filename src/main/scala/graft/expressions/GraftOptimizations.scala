@@ -33,13 +33,19 @@ object SimplifySelfCosine extends Rule[LogicalPlan] {
   * query) writing the textbook formulation gets the fused loop without
   * knowing the engine has one.
   *
-  * Semantics-preserving by construction: [[ArrayCosine]] mirrors the HOF
-  * exactly (left-to-right accumulation → bit-identical doubles; NULL on
-  * ragged input, where zip_with pads with null; NULL on a null element,
-  * which poisons the HOF aggregate), and the match requires the three
-  * dot-product subtrees to be semantically equal, deterministic,
-  * double-array-typed trees of the exact aggregate/zip_with shape the
-  * dot kernel produces. */
+  * Semantics: [[ArrayCosine]] mirrors the HOF on every input shape —
+  * left-to-right accumulation → bit-identical doubles; NULL on ragged
+  * input, where zip_with pads with null; NULL on a null element, which
+  * poisons the HOF aggregate — with ONE documented canonicalization:
+  * a zero-norm (or empty) vector divides 0/0, which under ANSI mode is
+  * a DIVIDE_BY_ZERO error in the unfused form but IEEE NaN from the
+  * native kernel. The rewrite deliberately maps that degenerate case to
+  * the engine's native cosine semantics (the direct
+  * [[graft.operators.Similarity.cosine]] API has always returned NaN
+  * there) instead of preserving the runtime error. The match requires
+  * the three dot-product subtrees to be semantically equal,
+  * deterministic, double-array-typed trees of the exact
+  * aggregate/zip_with shape the dot kernel produces. */
 object CosineFusion extends Rule[LogicalPlan] {
 
   /** Matches aggregate(zip_with(a, b, (x,y) => x*y), 0.0,

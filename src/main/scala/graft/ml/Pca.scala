@@ -122,22 +122,33 @@ object Pca extends Serializable {
     }
     val numParts = math.max(1, rows.getNumPartitions)
     val partialBytes = (dim.toLong + gsize) * 8
-    val collected =
-      if (numParts * partialBytes <= maxDriverCombineBytes) {
-        partials.collect()
-      } else {
-        val maxGroups =
-          math.max(1L, maxDriverCombineBytes / partialBytes).toInt
-        val groupSize = (numParts + maxGroups - 1) / maxGroups
-        partials
-          .map { case (idx, p) => (idx / groupSize, (idx, p)) }
-          .groupByKey(math.min(maxGroups, numParts))
-          .map { case (gid, ps) =>
-            (gid, mergeOrdered(dim,
-              ps.toArray.sortBy(_._1).iterator.map(_._2)))
-          }
-          .collect()
-      }
+    // The same budget bounds BOTH the driver collect and each combine
+    // TASK (a task materializes one group of partials): levels repeat —
+    // each shrinking the partial count by groupSize ≥ 2 — until the
+    // survivors fit the driver. One level suffices up to budget²/bytes²
+    // partials (d=64: ~4M; d=2048: ~12), two levels cover any realistic
+    // scan, and the association is a pure function of (numParts, dim) —
+    // never of scheduling.
+    val groupSize =
+      math.max(2L, maxDriverCombineBytes / partialBytes).toInt
+    var level = partials
+    var remaining = numParts.toLong
+    // remaining > 1: at dim large enough that ONE d×d partial exceeds
+    // the budget, combining cannot shrink below a single partial — the
+    // driver pays that one buffer (d=2900 ≈ 67 MB) and the loop must
+    // not spin on it
+    while (remaining > 1 &&
+        remaining * partialBytes > maxDriverCombineBytes) {
+      level = level
+        .map { case (idx, p) => (idx / groupSize, (idx, p)) }
+        .groupByKey(math.max(1, (remaining / groupSize).toInt))
+        .map { case (gid, ps) =>
+          (gid, mergeOrdered(dim,
+            ps.toArray.sortBy(_._1).iterator.map(_._2)))
+        }
+      remaining = (remaining + groupSize - 1) / groupSize
+    }
+    val collected = level.collect()
     val (n, s, gUpper) =
       mergeOrdered(dim, collected.sortBy(_._1).iterator.map(_._2))
     val g = Array.ofDim[Double](dim, dim)

@@ -380,16 +380,20 @@ object Multimodal extends Serializable {
     * decoded content, which is exactly the failure mode the policy
     * exists to prevent.) */
   def frameSample(withBinary: DataFrame, nFrames: Int = 4): DataFrame = {
-    val sampler = udf { (id: Long, bytes: Array[Byte]) =>
-      decodeGifFrames(id, bytes, nFrames)
-        .orElse(decodeMjpegAviFrames(id, bytes, nFrames))
+    // the decoder id param only feeds FrameFeatures rows that are
+    // discarded here (the caller's own id columns stay on the row), so
+    // a constant keeps this working on ANY binary frame — no doc_id
+    // column or castable-id precondition
+    val sampler = udf { (bytes: Array[Byte]) =>
+      decodeGifFrames(0L, bytes, nFrames)
+        .orElse(decodeMjpegAviFrames(0L, bytes, nFrames))
         .map(_.map(f =>
           (f.frame_index, f.width, f.height, f.luma_mean)))
         .getOrElse(Seq.empty)
     }
     withBinary
       .withColumn("frames",
-        sampler(col("doc_id").cast("long"), col("content"))
+        sampler(col("content"))
           .cast("array<struct<frame_index:int,width:int,height:int," +
             "luma_mean:double>>"))
       .withColumn("n_frames", size(col("frames")))

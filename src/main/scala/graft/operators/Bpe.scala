@@ -34,6 +34,21 @@ object Bpe extends Serializable {
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
 
+  /** One left-to-right non-overlapping rewrite of (l, r) → l+r — THE
+    * merge-application semantics, shared by [[trainMerges]] and
+    * [[encode]] so the two can never drift. */
+  private[operators] def applyMerge(syms: Array[String], l: String,
+      r: String): Array[String] = {
+    val b = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        b += (l + r); i += 2
+      } else { b += syms(i); i += 1 }
+    }
+    b.result()
+  }
+
   /** The driver-side merge loop: `k` rounds over (word, count). Each
     * round counts all adjacent symbol pairs (weighted by word count,
     * overlapping occurrences all counted), picks the most frequent pair
@@ -68,17 +83,7 @@ object Bpe extends Serializable {
           (-c, a, b)
         }
         out += ((rank, l, r, n))
-        val fused = l + r
-        words = words.map { case (syms, c) =>
-          val b = Array.newBuilder[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-              b += fused; i += 2
-            } else { b += syms(i); i += 1 }
-          }
-          (b.result(), c)
-        }
+        words = words.map { case (syms, c) => (applyMerge(syms, l, r), c) }
         rank += 1
       }
     }
@@ -91,11 +96,15 @@ object Bpe extends Serializable {
       maxVocab: Int = DefaultMaxVocab): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val wc = wordCounts(df, textCol)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    require(wc.length <= maxVocab,
-      s"distinct-word count ${wc.length} exceeds maxVocab $maxVocab — " +
+    val counts = wordCounts(df, textCol)
+    // refuse BEFORE collecting: a distributed limit-probe costs one tiny
+    // job, whereas collect-then-check would BE the driver OOM the guard
+    // exists to prevent
+    val probe = counts.limit(maxVocab + 1).count()
+    require(probe <= maxVocab,
+      s"distinct-word count exceeds maxVocab $maxVocab — " +
         "apply a frequency floor upstream")
+    val wc = counts.collect().map(r => (r.getString(0), r.getLong(1)))
     // sorted so the driver loop's input order (and so any same-count
     // same-pair bookkeeping) is independent of partitioning
     trainMerges(wc.sortBy(_._1).toIndexedSeq, k)
@@ -117,16 +126,7 @@ object Bpe extends Serializable {
       if (text == null) Seq.empty[String]
       else text.split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>
         var syms: Array[String] = w.toCharArray.map(_.toString)
-        ms.foreach { case (l, r) =>
-          val b = Array.newBuilder[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-              b += (l + r); i += 2
-            } else { b += syms(i); i += 1 }
-          }
-          syms = b.result()
-        }
+        ms.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
         syms.toSeq
       }
     }

@@ -80,19 +80,25 @@ object Sampling extends Serializable {
     * a writer can produce) — the integrity artifact a training run
     * records so a re-read, a copy, or a re-shuffle with the same seed
     * can be VERIFIED byte-cheaply rather than re-compared row-by-row.
-    * Shards key on the writer-task part NUMBER (file names carry a
-    * per-write UUID; maxRecordsPerFile sub-files of one task fold into
-    * its row), so a re-run of the identical write yields the identical
-    * manifest. One scan, one shuffle on the shard id. */
+    * Shards key on the writer-task part NUMBER when the file follows
+    * Spark's part-NNNNN naming (per-write UUIDs differ, and
+    * maxRecordsPerFile sub-files of one task fold into its row, so a
+    * re-run of the identical write yields the identical manifest);
+    * foreign file names (compactions, external writers) fall back to
+    * the file name itself — still one row per file, just without
+    * cross-write stability. One scan, one shuffle on the shard id. */
   def shardManifest(spark: org.apache.spark.sql.SparkSession,
-      path: String, idCol: String): DataFrame =
+      path: String, idCol: String): DataFrame = {
+    val part = regexp_extract(input_file_name(), "part-(\\d+)-", 1)
+    val shard = when(part =!= "", part)
+      .otherwise(regexp_extract(input_file_name(), "([^/]+)$", 1))
     spark.read.parquet(path)
-      .select(regexp_extract(input_file_name(), "part-(\\d+)-", 1)
-        .cast("int").as("shard"), col(idCol))
+      .select(shard.as("shard"), col(idCol))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_rows"),
         sum(pmod(xxhash64(col(idCol)), lit(1000000007L))).as("checksum"))
       .orderBy(col("shard"))
+  }
 
   /** Training-mix construction: per-source sampling RATES that hit a
     * target mixture by WEIGHT. Given target proportions (e.g. web 0.6,
@@ -132,8 +138,14 @@ object Sampling extends Serializable {
     require(counts.nonEmpty, "no sources")
     counts.foreach { case (s, c) =>
       require(c > 0, s"source '$s' has zero rows") }
-    val raw = counts.map { case (s, c) =>
-      s -> math.pow(c.toDouble, 1.0 / temperature) }
+    // log space with a max-shift: pow(c, 1/T) overflows to Infinity for
+    // small T × large counts (pow(1e10, 25) = Inf → NaN weights that
+    // would silently poison mixtureRates); exp((ln c)/T − max) keeps
+    // every intermediate finite and the normalized result identical
+    val logs = counts.map { case (s, c) =>
+      s -> math.log(c.toDouble) / temperature }
+    val mx = logs.values.max
+    val raw = logs.map { case (s, l) => s -> math.exp(l - mx) }
     val z = raw.values.sum
     raw.map { case (s, w) => s -> w / z }
   }

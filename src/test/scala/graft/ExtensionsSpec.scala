@@ -101,7 +101,10 @@ class ExtensionsSpec extends GraftSuite {
   }
 
   test("ragged and null-element inputs: fused kernel matches the HOF") {
-    val s = extSpark
+    // the HOF column runs on the BASE session (no CosineFusion there) —
+    // on extSpark it would be rewritten to ArrayCosine and the test
+    // would compare the kernel to itself
+    val s = spark
     import s.implicits._
     val df = Seq(
       (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 2.0)),
@@ -117,5 +120,22 @@ class ExtensionsSpec extends GraftSuite {
     // NULL on BOTH paths — the rewrite changes nothing anywhere
     assert(out.toSeq === Seq((1L, false, false), (2L, true, true),
       (3L, true, true)))
+  }
+
+  test("zero-norm input: the ONE documented fusion divergence") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq(0.0, 0.0))).toDF("id", "v")
+    // native kernel (and therefore the fused plan): IEEE NaN
+    val nat = df.select(graft.expressions.ArrayCosine(
+      $"v".cast("array<double>"), $"v".cast("array<double>")).as("c"))
+      .first().getDouble(0)
+    assert(nat.isNaN)
+    // unfused ANSI HOF: DIVIDE_BY_ZERO error — the case the CosineFusion
+    // scaladoc documents as deliberately canonicalized to NaN
+    val err = intercept[Exception] {
+      df.select(Similarity.cosineHof($"v", $"v").as("c")).collect()
+    }
+    assert(err.getMessage.contains("DIVIDE_BY_ZERO"), err.getMessage)
   }
 }

@@ -1081,9 +1081,9 @@ class SamplingSpec extends GraftSuite {
     S.writeShuffledShards(docs, "doc_id", d1, seed = 7L, rowsPerShard = 20)
     S.writeShuffledShards(docs, "doc_id", d2, seed = 7L, rowsPerShard = 20)
     S.writeShuffledShards(docs, "doc_id", d3, seed = 8L, rowsPerShard = 20)
-    def m(d: String): Seq[(Int, Long, Long)] =
+    def m(d: String): Seq[(String, Long, Long)] =
       S.shardManifest(spark, d, "doc_id")
-        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         .toSeq
     val (m1, m2, m3) = (m(d1), m(d2), m(d3))
     // identical write → identical manifest (reproducible artifact)
