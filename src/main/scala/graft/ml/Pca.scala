@@ -175,7 +175,17 @@ object Pca extends Serializable {
   }
 
   /** Long-form (i, j, cov) DataFrame of the upper triangle — the
-    * oracle-checkable face of the Gramian pass. */
+    * oracle-checkable face of the Gramian pass.
+    *
+    * Rounding fragility note (q110): the oracle compares this naive
+    * (Σxx − nμμ)/(n−1) formula against DuckDB's numerically-stable
+    * covar_samp through round-to-`roundTo` equality. The two values
+    * differ in the last fp bits, so an entry landing within that fp
+    * noise of a half-way rounding boundary could round apart even
+    * though both are correct — more likely as n grows (cancellation in
+    * the naive form grows with Σxx). If q110 ever hash-fails at a
+    * larger SF with near-boundary values, lower the query's roundTo
+    * before suspecting the engine. */
   def covarianceLong(df: DataFrame, vecCol: String, dim: Int,
       roundTo: Int = 6): DataFrame = {
     val spark = df.sparkSession

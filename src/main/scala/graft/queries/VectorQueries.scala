@@ -107,9 +107,16 @@ object VectorQueries {
     * full-dim baseline. Model is fit once per JVM ([[AnnIndexes]]);
     * rows-only (eigensolve isn't SQL) but deterministic, floor-gated at
     * execution time like q47/q66/q93. Measured mean recall ~0.22 at
-    * sf0.01: the synthetic embeddings are near-isotropic (16/64 dims ≈
-    * 25% of variance), which is exactly what the query surfaces — PCA
-    * compression only pays when the spectrum decays. */
+    * sf0.01 and ~0.06 at sf0.1 — recall@10 falls as the candidate set
+    * grows 10× while the compressed width stays fixed, and the
+    * synthetic embeddings are near-isotropic (16/64 dims ≈ 25% of
+    * variance), which is exactly what the query surfaces: PCA
+    * compression only pays when the spectrum decays. The floor is
+    * 0.04 — 20× the sf0.1 chance level (k/N = 0.002) — because floors
+    * exist to catch a collapse to chance (a broken metric or model),
+    * not to pin scale-dependent recall values; the r5 sf0.1 full dump
+    * exposed the original 0.10 as a value-pin that failed exactly the
+    * way the assertRecallFloor scaladoc warns against. */
   val q115PcaAnnRecall: GraftQuery = GraftQuery(
     "q115_pca_ann_recall",
     (s, d) => {
@@ -133,7 +140,7 @@ object VectorQueries {
         .join(hits, Seq("query_id"), "left_outer")
         .select($"query_id",
           (coalesce($"hits", lit(0L)).cast("double") / k).as("recall"))
-      graft.operators.Similarity.assertRecallFloor(recalls, 0.1)
+      graft.operators.Similarity.assertRecallFloor(recalls, 0.04)
         .select($"query_id", round($"recall", 2).as("recall"),
           $"min_recall")
         .orderBy($"query_id")
