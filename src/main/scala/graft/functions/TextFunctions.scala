@@ -175,6 +175,57 @@ object TextFunctions extends Serializable {
       .agg(count(lit(1)).as("n_tokens"), avg(col("lp")).as("avg_logprob"))
   }
 
+  /** Interpolated bigram LM score (the CCNet-style perplexity signal one
+    * order up from [[unigramLogProb]]): per document, the mean over
+    * positions i ≥ 2 of
+    *   log( λ·C(w_{i-1},w_i)/C_head(w_{i-1}) + (1−λ)·(C(w_i)+1)/(N+V) )
+    * — conditional bigram MLE interpolated with the Laplace unigram, so
+    * unseen bigrams back off instead of −∞ (the unigram term is always
+    * positive). C_head sums the bigram table per head word, which makes
+    * the conditional a true distribution over observed continuations.
+    *
+    * Shape at 100 TB: one bigram-count shuffle + one head-sum + the
+    * unigram counts, then scoring joins on the gram keys — the same
+    * count-then-join plan as the unigram scorer, nothing quadratic.
+    * Train on `train` (defaults to `df` itself); docs with fewer than 2
+    * tokens have no bigrams and are absent from the output. */
+  def bigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, lambda: Double = 0.5,
+      train: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val corpus = train.getOrElse(df)
+    def bigramsOf(t: Column): Column =
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bg = corpus
+      .select(explode(bigramsOf(tokens(col(textCol)))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bcnt = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val hcnt = bcnt.groupBy(col("w1")).agg(sum(col("cb")).as("ch"))
+    val tok = corpus.select(explode(tokens(col(textCol))).as("t"))
+    val counts = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val totals = broadcast(counts
+      .agg((sum(col("c")) + count(lit(1))).cast("double").as("__nv")))
+    // λ and 1−λ are both computed IN the expression (lit(1.0) − lit(λ))
+    // so Spark and the DuckDB oracle materialize the identical doubles
+    val scored = df
+      .select(col(idCol), explode(bigramsOf(tokens(col(textCol)))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(bcnt, Seq("w1", "w2"), "left_outer")
+      .join(hcnt, Seq("w1"), "left_outer")
+      .join(counts.withColumnRenamed("t", "w2"), Seq("w2"), "left_outer")
+      .crossJoin(totals)
+      .select(col(idCol),
+        log(lit(lambda) *
+            (coalesce(col("cb"), lit(0L)) / coalesce(col("ch"), lit(1L))) +
+          (lit(1.0) - lit(lambda)) *
+            ((coalesce(col("c"), lit(0L)) + lit(1.0)) / col("__nv")))
+          .as("lp"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("lp")).as("avg_logprob"))
+  }
+
   /** Gopher-style document-quality rule pack (Rae et al. 2021,
     * arXiv:2112.11446, Appendix A1.1 — the document filters of the
     * MassiveWeb curation pipeline), as ONE struct-valued expression so a

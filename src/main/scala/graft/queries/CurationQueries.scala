@@ -15,7 +15,7 @@ object CurationQueries {
   def all: Seq[GraftQuery] =
     Seq(q121GopherFilters, q122Winsorize, q123RollingFeatures,
       q124BpeMerges, q125QuantileBins, q126RankDistribution,
-      q127BpeEncode)
+      q127BpeEncode, q128BigramLogProb)
 
   /** Gopher rule-pack sweep ([[TextFunctions.gopherFlags]]): per-doc
     * rule values + keep decision in ONE codegen'd scan — the MassiveWeb
@@ -196,6 +196,43 @@ object CurationQueries {
         "PRECEDING AND UNBOUNDED FOLLOWING) AS third_price " +
         "FROM orders WINDOW w AS (PARTITION BY o_orderpriority " +
         "ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey"))
+
+  /** Interpolated bigram LM scoring
+    * ([[TextFunctions.bigramLogProb]], λ = 0.5 — exact in fp on both
+    * engines): the order-2 fluency signal over the corpus, fully
+    * replayed by DuckDB including the head-conditional and the Laplace
+    * backoff term. */
+  val q128BigramLogProb: GraftQuery = GraftQuery(
+    "q128_bigram_logprob",
+    (s, d) => {
+      import s.implicits._
+      TextFunctions.bigramLogProb(Tables.documents(s, d), "doc_id",
+          "text")
+        .select($"doc_id", $"n_bigrams",
+          round($"avg_logprob", 6).as("avg_logprob"))
+        .orderBy($"doc_id")
+    },
+    Some(
+      "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ws " +
+        "FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(ws) AS t FROM tk), " +
+        "cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t), " +
+        "tot AS (SELECT (SELECT count(*) FROM tok) AS n, " +
+        "(SELECT count(*) FROM cnt) AS v), " +
+        "bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (" +
+        "SELECT doc_id, unnest(list_transform(" +
+        "generate_series(1, len(ws) - 1), " +
+        "i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS p FROM tk)), " +
+        "bcnt AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2), " +
+        "hcnt AS (SELECT w1, sum(cb) AS ch FROM bcnt GROUP BY 1), " +
+        "sc AS (SELECT bg.doc_id, " +
+        "ln(0.5 * (bcnt.cb / hcnt.ch) + " +
+        "(1.0 - 0.5) * ((cnt.c + 1.0) / (tot.n + tot.v))) AS lp " +
+        "FROM bg JOIN bcnt USING (w1, w2) JOIN hcnt USING (w1) " +
+        "JOIN cnt ON bg.w2 = cnt.t, tot) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "round(avg(lp), 6) AS avg_logprob FROM sc " +
+        "GROUP BY doc_id ORDER BY doc_id"))
 
   /** BPE merge training ([[Bpe.topMerges]]): distributed word count +
     * driver merge loop over the bounded vocabulary. Deterministic

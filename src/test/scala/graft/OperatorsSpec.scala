@@ -233,6 +233,29 @@ class TextFunctionsSpec extends GraftSuite {
     Seq(text).toDF("text")
   }
 
+  test("bigramLogProb: hand-computed scores; held-out backoff is finite") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val got = TextFunctions.bigramLogProb(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // tokens a,b,a: C(a)=2, C(b)=1, N=3, V=2; bigrams (a,b),(b,a) once
+    // each, heads a→1, b→1
+    // (a,b): 0.5·(1/1) + 0.5·(1+1)/5 = 0.7 ; (b,a): 0.5 + 0.5·3/5 = 0.8
+    val want = (math.log(0.7) + math.log(0.8)) / 2
+    assert(got.toSeq === Seq((1L, 2L, got.head._3)))
+    assert(math.abs(got.head._3 - want) < 1e-12)
+    // held-out doc with an unseen bigram: the unigram backoff keeps the
+    // score finite (no -Inf / NaN)
+    val held = Seq((9L, "b b")).toDF("doc_id", "text")
+    val hs = TextFunctions.bigramLogProb(held, "doc_id", "text",
+        train = Some(corpus))
+      .collect().map(r => r.getDouble(2))
+    assert(hs.length === 1 && !hs.head.isNaN && !hs.head.isInfinite)
+    // (b,b) unseen: 0.5·0 + 0.5·(1+1)/5 = 0.2
+    assert(math.abs(hs.head - math.log(0.2)) < 1e-12)
+  }
+
   test("gopherFlags: rule values and keep decision") {
     val s = spark
     import s.implicits._

@@ -36,7 +36,8 @@ class PlanAuditSpec extends GraftSuite {
     "q62_inter_cluster_dist", // global scaling bounds
     "q86_histogram",          // global min/max bucket bounds
     "q91_heavy_hitters",      // ÷ total rows (share %)
-    "q119_unigram_logprob")   // ÷ (N + V) Laplace denominator
+    "q119_unigram_logprob",   // ÷ (N + V) Laplace denominator
+    "q128_bigram_logprob")    // same (N + V) backoff denominator
 
   test("no registry query plans an unintended quadratic join") {
     val offenders = Registry.all
