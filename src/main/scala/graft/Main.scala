@@ -37,6 +37,8 @@ object Main {
         rest.headOption.map(_.toInt).getOrElse(12))
     case "score" :: input :: outDir :: _ =>
       runScore(input, outDir)
+    case "report" :: input :: outPath :: _ =>
+      runReport(input, outPath)
     case "bpe-train" :: input :: mergesDir :: rest =>
       runBpeTrain(input, mergesDir,
         rest.headOption.map(_.toInt).getOrElse(32))
@@ -67,6 +69,7 @@ object Main {
            |       graft.Main dedup-ingest <batchParquet> <indexDir> <outDir> [conf.json]
            |       graft.Main dedup-spans <docsParquet> <outDir> [w]
            |       graft.Main score <docsParquet> <outDir>
+           |       graft.Main report <docsParquet> <outJson>
            |       graft.Main bpe-train <docsParquet> <mergesDir> [k]
            |       graft.Main bpe-encode <docsParquet> <mergesDir> <outDir>
            |       graft.Main pca-train <embParquet> <momentsDir>
@@ -259,6 +262,19 @@ object Main {
     * mean unigram log-probability (the perplexity-style signal, trained
     * on the corpus itself). Pure expressions plus the LM's one counts
     * shuffle + scoring join. */
+  /** Dataset-card JSON for a document corpus
+    * ([[graft.operators.CorpusReport]]) — three linear scans, one small
+    * deterministic file. */
+  private def runReport(input: String, outPath: String): Unit = {
+    val spark = session()
+    val json =
+      graft.operators.CorpusReport.report(spark.read.parquet(input))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      json + "\n")
+    println(s">>> [report] $json")
+    spark.stop()
+  }
+
   /** BPE artifact lifecycle — tokenizer twin of the ANN/PCA stories:
     * `bpe-train` runs the distributed word count + driver merge loop and
     * persists the rank-ordered merge table; `bpe-encode` reads it back

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Dataset-card report over a document corpus: the one-page JSON a data
+  * team ships alongside a training set — sizes, vocabulary, language
+  * mix, quality profile, duplication rate. Composed entirely from the
+  * engine's scan-bandwidth primitives:
+  *
+  *  - one full-table aggregate (docs, tokens, chars, quality quantiles,
+  *    Gopher keep-rate, distinct-text count for the exact-dup rate);
+  *  - one exploded-token aggregate for the vocabulary size;
+  *  - one tiny language-ID groupBy (heuristic [[TextFunctions.langId]],
+  *    so the report works on corpora WITHOUT a lang column).
+  *
+  * Three jobs total, all linear scans — the report costs what a count
+  * costs, at any corpus size. Output is a deterministic JSON string:
+  * fixed key order, 4-decimal rounding, languages sorted by key. */
+object CorpusReport {
+
+  def report(docs: DataFrame, textCol: String = "text"): String = {
+    val t = col(textCol)
+    val headRow = docs
+      .select(t, TextFunctions.qualityScore(t).as("q"),
+        TextFunctions.gopherFlags(t, minWords = 10, minStopHits = 0)
+          .getField("keep").as("keep"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextFunctions.tokens(t))).as("n_tokens"),
+        sum(length(t)).as("n_chars"),
+        countDistinct(t).as("n_distinct_texts"),
+        round(expr("percentile(q, 0.25)"), 4).as("q25"),
+        round(expr("percentile(q, 0.5)"), 4).as("q50"),
+        round(expr("percentile(q, 0.75)"), 4).as("q75"),
+        round(avg(col("keep").cast("double")), 4).as("keep_rate"))
+      .head()
+    val nDocs = headRow.getLong(0)
+    val vocab = docs
+      .select(explode(TextFunctions.tokens(t)).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    val langs = docs
+      .select(TextFunctions.langId(t).as("lang"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val dupRate =
+      if (nDocs == 0) 0.0
+      else math.rint((1.0 - headRow.getLong(3).toDouble / nDocs) * 1e4) / 1e4
+    val langJson = langs
+      .map { case (l, n) => s""""$l":$n""" }.mkString("{", ",", "}")
+    s"""{"n_docs":$nDocs,"n_tokens":${headRow.getLong(1)},""" +
+      s""""n_chars":${headRow.getLong(2)},"vocab":$vocab,""" +
+      s""""exact_dup_rate":$dupRate,""" +
+      s""""quality":{"p25":${headRow.getDouble(4)},""" +
+      s""""p50":${headRow.getDouble(5)},"p75":${headRow.getDouble(6)}},""" +
+      s""""gopher_keep_rate":${headRow.getDouble(7)},""" +
+      s""""languages":$langJson}"""
+  }
+}

@@ -233,6 +233,24 @@ class TextFunctionsSpec extends GraftSuite {
     Seq(text).toDF("text")
   }
 
+  test("CorpusReport: deterministic dataset-card JSON with sane values") {
+    val docs = Tables.documents(spark, sf)
+    val j1 = graft.operators.CorpusReport.report(docs)
+    val j2 = graft.operators.CorpusReport.report(docs.repartition(5))
+    assert(j1 === j2) // partitioning-invariant
+    // parse the fields we can cross-check cheaply
+    def field(j: String, k: String): String =
+      s""""$k":([^,}]+)""".r.findFirstMatchIn(j).get.group(1)
+    assert(field(j1, "n_docs").toLong === docs.count())
+    assert(field(j1, "vocab").toLong > 10)
+    assert(field(j1, "exact_dup_rate").toDouble >= 0.0)
+    val keep = field(j1, "gopher_keep_rate").toDouble
+    assert(keep >= 0.0 && keep <= 1.0)
+    assert(j1.contains(""""languages":{"""))
+    // must be one JSON object line (the CLI writes it verbatim)
+    assert(j1.startsWith("{") && j1.endsWith("}") && !j1.contains("\n"))
+  }
+
   test("bigramLogProb: hand-computed scores; held-out backoff is finite") {
     val s = spark
     import s.implicits._
