@@ -91,8 +91,9 @@ object DedupScaleProbe {
     * replication m. Cluster count scales WITH the corpus (16·m) — the
     * SemDeDup scale posture: occupancy stays put, so Σ|cluster|² (the
     * pairwise term) grows linearly, not quadratically. A clone pair is
-    * identified by id_b − id_a == stride (impossible for any natural or
-    * cross-replica pair by the id layout). */
+    * identified by id_b − id_a == stride AND same replica (the id-diff
+    * alone is impossible for natural pairs but IS attainable across a
+    * replica boundary — clone(r, w) vs base w of replica r+1). */
   def semCounts(emb: DataFrame, m: Int, tau: Double = 0.99,
       maxCluster: Int = 400): (Long, Long, Long) = {
     val stride = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
