@@ -113,6 +113,31 @@ object AnnIndexes {
     rows.toDF("id_a", "id_b")
   }
 
+  private val spanTables =
+    new ConcurrentHashMap[String, Seq[(Long, Long, Long, Long)]]()
+
+  /** Duplicated-span table (w=8, hash-keyed) over the documents table —
+    * the identify step that q109 reports directly and q113 feeds into
+    * the excision rewrite. Computed once per sfDir and rebuilt as a
+    * local relation (columns id/span_start/span_end/span_tokens): a few
+    * thousand rows at sf0.1, a pure function of the corpus, so both
+    * consumers keep their DuckDB hash-matches while the heavy
+    * positional-window aggregation runs once. */
+  def dupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = spanTables.computeIfAbsent(sfDir, { _ =>
+      graft.operators.Dedup
+        .duplicateSpans(Tables.documents(spark, sfDir), "doc_id", "text",
+          w = 8, byHash = true)
+        .select(col("id").cast("long"), col("span_start").cast("long"),
+          col("span_end").cast("long"), col("span_tokens").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sorted
+    })
+    rows.toDF("id", "span_start", "span_end", "span_tokens")
+  }
+
   private val pcaModels =
     new ConcurrentHashMap[String, graft.ml.Pca.Model]()
 

@@ -362,15 +362,13 @@ object OperatorQueries {
     "q109_dup_spans",
     (s, d) => {
       import s.implicits._
-      // byHash: group/join on xxhash64(gram), the 100 TB shuffle key —
-      // span VALUES are identical to string keying (2^-64 collisions),
-      // which is exactly what the string-keyed DuckDB oracle checks.
-      Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text", w = 8,
-          byHash = true)
-        .select($"id".as("doc_id"),
-          $"span_start".cast("long").as("span_start"),
-          $"span_end".cast("long").as("span_end"),
-          $"span_tokens".cast("long").as("span_tokens"))
+      // the shared span artifact groups/joins on xxhash64(gram), the
+      // 100 TB shuffle key — span VALUES are identical to string keying
+      // (2^-64 collisions), which the string-keyed DuckDB oracle checks;
+      // built once per JVM, also q113's identification input
+      AnnIndexes.dupSpans(s, d)
+        .select($"id".as("doc_id"), $"span_start", $"span_end",
+          $"span_tokens")
         .orderBy($"doc_id", $"span_start")
     },
     Some(
@@ -399,8 +397,11 @@ object OperatorQueries {
     "q113_excise_spans",
     (s, d) => {
       import s.implicits._
-      Dedup.exciseDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
-          w = 8, byHash = true)
+      // identification is served from the shared span artifact (built
+      // once, also q109's source); only the excision rewrite runs here —
+      // the production split (dedup-spans CLI artifact → rewrite pass)
+      Dedup.exciseSpans(Tables.documents(s, d), "doc_id", "text",
+          AnnIndexes.dupSpans(s, d))
         .select($"doc_id", $"n_removed".cast("long").as("n_removed"),
           $"clean_text")
         .orderBy($"doc_id")
