@@ -30,15 +30,18 @@ object DedupScaleProbe {
     * Replica ids are offset by max(doc_id)+1 per replica — derived from
     * the data, so they stay collision-free for any base id range (a fixed
     * 10M stride would collide once base ids reach 10M). */
+  /** Replica r alone: rotated-alphabet text, ids offset by r·stride. */
+  def replicaOf(docs: DataFrame, r: Int, stride: Long): DataFrame = {
+    val rot = Alphabet.drop(r % 26) + Alphabet.take(r % 26)
+    docs.select(
+      (col("doc_id") + lit(r * stride)).as("doc_id"),
+      (if (r == 0) col("text")
+       else translate(col("text"), Alphabet, rot)).as("text"))
+  }
+
   def replicate(docs: DataFrame, m: Int): DataFrame = {
     val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
-    (0 until m).map { r =>
-      val rot = Alphabet.drop(r % 26) + Alphabet.take(r % 26)
-      docs.select(
-        (col("doc_id") + lit(r * stride)).as("doc_id"),
-        (if (r == 0) col("text")
-         else translate(col("text"), Alphabet, rot)).as("text"))
-    }.reduce(_ unionAll _)
+    (0 until m).map(replicaOf(docs, _, stride)).reduce(_ unionAll _)
   }
 
   /** Duplicated-span count ([[Dedup.duplicateSpans]]) at replication m.
@@ -117,6 +120,26 @@ object DedupScaleProbe {
     (plantedFound, total, planted)
   }
 
+  /** SimHash near-dup pair count at replication m, plus each replica's
+    * OWN pair count. Unlike MinHash/spans, per-replica counts are NOT
+    * identical — a signature's hamming distance depends on the token
+    * hash values, not just token overlap, so rotating the alphabet
+    * re-rolls which borderline pairs land ≤ maxHamming. The scale
+    * property that DOES hold exactly (and is gated): total pairs ==
+    * Σ per-replica pairs — cross-replica 64-bit signatures decorrelate
+    * (P(hamming ≤ 6) ≈ 2⁻⁴⁰ per pair), so the banded join contributes
+    * ZERO cross-corpus term and growth is additive, i.e. linear. */
+  def simhashCounts(docs: DataFrame, m: Int,
+      maxHamming: Int = 6): (Long, Seq[Long]) = {
+    val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val total = Dedup.simhashNearDups(replicate(docs, m), "doc_id",
+      "text", maxHamming = maxHamming).count()
+    val per = (0 until m).map(r =>
+      Dedup.simhashNearDups(replicaOf(docs, r, stride), "doc_id", "text",
+        maxHamming = maxHamming).count())
+    (total, per)
+  }
+
   /** (candidate pairs, dup pairs ≥ threshold) at replication m. */
   def counts(docs: DataFrame, m: Int,
       threshold: Double = 0.5): (Long, Long) = {
@@ -146,7 +169,15 @@ object DedupScaleProbe {
           val secs = (System.nanoTime() - t0) / 1e9
           f""""x$m":{"planted":$planted,"found":$found,"pairs":$total,"secs":$secs%.2f}"""
         }
-      } else if (args.headOption.contains("--spans"))
+      } else if (args.headOption.contains("--simhash"))
+        Seq(1, 2, 3).map { m =>
+          val t0 = System.nanoTime()
+          val (pairs, per) = simhashCounts(docs, m)
+          val secs = (System.nanoTime() - t0) / 1e9
+          f""""x$m":{"docs":${nBase * m},"pairs":$pairs,""" +
+            f""""perReplica":[${per.mkString(",")}],"secs":$secs%.2f}"""
+        }
+      else if (args.headOption.contains("--spans"))
         // span-dedup sweep: span count must be EXACTLY m× the base
         // (disjoint shingle spaces), wall ~linear — no pair term.
         Seq(1, 2, 5, 10).map { m =>

@@ -175,9 +175,11 @@ object TextFunctions extends Serializable {
       .agg(count(lit(1)).as("n_tokens"), avg(col("lp")).as("avg_logprob"))
   }
 
-  /** Interpolated bigram LM score (the CCNet-style perplexity signal one
-    * order up from [[unigramLogProb]]): per document, the mean over
-    * positions i ≥ 2 of
+  /** Interpolated bigram LM score (the perplexity-style quality signal
+    * of CCNet, Wenzek et al. 2019, arXiv:1911.00359 — there a 5-gram
+    * KenLM; here the order-2 member of the same family, one order up
+    * from [[unigramLogProb]]): per document, the mean over positions
+    * i ≥ 2 of
     *   log( λ·C(w_{i-1},w_i)/C_head(w_{i-1}) + (1−λ)·(C(w_i)+1)/(N+V) )
     * — conditional bigram MLE interpolated with the Laplace unigram, so
     * unseen bigrams back off instead of −∞ (the unigram term is always

@@ -993,6 +993,19 @@ class DedupScaleSpec extends GraftSuite {
     assert(s3 === 3 * s1)
   }
 
+  test("SimHash pairs are EXACTLY additive across replicas — zero " +
+      "cross-corpus term") {
+    // per-replica counts legitimately differ (hamming distance depends
+    // on token hash values, not just overlap), so the gated invariant
+    // is additivity: the union's pairs are exactly the sum of each
+    // replica's own — the banded join adds no cross-corpus pair
+    val docs = Tables.documents(spark, sf)
+    val (total, per) = graft.DedupScaleProbe.simhashCounts(docs, 3)
+    assert(per.forall(_ > 0), s"a replica found no pairs: $per")
+    assert(total === per.sum,
+      s"cross-replica pairs leaked: $total != sum of $per")
+  }
+
   test("SemDedup recovers every planted clone at 1× and 4× replication") {
     // per-replica orthogonal transforms keep within-replica cosines
     // exact, cluster count scales with the corpus (16·m) — so planted
