@@ -15,7 +15,8 @@ object CurationQueries {
   def all: Seq[GraftQuery] =
     Seq(q121GopherFilters, q122Winsorize, q123RollingFeatures,
       q124BpeMerges, q125QuantileBins, q126RankDistribution,
-      q127BpeEncode, q128BigramLogProb)
+      q127BpeEncode, q128BigramLogProb, q129GroupingSets,
+      q130StringAgg)
 
   /** Gopher rule-pack sweep ([[TextFunctions.gopherFlags]]): per-doc
     * rule values + keep decision in ONE codegen'd scan — the MassiveWeb
@@ -196,6 +197,60 @@ object CurationQueries {
         "PRECEDING AND UNBOUNDED FOLLOWING) AS third_price " +
         "FROM orders WINDOW w AS (PARTITION BY o_orderpriority " +
         "ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey"))
+
+  /** Arbitrary GROUPING SETS (the general form behind q16's ROLLUP and
+    * q67's CUBE): per-flag totals, per-status totals and the grand
+    * total in ONE aggregation pass, with per-column grouping() flags.
+    * (Single-column flags, not grouping_id(): the combined id's bit
+    * order is engine-defined, the per-column flag is not.) */
+  val q129GroupingSets: GraftQuery = GraftQuery(
+    "q129_grouping_sets",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq()),
+          $"l_returnflag", $"l_linestatus")
+        .agg(grouping($"l_returnflag").as("g_rf"),
+          grouping($"l_linestatus").as("g_ls"),
+          count(lit(1)).as("n"),
+          round(sum($"l_quantity"), 2).as("qty"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+          coalesce($"l_linestatus", lit("ALL")).as("ls"),
+          $"g_rf".cast("long").as("g_rf"),
+          $"g_ls".cast("long").as("g_ls"), $"n", $"qty")
+        .orderBy($"rf", $"ls")
+    },
+    Some(
+      "SELECT coalesce(l_returnflag, 'ALL') AS rf, " +
+        "coalesce(l_linestatus, 'ALL') AS ls, " +
+        "grouping(l_returnflag)::BIGINT AS g_rf, " +
+        "grouping(l_linestatus)::BIGINT AS g_ls, " +
+        "count(*) AS n, round(sum(l_quantity), 2) AS qty " +
+        "FROM lineitem GROUP BY GROUPING SETS " +
+        "((l_returnflag), (l_linestatus), ()) ORDER BY rf, ls"))
+
+  /** Deterministic string aggregation: sorted-distinct value list per
+    * group (collect_set is order-nondeterministic — array_sort makes
+    * the result a pure function of the group's value SET, matching
+    * string_agg DISTINCT ... ORDER BY on the oracle side). */
+  val q130StringAgg: GraftQuery = GraftQuery(
+    "q130_string_agg",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(array_join(array_sort(collect_set($"l_linestatus")), ",")
+            .as("statuses"),
+          countDistinct($"l_linestatus").as("n_statuses"))
+        .orderBy($"l_returnflag")
+    },
+    Some(
+      "SELECT l_returnflag, " +
+        "string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) " +
+        "AS statuses, " +
+        "count(DISTINCT l_linestatus) AS n_statuses " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
 
   /** Interpolated bigram LM scoring
     * ([[TextFunctions.bigramLogProb]], λ = 0.5 — exact in fp on both
