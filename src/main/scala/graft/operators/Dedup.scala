@@ -39,6 +39,42 @@ object Dedup extends Serializable {
       .drop("dedup_key")
   }
 
+  /** Fixed-width token-block duplication profile: chop each document
+    * into consecutive non-overlapping `blockLen`-token blocks (tail
+    * fragment dropped, docs shorter than one block emit nothing) and
+    * report, per source, how many block INSTANCES repeat anywhere in
+    * the corpus — the cheap passage-granularity duplication signal
+    * between whole-document dedup ([[exact]]) and positional span dedup
+    * ([[duplicateSpans]]): non-overlapping blocks cost O(tokens/w) rows
+    * where spans cost O(tokens). Plan: one generator projection (no
+    * shuffle), one count aggregation on the block key, one shuffle join
+    * back, one per-source aggregation. At 100 TB swap the join/group
+    * key for xxhash64(block) to shrink the shuffle payload (kept as the
+    * raw string here so the DuckDB oracle replays it bit-for-bit). */
+  def blockDupProfile(df: DataFrame, sourceCol: String, textCol: String,
+      blockLen: Int = 10): DataFrame = {
+    require(blockLen > 0, "blockLen must be positive")
+    val toks = tokens(col(textCol))
+    val blocks = df
+      .where(size(toks) >= blockLen)
+      .select(col(sourceCol).as("source"),
+        explode(sequence(lit(0),
+          floor(size(toks) / blockLen).cast("int") - 1)).as("__i"),
+        toks.as("__ws"))
+      .select(col("source"),
+        concat_ws(" ",
+          slice(col("__ws"), col("__i") * blockLen + 1, lit(blockLen)))
+          .as("block"))
+    val totals = blocks.groupBy(col("block"))
+      .agg(count(lit(1)).as("__tot"))
+    blocks.join(totals, "block")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_blocks"),
+        countDistinct(col("block")).as("n_distinct"),
+        sum(when(col("__tot") > 1, 1L).otherwise(0L)).as("n_dup_inst"))
+      .withColumn("dup_rate", round(col("n_dup_inst") / col("n_blocks"), 6))
+  }
+
   /** Positional w-token windows: one row per (id, pos, gram) where gram
     * is the w-token substring starting at 1-based token position pos.
     * Docs shorter than w tokens emit nothing (no partial windows). */

@@ -177,4 +177,27 @@ object Sampling extends Serializable {
     val cut = (trainFraction * 10000).toLong
     (df.filter(bucket < cut), df.filter(bucket >= cut))
   }
+
+  /** Leakage-safe train/val/test split keyed on CONTENT, not id: the
+    * split is a pure function of `sha2(text, 256)`, so byte-identical
+    * documents — however many copies exist and wherever they live —
+    * land in the same split by construction. An id-keyed split (e.g.
+    * [[splitByHash]]) lets a duplicated document straddle train and
+    * eval, the canonical contamination bug; hashing the content closes
+    * it for exact duplicates with ZERO extra passes (near-duplicates
+    * need the dedup-cluster id as the key instead — same shape, the
+    * cluster rep's hash replaces the content hash). Assignment buckets
+    * are the first hex nibble of the digest: 0–b → train (12/16),
+    * c–d → val (2/16), e–f → test (2/16). No shuffle — one codegen'd
+    * hash projection; and unlike xxhash64, SHA-256 has a portable
+    * reference value every engine agrees on, so the DuckDB oracle
+    * replays the identical assignment bit-for-bit. */
+  def contentSplit(df: DataFrame, textCol: String,
+      splitCol: String = "split"): DataFrame = {
+    val nib = substring(sha2(col(textCol).cast("binary"), 256), 1, 1)
+    df.withColumn(splitCol,
+      when(nib.between("0", "9") || nib.isin("a", "b"), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test"))
+  }
 }

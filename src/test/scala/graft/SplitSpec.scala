@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling}
+
+/** Content-keyed split ([[Sampling.contentSplit]]) and token-block
+  * duplication profile ([[Dedup.blockDupProfile]]). */
+class SplitSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("contentSplit: exact duplicates always land in the same split") {
+    val docs = Tables.documents(spark, sf)
+    // Plant duplicates across "sources": two extra copies of every 7th doc.
+    val dupes = docs.filter($"doc_id" % 7 === 0)
+      .withColumn("source", lit("planted_a"))
+      .union(docs.filter($"doc_id" % 7 === 0)
+        .withColumn("source", lit("planted_b")))
+    val split = Sampling.contentSplit(docs.union(dupes), "text")
+    val straddlers = split
+      .groupBy($"text").agg(countDistinct($"split").as("n"))
+      .filter($"n" > 1).count()
+    assert(straddlers === 0L)
+    // Every row is assigned, and all three splits are populated.
+    assert(split.filter($"split".isNull).count() === 0L)
+    val names = split.select($"split").distinct().as[String].collect().toSet
+    assert(names === Set("train", "val", "test"))
+  }
+
+  test("contentSplit: assignment is a pure function of the text bytes") {
+    val a = Sampling.contentSplit(Tables.documents(spark, sf), "text")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val b = Sampling.contentSplit(
+      Tables.documents(spark, sf).repartition(7), "text")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(a === b)
+  }
+
+  test("contentSplit: train fraction tracks the 12/2/2 nibble budget") {
+    val split = Sampling.contentSplit(Tables.documents(spark, sf), "text")
+    val n = split.count().toDouble
+    val train = split.filter($"split" === "train").count().toDouble
+    // 12/16 = 0.75 expected; generous tolerance for a small corpus.
+    assert(train / n > 0.55 && train / n < 0.95)
+  }
+
+  test("blockDupProfile: planted shared block is counted on both sides") {
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      ("a", shared + " " + (11 to 20).map(i => s"x$i").mkString(" ")),
+      ("b", shared + " " + (11 to 20).map(i => s"y$i").mkString(" ")),
+      ("c", "short doc under one block")
+    ).toDF("source", "text")
+    val prof = Dedup.blockDupProfile(df, "source", "text", blockLen = 10)
+      .orderBy($"source")
+      .as[(String, Long, Long, Long, Double)].collect()
+    // Source c emits nothing (under blockLen tokens).
+    assert(prof.map(_._1).toSeq === Seq("a", "b"))
+    // Each of a and b contributes 2 blocks; exactly 1 instance each is
+    // duplicated (the shared prefix block).
+    assert(prof.forall { case (_, nb, nd, dup, rate) =>
+      nb === 2L && nd === 2L && dup === 1L && rate === 0.5 })
+  }
+
+  test("blockDupProfile: tail fragments are dropped, not hashed") {
+    val df = Seq(("s", (1 to 25).map(i => s"t$i").mkString(" ")))
+      .toDF("source", "text")
+    val prof = Dedup.blockDupProfile(df, "source", "text", blockLen = 10)
+      .select($"n_blocks").as[Long].collect()
+    assert(prof.toSeq === Seq(2L)) // 25 tokens -> 2 full blocks, tail of 5 dropped
+  }
+}
