@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling — DSIR (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling",
+  * NeurIPS): score every raw document by how much more likely its
+  * hashed-n-gram bag is under a TARGET corpus' distribution than under
+  * the raw corpus' own, then resample the raw corpus toward the target
+  * by Gumbel top-k over the importance weights. This is the standard
+  * way to tilt a 100 TB crawl toward a small high-quality reference
+  * (Wikipedia, books) without training a classifier.
+  *
+  * Scale shape (everything is one linear pass plus tiny broadcasts):
+  *  - gram extraction is a generator projection, no shuffle;
+  *  - BOTH bag-of-hashed-ngrams models fit in ONE aggregation over the
+  *    bucket key (`buckets` rows out — thousands, not billions) with
+  *    conditional sums for target vs raw;
+  *  - the per-bucket log-ratio table is ≤ `buckets` rows → broadcast
+  *    joined back to the gram stream; per-doc weights are one more
+  *    aggregation on the doc key;
+  *  - selection is a global top-k (sort-limit — Spark's TakeOrdered,
+  *    never a full materialized sort at the driver).
+  *
+  * Determinism: bucketing is xxhash64 (pure function of gram text and
+  * seed), the Gumbel noise is derived from xxhash64 of the doc id (not
+  * an RNG stream), and per-doc weights are rounded to 9 dp before
+  * selection so float summation order across partitionings cannot flip
+  * a top-k boundary. Not DuckDB-expressible (xxhash64) → rows-only.
+  */
+object Dsir extends Serializable {
+
+  /** Non-distinct unigram+bigram stream hashed into `buckets` buckets:
+    * one row per gram OCCURRENCE (DSIR counts occurrences, so unlike
+    * [[Dedup.shingles]] this keeps duplicates). `keep` columns ride
+    * along with each gram row. */
+  private def gramRows(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int, seed: Long, keep: Seq[String] = Nil): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val bigrams = transform(
+      sequence(lit(1), greatest(lit(1), size(toks) - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val carried = (idCol +: keep).map(col)
+    df.select(carried :+ explode(concat(toks, bigrams)).as("__gram"): _*)
+      .select(carried :+
+        pmod(xxhash64(col("__gram"), lit(seed)), lit(buckets.toLong))
+          .as("bucket"): _*)
+  }
+
+  /** Per-document importance weights: `log p_target(doc) − log p_raw
+    * (doc)` under Laplace-smoothed bag-of-hashed-ngrams models. `df`
+    * is the union of raw and target rows; `isTarget` marks the target
+    * side (both models are fitted in the same single aggregation).
+    * Returns (idCol, log_weight) for EVERY input row — callers filter
+    * to the raw side before resampling. */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 4096,
+      seed: Long = 42L): DataFrame = {
+    require(buckets > 1, "need at least 2 hash buckets")
+    val marked = df.withColumn("__tgt", isTarget)
+    val grams = gramRows(marked, idCol, textCol, buckets, seed,
+      keep = Seq("__tgt"))
+    // One shuffle: both models' bucket counts side by side.
+    val bucketCounts = grams.groupBy(col("bucket")).agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("n_tgt"),
+      sum(when(col("__tgt"), 0L).otherwise(1L)).as("n_raw"))
+    // Tiny (≤ buckets rows): totals then the smoothed log-ratio table.
+    val ratios = bucketCounts
+      .crossJoin(broadcast(bucketCounts.agg(
+        sum(col("n_tgt")).as("__t_tgt"), sum(col("n_raw")).as("__t_raw"))))
+      .select(col("bucket"),
+        (log((col("n_tgt") + 1).cast("double") /
+            (col("__t_tgt") + buckets).cast("double")) -
+          log((col("n_raw") + 1).cast("double") /
+            (col("__t_raw") + buckets).cast("double"))).as("__ratio"))
+    gramRows(marked, idCol, textCol, buckets, seed)
+      .join(broadcast(ratios), "bucket")
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__ratio")), 9).as("log_weight"))
+  }
+
+  /** Gumbel top-k resampling (the paper's sampling-without-replacement
+    * form): add seeded Gumbel noise to each log-weight and keep the k
+    * largest. Noise is a pure function of (id, seed) — u from the
+    * xxhash64 bucket midpoint, g = −log(−log u) — so the draw is
+    * reproducible across runs and partitionings; ties break on id.
+    * If k ≥ rows, everything is kept (small-SF degenerate case). */
+  def resampleTopK(weights: DataFrame, idCol: String, k: Int,
+      seed: Long): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L))
+      .cast("double") + 0.5) / 1000000.0
+    weights
+      .withColumn("__key", col("log_weight") - log(-log(u)))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .drop("__key")
+  }
+}

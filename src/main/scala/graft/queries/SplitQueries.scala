@@ -2,15 +2,19 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{Dedup, Dsir, Sampling}
 
-/** Late round-5 shaping surface: content-keyed leakage-safe splits and
-  * the passage-granularity duplication profile. Both fully DuckDB-oracled
-  * (SHA-256 is the one hash with portable reference values, and block
-  * chopping is plain list slicing on both engines). */
+/** Late round-5 shaping surface: content-keyed leakage-safe splits, the
+  * passage-granularity duplication profile, DSIR importance resampling,
+  * and sketch-based cardinality accuracy. q131/q132 are fully
+  * DuckDB-oracled (SHA-256 is the one hash with portable reference
+  * values, and block chopping is plain list slicing on both engines);
+  * q133/q134 are deterministic rows-only (xxhash64 bucketing and
+  * DataSketches HLL have no DuckDB twin). */
 object SplitQueries {
 
-  def all: Seq[GraftQuery] = Seq(q131ContentSplit, q132BlockDupProfile)
+  def all: Seq[GraftQuery] = Seq(q131ContentSplit, q132BlockDupProfile,
+    q133DsirResample, q134SketchAccuracy)
 
   /** Leakage-safe split report ([[Sampling.contentSplit]]): the split
     * decision is a pure function of sha2(text), so exact duplicates can
@@ -64,4 +68,54 @@ object SplitQueries {
         "round(sum(CASE WHEN g.tot > 1 THEN 1 ELSE 0 END)::DOUBLE " +
         "/ count(*), 6) AS dup_rate " +
         "FROM c JOIN g USING (block) GROUP BY source ORDER BY source"))
+
+  /** DSIR resampling report ([[Dsir.importanceWeights]] +
+    * [[Dsir.resampleTopK]]): tilt the corpus toward an `en`-language
+    * target by hashed-bigram importance weights, Gumbel-top-k select
+    * 100 docs, and report the per-language weight/selection profile —
+    * the tilt should concentrate selection on target-like languages.
+    * Deterministic (seeded hashes, 9-dp-rounded weights, id
+    * tie-breaks) but not ANSI-expressible → rows-only. */
+  val q133DsirResample: GraftQuery = GraftQuery(
+    "q133_dsir_resample",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val w = Dsir.importanceWeights(docs, "doc_id", "text",
+        isTarget = $"lang" === "en", buckets = 1024, seed = 42L)
+      val sel = Dsir.resampleTopK(w, "doc_id", k = 100, seed = 7L)
+        .select($"doc_id", lit(1L).as("__sel"))
+      docs.join(w, "doc_id")
+        .join(sel, Seq("doc_id"), "left_outer")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce($"__sel", lit(0L))).as("n_selected"),
+          round(avg($"log_weight"), 6).as("mean_logw"))
+        .orderBy($"lang")
+    },
+    None)
+
+  /** Cardinality-sketch accuracy report: per order-priority exact
+    * distinct customers vs the HLL++ estimate, with relative error.
+    * Uses Spark's built-in `approx_count_distinct` (dense registers,
+    * elementwise-max merge) because that estimate is BIT-INVARIANT to
+    * partition count and merge order — the RegistrySpec gate — where
+    * the DataSketches binary ([[Sketches]], the persisted-artifact
+    * lifecycle) wobbles within sketch error across union shapes.
+    * Rows-only: DuckDB's approx_count_distinct is a different sketch. */
+  val q134SketchAccuracy: GraftQuery = GraftQuery(
+    "q134_sketch_accuracy",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority".as("group"))
+        .agg(countDistinct($"o_custkey").as("exact_distinct"),
+          approx_count_distinct($"o_custkey", 0.02).as("hll_estimate"),
+          count(lit(1)).as("n_rows"))
+        .select($"group", $"exact_distinct", $"hll_estimate", $"n_rows",
+          round(abs($"hll_estimate" - $"exact_distinct")
+            .cast("double") / $"exact_distinct", 6).as("rel_err"))
+        .orderBy($"group")
+    },
+    None)
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dsir, Sketches}
+
+/** DSIR importance resampling and the HLL sketch-artifact lifecycle. */
+class DsirSpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+
+  test("dsir: target-language docs get higher importance weights") {
+    val w = Dsir.importanceWeights(docs, "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 1024, seed = 42L)
+    val byLang = docs.join(w, "doc_id")
+      .groupBy($"lang").agg(avg($"log_weight").as("mw"))
+      .as[(String, Double)].collect().toMap
+    val others = byLang.filterNot(_._1 == "en").values
+    assert(byLang("en") > others.max,
+      s"en mean weight ${byLang("en")} should beat all of $byLang")
+  }
+
+  test("dsir: resampling tilts selection toward the target distribution") {
+    val w = Dsir.importanceWeights(docs, "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 1024, seed = 42L)
+    val sel = Dsir.resampleTopK(w, "doc_id", k = 100, seed = 7L)
+    val selEn = sel.join(docs, "doc_id")
+      .filter($"lang" === "en").count().toDouble / 100.0
+    val corpusEn = docs.filter($"lang" === "en").count().toDouble /
+      docs.count().toDouble
+    assert(selEn > corpusEn,
+      s"selected en fraction $selEn should exceed corpus $corpusEn")
+  }
+
+  test("dsir: weights and selection are partition-count invariant") {
+    def run(parts: Int): Map[Long, Double] =
+      Dsir.importanceWeights(docs.repartition(parts), "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 256, seed = 1L)
+        .as[(Long, Double)].collect().toMap
+    assert(run(3) === run(8))
+  }
+
+  test("dsir: k beyond the corpus keeps everything") {
+    val w = Dsir.importanceWeights(docs.limit(20), "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 64, seed = 1L)
+    assert(Dsir.resampleTopK(w, "doc_id", k = 1000, seed = 2L)
+      .count() === w.count())
+  }
+
+  test("sketches: append(A)+append(B) estimates like sketch(A∪B)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sketch").toString
+    val a = docs.filter($"doc_id" % 2 === 0)
+    val b = docs.filter($"doc_id" % 2 =!= 0)
+    Sketches.appendSketches(a, "lang", "doc_id", dir, batchId = 1L)
+    Sketches.appendSketches(b, "lang", "doc_id", dir, batchId = 2L)
+    val fromArtifact = Sketches.estimateFromArtifact(spark, dir)
+      .select($"group", $"distinct_estimate")
+      .as[(String, Long)].collect().toMap
+    val direct = Sketches.groupSketches(docs, "lang", "doc_id")
+      .select($"group", hll_sketch_estimate($"sketch"))
+      .as[(String, Long)].collect().toMap
+    assert(fromArtifact === direct)
+    // Estimates are within HLL error of the exact per-group counts.
+    val exact = docs.groupBy($"lang").agg(countDistinct($"doc_id"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(fromArtifact(g) - n).toDouble / n < 0.05,
+        s"group $g estimate ${fromArtifact(g)} too far from $n") }
+    // Batch bookkeeping rides along.
+    val nb = Sketches.estimateFromArtifact(spark, dir)
+      .select($"n_batches").distinct().as[Long].collect().toSeq
+    assert(nb === Seq(2L))
+  }
+
+  test("sketches: re-ingesting the same batch never double-counts") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sketch2").toString
+    Sketches.appendSketches(docs, "lang", "doc_id", dir, batchId = 1L)
+    val once = Sketches.globalEstimate(spark, dir)
+    Sketches.appendSketches(docs, "lang", "doc_id", dir, batchId = 2L)
+    val twice = Sketches.globalEstimate(spark, dir)
+    // Union is max-per-register: the estimate may wobble within sketch
+    // error across union shapes but can never approach 2× (a
+    // double-count would read ~1000 here against 500 true distinct).
+    assert(math.abs(twice - once).toDouble / once < 0.05,
+      s"re-ingest moved estimate $once -> $twice")
+  }
+}
