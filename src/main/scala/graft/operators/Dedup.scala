@@ -39,6 +39,35 @@ object Dedup extends Serializable {
       .drop("dedup_key")
   }
 
+  /** Content-keyed snapshot diff: classify every document of two corpus
+    * snapshots as `added` (in new, content unseen in old), `removed`
+    * (in old, content gone from new), or `common`. Identity is the
+    * CONTENT hash, not the id — a re-crawled page with a new id but
+    * identical bytes is `common`, which is what an incremental-ingest
+    * pipeline needs (only `added` rows proceed to dedup/scoring; the
+    * 100 TB history is never rescanned beyond its hash column). Shape:
+    * two shuffle joins on the 32-byte hash key against DISTINCT hash
+    * sets — both sides stay fully distributed, no broadcast assumption
+    * on either snapshot. Rows carry `diff_status`; old-side rows are
+    * only emitted for `removed` (the new snapshot already carries
+    * `added`/`common`). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      textCol: String): DataFrame = {
+    val h = sha2(col(textCol).cast("binary"), 256)
+    val oldHashes = oldDf.select(h.as("__h")).distinct()
+    val newHashes = newDf.select(h.as("__h")).distinct()
+    val newTagged = newDf.withColumn("__h", h)
+      .join(oldHashes.withColumn("__seen", lit(true)), Seq("__h"), "left_outer")
+      .withColumn("diff_status",
+        when(col("__seen").isNotNull, "common").otherwise("added"))
+      .drop("__h", "__seen")
+    val removed = oldDf.withColumn("__h", h)
+      .join(newHashes, Seq("__h"), "left_anti")
+      .withColumn("diff_status", lit("removed"))
+      .drop("__h")
+    newTagged.unionByName(removed)
+  }
+
   /** Fixed-width token-block duplication profile: chop each document
     * into consecutive non-overlapping `blockLen`-token blocks (tail
     * fragment dropped, docs shorter than one block emit nothing) and

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.ml.QualityClassifier
 import graft.operators.{Dedup, Dsir, Sampling}
 
 /** Late round-5 shaping surface: content-keyed leakage-safe splits, the
@@ -14,7 +15,8 @@ import graft.operators.{Dedup, Dsir, Sampling}
 object SplitQueries {
 
   def all: Seq[GraftQuery] = Seq(q131ContentSplit, q132BlockDupProfile,
-    q133DsirResample, q134SketchAccuracy)
+    q133DsirResample, q134SketchAccuracy, q135QualityClassifier,
+    q136SnapshotDiff)
 
   /** Leakage-safe split report ([[Sampling.contentSplit]]): the split
     * decision is a pure function of sha2(text), so exact duplicates can
@@ -118,4 +120,60 @@ object SplitQueries {
         .orderBy($"group")
     },
     None)
+
+  /** Discriminative quality filter ([[QualityClassifier]]): train the
+    * fastText-style hashed-bigram logistic classifier against the `en`
+    * target, score every document distributed, and report the
+    * per-language score profile — target-like languages should
+    * concentrate above the 0.5 boundary. Deterministic (driver-side
+    * seeded training on a hash-selected sample, 9-dp-rounded logits)
+    * but not ANSI-expressible → rows-only. */
+  val q135QualityClassifier: GraftQuery = GraftQuery(
+    "q135_quality_classifier",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val model = QualityClassifier.train(docs, "doc_id", "text",
+        isTarget = $"lang" === "en", buckets = 1024, seed = 42L,
+        maxSample = 200, iters = 60)
+      docs.join(QualityClassifier.score(docs, "doc_id", "text", model),
+          "doc_id")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg($"quality_score"), 6).as("mean_score"),
+          sum(when($"quality_score" > 0.5, 1L).otherwise(0L))
+            .as("n_above_half"))
+        .orderBy($"lang")
+    },
+    None)
+
+  /** Incremental-ingest snapshot diff ([[Dedup.snapshotDiff]]): two
+    * deterministic sub-snapshots of the corpus (doc_id % 10 ≠ 0 as
+    * "old", doc_id % 7 ≠ 0 as "new") diffed by CONTENT hash, rolled up
+    * per (source, status). The whole pipeline — sha256 identity,
+    * anti/outer joins on the hash, rollup — is replayed by DuckDB. */
+  val q136SnapshotDiff: GraftQuery = GraftQuery(
+    "q136_snapshot_diff",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      Dedup.snapshotDiff(
+          docs.filter($"doc_id" % 10 =!= 0),
+          docs.filter($"doc_id" % 7 =!= 0), "text")
+        .groupBy($"source", $"diff_status")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"source", $"diff_status")
+    },
+    Some(
+      "WITH oldt AS (SELECT * FROM documents WHERE doc_id % 10 <> 0), " +
+        "newt AS (SELECT * FROM documents WHERE doc_id % 7 <> 0), " +
+        "tagged AS (" +
+        "SELECT source, CASE WHEN sha256(text) IN " +
+        "(SELECT sha256(text) FROM oldt) THEN 'common' ELSE 'added' END " +
+        "AS diff_status FROM newt " +
+        "UNION ALL " +
+        "SELECT source, 'removed' AS diff_status FROM oldt " +
+        "WHERE sha256(text) NOT IN (SELECT sha256(text) FROM newt)) " +
+        "SELECT source, diff_status, count(*) AS n FROM tagged " +
+        "GROUP BY source, diff_status ORDER BY source, diff_status"))
 }

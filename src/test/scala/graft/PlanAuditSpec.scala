@@ -37,7 +37,8 @@ class PlanAuditSpec extends GraftSuite {
     "q86_histogram",          // global min/max bucket bounds
     "q91_heavy_hitters",      // ÷ total rows (share %)
     "q119_unigram_logprob",   // ÷ (N + V) Laplace denominator
-    "q128_bigram_logprob")    // same (N + V) backoff denominator
+    "q128_bigram_logprob",    // same (N + V) backoff denominator
+    "q133_dsir_resample")     // ÷ corpus gram totals (DSIR smoothing)
 
   test("no registry query plans an unintended quadratic join") {
     val offenders = Registry.all

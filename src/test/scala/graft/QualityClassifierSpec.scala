@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.QualityClassifier
+
+/** Hashed-n-gram logistic quality classifier: separation, determinism,
+  * and training guards. */
+class QualityClassifierSpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+
+  test("classifier separates the target language distribution") {
+    val model = QualityClassifier.train(docs, "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 1024, seed = 42L,
+      maxSample = 200, iters = 60)
+    val byLang = docs
+      .join(QualityClassifier.score(docs, "doc_id", "text", model), "doc_id")
+      .groupBy($"lang").agg(avg($"quality_score").as("s"))
+      .as[(String, Double)].collect().toMap
+    val others = byLang.filterNot(_._1 == "en").values
+    assert(byLang("en") > others.max,
+      s"en mean score ${byLang("en")} should beat all of $byLang")
+  }
+
+  test("training and scoring are partition-count invariant") {
+    def run(parts: Int): (QualityClassifier.Model, Map[Long, Double]) = {
+      val d = docs.repartition(parts)
+      val m = QualityClassifier.train(d, "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 256, seed = 1L,
+        maxSample = 50, iters = 20)
+      (m, QualityClassifier.score(d, "doc_id", "text", m)
+        .as[(Long, Double)].collect().toMap)
+    }
+    val (m3, s3) = run(3)
+    val (m8, s8) = run(8)
+    assert(m3 === m8)
+    assert(s3 === s8)
+  }
+
+  test("scores live strictly inside (0, 1); weights stay bounded") {
+    val model = QualityClassifier.train(docs.limit(100), "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 128, seed = 2L,
+      maxSample = 30, iters = 20)
+    assert(model.weights.size <= 128)
+    val scores = QualityClassifier
+      .score(docs.limit(100), "doc_id", "text", model)
+      .select($"quality_score").as[Double].collect()
+    assert(scores.forall(s => s > 0.0 && s < 1.0))
+  }
+
+  test("training refuses a single-class corpus") {
+    val ex = intercept[IllegalArgumentException] {
+      QualityClassifier.train(docs.filter($"lang" === "en"),
+        "doc_id", "text", isTarget = col("lang") === "en",
+        buckets = 64, maxSample = 10, iters = 5)
+    }
+    assert(ex.getMessage.contains("non-target"))
+  }
+}

@@ -62,6 +62,17 @@ class SplitSpec extends GraftSuite {
       nb === 2L && nd === 2L && dup === 1L && rate === 0.5 })
   }
 
+  test("snapshotDiff: content identity, not id identity") {
+    val oldDf = Seq((1L, "alpha text", "s"), (2L, "beta text", "s"))
+      .toDF("doc_id", "text", "source")
+    val newDf = Seq((9L, "beta text", "s"), (3L, "gamma text", "s"))
+      .toDF("doc_id", "text", "source")
+    val diff = Dedup.snapshotDiff(oldDf, newDf, "text")
+      .select($"doc_id", $"diff_status").as[(Long, String)].collect().toMap
+    // beta re-crawled under a new id is common; gamma is new; alpha gone.
+    assert(diff === Map(9L -> "common", 3L -> "added", 1L -> "removed"))
+  }
+
   test("blockDupProfile: tail fragments are dropped, not hashed") {
     val df = Seq(("s", (1 to 25).map(i => s"t$i").mkString(" ")))
       .toDF("source", "text")
