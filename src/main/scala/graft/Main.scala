@@ -61,6 +61,19 @@ object Main {
       runAnnQueryPq(loadConf(rest), indexDir, queries, outDir)
     case "ann-query-ivfpq" :: indexDir :: queries :: outDir :: rest =>
       runAnnQueryIvfPq(loadConf(rest), indexDir, queries, outDir)
+    case "sketch-ingest" :: batch :: sketchDir :: rest =>
+      runSketchIngest(batch, sketchDir,
+        rest.headOption.map(_.toLong).getOrElse(1L))
+    case "sketch-report" :: sketchDir :: outDir :: _ =>
+      runSketchReport(sketchDir, outDir)
+    case "snapshot-diff" :: oldPath :: newPath :: outDir :: _ =>
+      runSnapshotDiff(oldPath, newPath, outDir)
+    case "quality-filter" :: input :: outDir :: rest =>
+      runQualityFilter(input, outDir,
+        rest.headOption.map(_.toDouble).getOrElse(0.5))
+    case "dsir-select" :: input :: outDir :: rest =>
+      runDsirSelect(input, outDir,
+        rest.headOption.map(_.toInt).getOrElse(100))
     case other =>
       System.err.println(
         s"""usage: graft.Main cluster <interval> <input> <outDir> [conf.json]
@@ -80,6 +93,11 @@ object Main {
            |       graft.Main ann-query <indexDir> <queriesParquet> <outDir> [conf.json]
            |       graft.Main ann-query-pq <indexDir> <queriesParquet> <outDir> [conf.json]
            |       graft.Main ann-query-ivfpq <indexDir> <queriesParquet> <outDir> [conf.json]
+           |       graft.Main sketch-ingest <batchParquet> <sketchDir> [batchId]
+           |       graft.Main sketch-report <sketchDir> <outDir>
+           |       graft.Main snapshot-diff <oldParquet> <newParquet> <outDir>
+           |       graft.Main quality-filter <docsParquet> <outDir> [threshold]
+           |       graft.Main dsir-select <docsParquet> <outDir> [k]
            |(got: ${other.mkString(" ")})""".stripMargin)
       sys.exit(2)
   }
@@ -461,6 +479,80 @@ object Main {
         Future.sequence(grid.map(t => Future(runTask(t)))), Duration.Inf)
       finally pool.shutdown()
     } else grid.foreach(runTask)
+    spark.stop()
+  }
+
+  /** Cardinality-sketch artifact lifecycle (`operators/Sketches.scala`):
+    * ingest appends one tiny per-(source)-group HLL row per batch —
+    * never reading old data — and report answers "distinct docs ever
+    * seen" from the artifact alone. */
+  private def runSketchIngest(batch: String, sketchDir: String,
+      batchId: Long): Unit = {
+    val spark = session()
+    graft.operators.Sketches.appendSketches(
+      spark.read.parquet(batch), "source", "doc_id", sketchDir, batchId)
+    println(s">>> [sketch-ingest] batch=$batchId dir=$sketchDir")
+    spark.stop()
+  }
+
+  private def runSketchReport(sketchDir: String, outDir: String): Unit = {
+    val spark = session()
+    val report = graft.operators.Sketches.estimateFromArtifact(spark, sketchDir)
+      .orderBy(org.apache.spark.sql.functions.col("group"))
+    Sinks.writeParquet(report, outDir)
+    println(s">>> [sketch-report] groups=${spark.read.parquet(outDir).count()}")
+    spark.stop()
+  }
+
+  /** Content-keyed incremental diff: only `added` rows need dedup +
+    * scoring downstream; `removed` feeds retention bookkeeping. */
+  private def runSnapshotDiff(oldPath: String, newPath: String,
+      outDir: String): Unit = {
+    val spark = session()
+    val diff = graft.operators.Dedup.snapshotDiff(
+      spark.read.parquet(oldPath), spark.read.parquet(newPath), "text")
+    Sinks.writeParquet(diff, outDir)
+    val n = spark.read.parquet(outDir)
+      .groupBy("diff_status").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    println(s">>> [snapshot-diff] $n")
+    spark.stop()
+  }
+
+  /** fastText-style quality gate: train the hashed-bigram logistic
+    * classifier against the `en` slice as the quality target, score
+    * everything, keep rows at or above the threshold. */
+  private def runQualityFilter(input: String, outDir: String,
+      threshold: Double): Unit = {
+    val spark = session()
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(input)
+    val model = graft.ml.QualityClassifier.train(docs, "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 1024, seed = 42L,
+      maxSample = 200, iters = 60)
+    val scored = docs.join(
+      graft.ml.QualityClassifier.score(docs, "doc_id", "text", model),
+      "doc_id")
+    Sinks.writeParquet(scored.filter(col("quality_score") >= threshold),
+      outDir)
+    println(s">>> [quality-filter] kept=" +
+      s"${spark.read.parquet(outDir).count()} of ${docs.count()}")
+    spark.stop()
+  }
+
+  /** DSIR selection: importance-weight against the `en` target and keep
+    * the Gumbel-top-k docs (`operators/Dsir.scala`). */
+  private def runDsirSelect(input: String, outDir: String,
+      k: Int): Unit = {
+    val spark = session()
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(input)
+    val weights = graft.operators.Dsir.importanceWeights(docs, "doc_id",
+      "text", isTarget = col("lang") === "en", buckets = 1024, seed = 42L)
+    val picked = graft.operators.Dsir.resampleTopK(weights, "doc_id",
+      k = k, seed = 7L)
+    Sinks.writeParquet(docs.join(picked, "doc_id"), outDir)
+    println(s">>> [dsir-select] kept=${spark.read.parquet(outDir).count()}")
     spark.stop()
   }
 }
