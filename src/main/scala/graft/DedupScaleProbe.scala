@@ -140,6 +140,26 @@ object DedupScaleProbe {
     (total, per)
   }
 
+  /** (total blocks, duplicated block instances) at replication m for
+    * [[Dedup.blockDupProfile]]. Planted structure: every 5th doc
+    * re-appears under a new id, so its blocks repeat corpus-wide; the
+    * rotated-alphabet replicas preserve within-replica block equality
+    * exactly (translate is a bijection on the letters) while keeping
+    * blocks disjoint ACROSS replicas — so both counts must scale by
+    * exactly m (the block pipeline is count-join-count, no pair term).
+    */
+  def blockCounts(docs: DataFrame, m: Int): (Long, Long) = {
+    val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val planted = docs.select(col("doc_id"), col("text")).unionAll(
+      docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+        .select((col("doc_id") + stride).as("doc_id"), col("text")))
+    val prof = Dedup.blockDupProfile(
+        replicate(planted, m).withColumn("source", lit("all")),
+        "source", "text", blockLen = 10)
+      .agg(sum(col("n_blocks")), sum(col("n_dup_inst"))).head()
+    (prof.getLong(0), prof.getLong(1))
+  }
+
   /** (candidate pairs, dup pairs ≥ threshold) at replication m. */
   def counts(docs: DataFrame, m: Int,
       threshold: Double = 0.5): (Long, Long) = {
@@ -176,6 +196,15 @@ object DedupScaleProbe {
           val secs = (System.nanoTime() - t0) / 1e9
           f""""x$m":{"docs":${nBase * m},"pairs":$pairs,""" +
             f""""perReplica":[${per.mkString(",")}],"secs":$secs%.2f}"""
+        }
+      else if (args.headOption.contains("--blocks"))
+        // block-profile sweep: blocks AND dup instances exactly m× the
+        // base (bijective rotation, disjoint replica block spaces).
+        Seq(1, 2, 5, 10).map { m =>
+          val t0 = System.nanoTime()
+          val (blocks, dups) = blockCounts(docs, m)
+          val secs = (System.nanoTime() - t0) / 1e9
+          f""""x$m":{"docs":${nBase * m},"blocks":$blocks,"dupInst":$dups,"secs":$secs%.2f}"""
         }
       else if (args.headOption.contains("--spans"))
         // span-dedup sweep: span count must be EXACTLY m× the base

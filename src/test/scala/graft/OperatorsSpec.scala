@@ -985,6 +985,15 @@ class DedupScaleSpec extends GraftSuite {
       s"candidate growth superlinear: x1=$c1 x4=$c4")
   }
 
+  test("block-dup instances replicate EXACTLY m× — no cross-corpus term") {
+    val docs = Tables.documents(spark, sf)
+    val (b1, d1) = graft.DedupScaleProbe.blockCounts(docs, 1)
+    val (b3, d3) = graft.DedupScaleProbe.blockCounts(docs, 3)
+    assert(d1 > 0, "no duplicated blocks planted at base size")
+    assert(b3 === 3 * b1)
+    assert(d3 === 3 * d1)
+  }
+
   test("duplicated spans replicate EXACTLY m× — no cross-corpus term") {
     val docs = Tables.documents(spark, sf)
     val s1 = graft.DedupScaleProbe.spanCounts(docs, 1)
