@@ -59,13 +59,19 @@ object Dsir extends Serializable {
       seed: Long = 42L): DataFrame = {
     require(buckets > 1, "need at least 2 hash buckets")
     val marked = df.withColumn("__tgt", isTarget)
-    val grams = gramRows(marked, idCol, textCol, buckets, seed,
-      keep = Seq("__tgt"))
-    // One shuffle: both models' bucket counts side by side.
-    val bucketCounts = grams.groupBy(col("bucket")).agg(
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("n_tgt"),
-      sum(when(col("__tgt"), 0L).otherwise(1L)).as("n_raw"))
-    // Tiny (≤ buckets rows): totals then the smoothed log-ratio table.
+    // ONE gram explode for the whole pipeline: the (doc, bucket) count
+    // table is both the model-fitting input and the scoring input —
+    // every later shuffle moves per-doc-per-bucket rows, never raw gram
+    // occurrences.
+    val docBuckets = gramRows(marked, idCol, textCol, buckets, seed,
+        keep = Seq("__tgt"))
+      .groupBy(col(idCol), col("__tgt"), col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+    // Tiny (≤ buckets rows): both models' counts side by side, then the
+    // smoothed log-ratio table.
+    val bucketCounts = docBuckets.groupBy(col("bucket")).agg(
+      sum(when(col("__tgt"), col("__c")).otherwise(0L)).as("n_tgt"),
+      sum(when(col("__tgt"), 0L).otherwise(col("__c"))).as("n_raw"))
     val ratios = bucketCounts
       .crossJoin(broadcast(bucketCounts.agg(
         sum(col("n_tgt")).as("__t_tgt"), sum(col("n_raw")).as("__t_raw"))))
@@ -74,10 +80,10 @@ object Dsir extends Serializable {
             (col("__t_tgt") + buckets).cast("double")) -
           log((col("n_raw") + 1).cast("double") /
             (col("__t_raw") + buckets).cast("double"))).as("__ratio"))
-    gramRows(marked, idCol, textCol, buckets, seed)
+    docBuckets
       .join(broadcast(ratios), "bucket")
       .groupBy(col(idCol))
-      .agg(round(sum(col("__ratio")), 9).as("log_weight"))
+      .agg(round(sum(col("__c") * col("__ratio")), 9).as("log_weight"))
   }
 
   /** Gumbel top-k resampling (the paper's sampling-without-replacement
