@@ -24,7 +24,7 @@ object Registry {
     RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       MLQueries.all ++ OperatorQueries.all ++ SqlCoverageQueries.all ++
       SqlCoverageQueries2.all ++ PipelineQueries.all ++
-      CurationQueries.all ++ SplitQueries.all
+      CurationQueries.all ++ SplitQueries.all ++ AnalyticsQueries.all
 
   def byName(name: String): GraftQuery =
     all.find(_.name == name).getOrElse(

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Fourth SQL-coverage wave — classic warehouse shapes the earlier waves
+  * lacked: big-big join with conditional aggregation (TPC-H Q12
+  * flavor), the returned-revenue top-k (Q10 flavor), INTERSECT, and a
+  * blocked fuzzy join on edit distance. All DuckDB-oracled. */
+object AnalyticsQueries {
+
+  def all: Seq[GraftQuery] = Seq(q137ShippingLag, q138ReturnedRevenue,
+    q139IntersectYears, q140FuzzyNameMatch)
+
+  /** TPC-H Q12 flavor: lineitem⋈orders with CASE bucketing on the
+    * ship-vs-order lag, per priority. The join is big-big (both fact
+    * tables) — shuffle hash/SMJ on the order key at scale, AQE may
+    * broadcast at test SF; the aggregation rides the same exchange. */
+  val q137ShippingLag: GraftQuery = GraftQuery(
+    "q137_shipping_lag",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .select($"o_orderpriority",
+          datediff($"l_shipdate".cast("date"), $"o_orderdate".cast("date"))
+            .as("lag"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when($"lag" > 60, 1L).otherwise(0L)).as("n_slow"),
+          sum(when($"lag" <= 60, 1L).otherwise(0L)).as("n_fast"),
+          round(avg($"lag".cast("double")), 4).as("avg_lag"))
+        .orderBy($"o_orderpriority")
+    },
+    Some(
+      "SELECT o_orderpriority, count(*) AS n_lines, " +
+        "CAST(sum(CASE WHEN lag > 60 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_slow, " +
+        "CAST(sum(CASE WHEN lag <= 60 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_fast, " +
+        "round(avg(lag::DOUBLE), 4) AS avg_lag FROM (" +
+        "SELECT o_orderpriority, date_diff('day', o_orderdate::DATE, " +
+        "l_shipdate::DATE) AS lag " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"))
+
+  /** TPC-H Q10 flavor: revenue lost to returned items, top 20
+    * customers. Three-table join; revenue = Σ price·(1−discount),
+    * rounded before the top-k so both engines rank identical doubles;
+    * total order (revenue desc, custkey) makes LIMIT deterministic. */
+  val q138ReturnedRevenue: GraftQuery = GraftQuery(
+    "q138_returned_revenue",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).filter($"l_returnflag" === "R")
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    },
+    Some(
+      "SELECT c_custkey, c_name, " +
+        "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, " +
+        "count(*) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE l_returnflag = 'R' " +
+        "GROUP BY c_custkey, c_name " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"))
+
+  /** INTERSECT set-op (the one set operation the earlier waves lacked):
+    * customers active in BOTH 1995 and 1996. Spark plans intersect as
+    * a left-semi aggregate join — one shuffle per side. */
+  val q139IntersectYears: GraftQuery = GraftQuery(
+    "q139_intersect_years",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      o.filter(year($"o_orderdate") === 1995).select($"o_custkey")
+        .intersect(
+          o.filter(year($"o_orderdate") === 1996).select($"o_custkey"))
+        .orderBy($"o_custkey")
+    },
+    Some(
+      "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 " +
+        "INTERSECT " +
+        "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 " +
+        "ORDER BY o_custkey"))
+
+  /** Blocked fuzzy join on edit distance: candidate pairs come from an
+    * EQUI-join on a blocking key (name length here), then the
+    * levenshtein filter runs inside the block — the standard way to
+    * fuzzy-match at scale without an all-pairs term (block sizes bound
+    * the quadratic locally, exactly like LSH bands bound MinHash). */
+  val q140FuzzyNameMatch: GraftQuery = GraftQuery(
+    "q140_fuzzy_name_match",
+    (s, d) => {
+      import s.implicits._
+      val n = Tables.nation(s, d)
+        .select($"n_name", length($"n_name").as("blk"))
+      val a = n.select($"n_name".as("name_a"), $"blk")
+      val b = n.select($"n_name".as("name_b"), $"blk")
+      a.join(b, "blk")
+        .filter($"name_a" < $"name_b")
+        .select($"name_a", $"name_b",
+          levenshtein($"name_a", $"name_b").as("dist"))
+        .filter($"dist" <= 2)
+        .orderBy($"name_a", $"name_b")
+    },
+    Some(
+      "SELECT a.n_name AS name_a, b.n_name AS name_b, " +
+        "levenshtein(a.n_name, b.n_name) AS dist " +
+        "FROM nation a JOIN nation b " +
+        "ON length(a.n_name) = length(b.n_name) " +
+        "AND a.n_name < b.n_name " +
+        "WHERE levenshtein(a.n_name, b.n_name) <= 2 " +
+        "ORDER BY name_a, name_b"))
+}
