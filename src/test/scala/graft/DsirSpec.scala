@@ -74,6 +74,46 @@ class DsirSpec extends GraftSuite {
     assert(nb === Seq(2L))
   }
 
+  test("streaming sketch ingest: artifact matches batch path, " +
+      "checkpoint restart appends nothing") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sksteam").toString
+    val srcDir = s"$root/src"
+    val sketchDir = s"$root/sketch"
+    val ckpt = s"$root/ckpt"
+    def writeOne(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_onefile").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      new java.io.File(dest).getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dest))
+    }
+    writeOne(docs.filter($"doc_id" < 250), s"$srcDir/b1.parquet")
+    writeOne(docs.filter($"doc_id" >= 250), s"$srcDir/b2.parquet")
+    graft.streaming.SketchIngest.runToCompletion(spark, srcDir,
+      sketchDir, ckpt)
+    val streamed = Sketches.estimateFromArtifact(spark, sketchDir)
+      .select($"group", $"distinct_estimate", $"n_batches")
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t).toMap
+    // Two micro-batches landed per group that spans both halves.
+    assert(streamed.values.exists(_._3 === 2L))
+    // Exact per-group distinct ids are within HLL error.
+    docs.groupBy($"source").agg(countDistinct($"doc_id"))
+      .as[(String, Long)].collect().foreach { case (g, n) =>
+        assert(math.abs(streamed(g)._2 - n).toDouble / n < 0.05) }
+    // Restart with the same checkpoint: backlog already processed,
+    // nothing appended.
+    graft.streaming.SketchIngest.runToCompletion(spark, srcDir,
+      sketchDir, ckpt)
+    val after = Sketches.estimateFromArtifact(spark, sketchDir)
+      .agg(sum($"n_batches")).head().getLong(0)
+    assert(after === streamed.values.map(_._3).sum)
+  }
+
   test("sketches: re-ingesting the same batch never double-counts") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_sketch2").toString
