@@ -50,7 +50,9 @@ object Dedup extends Serializable {
     * sets — both sides stay fully distributed, no broadcast assumption
     * on either snapshot. Rows carry `diff_status`; old-side rows are
     * only emitted for `removed` (the new snapshot already carries
-    * `added`/`common`). */
+    * `added`/`common`). NULL text hashes to NULL, and SQL null keys
+    * never join — a null-text row is treated as content unique to its
+    * own snapshot (`added` on the new side, `removed` on the old). */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
       textCol: String): DataFrame = {
     val h = sha2(col(textCol).cast("binary"), 256)

@@ -191,12 +191,16 @@ object Sampling extends Serializable {
     * c–d → val (2/16), e–f → test (2/16). No shuffle — one codegen'd
     * hash projection; and unlike xxhash64, SHA-256 has a portable
     * reference value every engine agrees on, so the DuckDB oracle
-    * replays the identical assignment bit-for-bit. */
+    * replays the identical assignment bit-for-bit. NULL text gets a
+    * NULL split — never a silent bucket (the when-otherwise
+    * fallthrough would have dumped unhashable rows into `test`);
+    * callers route nulls explicitly. */
   def contentSplit(df: DataFrame, textCol: String,
       splitCol: String = "split"): DataFrame = {
     val nib = substring(sha2(col(textCol).cast("binary"), 256), 1, 1)
     df.withColumn(splitCol,
-      when(nib.between("0", "9") || nib.isin("a", "b"), "train")
+      when(col(textCol).isNull, lit(null).cast("string"))
+        .when(nib.between("0", "9") || nib.isin("a", "b"), "train")
         .when(nib.isin("c", "d"), "val")
         .otherwise("test"))
   }

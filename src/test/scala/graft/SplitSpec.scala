@@ -73,6 +73,26 @@ class SplitSpec extends GraftSuite {
     assert(diff === Map(9L -> "common", 3L -> "added", 1L -> "removed"))
   }
 
+  test("degenerate inputs: nulls and empties stay explicit, never crash") {
+    val withNull = Seq((1L, "some text", "s"), (2L, null, "s"))
+      .toDF("doc_id", "text", "source")
+    // Null text -> null split, not a silent bucket.
+    val splits = Sampling.contentSplit(withNull, "text")
+      .select($"doc_id", $"split").as[(Long, Option[String])]
+      .collect().toMap
+    assert(splits(1L).isDefined && splits(2L).isEmpty)
+    // Null text never matches content: unique to each snapshot side.
+    val d = Dedup.snapshotDiff(withNull, withNull, "text")
+      .filter($"doc_id" === 2L)
+      .select($"diff_status").as[String].collect().sorted
+    assert(d.toSeq === Seq("added", "removed"))
+    // Null text emits no blocks; an empty frame yields an empty profile.
+    assert(Dedup.blockDupProfile(withNull, "source", "text", 10)
+      .count() === 0L)
+    assert(Dedup.blockDupProfile(withNull.limit(0), "source", "text", 10)
+      .count() === 0L)
+  }
+
   test("blockDupProfile: tail fragments are dropped, not hashed") {
     val df = Seq(("s", (1 to 25).map(i => s"t$i").mkString(" ")))
       .toDF("source", "text")
