@@ -204,4 +204,34 @@ object Sampling extends Serializable {
         .when(nib.isin("c", "d"), "val")
         .otherwise("test"))
   }
+
+  /** NEAR-dup-safe split: [[contentSplit]] closes the exact-duplicate
+    * leak; this closes the near-duplicate one. `components` is an
+    * (id, component) table from a dedup family's connected components
+    * ([[Dedup.connectedComponents]] over MinHash/Jaccard/SemDedup
+    * pairs); every document's split is decided by its cluster
+    * REPRESENTATIVE's content hash (the component id's text; docs in
+    * no cluster represent themselves), so a near-dup family can never
+    * straddle train/eval — the contamination an id- or even
+    * content-keyed split still permits when eval members are
+    * paraphrases. Two joins: components (one per clustered doc) and
+    * the representative-text lookup (self-join on the id — at 100 TB
+    * both are shuffle equi-joins on the id key; the components side is
+    * only the CLUSTERED subset, typically a few % of the corpus).
+    * Returns df + `rep_id` + `splitCol`. */
+  def clusterKeyedSplit(df: DataFrame, idCol: String, textCol: String,
+      components: DataFrame, splitCol: String = "split"): DataFrame = {
+    val comps = components.select(col("id").as("__cid"),
+      col("component").as("__comp"))
+    val withRep = df
+      .join(comps, df(idCol) === comps("__cid"), "left_outer")
+      .withColumn("rep_id", coalesce(col("__comp"), df(idCol)))
+      .drop("__cid", "__comp")
+    val repText = df.select(col(idCol).as("__rid"),
+      col(textCol).as("__rep_text"))
+    contentSplit(
+      withRep.join(repText, col("rep_id") === col("__rid")),
+      "__rep_text", splitCol)
+      .drop("__rid", "__rep_text")
+  }
 }

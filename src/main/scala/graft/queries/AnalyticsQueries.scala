@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 object AnalyticsQueries {
 
   def all: Seq[GraftQuery] = Seq(q137ShippingLag, q138ReturnedRevenue,
-    q139IntersectYears, q140FuzzyNameMatch)
+    q139IntersectYears, q140FuzzyNameMatch, q141ClusterSplit)
 
   /** TPC-H Q12 flavor: lineitem⋈orders with CASE bucketing on the
     * ship-vs-order lag, per priority. The join is big-big (both fact
@@ -118,4 +118,57 @@ object AnalyticsQueries {
         "AND a.n_name < b.n_name " +
         "WHERE levenshtein(a.n_name, b.n_name) <= 2 " +
         "ORDER BY name_a, name_b"))
+
+  /** Near-dup-safe split ([[graft.operators.Sampling.clusterKeyedSplit]])
+    * over the exact-Jaccard dedup families of the bounded doc_id < 300
+    * slice (the q85/q99 edge list, served from the per-JVM artifact
+    * cache): every member of a near-dup family takes its
+    * REPRESENTATIVE's content-hash split, so paraphrase families never
+    * straddle train/eval. Fully oracled — DuckDB replays the shingle
+    * Jaccard, the recursive-CTE components, the representative lookup,
+    * AND the sha256 split assignment. */
+  val q141ClusterSplit: GraftQuery = GraftQuery(
+    "q141_cluster_split",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).filter($"doc_id" < 300)
+      val comps = graft.operators.Dedup
+        .connectedComponents(AnnIndexes.jaccardEdges(s, d))
+      graft.operators.Sampling
+        .clusterKeyedSplit(docs, "doc_id", "text", comps)
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"rep_id").as("n_clusters"),
+          sum(when($"doc_id" =!= $"rep_id", 1L).otherwise(0L))
+            .as("n_dup_members"))
+        .orderBy($"split")
+    },
+    Some(
+      "WITH RECURSIVE docs AS (SELECT * FROM documents WHERE doc_id < 300), " +
+        "sh AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, greatest(1, len(string_split(text,' ')) - 2)), " +
+        "i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) " +
+        "AS shingles FROM docs), " +
+        "edges AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5), " +
+        "bidir AS (SELECT id_a AS src, id_b AS dst FROM edges " +
+        "UNION SELECT id_b, id_a FROM edges), " +
+        "reach(id, lbl) AS (SELECT src, src FROM bidir " +
+        "UNION SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.id), " +
+        "comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id), " +
+        "rep AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep_id " +
+        "FROM docs d LEFT JOIN comp c ON d.doc_id = c.id), " +
+        "labeled AS (SELECT r.doc_id, r.rep_id, " +
+        "CASE WHEN substr(sha256(t.text), 1, 1) BETWEEN '0' AND '9' " +
+        "OR substr(sha256(t.text), 1, 1) IN ('a', 'b') THEN 'train' " +
+        "WHEN substr(sha256(t.text), 1, 1) IN ('c', 'd') THEN 'val' " +
+        "ELSE 'test' END AS split " +
+        "FROM rep r JOIN docs t ON r.rep_id = t.doc_id) " +
+        "SELECT split, count(*) AS n_docs, " +
+        "count(DISTINCT rep_id) AS n_clusters, " +
+        "CAST(sum(CASE WHEN doc_id <> rep_id THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_dup_members " +
+        "FROM labeled GROUP BY split ORDER BY split"))
 }

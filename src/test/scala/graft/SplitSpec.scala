@@ -73,6 +73,25 @@ class SplitSpec extends GraftSuite {
     assert(diff === Map(9L -> "common", 3L -> "added", 1L -> "removed"))
   }
 
+  test("clusterKeyedSplit: a near-dup family always shares one split") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "s"),
+      (2L, "alpha beta gamma DELTA2", "s"), // near-dup of 1
+      (3L, "totally different text here", "s")
+    ).toDF("doc_id", "text", "source")
+    val comps = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+    val out = Sampling.clusterKeyedSplit(docs, "doc_id", "text", comps)
+      .select($"doc_id", $"rep_id", $"split")
+      .as[(Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    assert(out(1L)._2 === 1L && out(2L)._2 === 1L && out(3L)._2 === 3L)
+    // Both family members take the REPRESENTATIVE's split.
+    assert(out(2L)._3 === out(1L)._3)
+    // The lone doc keeps its own content split.
+    val own = Sampling.contentSplit(docs.filter($"doc_id" === 3L), "text")
+      .select($"split").as[String].head()
+    assert(out(3L)._3 === own)
+  }
+
   test("degenerate inputs: nulls and empties stay explicit, never crash") {
     val withNull = Seq((1L, "some text", "s"), (2L, null, "s"))
       .toDF("doc_id", "text", "source")
