@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
 object AnalyticsQueries {
 
   def all: Seq[GraftQuery] = Seq(q137ShippingLag, q138ReturnedRevenue,
-    q139IntersectYears, q140FuzzyNameMatch, q141ClusterSplit)
+    q139IntersectYears, q140FuzzyNameMatch, q141ClusterSplit,
+    q142RangeFrame)
 
   /** TPC-H Q12 flavor: lineitem⋈orders with CASE bucketing on the
     * ship-vs-order lag, per priority. The join is big-big (both fact
@@ -171,4 +172,37 @@ object AnalyticsQueries {
         "CAST(sum(CASE WHEN doc_id <> rep_id THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS n_dup_members " +
         "FROM labeled GROUP BY split ORDER BY split"))
+
+  /** RANGE window frame — the one frame type the ROWS-frame wave (q123)
+    * left uncovered: per user, events in the PRECEDING HOUR by event
+    * TIME (not row count — gaps matter). Value-range frames are what
+    * rate-limit / rolling-exposure features actually need; one shuffle
+    * on the partition key, frame evaluation is a per-partition sliding
+    * scan. */
+  val q142RangeFrame: GraftQuery = GraftQuery(
+    "q142_range_frame",
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"es")
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, d)
+        .select($"event_id", $"user_id", $"value",
+          unix_seconds($"ts").as("es"))
+        .select($"event_id",
+          count(lit(1)).over(w).as("n_hour"),
+          round(sum($"value").over(w), 2).as("sum_hour"))
+        .orderBy($"event_id")
+    },
+    Some(
+      "SELECT event_id, count(*) OVER w AS n_hour, " +
+        "round(sum(value) OVER w, 2) AS sum_hour " +
+        // floor(), NOT ::BIGINT — DuckDB's double->int cast ROUNDS, so a
+        // >=0.5s fraction would shift the frame edge vs Spark's
+        // truncating unix_seconds
+        "FROM (SELECT event_id, user_id, value, " +
+        "floor(epoch(ts))::BIGINT AS es FROM events) " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY es " +
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"))
 }
