@@ -16,7 +16,7 @@ object SplitQueries {
 
   def all: Seq[GraftQuery] = Seq(q131ContentSplit, q132BlockDupProfile,
     q133DsirResample, q134SketchAccuracy, q135QualityClassifier,
-    q136SnapshotDiff)
+    q136SnapshotDiff, q143GatedCuration)
 
   /** Leakage-safe split report ([[Sampling.contentSplit]]): the split
     * decision is a pure function of sha2(text), so exact duplicates can
@@ -176,4 +176,54 @@ object SplitQueries {
         "WHERE sha256(text) NOT IN (SELECT sha256(text) FROM newt)) " +
         "SELECT source, diff_status, count(*) AS n FROM tagged " +
         "GROUP BY source, diff_status ORDER BY source, diff_status"))
+
+  /** The curation pipeline END-TO-END, oracled as ONE query: Gopher
+    * document gate (q121's rule pack) → exact-dedup keep-canonical
+    * (q21's min-id policy) → content-keyed split (q131) → per
+    * (source, split) counts. Each stage is a separately-oracled
+    * operator; this exhibit proves the COMPOSITION matches DuckDB
+    * replaying the same gate → dedup → split chain — the shape a real
+    * pretraining-corpus build runs nightly. Three shuffles end to end
+    * (dedup group, join-back, report rollup); the gate and split are
+    * zero-shuffle projections. */
+  val q143GatedCuration: GraftQuery = GraftQuery(
+    "q143_gated_curation",
+    (s, d) => {
+      import s.implicits._
+      val gated = Tables.documents(s, d)
+        .withColumn("g", graft.functions.TextFunctions.gopherFlags(
+          $"text", minWords = 40, maxWords = 100000,
+          stopwords = Seq("the", "a"), minStopHits = 2))
+        .filter($"g.keep").drop("g")
+      val canonical = Dedup.exact(gated, "doc_id", "text")
+        .select($"doc_id")
+      Sampling.contentSplit(gated.join(canonical, "doc_id"), "text")
+        .groupBy($"source", $"split")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"source", $"split")
+    },
+    Some(
+      "WITH w AS (SELECT doc_id, source, text, " +
+        "string_split(text, ' ') AS ws FROM documents), " +
+        "g AS (SELECT doc_id, source, text FROM (" +
+        "SELECT doc_id, source, text, len(ws) AS n_words, " +
+        "list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws) " +
+        "AS mwl, " +
+        "(length(text) - length(replace(replace(text, '#', ''), '…', '')))" +
+        "::DOUBLE / greatest(length(text), 1) AS sr, " +
+        "len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE " +
+        "/ len(ws) AS awr, " +
+        "len(list_filter(['the', 'a'], s2 -> list_contains(ws, s2))) AS sh " +
+        "FROM w) WHERE n_words BETWEEN 40 AND 100000 " +
+        "AND mwl BETWEEN 3.0 AND 10.0 AND sr <= 0.1 AND awr >= 0.8 " +
+        "AND sh >= 2), " +
+        "canon AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY text), " +
+        "kept AS (SELECT g.* FROM g JOIN canon USING (doc_id)), " +
+        "labeled AS (SELECT source, " +
+        "CASE WHEN substr(sha256(text), 1, 1) BETWEEN '0' AND '9' " +
+        "OR substr(sha256(text), 1, 1) IN ('a', 'b') THEN 'train' " +
+        "WHEN substr(sha256(text), 1, 1) IN ('c', 'd') THEN 'val' " +
+        "ELSE 'test' END AS split FROM kept) " +
+        "SELECT source, split, count(*) AS n_docs FROM labeled " +
+        "GROUP BY source, split ORDER BY source, split"))
 }
