@@ -153,6 +153,15 @@ object Dedup extends Serializable {
       .where(col("n_docs") >= minDocs)
       .select(col("gram"))
     val marked = win.join(dup, "gram").select(col("id"), col("pos"))
+    positionsToSpans(marked, w)
+  }
+
+  /** Gaps-and-islands merge: (id, pos) w-gram hit positions → maximal
+    * covered spans (adjacent/overlapping hits fuse; a gap > w starts a
+    * new island). One window pass per doc partition. Shared by
+    * [[duplicateSpans]] and [[contaminatedSpans]]. */
+  def positionsToSpans(marked: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
     val islands = marked
       .withColumn("gap",
@@ -165,6 +174,24 @@ object Dedup extends Serializable {
         (max(col("pos")) + (w - 1)).as("span_end"))
       .select(col("id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Benchmark-contamination spans: every maximal corpus span covered
+    * by n-grams that appear ANYWHERE in the benchmark set — the
+    * identify half of eval decontamination (excise with
+    * [[exciseSpans]]; doc-level drop is q98's count path). The bench
+    * gram set broadcasts (eval suites are thousands of documents, not
+    * billions — drop the hint and let AQE decide if that ever changes);
+    * the corpus side is one generator projection + the shared
+    * gaps-and-islands merge. */
+  def contaminatedSpans(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val benchGrams = positionalWindows(bench, idCol, textCol, n)
+      .select(col("gram")).distinct()
+    val marked = positionalWindows(corpus, idCol, textCol, n)
+      .join(broadcast(benchGrams), "gram")
+      .select(col("id"), col("pos"))
+    positionsToSpans(marked, n)
   }
 
   /** Excise duplicated spans: rebuild every document WITHOUT the tokens

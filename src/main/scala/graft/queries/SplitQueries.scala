@@ -16,7 +16,7 @@ object SplitQueries {
 
   def all: Seq[GraftQuery] = Seq(q131ContentSplit, q132BlockDupProfile,
     q133DsirResample, q134SketchAccuracy, q135QualityClassifier,
-    q136SnapshotDiff, q143GatedCuration)
+    q136SnapshotDiff, q143GatedCuration, q144Decontaminate)
 
   /** Leakage-safe split report ([[Sampling.contentSplit]]): the split
     * decision is a pure function of sha2(text), so exact duplicates can
@@ -226,4 +226,53 @@ object SplitQueries {
         "ELSE 'test' END AS split FROM kept) " +
         "SELECT source, split, count(*) AS n_docs FROM labeled " +
         "GROUP BY source, split ORDER BY source, split"))
+
+  /** Eval decontamination by EXCISION ([[Dedup.contaminatedSpans]] +
+    * [[Dedup.exciseSpans]]): strip every corpus span covered by
+    * benchmark 3-grams (docs 0–19 standing in for the eval suite),
+    * keeping the rest of each document — the PaLM-style surgical
+    * alternative to q98's drop-the-whole-document counting. The oracle
+    * replays gram matching, the gaps-and-islands merge, AND the
+    * positional token rebuild. */
+  val q144Decontaminate: GraftQuery = GraftQuery(
+    "q144_decontaminate",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter($"doc_id" < 20)
+      val corpus = docs.filter($"doc_id" >= 20)
+      Dedup.exciseSpans(corpus, "doc_id", "text",
+          Dedup.contaminatedSpans(corpus, bench, "doc_id", "text", n = 3))
+        .select($"doc_id", $"n_removed".cast("long").as("n_removed"),
+          $"clean_text")
+        .orderBy($"doc_id")
+    },
+    Some(
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS toks " +
+        "FROM documents), " +
+        "win AS (SELECT doc_id, i AS pos, " +
+        "array_to_string(toks[i : i + 2], ' ') AS gram " +
+        "FROM t, unnest(generate_series(1, len(toks) - 2)) AS s(i)), " +
+        "bench AS (SELECT DISTINCT gram FROM win WHERE doc_id < 20), " +
+        "mk AS (SELECT w.doc_id, w.pos FROM win w JOIN bench USING (gram) " +
+        "WHERE w.doc_id >= 20), " +
+        "g AS (SELECT doc_id, pos, CASE WHEN pos - coalesce(lag(pos) " +
+        "OVER (PARTITION BY doc_id ORDER BY pos), pos) > 3 " +
+        "THEN 1 ELSE 0 END AS gap FROM mk), " +
+        "isl AS (SELECT doc_id, pos, sum(gap) OVER (PARTITION BY doc_id " +
+        "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM g), " +
+        "sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 2 AS e " +
+        "FROM isl GROUP BY doc_id, island), " +
+        "tok AS (SELECT doc_id, unnest(toks) AS tk, " +
+        "unnest(generate_series(1, len(toks))) AS p FROM t " +
+        "WHERE doc_id >= 20), " +
+        "keep AS (SELECT k.doc_id, k.tk, k.p FROM tok k " +
+        "WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = k.doc_id " +
+        "AND k.p BETWEEN sp.s AND sp.e)) " +
+        "SELECT d.doc_id, " +
+        "len(string_split(d.text,' ')) - coalesce(k.n_kept, 0) " +
+        "AS n_removed, coalesce(k.txt, '') AS clean_text " +
+        "FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n_kept, " +
+        "string_agg(tk, ' ' ORDER BY p) AS txt FROM keep GROUP BY doc_id) " +
+        "k USING (doc_id) WHERE d.doc_id >= 20 ORDER BY d.doc_id"))
 }
