@@ -121,19 +121,25 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$repeats,$env,"queries":$qs,"sf":"$sfName"}"""
     // Capture-window budget: the driver keeps ~2000 chars of stdout. Per
     // query the line spends len("\"qNNN\":NN.NN,") ≈ 13 chars; the fixed
-    // envelope (metric/value/runs/load/sf) is ~110 chars. 120 queries ≈
-    // 1670 chars, the 1950-char warning threshold is reached around 140
-    // queries — when the registry approaches that, move per-query medians
-    // to bench_result.json and emit only the total on stdout.
-    if (line.length > 1950)
-      System.err.println(s"[bench] WARNING metric line ${line.length} chars" +
-        " — approaching the driver's ~2000-char capture window")
+    // envelope (metric/value/runs/load/sf) is ~110 chars. 138 queries ≈
+    // 1770 chars; past 1950 the stdout copy DEGRADES to the envelope +
+    // a pointer (per-query medians remain in bench_result.json /
+    // bench_detail.json, which always carry the full line) rather than
+    // risking a truncated-JSON capture the driver can't parse.
+    val stdoutLine =
+      if (line.length <= 1950) line
+      else {
+        System.err.println(s"[bench] metric line ${line.length} chars " +
+          "exceeds the ~2000-char capture window — emitting total-only " +
+          "on stdout; per-query medians in bench_result.json")
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$repeats,$env,"queries":{},"queries_in":"bench_result.json","sf":"$sfName"}"""
+      }
     // Belt and braces for the driver's parser: the bare line on stdout
     // (build.sbt routes forked output past sbt's `[info]` logger) AND a
     // file copy it can read regardless of how the tail is captured. The
     // stdout line is the primary channel — print it FIRST so a failed
     // file write (read-only cwd) can't suppress it.
-    println(line)
+    println(stdoutLine)
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_result.json"),
