@@ -14,11 +14,16 @@ import graft.functions.TextFunctions
   *    Gopher keep-rate, distinct-text count for the exact-dup rate);
   *  - one exploded-token aggregate for the vocabulary size;
   *  - one tiny language-ID groupBy (heuristic [[TextFunctions.langId]],
-  *    so the report works on corpora WITHOUT a lang column).
+  *    so the report works on corpora WITHOUT a lang column);
+  *  - one [[Sampling.contentSplit]] rollup (split balance — the card's
+  *    proof that eval leakage is structurally closed for exact dups);
+  *  - one [[Dedup.blockDupProfile]] rollup (passage-level duplication,
+  *    the signal document-exact dup rate misses).
   *
-  * Three jobs total, all linear scans — the report costs what a count
-  * costs, at any corpus size. Output is a deterministic JSON string:
-  * fixed key order, 4-decimal rounding, languages sorted by key. */
+  * Five jobs total, all linear scans — the report costs what a few
+  * counts cost, at any corpus size. Output is a deterministic JSON
+  * string: fixed key order, 4-decimal rounding, languages sorted by
+  * key. */
 object CorpusReport {
 
   def report(docs: DataFrame, textCol: String = "text"): String = {
@@ -52,12 +57,24 @@ object CorpusReport {
       else math.rint((1.0 - headRow.getLong(3).toDouble / nDocs) * 1e4) / 1e4
     val langJson = langs
       .map { case (l, n) => s""""$l":$n""" }.mkString("{", ",", "}")
+    val splits = Sampling.contentSplit(docs, textCol)
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val splitJson = splits
+      .map { case (sp, n) => s""""$sp":$n""" }.mkString("{", ",", "}")
+    val blockRow = Dedup.blockDupProfile(
+        docs.withColumn("__one", lit("all")), "__one", textCol)
+      .agg(sum(col("n_blocks")), sum(col("n_dup_inst"))).head()
+    val blockDupRate =
+      if (blockRow.isNullAt(0) || blockRow.getLong(0) == 0L) 0.0
+      else math.rint(blockRow.getLong(1).toDouble /
+        blockRow.getLong(0) * 1e4) / 1e4
     s"""{"n_docs":$nDocs,"n_tokens":${headRow.getLong(1)},""" +
       s""""n_chars":${headRow.getLong(2)},"vocab":$vocab,""" +
-      s""""exact_dup_rate":$dupRate,""" +
+      s""""exact_dup_rate":$dupRate,"block_dup_rate":$blockDupRate,""" +
       s""""quality":{"p25":${headRow.getDouble(4)},""" +
       s""""p50":${headRow.getDouble(5)},"p75":${headRow.getDouble(6)}},""" +
       s""""gopher_keep_rate":${headRow.getDouble(7)},""" +
-      s""""languages":$langJson}"""
+      s""""splits":$splitJson,"languages":$langJson}"""
   }
 }

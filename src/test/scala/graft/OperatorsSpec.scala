@@ -247,6 +247,15 @@ class TextFunctionsSpec extends GraftSuite {
     val keep = field(j1, "gopher_keep_rate").toDouble
     assert(keep >= 0.0 && keep <= 1.0)
     assert(j1.contains(""""languages":{"""))
+    // round-5-late card fields: split balance sums to n_docs, passage
+    // dup rate is a sane fraction
+    assert(j1.contains(""""splits":{"""))
+    val splitTotal = """"splits":\{([^}]*)\}""".r
+      .findFirstMatchIn(j1).get.group(1)
+      .split(",").map(_.split(":")(1).toLong).sum
+    assert(splitTotal === docs.count())
+    val bdr = field(j1, "block_dup_rate").toDouble
+    assert(bdr >= 0.0 && bdr <= 1.0)
     // must be one JSON object line (the CLI writes it verbatim)
     assert(j1.startsWith("{") && j1.endsWith("}") && !j1.contains("\n"))
   }
