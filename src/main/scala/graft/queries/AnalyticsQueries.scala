@@ -10,7 +10,7 @@ object AnalyticsQueries {
 
   def all: Seq[GraftQuery] = Seq(q137ShippingLag, q138ReturnedRevenue,
     q139IntersectYears, q140FuzzyNameMatch, q141ClusterSplit,
-    q142RangeFrame)
+    q142RangeFrame, q145JsonExtract)
 
   /** TPC-H Q12 flavor: lineitem⋈orders with CASE bucketing on the
     * ship-vs-order lag, per priority. The join is big-big (both fact
@@ -205,4 +205,31 @@ object AnalyticsQueries {
         "WINDOW w AS (PARTITION BY user_id ORDER BY es " +
         "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) " +
         "ORDER BY event_id"))
+
+  /** JSON extraction over the semi-structured props column — the
+    * scalar-function family the other waves left uncovered. Path
+    * extraction happens in the scan projection (codegen'd
+    * get_json_object), aggregated per event type. */
+  val q145JsonExtract: GraftQuery = GraftQuery(
+    "q145_json_extract",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"k").as("sum_k"),
+          round(avg($"k".cast("double")), 4).as("avg_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    },
+    Some(
+      "SELECT event_type, count(*) AS n, " +
+        "CAST(sum(k) AS BIGINT) AS sum_k, " +
+        "round(avg(k::DOUBLE), 4) AS avg_k, " +
+        "min(k) AS min_k, max(k) AS max_k FROM (" +
+        "SELECT event_type, " +
+        "json_extract_string(props, '$.k')::BIGINT AS k FROM events) " +
+        "GROUP BY event_type ORDER BY event_type"))
 }
