@@ -544,47 +544,14 @@ object Main {
     spark.stop()
   }
 
-  /** The nightly corpus build in ONE verb — the q143 pipeline carried
-    * through to artifacts: Gopher gate → exact-dedup keep-canonical →
-    * content-keyed split → per-split SHUFFLED SHARDS + integrity
-    * manifests + the dataset card. Everything downstream of the gate
-    * reuses the engine's lifecycle operators, so the verb is
-    * composition, not new machinery. Output layout:
-    * `outDir/split=<s>/` shards, `outDir/manifest_<s>/` manifests,
-    * `outDir/card.json`. */
+  /** The nightly corpus build in ONE verb — see
+    * [[graft.operators.Curation.curate]]. */
   private def runCurate(input: String, outDir: String,
       rowsPerShard: Long): Unit = {
     val spark = session()
-    import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(input)
-    val gated = docs
-      .withColumn("g", graft.functions.TextFunctions.gopherFlags(
-        col("text"), minWords = 40, maxWords = 100000,
-        stopwords = Seq("the", "a"), minStopHits = 2))
-      .filter(col("g.keep")).drop("g")
-    val canonical = graft.operators.Dedup.exact(gated, "doc_id", "text")
-      .select(col("doc_id"))
-    val split = graft.operators.Sampling
-      .contentSplit(gated.join(canonical, "doc_id"), "text")
-      .persist()
-    val counts = split.groupBy(col("split")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    counts.toSeq.sortBy(_._1).foreach { case (sp, n) =>
-      val dir = s"$outDir/split=$sp"
-      graft.operators.Sampling.writeShuffledShards(
-        split.filter(col("split") === sp).drop("split"),
-        "doc_id", dir, seed = 42L, rowsPerShard = rowsPerShard,
-        expectedRows = n)
-      graft.io.Sinks.writeParquet(
-        graft.operators.Sampling.shardManifest(spark, dir, "doc_id"),
-        s"$outDir/manifest_$sp")
-    }
-    split.unpersist()
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(outDir))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/card.json"),
-      graft.operators.CorpusReport.report(docs) + "\n")
+    val counts = graft.operators.Curation.curate(spark, docs, outDir,
+      rowsPerShard)
     val summary = counts.toSeq.sortBy(_._1)
       .map { case (sp, n) => s"$sp=$n" }.mkString(" ")
     println(s">>> [curate] in=${docs.count()} kept=${counts.values.sum} " +

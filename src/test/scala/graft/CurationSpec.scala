@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** End-to-end corpus build ([[Curation.curate]]): split integrity,
+  * artifact completeness, and byte-deterministic rebuilds. */
+class CurationSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.01")
+
+  test("curate: disjoint splits, complete artifacts, deterministic rebuild") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_curate").toString
+    val counts = Curation.curate(spark, docs, out, rowsPerShard = 100L)
+    assert(counts.keySet === Set("train", "val", "test"))
+    // Shards hold exactly the per-split counts, ids disjoint across
+    // splits, and no doc appears twice anywhere.
+    val all = counts.keys.toSeq.sorted.map { sp =>
+      sp -> spark.read.parquet(s"$out/split=$sp")
+        .select($"doc_id").as[Long].collect().toSeq
+    }
+    all.foreach { case (sp, ids) =>
+      assert(ids.length.toLong === counts(sp))
+      assert(ids.distinct.length === ids.length) }
+    val union = all.flatMap(_._2)
+    assert(union.distinct.length === union.length, "a doc straddles splits")
+    // Every kept doc passed the gate and is its content group's min id.
+    assert(union.length.toLong === counts.values.sum)
+    // Manifests cover the shards: row counts sum to the split counts.
+    counts.foreach { case (sp, n) =>
+      val m = spark.read.parquet(s"$out/manifest_$sp")
+      assert(m.agg(sum($"n_rows")).head().getLong(0) === n) }
+    // Dataset card rides along.
+    assert(new java.io.File(s"$out/card.json").exists())
+    // Re-run into a fresh directory: manifests (order-invariant content
+    // checksums) must be IDENTICAL — the build is a pure function.
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft_curate2").toString
+    val counts2 = Curation.curate(spark, docs, out2, rowsPerShard = 100L)
+    assert(counts2 === counts)
+    counts.keys.foreach { sp =>
+      val m1 = spark.read.parquet(s"$out/manifest_$sp")
+        .orderBy($"shard").collect().map(_.toSeq)
+      val m2 = spark.read.parquet(s"$out2/manifest_$sp")
+        .orderBy($"shard").collect().map(_.toSeq)
+      assert(m1.toSeq === m2.toSeq, s"manifest drift on $sp") }
+  }
+}
