@@ -10,7 +10,7 @@ object AnalyticsQueries {
 
   def all: Seq[GraftQuery] = Seq(q137ShippingLag, q138ReturnedRevenue,
     q139IntersectYears, q140FuzzyNameMatch, q141ClusterSplit,
-    q142RangeFrame, q145JsonExtract)
+    q142RangeFrame, q145JsonExtract, q146NtileLead)
 
   /** TPC-H Q12 flavor: lineitem⋈orders with CASE bucketing on the
     * ship-vs-order lag, per priority. The join is big-big (both fact
@@ -232,4 +232,42 @@ object AnalyticsQueries {
         "SELECT event_type, " +
         "json_extract_string(props, '$.k')::BIGINT AS k FROM events) " +
         "GROUP BY event_type ORDER BY event_type"))
+
+  /** ntile + lead — the last uncovered window functions: price
+    * quartiles within each priority partition (never a global
+    * single-partition ntile) crossed with the customer's
+    * days-to-next-order from lead(). Both windows carry explicit
+    * orderkey tie-breaks so frames are total-ordered on both engines. */
+  val q146NtileLead: GraftQuery = GraftQuery(
+    "q146_ntile_lead",
+    (s, d) => {
+      import s.implicits._
+      val byPriority = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      val byCust = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, d)
+        .select($"o_orderpriority", $"o_totalprice",
+          ntile(4).over(byPriority).as("quartile"),
+          datediff(lead($"o_orderdate", 1).over(byCust).cast("date"),
+            $"o_orderdate".cast("date")).as("gap"))
+        .groupBy($"o_orderpriority", $"quartile")
+        .agg(count(lit(1)).as("n"),
+          round(avg($"o_totalprice"), 2).as("avg_price"),
+          round(avg($"gap".cast("double")), 4).as("avg_gap"))
+        .orderBy($"o_orderpriority", $"quartile")
+    },
+    Some(
+      "SELECT o_orderpriority, quartile, count(*) AS n, " +
+        "round(avg(o_totalprice), 2) AS avg_price, " +
+        "round(avg(gap::DOUBLE), 4) AS avg_gap FROM (" +
+        "SELECT o_orderpriority, o_totalprice, " +
+        "ntile(4) OVER (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice, o_orderkey) AS quartile, " +
+        "date_diff('day', o_orderdate::DATE, " +
+        "lead(o_orderdate) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey)::DATE) AS gap FROM orders) " +
+        "GROUP BY o_orderpriority, quartile " +
+        "ORDER BY o_orderpriority, quartile"))
 }
