@@ -10,7 +10,7 @@ object AnalyticsQueries {
 
   def all: Seq[GraftQuery] = Seq(q137ShippingLag, q138ReturnedRevenue,
     q139IntersectYears, q140FuzzyNameMatch, q141ClusterSplit,
-    q142RangeFrame, q145JsonExtract, q146NtileLead)
+    q142RangeFrame, q145JsonExtract, q146NtileLead, q147LinearRegr)
 
   /** TPC-H Q12 flavor: lineitem⋈orders with CASE bucketing on the
     * ship-vs-order lag, per priority. The join is big-big (both fact
@@ -270,4 +270,36 @@ object AnalyticsQueries {
         "ORDER BY o_orderdate, o_orderkey)::DATE) AS gap FROM orders) " +
         "GROUP BY o_orderpriority, quartile " +
         "ORDER BY o_orderpriority, quartile"))
+
+  /** Linear-regression aggregates (regr_*) — one-pass distributed OLS
+    * per group, the completion of q76's moment family: price-vs-
+    * quantity slope, intercept, fit quality, and pair count per return
+    * flag. */
+  val q147LinearRegr: GraftQuery = GraftQuery(
+    "q147_linear_regr",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_returnflag".as("rf"),
+          $"l_extendedprice".cast("double").as("y"),
+          $"l_quantity".cast("double").as("x"))
+        .groupBy($"rf")
+        .agg(round(regr_slope($"y", $"x"), 4).as("slope"),
+          round(regr_intercept($"y", $"x"), 4).as("intercept"),
+          round(regr_r2($"y", $"x"), 6).as("r2"),
+          regr_count($"y", $"x").as("n_pairs"))
+        .orderBy($"rf")
+    },
+    Some(
+      "SELECT l_returnflag AS rf, " +
+        "round(regr_slope(l_extendedprice::DOUBLE, l_quantity::DOUBLE), 4) " +
+        "AS slope, " +
+        "round(regr_intercept(l_extendedprice::DOUBLE, " +
+        "l_quantity::DOUBLE), 4) AS intercept, " +
+        "round(regr_r2(l_extendedprice::DOUBLE, l_quantity::DOUBLE), 6) " +
+        "AS r2, " +
+        // DuckDB regr_count returns UINTEGER — cast to the BIGINT the
+        // Spark side produces
+        "regr_count(l_extendedprice::DOUBLE, l_quantity::DOUBLE)::BIGINT " +
+        "AS n_pairs FROM lineitem GROUP BY 1 ORDER BY rf"))
 }
