@@ -43,6 +43,13 @@ object CorpusReport {
         round(avg(col("keep").cast("double")), 4).as("keep_rate"))
       .head()
     val nDocs = headRow.getLong(0)
+    // Empty corpus: quantiles/averages are NULL and the scans below
+    // would NPE on getDouble — emit the explicit empty card instead.
+    if (nDocs == 0L)
+      return """{"n_docs":0,"n_tokens":0,"n_chars":0,"vocab":0,""" +
+        """"exact_dup_rate":0.0,"block_dup_rate":0.0,""" +
+        """"quality":{},"gopher_keep_rate":0.0,"splits":{},""" +
+        """"languages":{}}"""
     val vocab = docs
       .select(explode(TextFunctions.tokens(t)).as("w"))
       .filter(length(col("w")) > 0)

@@ -48,4 +48,16 @@ class CurationSpec extends GraftSuite {
         .orderBy($"shard").collect().map(_.toSeq)
       assert(m1.toSeq === m2.toSeq, s"manifest drift on $sp") }
   }
+
+  test("curate: empty corpus yields an explicit empty card, no splits") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_curate_empty").toString
+    val counts = Curation.curate(spark, docs.limit(0), out,
+      rowsPerShard = 100L)
+    assert(counts.isEmpty)
+    val card = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$out/card.json"))
+    assert(card.contains(""""n_docs":0"""))
+    assert(card.contains(""""splits":{}"""))
+  }
 }
