@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Seeded sampling utilities for training-data pipelines: stratified
@@ -176,6 +176,67 @@ object Sampling extends Serializable {
     val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(10000L))
     val cut = (trainFraction * 10000).toLong
     (df.filter(bucket < cut), df.filter(bucket >= cut))
+  }
+
+  /** PORTABLE membership bucket: the first four hex chars of
+    * `sha256(id ":" seed)` — 65,536 equal-probability buckets whose
+    * assignment every engine reproduces bit-for-bit (SHA-256 of UTF-8
+    * bytes has one reference value; xxhash64 is engine-private, which
+    * is exactly why [[splitByHash]]/[[sampleByMixture]] could only be
+    * rows-only checked). Hex digits 0-9a-f sort in ASCII order, so a
+    * plain lexicographic string comparison against a 4-char hex cut
+    * IS the numeric threshold test — no hex→int conversion needed on
+    * either engine. Same cost class as xxhash64 membership: one
+    * codegen'd hash projection, no shuffle. */
+  private[graft] def shaBucket(idCol: Column, seed: Long): Column =
+    substring(
+      sha2(concat(idCol.cast("string"), lit(":" + seed)).cast("binary"),
+        256), 1, 4)
+
+  /** 4-hex-char cut string for a keep-fraction: keep iff
+    * `shaBucket < cut`. Fractions are rounded to 6 dp before the
+    * bucket multiply so an engine's 1-ulp rate drift can never move
+    * the cut (both engines round, then floor — identical integers
+    * unless the rates themselves differ by ≥1e-6). */
+  private[graft] def shaCut(fraction: Double): String = {
+    val r = BigDecimal(fraction)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    f"${math.floor(r * 65536).toLong}%04x"
+  }
+
+  /** [[splitByHash]] with an ORACLE-REPLAYABLE membership function:
+    * train iff `sha256(id ":" seed)`'s first 4 hex chars sort below
+    * `floor(trainFraction·65536)` in hex. Identical guarantees
+    * (pure function of (id, seed), partitioning/cluster-size
+    * invariant, no shuffle) — the only change vs [[splitByHash]] is
+    * the hash family, chosen because DuckDB/any ANSI engine can replay
+    * the exact assignment (`substr(sha256(id::VARCHAR || ':seed'),1,4)
+    * < cut`). Granularity is 1/65536 vs splitByHash's 1/10000. */
+  def splitBySha(df: DataFrame, idCol: String, trainFraction: Double,
+      seed: Long): (DataFrame, DataFrame) = {
+    require(trainFraction > 0 && trainFraction < 1)
+    val b = shaBucket(col(idCol), seed)
+    val cut = lit(shaCut(trainFraction))
+    (df.filter(b < cut), df.filter(b >= cut))
+  }
+
+  /** [[sampleByMixture]] with the [[shaBucket]] membership function:
+    * keep a row iff its portable bucket sorts below its source's
+    * hex cut (sources at rate ≥ 1 − 1e-6 are kept whole — their cut
+    * would be the out-of-range `0x10000`). Semantics and cost match
+    * sampleByMixture (pure function of (id, seed, rates), no
+    * shuffle); the hash family swap makes the sample itself
+    * SQL-replayable, so the mixture query graduates from rows-only
+    * to a full DuckDB oracle. */
+  def sampleByMixtureSha(df: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, Double], seed: Long): DataFrame = {
+    val b = shaBucket(col(idCol), seed)
+    val keep = rates.foldLeft(lit(false)) { case (acc, (s, r)) =>
+      val cond =
+        if (r >= 1.0 - 1e-6) lit(true) else b < lit(shaCut(r))
+      when(col(sourceCol) === s, cond).otherwise(acc)
+    }
+    df.filter(keep)
   }
 
   /** Leakage-safe train/val/test split keyed on CONTENT, not id: the

@@ -736,14 +736,17 @@ object OperatorQueries {
         "ON p.user_id = c.user_id AND c.ts >= p.ts " +
         "ORDER BY p.event_id"))
 
-  /** Stratified sampling + hash-keyed train/val split summary
-    * (deterministic given seeds; engine-RNG-specific → rows-only). */
+  /** Hash-keyed train/val split summary ([[Sampling.splitBySha]]):
+    * membership is the first 4 hex chars of sha256("doc_id:42")
+    * against the 0.8 cut (floor(0.8·65536) = 0xcccc) — a pure
+    * function of (id, seed) that DuckDB replays bit-for-bit, so the
+    * split itself (not just its determinism) is oracle-verified. */
   val q80SampleSplit: GraftQuery = GraftQuery(
     "q80_sample_split",
     (s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val (tr, va) = graft.operators.Sampling.splitByHash(docs, "doc_id",
+      val (tr, va) = graft.operators.Sampling.splitBySha(docs, "doc_id",
         0.8, seed = 42L)
       val trainStats = tr.groupBy($"lang")
         .agg(count(lit(1)).as("n_train"))
@@ -752,7 +755,17 @@ object OperatorQueries {
         .select($"lang", coalesce($"n_train", lit(0L)).as("n_train"),
           coalesce($"n_val", lit(0L)).as("n_val"))
         .orderBy($"lang")
-    })
+    },
+    Some(
+      "WITH b AS (SELECT lang, " +
+        "substr(sha256(doc_id::VARCHAR || ':42'), 1, 4) AS bk " +
+        "FROM documents) " +
+        "SELECT lang, " +
+        "sum(CASE WHEN bk < 'cccc' THEN 1 ELSE 0 END)::BIGINT " +
+        "AS n_train, " +
+        "sum(CASE WHEN bk >= 'cccc' THEN 1 ELSE 0 END)::BIGINT " +
+        "AS n_val " +
+        "FROM b GROUP BY lang ORDER BY lang"))
 
   /** MERGE-style upsert (anti-join + union): low-id docs replaced by
     * updated rows, the rest untouched; oracle replays the same merge in

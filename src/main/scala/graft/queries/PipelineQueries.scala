@@ -245,28 +245,53 @@ object PipelineQueries {
         "FROM m GROUP BY 1, 2 ORDER BY source, seq_id"))
 
   /** Training-mix construction ([[Sampling.mixtureRates]] +
-    * [[Sampling.sampleByMixture]]): rebalance the corpus to a target
+    * [[Sampling.sampleByMixtureSha]]): rebalance the corpus to a target
     * language mixture. Rates come from one tiny count aggregate (driver
-    * math); membership is xxhash64(doc_id, seed)-thresholded — a pure
-    * function of (id, seed, rates), so the sample is identical at any
-    * partitioning/cluster size. Hash family is engine-side → rows-only,
-    * but fully deterministic (MixtureSpec checks proportions + the
-    * no-upsample guarantee; the binding language is kept whole). */
+    * math); membership is the portable sha256 bucket of (doc_id, seed)
+    * against each language's hex cut — a pure function of (id, seed,
+    * rates) at any partitioning/cluster size, AND replayable by DuckDB,
+    * so the sample itself is oracle-verified. The target weights are
+    * exact binary fractions (1/2, 1/8×4) so every rate computation —
+    * the weight sum, shares, the binding min, t·w/c — is
+    * order-independent IEEE arithmetic both engines reproduce
+    * bit-for-bit; the 6-dp pre-cut rounding in [[Sampling.shaCut]]
+    * absorbs any residual ulp. MixtureSpec still checks proportions +
+    * the no-upsample guarantee (binding language kept whole). */
   val q112MixtureSample: GraftQuery = GraftQuery(
     "q112_mixture_sample",
     (s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val weights = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2,
-        "es" -> 0.1, "zh" -> 0.1)
+      val weights = Map("en" -> 0.5, "de" -> 0.125, "fr" -> 0.125,
+        "es" -> 0.125, "zh" -> 0.125)
       val counts = docs.groupBy($"lang").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val rates = graft.operators.Sampling.mixtureRates(counts, weights)
-      val kept = graft.operators.Sampling.sampleByMixture(
+      val kept = graft.operators.Sampling.sampleByMixtureSha(
         docs, "doc_id", "lang", rates, seed = 42L)
       val rateMap = typedLit(rates)
       kept.groupBy($"lang").agg(count(lit(1)).as("n_kept"))
         .withColumn("rate", round(element_at(rateMap, $"lang"), 6))
         .orderBy($"lang")
-    })
+    },
+    Some(
+      // mirrors mixtureRates exactly: totalW = 1.0 (exact binary
+      // weights), share = wt, t = min(cnt/wt), rate = (t*wt)/cnt
+      "WITH c AS (SELECT lang, count(*)::BIGINT AS cnt " +
+        "FROM documents GROUP BY 1), " +
+        "w AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.125), " +
+        "('fr', 0.125), ('es', 0.125), ('zh', 0.125)) AS t(lang, wt)), " +
+        "j AS (SELECT c.lang, c.cnt, w.wt::DOUBLE AS wt " +
+        "FROM c JOIN w USING (lang)), " +
+        "tv AS (SELECT min(cnt / wt) AS t FROM j), " +
+        "r AS (SELECT lang, cnt, least(1.0::DOUBLE, " +
+        "(SELECT t FROM tv) * wt / cnt) AS rate FROM j), " +
+        "k AS (SELECT d.lang FROM documents d JOIN r USING (lang) " +
+        "WHERE r.rate >= 1.0::DOUBLE - 1e-6 " +
+        "OR substr(sha256(d.doc_id::VARCHAR || ':42'), 1, 4) < " +
+        "lower(lpad(hex(floor(round(r.rate, 6) * 65536)::BIGINT), " +
+        "4, '0'))) " +
+        "SELECT k.lang, count(*) AS n_kept, round(r.rate, 6) AS rate " +
+        "FROM k JOIN r USING (lang) GROUP BY k.lang, r.rate " +
+        "ORDER BY k.lang"))
 }

@@ -1197,6 +1197,26 @@ class SamplingSpec extends GraftSuite {
       docs.repartition(13), "doc_id", 0.8, seed = 42L)
     assert(tr.select("doc_id").exceptAll(tr2.select("doc_id")).count() === 0)
   }
+
+  test("sha split: same invariants as splitByHash + near-fraction") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val (tr, va) = graft.operators.Sampling.splitBySha(docs, "doc_id",
+      0.8, seed = 42L)
+    val (nt, nv) = (tr.count(), va.count())
+    assert(nt + nv === n)
+    assert(tr.join(va, Seq("doc_id"), "inner").count() === 0)
+    // membership is a pure function of (id, seed): partitioning-invariant
+    val (tr2, _) = graft.operators.Sampling.splitBySha(
+      docs.repartition(13), "doc_id", 0.8, seed = 42L)
+    assert(tr.select("doc_id").exceptAll(tr2.select("doc_id")).count() === 0)
+    // sha256 buckets are uniform: train mass within 5pp of the fraction
+    assert(math.abs(nt.toDouble / n - 0.8) < 0.05)
+    // different seed = different split (not degenerate)
+    val (tr3, _) = graft.operators.Sampling.splitBySha(docs, "doc_id",
+      0.8, seed = 43L)
+    assert(tr.select("doc_id").exceptAll(tr3.select("doc_id")).count() > 0)
+  }
 }
 
 class TopKAggPathSpec extends GraftSuite {

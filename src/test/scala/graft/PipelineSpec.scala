@@ -184,6 +184,61 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("sampleByMixtureSha: same semantics under the portable hash") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf)
+    val weights = Map("en" -> 0.5, "de" -> 0.125, "fr" -> 0.125,
+      "es" -> 0.125, "zh" -> 0.125)
+    val counts = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = graft.operators.Sampling.mixtureRates(counts, weights)
+    def keptIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      graft.operators.Sampling.sampleByMixtureSha(df, "doc_id", "lang",
+        rates, seed = 42L).select($"doc_id").collect()
+        .map(_.getLong(0)).toSet
+    val k3 = keptIds(docs.repartition(3))
+    val k8 = keptIds(docs.repartition(8))
+    assert(k3 === k8) // pure function of (id, seed, rates)
+    // a filter, never an upsample
+    val all = docs.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(k3.subsetOf(all) && k3.nonEmpty && k3.size < all.size)
+    // binding language kept whole (1e-9 slack: (c/share)*share/c can
+    // land one ulp under 1.0; sampleByMixtureSha's keep-all guard is
+    // wider at 1e-6 so these are all kept whole regardless)
+    val whole = rates.filter { case (_, r) => r >= 1.0 - 1e-9 }.keySet
+    assert(whole.nonEmpty) // the binding source always has rate ~1
+    val wholeIds = docs.filter($"lang".isin(whole.toSeq: _*))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(wholeIds.subsetOf(k3))
+    // per-language kept mass tracks rate*count (sha buckets uniform)
+    val perLang = graft.operators.Sampling.sampleByMixtureSha(
+      docs, "doc_id", "lang", rates, seed = 42L)
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rates.foreach { case (lang, r) =>
+      val expect = r * counts(lang)
+      val got = perLang.getOrElse(lang, 0L).toDouble
+      assert(math.abs(got - expect) <= math.max(10.0, 0.15 * expect),
+        s"$lang: got $got expect $expect (rate $r)")
+    }
+    // the spark-side cut matches a driver-side sha recomputation for a
+    // sample of ids (portable-hash contract: any engine can replay it)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def bucket(id: Long): String = {
+      val h = md.digest(s"$id:42".getBytes("UTF-8"))
+      h.take(2).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val langOf = docs.select($"doc_id", $"lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val probe = all.take(200)
+    val keptProbe = probe.filter { id =>
+      val r = rates(langOf(id))
+      r >= 1.0 - 1e-6 || bucket(id) < graft.operators.Sampling.shaCut(r)
+    }
+    assert(probe.filter(k3.contains) === keptProbe)
+  }
+
   test("writeShuffledShards: contiguous hash ranges, nothing lost") {
     val s = spark
     import s.implicits._
