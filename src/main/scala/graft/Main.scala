@@ -568,8 +568,11 @@ object Main {
     val docs = spark.read.parquet(input)
     val weights = graft.operators.Dsir.importanceWeights(docs, "doc_id",
       "text", isTarget = col("lang") === "en", buckets = 1024, seed = 42L)
-    val picked = graft.operators.Dsir.resampleTopK(weights, "doc_id",
-      k = k, seed = 7L)
+    // target docs inform the model but only the RAW pool is selected
+    // from — otherwise the highest-weighted target docs fill the top-k
+    val raw = docs.filter(col("lang") =!= "en").select(col("doc_id"))
+    val picked = graft.operators.Dsir.resampleTopK(
+      weights.join(raw, "doc_id"), "doc_id", k = k, seed = 7L)
     Sinks.writeParquet(docs.join(picked, "doc_id"), outDir)
     println(s">>> [dsir-select] kept=${spark.read.parquet(outDir).count()}")
     spark.stop()

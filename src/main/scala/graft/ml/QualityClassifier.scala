@@ -1,7 +1,6 @@
 package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
@@ -57,7 +56,16 @@ object QualityClassifier extends Serializable {
     * Deterministic bit-for-bit. Collect is bounded by construction:
     * ≤ 2·maxSample label rows plus their (doc, bucket) count pairs
     * (≈ docs × grams-per-doc, a few hundred thousand rows at the
-    * defaults — classifier training data, not corpus data). */
+    * defaults — classifier training data, not corpus data).
+    *
+    * The per-class selection is `orderBy(hash, id).limit(maxSample)` on
+    * each filtered class — Spark plans it as TakeOrderedAndProject
+    * (per-partition top-k, driver merge of ≤ partitions·maxSample
+    * rows), so NO shuffle touches the corpus. A
+    * `row_number over (partition by class)` window would select the
+    * identical set but funnels the ENTIRE corpus through one sort task
+    * per class (a boolean key has two partitions) — an OOM/straggler
+    * at 100 TB. Two class scans beat one two-partition corpus sort. */
   def train(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 4096, seed: Long = 42L,
       maxSample: Int = 1000, iters: Int = 100, lr: Double = 0.5,
@@ -65,10 +73,11 @@ object QualityClassifier extends Serializable {
     require(buckets > 1 && maxSample > 0 && iters > 0)
     val marked = df.select(col(idCol).cast("string").as("__id"),
       col(textCol).as("__text"), isTarget.cast("boolean").as("__tgt"))
-    val w = Window.partitionBy(col("__tgt"))
-      .orderBy(xxhash64(col("__id"), lit(seed)), col("__id"))
-    val sample = marked.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxSample)
+    def classSample(cls: Boolean): DataFrame =
+      marked.filter(col("__tgt") === cls)
+        .orderBy(xxhash64(col("__id"), lit(seed)), col("__id"))
+        .limit(maxSample)
+    val sample = classSample(true).unionAll(classSample(false))
       .select(col("__id"), col("__text"), col("__tgt"))
     val labels = sample.select(col("__id"), col("__tgt")).collect()
       .map(r => r.getString(0) -> r.getBoolean(1)).toMap

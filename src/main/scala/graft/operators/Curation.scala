@@ -20,7 +20,17 @@ object Curation {
 
   /** Run the build. Output layout: `outDir/split=<s>/` shards,
     * `outDir/manifest_<s>/` manifests, `outDir/card.json`. Returns the
-    * per-split kept-document counts. */
+    * per-split kept-document counts.
+    *
+    * The card carries TWO explicitly-keyed profiles: `input_profile`
+    * (the raw corpus as handed in — what the build consumed) and
+    * `curated_profile` (the gated+deduped frame the shards were
+    * written from — what the directory actually ships). A single
+    * raw-corpus card next to curated shards would let a consumer
+    * mistake pre-gate stats (n_docs, dup rates, splits) for the
+    * shipped dataset's; the curated profile's `splits` agree with the
+    * shard manifests beside it by construction (split is a pure
+    * function of text, recomputed over the same curated rows). */
   def curate(spark: SparkSession, docs: DataFrame, outDir: String,
       rowsPerShard: Long, seed: Long = 42L): Map[String, Long] = {
     val gated = docs
@@ -45,12 +55,13 @@ object Curation {
         Sampling.shardManifest(spark, dir, "doc_id"),
         s"$outDir/manifest_$sp")
     }
+    val card = s"""{"input_profile":${CorpusReport.report(docs)},""" +
+      s""""curated_profile":${CorpusReport.report(split.drop("split"))}}"""
     split.unpersist()
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/card.json"),
-      CorpusReport.report(docs) + "\n")
+      java.nio.file.Paths.get(s"$outDir/card.json"), card + "\n")
     counts
   }
 }

@@ -34,14 +34,20 @@ object Sketches extends Serializable {
       .agg(hll_sketch_agg(col(keyCol), lgK).as("sketch"),
         count(lit(1)).as("n_rows"))
 
-  /** Append one batch's per-group sketches to the artifact at `path`
-    * (one parquet row-group per batch, `batch_id` recorded). The
-    * artifact only ever grows; nothing is read back during ingest. */
+  /** Append one batch's per-group sketches to the artifact at `path`,
+    * as the Hive-style partition directory `batch_id=<id>` — written
+    * with OVERWRITE on that directory, so the append is IDEMPOTENT per
+    * batch id: a foreachBatch replay after a crash between the write
+    * and the checkpoint commit (streaming's at-least-once window)
+    * replaces the batch's rows instead of duplicating them, which
+    * keeps [[estimateFromArtifact]]'s exact `n_rows` sum honest (the
+    * HLL estimates tolerate duplicates anyway — union is register-max).
+    * The artifact only ever grows by batch directories; nothing is
+    * read back during ingest. */
   def appendSketches(df: DataFrame, groupCol: String, keyCol: String,
       path: String, batchId: Long, lgK: Int = 12): Unit =
     groupSketches(df, groupCol, keyCol, lgK)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(path)
+      .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
 
   /** Distinct-count estimates from the artifact alone: union every
     * batch's sketch per group (register-max — order never matters) and

@@ -85,7 +85,12 @@ object SplitQueries {
       val docs = Tables.documents(s, d)
       val w = Dsir.importanceWeights(docs, "doc_id", "text",
         isTarget = $"lang" === "en", buckets = 1024, seed = 42L)
-      val sel = Dsir.resampleTopK(w, "doc_id", k = 100, seed = 7L)
+      // resample the RAW pool only: target docs fit the model but must
+      // not compete for selection slots (they'd dominate the top-k —
+      // DSIR selects FROM the crawl TOWARD the target)
+      val raw = docs.filter($"lang" =!= "en").select($"doc_id")
+      val sel = Dsir.resampleTopK(w.join(raw, "doc_id"), "doc_id",
+          k = 100, seed = 7L)
         .select($"doc_id", lit(1L).as("__sel"))
       docs.join(w, "doc_id")
         .join(sel, Seq("doc_id"), "left_outer")

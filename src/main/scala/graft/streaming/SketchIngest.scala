@@ -16,11 +16,15 @@ import graft.operators.Sketches
   * `foreachBatch` because the sketch must outlive the query, be
   * shared with batch jobs (`graft.Main sketch-ingest` drives the same
   * append), and cost O(groups) rows per batch regardless of batch
-  * size. The checkpoint tracks file progress only: a restart resumes
-  * where it stopped, never re-appending a processed batch (the
-  * idempotence the spec replays). Estimates tolerate re-ingest anyway
-  * — HLL union never double-counts — so even a checkpoint loss
-  * degrades to sketch-error noise, not corruption. */
+  * size. foreachBatch is AT-LEAST-ONCE: a crash after the artifact
+  * write but before the checkpoint commit replays the batch on
+  * restart. The append absorbs that — each batch writes its own
+  * `batch_id=<id>` partition directory with overwrite, so a replay
+  * REPLACES the batch's rows rather than duplicating them (exact
+  * `n_rows` sums stay honest, and the spec replays this). HLL
+  * estimates tolerate re-ingest regardless — union never
+  * double-counts — so even a checkpoint loss degrades to sketch-error
+  * noise, not corruption. */
 object SketchIngest {
 
   /** Start the sketch stream over `srcDir` (parquet files with

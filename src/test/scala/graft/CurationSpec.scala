@@ -33,8 +33,19 @@ class CurationSpec extends GraftSuite {
     counts.foreach { case (sp, n) =>
       val m = spark.read.parquet(s"$out/manifest_$sp")
       assert(m.agg(sum($"n_rows")).head().getLong(0) === n) }
-    // Dataset card rides along.
-    assert(new java.io.File(s"$out/card.json").exists())
+    // Dataset card rides along, and its CURATED profile describes the
+    // artifacts beside it: the splits must equal the returned counts
+    // (the input profile describes the raw corpus under its own key).
+    val card = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$out/card.json"))
+    assert(card.contains(""""input_profile":{"""))
+    assert(card.contains(""""curated_profile":{"""))
+    val curated = card.split(""""curated_profile":""", 2)(1)
+    val splitJson = counts.toSeq.sortBy(_._1)
+      .map { case (sp, n) => s""""$sp":$n""" }.mkString("{", ",", "}")
+    assert(curated.contains(s""""splits":$splitJson"""),
+      s"curated card splits disagree with shipped counts $counts")
+    assert(curated.contains(s""""n_docs":${counts.values.sum}"""))
     // Re-run into a fresh directory: manifests (order-invariant content
     // checksums) must be IDENTICAL — the build is a pure function.
     val out2 = java.nio.file.Files

@@ -41,6 +41,19 @@ class DsirSpec extends GraftSuite {
     assert(run(3) === run(8))
   }
 
+  test("dsir: selecting from the raw pool only excludes target docs " +
+      "(the q133 / dsir-select caller discipline)") {
+    val w = Dsir.importanceWeights(docs, "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 1024, seed = 42L)
+    val raw = docs.filter($"lang" =!= "en").select($"doc_id")
+    val sel = Dsir.resampleTopK(w.join(raw, "doc_id"), "doc_id",
+      k = 100, seed = 7L)
+    assert(sel.count() === 100)
+    // no target doc occupies a selection slot
+    assert(sel.join(docs, "doc_id").filter($"lang" === "en")
+      .count() === 0)
+  }
+
   test("dsir: k beyond the corpus keeps everything") {
     val w = Dsir.importanceWeights(docs.limit(20), "doc_id", "text",
       isTarget = col("lang") === "en", buckets = 64, seed = 1L)
@@ -126,5 +139,22 @@ class DsirSpec extends GraftSuite {
     // double-count would read ~1000 here against 500 true distinct).
     assert(math.abs(twice - once).toDouble / once < 0.05,
       s"re-ingest moved estimate $once -> $twice")
+  }
+
+  test("sketches: replaying the SAME batch id is idempotent (exact " +
+      "n_rows too, not just the estimate)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sketch3").toString
+    Sketches.appendSketches(docs, "lang", "doc_id", dir, batchId = 1L)
+    val before = Sketches.estimateFromArtifact(spark, dir)
+      .select($"group", $"distinct_estimate", $"n_rows", $"n_batches")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // foreachBatch's at-least-once window: crash after the write,
+    // before the checkpoint commit → the batch replays with the same id
+    Sketches.appendSketches(docs, "lang", "doc_id", dir, batchId = 1L)
+    val after = Sketches.estimateFromArtifact(spark, dir)
+      .select($"group", $"distinct_estimate", $"n_rows", $"n_batches")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(after === before) // overwrite-per-partition replaced, not dup'd
   }
 }
