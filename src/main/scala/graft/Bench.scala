@@ -42,11 +42,20 @@ object Bench {
     val repeats = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
     // numeric registry order (see scaladoc): "q116_quality_gate" -> 116
-    val queries = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
+    val all = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
       (n.drop(1).takeWhile(_.isDigit) match {
         case "" => Int.MaxValue
         case ds => ds.toInt
       }, n)
+    }
+    // Dev-only subset filter for regression adjudication (comma-
+    // separated name prefixes, e.g. "q46,q93"). The driver never sets
+    // it — full-registry runs are unaffected.
+    val queries = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(spec) =>
+        val pres = spec.split(",").map(_.trim).filter(_.nonEmpty)
+        all.filter { case (n, _) => pres.exists(n.startsWith) }
+      case None => all
     }
     // Keys are shortened to the qNN prefix to fit the capture window; a
     // prefix collision would emit duplicate JSON keys and shadow one
