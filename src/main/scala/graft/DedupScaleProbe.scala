@@ -160,6 +160,63 @@ object DedupScaleProbe {
     (prof.getLong(0), prof.getLong(1))
   }
 
+  /** Corpus replicated m× as EXACT clones with the lang column carried
+    * (ids offset per replica). The dedup sweeps need DISTINCT replicas
+    * (a clone would melt their buckets); the model-based sweeps below
+    * need the OPPOSITE — identical text under different ids — because
+    * their gated invariant is "the score/weight is a pure function of
+    * CONTENT under the fitted model": every clone must land bit-equal
+    * to its base doc. */
+  def replicateExact(docs: DataFrame, m: Int): (DataFrame, Long) = {
+    val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val corpus = (0 until m).map(r =>
+      docs.select((col("doc_id") + lit(r * stride)).as("doc_id"),
+        col("text"), col("lang"))).reduce(_ unionAll _)
+    (corpus, stride)
+  }
+
+  /** DSIR at replication m: (rows weighted, max distinct weights per
+    * base doc). The model is fitted on the replicated corpus itself —
+    * clones shift the fitted counts, but every clone of a doc carries
+    * the SAME gram multiset, so its log-weight under that model must be
+    * IDENTICAL to its base doc's (maxDistinct == 1). That exactness is
+    * the no-position-dependence proof: the weight depends on content
+    * and model only, never on id, partition, or corpus placement. Wall
+    * is recorded per m — the pipeline is one gram explode + keyed
+    * shuffles, so growth must look linear, never pairwise. */
+  def dsirCounts(docs: DataFrame, m: Int): (Long, Long) = {
+    val (corpus, stride) = replicateExact(docs, m)
+    val w = graft.operators.Dsir.importanceWeights(corpus, "doc_id",
+      "text", isTarget = col("lang") === "en", buckets = 1024,
+      seed = 42L)
+    val perBase = w
+      .withColumn("base_id", pmod(col("doc_id"), lit(stride)))
+      .groupBy(col("base_id"))
+      .agg(countDistinct(col("log_weight")).as("nw"))
+    (w.count(), perBase.agg(max(col("nw"))).head().getLong(0))
+  }
+
+  /** Quality-classifier at replication m: (rows scored, max distinct
+    * scores per base doc). Training stays bounded by construction
+    * (≤ maxSample per class regardless of m — the per-class
+    * TakeOrdered); the gated invariant is score purity: every clone of
+    * a doc gets the bit-identical quality_score under the fitted model
+    * (maxDistinct == 1), so scoring is content-pure and the corpus
+    * pass is the only cost that grows with m. */
+  def qcCounts(docs: DataFrame, m: Int): (Long, Long) = {
+    val (corpus, stride) = replicateExact(docs, m)
+    val model = graft.ml.QualityClassifier.train(corpus, "doc_id",
+      "text", isTarget = col("lang") === "en", buckets = 1024,
+      seed = 42L, maxSample = 500, iters = 50)
+    val scored = graft.ml.QualityClassifier.score(corpus, "doc_id",
+      "text", model)
+    val perBase = scored
+      .withColumn("base_id", pmod(col("doc_id"), lit(stride)))
+      .groupBy(col("base_id"))
+      .agg(countDistinct(col("quality_score")).as("ns"))
+    (scored.count(), perBase.agg(max(col("ns"))).head().getLong(0))
+  }
+
   /** (candidate pairs, dup pairs ≥ threshold) at replication m. */
   def counts(docs: DataFrame, m: Int,
       threshold: Double = 0.5): (Long, Long) = {
@@ -205,6 +262,24 @@ object DedupScaleProbe {
           val (blocks, dups) = blockCounts(docs, m)
           val secs = (System.nanoTime() - t0) / 1e9
           f""""x$m":{"docs":${nBase * m},"blocks":$blocks,"dupInst":$dups,"secs":$secs%.2f}"""
+        }
+      else if (args.headOption.contains("--dsir"))
+        // DSIR sweep: every clone's weight bit-equal to its base
+        // (maxw == 1), wall ~linear — one explode, keyed shuffles only.
+        Seq(1, 2, 5, 10).map { m =>
+          val t0 = System.nanoTime()
+          val (rows, maxw) = dsirCounts(docs, m)
+          val secs = (System.nanoTime() - t0) / 1e9
+          f""""x$m":{"docs":${nBase * m},"weighted":$rows,"maxDistinctPerBase":$maxw,"secs":$secs%.2f}"""
+        }
+      else if (args.headOption.contains("--qc"))
+        // quality-classifier sweep: bounded training + content-pure
+        // scoring (maxs == 1), wall ~linear in the scoring pass.
+        Seq(1, 2, 5, 10).map { m =>
+          val t0 = System.nanoTime()
+          val (rows, maxs) = qcCounts(docs, m)
+          val secs = (System.nanoTime() - t0) / 1e9
+          f""""x$m":{"docs":${nBase * m},"scored":$rows,"maxDistinctPerBase":$maxs,"secs":$secs%.2f}"""
         }
       else if (args.headOption.contains("--spans"))
         // span-dedup sweep: span count must be EXACTLY m× the base

@@ -1024,6 +1024,29 @@ class DedupScaleSpec extends GraftSuite {
       s"cross-replica pairs leaked: $total != sum of $per")
   }
 
+  test("DSIR weights are content-pure: every clone bit-equal to its " +
+      "base doc, at 1× and 3× replication") {
+    val docs = Tables.documents(spark, sf)
+    val (r1, m1) = graft.DedupScaleProbe.dsirCounts(docs, 1)
+    val (r3, m3) = graft.DedupScaleProbe.dsirCounts(docs, 3)
+    assert(r1 > 0 && r3 === 3 * r1)
+    // the model shifts with the corpus, but a doc's weight under a
+    // given model may depend on its TEXT only — one distinct weight
+    // across all clones of every base doc
+    assert(m1 === 1L, s"base corpus: $m1 distinct weights for one doc")
+    assert(m3 === 1L, s"3x corpus: $m3 distinct weights for one doc")
+  }
+
+  test("quality-classifier scores are content-pure across clones; " +
+      "training stays bounded") {
+    val docs = Tables.documents(spark, sf)
+    val (r1, m1) = graft.DedupScaleProbe.qcCounts(docs, 1)
+    val (r3, m3) = graft.DedupScaleProbe.qcCounts(docs, 3)
+    assert(r1 > 0 && r3 === 3 * r1)
+    assert(m1 === 1L, s"base corpus: $m1 distinct scores for one doc")
+    assert(m3 === 1L, s"3x corpus: $m3 distinct scores for one doc")
+  }
+
   test("SemDedup recovers every planted clone at 1× and 4× replication") {
     // per-replica orthogonal transforms keep within-replica cosines
     // exact, cluster count scales with the corpus (16·m) — so planted
