@@ -74,6 +74,9 @@ object Main {
     case "dsir-select" :: input :: outDir :: rest =>
       runDsirSelect(input, outDir,
         rest.headOption.map(_.toInt).getOrElse(100))
+    case "curate" :: "--append" :: input :: outDir :: rest =>
+      runCurate(input, outDir,
+        rest.headOption.map(_.toLong).getOrElse(2000L), append = true)
     case "curate" :: input :: outDir :: rest =>
       runCurate(input, outDir,
         rest.headOption.map(_.toLong).getOrElse(2000L))
@@ -101,7 +104,7 @@ object Main {
            |       graft.Main snapshot-diff <oldParquet> <newParquet> <outDir>
            |       graft.Main quality-filter <docsParquet> <outDir> [threshold]
            |       graft.Main dsir-select <docsParquet> <outDir> [k]
-           |       graft.Main curate <docsParquet> <outDir> [rowsPerShard]
+           |       graft.Main curate [--append] <docsParquet> <outDir> [rowsPerShard]
            |(got: ${other.mkString(" ")})""".stripMargin)
       sys.exit(2)
   }
@@ -545,16 +548,22 @@ object Main {
   }
 
   /** The nightly corpus build in ONE verb — see
-    * [[graft.operators.Curation.curate]]. */
+    * [[graft.operators.Curation.curate]]; `--append` grows an existing
+    * directory with new-content docs only
+    * ([[graft.operators.Curation.curateAppend]]). */
   private def runCurate(input: String, outDir: String,
-      rowsPerShard: Long): Unit = {
+      rowsPerShard: Long, append: Boolean = false): Unit = {
     val spark = session()
     val docs = spark.read.parquet(input)
-    val counts = graft.operators.Curation.curate(spark, docs, outDir,
-      rowsPerShard)
+    val counts =
+      if (append) graft.operators.Curation.curateAppend(spark, docs,
+        outDir, rowsPerShard)
+      else graft.operators.Curation.curate(spark, docs, outDir,
+        rowsPerShard)
+    val verb = if (append) "curate-append" else "curate"
     val summary = counts.toSeq.sortBy(_._1)
       .map { case (sp, n) => s"$sp=$n" }.mkString(" ")
-    println(s">>> [curate] in=${docs.count()} kept=${counts.values.sum} " +
+    println(s">>> [$verb] in=${docs.count()} kept=${counts.values.sum} " +
       summary)
     spark.stop()
   }

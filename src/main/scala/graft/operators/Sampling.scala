@@ -58,16 +58,24 @@ object Sampling extends Serializable {
     * count costs one extra pass over `df`, which at the tail of a heavy
     * pipeline recomputes the upstream DAG. Returns the row count used. */
   def writeShuffledShards(df: DataFrame, idCol: String, path: String,
-      seed: Long, rowsPerShard: Long, expectedRows: Long = -1L): Long = {
+      seed: Long, rowsPerShard: Long, expectedRows: Long = -1L,
+      append: Boolean = false): Long = {
     require(rowsPerShard > 0, "rowsPerShard must be positive")
     val n = if (expectedRows >= 0) expectedRows else df.count()
     val files = math.max(1L, (n + rowsPerShard - 1) / rowsPerShard).toInt
     val key = xxhash64(col(idCol), lit(seed))
+    // append = incremental-ingest mode: the new rows land as ADDITIONAL
+    // shard files (Spark's per-write UUID file names never collide);
+    // existing shards are immutable. Readers of the directory see the
+    // union; the manifest is recomputed over the whole directory.
+    val mode =
+      if (append) org.apache.spark.sql.SaveMode.Append
+      else org.apache.spark.sql.SaveMode.Overwrite
     df.withColumn("__shuffle_key", key)
       .repartitionByRange(files, col("__shuffle_key"), col(idCol))
       .sortWithinPartitions(col("__shuffle_key"), col(idCol))
       .drop("__shuffle_key")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .write.mode(mode)
       .option("maxRecordsPerFile", rowsPerShard)
       .parquet(path)
     n

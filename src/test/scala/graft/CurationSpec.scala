@@ -60,6 +60,52 @@ class CurationSpec extends GraftSuite {
       assert(m1.toSeq === m2.toSeq, s"manifest drift on $sp") }
   }
 
+  test("curate --append: processes only added content, and the grown " +
+      "card equals a full rebuild's") {
+    val initial = docs.filter($"doc_id" % 3 =!= 0)
+    val grown = docs // the new snapshot: initial + every 3rd doc
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_capp").toString
+    val base = Curation.curate(spark, initial, out, rowsPerShard = 100L)
+    val appended = Curation.curateAppend(spark, grown, out,
+      rowsPerShard = 100L)
+    // the appended counts are the NEW content only, not a re-ship
+    assert(appended.values.sum > 0)
+    assert(appended.values.sum < base.values.sum + appended.values.sum)
+    // full rebuild over the grown snapshot for comparison
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft_capp_full").toString
+    val full = Curation.curate(spark, grown, out2, rowsPerShard = 100L)
+    // shipped sets are content-identical (ids may differ among exact
+    // duplicates: append keeps the incumbent canonical)
+    def shippedTexts(dir: String): Map[String, Long] =
+      full.keys.map(sp => spark.read.parquet(s"$dir/split=$sp"))
+        .reduce(_ unionAll _)
+        .groupBy($"text").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(shippedTexts(out) === shippedTexts(out2))
+    // per-split totals agree (split is a pure function of content)
+    full.foreach { case (sp, n) =>
+      assert(base.getOrElse(sp, 0L) + appended.getOrElse(sp, 0L) === n,
+        s"split $sp: ${base.get(sp)} + ${appended.get(sp)} != $n") }
+    // the dataset card's curated profile is IDENTICAL to the rebuild's
+    // (every stat is content-derived)
+    def curatedProfile(dir: String): String =
+      java.nio.file.Files
+        .readString(java.nio.file.Paths.get(s"$dir/card.json"))
+        .split(""""curated_profile":""", 2)(1)
+    assert(curatedProfile(out) === curatedProfile(out2))
+    // manifests still cover the grown shards exactly
+    full.foreach { case (sp, n) =>
+      val m = spark.read.parquet(s"$out/manifest_$sp")
+      assert(m.agg(sum($"n_rows")).head().getLong(0) === n) }
+    // re-appending the same snapshot is a no-op (all content now seen)
+    val again = Curation.curateAppend(spark, grown, out,
+      rowsPerShard = 100L)
+    assert(again.isEmpty || again.values.sum === 0L)
+    assert(shippedTexts(out) === shippedTexts(out2))
+  }
+
   test("curate: empty corpus yields an explicit empty card, no splits") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_curate_empty").toString
