@@ -10,7 +10,8 @@ object AnalyticsQueries {
 
   def all: Seq[GraftQuery] = Seq(q137ShippingLag, q138ReturnedRevenue,
     q139IntersectYears, q140FuzzyNameMatch, q141ClusterSplit,
-    q142RangeFrame, q145JsonExtract, q146NtileLead, q147LinearRegr)
+    q142RangeFrame, q145JsonExtract, q146NtileLead, q147LinearRegr,
+    q149WindowCompleteness)
 
   /** TPC-H Q12 flavor: lineitem⋈orders with CASE bucketing on the
     * ship-vs-order lag, per priority. The join is big-big (both fact
@@ -302,4 +303,57 @@ object AnalyticsQueries {
         // Spark side produces
         "regr_count(l_extendedprice::DOUBLE, l_quantity::DOUBLE)::BIGINT " +
         "AS n_pairs FROM lineitem GROUP BY 1 ORDER BY rf"))
+
+  /** Window/aggregate completeness wave: `lag`/`lead` with IGNORE NULLS
+    * (per-row, over a column where every 3rd value is nulled — the
+    * gap-carry-forward shape of sensor/event streams), plus
+    * `percentile_disc` (WITHIN GROUP) and `mode` per priority joined
+    * back onto the rows. Bounded to o_orderkey < 5000 so the per-row
+    * output stays small at every SF while still crossing many null
+    * gaps per partition. mode ties are structurally absent
+    * (o_orderstatus counts per priority differ by orders of
+    * magnitude); percentile_disc picks an actual element, so both
+    * engines return the identical double. */
+  val q149WindowCompleteness: GraftQuery = GraftQuery(
+    "q149_window_completeness",
+    (s, d) => {
+      import s.implicits._
+      val t = Tables.orders(s, d).filter($"o_orderkey" < 5000)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderpriority").orderBy($"o_orderkey")
+      val rows = t
+        .select($"o_orderkey", $"o_orderpriority",
+          when($"o_orderkey" % 3 === 0, lit(null).cast("double"))
+            .otherwise(round($"o_totalprice", 2)).as("v"))
+        .withColumn("prev_v", lag($"v", 1, null, ignoreNulls = true).over(w))
+        .withColumn("next_v", lead($"v", 1, null, ignoreNulls = true).over(w))
+      val agg = t.groupBy($"o_orderpriority")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP " +
+            "(ORDER BY o_totalprice)").as("med_raw"),
+          expr("mode(o_orderstatus)").as("status_mode"))
+        .select($"o_orderpriority", round($"med_raw", 2).as("med"),
+          $"status_mode")
+      rows.join(agg, "o_orderpriority")
+        .select($"o_orderkey", $"o_orderpriority", $"v", $"prev_v",
+          $"next_v", $"med", $"status_mode")
+        .orderBy($"o_orderkey")
+    },
+    Some(
+      "WITH t AS (SELECT * FROM orders WHERE o_orderkey < 5000), " +
+        "r AS (SELECT o_orderkey, o_orderpriority, " +
+        "CASE WHEN o_orderkey % 3 = 0 THEN NULL " +
+        "ELSE round(o_totalprice, 2) END AS v FROM t), " +
+        "wnd AS (SELECT o_orderkey, o_orderpriority, v, " +
+        "lag(v IGNORE NULLS) OVER (PARTITION BY o_orderpriority " +
+        "ORDER BY o_orderkey) AS prev_v, " +
+        "lead(v IGNORE NULLS) OVER (PARTITION BY o_orderpriority " +
+        "ORDER BY o_orderkey) AS next_v FROM r), " +
+        "a AS (SELECT o_orderpriority, " +
+        "round(percentile_disc(0.5) WITHIN GROUP " +
+        "(ORDER BY o_totalprice), 2) AS med, " +
+        "mode(o_orderstatus) AS status_mode FROM t " +
+        "GROUP BY o_orderpriority) " +
+        "SELECT w.o_orderkey, w.o_orderpriority, w.v, w.prev_v, " +
+        "w.next_v, a.med, a.status_mode " +
+        "FROM wnd w JOIN a USING (o_orderpriority) ORDER BY o_orderkey"))
 }

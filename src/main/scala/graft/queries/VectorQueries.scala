@@ -13,7 +13,48 @@ object VectorQueries {
 
   def all: Seq[GraftQuery] =
     Seq(q25CosinePairs, q26KnnBruteForce, q110Covariance, q111PcaProject,
-      q115PcaAnnRecall, q118PcaPerLabel)
+      q115PcaAnnRecall, q118PcaPerLabel, q148ArrayHof)
+
+  /** Higher-order array-function coverage, fully oracled: per-element
+    * transform (x²) folded by `aggregate`, a `filter` count, and the
+    * TEXTBOOK zip_with/aggregate cosine composition against the
+    * reversed vector. The cosine is written in the naive HOF form on
+    * purpose — the [[graft.expressions.CosineFusion]] optimizer rule
+    * (ensured lazily on whatever session runs the registry) rewrites
+    * it to the single-pass native ArrayCosine kernel; PlanAuditSpec
+    * asserts the fusion actually fired in the optimized plan. DuckDB
+    * replays everything via list_transform / list_filter / list_sum /
+    * list_dot_product / list_reverse — both engines accumulate doubles
+    * left-to-right, and 6-dp rounding pins the remaining bits. */
+  val q148ArrayHof: GraftQuery = GraftQuery(
+    "q148_array_hof",
+    (s, d) => {
+      import s.implicits._
+      org.apache.spark.sql.GraftExprBridge.ensureOptimization(s,
+        graft.expressions.CosineFusion)
+      val e = Tables.embeddings(s, d)
+      val v = graft.operators.Similarity.asDouble($"embedding")
+      e.select($"vec_id",
+        round(aggregate(transform(v, x => x * x), lit(0.0),
+          (acc, x) => acc + x), 6).as("sum_sq"),
+        size(filter(v, x => x > lit(0.0))).cast("long").as("n_pos"),
+        round(graft.operators.Similarity.cosineHof($"embedding",
+          reverse($"embedding")), 6).as("cos_rev"))
+        .orderBy($"vec_id")
+    },
+    Some(
+      "SELECT vec_id, " +
+        "round(list_sum(list_transform(embedding::DOUBLE[], " +
+        "x -> x*x)), 6) AS sum_sq, " +
+        "len(list_filter(embedding::DOUBLE[], x -> x > 0))::BIGINT " +
+        "AS n_pos, " +
+        "round(list_dot_product(embedding::DOUBLE[], " +
+        "list_reverse(embedding::DOUBLE[])) / " +
+        "(sqrt(list_dot_product(embedding::DOUBLE[], " +
+        "embedding::DOUBLE[])) * " +
+        "sqrt(list_dot_product(list_reverse(embedding::DOUBLE[]), " +
+        "list_reverse(embedding::DOUBLE[])))), 6) AS cos_rev " +
+        "FROM embeddings ORDER BY vec_id"))
 
   /** Cosine kernel — the native single-pass expression (see
     * [[graft.operators.Similarity.cosine]]). */

@@ -56,4 +56,17 @@ class PlanAuditSpec extends GraftSuite {
     assert(offenders.isEmpty,
       s"quadratic joins in:\n${offenders.mkString("\n")}")
   }
+
+  test("q148's textbook HOF cosine is FUSED to the native kernel") {
+    val qe = Registry.byName("q148_array_hof").run(spark, sf)
+      .queryExecution
+    val optimized = qe.optimizedPlan.toString
+    assert(optimized.contains("arraycosine"),
+      s"CosineFusion did not fire:\n$optimized")
+    // the naive composition's four HOF evaluations are gone from the
+    // cosine column (transform/aggregate remain for the OTHER columns,
+    // so assert on zip_with — only the cosine used it)
+    assert(!optimized.contains("zip_with"),
+      "unfused zip_with survived in the optimized plan")
+  }
 }
