@@ -132,6 +132,37 @@ object Similarity extends Serializable {
     * index parameters stay fixed), and they exist to catch broken-metric
     * regressions (recall collapsing to chance level), not to pin exact
     * values — the tight per-SF values live in the specs. */
+  /** SF-INDEXED mean-recall floors for the four recall-gated queries.
+    * One constant shared across SFs invites exactly the failure r5 hit:
+    * recall@k legitimately falls as the candidate set grows at fixed
+    * index parameters, so a floor tight at one SF is a value-pin at
+    * another, and the "fix" is a round of floor-lowering that erodes
+    * the gate. Encoding the floor PER scale factor keeps each one tied
+    * to its own chance level and measured series.
+    *
+    * Chance level (a random top-k's expected recall) is k/N with k=10:
+    * N=500 at sf0.001/sf0.01 → 0.02; N=2000 at sf0.1 → 0.005. Floors
+    * are set ≥2× the SF's chance level AND ≤½ the SF's measured mean
+    * (2026-08-13 series — q47 sign-LSH: 0.14/0.08/0.14; q66 IVF:
+    * 0.66/0.50/0.66; q93 PQ: 0.24/0.36/0.20; q115 16-dim PCA:
+    * 0.30/0.22/0.06 across sf0.001/sf0.01/sf0.1), so they catch a
+    * collapse to chance without pinning scale-dependent values. The
+    * recall pipelines are seeded and deterministic per SF, so the
+    * measured means move only when the index code or the data changes.
+    * Unknown corpus directories fall back to the query's most
+    * conservative catalogued floor. */
+  object RecallFloors {
+    private val table: Map[String, Map[String, Double]] = Map(
+      "q47" -> Map("sf0.001" -> 0.04, "sf0.01" -> 0.04, "sf0.1" -> 0.04),
+      "q66" -> Map("sf0.001" -> 0.30, "sf0.01" -> 0.25, "sf0.1" -> 0.30),
+      "q93" -> Map("sf0.001" -> 0.12, "sf0.01" -> 0.15, "sf0.1" -> 0.10),
+      "q115" -> Map("sf0.001" -> 0.15, "sf0.01" -> 0.10, "sf0.1" -> 0.04))
+    def floor(query: String, sfDir: String): Double = {
+      val m = table(query)
+      m.getOrElse(new java.io.File(sfDir).getName, m.values.min)
+    }
+  }
+
   def assertRecallFloor(recalls: DataFrame, floor: Double): DataFrame = {
     // min_recall is derived THROUGH the assert column (null on success →
     // when(...isNull) yields the floor literal) so column pruning can

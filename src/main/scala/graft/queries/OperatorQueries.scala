@@ -167,7 +167,7 @@ object OperatorQueries {
         graft.operators.PqIndex.recallAgainstIndex(s,
           Tables.embeddings(s, d), "vec_id", "embedding",
           queryIds = Seq(0L, 1L, 2L, 3L, 4L), cb, codes, topK = 10),
-        floor = 0.1)
+        floor = Similarity.RecallFloors.floor("q93", d))
     })
 
   /** IVF-PQ composed search: coarse buckets prune candidates, PQ/ADC
@@ -542,7 +542,7 @@ object OperatorQueries {
         Similarity.annRecall(q, c, "query_id", "qv", "vec_id", "cv",
           k = 10, bits = 4, seed = 42L,
           exact = Some(AnnIndexes.exactCosineTopK(s, d, 10))),
-        floor = 0.01)
+        floor = Similarity.RecallFloors.floor("q47", d))
         .select($"query_id", round($"recall", 2).as("recall"),
           $"min_recall")
         .orderBy($"query_id")
@@ -703,7 +703,7 @@ object OperatorQueries {
         graft.operators.IvfIndex.recallAgainstIndex(q, centroids, buckets,
           "query_id", "qv", k = 10, nprobe = 4,
           exact = Some(AnnIndexes.exactCosineTopK(s, d, 10))),
-        floor = 0.15)
+        floor = Similarity.RecallFloors.floor("q66", d))
         .select($"query_id", round($"recall", 2).as("recall"),
           $"min_recall")
         .orderBy($"query_id")

@@ -152,12 +152,11 @@ object VectorQueries {
     * grows 10× while the compressed width stays fixed, and the
     * synthetic embeddings are near-isotropic (16/64 dims ≈ 25% of
     * variance), which is exactly what the query surfaces: PCA
-    * compression only pays when the spectrum decays. The floor is
-    * 0.04 — 20× the sf0.1 chance level (k/N = 0.002) — because floors
-    * exist to catch a collapse to chance (a broken metric or model),
-    * not to pin scale-dependent recall values; the r5 sf0.1 full dump
-    * exposed the original 0.10 as a value-pin that failed exactly the
-    * way the assertRecallFloor scaladoc warns against. */
+    * compression only pays when the spectrum decays. Floors are
+    * PER-SF ([[graft.operators.Similarity.RecallFloors]]) — r5's
+    * single shared constant was a value-pin that the first full sf0.1
+    * dump legitimately tripped, and a per-SF table encodes
+    * scale-dependent recall instead of re-litigating it per round. */
   val q115PcaAnnRecall: GraftQuery = GraftQuery(
     "q115_pca_ann_recall",
     (s, d) => {
@@ -181,7 +180,8 @@ object VectorQueries {
         .join(hits, Seq("query_id"), "left_outer")
         .select($"query_id",
           (coalesce($"hits", lit(0L)).cast("double") / k).as("recall"))
-      graft.operators.Similarity.assertRecallFloor(recalls, 0.04)
+      graft.operators.Similarity.assertRecallFloor(recalls,
+        graft.operators.Similarity.RecallFloors.floor("q115", d))
         .select($"query_id", round($"recall", 2).as("recall"),
           $"min_recall")
         .orderBy($"query_id")

@@ -31,6 +31,25 @@ class RecallFloorSpec extends GraftSuite {
     assert(messages(e).exists(_.contains("recall regression")), e.getMessage)
   }
 
+  test("per-SF floor table: catalogued SFs resolve, unknown corpora " +
+      "fall back to the most conservative floor") {
+    val F = Similarity.RecallFloors
+    // every catalogued floor sits above its SF's chance level
+    // (k/N = 0.02 at sf0.001/sf0.01 with N=500, 0.005 at sf0.1 N=2000)
+    for (q <- Seq("q47", "q66", "q93", "q115");
+         sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val chance = if (sf == "sf0.1") 0.005 else 0.02
+      assert(F.floor(q, s"/root/testdata/$sf") > chance,
+        s"$q@$sf floor not above chance")
+    }
+    // sf0.1's q115 floor is the scale-aware one that replaced the pin
+    assert(F.floor("q115", "/root/testdata/sf0.1") === 0.04)
+    assert(F.floor("q115", "/root/testdata/sf0.001") === 0.15)
+    // unknown directory → the query's minimum catalogued floor
+    assert(F.floor("q115", "/some/user/corpus") === 0.04)
+    assert(F.floor("q66", "/some/user/corpus") === 0.25)
+  }
+
   test("empty recall table yields empty output (caught by row counts)") {
     // AQE empty-relation propagation elides the gate join on empty input;
     // emptiness is the driver's rows>0 check's job, the gate guards values
