@@ -366,6 +366,63 @@ object Multimodal extends Serializable {
       })
   }
 
+  /** Cheap container-format classification from magic bytes — no
+    * decoder runs. Recognizes the image/audio/video containers a
+    * training-data pipeline meets; anything else is `unknown`. */
+  def containerFormat(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length < 4) return "unknown"
+    def ascii(off: Int, s: String): Boolean =
+      bytes.length >= off + s.length &&
+        s.indices.forall(i => bytes(off + i) == s.charAt(i).toByte)
+    val b0 = bytes(0) & 0xff
+    val b1 = bytes(1) & 0xff
+    if (b0 == 0x89 && b1 == 'P') "png"
+    else if (b0 == 0xff && b1 == 0xd8) "jpeg"
+    else if (ascii(0, "GIF8")) "gif"
+    else if (b0 == 'B' && b1 == 'M') "bmp"
+    else if (ascii(0, "RIFF") && ascii(8, "WAVE")) "wav"
+    else if (ascii(0, "RIFF") && ascii(8, "AVI ")) "avi"
+    else if (ascii(0, "FORM") && ascii(8, "AIFF")) "aiff"
+    else if (ascii(0, ".snd")) "au"
+    else if (ascii(4, "ftyp")) "mp4"
+    else if (b0 == 0x1a && b1 == 0x45 &&
+      (bytes(2) & 0xff) == 0xdf && (bytes(3) & 0xff) == 0xa3) "webm"
+    else "unknown"
+  }
+
+  /** True when one of the engine's REAL decode paths extracts typed
+    * features from the payload. MP4/WebM and unknown blobs are false by
+    * POLICY (explicit-empty, never synthetic) — this predicate is what
+    * makes that gap measurable instead of silent. */
+  def decodable(bytes: Array[Byte]): Boolean = containerFormat(bytes) match {
+    case "png" | "jpeg" | "bmp" => decodeImage(0L, bytes).isDefined
+    case "gif" => decodeImage(0L, bytes).isDefined ||
+      decodeGifFrames(0L, bytes, 1).isDefined
+    case "avi" => decodeMjpegAviFrames(0L, bytes, 1).isDefined
+    case "wav" | "aiff" | "au" => decodeAudio(0L, bytes).isDefined
+    case _ => false
+  }
+
+  /** Per-container-format decodability profile over a binary column:
+    * (format, n, n_undecodable) — the dataset-card exhibit that turns
+    * the codec-less-container policy into a NUMBER a consumer can see
+    * ("3,000 mp4 rows shipped with zero decoded frames") rather than an
+    * empty array they must notice. One scan + one tiny groupBy; the
+    * decode attempt per row is the same work [[extractFeatures]] /
+    * [[frameSample]] would spend anyway. */
+  def mediaProfile(withBinary: DataFrame,
+      contentCol: String = "content"): DataFrame = {
+    val fmt = udf((b: Array[Byte]) => containerFormat(b))
+    val dec = udf((b: Array[Byte]) => decodable(b))
+    withBinary
+      .select(fmt(col(contentCol)).as("format"),
+        dec(col(contentCol)).as("ok"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_undecodable"))
+      .orderBy(col("format"))
+  }
+
   /** Fixed-count frame sampling as a COLUMN (the wide-row shape a
     * multimodal pipeline joins on, vs [[extractFrames]]'s long-form
     * Dataset): each row gains a `frames` array of real decoded frame

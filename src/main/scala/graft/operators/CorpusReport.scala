@@ -26,7 +26,30 @@ import graft.functions.TextFunctions
   * key. */
 object CorpusReport {
 
-  def report(docs: DataFrame, textCol: String = "text"): String = {
+  /** Optional media section: pass the corpus' binary frame (a
+    * `content` column) and the card gains per-container-format
+    * decodability counts from [[graft.multimodal.Multimodal
+    * .mediaProfile]] — `"media":{"mp4":{"n":N,"undecodable":N},…}`.
+    * This is how the explicit-empty video policy stays HONEST at the
+    * dataset level: a consumer reads how many rows of each container
+    * shipped without decoded features instead of discovering empty
+    * frame arrays one row at a time. */
+  def report(docs: DataFrame, textCol: String = "text",
+      media: Option[DataFrame] = None): String = {
+    val base = reportText(docs, textCol)
+    media match {
+      case None => base
+      case Some(m) =>
+        val rows = graft.multimodal.Multimodal.mediaProfile(m)
+          .collect()
+          .map(r => s""""${r.getString(0)}":{"n":${r.getLong(1)},""" +
+            s""""undecodable":${r.getLong(2)}}""")
+          .mkString("{", ",", "}")
+        base.dropRight(1) + s""","media":$rows}"""
+    }
+  }
+
+  private def reportText(docs: DataFrame, textCol: String): String = {
     val t = col(textCol)
     val headRow = docs
       .select(t, TextFunctions.qualityScore(t).as("q"),

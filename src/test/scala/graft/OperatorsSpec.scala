@@ -453,6 +453,38 @@ class MultimodalSpec extends GraftSuite {
     assert(f.map(_.getDouble(1)).distinct.length === 2) // distinct lumas
   }
 
+  test("mediaProfile: per-format decodability counts make the " +
+      "codec-less gap measurable, and the card carries them") {
+    val s = spark
+    import s.implicits._
+    val mp4ish = Array[Byte](0, 0, 0, 24) ++
+      "ftypisom".getBytes("US-ASCII") ++ Array.fill[Byte](32)(7)
+    val rows = Seq(
+      (1L, animatedGifBytes(Seq(40 -> 8))),
+      (2L, animatedGifBytes(Seq(40 -> 8, 200 -> 8))),
+      (3L, mjpegAviBytes(Seq(30, 110))),
+      (4L, mp4ish),
+      (5L, "opaque text payload".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val prof = Multimodal.mediaProfile(rows).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(prof("gif") === ((2L, 0L)))
+    assert(prof("avi") === ((1L, 0L)))
+    assert(prof("mp4") === ((1L, 1L))) // shipped but NOT decodable
+    assert(prof("unknown") === ((1L, 1L)))
+    // the dataset card gains the media section when the binary frame
+    // is supplied, and the text profile is unchanged without it
+    val docs = Seq((1L, "some words here for the card")).toDF("doc_id",
+      "text")
+    val card = graft.operators.CorpusReport.report(docs,
+      media = Some(rows))
+    assert(card.contains(""""media":{"""))
+    assert(card.contains(""""mp4":{"n":1,"undecodable":1}"""))
+    assert(card.contains(""""gif":{"n":2,"undecodable":0}"""))
+    assert(graft.operators.CorpusReport.report(docs) ===
+      card.split(""","media":""")(0) + "}")
+  }
+
   /** Animated-GIF bytes: one solid `size`×`size` frame per (gray, size)
     * pair, built with the JDK's own gif sequence writer — no fixture
     * file, no external codec. Undersized later frames mimic the
