@@ -11,7 +11,7 @@ object TextQueries {
 
   def all: Seq[GraftQuery] = Seq(q20TokenStats, q21DedupExact,
     q22DedupPrefixKey, q23StopwordRatio, q96PiiRedact, q97Repetition,
-    q98Contamination, q114OovRate, q119UnigramLogProb)
+    q98Contamination, q114OovRate, q119UnigramLogProb, q150NfcNormalize)
 
   /** Token counting: whitespace tokens, distinct tokens, char length. */
   val q20TokenStats: GraftQuery = GraftQuery(
@@ -243,4 +243,46 @@ object TextQueries {
         "SELECT doc_id, count(*) AS n_tokens, " +
         "round(avg(lp), 6) AS avg_logprob FROM sc " +
         "GROUP BY doc_id ORDER BY doc_id"))
+
+  /** Unicode NFC normalization profile ([[graft.expressions
+    * .NfcNormalize]], the codegen'd cleaning pass): the corpus is
+    * lowercase ASCII, so decomposed accents are PLANTED
+    * deterministically — every "a" gains a COMBINING ACUTE (U+0301) —
+    * and normalization must compose them back, shrinking each planted
+    * site by exactly one code point. Both engines implement the same
+    * Unicode standard (java.text.Normalizer vs DuckDB nfc_normalize),
+    * so per-language code-point totals before/after normalization and
+    * the changed-doc count are fully oracled — the cross-engine proof
+    * that hash-dedup and content-split keys agree on normalized text.
+    */
+  val q150NfcNormalize: GraftQuery = GraftQuery(
+    "q150_nfc_normalize",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      // decomposed form ("a" + U+0301 COMBINING ACUTE) — the same
+      // bytes the oracle plants with 'a' || chr(769)
+      val dirty = regexp_replace($"text", "a", "a\u0301")
+      docs
+        .select($"lang", dirty.as("dirty"),
+          graft.expressions.NfcNormalize(dirty).as("clean"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"),
+          sum(length($"dirty")).as("len_dirty"),
+          sum(length($"clean")).as("len_clean"),
+          sum(when(length($"dirty") =!= length($"clean"), 1L)
+            .otherwise(0L)).as("n_changed"))
+        .orderBy($"lang")
+    },
+    Some(
+      "WITH t AS (SELECT lang, " +
+        "regexp_replace(text, 'a', 'a' || chr(769), 'g') AS dirty " +
+        "FROM documents), " +
+        "n AS (SELECT lang, dirty, nfc_normalize(dirty) AS clean FROM t) " +
+        "SELECT lang, count(*) AS n, " +
+        "sum(length(dirty))::BIGINT AS len_dirty, " +
+        "sum(length(clean))::BIGINT AS len_clean, " +
+        "sum(CASE WHEN length(dirty) != length(clean) THEN 1 ELSE 0 END)" +
+        "::BIGINT AS n_changed " +
+        "FROM n GROUP BY lang ORDER BY lang"))
 }
