@@ -74,6 +74,9 @@ object Main {
     case "dsir-select" :: input :: outDir :: rest =>
       runDsirSelect(input, outDir,
         rest.headOption.map(_.toInt).getOrElse(100))
+    case "compact" :: dir :: rest =>
+      runCompact(dir,
+        rest.headOption.map(_.toLong).getOrElse(128L) * 1024 * 1024)
     case "curate" :: "--append" :: input :: outDir :: rest =>
       runCurate(input, outDir,
         rest.headOption.map(_.toLong).getOrElse(2000L), append = true)
@@ -105,6 +108,7 @@ object Main {
            |       graft.Main quality-filter <docsParquet> <outDir> [threshold]
            |       graft.Main dsir-select <docsParquet> <outDir> [k]
            |       graft.Main curate [--append] <docsParquet> <outDir> [rowsPerShard]
+           |       graft.Main compact <parquetDir> [targetMB]
            |(got: ${other.mkString(" ")})""".stripMargin)
       sys.exit(2)
   }
@@ -565,6 +569,15 @@ object Main {
       .map { case (sp, n) => s"$sp=$n" }.mkString(" ")
     println(s">>> [$verb] in=${docs.count()} kept=${counts.values.sum} " +
       summary)
+    spark.stop()
+  }
+
+  /** Small-files compaction for an ingest-grown parquet directory —
+    * see [[graft.io.Sinks.compact]]. */
+  private def runCompact(dir: String, targetBytes: Long): Unit = {
+    val spark = session()
+    val (before, after) = Sinks.compact(spark, dir, targetBytes)
+    println(s">>> [compact] $dir files $before -> $after")
     spark.stop()
   }
 

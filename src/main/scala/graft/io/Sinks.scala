@@ -92,6 +92,53 @@ object Sinks {
       }
       .start()
 
+  /** Small-files compaction for a parquet directory: rewrite the same
+    * rows into `ceil(totalBytes / targetFileBytes)` files and swap the
+    * result in atomically (same tmp/old rename protocol and
+    * [[recoverStore]] crash recovery as the streaming upsert sink).
+    * This is the maintenance pass incremental ingest NEEDS: every
+    * `curate --append` / dedup-ingest batch lands its own small files,
+    * and a directory that accretes thousands of kB-files turns a 100 TB
+    * scan into a task-scheduling and NameNode-metadata problem — the
+    * fix is periodic compaction, not bigger batches.
+    *
+    * `coalesce`, not `repartition`: compaction changes the FILE COUNT,
+    * so it must not spend a shuffle doing it — coalesce folds existing
+    * partitions in place and the write streams each merged partition
+    * once. Row ORDER within the directory is not part of the contract
+    * (readers of a parquet directory never had one); content equality
+    * is proven by order-invariant checksums in the spec. No-op (returns
+    * early, no write) when the directory already has no more files than
+    * the target. Returns (files before, files after). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverStore(fs, path) // a prior compaction crash mid-swap heals here
+    // every data file counts — foreign writers (external tools, other
+    // engines) don't follow Spark's part-* naming, and a compactor that
+    // silently skips their files would report "already compact" on
+    // exactly the fragmented directories it exists for
+    val parts = fs.listStatus(dir).filter(st => st.isFile && {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }).toSeq
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    if (parts.length <= nOut) return (parts.length, parts.length)
+    val df = spark.read.parquet(path)
+    val tmp = new Path(path + "__tmp")
+    val old = new Path(path + "__old")
+    df.coalesce(nOut).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(dir, old), s"swap failed: $dir -> $old")
+    require(fs.rename(tmp, dir), s"swap failed: $tmp -> $dir")
+    fs.delete(old, true)
+    (parts.length, nOut)
+  }
+
   /** Crash recovery for [[streamUpsertByKey]]'s rename swap. If the store
     * is missing, the previous batch died mid-swap: a COMMITTED `__tmp`
     * (its `_SUCCESS` marker proves the parquet job finished — a bare
