@@ -35,7 +35,7 @@ object Curation {
     * assignment — shared verbatim by the full build and the append
     * path, so an appended document faces the IDENTICAL pipeline a
     * full rebuild would apply. */
-  private def gateDedupSplit(docs: DataFrame): DataFrame = {
+  private[graft] def gateDedupSplit(docs: DataFrame): DataFrame = {
     val gated = docs
       .withColumn("g", TextFunctions.gopherFlags(
         col("text"), minWords = 40, maxWords = 100000,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ml.QualityClassifier
-import graft.operators.{Dedup, Dsir, Sampling}
+import graft.operators.{Curation, Dedup, Dsir, Sampling}
 
 /** Late round-5 shaping surface: content-keyed leakage-safe splits, the
   * passage-granularity duplication profile, DSIR importance resampling,
@@ -16,7 +16,8 @@ object SplitQueries {
 
   def all: Seq[GraftQuery] = Seq(q131ContentSplit, q132BlockDupProfile,
     q133DsirResample, q134SketchAccuracy, q135QualityClassifier,
-    q136SnapshotDiff, q143GatedCuration, q144Decontaminate)
+    q136SnapshotDiff, q143GatedCuration, q144Decontaminate,
+    q151IncrementalCuration)
 
   /** Leakage-safe split report ([[Sampling.contentSplit]]): the split
     * decision is a pure function of sha2(text), so exact duplicates can
@@ -280,4 +281,84 @@ object SplitQueries {
         "FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n_kept, " +
         "string_agg(tk, ' ' ORDER BY p) AS txt FROM keep GROUP BY doc_id) " +
         "k USING (doc_id) WHERE d.doc_id >= 20 ORDER BY d.doc_id"))
+
+  /** Incremental curation, ORACLED end-to-end: the exact dataframe
+    * pipeline `curate --append` runs — ship an initial snapshot through
+    * gate → exact-dedup → content split, then diff a grown snapshot
+    * against the shipped CONTENT (sha256 identity, [[Dedup
+    * .snapshotDiff]]) and push only the added documents through the
+    * same pipeline. DuckDB replays both phases (the gate CTE twice, the
+    * content-hash anti-join between them), so the append semantics —
+    * not just the artifact equality CurationSpec proves — are oracle-
+    * checked at both SFs. Uses [[Curation.gateDedupSplit]], the same
+    * code path the curate verbs execute. */
+  val q151IncrementalCuration: GraftQuery = GraftQuery(
+    "q151_incremental_curation",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val initial = docs.filter($"doc_id" % 3 =!= 0)
+      val shipped = Curation.gateDedupSplit(initial)
+      val added = Dedup.snapshotDiff(shipped.drop("split"), docs, "text")
+        .filter($"diff_status" === "added").drop("diff_status")
+      val appended = Curation.gateDedupSplit(added)
+      shipped.select($"split", lit("base").as("phase"))
+        .unionAll(appended.select($"split", lit("appended").as("phase")))
+        .groupBy($"split", $"phase")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"split", $"phase")
+    },
+    Some(
+      "WITH init AS (SELECT * FROM documents WHERE doc_id % 3 != 0), " +
+        "iw AS (SELECT doc_id, source, text, " +
+        "string_split(text, ' ') AS ws FROM init), " +
+        "ig AS (SELECT doc_id, source, text FROM (" +
+        "SELECT doc_id, source, text, len(ws) AS n_words, " +
+        "list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws) " +
+        "AS mwl, " +
+        "(length(text) - length(replace(replace(text, '#', ''), '…', '')))" +
+        "::DOUBLE / greatest(length(text), 1) AS sr, " +
+        "len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE " +
+        "/ len(ws) AS awr, " +
+        "len(list_filter(['the', 'a'], s2 -> list_contains(ws, s2))) AS sh " +
+        "FROM iw) WHERE n_words BETWEEN 40 AND 100000 " +
+        "AND mwl BETWEEN 3.0 AND 10.0 AND sr <= 0.1 AND awr >= 0.8 " +
+        "AND sh >= 2), " +
+        "ic AS (SELECT min(doc_id) AS doc_id FROM ig GROUP BY text), " +
+        "ik AS (SELECT ig.* FROM ig JOIN ic USING (doc_id)), " +
+        "ibase AS (SELECT CASE WHEN substr(sha256(text), 1, 1) " +
+        "BETWEEN '0' AND '9' OR substr(sha256(text), 1, 1) " +
+        "IN ('a', 'b') THEN 'train' " +
+        "WHEN substr(sha256(text), 1, 1) IN ('c', 'd') THEN 'val' " +
+        "ELSE 'test' END AS split FROM ik), " +
+        "basehash AS (SELECT DISTINCT sha256(text) AS h FROM ik), " +
+        "added AS (SELECT d.doc_id, d.source, d.text FROM documents d " +
+        "WHERE sha256(d.text) NOT IN (SELECT h FROM basehash)), " +
+        "aw AS (SELECT doc_id, source, text, " +
+        "string_split(text, ' ') AS ws FROM added), " +
+        "ag AS (SELECT doc_id, source, text FROM (" +
+        "SELECT doc_id, source, text, len(ws) AS n_words, " +
+        "list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws) " +
+        "AS mwl, " +
+        "(length(text) - length(replace(replace(text, '#', ''), '…', '')))" +
+        "::DOUBLE / greatest(length(text), 1) AS sr, " +
+        "len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE " +
+        "/ len(ws) AS awr, " +
+        "len(list_filter(['the', 'a'], s2 -> list_contains(ws, s2))) AS sh " +
+        "FROM aw) WHERE n_words BETWEEN 40 AND 100000 " +
+        "AND mwl BETWEEN 3.0 AND 10.0 AND sr <= 0.1 AND awr >= 0.8 " +
+        "AND sh >= 2), " +
+        "ac AS (SELECT min(doc_id) AS doc_id FROM ag GROUP BY text), " +
+        "ak AS (SELECT ag.* FROM ag JOIN ac USING (doc_id)), " +
+        "aapp AS (SELECT CASE WHEN substr(sha256(text), 1, 1) " +
+        "BETWEEN '0' AND '9' OR substr(sha256(text), 1, 1) " +
+        "IN ('a', 'b') THEN 'train' " +
+        "WHEN substr(sha256(text), 1, 1) IN ('c', 'd') THEN 'val' " +
+        "ELSE 'test' END AS split FROM ak) " +
+        "SELECT split, 'base' AS phase, count(*) AS n_docs FROM ibase " +
+        "GROUP BY split " +
+        "UNION ALL " +
+        "SELECT split, 'appended' AS phase, count(*) AS n_docs FROM aapp " +
+        "GROUP BY split " +
+        "ORDER BY split, phase"))
 }
