@@ -277,18 +277,25 @@ object Dedup extends Serializable {
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
-  /** MinHash signatures: numHashes independent min-hashes per doc, one
-    * explode + one groupBy (single shuffle for the whole corpus).
-    * Hash family: ONE xxhash64 per shingle STRING, then numHashes seeded
-    * integer re-hashes xxhash64(base, seed_i) — fixed-width integer
-    * hashing instead of numHashes string hashes per shingle (string
-    * hashing dominated the profile; this is ~50× cheaper at sf0.1). No
-    * wrapping arithmetic: Spark 4 runs ANSI mode, where an overflowing
-    * multiply throws. Deterministic. */
+  /** MinHash signatures WITHOUT the verification hash set: the
+    * single-pass native kernel ([[graft.expressions.MinHashSignature]])
+    * as a pure projection — no explode, no aggregate, NO shuffle, and
+    * the loop-invariant inner hash computed once per shingle. This is
+    * the right shape when signatures are consumed from ONE plan branch
+    * (streaming a batch's signatures against a persisted index, or
+    * exporting signatures as an artifact); [[minhashIndex]] keeps the
+    * explode+aggregate shape because its consumers need `hs` too and
+    * read the index from four branches (see its scaladoc for the
+    * measured A/B). Values are bit-identical to the index's signatures
+    * (MinHashParitySpec). Hash family: ONE xxhash64 per shingle STRING,
+    * then numHashes seeded integer re-hashes xxhash64(base, seed_i).
+    * Deterministic; docs keep their whole-text fallback shingle. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, shingleN: Int = 3): DataFrame =
-    minhashIndex(df, idCol, textCol, numHashes, shingleN)
-      .select(col("id"), col("signature"))
+    df.select(col(idCol).as("id"),
+        graft.expressions.MinHashSignature(
+          shingles(col(textCol), shingleN), numHashes).as("signature"))
+      .filter(col("signature").isNotNull)
 
   /** One-pass MinHash INDEX: per doc, both the banding signature and the
     * full distinct shingle-HASH set. The set makes candidate verification
@@ -298,7 +305,20 @@ object Dedup extends Serializable {
     * one shuffle; every branch that consumes the index shares the same
     * map-side aggregation via Spark's exchange reuse. This is also the
     * persistable artifact for incremental dedup (append-only corpus
-    * index). */
+    * index).
+    *
+    * The explode → 33-aggregate shape is DELIBERATE, kept after a
+    * measured A/B against the single-pass projection kernel
+    * ([[graft.expressions.MinHashSignature]], round 6, q44 at sf0.1,
+    * 7 repeats): projection with no exchange 7.8 s (the four consuming
+    * branches each re-shingle + re-hash the corpus), projection +
+    * repartition for exchange reuse 4.1 s (per-doc hs arrays shuffle
+    * without collect_set's map-side dedup, and the base hash runs twice
+    * to feed signature and hs separately), this aggregate form 3.4 s —
+    * one string-hash per shingle feeds all 33 aggregate buffers and the
+    * partial-minima shuffle is the reusable exchange. The kernel stays
+    * the right shape for signatures-only consumers
+    * ([[minhashSignatures]]). */
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
