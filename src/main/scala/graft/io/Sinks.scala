@@ -109,9 +109,30 @@ object Sinks {
     * (readers of a parquet directory never had one); content equality
     * is proven by order-invariant checksums in the spec. No-op (returns
     * early, no write) when the directory already has no more files than
-    * the target. Returns (files before, files after). */
+    * the target. Returns (files before, files after).
+    *
+    * SINGLE-WRITER REQUIREMENT: compaction must run with writers
+    * quiesced. Rows appended between the snapshot read and the swap
+    * would be discarded by the rename, and readers can observe the
+    * directory briefly missing inside the two-rename window. The first
+    * hazard is guarded: the directory is re-listed just before the
+    * swap, and if any data file appeared or vanished since the snapshot
+    * the tmp output is deleted and the compaction aborts with the
+    * original directory untouched (a TOCTOU race narrower than the
+    * check remains — the guard detects concurrent writers, it does not
+    * license them). The reader-visible rename gap is inherent to
+    * directory swaps without a metastore; schedule compaction in the
+    * same maintenance window as the writers' pause. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    compactHooked(spark, path, targetFileBytes)
+
+  /** [[compact]] with a test seam: `beforeSwap` runs after the tmp
+    * write and before the re-list guard, standing in for a concurrent
+    * writer landing a file inside the race window. */
+  private[graft] def compactHooked(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFileBytes: Long = 128L * 1024 * 1024,
+      beforeSwap: () => Unit = () => ()): (Int, Int) = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -132,6 +153,22 @@ object Sinks {
     val tmp = new Path(path + "__tmp")
     val old = new Path(path + "__old")
     df.coalesce(nOut).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    beforeSwap()
+    // concurrent-writer guard: the swap would silently drop any file
+    // landed after the snapshot listing, so re-list and abort instead
+    val now = fs.listStatus(dir).filter(st => st.isFile && {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }).map(st => st.getPath.getName -> st.getLen).toMap
+    val before = parts.map(st => st.getPath.getName -> st.getLen).toMap
+    if (now != before) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compact aborted: $path changed during compaction " +
+          s"(${before.size} data files at snapshot, ${now.size} now). " +
+          "compact requires writers to be quiesced; re-run once appends " +
+          "have stopped. The directory was left untouched.")
+    }
     if (fs.exists(old)) fs.delete(old, true)
     require(fs.rename(dir, old), s"swap failed: $dir -> $old")
     require(fs.rename(tmp, dir), s"swap failed: $tmp -> $dir")

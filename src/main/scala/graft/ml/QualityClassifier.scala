@@ -39,9 +39,12 @@ object QualityClassifier extends Serializable {
   def bucketRows(df: DataFrame, idCol: String, textCol: String,
       buckets: Int, seed: Long): DataFrame = {
     val toks = Dedup.tokens(col(textCol))
-    val bigrams = transform(
-      sequence(lit(1), greatest(lit(1), size(toks) - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(2))))
+    // degenerate-doc guard (mirrors Dsir.gramRows): docs with <2 tokens
+    // contribute no bigram features instead of a duplicated unigram
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
     df.select(col(idCol), explode(concat(toks, bigrams)).as("__gram"))
       .select(col(idCol),
         pmod(xxhash64(col("__gram"), lit(seed)), lit(buckets.toLong))

@@ -386,8 +386,42 @@ object Multimodal extends Serializable {
     else if (ascii(0, ".snd")) "au"
     else if (ascii(4, "ftyp")) "mp4"
     else if (b0 == 0x1a && b1 == 0x45 &&
-      (bytes(2) & 0xff) == 0xdf && (bytes(3) & 0xff) == 0xa3) "webm"
+      (bytes(2) & 0xff) == 0xdf && (bytes(3) & 0xff) == 0xa3)
+      ebmlDocType(bytes)
     else "unknown"
+  }
+
+  /** Resolve an EBML container's real family: the 0x1A45DFA3 magic is
+    * shared by ALL Matroska-family containers, so labelling every hit
+    * "webm" would report .mkv rows under the webm bucket of the
+    * dataset card. The DocType element (id 0x4282) inside the EBML
+    * header names the family; "webm" stays webm, anything else (mkv's
+    * "matroska", divergent strings, or an unparseable header) is
+    * "matroska". Scans only the first 64 bytes — DocType sits in the
+    * EBML header, which leads the file. */
+  private[multimodal] def ebmlDocType(bytes: Array[Byte]): String = {
+    val limit = math.min(bytes.length - 2, 64)
+    var i = 4
+    while (i < limit) {
+      if ((bytes(i) & 0xff) == 0x42 && (bytes(i + 1) & 0xff) == 0x82) {
+        val lead = bytes(i + 2) & 0xff
+        val len = Integer.numberOfLeadingZeros(lead) - 24 + 1
+        if (len >= 1 && len <= 4 && i + 2 + len <= bytes.length) {
+          var size = (lead & (0xff >>> len)).toLong
+          var j = 1
+          while (j < len) { size = (size << 8) | (bytes(i + 2 + j) & 0xff); j += 1 }
+          val start = i + 2 + len
+          if (size >= 1 && size <= 16 && start + size <= bytes.length) {
+            val s = new String(bytes, start, size.toInt,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            return if (s == "webm") "webm" else "matroska"
+          }
+        }
+        return "matroska"
+      }
+      i += 1
+    }
+    "matroska"
   }
 
   /** True when one of the engine's REAL decode paths extracts typed
@@ -414,13 +448,47 @@ object Multimodal extends Serializable {
       contentCol: String = "content"): DataFrame = {
     val fmt = udf((b: Array[Byte]) => containerFormat(b))
     val dec = udf((b: Array[Byte]) => decodable(b))
+    // container metadata (MP4 box walk / EBML parse) rides the same
+    // scan: even though the frame payload stays undecodable by policy,
+    // duration is real parsed structure, so the card can report how
+    // many undecodable rows still carry usable metadata
+    val durMs = udf((b: Array[Byte]) =>
+      ContainerMeta.parse(b).flatMap(_.durationMs))
     withBinary
       .select(fmt(col(contentCol)).as("format"),
-        dec(col(contentCol)).as("ok"))
+        dec(col(contentCol)).as("ok"),
+        durMs(col(contentCol)).as("dur"))
       .groupBy(col("format"))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("ok"), 0L).otherwise(1L)).as("n_undecodable"))
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_undecodable"),
+        count(col("dur")).as("n_with_meta"),
+        avg(col("dur")).as("mean_duration_ms"))
       .orderBy(col("format"))
+  }
+
+  /** Container-level metadata as a column frame: (id, format, brand,
+    * duration_ms, width, height, codec) for every row whose payload is
+    * an ISO-BMFF or EBML container ([[ContainerMeta]]); rows of other
+    * formats keep nulls (their REAL decode paths carry their typed
+    * features). One projection, no shuffle — the 100 TB shape is a
+    * map-side scan exactly like [[extractFeatures]]. */
+  def videoMeta(withBinary: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content"): DataFrame = {
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ContainerMeta.parse(bytes) match {
+          case Some(m) => (id, m.format, m.brand, m.durationMs,
+            m.width, m.height, m.codec)
+          case None => (id, containerFormat(bytes), null.asInstanceOf[String],
+            None: Option[Long], None: Option[Int], None: Option[Int],
+            None: Option[String])
+        }
+      })
+      .toDF(idCol, "format", "brand", "duration_ms", "width", "height",
+        "codec")
   }
 
   /** Fixed-count frame sampling as a COLUMN (the wide-row shape a

@@ -42,8 +42,19 @@ object CorpusReport {
       case Some(m) =>
         val rows = graft.multimodal.Multimodal.mediaProfile(m)
           .collect()
-          .map(r => s""""${r.getString(0)}":{"n":${r.getLong(1)},""" +
-            s""""undecodable":${r.getLong(2)}}""")
+          .map { r =>
+            val meta = r.getLong(3)
+            // metadata-bearing undecodables (MP4/EBML duration parsed
+            // from the container index) report their mean duration —
+            // real parsed structure, not synthesized content
+            val durPart =
+              if (meta > 0)
+                s""","mean_duration_ms":${math.round(r.getDouble(4))}"""
+              else ""
+            s""""${r.getString(0)}":{"n":${r.getLong(1)},""" +
+              s""""undecodable":${r.getLong(2)},"with_meta":$meta""" +
+              durPart + "}"
+          }
           .mkString("{", ",", "}")
         base.dropRight(1) + s""","media":$rows}"""
     }

@@ -65,14 +65,31 @@ object Curation {
   }
 
   private def writeCard(input: DataFrame, curated: DataFrame,
-      outDir: String): Unit = {
+      outDir: String, nBatches: Long, lastBatchAdded: Long): Unit = {
+    // growth provenance: how many curate/append batches built this
+    // directory and how many documents the LAST one admitted — the
+    // audit fields that distinguish "one clean rebuild" from "a year
+    // of increments" on otherwise content-identical corpora
     val card =
       s"""{"input_profile":${CorpusReport.report(input)},""" +
-        s""""curated_profile":${CorpusReport.report(curated)}}"""
+        s""""curated_profile":${CorpusReport.report(curated)},""" +
+        s""""provenance":{"n_batches":$nBatches,""" +
+        s""""last_batch_added":$lastBatchAdded}}"""
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/card.json"), card + "\n")
+  }
+
+  /** Batch count recorded in an existing card, if any: 0 for a fresh
+    * directory; a pre-provenance card (older layout) counts as 1
+    * completed batch. */
+  private def priorBatches(outDir: String): Long = {
+    val p = java.nio.file.Paths.get(s"$outDir/card.json")
+    if (!java.nio.file.Files.exists(p)) 0L
+    else """"n_batches":(\d+)""".r
+      .findFirstMatchIn(java.nio.file.Files.readString(p))
+      .map(_.group(1).toLong).getOrElse(1L)
   }
 
   /** The curated corpus as shipped: every existing split directory read
@@ -90,7 +107,8 @@ object Curation {
     val split = gateDedupSplit(docs).persist()
     val counts = writeSplits(spark, split, outDir, rowsPerShard, seed,
       append = false)
-    writeCard(docs, split.drop("split"), outDir)
+    writeCard(docs, split.drop("split"), outDir, nBatches = 1L,
+      lastBatchAdded = counts.values.sum)
     split.unpersist()
     counts
   }
@@ -123,6 +141,7 @@ object Curation {
       seed: Long = 42L): Map[String, Long] = {
     val shipped = readShipped(spark, outDir).getOrElse(
       return curate(spark, newDocs, outDir, rowsPerShard, seed))
+    val batches = priorBatches(outDir)
     val added = Dedup.snapshotDiff(shipped, newDocs, "text")
       .filter(col("diff_status") === "added").drop("diff_status")
     val split = gateDedupSplit(added).persist()
@@ -130,7 +149,8 @@ object Curation {
       append = true)
     split.unpersist()
     val grown = readShipped(spark, outDir).get
-    writeCard(newDocs, grown, outDir)
+    writeCard(newDocs, grown, outDir, nBatches = batches + 1L,
+      lastBatchAdded = counts.values.sum)
     counts
   }
 }

@@ -35,12 +35,17 @@ object Dsir extends Serializable {
     * one row per gram OCCURRENCE (DSIR counts occurrences, so unlike
     * [[Dedup.shingles]] this keeps duplicates). `keep` columns ride
     * along with each gram row. */
-  private def gramRows(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def gramRows(df: DataFrame, idCol: String, textCol: String,
       buckets: Int, seed: Long, keep: Seq[String] = Nil): DataFrame = {
     val toks = Dedup.tokens(col(textCol))
-    val bigrams = transform(
-      sequence(lit(1), greatest(lit(1), size(toks) - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(2))))
+    // degenerate-doc guard: a 0/1-token doc has NO bigrams — without
+    // the branch, sequence(1, max(1, n-1)) emits index 1 anyway and the
+    // lone token (or the empty string) re-enters the stream as a
+    // spurious "bigram", skewing its bucket's mass
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
     val carried = (idCol +: keep).map(col)
     df.select(carried :+ explode(concat(toks, bigrams)).as("__gram"): _*)
       .select(carried :+

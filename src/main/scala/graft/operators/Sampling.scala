@@ -205,11 +205,15 @@ object Sampling extends Serializable {
     * `shaBucket < cut`. Fractions are rounded to 6 dp before the
     * bucket multiply so an engine's 1-ulp rate drift can never move
     * the cut (both engines round, then floor — identical integers
-    * unless the rates themselves differ by ≥1e-6). */
+    * unless the rates themselves differ by ≥1e-6). The bucket index is
+    * clamped to 0xffff: a fraction ≥ 0.9999995 rounds to 1.0 at 6 dp
+    * and would otherwise format as the 5-char "10000", which a 4-char
+    * bucket string compares ABOVE almost everywhere and silently
+    * inverts the split. */
   private[graft] def shaCut(fraction: Double): String = {
     val r = BigDecimal(fraction)
       .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-    f"${math.floor(r * 65536).toLong}%04x"
+    f"${math.min(65535L, math.floor(r * 65536).toLong)}%04x"
   }
 
   /** [[splitByHash]] with an ORACLE-REPLAYABLE membership function:

@@ -43,17 +43,53 @@ object Sketches extends Serializable {
     * keeps [[estimateFromArtifact]]'s exact `n_rows` sum honest (the
     * HLL estimates tolerate duplicates anyway — union is register-max).
     * The artifact only ever grows by batch directories; nothing is
-    * read back during ingest. */
+    * read back during ingest.
+    *
+    * Legacy guard: before the partition-directory layout (round 6) the
+    * artifact was a FLAT parquet dir with `batch_id` as a data column.
+    * Mixing the two breaks Spark's partition discovery (flat part files
+    * next to `batch_id=` dirs fail to load), so a flat-era artifact is
+    * rejected here with a migrate-or-rebuild message instead of being
+    * silently wedged by the first new-format batch. */
   def appendSketches(df: DataFrame, groupCol: String, keyCol: String,
-      path: String, batchId: Long, lgK: Int = 12): Unit =
+      path: String, batchId: Long, lgK: Int = 12): Unit = {
+    requireNoLegacyFlatFiles(df.sparkSession, path)
     groupSketches(df, groupCol, keyCol, lgK)
       .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+  }
+
+  /** Fails fast if `path` holds pre-partitioned (flat) sketch files:
+    * data files directly under the root, rather than under
+    * `batch_id=<id>` directories. Metadata files (`_SUCCESS`, dotfiles)
+    * are ignored. */
+  private[graft] def requireNoLegacyFlatFiles(spark: SparkSession,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val flat = fs.listStatus(p).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      require(flat.isEmpty,
+        s"sketch artifact at $path holds ${flat.length} flat data file(s) " +
+          "from the pre-partitioned layout (batch_id as a data column). " +
+          "Mixing flat files with batch_id=<id> partition directories " +
+          "breaks partition discovery. Migrate once with: read the flat " +
+          "artifact, then appendSketches each distinct batch_id into a " +
+          "NEW path — or rebuild from source batches.")
+    }
+  }
 
   /** Distinct-count estimates from the artifact alone: union every
     * batch's sketch per group (register-max — order never matters) and
-    * estimate. Reading cost is O(batches × groups) tiny rows. */
+    * estimate. Reading cost is O(batches × groups) tiny rows.
+    * `batch_id` arrives partition-INFERRED (int for small ids) and is
+    * pinned back to long here so the artifact's face is stable however
+    * large the ids grow. */
   def estimateFromArtifact(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+      .withColumn("batch_id", col("batch_id").cast("long"))
       .groupBy(col("group"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
           .as("distinct_estimate"),

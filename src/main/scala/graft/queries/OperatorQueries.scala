@@ -24,7 +24,8 @@ object OperatorQueries {
     q86Histogram, q88AsOfNative, q89StreamIntervalJoin, q90PipelineFilter,
     q91HeavyHitters, q92BigramCounts, q93PqRecall, q94IvfPqTopK,
     q95Sessionize, q99DedupKeep, q100GroupCap, q101SessionizeFlush,
-    q109DupSpans, q113ExciseSpans, q117StreamStaticJoin, q120PageRank)
+    q109DupSpans, q113ExciseSpans, q117StreamStaticJoin, q120PageRank,
+    q152ContainerMeta)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -1033,4 +1034,57 @@ object OperatorQueries {
         "SELECT least(9, floor((o_totalprice - lo) / ((hi - lo) / 10.0))::INT) " +
         "AS bucket, count(*) AS n FROM orders, b " +
         "GROUP BY 1 ORDER BY bucket"))
+
+  /** Container-metadata extraction ([[graft.multimodal.ContainerMeta]]):
+    * every row synthesizes a spec-conformant MP4 / WebM / Matroska
+    * container whose stored fields derive from `doc_id`, then the
+    * engine's pure-JVM box/EBML walk parses them BACK from the bytes.
+    * The oracle recomputes the planted fields from `doc_id` arithmetic
+    * alone, so a hash match proves the full build→parse byte round
+    * trip: box sizes, fixed-point tkhd dims, EBML vints, float
+    * durations. (The frame payload of these containers remains
+    * undecodable by policy — metadata is parsed structure, not
+    * synthesized content.) Distributed as one projection, no shuffle. */
+  val q152ContainerMeta: GraftQuery = GraftQuery(
+    "q152_container_meta",
+    (s, d) => {
+      import s.implicits._
+      val build = udf { (id: Long) =>
+        val dur = 1000L + id % 600000L
+        val w = (16 * (1 + id % 120)).toInt
+        val h = (16 * (1 + id % 68)).toInt
+        val bytes = (id % 3) match {
+          case 0 => graft.multimodal.ContainerMeta.buildMp4(dur, w, h,
+            if (id % 2 == 0) "avc1" else "hev1")
+          case 1 => graft.multimodal.ContainerMeta.buildEbml("webm",
+            dur, w, h, if (id % 2 == 0) "V_VP9" else "V_VP8")
+          case _ => graft.multimodal.ContainerMeta.buildEbml("matroska",
+            dur, w, h, "V_MPEG4/ISO/AVC")
+        }
+        val m = graft.multimodal.ContainerMeta.parse(bytes).get
+        (m.format, m.brand, m.durationMs.get, m.width.get, m.height.get,
+          m.codec.get)
+      }
+      Tables.documents(s, d)
+        .select($"doc_id", build($"doc_id").as("m"))
+        .select($"doc_id", $"m._1".as("format"), $"m._2".as("brand"),
+          $"m._3".as("duration_ms"), $"m._4".as("width"),
+          $"m._5".as("height"), $"m._6".as("codec"))
+        .orderBy($"doc_id")
+    },
+    Some(
+      "SELECT doc_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm' " +
+        "ELSE 'matroska' END AS format, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'webm' " +
+        "ELSE 'matroska' END AS brand, " +
+        "(1000 + doc_id % 600000)::BIGINT AS duration_ms, " +
+        "(16 * (1 + doc_id % 120))::INTEGER AS width, " +
+        "(16 * (1 + doc_id % 68))::INTEGER AS height, " +
+        "CASE WHEN doc_id % 3 = 0 THEN " +
+        "(CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END) " +
+        "WHEN doc_id % 3 = 1 THEN " +
+        "(CASE WHEN doc_id % 2 = 0 THEN 'V_VP9' ELSE 'V_VP8' END) " +
+        "ELSE 'V_MPEG4/ISO/AVC' END AS codec " +
+        "FROM documents ORDER BY doc_id"))
 }

@@ -13,7 +13,80 @@ object VectorQueries {
 
   def all: Seq[GraftQuery] =
     Seq(q25CosinePairs, q26KnnBruteForce, q110Covariance, q111PcaProject,
-      q115PcaAnnRecall, q118PcaPerLabel, q148ArrayHof)
+      q115PcaAnnRecall, q118PcaPerLabel, q148ArrayHof,
+      q153ExactTopK, q154ExactL2TopK)
+
+  /** The GROUND-TRUTH half of every cosine recall gate
+    * (q47/q64/q66/q115), served through the SAME per-JVM cache those
+    * queries read ([[AnnIndexes.exactCosineTopK]]) and oracled
+    * end-to-end: DuckDB recomputes the exact top-10 (self excluded,
+    * cosine desc, id tie-break) from scratch. The recall queries stay
+    * rows-only because the INDEX half is not SQL-expressible — this
+    * row turns their denominator into a green CORRECTNESS entry, so a
+    * recall regression can be attributed to the index side alone. */
+  val q153ExactTopK: GraftQuery = GraftQuery(
+    "q153_exact_topk",
+    (s, d) => {
+      import s.implicits._
+      AnnIndexes.exactCosineTopK(s, d, 10)
+        .orderBy($"query_id", $"cand_id")
+    },
+    Some(
+      "WITH scored AS (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS cand_id, " +
+        "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) / " +
+        "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * " +
+        "sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos_raw " +
+        "FROM embeddings q, embeddings c " +
+        "WHERE q.vec_id < 5 AND c.vec_id != q.vec_id) " +
+        "SELECT query_id, cand_id FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos_raw DESC, cand_id) AS rk FROM scored) " +
+        "WHERE rk <= 10 ORDER BY query_id, cand_id"))
+
+  /** The ground-truth half of the L2/ADC recall gates (q93/q94): the
+    * exact squared-L2 top-10 in precisely the form
+    * [[graft.operators.PqIndex.recallAgainstIndex]] computes its
+    * denominator (zip_with/aggregate left-fold, self excluded, d2 asc,
+    * id tie-break), hash-matched against DuckDB's list kernels. */
+  val q154ExactL2TopK: GraftQuery = GraftQuery(
+    "q154_exact_l2_topk",
+    (s, d) => {
+      import s.implicits._
+      val vecs = Tables.embeddings(s, d)
+        .select($"vec_id".cast("long").as("id"),
+          graft.operators.Similarity.asDouble($"embedding").as("v"))
+      val q = vecs.filter($"id" < 5)
+        .select($"id".as("query_id"), $"v".as("qv"))
+      q.crossJoin(broadcast(vecs.select($"id".as("cand_id"),
+          $"v".as("cv"))))
+        .filter($"query_id" =!= $"cand_id")
+        .select($"query_id", $"cand_id",
+          aggregate(zip_with($"qv", $"cv", (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x).as("d2"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"query_id").orderBy($"d2".asc, $"cand_id".asc)))
+        .filter($"rk" <= 10)
+        .select($"query_id", $"cand_id", round($"d2", 6).as("d2"), $"rk")
+        .orderBy($"query_id", $"rk")
+    },
+    Some(
+      // same elementwise-difference fold as the Spark zip_with form —
+      // list_sum accumulates in list order, so both engines produce the
+      // same double before the 6-dp pin (the q148 precedent)
+      "WITH qs AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "cs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "scored AS (" +
+        "SELECT qs.vec_id AS query_id, cs.vec_id AS cand_id, " +
+        "list_sum(list_transform(range(1, len(qs.v) + 1), " +
+        "i -> (qs.v[i] - cs.v[i]) * (qs.v[i] - cs.v[i]))) AS d2 " +
+        "FROM qs, cs WHERE cs.vec_id != qs.vec_id) " +
+        "SELECT query_id, cand_id, round(d2, 6) AS d2, rk FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY d2 ASC, cand_id) AS rk FROM scored) " +
+        "WHERE rk <= 10 ORDER BY query_id, rk"))
 
   /** Higher-order array-function coverage, fully oracled: per-element
     * transform (x²) folded by `aggregate`, a `filter` count, and the

@@ -16,7 +16,21 @@ import graft.operators.{IvfIndex, PqIndex}
   * Serving continues from the same artifacts between batches — an
   * `ann-query` against the index simply sees more candidates after the
   * next batch commits. Centroid/codebook drift is the standard IVF/PQ
-  * trade: retrain (`ann-index`) when recall floors degrade. */
+  * trade: retrain (`ann-index`) when recall floors degrade.
+  *
+  * IDEMPOTENCY under streaming's at-least-once window (crash after the
+  * append, before the checkpoint commit → the batch is redelivered):
+  * both appends anti-join the batch against the index's pruned id
+  * column, so a replayed batch appends nothing (DocIngestSpec replays a
+  * batch through a deleted commit marker and proves cardinality and
+  * served top-k unchanged). This is the id-keyed equivalent of
+  * [[SketchIngest]]'s batch_id-partition overwrite; the batch-directory
+  * form was evaluated and rejected HERE because these artifacts are
+  * already partition-structured (`buckets/bucket=N`) — nesting a
+  * `batch_id=` level inside them changes the on-disk layout, breaks
+  * partition discovery against every existing index, and costs a
+  * legacy-migration path, while the anti-join reads one pruned id
+  * column (~8 B/row encoded) per micro-batch and keeps the layout. */
 object VecIngest {
 
   /** Start the ingest stream over `srcDir` (parquet embedding files

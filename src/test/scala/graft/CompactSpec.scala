@@ -72,4 +72,31 @@ class CompactSpec extends GraftSuite {
     assert(!new java.io.File(dir + "__tmp").exists())
     assert(!new java.io.File(dir + "__old").exists())
   }
+
+  test("compact: a file landing mid-compaction aborts the swap and " +
+      "keeps every row") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compact3").toString
+    val dir = s"$root/t"
+    val docs = Tables.documents(spark, sf)
+    (0 until 4).foreach { i =>
+      docs.filter($"doc_id" % 4 === i).repartition(3)
+        .write.mode("append").parquet(dir)
+    }
+    val late = docs.limit(10)
+    val e = intercept[IllegalStateException] {
+      Sinks.compactHooked(spark, dir,
+        targetFileBytes = 4L * 1024 * 1024,
+        // a concurrent writer appends inside the snapshot→swap window
+        beforeSwap = () => late.coalesce(1)
+          .write.mode("append").parquet(dir))
+    }
+    assert(e.getMessage.contains("changed during compaction"))
+    // NOTHING lost: original files + the late append are all readable,
+    // and the aborted tmp output was cleaned up
+    assert(spark.read.parquet(dir).count()
+      === docs.count() + late.count())
+    assert(!new java.io.File(dir + "__tmp").exists())
+    assert(!new java.io.File(dir + "__old").exists())
+  }
 }

@@ -90,11 +90,19 @@ class CurationSpec extends GraftSuite {
         s"split $sp: ${base.get(sp)} + ${appended.get(sp)} != $n") }
     // the dataset card's curated profile is IDENTICAL to the rebuild's
     // (every stat is content-derived)
+    def cardOf(dir: String): String = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$dir/card.json"))
     def curatedProfile(dir: String): String =
-      java.nio.file.Files
-        .readString(java.nio.file.Paths.get(s"$dir/card.json"))
-        .split(""""curated_profile":""", 2)(1)
+      cardOf(dir).split(""""curated_profile":""", 2)(1)
+        .split(""","provenance":""", 2)(0)
     assert(curatedProfile(out) === curatedProfile(out2))
+    // provenance tells the two histories apart: the incremental dir
+    // records both batches and the last batch's admissions, the
+    // rebuild records one batch that admitted everything
+    assert(cardOf(out).contains(""""n_batches":2"""))
+    assert(cardOf(out).contains(
+      s""""last_batch_added":${appended.values.sum}"""))
+    assert(cardOf(out2).contains(""""n_batches":1"""))
     // manifests still cover the grown shards exactly
     full.foreach { case (sp, n) =>
       val m = spark.read.parquet(s"$out/manifest_$sp")

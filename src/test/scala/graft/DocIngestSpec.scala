@@ -140,6 +140,107 @@ class DocIngestSpec extends GraftSuite {
       ._2.count() === e.count())
   }
 
+  /** Simulate the crash-before-commit window: remove batch 0's commit
+    * marker (and its local-FS checksum shadow — a stale .crc would make
+    * the restarted query's commit rename look like a concurrent writer)
+    * while leaving the offsets log intact. */
+  private def deleteCommitMarker(commitsDir: String): Unit = {
+    val c = new java.io.File(s"$commitsDir/0")
+    assert(c.exists, "expected commit marker for batch 0")
+    assert(c.delete())
+    val crc = new java.io.File(s"$commitsDir/.0.crc")
+    if (crc.exists) crc.delete()
+  }
+
+  test("doc-ingest replay (crash before checkpoint commit) is a no-op") {
+    // Streaming's at-least-once window: the foreachBatch body ran (index
+    // appended, batch outputs written) but the query died BEFORE the
+    // checkpoint commit landed. On restart the SAME batch is redelivered
+    // with the same batch id. Simulated faithfully: drain, then delete
+    // the commit marker while keeping the offsets file — exactly the
+    // on-disk state the crash leaves.
+    val root = Files.createTempDirectory("graft_replay_doc").toString
+    val srcDir = s"$root/src"
+    val indexDir = s"$root/idx"
+    val outDir = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    writeOneFile(docs.filter($"doc_id" < 60), s"$srcDir/b1.parquet")
+    DocIngest.runToCompletion(spark, srcDir, indexDir, outDir, ckpt)
+    val keptBefore = spark.read.parquet(s"$outDir/batch_0/kept")
+      .select($"doc_id").as[Long].collect().toSet
+    val idxBefore = graft.operators.Dedup.readIndex(spark, indexDir)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(keptBefore.nonEmpty && idxBefore.nonEmpty)
+    // a fresh probe batch the index should flag — the q44-family face
+    def crossProbe(): Set[(Long, Long)] = {
+      val probe = docs.filter($"doc_id" < 10)
+        .select(($"doc_id" + 500000L).as("doc_id"), $"text")
+      graft.operators.Dedup.minhashNearDupsAgainstIndex(
+        graft.operators.Dedup.readIndex(spark, indexDir), probe,
+        "doc_id", "text")
+        .select($"new_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    }
+    val probeBefore = crossProbe()
+    assert(probeBefore.nonEmpty, "probe clones should match the index")
+
+    // crash window: commit marker gone, offsets intact
+    deleteCommitMarker(s"$ckpt/commits")
+    DocIngest.runToCompletion(spark, srcDir, indexDir, outDir, ckpt)
+
+    // index cardinality and content unchanged — no duplicated signatures
+    assert(graft.operators.Dedup.readIndex(spark, indexDir)
+      .select($"id").as[Long].collect().sorted.toSeq === idxBefore)
+    // batch outputs re-written identically: the replayed docs match
+    // only THEMSELVES in the index (filtered), so kept is stable
+    assert(spark.read.parquet(s"$outDir/batch_0/kept")
+      .select($"doc_id").as[Long].collect().toSet === keptBefore)
+    // and index-serving results (the q44 family) are unchanged
+    assert(crossProbe() === probeBefore)
+  }
+
+  test("vector-index replay appends nothing and serves identical top-k") {
+    val root = Files.createTempDirectory("graft_replay_vec").toString
+    val e = Tables.embeddings(spark, sf)
+    val half1 = e.filter($"vec_id" % 2 === 0)
+    val half2 = e.filter($"vec_id" % 2 === 1)
+    graft.operators.IvfIndex.writeIndex(half1, "vec_id", "embedding",
+      s"$root/idx/ivf", nlist = 8, seed = 42L)
+    graft.operators.PqIndex.writeIndex(half1, "vec_id", "embedding",
+      s"$root/idx/pq", m = 8, k = 16, seed = 42L)
+    writeOneFile(half2, s"$root/src/b1.parquet")
+    graft.streaming.VecIngest.runToCompletion(spark, s"$root/src",
+      s"$root/idx", s"$root/ckpt")
+    def served(): Seq[(Long, Long)] = {
+      val (cents, buckets) =
+        graft.operators.IvfIndex.readIndex(spark, s"$root/idx/ivf")
+      val probes = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      graft.operators.IvfIndex.topKAgainstIndex(probes, cents, buckets,
+        "query_id", "qv", k = 3, nprobe = 3)
+        .select($"query_id", $"cand_id")
+        .as[(Long, Long)].collect().sorted.toSeq
+    }
+    val topkBefore = served()
+    // crash window: redeliver batch 0 to BOTH index appends
+    deleteCommitMarker(s"$root/ckpt/commits")
+    graft.streaming.VecIngest.runToCompletion(spark, s"$root/src",
+      s"$root/idx", s"$root/ckpt")
+    assert(graft.operators.IvfIndex.readIndex(spark, s"$root/idx/ivf")
+      ._2.count() === e.count())
+    assert(graft.operators.PqIndex.readIndex(spark, s"$root/idx/pq")
+      ._2.count() === e.count())
+    assert(served() === topkBefore)
+    // belt-and-braces: a THIRD direct re-append (no stream) is also inert
+    graft.operators.IvfIndex.appendVectors(spark, s"$root/idx/ivf",
+      half2, "vec_id", "embedding")
+    graft.operators.PqIndex.appendVectors(spark, s"$root/idx/pq",
+      half2, "vec_id", "embedding")
+    assert(graft.operators.IvfIndex.readIndex(spark, s"$root/idx/ivf")
+      ._2.count() === e.count())
+    assert(graft.operators.PqIndex.readIndex(spark, s"$root/idx/pq")
+      ._2.count() === e.count())
+  }
+
   test("stateless shaping ops run unchanged on a stream") {
     // Chunker.chunk is a projection + explode — no state, no watermark:
     // the SAME operator code drives batch jobs and streams, and the

@@ -157,4 +157,44 @@ class DsirSpec extends GraftSuite {
       .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(after === before) // overwrite-per-partition replaced, not dup'd
   }
+
+  test("sketches: a legacy flat-layout artifact is rejected, not wedged") {
+    // Pre-round-6 artifacts were flat parquet with batch_id as a data
+    // column; one new-format batch beside them breaks partition
+    // discovery for every future reader. The append must refuse the
+    // directory up front with a migrate-or-rebuild message.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sketch_legacy").toString
+    Sketches.groupSketches(docs, "lang", "doc_id")
+      .withColumn("batch_id", lit(1L))
+      .write.mode("overwrite").parquet(dir) // the legacy flat shape
+    val e = intercept[IllegalArgumentException] {
+      Sketches.appendSketches(docs, "lang", "doc_id", dir, batchId = 2L)
+    }
+    assert(e.getMessage.contains("flat data file"))
+    // untouched: the legacy artifact still reads as it did
+    assert(spark.read.parquet(dir).count() > 0)
+    // and a clean partitioned dir still appends fine
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_sketch_clean").toString
+    Sketches.appendSketches(docs, "lang", "doc_id", dir2, batchId = 1L)
+    Sketches.appendSketches(docs, "lang", "doc_id", dir2, batchId = 2L)
+    assert(Sketches.estimateFromArtifact(spark, dir2).count() > 0)
+  }
+
+  test("dsir gram stream: degenerate docs emit no spurious bigrams") {
+    val d = Seq((1L, "solo"), (2L, ""), (3L, "two tokens"))
+      .toDF("doc_id", "text")
+    val counts = Dsir.gramRows(d, "doc_id", "text", buckets = 64,
+        seed = 1L)
+      .groupBy($"doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    // 1 token → exactly its unigram (no self-duplicated "bigram");
+    // empty text → ONE "" unigram (tokens()'s split contract), no
+    // longer the doubled ""+"" the unguarded bigram branch emitted;
+    // 2 tokens → 2 unigrams + 1 bigram
+    assert(counts.get(1L) === Some(1L))
+    assert(counts.get(2L) === Some(1L))
+    assert(counts.get(3L) === Some(3L))
+  }
 }

@@ -479,10 +479,28 @@ class MultimodalSpec extends GraftSuite {
     val card = graft.operators.CorpusReport.report(docs,
       media = Some(rows))
     assert(card.contains(""""media":{"""))
-    assert(card.contains(""""mp4":{"n":1,"undecodable":1}"""))
-    assert(card.contains(""""gif":{"n":2,"undecodable":0}"""))
+    assert(card.contains(""""mp4":{"n":1,"undecodable":1,"with_meta":0}"""))
+    assert(card.contains(""""gif":{"n":2,"undecodable":0,"with_meta":0}"""))
     assert(graft.operators.CorpusReport.report(docs) ===
       card.split(""","media":""")(0) + "}")
+  }
+
+  test("containerFormat: EBML DocType separates webm from mkv rows") {
+    // the 0x1A45DFA3 magic is shared by the whole Matroska family — a
+    // card that filed .mkv under "webm" would misreport both buckets
+    def ebml(docType: String): Array[Byte] =
+      Array(0x1a, 0x45, 0xdf, 0xa3, 0x9f).map(_.toByte) ++
+        Array(0x42, 0x86, 0x81, 0x01).map(_.toByte) ++ // EBMLVersion=1
+        Array(0x42, 0x82, 0x80 | docType.length).map(_.toByte) ++
+        docType.getBytes("US-ASCII") ++ Array.fill[Byte](16)(0)
+    assert(Multimodal.containerFormat(ebml("webm")) === "webm")
+    assert(Multimodal.containerFormat(ebml("matroska")) === "matroska")
+    // bare magic without a parseable DocType stays the generic family
+    assert(Multimodal.containerFormat(
+      Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte)) === "matroska")
+    // decodability policy unchanged: both are explicit-empty
+    assert(!Multimodal.decodable(ebml("webm")))
+    assert(!Multimodal.decodable(ebml("matroska")))
   }
 
   /** Animated-GIF bytes: one solid `size`×`size` frame per (gray, size)
@@ -1271,6 +1289,24 @@ class SamplingSpec extends GraftSuite {
     val (tr3, _) = graft.operators.Sampling.splitBySha(docs, "doc_id",
       0.8, seed = 43L)
     assert(tr.select("doc_id").exceptAll(tr3.select("doc_id")).count() > 0)
+  }
+
+  test("sha split: near-1 fraction clamps to 0xffff instead of inverting") {
+    // 0.9999995 rounds to 1.0 at 6 dp; unclamped it formatted as the
+    // 5-char "10000", which the 4-char bucket string compare routed
+    // ~94% of rows AWAY from the train side. Clamped, the cut is
+    // "ffff": train keeps everything except the top 1/65536 bucket.
+    assert(graft.operators.Sampling.shaCut(0.9999995) === "ffff")
+    assert(graft.operators.Sampling.shaCut(1.0 - 1e-9) === "ffff")
+    assert(graft.operators.Sampling.shaCut(0.8)
+      === f"${(0.8 * 65536).toLong}%04x")
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val (tr, va) = graft.operators.Sampling.splitBySha(docs, "doc_id",
+      0.9999995, seed = 42L)
+    val nt = tr.count()
+    assert(nt + va.count() === n)
+    assert(nt.toDouble / n > 0.999, s"train kept only $nt of $n")
   }
 }
 

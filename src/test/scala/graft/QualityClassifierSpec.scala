@@ -39,6 +39,18 @@ class QualityClassifierSpec extends GraftSuite {
     assert(s3 === s8)
   }
 
+  test("gram stream: degenerate docs emit no spurious bigrams") {
+    val d = Seq((1L, "solo"), (2L, ""), (3L, "two tokens"))
+      .toDF("doc_id", "text")
+    val counts = QualityClassifier.bucketRows(d, "doc_id", "text",
+        buckets = 64, seed = 1L)
+      .groupBy(col("doc_id")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(counts.get(1L) === Some(1L)) // unigram only, not doubled
+    assert(counts.get(2L) === Some(1L)) // one "" unigram, not two
+    assert(counts.get(3L) === Some(3L)) // 2 unigrams + 1 bigram
+  }
+
   test("scores live strictly inside (0, 1); weights stay bounded") {
     val model = QualityClassifier.train(docs.limit(100), "doc_id", "text",
       isTarget = col("lang") === "en", buckets = 128, seed = 2L,
