@@ -25,7 +25,8 @@ class PlanAuditSpec extends GraftSuite {
     "q26_knn_brute_force",  // brute-force baseline the ANN path is judged by
     "q43_ngram_jaccard",    // exact Jaccard on a bounded 30-doc slice
     "q83_topk_agg_knn",     // same probe set through the aggregator path
-    "q115_pca_ann_recall")  // 5-probe reduced-space scoring + 1-row floor gate
+    "q115_pca_ann_recall",  // 5-probe reduced-space scoring + 1-row floor gate
+    "q154_exact_l2_topk")   // 5-probe exact-L2 ground truth (q26's L2 twin)
 
   /** crossJoin(broadcast(global aggregate)) — a 1-row side, |L|×1 and
     * linear; Spark renders it as BroadcastNestedLoopJoin but it is the
@@ -55,6 +56,20 @@ class PlanAuditSpec extends GraftSuite {
       }
     assert(offenders.isEmpty,
       s"quadratic joins in:\n${offenders.mkString("\n")}")
+  }
+
+  test("q44's signature exchange is REUSED, not recomputed") {
+    // The round-6 MinHash A/B resolved in favor of the explode+
+    // aggregate signature form precisely BECAUSE its exchange is
+    // reused by the downstream banded-join branches — a refactor that
+    // silently breaks the reuse (e.g. perturbing the signature
+    // expression per branch) would multiply the most expensive scan in
+    // the dedup family by the consumer count. Pin it.
+    val df = Registry.byName("q44_minhash_neardups").run(spark, sf)
+    df.collect() // AQE materializes exchange reuse only in the FINAL plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("(reused)"),
+      s"q44 plan lost its signature-exchange reuse:\n$plan")
   }
 
   test("q148's textbook HOF cosine is FUSED to the native kernel") {
