@@ -26,18 +26,34 @@ object DedupScaleProbe {
 
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
 
+  /** Multipliers coprime to 26 — the `a` of the affine letter map. */
+  private val Coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  /** Replica r's alphabet bijection σ_r(i) = a·i + b (mod 26) with
+    * a = Coprimes[r/26 mod 12], b = r mod 26. Plain rotation repeats
+    * every 26 replicas — replica 26 would EXACTLY clone replica 0 and
+    * melt the planted dup rate — while the affine family provides 312
+    * distinct bijections (identity at r = 0, and a = 1 reproduces the
+    * historical rotation for r < 26, so the ≤×20 sweep series is
+    * unchanged). Two distinct affine maps agree on at most a small
+    * letter subset, so multi-word shingles stay disjoint across
+    * replicas. */
+  private def perm(r: Int): String = {
+    val a = Coprimes((r / 26) % Coprimes.size)
+    val b = r % 26
+    (0 until 26).map(i => Alphabet((a * i + b) % 26)).mkString
+  }
+
   /** Corpus replicated m× with disjoint shingle spaces per replica.
     * Replica ids are offset by max(doc_id)+1 per replica — derived from
     * the data, so they stay collision-free for any base id range (a fixed
     * 10M stride would collide once base ids reach 10M). */
   /** Replica r alone: rotated-alphabet text, ids offset by r·stride. */
-  def replicaOf(docs: DataFrame, r: Int, stride: Long): DataFrame = {
-    val rot = Alphabet.drop(r % 26) + Alphabet.take(r % 26)
+  def replicaOf(docs: DataFrame, r: Int, stride: Long): DataFrame =
     docs.select(
       (col("doc_id") + lit(r * stride)).as("doc_id"),
       (if (r == 0) col("text")
-       else translate(col("text"), Alphabet, rot)).as("text"))
-  }
+       else translate(col("text"), Alphabet, perm(r))).as("text"))
 
   def replicate(docs: DataFrame, m: Int): DataFrame = {
     val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
@@ -281,7 +297,67 @@ object DedupScaleProbe {
           val secs = (System.nanoTime() - t0) / 1e9
           f""""x$m":{"docs":${nBase * m},"scored":$rows,"maxDistinctPerBase":$maxs,"secs":$secs%.2f}"""
         }
-      else if (args.headOption.contains("--spans"))
+      else if (args.headOption.contains("--xl")) {
+        // ×50/×100 replication exhibit — the closest local[32] gets to
+        // the 100× claim. Fact tables (lineitem, orders) replicate with
+        // an orderkey stride so the join structure replicates exactly;
+        // DIMENSIONS stay fixed and broadcast, which is precisely the
+        // 100 TB story (facts grow, dims don't). Integrity gates: q01's
+        // total row count and q04's joined line count must be EXACTLY
+        // m× the base — a dropped or doubled replica fails loudly, so
+        // the rows/s series can't silently measure the wrong corpus.
+        // The MinHash family rides the same sweep over the affine-
+        // replicated docs corpus: found dup pairs must stay m× base.
+        val li = Tables.lineitem(spark, sfDir)
+        val ords = Tables.orders(spark, sfDir)
+        val cust = Tables.customer(spark, sfDir)
+        val nat = Tables.nation(spark, sfDir)
+        val reg = Tables.region(spark, sfDir)
+        val liN = li.count()
+        val oStride = ords.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+        def repKey(df: DataFrame, key: String, m: Int): DataFrame =
+          (0 until m).map(r =>
+            df.withColumn(key, col(key) + lit(r * oStride)))
+            .reduce(_ unionAll _)
+        var baseJoin = -1L
+        var baseDups = -1L
+        Seq(1, 10, 50, 100).map { m =>
+          val liR = repKey(li, "l_orderkey", m)
+          val t0 = System.nanoTime()
+          val q01Rows = liR
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(sum(col("l_quantity")).as("sq"),
+              count(lit(1)).as("count_order"))
+            .agg(sum(col("count_order"))).head().getLong(0)
+          val t1 = System.nanoTime()
+          require(q01Rows == m * liN,
+            s"replication integrity: q01 saw $q01Rows rows, want ${m * liN}")
+          val joined = liR
+            .join(repKey(ords, "o_orderkey", m),
+              col("l_orderkey") === col("o_orderkey"))
+            .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+            .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+            .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+            .groupBy(col("r_name"), col("n_name"))
+            .agg(count(lit(1)).as("n_lines"))
+            .agg(sum(col("n_lines"))).head().getLong(0)
+          val t2 = System.nanoTime()
+          if (m == 1) baseJoin = joined
+          require(joined == m * baseJoin,
+            s"replication integrity: q04 joined $joined lines, want ${m * baseJoin}")
+          val dups = Dedup.minhashNearDups(replicate(docs, m), "doc_id",
+            "text", threshold = 0.5).count()
+          val t3 = System.nanoTime()
+          if (m == 1) baseDups = dups
+          val (s1, s2, s3) = ((t1 - t0) / 1e9, (t2 - t1) / 1e9,
+            (t3 - t2) / 1e9)
+          f""""x$m":{"liRows":${m * liN},"q01Secs":$s1%.2f,""" +
+            f""""q01RowsPerSec":${(m * liN / s1).toLong},""" +
+            f""""q04Secs":$s2%.2f,"q04RowsPerSec":${(m * liN / s2).toLong},""" +
+            f""""docs":${nBase * m},"dups":$dups,"dedupSecs":$s3%.2f,""" +
+            f""""dedupDocsPerSec":${(nBase * m / s3).toLong}}"""
+        }
+      } else if (args.headOption.contains("--spans"))
         // span-dedup sweep: span count must be EXACTLY m× the base
         // (disjoint shingle spaces), wall ~linear — no pair term.
         Seq(1, 2, 5, 10).map { m =>

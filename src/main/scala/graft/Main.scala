@@ -37,6 +37,8 @@ object Main {
         rest.headOption.map(_.toInt).getOrElse(12))
     case "score" :: input :: outDir :: _ =>
       runScore(input, outDir)
+    case "media-meta" :: input :: outDir :: _ =>
+      runMediaMeta(input, outDir)
     case "report" :: input :: outPath :: _ =>
       runReport(input, outPath)
     case "bpe-train" :: input :: mergesDir :: rest =>
@@ -108,7 +110,8 @@ object Main {
            |       graft.Main quality-filter <docsParquet> <outDir> [threshold]
            |       graft.Main dsir-select <docsParquet> <outDir> [k]
            |       graft.Main curate [--append] <docsParquet> <outDir> [rowsPerShard]
-           |       graft.Main compact <parquetDir> [targetMB]
+           |       graft.Main compact <parquetDir> [targetMB]  (writers must be quiesced)
+           |       graft.Main media-meta <binaryParquet> <outDir>
            |(got: ${other.mkString(" ")})""".stripMargin)
       sys.exit(2)
   }
@@ -335,6 +338,19 @@ object Main {
         size(col("bpe_tokens")).as("n_bpe"))
     Sinks.writeParquet(out, outDir)
     println(s">>> [bpe-encode] docs=${spark.read.parquet(outDir).count()}")
+    spark.stop()
+  }
+
+  /** Container-metadata extraction over a binary corpus
+    * ([[graft.multimodal.Multimodal.videoMeta]]): one map-side pass
+    * writes (id, format, brand, duration_ms, width, height, codec) —
+    * the honest metadata face of the codec-less MP4/WebM policy. */
+  private def runMediaMeta(input: String, outDir: String): Unit = {
+    val spark = session()
+    val withBin = spark.read.parquet(input)
+    graft.io.Sinks.writeParquet(
+      graft.multimodal.Multimodal.videoMeta(withBin), outDir)
+    println(s">>> [media-meta] wrote $outDir")
     spark.stop()
   }
 
