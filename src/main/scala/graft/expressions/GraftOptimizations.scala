@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{
   Add, And, ArrayAggregate, AttributeSet, Divide, Expression,
   LambdaFunction, Literal, Multiply, NamedLambdaVariable,
-  PredicateHelper, Sqrt, ZipWith}
+  PredicateHelper, Sqrt, Subtract, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -89,6 +89,59 @@ object CosineFusion extends Rule[LogicalPlan] {
     }
 }
 
+/** Catalyst optimizer rule: FUSE the textbook higher-order-function
+  * squared-L2 — `aggregate(zip_with(a, b, (x,y) => (x−y)·(x−y)), 0.0,
+  * +)`, which materializes a difference array and walks it again — into
+  * the single-pass native [[ArrayL2Sq]] kernel. Sibling of
+  * [[CosineFusion]], and STRICTLY semantics-preserving: identical
+  * left-to-right IEEE operations (bit-equal doubles, L2ParitySpec),
+  * identical NULL behavior on ragged/null-element input, and no
+  * division anywhere so not even the zero-norm ANSI canonicalization
+  * the cosine rewrite documents. */
+object L2Fusion extends Rule[LogicalPlan] {
+
+  /** Matches aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0.0,
+    * (acc,v) => acc+v, id) — the HOF squared-L2. */
+  private object SqDiffSum {
+    def unapply(e: Expression): Option[(Expression, Expression)] =
+      e match {
+        case ArrayAggregate(
+            ZipWith(a, b, LambdaFunction(
+              Multiply(
+                Subtract(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _),
+                Subtract(x2: NamedLambdaVariable, y2: NamedLambdaVariable, _),
+                _),
+              Seq(ax: NamedLambdaVariable, ay: NamedLambdaVariable), _)),
+            Literal(zero, DoubleType),
+            LambdaFunction(
+              Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _),
+              Seq(aacc: NamedLambdaVariable, av: NamedLambdaVariable), _),
+            LambdaFunction(fin: NamedLambdaVariable,
+              Seq(afin: NamedLambdaVariable), _))
+          if zero == 0.0 &&
+            x1.exprId == ax.exprId && y1.exprId == ay.exprId &&
+            x2.exprId == ax.exprId && y2.exprId == ay.exprId &&
+            acc.exprId == aacc.exprId && v.exprId == av.exprId &&
+            fin.exprId == afin.exprId =>
+          Some((a, b))
+        case _ => None
+      }
+  }
+
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case SqDiffSum(a, b)
+        if a.deterministic && b.deterministic &&
+          isDoubleArray(a) && isDoubleArray(b) =>
+        ArrayL2Sq(a, b)
+    }
+}
+
 /** Optimizer rules for the custom as-of join node. A LogicalPlan Catalyst
   * doesn't know is an optimization BARRIER — filters stop above it and
   * every column survives to the exchange. These two rules restore the
@@ -128,6 +181,7 @@ object AsOfJoinPushdown extends Rule[LogicalPlan] with PredicateHelper {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CosineFusion)
+    e.injectOptimizerRule(_ => L2Fusion)
     e.injectOptimizerRule(_ => SimplifySelfCosine)
     e.injectOptimizerRule(_ => AsOfJoinPushdown)
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)

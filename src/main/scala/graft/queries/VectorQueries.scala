@@ -48,11 +48,18 @@ object VectorQueries {
     * exact squared-L2 top-10 in precisely the form
     * [[graft.operators.PqIndex.recallAgainstIndex]] computes its
     * denominator (zip_with/aggregate left-fold, self excluded, d2 asc,
-    * id tie-break), hash-matched against DuckDB's list kernels. */
+    * id tie-break), hash-matched against DuckDB's list kernels. The
+    * textbook HOF shape is written on purpose: the
+    * [[graft.expressions.L2Fusion]] rule (ensured on the running
+    * session) rewrites it to the single-pass native [[graft.expressions
+    * .ArrayL2Sq]] kernel — bit-identical fold, so the oracle face is
+    * unchanged; PlanAuditSpec asserts the fusion fired. */
   val q154ExactL2TopK: GraftQuery = GraftQuery(
     "q154_exact_l2_topk",
     (s, d) => {
       import s.implicits._
+      org.apache.spark.sql.GraftExprBridge.ensureOptimization(s,
+        graft.expressions.L2Fusion)
       val vecs = Tables.embeddings(s, d)
         .select($"vec_id".cast("long").as("id"),
           graft.operators.Similarity.asDouble($"embedding").as("v"))

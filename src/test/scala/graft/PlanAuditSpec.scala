@@ -72,6 +72,16 @@ class PlanAuditSpec extends GraftSuite {
       s"q44 plan lost its signature-exchange reuse:\n$plan")
   }
 
+  test("q154's textbook HOF squared-L2 is FUSED to the native kernel") {
+    val qe = Registry.byName("q154_exact_l2_topk").run(spark, sf)
+      .queryExecution
+    val optimized = qe.optimizedPlan.toString
+    assert(optimized.contains("arrayl2sq"),
+      s"L2Fusion did not fire:\n$optimized")
+    assert(!optimized.contains("zip_with"),
+      "unfused zip_with survived in the optimized plan")
+  }
+
   test("q148's textbook HOF cosine is FUSED to the native kernel") {
     val qe = Registry.byName("q148_array_hof").run(spark, sf)
       .queryExecution
