@@ -297,7 +297,36 @@ object DedupScaleProbe {
           val secs = (System.nanoTime() - t0) / 1e9
           f""""x$m":{"docs":${nBase * m},"scored":$rows,"maxDistinctPerBase":$maxs,"secs":$secs%.2f}"""
         }
-      else if (args.headOption.contains("--xl")) {
+      else if (args.headOption.contains("--l2ab")) {
+        // kernel-vs-HOF A/B for the squared-L2 fusion (the ArrayCosine
+        // precedent): same bounded all-pairs workload, three forms —
+        // textbook HOF (4 walks + an intermediate array), the native
+        // fused kernel, and the HOF run through the L2Fusion rewrite
+        // (which must match the kernel's wall, proving the rule
+        // delivers the kernel's speed to textbook queries for free)
+        docs.unpersist()
+        val emb = Tables.embeddings(spark, sfDir)
+        val v = graft.operators.Similarity.asDouble(col("embedding"))
+        val q = emb.select(col("vec_id").as("qid"),
+          graft.operators.Similarity.asDouble(col("embedding")).as("qv"))
+        def pairs = emb.crossJoin(q.limit(200))
+        def time(label: String, c: org.apache.spark.sql.Column): String = {
+          val t0 = System.nanoTime()
+          val n = pairs.select(c.as("d2"))
+            .agg(sum(col("d2"))).head().getDouble(0)
+          val secs = (System.nanoTime() - t0) / 1e9
+          f""""$label":{"secs":$secs%.2f,"checksum":$n%.3f}"""
+        }
+        val hof = aggregate(
+          zip_with(v, col("qv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+        val r1 = time("hof", hof)
+        val r2 = time("kernel", graft.expressions.ArrayL2Sq(v, col("qv")))
+        org.apache.spark.sql.GraftExprBridge.ensureOptimization(spark,
+          graft.expressions.L2Fusion)
+        val r3 = time("hofFused", hof)
+        Seq(r1, r2, r3)
+      } else if (args.headOption.contains("--xl")) {
         // ×50/×100 replication exhibit — the closest local[32] gets to
         // the 100× claim. Fact tables (lineitem, orders) replicate with
         // an orderkey stride so the join structure replicates exactly;
