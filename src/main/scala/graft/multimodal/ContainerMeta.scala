@@ -268,10 +268,219 @@ object ContainerMeta extends Serializable {
   }
 
   // ------------------------------------------------------------------
+  // Audio containers without a JDK codec: FLAC / MP3 / Ogg. Frame
+  // payloads stay undecodable by policy; the header fields below are
+  // parsed structure, never synthesized.
+  // ------------------------------------------------------------------
+
+  /** Parsed audio-container metadata. `durationMs` is exact for FLAC
+    * (total-samples / rate from STREAMINFO) and Ogg (last-page granule
+    * position / rate); for MP3 it is the CBR estimate from the first
+    * frame's bitrate — real parsed structure plus arithmetic, flagged
+    * by `durationExact = false`. */
+  final case class AudioMeta(
+      format: String,             // "flac" | "mp3" | "ogg"
+      codec: Option[String],      // "flac" / "mpeg1-layer3" / "vorbis" / "opus"
+      durationMs: Option[Long],
+      durationExact: Boolean,
+      sampleRate: Option[Int],
+      channels: Option[Int])
+
+  /** Dispatch on magic bytes for the audio families. */
+  def parseAudio(bytes: Array[Byte]): Option[AudioMeta] =
+    Multimodal.containerFormat(bytes) match {
+      case "flac" => Some(parseFlac(bytes))
+      case "mp3" => Some(parseMp3(bytes))
+      case "ogg" => Some(parseOgg(bytes))
+      case _ => None
+    }
+
+  /** FLAC STREAMINFO: "fLaC", then metadata blocks (1-byte last+type
+    * header, 3-byte big-endian length); block type 0 packs sample rate
+    * (20 bits), channels−1 (3 bits), bits-per-sample−1 (5 bits) and
+    * total samples (36 bits) after the four block/frame-size fields.
+    * Duration is EXACT: totalSamples · 1000 / rate. */
+  def parseFlac(b: Array[Byte]): AudioMeta = {
+    var off = 4
+    while (off + 4 <= b.length) {
+      val last = (b(off) & 0x80) != 0
+      val typ = b(off) & 0x7f
+      val len = ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) |
+        (b(off + 3) & 0xff)
+      val p = off + 4
+      if (typ == 0 && len >= 18 && p + 18 <= b.length) {
+        // STREAMINFO: minBlock(2) maxBlock(2) minFrame(3) maxFrame(3),
+        // then the packed 64-bit rate/channels/bps/samples field
+        val q = p + 10
+        val rate = ((b(q) & 0xff) << 12) | ((b(q + 1) & 0xff) << 4) |
+          ((b(q + 2) & 0xff) >>> 4)
+        val ch = ((b(q + 2) >>> 1) & 0x07) + 1
+        val samples = ((b(q + 3) & 0x0fL) << 32) |
+          ((b(q + 4) & 0xffL) << 24) | ((b(q + 5) & 0xffL) << 16) |
+          ((b(q + 6) & 0xffL) << 8) | (b(q + 7) & 0xffL)
+        val dur = if (rate > 0 && samples > 0)
+          Some(samples * 1000L / rate) else None
+        return AudioMeta("flac", Some("flac"), dur, durationExact = true,
+          if (rate > 0) Some(rate) else None, Some(ch))
+      }
+      if (last || len <= 0) return AudioMeta("flac", Some("flac"), None,
+        durationExact = true, None, None)
+      off = p + len
+    }
+    AudioMeta("flac", Some("flac"), None, durationExact = true, None, None)
+  }
+
+  private val Mp3Bitrates = // MPEG-1 Layer III, kbit/s, index 1-14
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3Rates = Array(44100, 48000, 32000, 0)
+
+  /** MP3: skip an ID3v2 tag (syncsafe 28-bit size), find the first
+    * 0xFFEx frame sync, read the MPEG-1 Layer III header's bitrate and
+    * sample-rate indices. Duration is the CBR ESTIMATE
+    * `(audioBytes · 8) / bitrate` — honest for constant-bitrate files,
+    * a lower-confidence figure for VBR, so `durationExact = false`
+    * always (a VBR file cannot be told from its first frame). */
+  def parseMp3(b: Array[Byte]): AudioMeta = {
+    var off = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      off = 10 + size
+    }
+    val limit = math.min(b.length - 4, off + 4096) // sync must be near
+    var i = off
+    while (i >= 0 && i <= limit) {
+      if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xe0) == 0xe0) {
+        val version = (b(i + 1) >>> 3) & 0x03 // 3 = MPEG-1
+        val layer = (b(i + 1) >>> 1) & 0x03   // 1 = Layer III
+        val brIdx = (b(i + 2) >>> 4) & 0x0f
+        val srIdx = (b(i + 2) >>> 2) & 0x03
+        if (version == 3 && layer == 1 && brIdx >= 1 && brIdx <= 14 &&
+          srIdx < 3) {
+          val kbps = Mp3Bitrates(brIdx)
+          val rate = Mp3Rates(srIdx)
+          val mono = ((b(i + 3) >>> 6) & 0x03) == 3
+          val audioBytes = (b.length - i).toLong
+          val durMs = audioBytes * 8L / kbps // bytes·8 / (kbit/s) = ms
+          return AudioMeta("mp3", Some("mpeg1-layer3"), Some(durMs),
+            durationExact = false, Some(rate), Some(if (mono) 1 else 2))
+        }
+      }
+      i += 1
+    }
+    AudioMeta("mp3", Some("mpeg1-layer3"), None, durationExact = false,
+      None, None)
+  }
+
+  private def leU32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** Ogg: the first page carries the codec id header ("vorbis" →
+    * channels u8 + rate u32le at +11; "OpusHead" → channels u8 at +9,
+    * pre-skip u16le, input rate u32le at +12). Duration comes from the
+    * LAST page's granule position (samples at the codec rate — 48 kHz
+    * for Opus regardless of input rate): EXACT, the same field every
+    * player seeks by. */
+  def parseOgg(b: Array[Byte]): AudioMeta = {
+    def ascii(off: Int, s: String): Boolean =
+      b.length >= off + s.length &&
+        s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+    // first page payload starts after the 27-byte header + segment table
+    if (b.length < 28) return AudioMeta("ogg", None, None,
+      durationExact = true, None, None)
+    val nSegs = b(26) & 0xff
+    val p = 27 + nSegs
+    var codec: Option[String] = None
+    var rate = 0
+    var gRate = 0 // the rate granule positions tick at
+    var ch = 0
+    if (ascii(p, "vorbis") && p + 16 <= b.length) {
+      codec = Some("vorbis")
+      ch = b(p + 11) & 0xff
+      rate = leU32(b, p + 12).toInt
+      gRate = rate
+    } else if (ascii(p, "OpusHead") && p + 16 <= b.length) {
+      codec = Some("opus")
+      ch = b(p + 9) & 0xff
+      rate = leU32(b, p + 12).toInt // original input rate (informative)
+      gRate = 48000                 // Opus granules always tick at 48 kHz
+    }
+    // last page: scan backward for the final "OggS" capture pattern
+    var last = -1
+    var i = b.length - 14
+    while (i >= 0 && last < 0) {
+      if (b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' &&
+        b(i + 3) == 'S') last = i
+      else i -= 1
+    }
+    val dur =
+      if (last >= 0 && last + 14 <= b.length && gRate > 0) {
+        val granule = leU32(b, last + 6) | (leU32(b, last + 10) << 32)
+        if (granule > 0) Some(granule * 1000L / gRate) else None
+      } else None
+    AudioMeta("ogg", codec, dur, durationExact = true,
+      if (rate > 0) Some(rate) else None, if (ch > 0) Some(ch) else None)
+  }
+
+  // ------------------------------------------------------------------
   // Deterministic fixture builders — REAL spec-conformant bytes, used
   // by the spec and the oracled registry exhibit (build → parse must
   // round-trip the exact field values an ANSI oracle recomputes).
   // ------------------------------------------------------------------
+
+  /** Minimal valid FLAC (magic + lone STREAMINFO block): duration is
+    * exact when rate divides samples·1000. */
+  def buildFlac(sampleRate: Int, channels: Int,
+      totalSamples: Long): Array[Byte] = {
+    require(channels >= 1 && channels <= 8 && sampleRate > 0 &&
+      sampleRate < (1 << 20) && totalSamples >= 0 &&
+      totalSamples < (1L << 36))
+    val info = new Array[Byte](18) // only the packed field matters here
+    info(10) = ((sampleRate >>> 12) & 0xff).toByte
+    info(11) = ((sampleRate >>> 4) & 0xff).toByte
+    info(12) = (((sampleRate & 0x0f) << 4) | ((channels - 1) << 1)).toByte
+    info(13) = (((15 << 4) | ((totalSamples >>> 32) & 0x0f)).toByte) // 16-bit bps
+    info(14) = ((totalSamples >>> 24) & 0xff).toByte
+    info(15) = ((totalSamples >>> 16) & 0xff).toByte
+    info(16) = ((totalSamples >>> 8) & 0xff).toByte
+    info(17) = (totalSamples & 0xff).toByte
+    "fLaC".getBytes("US-ASCII") ++
+      Array((0x80).toByte, 0.toByte, 0.toByte, 18.toByte) ++ info
+  }
+
+  /** Minimal MP3: one MPEG-1 Layer III frame header + `padBytes` of
+    * payload; CBR duration estimate = (4 + padBytes)·8 / kbps ms. */
+  def buildMp3(bitrateIdx: Int, sampleRateIdx: Int,
+      padBytes: Int): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14 && sampleRateIdx < 3)
+    Array(0xff.toByte, 0xfb.toByte, // MPEG-1 Layer III, no CRC
+      ((bitrateIdx << 4) | (sampleRateIdx << 2)).toByte, 0.toByte) ++
+      Array.fill[Byte](padBytes)(0x55)
+  }
+
+  /** Minimal Ogg/Opus: an id-header page plus a final page whose
+    * granule position encodes the duration at 48 kHz. */
+  def buildOggOpus(channels: Int, inputRate: Int,
+      granule: Long): Array[Byte] = {
+    def page(granulePos: Long, payload: Array[Byte],
+        seq: Int): Array[Byte] = {
+      require(payload.length < 255)
+      val h = new Array[Byte](27)
+      h(0) = 'O'; h(1) = 'g'; h(2) = 'g'; h(3) = 'S'
+      var i = 0
+      while (i < 8) { h(6 + i) = ((granulePos >>> (8 * i)) & 0xff).toByte
+        i += 1 }
+      h(18) = seq.toByte
+      h(26) = 1 // one segment
+      h ++ Array(payload.length.toByte) ++ payload
+    }
+    val head = "OpusHead".getBytes("US-ASCII") ++
+      Array(1.toByte, channels.toByte, 0.toByte, 0.toByte) ++
+      (0 until 4).map(i => ((inputRate >>> (8 * i)) & 0xff).toByte)
+        .toArray ++ Array(0.toByte, 0.toByte, 0.toByte)
+    page(0L, head, 0) ++ page(granule, Array[Byte](0), 1)
+  }
 
   private def be32(v: Long): Array[Byte] = Array(
     (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)

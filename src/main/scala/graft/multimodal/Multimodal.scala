@@ -388,6 +388,10 @@ object Multimodal extends Serializable {
     else if (b0 == 0x1a && b1 == 0x45 &&
       (bytes(2) & 0xff) == 0xdf && (bytes(3) & 0xff) == 0xa3)
       ebmlDocType(bytes)
+    else if (ascii(0, "fLaC")) "flac"
+    else if (ascii(0, "OggS")) "ogg"
+    else if (ascii(0, "ID3") ||
+      (b0 == 0xff && (b1 & 0xe0) == 0xe0)) "mp3"
     else "unknown"
   }
 
@@ -446,18 +450,24 @@ object Multimodal extends Serializable {
     * [[frameSample]] would spend anyway. */
   def mediaProfile(withBinary: DataFrame,
       contentCol: String = "content"): DataFrame = {
-    val fmt = udf((b: Array[Byte]) => containerFormat(b))
-    val dec = udf((b: Array[Byte]) => decodable(b))
-    // container metadata (MP4 box walk / EBML parse) rides the same
-    // scan: even though the frame payload stays undecodable by policy,
-    // duration is real parsed structure, so the card can report how
-    // many undecodable rows still carry usable metadata
-    val durMs = udf((b: Array[Byte]) =>
-      ContainerMeta.parse(b).flatMap(_.durationMs))
+    // ONE UDF, one binary-payload deserialization per row (three
+    // separate UDFs each copy the byte array across the codegen
+    // boundary — at 100 TB the copies dwarf the parsing). Container
+    // metadata (MP4 box walk / EBML parse / FLAC-MP3-Ogg headers)
+    // rides the same pass: even where the frame payload stays
+    // undecodable by policy, duration is real parsed structure, so the
+    // card reports how many undecodable rows still carry usable
+    // metadata.
+    val info = udf((b: Array[Byte]) => {
+      val fmt = containerFormat(b)
+      val dur = ContainerMeta.parse(b).flatMap(_.durationMs)
+        .orElse(ContainerMeta.parseAudio(b).flatMap(_.durationMs))
+      (fmt, decodable(b), dur)
+    })
     withBinary
-      .select(fmt(col(contentCol)).as("format"),
-        dec(col(contentCol)).as("ok"),
-        durMs(col(contentCol)).as("dur"))
+      .select(info(col(contentCol)).as("i"))
+      .select(col("i._1").as("format"), col("i._2").as("ok"),
+        col("i._3").as("dur"))
       .groupBy(col("format"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("ok"), 0L).otherwise(1L)).as("n_undecodable"),

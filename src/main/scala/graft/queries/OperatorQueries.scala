@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.multimodal.Multimodal
+import graft.multimodal.{ContainerMeta, Multimodal}
 import graft.operators.{AsOfJoin, Dedup, Similarity}
 import graft.streaming.EventStream
 
@@ -25,7 +25,7 @@ object OperatorQueries {
     q91HeavyHitters, q92BigramCounts, q93PqRecall, q94IvfPqTopK,
     q95Sessionize, q99DedupKeep, q100GroupCap, q101SessionizeFlush,
     q109DupSpans, q113ExciseSpans, q117StreamStaticJoin, q120PageRank,
-    q152ContainerMeta)
+    q152ContainerMeta, q155AudioMeta)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -1087,4 +1087,68 @@ object OperatorQueries {
         "(CASE WHEN doc_id % 2 = 0 THEN 'V_VP9' ELSE 'V_VP8' END) " +
         "ELSE 'V_MPEG4/ISO/AVC' END AS codec " +
         "FROM documents ORDER BY doc_id"))
+
+  /** Audio-container metadata (q152's audio sibling): every row
+    * synthesizes a spec-conformant FLAC / MP3 / Ogg-Opus container
+    * from `doc_id`-derived parameters, and the engine's header walks
+    * ([[graft.multimodal.ContainerMeta]].parseFlac/parseMp3/parseOgg)
+    * must read the exact planted fields back — STREAMINFO bit packing,
+    * ID3-skip + frame-sync bitrate tables, Ogg granule positions. The
+    * oracle recomputes the fields from arithmetic alone. MP3 duration
+    * is the CBR estimate (flagged inexact); FLAC/Ogg durations are
+    * exact by construction. */
+  val q155AudioMeta: GraftQuery = GraftQuery(
+    "q155_audio_meta",
+    (s, d) => {
+      import s.implicits._
+      val build = udf { (id: Long) =>
+        val k = id / 3
+        val m = ContainerMeta.parseAudio((id % 3) match {
+          case 0 => ContainerMeta.buildFlac(
+            sampleRate = 8000 + (k % 8).toInt * 4000,
+            channels = 1 + (id % 2).toInt,
+            totalSamples = (8000L + (k % 8) * 4000L) * (1L + id % 30))
+          case 1 => ContainerMeta.buildMp3(
+            bitrateIdx = 1 + (k % 14).toInt,
+            sampleRateIdx = (k % 3).toInt,
+            padBytes = 100 + (id % 900).toInt)
+          case _ => ContainerMeta.buildOggOpus(
+            channels = 1 + (id % 2).toInt, inputRate = 48000,
+            granule = 48L * (500L + k % 10000))
+        }).get
+        (m.format, m.codec.get, m.durationMs.get, m.durationExact,
+          m.sampleRate.get, m.channels.get)
+      }
+      Tables.documents(s, d)
+        .select($"doc_id", build($"doc_id").as("m"))
+        .select($"doc_id", $"m._1".as("format"), $"m._2".as("codec"),
+          $"m._3".as("duration_ms"), $"m._4".as("duration_exact"),
+          $"m._5".as("sample_rate"), $"m._6".as("channels"))
+        .orderBy($"doc_id")
+    },
+    Some(
+      "WITH p AS (SELECT doc_id, doc_id // 3 AS k FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'flac' WHEN 1 THEN 'mp3' " +
+        "ELSE 'ogg' END AS format, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'flac' WHEN 1 THEN 'mpeg1-layer3' " +
+        "ELSE 'opus' END AS codec, " +
+        "(CASE doc_id % 3 " +
+        "WHEN 0 THEN (1 + doc_id % 30) * 1000 " +
+        "WHEN 1 THEN ((104 + doc_id % 900) * 8) // " +
+        "(CASE 1 + k % 14 WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 " +
+        "WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 " +
+        "WHEN 8 THEN 112 WHEN 9 THEN 128 WHEN 10 THEN 160 " +
+        "WHEN 11 THEN 192 WHEN 12 THEN 224 WHEN 13 THEN 256 " +
+        "ELSE 320 END) " +
+        "ELSE 500 + k % 10000 END)::BIGINT AS duration_ms, " +
+        "(doc_id % 3 != 1) AS duration_exact, " +
+        "(CASE doc_id % 3 " +
+        "WHEN 0 THEN 8000 + (k % 8) * 4000 " +
+        "WHEN 1 THEN (CASE k % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 " +
+        "ELSE 32000 END) " +
+        "ELSE 48000 END)::INTEGER AS sample_rate, " +
+        "(CASE doc_id % 3 WHEN 1 THEN 2 " +
+        "ELSE (1 + doc_id % 2)::INTEGER END)::INTEGER AS channels " +
+        "FROM p ORDER BY doc_id"))
 }

@@ -72,6 +72,57 @@ class ContainerMetaSpec extends GraftSuite {
     assert(ContainerMeta.parse(Array.empty[Byte]) === None)
   }
 
+  test("flac: STREAMINFO bit unpacking round-trips exactly") {
+    val m = ContainerMeta.parseFlac(
+      ContainerMeta.buildFlac(44100, 2, 44100L * 17))
+    assert(m.format === "flac" && m.codec === Some("flac"))
+    assert(m.durationMs === Some(17000L))
+    assert(m.durationExact)
+    assert(m.sampleRate === Some(44100) && m.channels === Some(2))
+    // odd rate that doesn't divide: floor semantics
+    val odd = ContainerMeta.parseFlac(ContainerMeta.buildFlac(22050, 1, 1000))
+    assert(odd.durationMs === Some(1000L * 1000 / 22050))
+  }
+
+  test("mp3: ID3 skip + frame-sync header fields, CBR duration estimate") {
+    val bare = ContainerMeta.buildMp3(bitrateIdx = 9, sampleRateIdx = 0,
+      padBytes = 1596) // 1600 bytes at 128 kbps -> 100 ms
+    val m = ContainerMeta.parseMp3(bare)
+    assert(m.format === "mp3" && m.codec === Some("mpeg1-layer3"))
+    assert(m.durationMs === Some(100L))
+    assert(!m.durationExact) // first-frame CBR estimate, flagged
+    assert(m.sampleRate === Some(44100) && m.channels === Some(2))
+    // an ID3v2 tag before the sync is skipped, not parsed as audio
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 10) ++
+      Array.fill[Byte](10)(0x41) ++ bare
+    val withTag = ContainerMeta.parseMp3(id3)
+    assert(Multimodal.containerFormat(id3) === "mp3")
+    assert(withTag.sampleRate === Some(44100))
+  }
+
+  test("ogg: id-header fields + last-page granule duration") {
+    val m = ContainerMeta.parseOgg(
+      ContainerMeta.buildOggOpus(channels = 2, inputRate = 48000,
+        granule = 48L * 2500)) // 2.5 s at the 48 kHz granule clock
+    assert(m.format === "ogg" && m.codec === Some("opus"))
+    assert(m.durationMs === Some(2500L))
+    assert(m.durationExact)
+    assert(m.sampleRate === Some(48000) && m.channels === Some(2))
+  }
+
+  test("audio malformed input: every truncation parses without throwing") {
+    val fixtures = Seq(
+      ContainerMeta.buildFlac(16000, 1, 16000L * 3),
+      ContainerMeta.buildMp3(5, 1, 200),
+      ContainerMeta.buildOggOpus(1, 48000, 4800L))
+    fixtures.foreach { f =>
+      (0 to f.length).foreach { n =>
+        ContainerMeta.parseAudio(f.take(n)) // must not throw
+      }
+    }
+    assert(ContainerMeta.parseAudio("plain text".getBytes("UTF-8")) === None)
+  }
+
   test("videoMeta column frame + card media fields carry parsed " +
       "duration for undecodable containers") {
     val rows = Seq(
