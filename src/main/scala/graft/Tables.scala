@@ -25,17 +25,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; read nanos as long and convert to a real
-    * TimestampType column (integer `div` — no double round-trip, so no
-    * sub-microsecond precision loss).
+  /** events.parquet has shipped `ts` under three physical types across
+    * testdata generations: parquet TIMESTAMP(NANOS) (read as long via the
+    * legacy conf, since the vectorized reader rejects nanos), plain
+    * TIMESTAMP(MICROS) without UTC adjustment (Spark reads TIMESTAMP_NTZ),
+    * and epoch-millis int64. All three normalize to one logical contract —
+    * a session-zone TimestampType column — by dispatching on the type
+    * actually read, so every downstream query sees the same `ts` no matter
+    * which generation of testdata is on disk. The session zone is UTC
+    * everywhere (Main/Verify/Bench/specs), so the NTZ→TZ cast is
+    * value-preserving.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // nanos-as-long generation: integer div, no double round-trip
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -31,16 +31,25 @@ object EventStream {
   final case class SessionState(start: Long, end: Long, n: Long,
       total: Double)
 
-  /** Streaming source over the events parquet (nanos ts read as long, then
-    * converted — same contract as [[graft.Tables.events]]). */
+  /** Streaming source over the events parquet, normalizing `ts` to a
+    * session-zone TimestampType column under the same physical-type
+    * dispatch as [[graft.Tables.events]] (nanos-as-long, TIMESTAMP_NTZ,
+    * or already-converted generations of the testdata). */
   def source(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file-stream source wants a directory; glob-filter to the table
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour window counts with a 2-hour watermark — the
