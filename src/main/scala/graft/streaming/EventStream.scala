@@ -31,25 +31,39 @@ object EventStream {
   final case class SessionState(start: Long, end: Long, n: Long,
       total: Double)
 
-  /** Streaming source over the events parquet, normalizing `ts` to a
-    * session-zone TimestampType column under the same physical-type
-    * dispatch as [[graft.Tables.events]] (nanos-as-long, TIMESTAMP_NTZ,
-    * or already-converted generations of the testdata). */
+  /** Streaming source over the events parquet, normalizing `ts` through
+    * the exact same dispatch as the batch loader
+    * ([[graft.Tables.normalizeTs]] — one shared code path, so the
+    * batch/stream contract cannot drift).
+    *
+    * `events.parquet` may be a FLAT FILE (the driver's testdata layout)
+    * or a DIRECTORY of part files (what `df.write.parquet` produces) —
+    * the file-stream source wants a directory either way, so the layout
+    * decides the root: a directory streams directly; a flat file streams
+    * the parent with a glob filter on the leaf name (pathGlobFilter
+    * matches leaf file names only, which is why it cannot see part files
+    * inside a directory-shaped table). The nanosAsLong conf stays set for
+    * the life of the stream when the generation read as int64 — same
+    * scoping rule and reason as the batch loader. */
   def source(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the file-stream source wants a directory; glob-filter to the table
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    schema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+    import org.apache.spark.sql.types.LongType
+    val table = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isDir = fs.getFileStatus(table).isDirectory
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    val schema = spark.read.parquet(table.toString).schema
+    if (schema("ts").dataType != LongType) prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
     }
+    val raw =
+      if (isDir) spark.readStream.schema(schema).parquet(table.toString)
+      else spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+    graft.Tables.normalizeTs(raw)
   }
 
   /** Tumbling 1-hour window counts with a 2-hour watermark — the
