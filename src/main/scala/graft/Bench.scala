@@ -91,6 +91,13 @@ object Bench {
     Tables.lineitem(spark, sfDir).count()
     settle()
     val loadStart = load1
+    // Per-repeat samples stay in CAPTURE ORDER everywhere they are
+    // emitted (verbose + detail): round 7's q120 adjudication stalled on
+    // exactly this — the sorted list showed a 17 s outlier but not WHICH
+    // repeat it was, and "last repeat slow" vs "first repeat cold" are
+    // different root causes. Load average + free heap are sampled after
+    // each repeat so a contended or heap-starved repeat is visible in
+    // the artifact.
     val results = queries.map { case (name, fn) =>
       val samples = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
@@ -98,16 +105,19 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, load1, freeHeapMb)
+      }
       settle()
-      val median = samples(samples.size / 2)
-      (name, median, samples.head, samples)
+      val times = samples.map(_._1)
+      val sorted = times.sorted
+      val median = sorted(sorted.size / 2)
+      (name, median, sorted.head, samples)
     }
     val loadEnd = load1
     if (sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE")) {
       results.foreach { case (k, med, min, all) =>
-        System.err.println(f"[bench] $k%-28s med=$med%.3f min=$min%.3f all=${all.map(s => f"$s%.3f").mkString(",")}")
+        System.err.println(f"[bench] $k%-28s med=$med%.3f min=$min%.3f all=${all.map(s => f"${s._1}%.3f").mkString(",")} load=${all.map(s => f"${s._2}%.1f").mkString(",")} freeMb=${all.map(_._3).mkString(",")}")
       }
     }
     // Scalar median per query (the driver contract's {"q1":sec} shape).
@@ -117,6 +127,18 @@ object Bench {
     val qs = prefixes.zip(results)
       .map { case (k, (_, med, _, _)) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
+    // Self-adjudication evidence on stderr (NOT the stdout capture — the
+    // driver's ~2000-char window is reserved for the metric line): the
+    // top movers' per-repeat samples in capture order, with per-repeat
+    // load + free heap. A capture like r7's q120 (median 66 s that did
+    // not reproduce isolated) is then diagnosable from the round's log
+    // alone — which repeats were slow, and whether load or heap moved.
+    results.sortBy(-_._2).take(10).foreach { case (k, med, _, all) =>
+      System.err.println(f"[bench-top] $k med=$med%.3f " +
+        f"all=${all.map(s => f"${s._1}%.3f").mkString(",")} " +
+        f"load=${all.map(s => f"${s._2}%.1f").mkString(",")} " +
+        f"freeMb=${all.map(_._3).mkString(",")}")
+    }
     val total = results.map(_._2).sum // sum of per-query medians
     // basename only: the full path spends ~15 chars of the driver's
     // ~2000-char capture window on redundant prefix
@@ -153,10 +175,14 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_result.json"),
         (line + "\n").getBytes("UTF-8"))
-      // full-precision per-query samples for BASELINE.md adjudication
+      // full-precision per-query samples for BASELINE.md adjudication;
+      // "all"/"rload"/"rfree" are in CAPTURE ORDER (see the sampling
+      // comment above), not sorted
       val detail = (results.map { case (name, med, min, all) =>
         "\"" + name + "\":{\"median\":" + f"$med%.3f" + ",\"min\":" + f"$min%.3f" +
-          ",\"all\":[" + all.map(s => f"$s%.3f").mkString(",") + "]}"
+          ",\"all\":[" + all.map(s => f"${s._1}%.3f").mkString(",") + "]" +
+          ",\"rload\":[" + all.map(s => f"${s._2}%.1f").mkString(",") + "]" +
+          ",\"rfree\":[" + all.map(_._3).mkString(",") + "]}"
         // cpus is quoted: SPARK_GRAFT_CPUS="*" is a legitimate setting
         // (local[*]) that would otherwise emit unparseable JSON
       } :+ s""""__env":{$env,"cpus":"$cpus"}""").mkString("{", ",", "}")

@@ -476,6 +476,36 @@ object Multimodal extends Serializable {
       .orderBy(col("format"))
   }
 
+  /** Per-(format, codec) media profile — the dataset card's ONE-SCAN
+    * media source: decodability counts ride with the container-parsed
+    * codec id and duration, so the card reports both the format rollup
+    * AND what the corpus's media actually contains (codec mix, total
+    * playtime) without a second pass over the binary payloads. Codec is
+    * "" where the container carries none (decodable image formats,
+    * unparseable payloads); duration is the same parsed-structure field
+    * [[mediaProfile]] reports. */
+  def mediaCodecProfile(withBinary: DataFrame,
+      contentCol: String = "content"): DataFrame = {
+    val info = udf((b: Array[Byte]) => {
+      val fmt = containerFormat(b)
+      val video = ContainerMeta.parse(b)
+      val audio = if (video.isEmpty) ContainerMeta.parseAudio(b) else None
+      (fmt, decodable(b),
+        video.flatMap(_.codec).orElse(audio.flatMap(_.codec)).getOrElse(""),
+        video.flatMap(_.durationMs).orElse(audio.flatMap(_.durationMs)))
+    })
+    withBinary
+      .select(info(col(contentCol)).as("i"))
+      .select(col("i._1").as("format"), col("i._2").as("ok"),
+        col("i._3").as("codec"), col("i._4").as("dur"))
+      .groupBy(col("format"), col("codec"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_undecodable"),
+        count(col("dur")).as("n_with_meta"),
+        sum(col("dur")).as("total_duration_ms"))
+      .orderBy(col("format"), col("codec"))
+  }
+
   /** Container-level metadata as a column frame: (id, format, brand,
     * duration_ms, width, height, codec) for every row whose payload is
     * an ISO-BMFF or EBML container ([[ContainerMeta]]); rows of other

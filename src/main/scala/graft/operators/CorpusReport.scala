@@ -27,35 +27,52 @@ import graft.functions.TextFunctions
 object CorpusReport {
 
   /** Optional media section: pass the corpus' binary frame (a
-    * `content` column) and the card gains per-container-format
-    * decodability counts from [[graft.multimodal.Multimodal
-    * .mediaProfile]] — `"media":{"mp4":{"n":N,"undecodable":N},…}`.
-    * This is how the explicit-empty video policy stays HONEST at the
-    * dataset level: a consumer reads how many rows of each container
-    * shipped without decoded features instead of discovering empty
-    * frame arrays one row at a time. */
+    * `content` column) and the card gains a per-container-format rollup
+    * from [[graft.multimodal.Multimodal.mediaCodecProfile]] (ONE scan
+    * of the binary payloads) — decodability counts, parsed-metadata
+    * coverage, mean/total playtime and the codec mix:
+    * `"media":{"mp4":{"n":N,"undecodable":N,"with_meta":N,
+    * "mean_duration_ms":N,"total_duration_ms":N,
+    * "codecs":{"avc1":N,…}},…}`. This is how the explicit-empty video
+    * policy stays HONEST at the dataset level: a consumer reads how
+    * many rows of each container shipped without decoded features —
+    * and what those containers actually hold — instead of discovering
+    * empty frame arrays one row at a time. */
   def report(docs: DataFrame, textCol: String = "text",
       media: Option[DataFrame] = None): String = {
     val base = reportText(docs, textCol)
     media match {
       case None => base
       case Some(m) =>
-        val rows = graft.multimodal.Multimodal.mediaProfile(m)
+        // the (format, codec) grid reaching the driver is a handful of
+        // rows at any corpus size; format-level figures are derived here
+        val byFmt = graft.multimodal.Multimodal.mediaCodecProfile(m)
           .collect()
-          .map { r =>
-            val meta = r.getLong(3)
-            // metadata-bearing undecodables (MP4/EBML duration parsed
-            // from the container index) report their mean duration —
-            // real parsed structure, not synthesized content
-            val durPart =
-              if (meta > 0)
-                s""","mean_duration_ms":${math.round(r.getDouble(4))}"""
-              else ""
-            s""""${r.getString(0)}":{"n":${r.getLong(1)},""" +
-              s""""undecodable":${r.getLong(2)},"with_meta":$meta""" +
-              durPart + "}"
-          }
-          .mkString("{", ",", "}")
+          .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+        val rows = byFmt.map { case (fmt, rs) =>
+          val n = rs.map(_.getLong(2)).sum
+          val undec = rs.map(_.getLong(3)).sum
+          val meta = rs.map(_.getLong(4)).sum
+          val totalDur =
+            rs.map(r => if (r.isNullAt(5)) 0L else r.getLong(5)).sum
+          // metadata-bearing undecodables (MP4/EBML duration parsed
+          // from the container index) report real parsed structure,
+          // never synthesized content
+          val durPart =
+            if (meta > 0)
+              s""","mean_duration_ms":${math.round(totalDur.toDouble / meta)}""" +
+                s""","total_duration_ms":$totalDur"""
+            else ""
+          val codecs = rs.filter(_.getString(1).nonEmpty)
+            .sortBy(_.getString(1))
+            .map(r => s""""${r.getString(1)}":${r.getLong(2)}""")
+          val codecPart =
+            if (codecs.nonEmpty)
+              s""","codecs":${codecs.mkString("{", ",", "}")}"""
+            else ""
+          s""""$fmt":{"n":$n,"undecodable":$undec,"with_meta":$meta""" +
+            durPart + codecPart + "}"
+        }.mkString("{", ",", "}")
         base.dropRight(1) + s""","media":$rows}"""
     }
   }

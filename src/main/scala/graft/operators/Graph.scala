@@ -30,10 +30,17 @@ object Graph extends Serializable {
     * post-failure recompute at 100 TB replays EVERY round from the
     * start. localCheckpoint (executor-local blocks) is the right tier
     * here: the static operands are persisted separately, and a lost
-    * executor costs one cadence-window replay, not the full history. */
+    * executor costs one cadence-window replay, not the full history.
+    *
+    * The default cadence (5) is deliberately BELOW the default iteration
+    * count (10) so the cap actually engages on a default run — a cadence
+    * ≥ iterations never fires (the round-7 audit caught exactly that
+    * dead default) and the plan depth quietly scales with the iteration
+    * count instead of staying bounded by the cadence window
+    * (GraphSpec asserts the bound). */
   def pageRankUndirected(pairs: DataFrame, idA: String, idB: String,
       iterations: Int = 10, damping: Double = 0.85,
-      checkpointEvery: Int = 10): DataFrame = {
+      checkpointEvery: Int = 5): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val und = pairs.select(col(idA).as("src"), col(idB).as("dst"))
@@ -63,7 +70,13 @@ object Graph extends Serializable {
     }
     // materialize the chained rounds ONCE while the static operands are
     // cached, then drop them — the returned frame is persisted so later
-    // consumers replay no joins (same eager pattern as the CC finisher)
+    // consumers replay no joins (same eager pattern as the CC finisher).
+    // The unpersist first evicts a stale cache entry from a PREVIOUS
+    // call on the same input (plan-identical): without it the re-persist
+    // is a silent no-op against the old entry ("Asked to cache already
+    // cached data") and this call's result would serve from state the
+    // caller may have mutated around; a fresh run must own a fresh cache
+    ranks.unpersist()
     val out = ranks.persist()
     out.count()
     undDeg.unpersist()

@@ -25,7 +25,7 @@ object OperatorQueries {
     q91HeavyHitters, q92BigramCounts, q93PqRecall, q94IvfPqTopK,
     q95Sessionize, q99DedupKeep, q100GroupCap, q101SessionizeFlush,
     q109DupSpans, q113ExciseSpans, q117StreamStaticJoin, q120PageRank,
-    q152ContainerMeta, q155AudioMeta)
+    q152ContainerMeta, q155AudioMeta, q156ExactStats)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -684,6 +684,32 @@ object OperatorQueries {
             typedLit(Seq(0.5)), lit(1000)), 1), 2).as("approx_median"))
         .orderBy($"l_returnflag")
     })
+
+  /** The EXACT half of q65's approx-vs-exact pair, split out as its own
+    * oracled row (the q153/q154 component-split pattern): exact distinct
+    * part count and exact interpolated median price per return flag,
+    * hash-matched against DuckDB. q65 stays rows-only because the HLL /
+    * t-digest estimates are engine-specific — this row pins the ground
+    * truth those estimates are judged against, so a q65 drift can be
+    * attributed to the sketch side alone. Spark's exact `percentile` and
+    * DuckDB's `quantile_cont` both interpolate 0.5*(a+b) on an even
+    * count; halving is a power-of-two scale, so the doubles agree
+    * bit-for-bit before the 2-dp pin. */
+  val q156ExactStats: GraftQuery = GraftQuery(
+    "q156_exact_stats",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("exact_parts"),
+          round(percentile($"l_extendedprice", lit(0.5)), 2)
+            .as("exact_median"))
+        .orderBy($"l_returnflag")
+    },
+    Some("SELECT l_returnflag, " +
+      "count(DISTINCT l_partkey) AS exact_parts, " +
+      "round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
 
   /** Recall@10 of the IVF coarse-quantization ANN path (16 lists, probe
     * 4) vs exact top-10 — the scale path for similarity search: per-query

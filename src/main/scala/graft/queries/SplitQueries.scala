@@ -17,7 +17,7 @@ object SplitQueries {
   def all: Seq[GraftQuery] = Seq(q131ContentSplit, q132BlockDupProfile,
     q133DsirResample, q134SketchAccuracy, q135QualityClassifier,
     q136SnapshotDiff, q143GatedCuration, q144Decontaminate,
-    q151IncrementalCuration)
+    q151IncrementalCuration, q157ExactDistinct)
 
   /** Leakage-safe split report ([[Sampling.contentSplit]]): the split
     * decision is a pure function of sha2(text), so exact duplicates can
@@ -126,6 +126,27 @@ object SplitQueries {
         .orderBy($"group")
     },
     None)
+
+  /** The EXACT half of q134's exact-vs-HLL accuracy pair, split out as
+    * its own oracled row (the q153/q154 component-split pattern): exact
+    * distinct customers and row count per order priority, hash-matched
+    * against DuckDB. q134 stays rows-only because the HLL++ estimate has
+    * no DuckDB twin — this row pins the denominator of its rel_err, so
+    * an accuracy drift can be attributed to the sketch side alone. */
+  val q157ExactDistinct: GraftQuery = GraftQuery(
+    "q157_exact_distinct",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority".as("grp"))
+        .agg(countDistinct($"o_custkey").as("exact_distinct"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"grp")
+    },
+    Some("SELECT o_orderpriority AS grp, " +
+      "count(DISTINCT o_custkey) AS exact_distinct, " +
+      "count(*) AS n_rows " +
+      "FROM orders GROUP BY o_orderpriority ORDER BY grp"))
 
   /** Discriminative quality filter ([[QualityClassifier]]): train the
     * fastText-style hashed-bigram logistic classifier against the `en`

@@ -144,9 +144,11 @@ class ContainerMetaSpec extends GraftSuite {
       media = Some(rows))
     assert(card.contains(
       """"mp4":{"n":2,"undecodable":2,"with_meta":2,""" +
-        """"mean_duration_ms":20000}"""), card)
+        """"mean_duration_ms":20000,"total_duration_ms":40000,""" +
+        """"codecs":{"avc1":1,"hev1":1}}"""), card)
     assert(card.contains(
       """"webm":{"n":1,"undecodable":1,"with_meta":1,""" +
-        """"mean_duration_ms":20000}"""), card)
+        """"mean_duration_ms":20000,"total_duration_ms":20000,""" +
+        """"codecs":{"V_VP9":1}}"""), card)
   }
 }

@@ -54,7 +54,7 @@ class GraphSpec extends GraftSuite {
   }
 
   test("50 rounds: checkpoint cadence keeps parity with the reference") {
-    // 50 iterations crosses the localCheckpoint cadence (every 10) four
+    // 50 iterations crosses the localCheckpoint cadence (every 5) nine
     // times — proves cutting lineage changes nothing numerically while
     // keeping the plan bounded at iteration counts where the unbroken
     // chain would blow up
@@ -67,6 +67,35 @@ class GraphSpec extends GraftSuite {
       assert(math.abs(r - want(id)) < 1e-12, s"node $id: $r vs ${want(id)}")
     }
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("plan depth is bounded by the checkpoint cadence, not the " +
+      "iteration count") {
+    // The returned frame's plan must contain at most one cadence
+    // window's worth of join rounds on top of the last checkpoint —
+    // 13 and 23 iterations at cadence 5 both leave a 3-round tail, so
+    // their plans must be the SAME depth; without the cap, 23 rounds
+    // would carry ~20 more joins than 13. Also pins the r7 audit fix:
+    // the default cadence (5) actually fires on a default 10-round run
+    // (10-round tail = 5 rounds < 10).
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("id_a", "id_b")
+    def joinDepth(iters: Int): Int =
+      Graph.pageRankUndirected(edges, "id_a", "id_b", iters)
+        .queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.size
+    val d13 = joinDepth(13)
+    val d23 = joinDepth(23)
+    assert(d13 === d23,
+      s"plan depth grew with iterations: $d13 joins at 13 vs $d23 at 23")
+    // one cadence window = at most 5 tail rounds x 2 joins/round
+    assert(d23 <= 10, s"tail window exceeds one cadence: $d23 joins")
+    val dDefault = joinDepth(10)
+    assert(dDefault <= 10,
+      s"default 10-round run not checkpoint-capped: $dDefault joins")
   }
 
   test("ranking is placement-invariant at any partitioning") {
