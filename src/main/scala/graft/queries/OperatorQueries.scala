@@ -691,10 +691,16 @@ object OperatorQueries {
     * hash-matched against DuckDB. q65 stays rows-only because the HLL /
     * t-digest estimates are engine-specific — this row pins the ground
     * truth those estimates are judged against, so a q65 drift can be
-    * attributed to the sketch side alone. Spark's exact `percentile` and
-    * DuckDB's `quantile_cont` both interpolate 0.5*(a+b) on an even
-    * count; halving is a power-of-two scale, so the doubles agree
-    * bit-for-bit before the 2-dp pin. */
+    * attributed to the sketch side alone.
+    *
+    * Rounding pin (an oracle trap caught at sf0.001): on an even count
+    * the interpolated median is the midpoint of two 2-dp prices — an
+    * exact multiple of 0.005 — but Spark computes it as 0.5·a + 0.5·b
+    * while DuckDB computes a + 0.5·(b − a), which differ by ~1 ulp. A
+    * 2-dp round puts its boundary EXACTLY on that midpoint and the ulp
+    * decides the flip; a 3-dp round's boundaries are 0.0005 away — far
+    * beyond any ulp wobble — so both engines land on the same 3-dp grid
+    * point. */
   val q156ExactStats: GraftQuery = GraftQuery(
     "q156_exact_stats",
     (s, d) => {
@@ -702,13 +708,13 @@ object OperatorQueries {
       Tables.lineitem(s, d)
         .groupBy($"l_returnflag")
         .agg(countDistinct($"l_partkey").as("exact_parts"),
-          round(percentile($"l_extendedprice", lit(0.5)), 2)
+          round(percentile($"l_extendedprice", lit(0.5)), 3)
             .as("exact_median"))
         .orderBy($"l_returnflag")
     },
     Some("SELECT l_returnflag, " +
       "count(DISTINCT l_partkey) AS exact_parts, " +
-      "round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median " +
+      "round(quantile_cont(l_extendedprice, 0.5), 3) AS exact_median " +
       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
 
   /** Recall@10 of the IVF coarse-quantization ANN path (16 lists, probe

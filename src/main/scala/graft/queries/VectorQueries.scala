@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding-similarity operators over the `embeddings` table
@@ -14,7 +14,7 @@ object VectorQueries {
   def all: Seq[GraftQuery] =
     Seq(q25CosinePairs, q26KnnBruteForce, q110Covariance, q111PcaProject,
       q115PcaAnnRecall, q118PcaPerLabel, q148ArrayHof,
-      q153ExactTopK, q154ExactL2TopK)
+      q153ExactTopK, q154ExactL2TopK, q158KmeansLloyd)
 
   /** The GROUND-TRUTH half of every cosine recall gate
     * (q47/q64/q66/q115), served through the SAME per-JVM cache those
@@ -94,6 +94,90 @@ object VectorQueries {
         "SELECT *, row_number() OVER (PARTITION BY query_id " +
         "ORDER BY d2 ASC, cand_id) AS rk FROM scored) " +
         "WHERE rk <= 10 ORDER BY query_id, rk"))
+
+  /** The cluster family's first fully-ORACLED fit: distributed Lloyd's
+    * k-means (k=4, 3 unrolled iterations, init = the first four vectors
+    * by id) over the embeddings table, with every final assignment and
+    * distance hash-matched against an independent DuckDB CTE replay of
+    * the same iterations — the q120-PageRank unroll trick applied to
+    * clustering. The seeded k-means++ paths (q30–q39) stay rows-only
+    * because their init is not SQL-expressible; THIS query pins the
+    * Lloyd iteration itself, so an engine drift in assign/update
+    * arithmetic is caught relationally.
+    *
+    * Cross-engine determinism: the per-round centroid update rounds each
+    * coordinate to 6 dp (`round(avg(x),6)`) on BOTH sides, so the one
+    * order-sensitive reduction (the mean) is re-quantized before the
+    * next round consumes it; distances are the same left-to-right
+    * zip_with/aggregate fold q154 proved bit-identical to DuckDB's list
+    * kernels, and argmin ties break on cluster id. 100 TB shape:
+    * assignment is a broadcast join against k tiny centroid rows, the
+    * update is ONE aggregation — per round, one shuffle of (cluster,
+    * dim) partial means, never a collect; a production iteration count
+    * would add the PageRank-style checkpoint cadence. */
+  val q158KmeansLloyd: GraftQuery = GraftQuery(
+    "q158_kmeans_lloyd",
+    (s, d) => {
+      import s.implicits._
+      org.apache.spark.sql.GraftExprBridge.ensureOptimization(s,
+        graft.expressions.L2Fusion)
+      val vecs = Tables.embeddings(s, d)
+        .select($"vec_id".cast("long").as("id"),
+          graft.operators.Similarity.asDouble($"embedding").as("v"))
+      def d2To(cv: Column): Column =
+        aggregate(zip_with($"v", cv, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+      // (id, v, c): nearest centroid per point, ties to the lowest c
+      def assign(cents: DataFrame): DataFrame =
+        vecs.crossJoin(broadcast(cents))
+          .withColumn("d2", d2To($"cv"))
+          .groupBy($"id")
+          .agg(min_by(struct($"c", $"v"), struct($"d2", $"c")).as("a"))
+          .select($"id", $"a.c".as("c"), $"a.v".as("v"))
+      var cents = vecs.filter($"id" < 4)
+        .select($"id".as("c"), $"v".as("cv"))
+      for (_ <- 1 to 3) {
+        cents = assign(cents)
+          .select($"c", posexplode($"v").as(Seq("p", "x")))
+          .groupBy($"c", $"p").agg(round(avg($"x"), 6).as("m"))
+          .groupBy($"c")
+          .agg(array_sort(collect_list(struct($"p", $"m"))).as("pm"))
+          .select($"c", transform($"pm", e => e.getField("m")).as("cv"))
+      }
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("d2", d2To($"cv"))
+        .groupBy($"id")
+        .agg(min_by(struct($"c", $"d2"), struct($"d2", $"c")).as("a"))
+        .select($"id", $"a.c".as("cluster"),
+          round($"a.d2", 6).as("d2"))
+        .orderBy($"id")
+    },
+    Some {
+      // the same three rounds as chained CTEs; distances via the q154
+      // list kernels, centroid means re-quantized at 6 dp per round
+      def dist(cAlias: String): String =
+        "list_sum(list_transform(range(1, len(p.v) + 1), " +
+          s"i -> (p.v[i] - $cAlias.cv[i]) * (p.v[i] - $cAlias.cv[i])))"
+      val rounds = (1 to 3).map { r =>
+        val prev = if (r == 1) "c0" else s"c${r - 1}"
+        s", s$r AS (SELECT p.id, p.v, c.c, ${dist("c")} AS d2 " +
+          s"FROM v p, $prev c)" +
+          s", a$r AS (SELECT id, v, c FROM (SELECT *, row_number() " +
+          "OVER (PARTITION BY id ORDER BY d2, c) AS rk " +
+          s"FROM s$r) WHERE rk = 1)" +
+          s", c$r AS (SELECT c, list(m ORDER BY p) AS cv FROM " +
+          s"(SELECT a.c, t.i AS p, round(avg(a.v[t.i]), 6) AS m " +
+          s"FROM a$r a, range(1, 65) t(i) GROUP BY a.c, t.i) GROUP BY c)"
+      }.mkString
+      "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v " +
+        "FROM embeddings), " +
+        "c0 AS (SELECT id AS c, v AS cv FROM v WHERE id < 4)" +
+        rounds +
+        s", sf AS (SELECT p.id, c.c, ${dist("c")} AS d2 FROM v p, c3 c) " +
+        "SELECT id, c AS cluster, round(d2, 6) AS d2 FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY id " +
+        "ORDER BY d2, c) AS rk FROM sf) WHERE rk = 1 ORDER BY id"
+    })
 
   /** Higher-order array-function coverage, fully oracled: per-element
     * transform (x²) folded by `aggregate`, a `filter` count, and the

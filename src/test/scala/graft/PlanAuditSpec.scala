@@ -26,7 +26,10 @@ class PlanAuditSpec extends GraftSuite {
     "q43_ngram_jaccard",    // exact Jaccard on a bounded 30-doc slice
     "q83_topk_agg_knn",     // same probe set through the aggregator path
     "q115_pca_ann_recall",  // 5-probe reduced-space scoring + 1-row floor gate
-    "q154_exact_l2_topk")   // 5-probe exact-L2 ground truth (q26's L2 twin)
+    "q154_exact_l2_topk",   // 5-probe exact-L2 ground truth (q26's L2 twin)
+    "q158_kmeans_lloyd")    // n×k assignment vs the k=4-row centroid frame
+                            // — |L|×k with tiny fixed k IS Lloyd's assign
+                            // step, not a lost join key
 
   /** crossJoin(broadcast(global aggregate)) — a 1-row side, |L|×1 and
     * linear; Spark renders it as BroadcastNestedLoopJoin but it is the
