@@ -54,15 +54,17 @@ object Graph extends Serializable {
     val n = nodes.count()
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
     for (round <- 1 to iterations) {
-      val contrib = undDeg
+      // ONE join + one aggregation per round. No nodes re-join: with
+      // both edge directions materialized, every node has degree ≥ 1
+      // AND an in-contribution (each neighbor contributes back), so
+      // the contribution aggregate already covers the full node set —
+      // a left_outer completion join would never fire its coalesce
+      ranks = undDeg
         .join(ranks, undDeg("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
-        .groupBy(col("id")).agg(sum(col("c")).as("in_rank"))
-      ranks = nodes
-        .join(contrib, Seq("id"), "left_outer")
-        .select(col("id"),
-          (lit((1 - damping) / n) +
-            lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+        .groupBy(col("id"))
+        .agg((lit((1 - damping) / n) +
+          lit(damping) * sum(col("c"))).as("rank"))
       // cut lineage on cadence (but not on the final round — the tail is
       // materialized once into the persisted output below anyway)
       if (round % checkpointEvery == 0 && round < iterations)

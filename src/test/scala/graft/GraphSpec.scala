@@ -91,10 +91,11 @@ class GraphSpec extends GraftSuite {
     val d23 = joinDepth(23)
     assert(d13 === d23,
       s"plan depth grew with iterations: $d13 joins at 13 vs $d23 at 23")
-    // one cadence window = at most 5 tail rounds x 2 joins/round
-    assert(d23 <= 10, s"tail window exceeds one cadence: $d23 joins")
+    // one cadence window = at most 5 tail rounds, ONE join per round
+    // (the round-8 rewrite dropped the redundant nodes completion join)
+    assert(d23 <= 5, s"tail window exceeds one cadence: $d23 joins")
     val dDefault = joinDepth(10)
-    assert(dDefault <= 10,
+    assert(dDefault <= 5,
       s"default 10-round run not checkpoint-capped: $dDefault joins")
   }
 
