@@ -34,6 +34,31 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Bucketed table write — the co-located-join primitive for fact
+    * tables that are joined on the same key again and again: ONE
+    * shuffle at write time (`bucketBy` hash-distributes rows into
+    * `buckets` files per key, `sortBy` pre-sorts within each bucket),
+    * and every later equi-join or aggregation on `key` between tables
+    * bucketed the same way plans with ZERO exchanges — at 100 TB the
+    * write-once shuffle is amortized across every downstream join
+    * (BucketedJoinSpec proves the exchange-free plan). Bucket count is
+    * the layout's parallelism contract: pick ~(table size / healthy
+    * partition size), NOT the cluster's core count — the layout
+    * outlives any one cluster.
+    *
+    * Goes through the session catalog (`saveAsTable`) because bucket
+    * metadata lives in the table definition, not the parquet files —
+    * a path-based read of the same files would not know the layout. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      key: String, moreKeys: String*): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, key, moreKeys: _*)
+      .sortBy(key, moreKeys: _*)
+      .saveAsTable(table)
+  }
+
   /** S8: k-store upsert — overwrite the partition keyed by
     * (algorithm, macro, micro, firstColumn, secondColumn), the
     * deterministic-reduce replacement for the reference's 12-thread Mongo
