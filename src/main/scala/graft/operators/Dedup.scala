@@ -732,8 +732,16 @@ object Dedup extends Serializable {
       spark.createDataset(rows).toDF("id", "component")
     } else {
       try {
+        // each persist below first evicts a plan-identical stale entry
+        // from a PREVIOUS call on the same input (the final round's
+        // frame is returned persisted and caller-owned, so it outlives
+        // the call) — same reasoning as pageRankUndirected: without the
+        // eviction the re-persist no-ops against the old entry and this
+        // call would silently serve the previous run's blocks
         var labels = edges.select(col("src").as("id")).distinct()
-          .withColumn("component", col("id")).persist()
+          .withColumn("component", col("id"))
+        labels.unpersist()
+        labels = labels.persist()
         var iter = 0
         var changed = 1L
         while (iter < maxIter && changed > 0) {
@@ -748,7 +756,8 @@ object Dedup extends Serializable {
             .select(col("id"),
               least(col("component"), col("nbr_comp")).as("component"),
               (col("nbr_comp") < col("component")).as("moved"))
-            .persist()
+          next.unpersist()
+          next.persist()
           changed = next.filter(col("moved")).count()
           labels.unpersist()
           labels = next.drop("moved")

@@ -1341,6 +1341,28 @@ class ConnectedComponentsSpec extends GraftSuite {
     assert(comps(10L) === 10L && comps(11L) === 10L)
   }
 
+  test("components: the distributed min-label path matches the local " +
+      "union-find, and a repeated call serves fresh state") {
+    val s = spark
+    import s.implicits._
+    // localEdgeLimit=0 forces the distributed path on a graph small
+    // enough to check by hand: a 5-chain, a triangle, an isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (30L, 31L))
+      .toDF("id_a", "id_b")
+    def run(): Map[Long, Long] =
+      graft.operators.Dedup.connectedComponents(pairs, localEdgeLimit = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L)
+    assert(run() === want)
+    // second call on the same input: the stale-entry eviction must hand
+    // back a correct, freshly-owned frame (the pageRank bug class)
+    assert(run() === want)
+    assert(graft.operators.Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === want) // local path agrees
+  }
+
   test("components over the corpus near-dup pairs are canonical-min") {
     val pairs = graft.operators.Dedup.minhashNearDups(
       Tables.documents(spark, "/root/testdata/sf0.01"), "doc_id", "text",
