@@ -1392,4 +1392,42 @@ class StreamingDedupSpec extends GraftSuite {
     assert(dedup.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(dedup).count() === 0)
   }
+
+  test("dropDuplicatesWithinWatermark: redeliveries inside the bound " +
+      "are dropped, state is evicted past it") {
+    // the production swap runExactlyOnce's scaladoc promises for
+    // unbounded streams: dedup state holds an id only until the
+    // watermark passes its event time + delay, so state stays finite.
+    // Pinned both ways: a redelivery INSIDE the bound is dropped, and
+    // the same id arriving after its state was evicted emits AGAIN —
+    // the bounded-state trade made explicit.
+    import graft.streaming.EventStream.Event
+    val s = spark
+    import s.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]],
+        spark)
+    def ev(id: Long, minute: Int): Event =
+      Event(id, new java.sql.Timestamp(3600000L + minute * 60000L),
+        1L, "click", 1.0)
+    val q = mem.toDS()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("spec_wm_dedup").start()
+    try {
+      mem.addData(ev(1, 0), ev(2, 0)); q.processAllAvailable()
+      // redelivery of id 1 five minutes later — inside the bound
+      mem.addData(ev(1, 5), ev(3, 5)); q.processAllAvailable()
+      // minute 60 advances the watermark to 50: id 1's state
+      // (expires at 0 + 10) is evicted at this batch's end
+      mem.addData(ev(100, 60)); q.processAllAvailable()
+      // same id, fresh event time past the bound: emits again
+      mem.addData(ev(1, 60)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("spec_wm_dedup").groupBy($"event_id")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 100L -> 1L))
+  }
 }
