@@ -119,37 +119,13 @@ object VectorQueries {
     "q158_kmeans_lloyd",
     (s, d) => {
       import s.implicits._
-      org.apache.spark.sql.GraftExprBridge.ensureOptimization(s,
-        graft.expressions.L2Fusion)
       val vecs = Tables.embeddings(s, d)
         .select($"vec_id".cast("long").as("id"),
           graft.operators.Similarity.asDouble($"embedding").as("v"))
-      def d2To(cv: Column): Column =
-        aggregate(zip_with($"v", cv, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x)
-      // (id, v, c): nearest centroid per point, ties to the lowest c
-      def assign(cents: DataFrame): DataFrame =
-        vecs.crossJoin(broadcast(cents))
-          .withColumn("d2", d2To($"cv"))
-          .groupBy($"id")
-          .agg(min_by(struct($"c", $"v"), struct($"d2", $"c")).as("a"))
-          .select($"id", $"a.c".as("c"), $"a.v".as("v"))
-      var cents = vecs.filter($"id" < 4)
-        .select($"id".as("c"), $"v".as("cv"))
-      for (_ <- 1 to 3) {
-        cents = assign(cents)
-          .select($"c", posexplode($"v").as(Seq("p", "x")))
-          .groupBy($"c", $"p").agg(round(avg($"x"), 6).as("m"))
-          .groupBy($"c")
-          .agg(array_sort(collect_list(struct($"p", $"m"))).as("pm"))
-          .select($"c", transform($"pm", e => e.getField("m")).as("cv"))
-      }
-      vecs.crossJoin(broadcast(cents))
-        .withColumn("d2", d2To($"cv"))
-        .groupBy($"id")
-        .agg(min_by(struct($"c", $"d2"), struct($"d2", $"c")).as("a"))
-        .select($"id", $"a.c".as("cluster"),
-          round($"a.d2", 6).as("d2"))
+      val (assignments, _) = graft.ml.DistributedKMeans.fit(
+        vecs, "id", "v", k = 4, iterations = 3)
+      assignments
+        .select($"id", $"cluster", round($"d2", 6).as("d2"))
         .orderBy($"id")
     },
     Some {

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.DistributedKMeans
+
+/** The whole-corpus Lloyd's operator behind q158: never collects,
+  * deterministic under any partitioning (the quantized-centroid
+  * contract), recovers planted structure, and behaves sanely when a
+  * centroid loses all its points. */
+class DistributedKMeansSpec extends GraftSuite {
+  import spark.implicits._
+
+  // three well-separated 2-d blobs, 30 points each, ids interleaved so
+  // the first-k init lands one seed per blob
+  private def blobs = (0 until 90).map { i =>
+    val blob = i % 3
+    val (cx, cy) = Seq((0.0, 0.0), (10.0, 10.0), (-10.0, 5.0))(blob)
+    // deterministic jitter in [-0.5, 0.5)
+    val jx = ((i * 37 % 100) - 50) / 100.0
+    val jy = ((i * 61 % 100) - 50) / 100.0
+    (i.toLong, Array(cx + jx, cy + jy), blob)
+  }
+
+  test("recovers planted blobs; assignment agrees with blob identity") {
+    val df = blobs.map { case (id, v, _) => (id, v) }.toDF("id", "v")
+    val (asg, cents) = DistributedKMeans.fit(df, "id", "v", k = 3,
+      iterations = 5)
+    val got = asg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every blob maps to exactly one cluster label and vice versa
+    val byBlob = blobs.groupBy(_._3).view
+      .mapValues(_.map(p => got(p._1)).distinct).toMap
+    byBlob.foreach { case (blob, labels) =>
+      assert(labels.size === 1, s"blob $blob split across $labels")
+    }
+    assert(byBlob.values.flatten.toSet.size === 3, "clusters merged")
+    // centroids sit at the blob centers (jitter averages near zero)
+    val cvs = cents.collect().map(_.getSeq[Double](1))
+    val centers = Seq((0.0, 0.0), (10.0, 10.0), (-10.0, 5.0))
+    centers.foreach { case (cx, cy) =>
+      assert(cvs.exists(v =>
+        math.abs(v(0) - cx) < 0.5 && math.abs(v(1) - cy) < 0.5),
+        s"no centroid near ($cx, $cy): ${cvs.map(_.mkString(",")).mkString("; ")}")
+    }
+  }
+
+  test("bit-identical across partition counts (quantized-centroid " +
+      "contract)") {
+    def run(parts: Int): (Seq[(Long, Long, Double)], Seq[Seq[Double]]) = {
+      val df = blobs.map { case (id, v, _) => (id, v) }
+        .toDF("id", "v").repartition(parts)
+      val (asg, cents) = DistributedKMeans.fit(df, "id", "v", k = 3,
+        iterations = 4)
+      (asg.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq,
+        cents.collect().map(_.getSeq[Double](1).toSeq)
+          .sortBy(_.mkString(",")).toSeq)
+    }
+    assert(run(3) === run(8))
+  }
+
+  test("a centroid that captures nothing drops out instead of NaN-ing") {
+    // two tight far-apart pairs, k=3 with the first three points as
+    // init: two seeds start inside the left pair, and after one update
+    // the surviving left centroid captures both left points — the
+    // starved centroid must vanish from the frame, never divide by zero
+    val df = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(0.1, 0.0)),
+      (2L, Array(100.0, 0.0)), (3L, Array(100.1, 0.0)))
+      .toDF("id", "v")
+    val (asg, cents) = DistributedKMeans.fit(df, "id", "v", k = 3,
+      iterations = 3)
+    val n = cents.count()
+    assert(n >= 1 && n <= 3)
+    assert(asg.count() === 4) // every point still assigned
+    assert(!asg.collect().exists(r => r.getDouble(2).isNaN))
+  }
+
+  test("checkpoint cadence bounds the plan like the PageRank cadence") {
+    val df = blobs.map { case (id, v, _) => (id, v) }.toDF("id", "v")
+    def joins(iters: Int): Int =
+      DistributedKMeans.fit(df, "id", "v", k = 3, iterations = iters)
+        ._1.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.size
+    assert(joins(12) === joins(7),
+      "plan depth grew with iterations across the cadence boundary")
+  }
+}
