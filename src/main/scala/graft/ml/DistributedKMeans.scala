@@ -85,4 +85,155 @@ object DistributedKMeans {
       .select(col("id"), col("a.c").as("cluster"), col("a.d2").as("d2"))
     (assignments, cents)
   }
+
+  /** k-means|| (Bahmani et al., VLDB'12) seeding, fully distributed and
+    * DETERMINISTIC: instead of k sequential k-means++ draws (k driver
+    * round-trips, unusable at 100 TB), each of `rounds` passes samples
+    * every point independently with probability min(1, oversample·d²/
+    * cost) — the d²-weighting that gives the k-means++ guarantee, but
+    * one shuffle per round. Randomness is seeded xxhash64 uniforms, so
+    * the chosen candidate set is a pure function of (data, seed) — same
+    * on every run and every partitioning. The bounded candidate set
+    * (≈ rounds·oversample, NOT data-sized) is then weighted by how many
+    * points it attracts and reduced to k centers driver-side with a
+    * deterministic greedy weighted farthest-point pass (max-weight
+    * start, weighted-d² farthest next, ids break ties) — the standard
+    * KMeans|| finisher shape with the RNG replaced by argmax. */
+  def initParallel(points: DataFrame, idCol: String, vecCol: String,
+      k: Int, seed: Long, rounds: Int = 2, oversampleFactor: Int = 2)
+      : DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val spark = points.sparkSession
+    import spark.implicits._
+    val vecs = points
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val l = (oversampleFactor.toLong * k).toDouble
+    // start from the minimum seeded-hash point: arbitrary but pure.
+    // The candidate set stays a COLLECTED local relation throughout —
+    // it is bounded (≈ rounds·oversample·k rows), each round's cross
+    // join broadcasts it, and keeping it local avoids a lineage chain
+    // and a driver action per round beyond the unavoidable cost sum.
+    var centers: Seq[(Long, Seq[Double])] = vecs
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(1)
+      .select(col("id").as("c"), col("v").as("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    for (r <- 1 to rounds) {
+      val centersDf = broadcast(centers.toDF("c", "cv"))
+      val d2min = vecs.crossJoin(centersDf)
+        .withColumn("d2", sqDist(col("v"), col("cv")))
+        .groupBy(col("id")).agg(min(col("d2")).as("d2"),
+          first(col("v")).as("v"))
+      // uniform in [0,1) from the top 53 bits of the seeded hash; the
+      // cost sum rides the same pass via a window-free global agg
+      val u = shiftrightunsigned(
+        xxhash64(col("id"), lit(seed + r)), 11)
+        .cast("double") / lit(9007199254740992.0)
+      val chosen = d2min
+        .crossJoin(broadcast(d2min.agg(sum(col("d2")).as("cost"))))
+        .filter(col("cost") > 0 &&
+          u < least(lit(1.0), lit(l) * col("d2") / col("cost")))
+        .select(col("id"), col("v"))
+        .collect().map(row => (row.getLong(0), row.getSeq[Double](1)))
+      centers = (centers ++ chosen).distinctBy(_._1).sortBy(_._1)
+    }
+    // weight candidates by attraction, reduce to k deterministically
+    val weightRows = vecs.crossJoin(broadcast(centers.toDF("c", "cv")))
+      .withColumn("d2", sqDist(col("v"), col("cv")))
+      .groupBy(col("id"))
+      .agg(min_by(col("c"), struct(col("d2"), col("c"))).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cand = centers
+      .map { case (c, cv) =>
+        (c, cv.toArray, weightRows.getOrElse(c, 0L))
+      }
+      .sortBy(_._1)
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[Double])]
+    if (cand.nonEmpty) {
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      }
+      // max weight first (id-asc tie-break via stable sorted input)
+      picked += { val m = cand.maxBy(_._3); (m._1, m._2) }
+      while (picked.size < math.min(k, cand.size)) {
+        val next = cand
+          .filterNot(c => picked.exists(_._1 == c._1))
+          .maxBy { c =>
+            (c._3.toDouble * picked.map(p => d2(c._2, p._2)).min, -c._1)
+          }
+        picked += ((next._1, next._2))
+      }
+    }
+    picked.toSeq.map { case (c, cv) => (c, cv.toSeq) }.toDF("c", "cv")
+  }
+
+  /** Simplified silhouette of an assignment (Hruschka et al.): per
+    * point, a = distance to its OWN centroid, b = distance to the
+    * nearest OTHER centroid, s = (b − a)/max(a, b); the corpus score
+    * is the mean. O(n·k) — centroid distances instead of pairwise —
+    * which is what makes silhouette usable at corpus scale; the
+    * driver-side [[LocalMetrics.silhouette]] stays the per-segment
+    * exact tool. Returns NaN-free 0 for k = 1 (the <2-labels guard the
+    * reference applies). */
+  def simplifiedSilhouette(points: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame): Double = {
+    val spark = points.sparkSession
+    if (centroids.count() < 2) return 0.0
+    val vecs = points
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val row = vecs.crossJoin(broadcast(centroids))
+      .withColumn("d", sqrt(sqDist(col("v"), col("cv"))))
+      .groupBy(col("id"))
+      .agg(min(col("d")).as("a"),
+        sort_array(collect_list(col("d"))).getItem(1).as("b"))
+      // a = nearest centroid (own, by definition of the assignment);
+      // b = second-nearest = nearest OTHER
+      .select(avg(when(greatest(col("a"), col("b")) > 0,
+        (col("b") - col("a")) / greatest(col("a"), col("b")))
+        .otherwise(lit(0.0))).as("s"))
+      .head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** The reference's optimal-k sweep re-expressed for one huge corpus:
+    * fit every k with the deterministic k-means|| seeding, score with
+    * the simplified silhouette, report WSSSE for the elbow — the same
+    * decision surface `ksearch.KPolicy` consumes, computed without
+    * ever collecting the data. WSSSE and silhouette ride ONE scoring
+    * pass per k (per-point min d² and the two nearest centroid
+    * distances come from the same aggregation) — the sweep is
+    * driver-round-trip-bound, not data-bound, so every saved action
+    * counts. Returns (k, wssse, silhouette) rows. */
+  def sweepK(points: DataFrame, idCol: String, vecCol: String,
+      ks: Seq[Int], iterations: Int = 5, seed: Long = 42L)
+      : Seq[(Int, Double, Double)] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val vecs = points
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    ks.map { k =>
+      val init = initParallel(points, idCol, vecCol, k, seed)
+      val (_, centsDf) = fit(points, idCol, vecCol, k, iterations,
+        init = Some(init))
+      val cents = centsDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      val kEff = cents.size
+      val scored = vecs.crossJoin(broadcast(cents.toDF("c", "cv")))
+        .withColumn("d2", sqDist(col("v"), col("cv")))
+        .groupBy(col("id"))
+        .agg(min(col("d2")).as("w"),
+          sort_array(collect_list(sqrt(col("d2")))).as("ds"))
+        .select(col("w"), col("ds").getItem(0).as("a"),
+          (if (kEff >= 2) col("ds").getItem(1) else lit(0.0)).as("b"))
+        .agg(sum(col("w")).as("wssse"),
+          avg(when(greatest(col("a"), col("b")) > 0,
+            (col("b") - col("a")) / greatest(col("a"), col("b")))
+            .otherwise(lit(0.0))).as("sil"))
+        .head()
+      (k, scored.getDouble(0), if (kEff < 2) 0.0 else scored.getDouble(1))
+    }
+  }
 }

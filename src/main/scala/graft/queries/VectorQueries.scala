@@ -14,7 +14,7 @@ object VectorQueries {
   def all: Seq[GraftQuery] =
     Seq(q25CosinePairs, q26KnnBruteForce, q110Covariance, q111PcaProject,
       q115PcaAnnRecall, q118PcaPerLabel, q148ArrayHof,
-      q153ExactTopK, q154ExactL2TopK, q158KmeansLloyd)
+      q153ExactTopK, q154ExactL2TopK, q158KmeansLloyd, q159KmeansSweep)
 
   /** The GROUND-TRUTH half of every cosine recall gate
     * (q47/q64/q66/q115), served through the SAME per-JVM cache those
@@ -153,6 +153,36 @@ object VectorQueries {
         "SELECT id, c AS cluster, round(d2, 6) AS d2 FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY id " +
         "ORDER BY d2, c) AS rk FROM sf) WHERE rk = 1 ORDER BY id"
+    })
+
+  /** The reference's optimal-k search re-expressed for ONE huge corpus
+    * ([[graft.ml.DistributedKMeans.sweepK]]): deterministic k-means||
+    * seeding (seeded-hash sampling — no RNG state), a fixed-iteration
+    * distributed Lloyd fit per k, simplified silhouette (O(n·k),
+    * centroid distances) and WSSSE — the same decision surface the
+    * per-segment `ksearch.KPolicy` consumes, computed without ever
+    * collecting the data. Rows-only: the seeding is not
+    * SQL-expressible, but the output is a pure function of
+    * (data, seed) — deterministic across runs and partitionings
+    * (DistributedKMeansSpec pins both). */
+  val q159KmeansSweep: GraftQuery = GraftQuery(
+    "q159_kmeans_sweep",
+    (s, d) => {
+      import s.implicits._
+      // deterministic 10% hash slice: k is a corpus-level property a
+      // sample estimates fine — the sweep pays 1/10th of the scans and
+      // only the CHOSEN k would be fit on the full corpus (q158's job)
+      val vecs = Tables.embeddings(s, d)
+        .filter(pmod(xxhash64($"vec_id", lit(159L)), lit(10)) === 0)
+        .select($"vec_id".cast("long").as("id"),
+          graft.operators.Similarity.asDouble($"embedding").as("v"))
+      graft.ml.DistributedKMeans
+        .sweepK(vecs, "id", "v", ks = Seq(2, 3, 4), iterations = 3)
+        .map { case (k, w, sil) =>
+          (k, math.rint(w * 100) / 100, math.rint(sil * 1e6) / 1e6)
+        }
+        .toDF("k", "wssse", "silhouette")
+        .orderBy($"k")
     })
 
   /** Higher-order array-function coverage, fully oracled: per-element

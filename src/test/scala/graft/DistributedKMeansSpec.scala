@@ -76,6 +76,35 @@ class DistributedKMeansSpec extends GraftSuite {
     assert(!asg.collect().exists(r => r.getDouble(2).isNaN))
   }
 
+  test("k-means|| seeding is a pure function of (data, seed) at any " +
+      "partitioning") {
+    def centers(parts: Int): Seq[(Long, Seq[Double])] = {
+      val df = blobs.map { case (id, v, _) => (id, v) }
+        .toDF("id", "v").repartition(parts)
+      DistributedKMeans.initParallel(df, "id", "v", k = 3, seed = 7L)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+        .sortBy(_._1).toSeq
+    }
+    val a = centers(3)
+    assert(a === centers(8))
+    assert(a.size === 3)
+  }
+
+  test("distributed optimal-k sweep picks the planted k by simplified " +
+      "silhouette") {
+    val df = blobs.map { case (id, v, _) => (id, v) }.toDF("id", "v")
+    val sweep = DistributedKMeans.sweepK(df, "id", "v", ks = Seq(2, 3, 4, 5))
+    val best = sweep.maxBy(_._3)._1
+    assert(best === 3, s"sweep chose k=$best: $sweep")
+    // three tight well-separated blobs: near-perfect silhouette at k=3
+    val silAt3 = sweep.find(_._1 == 3).get._3
+    assert(silAt3 > 0.8, s"silhouette at k=3 only $silAt3")
+    // WSSSE must fall monotonically in k over the swept range (the
+    // elbow surface KPolicy consumes)
+    val ws = sweep.map(_._2)
+    assert(ws === ws.sorted.reverse, s"wssse not decreasing: $sweep")
+  }
+
   test("checkpoint cadence bounds the plan like the PageRank cadence") {
     val df = blobs.map { case (id, v, _) => (id, v) }.toDF("id", "v")
     def joins(iters: Int): Int =
