@@ -39,6 +39,10 @@ object Main {
       runScore(input, outDir)
     case "media-meta" :: input :: outDir :: _ =>
       runMediaMeta(input, outDir)
+    case "kmeans-corpus" :: input :: outDir :: rest =>
+      runKmeansCorpus(input, outDir,
+        k = rest.headOption.map(_.toInt).getOrElse(0),
+        iterations = rest.drop(1).headOption.map(_.toInt).getOrElse(5))
     case "report" :: input :: outPath :: _ =>
       runReport(input, outPath)
     case "bpe-train" :: input :: mergesDir :: rest =>
@@ -112,6 +116,7 @@ object Main {
            |       graft.Main curate [--append] <docsParquet> <outDir> [rowsPerShard]
            |       graft.Main compact <parquetDir> [targetMB]  (writers must be quiesced)
            |       graft.Main media-meta <binaryParquet> <outDir>
+           |       graft.Main kmeans-corpus <embParquet> <outDir> [k] [iters]  (k=0 sweeps 2..8)
            |(got: ${other.mkString(" ")})""".stripMargin)
       sys.exit(2)
   }
@@ -345,6 +350,48 @@ object Main {
     * ([[graft.multimodal.Multimodal.videoMeta]]): one map-side pass
     * writes (id, format, brand, duration_ms, width, height, codec) —
     * the honest metadata face of the codec-less MP4/WebM policy. */
+  /** Whole-corpus k-means ([[graft.ml.DistributedKMeans]]): with an
+    * explicit k, one deterministic k-means||-seeded fit — assignments
+    * to `outDir/assignments`, centroids to `outDir/centroids`. With
+    * k=0, the optimal-k SWEEP (2..8) runs first on a deterministic 10%
+    * hash slice, the winner by simplified silhouette is fit on the
+    * full corpus, and the decision surface lands in `outDir/sweep` —
+    * the reference's k-search lifecycle at corpus scale, never
+    * collecting the data. */
+  private def runKmeansCorpus(input: String, outDir: String, k: Int,
+      iterations: Int): Unit = {
+    val spark = session()
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vecs = spark.read.parquet(input)
+      .select(col("vec_id").cast("long").as("id"),
+        graft.operators.Similarity.asDouble(col("embedding")).as("v"))
+    val chosenK =
+      if (k > 0) k
+      else {
+        val slice = vecs.filter(
+          pmod(xxhash64(col("id"), lit(159L)), lit(10)) === 0)
+        val sweep = graft.ml.DistributedKMeans
+          .sweepK(slice, "id", "v", ks = (2 to 8), iterations = iterations)
+        sweep.map { case (kk, w, s) => (kk, w, s) }
+          .toDF("k", "wssse", "silhouette")
+          .coalesce(1).write.mode("overwrite")
+          .json(s"$outDir/sweep")
+        val best = sweep.maxBy(s => (s._3, -s._1))._1
+        println(s">>> [kmeans-corpus] sweep chose k=$best " +
+          sweep.map { case (kk, w, s) => f"k=$kk sil=$s%.4f" }
+            .mkString("(", ", ", ")"))
+        best
+      }
+    val (asg, cents) = graft.ml.DistributedKMeans.fit(
+      vecs, "id", "v", chosenK, iterations)
+    graft.io.Sinks.writeParquet(asg, s"$outDir/assignments")
+    graft.io.Sinks.writeParquet(
+      cents.select(col("c"), col("cv")), s"$outDir/centroids")
+    println(s">>> [kmeans-corpus] k=$chosenK wrote $outDir")
+    spark.stop()
+  }
+
   private def runMediaMeta(input: String, outDir: String): Unit = {
     val spark = session()
     val withBin = spark.read.parquet(input)
