@@ -212,11 +212,18 @@ object DistributedKMeans {
       : Seq[(Int, Double, Double)] = {
     val spark = points.sparkSession
     import spark.implicits._
+    // NOT persisted, by measurement: the sweep re-reads the point set
+    // across ~6 jobs × |ks|, but caching the projection made the sweep
+    // ~25% SLOWER at sf0.1 (8.8 → 10–11.8 s isolated medians) — Spark's
+    // columnar cache serializes array<double> rows generically, and
+    // re-reading that beats the parquet vectorized scan only when the
+    // source scan itself is expensive, which a sliced embeddings
+    // projection is not. Revisit only with a measured win.
     val vecs = points
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     ks.map { k =>
-      val init = initParallel(points, idCol, vecCol, k, seed)
-      val (_, centsDf) = fit(points, idCol, vecCol, k, iterations,
+      val init = initParallel(vecs, "id", "v", k, seed)
+      val (_, centsDf) = fit(vecs, "id", "v", k, iterations,
         init = Some(init))
       val cents = centsDf.collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq

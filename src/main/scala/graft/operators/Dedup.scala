@@ -277,6 +277,89 @@ object Dedup extends Serializable {
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
+  /** EXACT Jaccard similarity self-join at corpus scale via prefix
+    * filtering (AllPairs, Bayardo et al. WWW'07; the SSJoin prefix
+    * lemma) — the relational scale path between the quadratic baseline
+    * ([[ngramJaccardPairs]], bounded slices only) and the probabilistic
+    * LSH path ([[minhashNearDups]], which can miss borderline pairs):
+    * every pair with shingle-set Jaccard ≥ `threshold`, no all-pairs
+    * term, no false negatives.
+    *
+    * How the n² term disappears: shingles get a canonical global order
+    * (ascending document frequency, shingle string tie-break), each
+    * document indexes only its PREFIX — the first
+    * m − ceil(t·m) + 1 shingles, the rarest it has — and candidates are
+    * pairs sharing a prefix shingle (SSJoin lemma: J ≥ t forces a
+    * common element in both prefixes). The inverted-index join is on
+    * df-MINIMAL shingles by construction, so its buckets are the
+    * smallest the corpus offers — self-limiting skew, the opposite of
+    * joining on frequent shingles. A size filter (min ≥ t·max) prunes
+    * lopsided pairs on two ints, and only surviving candidates pay the
+    * exact intersection count (a join constrained to candidate pairs —
+    * cost scales with candidates, not pairs²).
+    *
+    * Every step is relational (df aggregation, per-doc row_number
+    * window, three hash joins), so the whole operator is
+    * DuckDB-replayable and q161 holds a green oracle row; the spec
+    * additionally proves pair-set EQUALITY with the quadratic baseline
+    * (an algorithmic false negative would fool a same-algorithm oracle,
+    * but not that parity check). */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    // shingles ride as xxhash64 longs from here on (the q109 shuffle-key
+    // pattern: set semantics identical modulo 2^-64 collisions, which
+    // the STRING-keyed DuckDB oracle checks) — an 8-byte key through
+    // every join instead of a ~20-char string
+    val sh = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val sized = sh.groupBy(col("id")).agg(count(lit(1)).as("m"))
+    val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("tdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tdf"), col("h"))
+    val prefix = sh.join(freq, "h").join(sized, "id")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <=
+        col("m") - ceil(col("m") * threshold) + lit(1))
+    // candidate pairs share a prefix shingle and pass two prunes that
+    // never drop a true pair: the size filter (min ≥ t·max), and
+    // PPJoin's POSITIONAL filter — for a true pair the first shared
+    // shingle in canonical order sits inside BOTH prefixes (else one
+    // side's unshared head already caps the overlap below ceil(t·m)),
+    // every shared shingle lies at-or-after it in both suffixes, so
+    // overlap ≤ 1 + min(m_a − pos_a, m_b − pos_b) there; the max of
+    // that bound over matched prefix shingles is the first-match bound,
+    // and it must reach the overlap J ≥ t demands:
+    // o ≥ t·(m_a + m_b)/(1 + t).
+    val cand = prefix.select(col("id").as("id_a"), col("h"),
+        col("m").as("m_a"), col("pos").as("pos_a"))
+      .join(prefix.select(col("id").as("id_b"), col("h"),
+        col("m").as("m_b"), col("pos").as("pos_b")), "h")
+      .filter(col("id_a") < col("id_b") &&
+        least(col("m_a"), col("m_b")).cast("double") >=
+          greatest(col("m_a"), col("m_b")) * threshold)
+      .groupBy(col("id_a"), col("id_b"), col("m_a"), col("m_b"))
+      .agg(max(lit(1) + least(col("m_a") - col("pos_a"),
+        col("m_b") - col("pos_b"))).as("ub"))
+      .filter(col("ub").cast("double") >=
+        (col("m_a") + col("m_b")) * (threshold / (1 + threshold)))
+      .select(col("id_a"), col("id_b"), col("m_a"), col("m_b"))
+    // verify candidates on sorted hash-set arrays (one row per pair, a
+    // codegen'd array_intersect) instead of re-exploding the postings —
+    // the exploded self-join shape costs |cand|·|doc| intermediate rows
+    val sets = sh.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+    val inter = size(array_intersect(col("ha"), col("hb")))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("hs").as("ha")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hs").as("hb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (inter.cast("double") /
+          (col("m_a") + col("m_b") - inter)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** MinHash signatures WITHOUT the verification hash set: the
     * single-pass native kernel ([[graft.expressions.MinHashSignature]])
     * as a pure projection — no explode, no aggregate, NO shuffle, and

@@ -25,7 +25,7 @@ object OperatorQueries {
     q91HeavyHitters, q92BigramCounts, q93PqRecall, q94IvfPqTopK,
     q95Sessionize, q99DedupKeep, q100GroupCap, q101SessionizeFlush,
     q109DupSpans, q113ExciseSpans, q117StreamStaticJoin, q120PageRank,
-    q152ContainerMeta, q155AudioMeta, q156ExactStats)
+    q152ContainerMeta, q155AudioMeta, q156ExactStats, q161PrefixJaccard)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -353,6 +353,51 @@ object OperatorQueries {
         "round(len(list_intersect(a.shingles, b.shingles))::DOUBLE / " +
         "len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard " +
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id ORDER BY id_a, id_b"))
+
+  /** EXACT whole-corpus Jaccard self-join
+    * ([[Dedup.prefixFilterJaccardPairs]], AllPairs prefix filtering):
+    * every pair at shingle Jaccard ≥ 0.5 with NO all-pairs term and no
+    * LSH false negatives — the deterministic scale path q43 (bounded
+    * quadratic baseline) and q44 (probabilistic MinHash) bracket. The
+    * whole algorithm is relational (df ranking, per-doc prefix window,
+    * inverted-index join on df-minimal shingles, candidate-constrained
+    * intersection count), so unlike q44 this one carries a FULL DuckDB
+    * oracle; DedupIngestSpec-style parity with the quadratic baseline
+    * lives in OperatorsSpec (a same-algorithm oracle cannot see an
+    * algorithmic false negative — the baseline check can). */
+  val q161PrefixJaccard: GraftQuery = GraftQuery(
+    "q161_prefix_jaccard",
+    (s, d) => {
+      import s.implicits._
+      Dedup.prefixFilterJaccardPairs(Tables.documents(s, d), "doc_id",
+          "text", threshold = 0.5)
+        .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(
+      "WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "generate_series(1, greatest(1, len(string_split(text,' ')) - 2)), " +
+        "i -> array_to_string(list_slice(string_split(text,' '), i, i+2), " +
+        "' ')))) AS t FROM documents), " +
+        "sized AS (SELECT doc_id, count(*) AS m FROM sh GROUP BY doc_id), " +
+        "freq AS (SELECT t, count(*) AS tdf FROM sh GROUP BY t), " +
+        "ranked AS (SELECT s.doc_id, s.t, z.m, row_number() OVER " +
+        "(PARTITION BY s.doc_id ORDER BY f.tdf, s.t) AS pos " +
+        "FROM sh s JOIN freq f USING (t) JOIN sized z USING (doc_id)), " +
+        "pfx AS (SELECT * FROM ranked " +
+        "WHERE pos <= m - ceil(m * 0.5) + 1), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "a.m AS m_a, b.m AS m_b " +
+        "FROM pfx a JOIN pfx b ON a.t = b.t AND a.doc_id < b.doc_id " +
+        "WHERE least(a.m, b.m)::DOUBLE >= greatest(a.m, b.m) * 0.5), " +
+        "iv AS (SELECT c.id_a, c.id_b, c.m_a, c.m_b, count(*) AS i " +
+        "FROM cand c JOIN sh x ON x.doc_id = c.id_a " +
+        "JOIN sh y ON y.doc_id = c.id_b AND y.t = x.t " +
+        "GROUP BY 1, 2, 3, 4) " +
+        "SELECT id_a, id_b, round(i::DOUBLE / (m_a + m_b - i), 4) " +
+        "AS jaccard FROM iv " +
+        "WHERE i::DOUBLE / (m_a + m_b - i) >= 0.5 " +
+        "ORDER BY id_a, id_b"))
 
   /** Span-level exact substring dedup ([[Dedup.duplicateSpans]]): every
     * maximal 8-token-window span appearing verbatim in ≥2 documents —

@@ -11,7 +11,46 @@ object TextQueries {
 
   def all: Seq[GraftQuery] = Seq(q20TokenStats, q21DedupExact,
     q22DedupPrefixKey, q23StopwordRatio, q96PiiRedact, q97Repetition,
-    q98Contamination, q114OovRate, q119UnigramLogProb, q150NfcNormalize)
+    q98Contamination, q114OovRate, q119UnigramLogProb, q150NfcNormalize,
+    q160Bm25TopK)
+
+  /** Lexical retrieval ([[graft.operators.Bm25]]): top-20 documents for
+    * a 4-term query under Okapi BM25 (k1=1.2, b=0.75) — the posting
+    * list is filtered to the query's terms BEFORE any shuffle, corpus
+    * stats are one aggregation, df is broadcast back, and the top-k is
+    * TakeOrderedAndProject. Oracle replays tokenization, tf/df/idf and
+    * the length normalization in DuckDB; per-(doc,term) partials are
+    * pinned at 6 dp before the order-sensitive sum (the q158 rule) and
+    * the ranking key at 4 dp with a doc_id tie-break. */
+  val q160Bm25TopK: GraftQuery = GraftQuery(
+    "q160_bm25_topk",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Bm25.topK(Tables.documents(s, d), "doc_id", "text",
+          queryTerms = Seq("customer", "vector", "window", "merge"),
+          k = 20)
+        .orderBy($"rk")
+    },
+    Some(
+      "WITH st AS (SELECT count(*)::DOUBLE AS n, " +
+        "avg(len(string_split(text,' ')))::DOUBLE AS avgdl " +
+        "FROM documents), " +
+        "tok AS (SELECT doc_id, " +
+        "len(string_split(text,' '))::DOUBLE AS dl, " +
+        "unnest(string_split(text,' ')) AS t FROM documents), " +
+        "tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf, " +
+        "any_value(dl) AS dl FROM tok " +
+        "WHERE t IN ('customer','vector','window','merge') " +
+        "GROUP BY doc_id, t), " +
+        "df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t), " +
+        "sc AS (SELECT doc_id, round(sum(round(" +
+        "ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) * " +
+        "tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))" +
+        ", 6)), 4) AS score " +
+        "FROM tf JOIN df USING (t), st GROUP BY doc_id) " +
+        "SELECT doc_id, score, row_number() OVER " +
+        "(ORDER BY score DESC, doc_id) AS rk FROM sc " +
+        "ORDER BY score DESC, doc_id LIMIT 20"))
 
   /** Token counting: whitespace tokens, distinct tokens, char length. */
   val q20TokenStats: GraftQuery = GraftQuery(

@@ -70,6 +70,40 @@ class DedupSpec extends GraftSuite {
     assert(pairs(Some(0.5)).nonEmpty)
   }
 
+  test("prefix-filter Jaccard join equals the quadratic baseline") {
+    // the q161 oracle replays the SAME algorithm, so an algorithmic
+    // false negative (wrong prefix length, broken canonical order)
+    // would pass it — this parity check against the all-pairs baseline
+    // is the spec that would catch it
+    val d = Tables.documents(spark, sf)
+    val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, Some(0.5))
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val pf = Dedup.prefixFilterJaccardPairs(d, "doc_id", "text", 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(pf.keySet === exact.keySet)
+    assert(pf.nonEmpty) // the corpus plants near-dup pairs — prove seen
+    pf.foreach { case (k, j) => assert(math.abs(j - exact(k)) < 1e-12) }
+  }
+
+  test("prefix-filter join: threshold edges and sub-threshold exclusion") {
+    // identical docs (J=1) survive any threshold; a half-overlapping
+    // pair sits BELOW 0.5 (J = 2/6 over distinct 3-shingles) and must
+    // be pruned even though the docs share prefix tokens
+    val a = (1 to 20).map(i => s"w$i").mkString(" ")
+    val half = ((1 to 10).map(i => s"w$i") ++
+      (100 to 109).map(i => s"z$i")).mkString(" ")
+    val d = docs((1L, a), (2L, a), (3L, half))
+    val at1 = Dedup.prefixFilterJaccardPairs(d, "doc_id", "text", 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(at1.toSeq === Seq((1L, 2L, 1.0)))
+    val at05 = Dedup.prefixFilterJaccardPairs(d, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at05 === Set((1L, 2L)))
+  }
+
   test("duplicateSpans: maximal shared spans, gap separation, hash parity") {
     // doc 1 and 2 share two verbatim runs: S (12 tokens) and T (6 tokens),
     // separated by >w unique filler, so they must surface as TWO spans per
