@@ -307,4 +307,36 @@ object Sampling extends Serializable {
       "__rep_text", splitCol)
       .drop("__rid", "__rep_text")
   }
+
+  /** TOKEN-budget mixture: training mixes are specified in tokens, not
+    * documents ([[sampleByMixtureSha]] rebalances doc COUNTS — fine
+    * when lengths are homogeneous, wrong when one source writes 10×
+    * longer documents). Greedy prefix take per source: documents line
+    * up in the portable [[shaBucket]] order (id tie-break) — a
+    * deterministic shuffle both engines replay — and each source keeps
+    * its prefix while the running token sum stays within `budgetCol`.
+    * The running sum is monotone, so the kept set is exactly "every
+    * document that fits before the first overflow" — a pure function
+    * of (ids, seed, budgets), partitioning-invariant, and fully
+    * SQL-expressible (q162's oracle).
+    *
+    * Cost: ONE hash-partitioned window per source (shuffle on
+    * `sourceCol`, in-partition sort on the 4-hex bucket). At extreme
+    * per-source row counts the sort input can be pre-shrunk with a
+    * [[shaCut]] prefilter at ~(budget/total_tokens)·margin — a
+    * superset of any prefix the greedy can take as long as the margin
+    * covers token-length variance within the cut; this exact operator
+    * stays the reference semantics.
+    *
+    * `df` must carry `tokCol` (per-doc token count) and `budgetCol`
+    * (per-row budget — constant per source). Appends `cum_tok`. */
+  def tokenBudgetTake(df: DataFrame, idCol: String, sourceCol: String,
+      tokCol: String, budgetCol: String, seed: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(shaBucket(col(idCol), seed), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("cum_tok", sum(col(tokCol)).over(w))
+      .filter(col("cum_tok") <= col(budgetCol))
+  }
 }

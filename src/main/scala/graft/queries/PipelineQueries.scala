@@ -12,7 +12,46 @@ object PipelineQueries {
 
   def all: Seq[GraftQuery] =
     Seq(q102ExactlyOnce, q103Chunk, q104Pack, q105SemDedup, q106Pipeline,
-      q107TokenQuantiles, q108PackSharded, q112MixtureSample)
+      q107TokenQuantiles, q108PackSharded, q112MixtureSample,
+      q162TokenBudget)
+
+  /** Token-budgeted mixture ([[graft.operators.Sampling
+    * .tokenBudgetTake]]): the q112 mixture re-specified in TOKENS —
+    * each source keeps its greedy prefix in portable sha-bucket order
+    * until a per-source token budget (800 for even-numbered sources,
+    * 400 for odd) overflows. Doc-level output (id, source, n_tok,
+    * cum_tok) so the oracle re-derives the ORDER and the running sum,
+    * not just the kept counts; cum_tok is strictly increasing per
+    * source, making (source, cum_tok) a total order. */
+  val q162TokenBudget: GraftQuery = GraftQuery(
+    "q162_token_budget",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          size(split($"text", " ")).cast("long").as("n_tok"),
+          when(substring($"source", 4, 10).cast("int") % 2 === 0,
+            lit(800L)).otherwise(lit(400L)).as("budget"))
+      graft.operators.Sampling
+        .tokenBudgetTake(docs, "doc_id", "source", "n_tok", "budget",
+          seed = 162L)
+        .select($"doc_id", $"source", $"n_tok", $"cum_tok")
+        .orderBy($"source", $"cum_tok")
+    },
+    Some(
+      "WITH d AS (SELECT doc_id, source, " +
+        "len(string_split(text,' '))::BIGINT AS n_tok, " +
+        "CASE WHEN substr(source, 4)::INT % 2 = 0 THEN 800 ELSE 400 " +
+        "END AS budget, " +
+        "substr(sha256(doc_id::VARCHAR || ':162'), 1, 4) AS bkt " +
+        "FROM documents), " +
+        // ::BIGINT — DuckDB sum(BIGINT) widens to HUGEINT (the q116
+        // dtype-kind lesson)
+        "c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source " +
+        "ORDER BY bkt, doc_id ROWS UNBOUNDED PRECEDING)::BIGINT " +
+        "AS cum_tok FROM d) " +
+        "SELECT doc_id, source, n_tok, cum_tok FROM c " +
+        "WHERE cum_tok <= budget ORDER BY source, cum_tok"))
 
   /** Exactly-once restoration of at-least-once delivery: two independent
     * file sources redeliver every event, a keyed streaming dedup drops

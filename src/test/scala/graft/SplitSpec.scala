@@ -9,6 +9,51 @@ import graft.operators.{Dedup, Sampling}
 class SplitSpec extends GraftSuite {
   import spark.implicits._
 
+  test("tokenBudgetTake: budget respected, take is maximal, and " +
+      "membership is partitioning-invariant") {
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        lit(700L).as("budget"))
+    def kept(parts: Int) =
+      Sampling.tokenBudgetTake(base.repartition(parts), "doc_id",
+          "source", "n_tok", "budget", seed = 7L)
+        .collect()
+        .map(r => (r.getString(1), r.getLong(0), r.getLong(2),
+          r.getLong(4)))
+    val k3 = kept(3)
+    assert(k3.toSet === kept(8).toSet) // pure function of (ids, seed)
+    // per source: within budget, nonempty, and MAXIMAL — the first
+    // excluded doc in hash order must overflow what was kept
+    val bySrc = k3.groupBy(_._1)
+    assert(bySrc.nonEmpty)
+    val order = base.select(col("source"), col("doc_id"), col("n_tok"))
+      .withColumn("bkt", substring(sha2(
+        concat(col("doc_id").cast("string"), lit(":7")).cast("binary"),
+        256), 1, 4))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    for ((src, rows) <- bySrc) {
+      val tot = rows.map(_._3).sum
+      assert(tot <= 700L, s"$src over budget: $tot")
+      val keptIds = rows.map(_._2).toSet
+      val firstExcluded = order.filter(_._1 == src)
+        .sortBy(t => (t._4, t._2)).find(t => !keptIds.contains(t._2))
+      firstExcluded.foreach { t =>
+        assert(tot + t._3 > 700L, s"$src not maximal") }
+    }
+  }
+
+  test("tokenBudgetTake: an unbinding budget keeps every document") {
+    val d = Seq((1L, "s", 5L, 100L), (2L, "s", 5L, 100L))
+      .toDF("doc_id", "source", "n_tok", "budget")
+    val out = Sampling.tokenBudgetTake(d, "doc_id", "source", "n_tok",
+      "budget", seed = 1L)
+    assert(out.count() === 2L)
+    assert(out.agg(max(col("cum_tok"))).head().getLong(0) === 10L)
+  }
+
   test("contentSplit: exact duplicates always land in the same split") {
     val docs = Tables.documents(spark, sf)
     // Plant duplicates across "sources": two extra copies of every 7th doc.
