@@ -234,6 +234,18 @@ object DedupScaleProbe {
   }
 
   /** (candidate pairs, dup pairs ≥ threshold) at replication m. */
+  /** Exact prefix-filter join ([[Dedup.prefixFilterJaccardPairs]]) at
+    * replication m: replicas keep disjoint shingle spaces, so the
+    * ≥threshold pair set must replicate EXACTLY m× — and unlike the
+    * LSH sweep there is no per-replica banding luck: the join is exact,
+    * so a single missing pair at any m is a correctness failure, not a
+    * recall statistic. Wall should track the candidate count (prefix
+    * buckets stay per-replica), not docs². */
+  def ppjCounts(docs: DataFrame, m: Int,
+      threshold: Double = 0.5): Long =
+    Dedup.prefixFilterJaccardPairs(replicate(docs, m), "doc_id", "text",
+      threshold).count()
+
   def counts(docs: DataFrame, m: Int,
       threshold: Double = 0.5): (Long, Long) = {
     val corpus = replicate(docs, m)
@@ -296,6 +308,15 @@ object DedupScaleProbe {
           val (rows, maxs) = qcCounts(docs, m)
           val secs = (System.nanoTime() - t0) / 1e9
           f""""x$m":{"docs":${nBase * m},"scored":$rows,"maxDistinctPerBase":$maxs,"secs":$secs%.2f}"""
+        }
+      else if (args.headOption.contains("--ppj"))
+        // exact-join sweep: pairs EXACTLY m× the base or the operator
+        // is wrong (no banding luck to absorb a miss — see ppjCounts)
+        Seq(1, 2, 5, 10).map { m =>
+          val t0 = System.nanoTime()
+          val pairs = ppjCounts(docs, m)
+          val secs = (System.nanoTime() - t0) / 1e9
+          f""""x$m":{"docs":${nBase * m},"pairs":$pairs,"secs":$secs%.2f}"""
         }
       else if (args.headOption.contains("--l2ab")) {
         // kernel-vs-HOF A/B for the squared-L2 fusion (the ArrayCosine

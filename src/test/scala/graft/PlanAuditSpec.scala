@@ -42,7 +42,8 @@ class PlanAuditSpec extends GraftSuite {
     "q91_heavy_hitters",      // ÷ total rows (share %)
     "q119_unigram_logprob",   // ÷ (N + V) Laplace denominator
     "q128_bigram_logprob",    // same (N + V) backoff denominator
-    "q133_dsir_resample")     // ÷ corpus gram totals (DSIR smoothing)
+    "q133_dsir_resample",     // ÷ corpus gram totals (DSIR smoothing)
+    "q160_bm25_topk")         // × 1-row (N, avgdl) corpus stats
 
   test("no registry query plans an unintended quadratic join") {
     val offenders = Registry.all
@@ -59,6 +60,13 @@ class PlanAuditSpec extends GraftSuite {
       }
     assert(offenders.isEmpty,
       s"quadratic joins in:\n${offenders.mkString("\n")}")
+  }
+
+  test("q162's budget take is ONE shuffle (the per-source window)") {
+    val p = Registry.byName("q162_token_budget").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles in:\n$p")
   }
 
   test("q44's signature exchange is REUSED, not recomputed") {
