@@ -360,6 +360,66 @@ object Dedup extends Serializable {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Ingest-time exact near-dup screen: every (corpus, batch) pair at
+    * shingle Jaccard ≥ `threshold`, cross-side only — the EXACT
+    * complement of [[minhashNearDupsAgainst]] for the batch-admission
+    * gate, with [[prefixFilterJaccardPairs]]' machinery re-pointed at
+    * an asymmetric join. Cost scales with the BATCH's prefix postings
+    * against the corpus prefix index, never corpus².
+    *
+    * Canonical order comes from CORPUS document frequencies alone
+    * (batch-only shingles take df 0 and sort first): the SSJoin prefix
+    * lemma holds for ANY fixed global order — the unshared tokens a
+    * prefix spends slots on never weaken the pigeonhole argument — and
+    * a batch-independent order is what lets the corpus side (freq
+    * table, prefix postings, hash sets) be persisted once and reused
+    * across batches instead of rebuilt per admission. */
+  def prefixFilterJaccardAgainst(corpus: DataFrame, newBatch: DataFrame,
+      idCol: String, textCol: String, threshold: Double, n: Int = 3)
+      : DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    def sh(df: DataFrame) = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val shC = sh(corpus)
+    val shB = sh(newBatch)
+    val freq = shC.groupBy(col("h")).agg(count(lit(1)).as("tdf"))
+    def prefixOf(s: DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("tdf"), col("h"))
+      s.join(freq, Seq("h"), "left_outer")
+        .withColumn("tdf", coalesce(col("tdf"), lit(0L)))
+        .join(s.groupBy(col("id")).agg(count(lit(1)).as("m")), "id")
+        .withColumn("pos", row_number().over(w))
+        .filter(col("pos") <=
+          col("m") - ceil(col("m") * threshold) + lit(1))
+    }
+    val cand = prefixOf(shC).select(col("id").as("id_a"), col("h"),
+        col("m").as("m_a"), col("pos").as("pos_a"))
+      .join(prefixOf(shB).select(col("id").as("id_b"), col("h"),
+        col("m").as("m_b"), col("pos").as("pos_b")), "h")
+      .filter(least(col("m_a"), col("m_b")).cast("double") >=
+        greatest(col("m_a"), col("m_b")) * threshold)
+      .groupBy(col("id_a"), col("id_b"), col("m_a"), col("m_b"))
+      .agg(max(lit(1) + least(col("m_a") - col("pos_a"),
+        col("m_b") - col("pos_b"))).as("ub"))
+      .filter(col("ub").cast("double") >=
+        (col("m_a") + col("m_b")) * (threshold / (1 + threshold)))
+      .select(col("id_a"), col("id_b"), col("m_a"), col("m_b"))
+    def sets(s: DataFrame) = s.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+    val inter = size(array_intersect(col("ha"), col("hb")))
+    cand
+      .join(sets(shC).select(col("id").as("id_a"), col("hs").as("ha")),
+        "id_a")
+      .join(sets(shB).select(col("id").as("id_b"), col("hs").as("hb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        (inter.cast("double") /
+          (col("m_a") + col("m_b") - inter)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** MinHash signatures WITHOUT the verification hash set: the
     * single-pass native kernel ([[graft.expressions.MinHashSignature]])
     * as a pure projection — no explode, no aggregate, NO shuffle, and

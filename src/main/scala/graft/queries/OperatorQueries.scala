@@ -25,7 +25,8 @@ object OperatorQueries {
     q91HeavyHitters, q92BigramCounts, q93PqRecall, q94IvfPqTopK,
     q95Sessionize, q99DedupKeep, q100GroupCap, q101SessionizeFlush,
     q109DupSpans, q113ExciseSpans, q117StreamStaticJoin, q120PageRank,
-    q152ContainerMeta, q155AudioMeta, q156ExactStats, q161PrefixJaccard)
+    q152ContainerMeta, q155AudioMeta, q156ExactStats, q161PrefixJaccard,
+    q163PrefixJaccardIngest)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -393,6 +394,59 @@ object OperatorQueries {
         "iv AS (SELECT c.id_a, c.id_b, c.m_a, c.m_b, count(*) AS i " +
         "FROM cand c JOIN sh x ON x.doc_id = c.id_a " +
         "JOIN sh y ON y.doc_id = c.id_b AND y.t = x.t " +
+        "GROUP BY 1, 2, 3, 4) " +
+        "SELECT id_a, id_b, round(i::DOUBLE / (m_a + m_b - i), 4) " +
+        "AS jaccard FROM iv " +
+        "WHERE i::DOUBLE / (m_a + m_b - i) >= 0.5 " +
+        "ORDER BY id_a, id_b"))
+
+  /** Ingest-time exact near-dup screen
+    * ([[Dedup.prefixFilterJaccardAgainst]]): an incoming batch
+    * (doc_id ≡ 7 mod 10) admission-checked against the corpus (the
+    * rest) — every straddling pair at Jaccard ≥ 0.5, batch-internal
+    * pairs excluded, canonical order from corpus df alone so the
+    * corpus side could be a persisted index. The oracle replays the
+    * prefix algorithm over STRING shingles with string tie-breaks
+    * (Spark ties on xxhash64) — the candidate supersets differ, the
+    * exact-verified answer cannot (a quadratic DuckDB cross join was
+    * measured 3m+ at sf0.1; the independent quadratic parity check
+    * lives in DedupSpec instead, Scala-side at sf0.001). */
+  val q163PrefixJaccardIngest: GraftQuery = GraftQuery(
+    "q163_prefix_jaccard_ingest",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      Dedup.prefixFilterJaccardAgainst(
+          docs.filter($"doc_id" % 10 =!= 7),
+          docs.filter($"doc_id" % 10 === 7),
+          "doc_id", "text", threshold = 0.5)
+        .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(
+      "WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "generate_series(1, greatest(1, len(string_split(text,' ')) - 2)), " +
+        "i -> array_to_string(list_slice(string_split(text,' '), i, i+2), " +
+        "' ')))) AS t FROM documents), " +
+        "c AS (SELECT * FROM sh WHERE doc_id % 10 != 7), " +
+        "b AS (SELECT * FROM sh WHERE doc_id % 10 = 7), " +
+        "freq AS (SELECT t, count(*) AS tdf FROM c GROUP BY t), " +
+        "szc AS (SELECT doc_id, count(*) AS m FROM c GROUP BY doc_id), " +
+        "szb AS (SELECT doc_id, count(*) AS m FROM b GROUP BY doc_id), " +
+        "rc AS (SELECT s.doc_id, s.t, z.m, row_number() OVER " +
+        "(PARTITION BY s.doc_id ORDER BY f.tdf, s.t) AS pos " +
+        "FROM c s JOIN freq f USING (t) JOIN szc z USING (doc_id)), " +
+        "rb AS (SELECT s.doc_id, s.t, z.m, row_number() OVER " +
+        "(PARTITION BY s.doc_id ORDER BY coalesce(f.tdf, 0), s.t) AS pos " +
+        "FROM b s LEFT JOIN freq f USING (t) JOIN szb z USING (doc_id)), " +
+        "pc AS (SELECT * FROM rc WHERE pos <= m - ceil(m * 0.5) + 1), " +
+        "pb AS (SELECT * FROM rb WHERE pos <= m - ceil(m * 0.5) + 1), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b, " +
+        "a.m AS m_a, b2.m AS m_b FROM pc a JOIN pb b2 ON a.t = b2.t " +
+        "WHERE least(a.m, b2.m)::DOUBLE >= greatest(a.m, b2.m) * 0.5), " +
+        "iv AS (SELECT cd.id_a, cd.id_b, cd.m_a, cd.m_b, count(*) AS i " +
+        "FROM cand cd JOIN c x ON x.doc_id = cd.id_a " +
+        "JOIN b y ON y.doc_id = cd.id_b AND y.t = x.t " +
         "GROUP BY 1, 2, 3, 4) " +
         "SELECT id_a, id_b, round(i::DOUBLE / (m_a + m_b - i), 4) " +
         "AS jaccard FROM iv " +

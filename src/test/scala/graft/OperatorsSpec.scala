@@ -104,6 +104,50 @@ class DedupSpec extends GraftSuite {
     assert(at05 === Set((1L, 2L)))
   }
 
+  test("prefix-filter ingest screen equals the quadratic cross baseline") {
+    val d = Tables.documents(spark, sf)
+    val corpus = d.filter(col("doc_id") % 10 =!= 7)
+    val batch = d.filter(col("doc_id") % 10 === 7)
+    val got = Dedup.prefixFilterJaccardAgainst(corpus, batch, "doc_id",
+        "text", 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // quadratic cross-side truth on shingle arrays
+    def sh(df: org.apache.spark.sql.DataFrame, id: String) =
+      df.select(col("doc_id").as(id),
+        Dedup.shingles(col("text"), 3).as(s"sh_$id"))
+    val want = sh(corpus, "id_a").crossJoin(sh(batch, "id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.jaccard(col("sh_id_a"), col("sh_id_b")).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(got.keySet === want.keySet)
+    assert(got.nonEmpty) // straddling planted pairs exist in testdata
+    got.foreach { case (k, j) => assert(math.abs(j - want(k)) < 1e-12) }
+  }
+
+  test("prefix-filter ingest screen: cross-side only, unseen shingles " +
+      "safe") {
+    val a = (1 to 20).map(i => s"w$i").mkString(" ")
+    val corpus = docs((1L, a), (2L, (50 to 70).map(i => s"u$i")
+      .mkString(" ")))
+    // batch: an exact dup of corpus doc 1, a near-dup pair INTERNAL to
+    // the batch, and a doc of entirely corpus-unseen shingles
+    val b = (1 to 20).map(i => if (i == 3) "CHANGED" else s"w$i")
+      .mkString(" ")
+    val batch = docs((10L, a), (11L, b), (12L, b + " tail"),
+      (13L, (100 to 120).map(i => s"z$i").mkString(" ")))
+    val pairs = Dedup.prefixFilterJaccardAgainst(corpus, batch,
+        "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 10L))) // exact dup across sides
+    assert(pairs.contains((1L, 11L))) // near-dup across sides
+    assert(!pairs.exists { case (x, y) => x >= 10L || y < 10L },
+      "corpus ids left, batch ids right, never batch×batch")
+    assert(!pairs.exists(_._2 == 13L)) // unseen-shingle doc matches none
+  }
+
   test("duplicateSpans: maximal shared spans, gap separation, hash parity") {
     // doc 1 and 2 share two verbatim runs: S (12 tokens) and T (6 tokens),
     // separated by >w unique filler, so they must surface as TWO spans per
