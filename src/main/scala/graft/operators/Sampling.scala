@@ -330,6 +330,32 @@ object Sampling extends Serializable {
     *
     * `df` must carry `tokCol` (per-doc token count) and `budgetCol`
     * (per-row budget — constant per source). Appends `cum_tok`. */
+  /** WEIGHTED sample without replacement, k per group
+    * (Efraimidis–Spirakis A-Res): every row draws the key u^(1/w) —
+    * here the order-equivalent ln(u)/w, one `ln` instead of a `pow` —
+    * and each group keeps its top-k keys. Inclusion probability is
+    * proportional to weight (exactly the A-Res guarantee), yet the
+    * draw is the portable [[shaBucket]] uniform, so the SAMPLE is a
+    * pure function of (ids, weights, seed): partitioning-invariant,
+    * replayable, and SQL-expressible (q165's oracle re-derives every
+    * key). One window per group — same cost class as
+    * [[tokenBudgetTake]]; at 100 TB the top-k-per-group form beats a
+    * global sort because each partition keeps only k candidates.
+    * Weights must be > 0 (enforced). Appends `rk` (1..k by key). */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String,
+      groupCol: String, weightCol: String, k: Int, seed: Long)
+      : DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u = (conv(shaBucket(col(idCol), seed), 16, 10).cast("double") +
+      lit(0.5)) / lit(65536.0)
+    val key = log(u) / col(weightCol).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(key.desc, col(idCol))
+    df.filter(col(weightCol).cast("double") > 0)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   def tokenBudgetTake(df: DataFrame, idCol: String, sourceCol: String,
       tokCol: String, budgetCol: String, seed: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

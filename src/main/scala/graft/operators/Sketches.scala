@@ -103,4 +103,28 @@ object Sketches extends Serializable {
     spark.read.parquet(path)
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))))
       .head().getLong(0)
+
+  /** FREQUENCY sketch — the count-min companion of the HLL surface:
+    * "how often does key X occur" from a fixed-size summary, where HLL
+    * answers "how many distinct keys". One aggregation builds the
+    * sketch (Spark's CountMinSketchAgg: commutative adds + a seeded
+    * hash family, so the binary and every estimate are deterministic at
+    * any partitioning — unlike the DataSketches HLL binary above);
+    * per-source sketches MERGE by elementwise addition into exactly
+    * the global sketch, which is what makes the summary append-only at
+    * 100 TB: sketch each batch, add, never rescan. Estimates never
+    * undercount; overcount is ≤ eps·N with probability ≥ confidence.
+    * Returns the serialized sketch plus the exact total for the bound.
+    */
+  def countMinSketchOf(df: DataFrame, keyCol: String,
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 164)
+      : (org.apache.spark.util.sketch.CountMinSketch, Long) = {
+    val row = df.agg(
+      count_min_sketch(col(keyCol), lit(eps), lit(confidence),
+        lit(seed)).as("cms"),
+      count(col(keyCol)).as("n")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    (cms, row.getLong(1))
+  }
 }

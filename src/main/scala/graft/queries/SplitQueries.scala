@@ -17,7 +17,65 @@ object SplitQueries {
   def all: Seq[GraftQuery] = Seq(q131ContentSplit, q132BlockDupProfile,
     q133DsirResample, q134SketchAccuracy, q135QualityClassifier,
     q136SnapshotDiff, q143GatedCuration, q144Decontaminate,
-    q151IncrementalCuration, q157ExactDistinct)
+    q151IncrementalCuration, q157ExactDistinct, q164CmsFrequency,
+    q165WeightedSample)
+
+  /** Frequency-sketch accuracy ([[graft.operators.Sketches
+    * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
+    * exact token counts vs the sketch's estimates for a fixed probe
+    * set, with the eps·N overcount bound checked per probe (count-min
+    * never undercounts). Rows-only: the sketch binary has no DuckDB
+    * twin — but unlike the DataSketches HLL the estimate IS
+    * deterministic at any partitioning (commutative adds, seeded hash
+    * family), so the row is replay-stable; the exact half is already
+    * oracled through the q20/q91 token surfaces. */
+  val q164CmsFrequency: GraftQuery = GraftQuery(
+    "q164_cms_frequency",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("t"))
+      val (cms, n) = graft.operators.Sketches.countMinSketchOf(
+        toks, "t", eps = 0.001, confidence = 0.99, seed = 164)
+      val probes = Seq("customer", "vector", "window", "merge", "the")
+      val exact = toks.filter($"t".isin(probes: _*)).groupBy($"t")
+        .agg(count(lit(1)).as("exact")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bound = math.ceil(0.001 * n).toLong
+      probes.sorted.map { p =>
+        val e = exact.getOrElse(p, 0L)
+        val est = cms.estimateCount(p)
+        (p, e, est, est >= e && est - e <= bound)
+      }.toDF("t", "exact", "est", "bound_ok").orderBy($"t")
+    },
+    None)
+
+  /** Weighted sample without replacement ([[Sampling
+    * .weightedSamplePerGroup]], Efraimidis–Spirakis A-Res): 5 docs per
+    * language with inclusion probability ∝ n_chars, drawn from the
+    * portable sha-bucket uniform — the sample is a pure function of
+    * (ids, weights, seed) and the oracle re-derives every ln(u)/w key,
+    * ranking included. */
+  val q165WeightedSample: GraftQuery = GraftQuery(
+    "q165_weighted_sample",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Sampling.weightedSamplePerGroup(
+          Tables.documents(s, d).select($"doc_id", $"lang", $"n_chars"),
+          "doc_id", "lang", "n_chars", k = 5, seed = 165L)
+        .select($"lang", $"doc_id", $"n_chars", $"rk")
+        .orderBy($"lang", $"rk")
+    },
+    Some(
+      "WITH d AS (SELECT doc_id, lang, n_chars, " +
+        "('0x' || substr(sha256(doc_id::VARCHAR || ':165'), 1, 4))" +
+        "::BIGINT AS b FROM documents WHERE n_chars > 0), " +
+        "k AS (SELECT *, ln((b + 0.5) / 65536.0) / n_chars AS key " +
+        "FROM d), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY key DESC, doc_id) AS rk FROM k) " +
+        "SELECT lang, doc_id, n_chars, rk FROM r WHERE rk <= 5 " +
+        "ORDER BY lang, rk"))
 
   /** Leakage-safe split report ([[Sampling.contentSplit]]): the split
     * decision is a pure function of sha2(text), so exact duplicates can

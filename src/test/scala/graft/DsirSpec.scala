@@ -61,6 +61,31 @@ class DsirSpec extends GraftSuite {
       .count() === w.count())
   }
 
+  test("count-min: never undercounts, bound holds, per-source sketches " +
+      "merge into the global one") {
+    val toks = docs.select(explode(split($"text", " ")).as("t"))
+    val (cms, n) = Sketches.countMinSketchOf(toks, "t")
+    val exact = toks.groupBy($"t").count()
+      .as[(String, Long)].collect().toMap
+    val bound = math.ceil(0.001 * n).toLong
+    exact.foreach { case (t, e) =>
+      val est = cms.estimateCount(t)
+      assert(est >= e, s"undercount on $t: $est < $e")
+      assert(est - e <= bound, s"overcount beyond eps·N on $t")
+    }
+    // mergeability: sketch(A) ++ sketch(B) estimates like sketch(A∪B)
+    val (ca, _) = Sketches.countMinSketchOf(
+      docs.filter($"doc_id" % 2 === 0)
+        .select(explode(split($"text", " ")).as("t")), "t")
+    val (cb, _) = Sketches.countMinSketchOf(
+      docs.filter($"doc_id" % 2 =!= 0)
+        .select(explode(split($"text", " ")).as("t")), "t")
+    ca.mergeInPlace(cb)
+    exact.keys.take(50).foreach { t =>
+      assert(ca.estimateCount(t) === cms.estimateCount(t),
+        s"merged estimate differs on $t") }
+  }
+
   test("sketches: append(A)+append(B) estimates like sketch(A∪B)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_sketch").toString

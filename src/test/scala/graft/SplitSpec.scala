@@ -45,6 +45,27 @@ class SplitSpec extends GraftSuite {
     }
   }
 
+  test("weightedSamplePerGroup: dominant weight wins, k cutoff holds, " +
+      "non-positive weights excluded, partitioning-invariant") {
+    val rows = (1L to 50L).map(i => (i, "g", 1.0)) :+
+      ((99L, "g", 1e9)) :+ ((98L, "g", 0.0)) :+ ((97L, "g", -3.0))
+    val d = rows.toDF("doc_id", "grp", "w")
+    def sample(parts: Int) =
+      Sampling.weightedSamplePerGroup(d.repartition(parts), "doc_id",
+          "grp", "w", k = 5, seed = 9L)
+        .collect().map(r => (r.getLong(0), r.getInt(3)))
+    val s3 = sample(3)
+    assert(s3.toSet === sample(7).toSet) // pure function of (ids, seed)
+    assert(s3.length === 5)
+    // ln(u)/1e9 ≈ 0 beats every weight-1 key (ln(u) ≤ ln(65535.5/65536)
+    // < 0 for all buckets) — the dominant-weight row must rank first
+    assert(s3.find(_._2 == 1).map(_._1).contains(99L))
+    assert(!s3.exists(t => t._1 == 98L || t._1 == 97L))
+    // inclusion tilts toward weight: over the uniform-weight rows the
+    // kept ids are a fixed pseudo-random subset — spot-check stability
+    assert(s3.map(_._1).forall(id => id == 99L || (1L to 50L).contains(id)))
+  }
+
   test("tokenBudgetTake: an unbinding budget keeps every document") {
     val d = Seq((1L, "s", 5L, 100L), (2L, "s", 5L, 100L))
       .toDF("doc_id", "source", "n_tok", "budget")
