@@ -106,6 +106,80 @@ object Multimodal extends Serializable {
   def decode(id: Long, bytes: Array[Byte]): MediaFeatures =
     decodeImage(id, bytes).getOrElse(fakeDecode(id, bytes))
 
+  /** 64-bit difference hash (dHash) of an image payload: the decoded
+    * raster is area-averaged down to a 9×8 luma grid and bit r·8+c is
+    * set when grid(r,c+1) > grid(r,c) — 64 horizontal gradient signs.
+    * Comparing ADJACENT cells makes the hash invariant under global
+    * brightness/contrast shifts and stable under resizing and
+    * re-encoding — the standard perceptual near-dup key for image
+    * corpora (near-dup ⇔ small Hamming distance, pair discovery via
+    * [[graft.operators.Dedup.hammingNearDups]]'s pigeonhole banding —
+    * never a pixel-level pair scan). None when the payload is not a
+    * JDK-decodable image. */
+  def dHash64(bytes: Array[Byte]): Option[Long] = {
+    if (!looksLikeImage(bytes)) return None
+    javax.imageio.ImageIO.setUseCache(false)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+    else {
+      val (gw, gh) = (9, 8)
+      val grid = Array.ofDim[Double](gh, gw)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var r = 0
+      while (r < gh) {
+        val y0 = r * h / gh
+        val y1 = math.max(y0 + 1, (r + 1) * h / gh)
+        var c = 0
+        while (c < gw) {
+          val x0 = c * w / gw
+          val x1 = math.max(x0 + 1, (c + 1) * w / gw)
+          var sum = 0.0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          grid(r)(c) = sum / ((y1 - y0) * (x1 - x0))
+          c += 1
+        }
+        r += 1
+      }
+      var sig = 0L
+      r = 0
+      while (r < gh) {
+        var c = 0
+        while (c < gw - 1) {
+          if (grid(r)(c + 1) > grid(r)(c)) sig |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      Some(sig)
+    }
+  }
+
+  private val dHashUdf = udf((bytes: Array[Byte]) =>
+    if (bytes == null) None else dHash64(bytes))
+
+  /** Perceptual signatures for every decodable image payload: (id,
+    * sig) rows ready for [[graft.operators.Dedup.hammingNearDups]].
+    * Non-image and undecodable payloads are dropped (they have no
+    * perceptual identity — byte-exact dedup already covers them via
+    * sha-keyed groupBy). One scan, one per-row decode, no shuffle. */
+  def imageDHashes(withBinary: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content"): DataFrame =
+    withBinary
+      .select(col(idCol).as("id"), dHashUdf(col(contentCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+
   final case class AudioFeatures(
       doc_id: Long,
       sample_rate: Double, channels: Int, n_frames: Long,

@@ -753,11 +753,22 @@ object Dedup extends Serializable {
     * over-cap chunk buckets emit only star pairs around their min-id
     * representative; pass `maxBucket <= 0` for exact pigeonhole recall. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    hammingNearDups(
+      df.select(col(idCol).as("id"),
+        simhashUdf(tokens(col(textCol))).as("sig")),
+      maxHamming, maxBucket, capLabel = "simhash")
+
+  /** Generic banded Hamming near-dup pairing over any 64-bit signature
+    * frame ((id, sig) rows) — the pigeonhole core of [[simhashNearDups]],
+    * shared by the image dHash family ([[graft.multimodal.Multimodal
+    * .dHash64]]): any signature works as long as "near-duplicate" means
+    * "Hamming distance ≤ maxHamming on 64 bits". */
+  def hammingNearDups(sigs: DataFrame, maxHamming: Int,
+      maxBucket: Int = DefaultMaxBucket,
+      capLabel: String = "hamming"): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val sigs = df.select(col(idCol).as("id"),
-      simhashUdf(tokens(col(textCol))).as("sig"))
     val chunkVals = array((0 until chunks).map(c =>
       shiftright(col("sig"), c * bitsPer)
         .bitwiseAND(lit((1L << bitsPer) - 1))): _*)
@@ -781,7 +792,7 @@ object Dedup extends Serializable {
           banded.groupBy(col("chunk"), col("chunk_val"))
             .agg(count(lit(1)).as("n"), min(col("id")).as("rep"),
               min_by(col("sig"), col("id")).as("rep_sig")),
-          "simhash", maxBucket)
+          capLabel, maxBucket)
         val sized = banded.join(sizes, Seq("chunk", "chunk_val"))
         val small = sized.filter(col("n") <= maxBucket)
         val smallPairs = small

