@@ -176,4 +176,52 @@ object Graph extends Serializable {
     o.unpersist()
     out
   }
+
+  /** Community detection by SYNCHRONOUS label propagation over an
+    * undirected simple graph: every node starts as its own label;
+    * each round every node adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — so a FIXED round
+    * count makes the result a pure function of (edges, rounds), with
+    * none of classic LPA's update-order or random-tie
+    * nondeterminism. Returns (id, lab) for every node with ≥1 edge.
+    *
+    * Scale shape: one equi-join of the static edge list against the
+    * current labels + one (dst, lab) count + one per-node argmax per
+    * round — all keyed shuffles on node id, volume bounded by the
+    * edge count, no pair term. Lineage is localCheckpoint-capped on
+    * the [[pageRankUndirected]] cadence contract (cadence < default
+    * rounds, so the cap engages on a default run). */
+  def labelPropagation(pairs: DataFrame, idA: String, idB: String,
+      rounds: Int = 4, checkpointEvery: Int = 2): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val canon = pairs
+      .select(least(col(idA), col(idB)).as("a"),
+        greatest(col(idA), col(idB)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val und = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    var labels = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("c").desc, col("lab").asc)
+    for (round <- 1 to rounds) {
+      val cnt = und.join(labels, und("src") === labels("id"))
+        .groupBy(und("dst"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("dst").as("id"), col("lab"), col("c"))
+      labels = cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("lab"))
+      if (round % checkpointEvery == 0 && round < rounds)
+        labels = labels.localCheckpoint(true)
+    }
+    labels.unpersist()
+    val out = labels.persist()
+    out.count()
+    und.unpersist()
+    out
+  }
 }

@@ -26,7 +26,8 @@ object OperatorQueries {
     q95Sessionize, q99DedupKeep, q100GroupCap, q101SessionizeFlush,
     q109DupSpans, q113ExciseSpans, q117StreamStaticJoin, q120PageRank,
     q152ContainerMeta, q155AudioMeta, q156ExactStats, q161PrefixJaccard,
-    q163PrefixJaccardIngest, q166TriangleCount, q167ImageNearDups)
+    q163PrefixJaccardIngest, q166TriangleCount, q167ImageNearDups,
+    q168LabelPropagation)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -616,6 +617,49 @@ object OperatorQueries {
         "(2 * coalesce(p.n_tri, 0))::DOUBLE / (d.deg * (d.deg - 1)) " +
         "ELSE 0 END)::DOUBLE, 6) AS lcc " +
         "FROM deg d LEFT JOIN per p USING (id) ORDER BY d.id"))
+
+  /** Community detection by deterministic synchronous label
+    * propagation ([[graft.operators.Graph.labelPropagation]]) over the
+    * REPEAT co-purchase graph (part pairs sharing ≥2 orders — the
+    * ≥2 support prunes 97% of incidental co-occurrence edges and
+    * leaves real communities). Four fixed rounds, ties to the smallest
+    * label; the oracle unrolls the identical four rounds as chained
+    * CTEs with the same (count DESC, label ASC) argmax — every final
+    * label hash-checked. */
+  val q168LabelPropagation: GraftQuery = GraftQuery(
+    "q168_label_propagation",
+    (s, d) => {
+      import s.implicits._
+      val pairs = Tables.lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(collect_set($"l_partkey").as("ps"))
+        .select(explode($"ps").as("id_a"), $"ps")
+        .select($"id_a", explode($"ps").as("id_b"))
+        .filter($"id_a" < $"id_b")
+        .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("n"))
+        .filter($"n" >= 2).select($"id_a", $"id_b")
+      graft.operators.Graph.labelPropagation(pairs, "id_a", "id_b")
+        .orderBy($"id")
+    },
+    Some {
+      val base =
+        "WITH pe AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+          "FROM lineitem), " +
+          "e AS (SELECT x.p AS a, y.p AS b FROM pe x " +
+          "JOIN pe y ON x.o = y.o AND x.p < y.p " +
+          "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+          "und AS (SELECT a AS src, b AS dst FROM e " +
+          "UNION ALL SELECT b AS src, a AS dst FROM e), " +
+          "l0 AS (SELECT DISTINCT src AS id, src AS lab FROM und)"
+      val rounds = (1 to 4).map { i =>
+        s", c$i AS (SELECT u.dst AS id, l.lab, count(*) AS c " +
+          s"FROM und u JOIN l${i - 1} l ON u.src = l.id GROUP BY 1, 2), " +
+          s"l$i AS (SELECT id, lab FROM (SELECT id, lab, row_number() " +
+          "OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn " +
+          s"FROM c$i) WHERE rn = 1)"
+      }.mkString
+      base + rounds + " SELECT id, lab FROM l4 ORDER BY id"
+    })
 
   /** Perceptual image near-dup detection ([[Multimodal.dHash64]] +
     * [[Dedup.hammingNearDups]]): every doc carries a real PNG (derived

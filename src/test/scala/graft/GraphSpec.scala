@@ -197,6 +197,62 @@ class GraphSpec extends GraftSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  // -------------------------------------------------- labelPropagation
+
+  private def labelsOf(edges: Seq[(Long, Long)], rounds: Int = 4)
+      : Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Graph.labelPropagation(edges.toDF("id_a", "id_b"), "id_a", "id_b",
+      rounds).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Driver-side reference: synchronous LPA, ties to smallest label. */
+  private def localLpa(edges: Seq[(Long, Long)], rounds: Int)
+      : Map[Long, Long] = {
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = (canon ++ canon.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    var lab = adj.keys.map(id => id -> id).toMap
+    for (_ <- 1 to rounds) {
+      lab = adj.map { case (id, nbrs) =>
+        val counts = nbrs.groupBy(lab).map { case (l, v) => (l, v.size) }
+        id -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab
+  }
+
+  test("two cliques with a bridge: each clique converges to its min id") {
+    val cliqueA = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val cliqueB = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    val got = labelsOf(cliqueA ++ cliqueB ++ Seq((4L, 10L)))
+    Seq(1L, 2L, 3L).foreach(i => assert(got(i) === 1L, s"node $i"))
+    Seq(11L, 12L, 13L).foreach(i => assert(got(i) === 10L, s"node $i"))
+  }
+
+  test("label propagation matches the synchronous reference at 1..4 " +
+      "rounds") {
+    val edges = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)) ++
+      (for (a <- 20L to 24L; b <- (a + 1) to 24L) yield (a, b)) ++
+      Seq((5L, 20L), (2L, 21L), (30L, 31L), (31L, 32L))
+    (1 to 4).foreach { r =>
+      assert(labelsOf(edges, r) === localLpa(edges, r), s"rounds=$r")
+    }
+  }
+
+  test("labels are partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val edges = ((1L to 30L).map(i => (i, i % 6 + 50L)) ++
+      (1L to 29L by 3).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    def run(parts: Int) =
+      Graph.labelPropagation(edges.repartition(parts), "id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(run(2) === run(7))
+  }
+
   test("triangle counts are partitioning-invariant") {
     val s = spark
     import s.implicits._
