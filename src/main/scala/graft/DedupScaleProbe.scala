@@ -246,6 +246,55 @@ object DedupScaleProbe {
     Dedup.prefixFilterJaccardPairs(replicate(docs, m), "doc_id", "text",
       threshold).count()
 
+  /** Graph-family replication exhibit: m disjoint node-space replicas
+    * of the co-purchase graph (ids offset by k·10^8). Triangle rows and
+    * LPA labels are pure functions of component structure, so each
+    * replica must reproduce the base bit-exactly up to the offset —
+    * violations THROW, the sweep never reports a wrong-corpus number.
+    * Returns (triangle rows, Σ per-node triangles / 3, LPA rows). */
+  def graphCounts(spark: SparkSession, sfDir: String, m: Int)
+      : (Long, Long, Long) = {
+    val off = 100000000L
+    val pe = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .filter(col("a") < col("b"))
+    def rep(base: DataFrame): DataFrame =
+      (0 until m).map(k => base.select(
+          (col("a") + lit(k * off)).as("id_a"),
+          (col("b") + lit(k * off)).as("id_b")))
+        .reduce(_ unionAll _)
+    val tri = graft.operators.Graph.triangleCounts(rep(pe), "id_a", "id_b")
+    val triRows = tri.count()
+    // replica purity: the (base id, deg, n_tri, lcc) row set must be
+    // IDENTICAL across replicas — distinct over base-projected rows
+    // collapses m× rows back to exactly one replica's worth
+    val triBase = tri.select((col("id") % off).as("bid"), col("deg"),
+      col("n_tri"), col("lcc")).distinct().count()
+    require(triRows == m * triBase,
+      s"triangle rows not replica-pure: $triRows rows, $triBase base, m=$m")
+    val triSum = tri.agg(sum(col("n_tri"))).head().getLong(0) / 3
+    val support = pe.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select(col("a"), col("b"))
+    val lpa = graft.operators.Graph.labelPropagation(
+      rep(support), "id_a", "id_b")
+    val lpaRows = lpa.count()
+    val crossReplica = lpa.filter(
+      (col("id") - (col("id") % off)) =!= (col("lab") - (col("lab") % off))
+    ).count()
+    require(crossReplica == 0,
+      s"$crossReplica labels crossed a replica boundary (m=$m)")
+    val lpaBase = lpa.select((col("id") % off).as("bid"),
+      (col("lab") % off).as("blab")).distinct().count()
+    require(lpaRows == m * lpaBase,
+      s"LPA labels not replica-pure: $lpaRows rows, $lpaBase base, m=$m")
+    tri.unpersist(); lpa.unpersist()
+    (triRows, triSum, lpaRows)
+  }
+
   def counts(docs: DataFrame, m: Int,
       threshold: Double = 0.5): (Long, Long) = {
     val corpus = replicate(docs, m)
@@ -308,6 +357,19 @@ object DedupScaleProbe {
           val (rows, maxs) = qcCounts(docs, m)
           val secs = (System.nanoTime() - t0) / 1e9
           f""""x$m":{"docs":${nBase * m},"scored":$rows,"maxDistinctPerBase":$maxs,"secs":$secs%.2f}"""
+        }
+      else if (args.headOption.contains("--graph"))
+        // graph-family sweep: m disjoint node-space replicas of the
+        // co-purchase graph. Triangle counts and LPA labels are pure
+        // functions of component structure, so every replica must
+        // reproduce the base EXACTLY (offset-shifted) — checked inside
+        // graphCounts, which throws on any violation; wall ~linear.
+        Seq(1, 2, 5, 10).map { m =>
+          val t0 = System.nanoTime()
+          val (triNodes, triSum, lpaRows) = graphCounts(spark, sfDir, m)
+          val secs = (System.nanoTime() - t0) / 1e9
+          f""""x$m":{"triNodes":$triNodes,"triangles":$triSum,""" +
+            f""""lpaNodes":$lpaRows,"secs":$secs%.2f}"""
         }
       else if (args.headOption.contains("--ppj"))
         // exact-join sweep: pairs EXACTLY m× the base or the operator

@@ -12,7 +12,38 @@ object TextQueries {
   def all: Seq[GraftQuery] = Seq(q20TokenStats, q21DedupExact,
     q22DedupPrefixKey, q23StopwordRatio, q96PiiRedact, q97Repetition,
     q98Contamination, q114OovRate, q119UnigramLogProb, q150NfcNormalize,
-    q160Bm25TopK)
+    q160Bm25TopK, q169PhraseScreen)
+
+  /** Multi-pattern phrase screening
+    * ([[graft.operators.PhraseScreen]]): which of the 8 screening
+    * phrases (one deliberately absent) appear in each document — ONE
+    * Aho–Corasick scan per doc instead of the P·N contains-join the
+    * oracle replays; matched sets must be identical. */
+  val q169PhraseScreen: GraftQuery = {
+    val phrases = Seq("join filter", "data vector", "slow stream",
+      "fast hash", "window merge", "customer group", "agg small",
+      "quantum flux")
+    GraftQuery(
+      "q169_phrase_screen",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.PhraseScreen.screen(
+            Tables.documents(s, d), "doc_id", "text", phrases)
+          .orderBy($"doc_id")
+      },
+      Some(
+        "WITH p AS (SELECT * FROM (VALUES " +
+          phrases.map(p => s"('$p')").mkString(", ") +
+          ") AS t(ph)), " +
+          "h AS (SELECT d.doc_id, p.ph FROM documents d " +
+          "JOIN p ON contains(d.text, p.ph)) " +
+          "SELECT d.doc_id, " +
+          "coalesce(list_sort(list(h.ph) FILTER (h.ph IS NOT NULL)), " +
+          "CAST([] AS VARCHAR[])) AS hits, " +
+          "count(h.ph) AS n_hits " +
+          "FROM documents d LEFT JOIN h USING (doc_id) " +
+          "GROUP BY d.doc_id ORDER BY d.doc_id"))
+  }
 
   /** Lexical retrieval ([[graft.operators.Bm25]]): top-20 documents for
     * a 4-term query under Okapi BM25 (k1=1.2, b=0.75) — the posting

@@ -253,6 +253,29 @@ class GraphSpec extends GraftSuite {
     assert(run(2) === run(7))
   }
 
+  test("replication: triangles and labels reproduce per-replica exactly") {
+    // three disjoint node-space replicas of a triangles+communities
+    // graph: results must be the base result offset-shifted, bit-exact
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (4L, 6L), (10L, 11L))
+    val off = 1000L
+    val rep = (0 until 3).flatMap(k =>
+      base.map { case (a, b) => (a + k * off, b + k * off) })
+    val triBase = trianglesOf(base)
+    val triRep = trianglesOf(rep)
+    assert(triRep.size === 3 * triBase.size)
+    triRep.foreach { case (id, row) =>
+      assert(row === triBase(id % off), s"node $id diverged")
+    }
+    val labBase = labelsOf(base)
+    val labRep = labelsOf(rep)
+    assert(labRep.size === 3 * labBase.size)
+    labRep.foreach { case (id, lab) =>
+      assert(lab === labBase(id % off) + (id / off) * off,
+        s"label of $id not offset-pure")
+    }
+  }
+
   test("triangle counts are partitioning-invariant") {
     val s = spark
     import s.implicits._

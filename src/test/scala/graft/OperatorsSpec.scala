@@ -1554,3 +1554,58 @@ class StreamingDedupSpec extends GraftSuite {
     assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 100L -> 1L))
   }
 }
+
+class PhraseScreenSpec extends GraftSuite {
+  import graft.operators.PhraseScreen
+
+  test("automaton equals naive contains on overlapping phrase sets") {
+    // nested + overlapping patterns: the fail-link closure cases
+    val phrases = IndexedSeq("aba", "ab", "b", "baba", "cab")
+    val auto = new PhraseScreen.Automaton(phrases)
+    val rnd = new scala.util.Random(169)
+    (1 to 200).foreach { _ =>
+      val text = (1 to rnd.nextInt(30))
+        .map(_ => "abc" (rnd.nextInt(3))).mkString
+      val want = phrases.zipWithIndex
+        .collect { case (p, i) if text.contains(p) => i }.toSet
+      assert(auto.matches(text) === want, s"text=$text")
+    }
+  }
+
+  test("suffix outputs surface through fail links mid-scan") {
+    // matching "xabay": at 'a' the node for "aba" must also emit "b"'s
+    // suffix output and "ab" ended earlier — all three, no rescans
+    val auto = new PhraseScreen.Automaton(IndexedSeq("aba", "ab", "b"))
+    assert(auto.matches("xabay") === Set(0, 1, 2))
+    assert(auto.matches("xx") === Set.empty)
+    assert(auto.matches(null) === Set.empty)
+  }
+
+  test("screen: sorted hits, empty array for clean docs, long n_hits") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "clean text"),
+      (3L, "brown quick brown")).toDF("doc_id", "text")
+    val got = PhraseScreen.screen(docs, "doc_id", "text",
+        Seq("quick", "brown", "missing phrase"))
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2)))
+    assert(got(0) === ((1L, Seq("brown", "quick"), 2L)))
+    assert(got(1) === ((2L, Seq(), 0L)))
+    assert(got(2) === ((3L, Seq("brown", "quick"), 2L)))
+  }
+
+  test("degenerate phrase lists are rejected at build time") {
+    intercept[IllegalArgumentException] {
+      new PhraseScreen.Automaton(IndexedSeq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      new PhraseScreen.Automaton(IndexedSeq("a", ""))
+    }
+    intercept[IllegalArgumentException] {
+      new PhraseScreen.Automaton(IndexedSeq("dup", "dup"))
+    }
+  }
+}
