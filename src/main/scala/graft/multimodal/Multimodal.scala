@@ -169,6 +169,67 @@ object Multimodal extends Serializable {
   private val dHashUdf = udf((bytes: Array[Byte]) =>
     if (bytes == null) None else dHash64(bytes))
 
+  /** 64-bit perceptual audio fingerprint — the audio twin of
+    * [[dHash64]]: the decoded PCM stream is cut into 65 equal TIME
+    * windows, and bit r is set when window r+1 carries more energy
+    * (mean square) than window r. Comparing ADJACENT windows makes
+    * the hash invariant under global volume scaling, and the
+    * proportional window binning under resampling — the two
+    * transforms audio re-encoding pipelines apply. Same codec
+    * envelope as [[decodeAudio]] (JDK PCM_SIGNED 16-bit WAV/AIFF/AU);
+    * None for anything else or for clips shorter than 65 samples. */
+  def audioHash64(bytes: Array[Byte]): Option[Long] =
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val data = in.readAllBytes()
+          val nS = data.length / 2
+          if (nS < 65) None
+          else {
+            val sumSq = new Array[Double](65)
+            val cnt = new Array[Long](65)
+            val bigEndian = fmt.isBigEndian
+            var i = 0
+            while (i + 1 < data.length) {
+              val w = ((i / 2).toLong * 65 / nS).toInt
+              val s =
+                if (bigEndian) (data(i) << 8) | (data(i + 1) & 0xff)
+                else (data(i + 1) << 8) | (data(i) & 0xff)
+              val x = s / 32768.0
+              sumSq(w) += x * x
+              cnt(w) += 1
+              i += 2
+            }
+            var sig = 0L
+            var r = 0
+            while (r < 64) {
+              if (sumSq(r + 1) / cnt(r + 1) > sumSq(r) / cnt(r))
+                sig |= 1L << r
+              r += 1
+            }
+            Some(sig)
+          }
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  private val audioHashUdf = udf((bytes: Array[Byte]) =>
+    if (bytes == null) None else audioHash64(bytes))
+
+  /** Perceptual signatures for every decodable audio payload — (id,
+    * sig) rows for [[graft.operators.Dedup.hammingNearDups]], the
+    * audio mirror of [[imageDHashes]]. */
+  def audioFingerprints(withBinary: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content"): DataFrame =
+    withBinary
+      .select(col(idCol).as("id"), audioHashUdf(col(contentCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+
   /** Perceptual signatures for every decodable image payload: (id,
     * sig) rows ready for [[graft.operators.Dedup.hammingNearDups]].
     * Non-image and undecodable payloads are dropped (they have no

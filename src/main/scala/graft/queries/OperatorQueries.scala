@@ -27,7 +27,7 @@ object OperatorQueries {
     q109DupSpans, q113ExciseSpans, q117StreamStaticJoin, q120PageRank,
     q152ContainerMeta, q155AudioMeta, q156ExactStats, q161PrefixJaccard,
     q163PrefixJaccardIngest, q166TriangleCount, q167ImageNearDups,
-    q168LabelPropagation)
+    q168LabelPropagation, q170AudioNearDups)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -708,6 +708,57 @@ object OperatorQueries {
       val imgs = Tables.documents(s, d)
         .select($"doc_id", png($"doc_id").as("content"))
       val sigs = Multimodal.imageDHashes(imgs)
+      graft.operators.Dedup.hammingNearDups(sigs, maxHamming = 2)
+        .select($"id_a", $"id_b", $"hamming")
+        .orderBy($"id_a", $"id_b")
+    })
+
+  /** Perceptual AUDIO near-dup detection ([[Multimodal.audioHash64]] +
+    * [[Dedup.hammingNearDups]]) — the audio mirror of q167: every doc
+    * carries a real PCM WAV (65-segment square-wave envelope, segment
+    * amplitudes from the seeded fmix64 hash), and docs ≡ 1 (mod 40)
+    * carry their predecessor's clip at HALF volume and DOUBLE sample
+    * rate — the volume/resample transforms the energy-contour hash is
+    * built to absorb (square carrier ⇒ window RMS = amplitude exactly,
+    * at any rate). Must recover exactly the planted replica pairs at
+    * Hamming 0. Rows-only: no SQL engine decodes WAV. */
+  val q170AudioNearDups: GraftQuery = GraftQuery(
+    "q170_audio_neardups",
+    (s, d) => {
+      import s.implicits._
+      val wav = udf((docId: Long) => {
+        val base = if (docId % 40 == 1 && docId > 0) docId - 1 else docId
+        val twin = base != docId
+        val rate = if (twin) 16000f else 8000f
+        val perSeg = if (twin) 320 else 160
+        val vol = if (twin) 0.5 else 1.0
+        val pcm = new Array[Byte](65 * perSeg * 2)
+        for (seg <- 0 until 65) {
+          var h = base * 9176213L + seg
+          h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+          h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33
+          val amp = ((h & 0xf) * 0.05 + 0.05) * vol
+          for (j <- 0 until perSeg) {
+            val i = seg * perSeg + j
+            val sign = if (i % 2 == 0) 1 else -1
+            val sample = (sign * amp * 32767).toInt.toShort
+            pcm(2 * i) = (sample & 0xff).toByte
+            pcm(2 * i + 1) = ((sample >> 8) & 0xff).toByte
+          }
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1,
+          true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt,
+          (65 * perSeg).toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        out.toByteArray
+      })
+      val clips = Tables.documents(s, d)
+        .select($"doc_id", wav($"doc_id").as("content"))
+      val sigs = Multimodal.audioFingerprints(clips)
       graft.operators.Dedup.hammingNearDups(sigs, maxHamming = 2)
         .select($"id_a", $"id_b", $"hamming")
         .orderBy($"id_a", $"id_b")

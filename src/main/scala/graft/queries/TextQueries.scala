@@ -12,7 +12,23 @@ object TextQueries {
   def all: Seq[GraftQuery] = Seq(q20TokenStats, q21DedupExact,
     q22DedupPrefixKey, q23StopwordRatio, q96PiiRedact, q97Repetition,
     q98Contamination, q114OovRate, q119UnigramLogProb, q150NfcNormalize,
-    q160Bm25TopK, q169PhraseScreen)
+    q160Bm25TopK, q169PhraseScreen, q171CompressionGate)
+
+  /** Compression-ratio quality gate
+    * ([[graft.operators.Compression.profile]]): deflate(text)/|text|
+    * per document with a [0.25, 0.95] keep band — the classic
+    * repetition detector (template farms compress to nothing, binary
+    * noise refuses to compress). Rows-only: no SQL engine deflates;
+    * determinism = pure function of (bytes, level) for the JVM's zlib,
+    * spec-pinned on known-repetitive vs incompressible fixtures. */
+  val q171CompressionGate: GraftQuery = GraftQuery(
+    "q171_compression_gate",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Compression.profile(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy($"doc_id")
+    })
 
   /** Multi-pattern phrase screening
     * ([[graft.operators.PhraseScreen]]): which of the 8 screening

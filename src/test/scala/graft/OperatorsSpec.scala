@@ -821,6 +821,65 @@ class MultimodalSpec extends GraftSuite {
     out.toByteArray
   }
 
+  /** Square-wave WAV with a 65-segment amplitude envelope — window RMS
+    * equals the segment amplitude EXACTLY at any sample rate, the
+    * property q170's synthesis leans on. */
+  private def envelopeWav(amps: Seq[Double], perSeg: Int,
+      rate: Float): Array[Byte] = {
+    val pcm = new Array[Byte](amps.size * perSeg * 2)
+    amps.zipWithIndex.foreach { case (amp, seg) =>
+      for (j <- 0 until perSeg) {
+        val i = seg * perSeg + j
+        val s = ((if (i % 2 == 0) 1 else -1) * amp * 32767).toInt.toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt,
+      (amps.size * perSeg).toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audioHash64: invariant under volume + resample; distinct " +
+      "envelopes far apart; non-audio rejected") {
+    val rnd = new scala.util.Random(170)
+    val amps = (1 to 65).map(_ => rnd.nextInt(16) * 0.05 + 0.05)
+    val a = Multimodal.audioHash64(envelopeWav(amps, 160, 8000f)).get
+    val aTwin = Multimodal.audioHash64(
+      envelopeWav(amps.map(_ * 0.5), 320, 16000f)).get
+    assert(a === aTwin, "volume+resample replica must hash identically")
+    val other = (1 to 65).map(_ => rnd.nextInt(16) * 0.05 + 0.05)
+    val b = Multimodal.audioHash64(envelopeWav(other, 160, 8000f)).get
+    assert(java.lang.Long.bitCount(a ^ b) > 2,
+      s"distinct envelopes too close: ${java.lang.Long.bitCount(a ^ b)}")
+    assert(Multimodal.audioHash64("not audio".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("audio near-dups: planted half-volume resampled replica found " +
+      "at Hamming 0") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(171)
+    val e1 = (1 to 65).map(_ => rnd.nextInt(16) * 0.05 + 0.05)
+    val e2 = (1 to 65).map(_ => rnd.nextInt(16) * 0.05 + 0.05)
+    val rows = Seq(
+      (1L, envelopeWav(e1, 160, 8000f)),
+      (2L, envelopeWav(e2, 160, 8000f)),
+      (3L, envelopeWav(e1.map(_ * 0.5), 320, 16000f)), // ~ clip 1
+      (4L, "not audio at all".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val sigs = Multimodal.audioFingerprints(rows)
+    assert(sigs.count() === 3)
+    val pairs = Dedup.hammingNearDups(sigs, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 3L, 0)))
+  }
+
   test("audio payloads decode for REAL: format, duration, sine RMS") {
     val wav = wavBytes(8000f, 0.1, amplitude = 0.5, hz = 440)
     val f = Multimodal.decodeAudio(1L, wav).get
@@ -1607,5 +1666,47 @@ class PhraseScreenSpec extends GraftSuite {
     intercept[IllegalArgumentException] {
       new PhraseScreen.Automaton(IndexedSeq("dup", "dup"))
     }
+  }
+}
+
+class CompressionSpec extends GraftSuite {
+  import graft.operators.Compression
+
+  test("ratio separates repetition from prose from noise, and is " +
+      "replay-stable") {
+    val looped = "spam and eggs " * 200
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders into a field of wheat looking for something new to chase"
+    val rnd = new scala.util.Random(171)
+    val noise = (1 to 2000).map(_ => rnd.nextPrintableChar()).mkString
+    val (rl, rp, rn) = (Compression.ratio(looped),
+      Compression.ratio(prose), Compression.ratio(noise))
+    assert(rl < 0.05, s"looped text should collapse: $rl")
+    assert(rp > rl && rp < rn, s"prose between: $rl < $rp < $rn")
+    assert(rn > 0.8, s"noise should refuse to compress: $rn")
+    assert(Compression.ratio(looped) === rl) // pure function, replayable
+    assert(Compression.ratio("") === 1.0)
+    assert(Compression.ratio(null) === 1.0)
+  }
+
+  test("profile: band gate, byte counts, deterministic at any " +
+      "partitioning") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "na " * 500),             // degenerate repetition -> drop
+      (2L, "a perfectly ordinary sentence about data pipelines " * 3),
+      (3L, "")).toDF("doc_id", "text")
+    def run(parts: Int) = Compression.profile(
+        docs.repartition(parts), "doc_id", "text")
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    val got = run(2)
+    assert(got === run(5))
+    assert(got(0)._4 === false && got(0)._3 < 0.25) // repetition dropped
+    assert(got(1)._4 === true)
+    assert(got(2)._3 === 1.0 && got(2)._2 === 0L)   // empty: no evidence
+    assert(got(2)._4 === false)                     // 1.0 > hi -> out of band
   }
 }
