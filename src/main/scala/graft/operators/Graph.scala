@@ -52,18 +52,62 @@ object Graph extends Serializable {
       .persist()
     val nodes = deg.select(col("src").as("id")).persist()
     val n = nodes.count()
-    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+    val init = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+    powerRounds(undDeg, nodes, init, _ => lit((1 - damping) / n),
+      iterations, damping, checkpointEvery)
+  }
+
+  /** PERSONALIZED PageRank: identical power iteration, but the restart
+    * mass teleports only to the `seeds` — ranks measure proximity to
+    * the seed set, the primitive behind "canonical document per
+    * near-dup family" and related-item ranking. Seeds absent from the
+    * graph contribute teleport mass to nobody (their rank is defined
+    * but unreachable); ranks sum to ≤ 1 with equality when every seed
+    * is present. Same fixed-rounds determinism contract as
+    * [[pageRankUndirected]]. */
+  def personalizedPageRank(pairs: DataFrame, idA: String, idB: String,
+      seeds: Seq[Long], iterations: Int = 10, damping: Double = 0.85,
+      checkpointEvery: Int = 5): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    require(seeds.nonEmpty, "seed set must be non-empty")
+    val und = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val undDeg = und.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .persist()
+    val nodes = deg.select(col("src").as("id")).persist()
+    val k = seeds.size
+    val tele = (id: org.apache.spark.sql.Column) =>
+      when(id.isin(seeds: _*), lit((1 - damping) / k)).otherwise(lit(0.0))
+    val init = nodes.select(col("id"),
+      when(col("id").isin(seeds: _*), lit(1.0 / k)).otherwise(lit(0.0))
+        .as("rank"))
+    powerRounds(undDeg, nodes, init, tele, iterations, damping,
+      checkpointEvery)
+  }
+
+  /** Shared power-iteration core: ONE join + one aggregation per round
+    * against the persisted (src, dst, deg) operand; no nodes re-join —
+    * with both edge directions materialized every node has degree ≥ 1
+    * AND an in-contribution, so the contribution aggregate already
+    * covers the full node set (a left_outer completion join would
+    * never fire its coalesce). `teleport` maps the node-id column to
+    * that node's restart mass: a constant for classic PageRank, a
+    * seed-set indicator for the personalized variant. */
+  private def powerRounds(undDeg: DataFrame, nodes: DataFrame,
+      init: DataFrame,
+      teleport: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      iterations: Int, damping: Double, checkpointEvery: Int)
+      : DataFrame = {
+    var ranks = init
     for (round <- 1 to iterations) {
-      // ONE join + one aggregation per round. No nodes re-join: with
-      // both edge directions materialized, every node has degree ≥ 1
-      // AND an in-contribution (each neighbor contributes back), so
-      // the contribution aggregate already covers the full node set —
-      // a left_outer completion join would never fire its coalesce
       ranks = undDeg
         .join(ranks, undDeg("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("id"))
-        .agg((lit((1 - damping) / n) +
+        .agg((teleport(col("id")) +
           lit(damping) * sum(col("c"))).as("rank"))
       // cut lineage on cadence (but not on the final round — the tail is
       // materialized once into the persisted output below anyway)

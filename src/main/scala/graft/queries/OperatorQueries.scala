@@ -27,7 +27,7 @@ object OperatorQueries {
     q109DupSpans, q113ExciseSpans, q117StreamStaticJoin, q120PageRank,
     q152ContainerMeta, q155AudioMeta, q156ExactStats, q161PrefixJaccard,
     q163PrefixJaccardIngest, q166TriangleCount, q167ImageNearDups,
-    q168LabelPropagation, q170AudioNearDups)
+    q168LabelPropagation, q170AudioNearDups, q172PersonalizedPageRank)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -617,6 +617,54 @@ object OperatorQueries {
         "(2 * coalesce(p.n_tri, 0))::DOUBLE / (d.deg * (d.deg - 1)) " +
         "ELSE 0 END)::DOUBLE, 6) AS lcc " +
         "FROM deg d LEFT JOIN per p USING (id) ORDER BY d.id"))
+
+  /** PERSONALIZED PageRank
+    * ([[graft.operators.Graph.personalizedPageRank]]) on the q120
+    * part–supplier graph, restart mass on three seed parts — ranks
+    * measure sourcing proximity to the seed set (the canonical-doc /
+    * related-item primitive). The oracle unrolls the identical ten
+    * rounds with the seed-indicator teleport as a CASE — every rank
+    * hash-checked at 8 dp. */
+  val q172PersonalizedPageRank: GraftQuery = GraftQuery(
+    "q172_personalized_pagerank",
+    (s, d) => {
+      import s.implicits._
+      val edges = Tables.lineitem(s, d)
+        .select(($"l_partkey" * 2).as("id_a"),
+          ($"l_suppkey" * 2 + 1).as("id_b"))
+        .distinct()
+      graft.operators.Graph.personalizedPageRank(edges, "id_a", "id_b",
+          seeds = Seq(14L, 22L, 26L))
+        .select($"id", round($"rank", 8).as("rank"))
+        .orderBy($"id")
+    },
+    Some {
+      val seedsIn = "(14, 22, 26)"
+      val base =
+        "WITH e AS (SELECT DISTINCT l_partkey * 2 AS src, " +
+          "l_suppkey * 2 + 1 AS dst FROM lineitem), " +
+          "und AS (SELECT src, dst FROM e " +
+          "UNION ALL SELECT dst, src FROM e), " +
+          "deg AS (SELECT src AS id, count(*) AS deg FROM und " +
+          "GROUP BY src), " +
+          // teleport replayed as the IDENTICAL IEEE ops Spark runs:
+          // (1 - 0.85) in doubles is 0.15000000000000002, one ulp OFF
+          // the decimal literal 0.15 — spelled 1::DOUBLE - 0.85::DOUBLE
+          // so ten amplified rounds can't drift a rank across an 8-dp
+          // rounding boundary (the q156 midpoint lesson, fp edition)
+          "pr0 AS (SELECT id, CASE WHEN id IN " + seedsIn +
+          " THEN 1::DOUBLE/3 ELSE 0 END AS rank FROM deg)"
+      val rounds = (1 to 10).map { i =>
+        s", pr$i AS (SELECT d.id, (CASE WHEN d.id IN $seedsIn " +
+          "THEN (1::DOUBLE - 0.85::DOUBLE)/3 ELSE 0 END) + " +
+          "0.85 * coalesce(s.c, 0) AS rank FROM deg d LEFT JOIN " +
+          "(SELECT u.dst AS id, sum(p.rank / dg.deg) AS c FROM und u " +
+          s"JOIN pr${i - 1} p ON u.src = p.id " +
+          "JOIN deg dg ON dg.id = u.src GROUP BY u.dst) s USING (id))"
+      }.mkString
+      base + rounds +
+        " SELECT id, round(rank, 8) AS rank FROM pr10 ORDER BY id"
+    })
 
   /** Community detection by deterministic synchronous label
     * propagation ([[graft.operators.Graph.labelPropagation]]) over the

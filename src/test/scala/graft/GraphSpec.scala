@@ -111,6 +111,46 @@ class GraphSpec extends GraftSuite {
     assert(run(3) === run(8))
   }
 
+  /** Driver-side personalized reference (seed-indicator teleport). */
+  private def localPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iterations: Int): Map[Long, Double] = {
+    val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = und.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val nodes = deg.keys.toSeq.sorted
+    val k = seeds.size
+    var rank = nodes.map(id =>
+      id -> (if (seeds(id)) 1.0 / k else 0.0)).toMap
+    for (_ <- 1 to iterations) {
+      val in = und.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / deg(src) }.sum
+      }
+      rank = nodes.map(id => id ->
+        ((if (seeds(id)) (1 - 0.85) / k else 0.0) +
+          0.85 * in.getOrElse(id, 0.0))).toMap
+    }
+    rank
+  }
+
+  test("personalized: mass concentrates near the seeds; matches the " +
+      "reference exactly") {
+    val s = spark
+    import s.implicits._
+    // two loosely-bridged cliques; seeds in clique A only
+    val edges = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)) ++
+      (for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)) ++
+      Seq((4L, 10L))
+    val got = Graph.personalizedPageRank(edges.toDF("id_a", "id_b"),
+        "id_a", "id_b", seeds = Seq(1L, 2L), iterations = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = localPpr(edges, Set(1L, 2L), 7)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (id, r) =>
+      assert(math.abs(r - want(id)) < 1e-12, s"node $id") }
+    // seed-side nodes outrank the far clique's interior
+    assert(got(1L) > got(12L) * 3)
+    assert(got(3L) > got(12L))
+  }
+
   // ---------------------------------------------------- triangleCounts
 
   private def trianglesOf(edges: Seq[(Long, Long)])
