@@ -45,6 +45,11 @@ object Main {
         iterations = rest.drop(1).headOption.map(_.toInt).getOrElse(5))
     case "report" :: input :: outPath :: _ =>
       runReport(input, outPath)
+    case "graph" :: edges :: outDir :: rest =>
+      runGraph(edges, outDir,
+        rest.headOption.map(_.toInt).getOrElse(10))
+    case "screen" :: input :: outDir :: rest =>
+      runScreen(input, outDir, rest.headOption)
     case "bpe-train" :: input :: mergesDir :: rest =>
       runBpeTrain(input, mergesDir,
         rest.headOption.map(_.toInt).getOrElse(32))
@@ -398,6 +403,64 @@ object Main {
     graft.io.Sinks.writeParquet(
       graft.multimodal.Multimodal.videoMeta(withBin), outDir)
     println(s">>> [media-meta] wrote $outDir")
+    spark.stop()
+  }
+
+  /** Graph analytics bundle over an edge parquet (first two columns =
+    * the endpoints): PageRank centrality, label-propagation
+    * communities, and per-node triangle counts, each a parquet
+    * artifact. One verb because the three share the edge scan and
+    * answer the same corpus question from three sides (who's central /
+    * who clusters / how cliquish). */
+  private def runGraph(edgesPath: String, outDir: String,
+      iterations: Int): Unit = {
+    val spark = session()
+    val edges = spark.read.parquet(edgesPath)
+    val Array(a, b) = edges.columns.take(2)
+    val g = graft.operators.Graph
+    val ranks = g.pageRankUndirected(edges, a, b, iterations)
+    Sinks.writeParquet(ranks, s"$outDir/ranks")
+    val comms = g.labelPropagation(edges, a, b)
+    Sinks.writeParquet(comms, s"$outDir/communities")
+    val tri = g.triangleCounts(edges, a, b)
+    Sinks.writeParquet(tri, s"$outDir/triangles")
+    val nComm = comms.select("lab").distinct().count()
+    println(s">>> [graph] nodes=${ranks.count()} communities=$nComm " +
+      s"triangles=${tri.agg(org.apache.spark.sql.functions
+        .sum(org.apache.spark.sql.functions.col("n_tri"))).head()
+        .getLong(0) / 3}")
+    ranks.unpersist(); comms.unpersist(); tri.unpersist()
+    spark.stop()
+  }
+
+  /** Content screening bundle: compression-ratio repetition gate plus
+    * (optionally) an Aho–Corasick blocklist screen from a
+    * phrase-per-line file. Writes one profile parquet — (doc_id,
+    * n_bytes, ratio, hits, n_hits, keep) — with keep = in the
+    * compression band AND zero blocklist hits; the caller filters,
+    * the artifact keeps the evidence for every decision. */
+  private def runScreen(input: String, outDir: String,
+      phrasesFile: Option[String]): Unit = {
+    val spark = session()
+    import org.apache.spark.sql.functions.{col, lit, array}
+    val docs = spark.read.parquet(input)
+    val comp = graft.operators.Compression.profile(docs, "doc_id", "text")
+    val out = phrasesFile match {
+      case Some(f) =>
+        val phrases = scala.io.Source.fromFile(f).getLines()
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val hits = graft.operators.PhraseScreen.screen(
+          docs, "doc_id", "text", phrases)
+        comp.join(hits, Seq("doc_id"))
+          .withColumn("keep", col("keep") && col("n_hits") === 0)
+      case None =>
+        comp.withColumn("hits", array().cast("array<string>"))
+          .withColumn("n_hits", lit(0L))
+    }
+    Sinks.writeParquet(out, outDir)
+    val kept = spark.read.parquet(outDir)
+    println(s">>> [screen] kept=${kept.filter(col("keep")).count()} " +
+      s"of ${kept.count()}")
     spark.stop()
   }
 
