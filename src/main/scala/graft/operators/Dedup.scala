@@ -360,6 +360,53 @@ object Dedup extends Serializable {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT containment join: every DIRECTED pair (A, B) with
+    * |sh(A) ∩ sh(B)| / |sh(A)| ≥ `threshold` — "A's content is
+    * (mostly) inside B", the asymmetric near-dup Jaccard can't see: a
+    * quote, a wrapped article, a doc-in-template all have low Jaccard
+    * against their container but high containment. Same AllPairs
+    * machinery as [[prefixFilterJaccardPairs]] pointed asymmetrically:
+    * containment ≥ t needs overlap ≥ t·|A|, which depends on A alone —
+    * so only the PROBE side indexes a prefix (its |A| − ceil(t·|A|) + 1
+    * df-rarest shingles; if none land in B the overlap is capped below
+    * t·|A|) while the right side keeps full postings. Candidates =
+    * probe-prefix × postings on df-minimal shingles (self-limiting
+    * buckets), a  |B| ≥ ceil(t·|A|) size prune on two ints, then one
+    * sorted-array intersection per surviving pair. No false negatives;
+    * every step relational and DuckDB-replayable. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    val sh = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val sized = sh.groupBy(col("id")).agg(count(lit(1)).as("m"))
+    val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("tdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tdf"), col("h"))
+    val prefix = sh.join(freq, "h").join(sized, "id")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <=
+        col("m") - ceil(col("m") * threshold) + lit(1))
+    val cand = prefix.select(col("id").as("id_a"), col("h"),
+        col("m").as("m_a"))
+      .join(sh.select(col("id").as("id_b"), col("h")), "h")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("m_a")).distinct()
+      .join(sized.select(col("id").as("id_b"), col("m").as("m_b")),
+        "id_b")
+      .filter(col("m_b") >= ceil(col("m_a") * threshold))
+    val sets = sh.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+    val inter = size(array_intersect(col("ha"), col("hb")))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("hs").as("ha")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hs").as("hb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (inter.cast("double") / col("m_a")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Ingest-time exact near-dup screen: every (corpus, batch) pair at
     * shingle Jaccard ≥ `threshold`, cross-side only — the EXACT
     * complement of [[minhashNearDupsAgainst]] for the batch-admission

@@ -27,7 +27,8 @@ object OperatorQueries {
     q109DupSpans, q113ExciseSpans, q117StreamStaticJoin, q120PageRank,
     q152ContainerMeta, q155AudioMeta, q156ExactStats, q161PrefixJaccard,
     q163PrefixJaccardIngest, q166TriangleCount, q167ImageNearDups,
-    q168LabelPropagation, q170AudioNearDups, q172PersonalizedPageRank)
+    q168LabelPropagation, q170AudioNearDups, q172PersonalizedPageRank,
+    q173ContainmentJoin)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -452,6 +453,49 @@ object OperatorQueries {
         "SELECT id_a, id_b, round(i::DOUBLE / (m_a + m_b - i), 4) " +
         "AS jaccard FROM iv " +
         "WHERE i::DOUBLE / (m_a + m_b - i) >= 0.5 " +
+        "ORDER BY id_a, id_b"))
+
+  /** EXACT containment join ([[Dedup.containmentPairs]]): every
+    * DIRECTED pair where ≥80% of A's shingles land inside B — the
+    * asymmetric near-dup (quotes, wrapped articles, doc-in-template)
+    * that symmetric Jaccard can't see. Prefix only on the probe side
+    * (the overlap bound t·|A| depends on A alone), full postings
+    * right. The oracle replays the algorithm over string shingles
+    * (candidate supersets may differ on tie order — the exact verified
+    * answer cannot); the quadratic parity check lives in DedupSpec. */
+  val q173ContainmentJoin: GraftQuery = GraftQuery(
+    "q173_containment_join",
+    (s, d) => {
+      import s.implicits._
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.8)
+        .select($"id_a", $"id_b",
+          round($"containment", 4).as("containment"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(
+      "WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "generate_series(1, greatest(1, len(string_split(text,' ')) - 2)), " +
+        "i -> array_to_string(list_slice(string_split(text,' '), i, i+2), " +
+        "' ')))) AS t FROM documents), " +
+        "sz AS (SELECT doc_id, count(*) AS m FROM sh GROUP BY doc_id), " +
+        "freq AS (SELECT t, count(*) AS tdf FROM sh GROUP BY t), " +
+        "pref AS (SELECT s.doc_id, s.t, z.m, row_number() OVER " +
+        "(PARTITION BY s.doc_id ORDER BY f.tdf, s.t) AS pos " +
+        "FROM sh s JOIN freq f USING (t) JOIN sz z USING (doc_id)), " +
+        "pp AS (SELECT * FROM pref WHERE pos <= m - ceil(m * 0.8) + 1), " +
+        "cand AS (SELECT DISTINCT p.doc_id AS id_a, s.doc_id AS id_b, " +
+        "p.m AS m_a FROM pp p JOIN sh s ON s.t = p.t " +
+        "AND s.doc_id != p.doc_id), " +
+        "cs AS (SELECT c.id_a, c.id_b, c.m_a FROM cand c " +
+        "JOIN sz z ON z.doc_id = c.id_b " +
+        "WHERE z.m >= ceil(c.m_a * 0.8)), " +
+        "iv AS (SELECT c.id_a, c.id_b, c.m_a, count(*) AS i FROM cs c " +
+        "JOIN sh x ON x.doc_id = c.id_a " +
+        "JOIN sh y ON y.doc_id = c.id_b AND y.t = x.t " +
+        "GROUP BY 1, 2, 3) " +
+        "SELECT id_a, id_b, round(i::DOUBLE / m_a, 4) AS containment " +
+        "FROM iv WHERE i::DOUBLE / m_a >= 0.8 " +
         "ORDER BY id_a, id_b"))
 
   /** Span-level exact substring dedup ([[Dedup.duplicateSpans]]): every

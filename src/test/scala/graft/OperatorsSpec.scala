@@ -104,6 +104,48 @@ class DedupSpec extends GraftSuite {
     assert(at05 === Set((1L, 2L)))
   }
 
+  test("containment join: quote-in-container found in the direction " +
+      "Jaccard is blind to") {
+    val article = (1 to 30).map(i => s"w$i").mkString(" ")
+    val quote = (8 to 15).map(i => s"w$i").mkString(" ") // verbatim slice
+    val other = (100 to 120).map(i => s"z$i").mkString(" ")
+    val d = docs((1L, article), (2L, quote), (3L, other))
+    val got = Dedup.containmentPairs(d, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // quote ⊂ article at containment 1.0, exactly once, DIRECTED —
+    // while their symmetric Jaccard is 6/28, far below any dedup bar
+    assert(got.toSeq === Seq((2L, 1L, 1.0)))
+    val sym = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, None)
+      .filter(col("id_a") === 1L && col("id_b") === 2L)
+      .head().getDouble(2)
+    assert(sym < 0.3, s"premise broken: Jaccard $sym not small")
+  }
+
+  test("containment join equals the quadratic baseline on the corpus") {
+    val d = Tables.documents(spark, sf)
+    val sh = d.select(col("doc_id").as("id"),
+      explode(Dedup.shingles(col("text"), 3)).as("t"))
+    val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("m"))
+    val sets = sh.groupBy(col("id")).agg(collect_set(col("t")).as("ts"))
+      .join(sz, "id")
+    val a = sets.select(col("id").as("id_a"), col("ts").as("ta"),
+      col("m").as("m_a"))
+    val b = sets.select(col("id").as("id_b"), col("ts").as("tb"))
+    val exact = a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          col("m_a")).as("c"))
+      .filter(col("c") >= 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val got = Dedup.containmentPairs(d, "doc_id", "text", 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(got.keySet === exact.keySet)
+    assert(got.nonEmpty) // planted near-dups contain each other
+    got.foreach { case (k, c) => assert(math.abs(c - exact(k)) < 1e-12) }
+  }
+
   test("prefix-filter ingest screen equals the quadratic cross baseline") {
     val d = Tables.documents(spark, sf)
     val corpus = d.filter(col("doc_id") % 10 =!= 7)
