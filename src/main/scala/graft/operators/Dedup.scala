@@ -881,6 +881,30 @@ object Dedup extends Serializable {
     docs.join(victims, Seq(idCol), "left_anti")
   }
 
+  /** Score-aware canonical selection: keep the BEST member of each
+    * duplicate family — argmax of `scoreCol`, ties to the smallest
+    * id — where [[keepCanonical]] keeps the min id blindly. "Keep the
+    * longest copy" / "keep the highest-quality copy" is the policy
+    * real curation wants once a quality signal exists. Docs outside
+    * every family pass through untouched; same recall caveat as
+    * [[keepCanonical]] (completeness bounded by `pairs`). One window
+    * over family members only (families are near-dup-sized, never
+    * corpus-sized) + one anti-join against the victim list. */
+  def keepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val scored = docs
+      .select(col(idCol).cast("long").as("id"), col(scoreCol).as("s"))
+      .join(comp, "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("s").desc, col("id").asc)
+    val victims = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") =!= 1)
+      .select(col("id").as(idCol))
+    docs.join(victims, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over near-dup pair edges: groups transitive
     * duplicates into clusters keyed by their minimum id (so "keep min id
     * per component" deduplicates whole duplicate FAMILIES, not just

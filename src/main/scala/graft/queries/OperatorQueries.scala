@@ -28,7 +28,7 @@ object OperatorQueries {
     q152ContainerMeta, q155AudioMeta, q156ExactStats, q161PrefixJaccard,
     q163PrefixJaccardIngest, q166TriangleCount, q167ImageNearDups,
     q168LabelPropagation, q170AudioNearDups, q172PersonalizedPageRank,
-    q173ContainmentJoin)
+    q173ContainmentJoin, q174KeepBest)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -1293,6 +1293,46 @@ object OperatorQueries {
         "SELECT component, count(*) AS family_size, min(id) AS canonical_id " +
         "FROM (SELECT id, min(lbl) AS component FROM reach GROUP BY id) " +
         "GROUP BY component ORDER BY component"))
+
+  /** Score-aware dedup finalization ([[Dedup.keepBest]]): keep the
+    * LONGEST member of each exact-Jaccard duplicate family (argmax
+    * n_chars, ties to min id) — the policy real curation wants once a
+    * quality signal exists, vs q99's blind min-id keep. Same shared
+    * edge artifact and doc_id < 300 slice as q85/q99; the oracle
+    * replays components with a recursive CTE and the identical
+    * (score DESC, id) argmax. */
+  val q174KeepBest: GraftQuery = GraftQuery(
+    "q174_keep_best",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).filter($"doc_id" < 300)
+      graft.operators.Dedup.keepBest(docs, "doc_id",
+          AnnIndexes.jaccardEdges(s, d), "n_chars")
+        .select($"doc_id", $"n_chars")
+        .orderBy($"doc_id")
+    },
+    Some(
+      "WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, greatest(1, len(string_split(text,' ')) - 2)), " +
+        "i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) " +
+        "AS shingles FROM documents WHERE doc_id < 300), " +
+        "edges AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5), " +
+        "bidir AS (SELECT id_a AS src, id_b AS dst FROM edges " +
+        "UNION SELECT id_b, id_a FROM edges), " +
+        "reach(id, lbl) AS (SELECT src, src FROM bidir " +
+        "UNION SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.id), " +
+        "comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id), " +
+        "scored AS (SELECT c.id, c.component, d.n_chars FROM comp c " +
+        "JOIN documents d ON d.doc_id = c.id), " +
+        "vict AS (SELECT id FROM (SELECT id, row_number() OVER " +
+        "(PARTITION BY component ORDER BY n_chars DESC, id) AS rn " +
+        "FROM scored) WHERE rn != 1) " +
+        "SELECT doc_id, n_chars FROM documents " +
+        "WHERE doc_id < 300 AND doc_id NOT IN (SELECT id FROM vict) " +
+        "ORDER BY doc_id"))
 
   /** STREAMING sessionization parity: replay the events file through the
     * stateful `flatMapGroupsWithState` sessionizer

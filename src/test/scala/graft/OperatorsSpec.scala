@@ -1752,3 +1752,37 @@ class CompressionSpec extends GraftSuite {
     assert(got(2)._4 === false)                     // 1.0 > hi -> out of band
   }
 }
+
+class KeepBestSpec extends GraftSuite {
+  test("keepBest keeps the argmax-score member per family, min-id ties") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a", 50L), (2L, "b", 90L), (3L, "c", 90L), // family {1,2,3}
+      (10L, "d", 10L), (11L, "e", 5L),                // family {10,11}
+      (42L, "f", 1L))                                 // no family
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = graft.operators.Dedup
+      .keepBest(docs, "doc_id", pairs, "n_chars")
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // family one: 2 and 3 tie at 90 -> min id 2; family two: 10 wins;
+    // 42 passes through untouched
+    assert(kept === Seq(2L, 10L, 42L))
+  }
+
+  test("keepBest with a constant score degenerates to keepCanonical") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 8L).map(i => (i, s"t$i", 7L))
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L), (5L, 6L), (6L, 7L)).toDF("id_a", "id_b")
+    val best = graft.operators.Dedup
+      .keepBest(docs, "doc_id", pairs, "n_chars")
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val canon = graft.operators.Dedup
+      .keepCanonical(docs, "doc_id", pairs)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(best === canon)
+  }
+}
