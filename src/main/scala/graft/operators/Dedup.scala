@@ -360,6 +360,61 @@ object Dedup extends Serializable {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every k-token gram, slide a
+    * w-hash window, keep each window's MINIMUM hash; the selected set
+    * is the doc's fingerprint. The guarantee that makes it the
+    * partial-overlap detector: any shared token run of ≥ w + k − 1
+    * tokens spans at least one full window on both sides, and that
+    * window's minimum is the same gram on both — so the docs MUST
+    * share a fingerprint (no false negatives above the guarantee
+    * length), while only ~1/w of all grams is ever indexed.
+    *
+    * The gram hash is md5-hex and the window minimum is its
+    * LEXICOGRAPHIC min — deliberately, so the entire selection is
+    * ANSI-SQL-replayable (DuckDB computes identical md5 strings and
+    * list_min) and the operator holds a full oracle row, unlike
+    * engine-side hash families (MinHash/SimHash → rows-only). All
+    * per-doc work is higher-order array expressions — one scan, no
+    * shuffle until the caller aggregates. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    // each stage is MATERIALIZED as a column before the next slices
+    // into it: a lambda body re-evaluates any outer expression it
+    // references per element (no CSE inside HOFs), so inlining `toks`
+    // into the gram lambda — or `grams` into the window lambda — turns
+    // an O(n·(k+w)) doc into O(n²·k) md5 work (measured 175 s vs 3 s
+    // for the whole sf0.1 query)
+    val staged = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .select(col("id"), transform(
+        // gram i (1-based): tokens i..i+k-1; short docs yield one
+        // whole-doc gram (the shingles() convention)
+        sequence(lit(1), greatest(lit(1), size(col("tk")) - (k - 1))),
+        i => md5(concat_ws(" ", slice(col("tk"), i, lit(k))))).as("gs"))
+    staged.select(col("id"), explode(array_distinct(transform(
+        sequence(lit(1), greatest(lit(1), size(col("gs")) - (w - 1))),
+        i => array_min(slice(col("gs"), i, lit(w)))))).as("fp"))
+  }
+
+  /** Candidate near-dup pairs from shared winnowing fingerprints:
+    * pairs sharing ≥ `minShared` selected grams, with the shared
+    * count — the index-join step of MOSS. Fingerprint buckets are
+    * content-frequency-bounded (a gram is selected only where it is a
+    * window minimum), and the guarantee bounds recall from below:
+    * every pair sharing a ≥ w+k−1 token run appears. */
+  def winnowCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 8, minShared: Int = 2): DataFrame = {
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+    fp.select(col("id").as("id_a"), col("fp"))
+      .join(fp.select(col("id").as("id_b"), col("fp")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** EXACT containment join: every DIRECTED pair (A, B) with
     * |sh(A) ∩ sh(B)| / |sh(A)| ≥ `threshold` — "A's content is
     * (mostly) inside B", the asymmetric near-dup Jaccard can't see: a

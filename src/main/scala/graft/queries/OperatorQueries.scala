@@ -28,7 +28,7 @@ object OperatorQueries {
     q152ContainerMeta, q155AudioMeta, q156ExactStats, q161PrefixJaccard,
     q163PrefixJaccardIngest, q166TriangleCount, q167ImageNearDups,
     q168LabelPropagation, q170AudioNearDups, q172PersonalizedPageRank,
-    q173ContainmentJoin, q174KeepBest)
+    q173ContainmentJoin, q174KeepBest, q175Winnowing)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -1293,6 +1293,36 @@ object OperatorQueries {
         "SELECT component, count(*) AS family_size, min(id) AS canonical_id " +
         "FROM (SELECT id, min(lbl) AS component FROM reach GROUP BY id) " +
         "GROUP BY component ORDER BY component"))
+
+  /** Winnowing fingerprint candidates ([[Dedup.winnowCandidates]],
+    * the MOSS algorithm): pairs sharing ≥2 window-minimum grams —
+    * guaranteed to include every pair sharing a ≥ w+k−1 = 11-token
+    * run, while indexing only ~1/w of grams. FULLY ORACLED (rare for
+    * a fingerprint family): the gram hash is md5-hex and the window
+    * min is lexicographic, so DuckDB replays the identical selection. */
+  val q175Winnowing: GraftQuery = GraftQuery(
+    "q175_winnowing",
+    (s, d) => {
+      import s.implicits._
+      Dedup.winnowCandidates(Tables.documents(s, d), "doc_id", "text",
+          k = 4, w = 8, minShared = 2)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS toks " +
+        "FROM documents), " +
+        "g AS (SELECT doc_id, list_transform(generate_series(1, " +
+        "greatest(1, len(toks) - 3)), i -> md5(array_to_string(" +
+        "list_slice(toks, i, i+3), ' '))) AS gs FROM t), " +
+        "f AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "generate_series(1, greatest(1, len(gs) - 7)), " +
+        "i -> list_min(list_slice(gs, i, i+7))))) AS fp FROM g), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "count(*) AS n_shared FROM f a " +
+        "JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2 " +
+        "ORDER BY id_a, id_b"))
 
   /** Score-aware dedup finalization ([[Dedup.keepBest]]): keep the
     * LONGEST member of each exact-Jaccard duplicate family (argmax

@@ -104,6 +104,36 @@ class DedupSpec extends GraftSuite {
     assert(at05 === Set((1L, 2L)))
   }
 
+  test("winnowing: the w+k-1 guarantee holds, disjoint docs share " +
+      "nothing, density ~1/w") {
+    val rnd = new scala.util.Random(175)
+    def prose(tag: String, n: Int) =
+      (1 to n).map(_ => s"$tag${rnd.nextInt(500)}").mkString(" ")
+    val shared = (1 to 11).map(i => s"run$i").mkString(" ") // = w+k-1
+    val d = docs(
+      (1L, prose("a", 60) + " " + shared + " " + prose("b", 60)),
+      (2L, prose("c", 40) + " " + shared + " " + prose("d", 80)),
+      (3L, prose("e", 100)))
+    val fp = Dedup.winnowFingerprints(d, "doc_id", "text", k = 4, w = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = fp.groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    // guarantee: the 11-token shared run forces >=1 common fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "guarantee violated: shared 11-token run, no shared fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    assert((byDoc(2L) & byDoc(3L)).isEmpty)
+    // selection density: ~1/w of windows, far below the gram count
+    val nGrams = 60 + 11 + 60 - 3
+    assert(byDoc(1L).size < nGrams / 2,
+      s"selected ${byDoc(1L).size} of $nGrams grams — not winnowing")
+    // candidates surface the overlapping pair only (minShared=1 here:
+    // an 11-token run guarantees one shared print, not two)
+    val cand = Dedup.winnowCandidates(d, "doc_id", "text", 4, 8,
+        minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.toSeq === Seq((1L, 2L)))
+  }
+
   test("containment join: quote-in-container found in the direction " +
       "Jaccard is blind to") {
     val article = (1 to 30).map(i => s"w$i").mkString(" ")
