@@ -13,6 +13,19 @@ object TextFunctions extends Serializable {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Let-binding for higher-order-function pipelines: evaluates `v`
+    * ONCE per row and hands the materialized value to `body` as a
+    * lambda variable. A lambda body re-evaluates any OUTER expression
+    * it references per element (HOFs are interpreted — no
+    * common-subexpression elimination inside the lambda), so e.g.
+    * slicing an unbound `split(...)` array inside a transform() over
+    * its windows re-splits the document per window — an O(n²) term
+    * measured at 6× on the shingle family and 73× on winnowing
+    * (BASELINE.md round-8 HOF-CSE rows). The single-element transform
+    * is the cheapest binder Spark's expression language offers. */
+  def bound(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
   /** Tiny per-language stopword profiles for the heuristic language ID.
     * Deliberately small: the operator's shape (profile scoring + argmax)
     * is the point; profiles are swappable data. */
@@ -91,11 +104,11 @@ object TextFunctions extends Serializable {
 
   /** Word 2-grams of the token stream, NON-distinct (repetition analysis
     * needs the duplicates). */
-  def wordBigrams(text: Column): Column = {
-    val toks = tokens(text)
-    transform(sequence(lit(1), greatest(lit(1), size(toks) - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(2))))
-  }
+  def wordBigrams(text: Column): Column =
+    bound(tokens(text)) { t =>
+      transform(sequence(lit(1), greatest(lit(1), size(t) - 1)),
+        i => concat_ws(" ", slice(t, i, lit(2))))
+    }
 
   /** Gopher-style repetition signals per document:
     * `dup_bigram_frac` = fraction of bigram occurrences that are repeats

@@ -411,11 +411,14 @@ object Pca extends Serializable {
       modelRows.toDF("__g", "__comps", "__offs"))
     df.join(mdf, col(groupCol).cast("string") === col("__g"))
       .withColumn("pcs", zip_with(
-        transform(col("__comps"), c =>
-          aggregate(
-            zip_with(col(vecCol).cast("array<double>"), c,
-              (x, w) => x * w),
-            lit(0.0), (s, x) => s + x)),
+        // let-bound: the unbound cast would re-widen the vector per
+        // component (HOF-CSE, BASELINE.md round 8)
+        graft.functions.TextFunctions.bound(
+          col(vecCol).cast("array<double>")) { v =>
+          transform(col("__comps"), c =>
+            aggregate(zip_with(v, c, (x, w) => x * w),
+              lit(0.0), (s, x) => s + x))
+        },
         col("__offs"), (p, o) => p - o))
       .drop("__g", "__comps", "__offs")
   }

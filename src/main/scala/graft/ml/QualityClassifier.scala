@@ -41,10 +41,13 @@ object QualityClassifier extends Serializable {
     val toks = Dedup.tokens(col(textCol))
     // degenerate-doc guard (mirrors Dsir.gramRows): docs with <2 tokens
     // contribute no bigram features instead of a duplicated unigram
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", slice(toks, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
+    // let-bound (the HOF-CSE O(n²) term — BASELINE.md round 8)
+    val bigrams = graft.functions.TextFunctions.bound(toks) { t =>
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", slice(t, i, lit(2)))))
+        .otherwise(array().cast("array<string>"))
+    }
     df.select(col(idCol), explode(concat(toks, bigrams)).as("__gram"))
       .select(col(idCol),
         pmod(xxhash64(col("__gram"), lit(seed)), lit(buckets.toLong))

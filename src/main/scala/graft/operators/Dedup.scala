@@ -20,12 +20,15 @@ object Dedup extends Serializable {
     * keeps sequence() ascending for docs shorter than n tokens (Spark
     * would otherwise generate a DESCENDING sequence — silent corruption).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(lit(1), size(toks) - (n - 1))),
-      i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    // let-bound (TextFunctions.bound): an unbound toks inside the
+    // lambda re-splits the doc per gram — the HOF-CSE O(n²) term,
+    // measured 6× on this exact expression (BASELINE.md round 8)
+    graft.functions.TextFunctions.bound(tokens(text)) { t =>
+      array_distinct(transform(
+        sequence(lit(1), greatest(lit(1), size(t) - (n - 1))),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+    }
 
   /** Exact dedup: keep the smallest id per identical text. At 100 TB,
     * group on sha2(text, 256) instead of the raw string to shrink the
@@ -112,11 +115,12 @@ object Dedup extends Serializable {
   def positionalWindows(df: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
     val toks = tokens(col(textCol))
+    val grams = graft.functions.TextFunctions.bound(toks) { t =>
+      transform(sequence(lit(1), size(t) - (w - 1)),
+        i => concat_ws(" ", slice(t, i, lit(w))))
+    }
     df.where(size(toks) >= w)
-      .select(col(idCol).as("id"),
-        posexplode(transform(
-          sequence(lit(1), size(toks) - (w - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(w))))))
+      .select(col(idCol).as("id"), posexplode(grams))
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
   }
 

@@ -42,10 +42,13 @@ object Dsir extends Serializable {
     // the branch, sequence(1, max(1, n-1)) emits index 1 anyway and the
     // lone token (or the empty string) re-enters the stream as a
     // spurious "bigram", skewing its bucket's mass
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", slice(toks, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
+    // let-bound (the HOF-CSE O(n²) term — BASELINE.md round 8)
+    val bigrams = graft.functions.TextFunctions.bound(toks) { t =>
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", slice(t, i, lit(2)))))
+        .otherwise(array().cast("array<string>"))
+    }
     val carried = (idCol +: keep).map(col)
     df.select(carried :+ explode(concat(toks, bigrams)).as("__gram"): _*)
       .select(carried :+

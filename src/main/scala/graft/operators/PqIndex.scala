@@ -74,14 +74,21 @@ object PqIndex extends Serializable {
     * Addition order inside each distance matches the hand loop
     * (`aggregate` folds left), so codes are bit-identical. */
   private[graft] def encodeExpr(vec: Column, cb: Codebook): Column =
-    array((0 until cb.m).map { s =>
-      val sub = slice(vec, s * cb.subDim + 1, cb.subDim)
-      val d2s = transform(
-        typedLit(cb.centers(s).map(_.toSeq).toSeq),
-        c => aggregate(zip_with(sub, c, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
-      (array_position(d2s, array_min(d2s)) - 1L).cast("int")
-    }: _*)
+    // let-bound: an unbound `vec` (an array cast) inside the centroid
+    // lambda would be re-evaluated per centroid — m·k casts of the
+    // full vector per row (the HOF-CSE term, BASELINE.md round 8)
+    graft.functions.TextFunctions.bound(vec) { v =>
+      array((0 until cb.m).map { s =>
+        val d2s = graft.functions.TextFunctions.bound(
+          slice(v, s * cb.subDim + 1, cb.subDim)) { sub =>
+          transform(
+            typedLit(cb.centers(s).map(_.toSeq).toSeq),
+            c => aggregate(zip_with(sub, c, (a, b) => (a - b) * (a - b)),
+              lit(0.0), (acc, x) => acc + x))
+        }
+        (array_position(d2s, array_min(d2s)) - 1L).cast("int")
+      }: _*)
+    }
 
   /** Encode every candidate vector into its PQ code (array<int> of
     * length m; values < k fit a byte at rest). One map-side pass of
