@@ -827,6 +827,51 @@ object Dedup extends Serializable {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash + LSH banding with an ANSI-REPLAYABLE hash family: the
+    * j-th signature is the LEXICOGRAPHIC min of md5(j || "|" ||
+    * shingle) — DuckDB computes the identical strings, so for the
+    * first time the LSH CANDIDATE GENERATION itself (not just a
+    * verified answer) holds under an oracle. The production path
+    * ([[minhashNearDups]]) keeps the xxhash64 family — 8-byte longs
+    * beat 32-char strings through every shuffle — and stays rows-only;
+    * this variant is its correctness face: same banding pigeonhole,
+    * same exact-Jaccard verification, every pair hash-checked
+    * end-to-end in SQL. Returns (id_a, id_b, jaccard ≥ threshold). */
+  def minhashNearDupsReplayable(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    // signature j = min over shingles of md5("j|" ++ shingle); the
+    // shingle array is a materialized column, so the per-j transforms
+    // read it bound (no HOF-CSE term)
+    val sigs = (0 until numHashes).map(j =>
+      array_min(transform(col("sh"), s =>
+        md5(concat(lit(s"$j|"), s)))).as(s"s$j"))
+    val signed = sh.select(col("id") +: col("sh") +: sigs: _*)
+    // band b = the concatenated signature slice; candidates share any
+    // full band (the LSH pigeonhole)
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("#", (0 until rowsPerBand)
+          .map(r => col(s"s${b * rowsPerBand + r}")): _*).as("key")))
+    val banded = signed.select(col("id"),
+      explode(array(bandCols: _*)).as("bk"))
+    val cands = banded.select(col("bk"), col("id").as("id_a"))
+      .join(banded.select(col("bk"), col("id").as("id_b")), "bk")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    cands.select(col("id_a"), col("id_b"),
+        (inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of a token array (FNV-1a per token, bitwise weighted

@@ -28,7 +28,7 @@ object OperatorQueries {
     q152ContainerMeta, q155AudioMeta, q156ExactStats, q161PrefixJaccard,
     q163PrefixJaccardIngest, q166TriangleCount, q167ImageNearDups,
     q168LabelPropagation, q170AudioNearDups, q172PersonalizedPageRank,
-    q173ContainmentJoin, q174KeepBest, q175Winnowing)
+    q173ContainmentJoin, q174KeepBest, q175Winnowing, q176LshOracled)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -858,6 +858,47 @@ object OperatorQueries {
         numHashes = 32, bands = 8, threshold = 0.5)
         .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
         .orderBy($"id_a", $"id_b")
+    })
+
+  /** MinHash-LSH with the md5 hash family
+    * ([[Dedup.minhashNearDupsReplayable]]) — the ORACLED face of q44:
+    * for the first time the banded candidate generation itself is
+    * replayed in SQL (8 signatures = lexicographic mins of salted md5,
+    * 4 bands of 2), not just a verified answer. The production path
+    * (q44) keeps xxhash64 longs for shuffle width and stays
+    * rows-only; both must find the same planted near-dup structure. */
+  val q176LshOracled: GraftQuery = GraftQuery(
+    "q176_lsh_oracled",
+    (s, d) => {
+      import s.implicits._
+      Dedup.minhashNearDupsReplayable(Tables.documents(s, d),
+          "doc_id", "text")
+        .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some {
+      val mins = (0 until 8).map(j =>
+        s"list_min(list_transform(sh, s -> md5('$j|' || s))) AS s$j")
+        .mkString(", ")
+      val bandRows = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, s${2 * b} || '#' || s${2 * b + 1} " +
+          "AS key FROM sig").mkString(" UNION ALL ")
+      "WITH t AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, greatest(1, len(string_split(text,' ')) - 2)), " +
+        "i -> array_to_string(list_slice(string_split(text,' '), i, i+2), " +
+        "' '))) AS sh FROM documents), " +
+        s"sig AS (SELECT doc_id, $mins FROM t), " +
+        s"b AS ($bandRows), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b " +
+        "FROM b a JOIN b c ON a.band = c.band AND a.key = c.key " +
+        "AND a.doc_id < c.doc_id), " +
+        "v AS (SELECT cd.id_a, cd.id_b, " +
+        "len(list_intersect(x.sh, y.sh)) AS i, " +
+        "len(x.sh) AS ma, len(y.sh) AS mb FROM cand cd " +
+        "JOIN t x ON x.doc_id = cd.id_a JOIN t y ON y.doc_id = cd.id_b) " +
+        "SELECT id_a, id_b, round(i::DOUBLE / (ma + mb - i), 4) " +
+        "AS jaccard FROM v WHERE i::DOUBLE / (ma + mb - i) >= 0.5 " +
+        "ORDER BY id_a, id_b"
     })
 
   /** SimHash near-dup candidates (Hamming ≤ 6 over 64-bit signatures,

@@ -104,6 +104,29 @@ class DedupSpec extends GraftSuite {
     assert(at05 === Set((1L, 2L)))
   }
 
+  test("replayable LSH finds the corpus's planted near-dups like the " +
+      "production family, with exact Jaccard parity") {
+    val d = Tables.documents(spark, sf)
+    val replay = Dedup.minhashNearDupsReplayable(d, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // exact pairs at the same threshold: every replay pair must carry
+    // the TRUE Jaccard, and recall over planted structure must be
+    // near-total (banding is probabilistic per family, so compare
+    // against exact, not against q44's different hash space)
+    val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, Some(0.5))
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(replay.nonEmpty && exact.nonEmpty)
+    assert(replay.keySet.subsetOf(exact.keySet),
+      "replayable LSH emitted a pair below the threshold")
+    replay.foreach { case (k, j) =>
+      assert(math.abs(j - exact(k)) < 1e-12, s"jaccard drift at $k") }
+    val recall = replay.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall over ${exact.size} exact pairs")
+  }
+
   test("winnowing: the w+k-1 guarantee holds, disjoint docs share " +
       "nothing, density ~1/w") {
     val rnd = new scala.util.Random(175)
