@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   * seed), the Gumbel noise is derived from xxhash64 of the doc id (not
   * an RNG stream), and per-doc weights are rounded to 9 dp before
   * selection so float summation order across partitionings cannot flip
-  * a top-k boundary. Not DuckDB-expressible (xxhash64) → rows-only.
+  * a top-k boundary. The xxhash64 path is not DuckDB-expressible →
+  * q133 stays rows-only; [[importanceWeightsReplayable]] is the
+  * oracle-faced variant (portable sha buckets + exact decimal sums,
+  * q177).
   */
 object Dsir extends Serializable {
 
@@ -36,7 +39,8 @@ object Dsir extends Serializable {
     * [[Dedup.shingles]] this keeps duplicates). `keep` columns ride
     * along with each gram row. */
   private[graft] def gramRows(df: DataFrame, idCol: String, textCol: String,
-      buckets: Int, seed: Long, keep: Seq[String] = Nil): DataFrame = {
+      buckets: Int, seed: Long, keep: Seq[String] = Nil,
+      portable: Boolean = false): DataFrame = {
     val toks = Dedup.tokens(col(textCol))
     // degenerate-doc guard: a 0/1-token doc has NO bigrams — without
     // the branch, sequence(1, max(1, n-1)) emits index 1 anyway and the
@@ -50,10 +54,16 @@ object Dsir extends Serializable {
         .otherwise(array().cast("array<string>"))
     }
     val carried = (idCol +: keep).map(col)
+    // portable = the sha-256 prefix bucket every SQL engine can
+    // recompute (the q165/q131 portable-hash family); default = the
+    // 8-byte xxhash64 production path
+    val bucketExpr =
+      if (portable)
+        pmod(conv(substring(sha2(col("__gram").cast("binary"), 256),
+          1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+      else pmod(xxhash64(col("__gram"), lit(seed)), lit(buckets.toLong))
     df.select(carried :+ explode(concat(toks, bigrams)).as("__gram"): _*)
-      .select(carried :+
-        pmod(xxhash64(col("__gram"), lit(seed)), lit(buckets.toLong))
-          .as("bucket"): _*)
+      .select(carried :+ bucketExpr.as("bucket"): _*)
   }
 
   /** Per-document importance weights: `log p_target(doc) − log p_raw
@@ -92,6 +102,48 @@ object Dsir extends Serializable {
       .join(broadcast(ratios), "bucket")
       .groupBy(col(idCol))
       .agg(round(sum(col("__c") * col("__ratio")), 9).as("log_weight"))
+  }
+
+  /** ANSI-REPLAYABLE importance weights — the oracle face of
+    * [[importanceWeights]] (the q176 md5-MinHash pattern applied to
+    * DSIR): buckets come from the portable sha-256 prefix hash, and
+    * the per-doc sum is carried as DECIMAL(20,6) over 6-dp-pinned
+    * partials — decimal addition is EXACT, so summation order cannot
+    * move a bit on either engine (stronger than the q160 partial-pin,
+    * which still summed doubles). The log-ratio table itself stays
+    * double (libm log parity is empirically exact across both engines
+    * — the q119/q128 log-prob oracles gate it at three SFs). Returns
+    * (idCol, log_weight) rounded at the partials' own 6-dp scale. */
+  def importanceWeightsReplayable(df: DataFrame, idCol: String,
+      textCol: String, isTarget: Column, buckets: Int = 512)
+      : DataFrame = {
+    require(buckets > 1, "need at least 2 hash buckets")
+    val marked = df.withColumn("__tgt", isTarget)
+    val docBuckets = gramRows(marked, idCol, textCol, buckets, seed = 0L,
+        keep = Seq("__tgt"), portable = true)
+      .groupBy(col(idCol), col("__tgt"), col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+    val bucketCounts = docBuckets.groupBy(col("bucket")).agg(
+      sum(when(col("__tgt"), col("__c")).otherwise(0L)).as("n_tgt"),
+      sum(when(col("__tgt"), 0L).otherwise(col("__c"))).as("n_raw"))
+    val ratios = bucketCounts
+      .crossJoin(broadcast(bucketCounts.agg(
+        sum(col("n_tgt")).as("__t_tgt"), sum(col("n_raw")).as("__t_raw"))))
+      .select(col("bucket"),
+        (log((col("n_tgt") + 1).cast("double") /
+            (col("__t_tgt") + buckets).cast("double")) -
+          log((col("n_raw") + 1).cast("double") /
+            (col("__t_raw") + buckets).cast("double"))).as("__ratio"))
+    docBuckets
+      .join(broadcast(ratios), "bucket")
+      .groupBy(col(idCol))
+      // final round at 6 dp, the partials' own scale: the decimal sum
+      // is an exact 1e-6 multiple, so a 6-dp round has no midpoint
+      // decision to make — a coarser scale (4 dp) hit exact x.xxxx5
+      // midpoints on ~1/500 docs and the two engines' double-vs-decimal
+      // midpoint semantics split (the q156 trap, decimal edition)
+      .agg(round(sum(round(col("__c") * col("__ratio"), 6)
+          .cast("decimal(20,6)")).cast("double"), 6).as("log_weight"))
   }
 
   /** Gumbel top-k resampling (the paper's sampling-without-replacement

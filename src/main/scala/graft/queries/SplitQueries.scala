@@ -15,7 +15,7 @@ import graft.operators.{Curation, Dedup, Dsir, Sampling}
 object SplitQueries {
 
   def all: Seq[GraftQuery] = Seq(q131ContentSplit, q132BlockDupProfile,
-    q133DsirResample, q134SketchAccuracy, q135QualityClassifier,
+    q133DsirResample, q134SketchAccuracy, q135QualityClassifier, q177DsirOracled,
     q136SnapshotDiff, q143GatedCuration, q144Decontaminate,
     q151IncrementalCuration, q157ExactDistinct, q164CmsFrequency,
     q165WeightedSample)
@@ -129,6 +129,46 @@ object SplitQueries {
         "round(sum(CASE WHEN g.tot > 1 THEN 1 ELSE 0 END)::DOUBLE " +
         "/ count(*), 6) AS dup_rate " +
         "FROM c JOIN g USING (block) GROUP BY source ORDER BY source"))
+
+  /** ANSI-replayable DSIR importance weights
+    * ([[Dsir.importanceWeightsReplayable]]) — the oracle face of
+    * q133's scoring stage: portable sha-256 buckets, Laplace-smoothed
+    * target/raw log-ratios, and per-doc sums carried as
+    * DECIMAL(20,6) of 6-dp partials (exact addition — summation order
+    * cannot move a bit on either engine). Every weight hash-checked. */
+  val q177DsirOracled: GraftQuery = GraftQuery(
+    "q177_dsir_oracled",
+    (s, d) => {
+      import s.implicits._
+      Dsir.importanceWeightsReplayable(Tables.documents(s, d),
+          "doc_id", "text", isTarget = $"lang" === "en", buckets = 512)
+        .orderBy($"doc_id")
+    },
+    Some(
+      "WITH tk AS (SELECT doc_id, lang = 'en' AS tgt, " +
+        "string_split(text,' ') AS t FROM documents), " +
+        "g AS (SELECT doc_id, tgt, unnest(list_concat(t, " +
+        "CASE WHEN len(t) >= 2 THEN list_transform(" +
+        "generate_series(1, len(t) - 1), i -> array_to_string(" +
+        "list_slice(t, i, i + 1), ' ')) " +
+        "ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM tk), " +
+        "b AS (SELECT doc_id, tgt, " +
+        "('0x' || substr(sha256(gram), 1, 8))::BIGINT % 512 AS bucket " +
+        "FROM g), " +
+        "dc AS (SELECT doc_id, tgt, bucket, count(*) AS c " +
+        "FROM b GROUP BY 1, 2, 3), " +
+        "bc AS (SELECT bucket, " +
+        "sum(CASE WHEN tgt THEN c ELSE 0 END) AS nt, " +
+        "sum(CASE WHEN tgt THEN 0 ELSE c END) AS nr FROM dc " +
+        "GROUP BY bucket), " +
+        "tot AS (SELECT sum(nt) AS tt, sum(nr) AS tr FROM bc), " +
+        "r AS (SELECT bucket, ln((nt + 1)::DOUBLE / (tt + 512)::DOUBLE) " +
+        "- ln((nr + 1)::DOUBLE / (tr + 512)::DOUBLE) AS ratio " +
+        "FROM bc, tot) " +
+        "SELECT doc_id, round(sum(round(c * ratio, 6)" +
+        "::DECIMAL(20,6))::DOUBLE, 6) AS log_weight " +
+        "FROM dc JOIN r USING (bucket) GROUP BY doc_id " +
+        "ORDER BY doc_id"))
 
   /** DSIR resampling report ([[Dsir.importanceWeights]] +
     * [[Dsir.resampleTopK]]): tilt the corpus toward an `en`-language

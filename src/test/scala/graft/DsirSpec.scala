@@ -21,6 +21,23 @@ class DsirSpec extends GraftSuite {
       s"en mean weight ${byLang("en")} should beat all of $byLang")
   }
 
+  test("dsir: the replayable variant carries the same target tilt and " +
+      "is partition-invariant") {
+    def run(parts: Int) = Dsir.importanceWeightsReplayable(
+        docs.repartition(parts), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 512)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = run(3)
+    assert(w === run(8)) // exact decimal sums: bit-equal at any layout
+    val lang = docs.select($"doc_id", $"lang")
+      .as[(Long, String)].collect().toMap
+    val byLang = w.toSeq.groupBy { case (id, _) => lang(id) }
+      .map { case (l, v) => l -> v.map(_._2).sum / v.size }
+    val others = byLang.filterNot(_._1 == "en").values
+    assert(byLang("en") > others.max,
+      s"replayable tilt missing: $byLang")
+  }
+
   test("dsir: resampling tilts selection toward the target distribution") {
     val w = Dsir.importanceWeights(docs, "doc_id", "text",
       isTarget = col("lang") === "en", buckets = 1024, seed = 42L)
