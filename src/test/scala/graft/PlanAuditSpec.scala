@@ -43,7 +43,8 @@ class PlanAuditSpec extends GraftSuite {
     "q119_unigram_logprob",   // ÷ (N + V) Laplace denominator
     "q128_bigram_logprob",    // same (N + V) backoff denominator
     "q133_dsir_resample",     // ÷ corpus gram totals (DSIR smoothing)
-    "q160_bm25_topk")         // × 1-row (N, avgdl) corpus stats
+    "q160_bm25_topk",         // × 1-row (N, avgdl) corpus stats
+    "q177_dsir_oracled")      // same DSIR smoothing ÷ 1-row totals
 
   test("no registry query plans an unintended quadratic join") {
     val offenders = Registry.all
