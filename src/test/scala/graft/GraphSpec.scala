@@ -316,6 +316,24 @@ class GraphSpec extends GraftSuite {
     }
   }
 
+  test("triangles AND labels match brute force on random graphs") {
+    val rnd = new scala.util.Random(166168)
+    (1 to 6).foreach { trial =>
+      val n = 8 + rnd.nextInt(12)
+      val p = 0.15 + rnd.nextDouble() * 0.35
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n if rnd.nextDouble() < p
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        assert(trianglesOf(edges) === localTriangles(edges),
+          s"triangles diverged on trial $trial (n=$n, p=$p)")
+        val r = 1 + rnd.nextInt(4)
+        assert(labelsOf(edges, r) === localLpa(edges, r),
+          s"LPA diverged on trial $trial (n=$n, rounds=$r)")
+      }
+    }
+  }
+
   test("triangle counts are partitioning-invariant") {
     val s = spark
     import s.implicits._

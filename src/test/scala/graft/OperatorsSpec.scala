@@ -127,6 +127,62 @@ class DedupSpec extends GraftSuite {
     assert(recall >= 0.9, s"recall $recall over ${exact.size} exact pairs")
   }
 
+  test("containment equals the quadratic baseline on random docs, " +
+      "including threshold 1.0 and short docs") {
+    val rnd = new scala.util.Random(173)
+    def words(tag: String, n: Int) =
+      (1 to n).map(_ => s"$tag${rnd.nextInt(40)}").mkString(" ")
+    // mixed corpus: random docs, a planted slice-quote, whole-doc dups,
+    // and sub-shingle-length docs (whole-text shingle convention)
+    val base = words("w", 40)
+    val rows = Seq(
+      1L -> base, 2L -> base.split(" ").slice(10, 22).mkString(" "),
+      3L -> words("x", 25), 4L -> words("y", 30), 5L -> base,
+      6L -> "tiny doc", 7L -> "tiny doc") ++
+      (8L to 12L).map(i => i -> words(s"z$i", 10 + rnd.nextInt(30)))
+    val d = docs(rows: _*)
+    for (t <- Seq(0.6, 0.8, 1.0)) {
+      val sh = d.select(col("doc_id").as("id"),
+        explode(Dedup.shingles(col("text"), 3)).as("s"))
+      val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("m"))
+      val sets = sh.groupBy(col("id")).agg(collect_set(col("s")).as("ts"))
+        .join(sz, "id")
+      val exact = sets.select(col("id").as("id_a"), col("ts").as("ta"),
+          col("m").as("m_a"))
+        .crossJoin(sets.select(col("id").as("id_b"), col("ts").as("tb")))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+            col("m_a")).as("c"))
+        .filter(col("c") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Dedup.containmentPairs(d, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === exact, s"containment diverged at t=$t")
+    }
+  }
+
+  test("winnowing guarantee holds at every run length above w+k-1 on " +
+      "random placements") {
+    val rnd = new scala.util.Random(175175)
+    (1 to 6).foreach { trial =>
+      val runLen = 11 + rnd.nextInt(10)
+      val shared = (1 to runLen).map(i => s"r$i").mkString(" ")
+      def noise(tag: String, n: Int) =
+        (1 to n).map(_ => s"$tag${rnd.nextInt(300)}").mkString(" ")
+      val (p1, p2) = (rnd.nextInt(50), rnd.nextInt(50))
+      val d = docs(
+        (1L, noise("a", p1) + " " + shared + " " + noise("b", 60 - p1)),
+        (2L, noise("c", p2) + " " + shared + " " + noise("d", 60 - p2)))
+      val fp = Dedup.winnowFingerprints(d, "doc_id", "text", 4, 8)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val byDoc = fp.groupBy(_._1)
+        .map { case (k2, v) => k2 -> v.map(_._2).toSet }
+      assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+        s"guarantee violated on trial $trial (run $runLen, at $p1/$p2)")
+    }
+  }
+
   test("winnowing: the w+k-1 guarantee holds, disjoint docs share " +
       "nothing, density ~1/w") {
     val rnd = new scala.util.Random(175)
