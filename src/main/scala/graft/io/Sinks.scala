@@ -59,6 +59,27 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** GLOBALLY range-sorted parquet export: rows are range-partitioned
+    * on `key` (sampled split points) and sorted within each partition,
+    * so the output files form one totally ordered run — file i's last
+    * key ≤ file i+1's first key. This is the layout downstream
+    * merge-join readers and binary-search consumers want (sorted-run
+    * training shards, time-ordered event archives), and parquet's
+    * per-row-group min/max stats make point/range reads on `key` prune
+    * almost everything. Unlike [[writeBucketed]] (hash-clustered,
+    * catalog-dependent) the ordering is carried by the FILES — any
+    * path-based reader benefits. One range-exchange shuffle total;
+    * `files` is the run's parallelism contract (size it to the data,
+    * not the cluster). LayoutSpec proves the cross-file ordering. */
+  def writeSorted(df: DataFrame, path: String, files: Int,
+      key: String, moreKeys: String*): Unit = {
+    require(files > 0, "files must be positive")
+    val cols = (key +: moreKeys).map(col)
+    df.repartitionByRange(files, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** S8: k-store upsert — overwrite the partition keyed by
     * (algorithm, macro, micro, firstColumn, secondColumn), the
     * deterministic-reduce replacement for the reference's 12-thread Mongo

@@ -109,3 +109,37 @@ class LayoutSpec extends GraftSuite {
     assert((zs((None, 1.0)) & 0x5555555555555555L) === 0L)
   }
 }
+
+/** writeSorted: the output files must form one totally ordered run —
+  * file i's max key ≤ file i+1's min key, rows sorted within each file
+  * — so any path-based reader gets a global sorted run without a
+  * catalog. */
+class SortedExportSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("sorted export forms a totally ordered run across files") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sorted").toString
+    val rnd = new scala.util.Random(178)
+    val df = (1 to 20000).map(_ => (rnd.nextLong(), rnd.nextInt(100)))
+      .toDF("k", "v")
+    graft.io.Sinks.writeSorted(df, dir, files = 8, "k")
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted // part-NNNNN order = range order
+    assert(files.length >= 4, s"expected several files, got ${files.length}")
+    val ranges = files.map { f =>
+      val ks = spark.read.parquet(f).select($"k")
+        .collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted), s"file $f not internally sorted")
+      (ks.head, ks.last)
+    }
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"file boundary out of order: $hi > $lo")
+    }
+    // nothing lost, nothing duplicated
+    assert(spark.read.parquet(dir).count() === 20000)
+    assert(spark.read.parquet(dir).select(sum($"v")).head().getLong(0)
+      === df.select(sum($"v")).head().getLong(0))
+  }
+}
