@@ -156,6 +156,29 @@ object DedupScaleProbe {
     (total, per)
   }
 
+  /** Winnowing-candidate and containment-pair counts at replication m:
+    * the affine-rotated replicas have DISJOINT shingle/gram spaces, so
+    * for both operators cross-replica pairs are impossible and the
+    * total must equal the SUM of per-replica counts exactly — the
+    * additivity invariant (the SimHash sweep's property; per-replica
+    * counts legitimately differ because md5 selection / prefix order
+    * re-roll with the rotated text). */
+  def wnCounts(docs: DataFrame, m: Int)
+      : (Long, Seq[Long], Long, Seq[Long]) = {
+    val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val corpus = replicate(docs, m)
+    val wTotal = Dedup.winnowCandidates(corpus, "doc_id", "text").count()
+    val wPer = (0 until m).map(r =>
+      Dedup.winnowCandidates(replicaOf(docs, r, stride), "doc_id",
+        "text").count())
+    val cTotal = Dedup.containmentPairs(corpus, "doc_id", "text",
+      threshold = 0.8).count()
+    val cPer = (0 until m).map(r =>
+      Dedup.containmentPairs(replicaOf(docs, r, stride), "doc_id",
+        "text", threshold = 0.8).count())
+    (wTotal, wPer, cTotal, cPer)
+  }
+
   /** (total blocks, duplicated block instances) at replication m for
     * [[Dedup.blockDupProfile]]. Planted structure: every 5th doc
     * re-appears under a new id, so its blocks repeat corpus-wide; the
@@ -357,6 +380,20 @@ object DedupScaleProbe {
           val (rows, maxs) = qcCounts(docs, m)
           val secs = (System.nanoTime() - t0) / 1e9
           f""""x$m":{"docs":${nBase * m},"scored":$rows,"maxDistinctPerBase":$maxs,"secs":$secs%.2f}"""
+        }
+      else if (args.headOption.contains("--wn"))
+        // winnowing + containment additivity sweep: disjoint replica
+        // gram spaces ⇒ total pairs must equal Σ per-replica EXACTLY
+        // (checked here — a cross-replica pair means the operator leaks
+        // across corpora); wall ~linear
+        Seq(1, 2, 3).map { m =>
+          val t0 = System.nanoTime()
+          val (wT, wP, cT, cP) = wnCounts(docs, m)
+          val secs = (System.nanoTime() - t0) / 1e9
+          require(wT == wP.sum, s"winnowing not additive: $wT vs $wP")
+          require(cT == cP.sum, s"containment not additive: $cT vs $cP")
+          f""""x$m":{"docs":${nBase * m},"winnowPairs":$wT,""" +
+            f""""containPairs":$cT,"secs":$secs%.2f}"""
         }
       else if (args.headOption.contains("--graph"))
         // graph-family sweep: m disjoint node-space replicas of the
