@@ -894,6 +894,52 @@ object Dedup extends Serializable {
 
   private val simhashUdf = udf((toks: Seq[String]) => simhash64(toks))
 
+  /** 64-bit SimHash with an ANSI-replayable hash family: per-token
+    * bits come from the first 16 hex chars of md5(token) — hex char p
+    * (1-based) contributes bits (p−1)·4+b for b∈0..3, LSB of the
+    * nibble first — votes summed per bit, ties to 0 (the
+    * [[simhash64]] convention). Pure JVM function; the SQL oracle
+    * rebuilds the identical bits from the identical md5 strings. */
+  def simhashMd5(toks: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    toks.foreach { t =>
+      val d = md.digest(t.getBytes("UTF-8"))
+      md.reset()
+      var p = 0
+      while (p < 16) {
+        // hex char p: even p = high nibble of byte p/2, odd p = low
+        val v = if (p % 2 == 0) (d(p / 2) >> 4) & 0xf else d(p / 2) & 0xf
+        var b = 0
+        while (b < 4) {
+          if (((v >> b) & 1) == 1) votes(p * 4 + b) += 1
+          else votes(p * 4 + b) -= 1
+          b += 1
+        }
+        p += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  private val simhashMd5Udf = udf((toks: Seq[String]) => simhashMd5(toks))
+
+  /** SimHash near-dups with the md5 bit family — the ORACLED face of
+    * [[simhashNearDups]] (the q176/q177 replayable-variant pattern):
+    * same pigeonhole banding (maxHamming+1 chunks), but every stage —
+    * per-token bits, votes, signature, chunk keys, Hamming distance —
+    * is recomputable in ANSI SQL from md5 strings. Exact banding (no
+    * bucket cap): the SQL replay has none either. */
+  def simhashNearDupsReplayable(df: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int = 3): DataFrame =
+    hammingNearDups(
+      df.select(col(idCol).as("id"),
+        simhashMd5Udf(tokens(col(textCol))).as("sig")),
+      maxHamming, maxBucket = 0, capLabel = "simhash-md5")
+
   /** SimHash near-dup candidates with Hamming distance ≤ maxHamming,
     * banded by the pigeonhole principle: split the 64-bit signature into
     * maxHamming+1 chunks — any pair within the distance budget must agree

@@ -28,7 +28,8 @@ object OperatorQueries {
     q152ContainerMeta, q155AudioMeta, q156ExactStats, q161PrefixJaccard,
     q163PrefixJaccardIngest, q166TriangleCount, q167ImageNearDups,
     q168LabelPropagation, q170AudioNearDups, q172PersonalizedPageRank,
-    q173ContainmentJoin, q174KeepBest, q175Winnowing, q176LshOracled)
+    q173ContainmentJoin, q174KeepBest, q175Winnowing, q176LshOracled,
+    q178SimhashOracled)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -911,6 +912,46 @@ object OperatorQueries {
         maxHamming = 6)
         .orderBy($"id_a", $"id_b")
     })
+
+  /** SimHash with the md5 bit family
+    * ([[Dedup.simhashNearDupsReplayable]]) — the ORACLED face of q45,
+    * completing the replayable trilogy (q176 LSH, q177 DSIR): every
+    * stage — per-token bits from md5 hex nibbles, per-bit votes,
+    * signatures, pigeonhole chunk keys, Hamming distances — is
+    * recomputed by DuckDB from the identical md5 strings and
+    * hash-checked. Production q45 keeps the FNV family (pure JVM
+    * arithmetic, no digest allocation per token). */
+  val q178SimhashOracled: GraftQuery = GraftQuery(
+    "q178_simhash_oracled",
+    (s, d) => {
+      import s.implicits._
+      Dedup.simhashNearDupsReplayable(Tables.documents(s, d),
+          "doc_id", "text", maxHamming = 3)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(
+      "WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok " +
+        "FROM documents), " +
+        "h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS hx FROM t), " +
+        "bits AS (SELECT doc_id, (p - 1) * 4 + b AS bit, " +
+        "CASE WHEN (('0x' || substr(hx, p, 1))::INT >> b) & 1 = 1 " +
+        "THEN 1 ELSE -1 END AS v FROM h, " +
+        "generate_series(1, 16) AS s(p), " +
+        "generate_series(0, 3) AS s2(b)), " +
+        "sig AS (SELECT doc_id, bit, CASE WHEN sum(v) > 0 THEN '1' " +
+        "ELSE '0' END AS sb FROM bits GROUP BY 1, 2), " +
+        "ss AS (SELECT doc_id, string_agg(sb, '' ORDER BY bit) AS s " +
+        "FROM sig GROUP BY doc_id), " +
+        "bd AS (SELECT doc_id, s, c, substr(s, c * 16 + 1, 16) AS key " +
+        "FROM ss, generate_series(0, 3) AS g(c)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b, " +
+        "a.s AS sa, b2.s AS sb FROM bd a JOIN bd b2 ON a.c = b2.c " +
+        "AND a.key = b2.key AND a.doc_id < b2.doc_id), " +
+        "hm AS (SELECT id_a, id_b, len(list_filter(" +
+        "generate_series(1, 64), i -> substr(sa, i, 1) != " +
+        "substr(sb, i, 1))) AS hamming FROM cand) " +
+        "SELECT id_a, id_b, hamming::INT AS hamming FROM hm " +
+        "WHERE hamming <= 3 ORDER BY id_a, id_b"))
 
   /** Embedding-cosine near-dup pairs above a threshold, BLOCKED on the
     * label column: exact scoring only within blocks, so pair count scales

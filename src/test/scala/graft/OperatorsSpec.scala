@@ -59,6 +59,42 @@ class DedupSpec extends GraftSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("md5-family simhash: same near-dup behavior, exact bit mapping") {
+    // bit mapping pin: single token, signature = the md5 bits verbatim
+    // (each vote is decisive), hex char p → bits 4(p−1)..4(p−1)+3 LSB-first
+    val tok = "pinned"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tok.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
+    val want = hex.zipWithIndex.foldLeft(0L) { case (acc, (c, p)) =>
+      val v = Integer.parseInt(c.toString, 16)
+      (0 until 4).foldLeft(acc)((a, b) =>
+        if (((v >> b) & 1) == 1) a | (1L << (p * 4 + b)) else a)
+    }
+    assert(Dedup.simhashMd5(Seq(tok)) === want)
+    // banding parity: the pigeonhole path must return EXACTLY the
+    // pairs whose direct signature Hamming is within the bound
+    // (deterministic — no dependence on any family's luck), and the
+    // planted exact duplicate guarantees the set is non-empty
+    val base = (1 to 60).map(i => s"w$i")
+    val rows = Seq(
+      1L -> base.mkString(" "),
+      2L -> base.mkString(" "),                                // dup of 1
+      3L -> base.updated(5, "CHANGED").mkString(" "),
+      4L -> (200 to 260).map(i => s"v$i").mkString(" "))
+    val sigs = rows.map { case (id, text) =>
+      id -> Dedup.simhashMd5(text.split(" ").toSeq) }
+    val expect = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b &&
+        java.lang.Long.bitCount(sa ^ sb) <= 6
+    } yield (a, b)).toSet
+    assert(expect.contains((1L, 2L))) // the planted duplicate
+    val got = Dedup.simhashNearDupsReplayable(docs(rows: _*),
+        "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expect)
+  }
+
   test("length prefilter preserves the thresholded Jaccard pair set") {
     val d = Tables.documents(spark, sf)
     def pairs(mj: Option[Double]) =
