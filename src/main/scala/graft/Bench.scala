@@ -29,9 +29,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private def fmt(v: Double): String = {
-    // 2-decimal, trailing-zero-trimmed: the emitted line must stay well
-    // under the driver's ~2000-char capture window for 94+ queries.
-    val s = f"$v%.2f"
+    // 1-decimal, trailing-zero-trimmed: at 172 queries the r8 metric
+    // line hit 2062 chars and the driver captured total-only. 0.1 s
+    // resolution is below the regression trip-bar (0.2 s); full
+    // precision always lives in bench_result.json / bench_detail.json.
+    val s = f"$v%.1f"
     if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
     else s
   }
@@ -57,10 +59,16 @@ object Bench {
         all.filter { case (n, _) => pres.exists(n.startsWith) }
       case None => all
     }
-    // Keys are shortened to the qNN prefix to fit the capture window; a
-    // prefix collision would emit duplicate JSON keys and shadow one
+    // Keys are shortened to the bare query NUMBER ("q01_pricing" → "1")
+    // to fit the capture window — the q prefix and leading zero spent
+    // ~2 chars × 172 queries of the ~2000-char budget (r8 overflowed at
+    // 2062). A collision would emit duplicate JSON keys and shadow one
     // timing — fail fast BEFORE spending minutes running queries.
-    val prefixes = queries.map(_._1.takeWhile(_ != '_'))
+    val prefixes = queries.map { case (n, _) =>
+      val digits = n.drop(1).takeWhile(_.isDigit)
+      if (n.startsWith("q") && digits.nonEmpty) digits.toInt.toString
+      else n.takeWhile(_ != '_')
+    }
     require(prefixes.distinct.size == queries.size,
       s"duplicate bench key prefixes: ${prefixes.diff(prefixes.distinct).distinct.mkString(",")}")
     val spark = SparkSession.builder()
@@ -151,10 +159,11 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$repeats,$env,"queries":$qs,"sf":"$sfName"}"""
     // Capture-window budget: the driver keeps ~2000 chars of stdout. Per
-    // query the line spends len("\"qNNN\":NN.NN,") ≈ 13 chars; the fixed
-    // envelope (metric/value/runs/load/sf) is ~110 chars. 138 queries ≈
-    // 1770 chars; past 1950 the stdout copy DEGRADES to the envelope +
-    // a pointer (per-query medians remain in bench_result.json /
+    // query the line now spends len("\"NNN\":N.N,") ≈ 9.3 chars (numeric
+    // keys + 1dp, r9 — computed from the r8 medians: 1603 chars at 172
+    // queries, headroom to ~195); the fixed envelope is ~115 chars.
+    // Past 1950 the stdout copy DEGRADES to the envelope + a pointer
+    // (per-query medians remain in bench_result.json /
     // bench_detail.json, which always carry the full line) rather than
     // risking a truncated-JSON capture the driver can't parse.
     val stdoutLine =

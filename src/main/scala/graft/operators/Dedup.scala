@@ -964,6 +964,11 @@ object Dedup extends Serializable {
   def hammingNearDups(sigs: DataFrame, maxHamming: Int,
       maxBucket: Int = DefaultMaxBucket,
       capLabel: String = "hamming"): DataFrame = {
+    // maxHamming >= 64 would give bitsPer = 0 (every chunk value 0 →
+    // the candidate join degenerates to all-pairs); < 0 gives zero or
+    // negative chunk counts. Neither is a meaningful 64-bit threshold.
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64) for 64-bit signatures, got $maxHamming")
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     val chunkVals = array((0 until chunks).map(c =>

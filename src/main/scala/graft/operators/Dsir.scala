@@ -57,6 +57,11 @@ object Dsir extends Serializable {
     // portable = the sha-256 prefix bucket every SQL engine can
     // recompute (the q165/q131 portable-hash family); default = the
     // 8-byte xxhash64 production path
+    // the portable sha-256 bucket is unsalted by design (any SQL engine
+    // must recompute it verbatim) — make that contract explicit instead
+    // of silently ignoring a caller's seed
+    require(!portable || seed == 0L,
+      s"portable buckets are seedless (sha-256 of the gram alone); got seed=$seed")
     val bucketExpr =
       if (portable)
         pmod(conv(substring(sha2(col("__gram").cast("binary"), 256),

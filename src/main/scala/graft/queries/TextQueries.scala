@@ -34,7 +34,11 @@ object TextQueries {
     * ([[graft.operators.PhraseScreen]]): which of the 8 screening
     * phrases (one deliberately absent) appear in each document — ONE
     * Aho–Corasick scan per doc instead of the P·N contains-join the
-    * oracle replays; matched sets must be identical. */
+    * oracle replays; matched sets must be identical. The sorted hit
+    * list is emitted as a '|'-joined STRING (the q70 convention) — the
+    * driver's cell comparison can't hash array cells, so no oracled
+    * query may expose a top-level array column (RegistrySpec lints
+    * this). */
   val q169PhraseScreen: GraftQuery = {
     val phrases = Seq("join filter", "data vector", "slow stream",
       "fast hash", "window merge", "customer group", "agg small",
@@ -45,6 +49,8 @@ object TextQueries {
         import s.implicits._
         graft.operators.PhraseScreen.screen(
             Tables.documents(s, d), "doc_id", "text", phrases)
+          .select($"doc_id", array_join($"hits", "|").as("hits"),
+            $"n_hits")
           .orderBy($"doc_id")
       },
       Some(
@@ -54,8 +60,10 @@ object TextQueries {
           "h AS (SELECT d.doc_id, p.ph FROM documents d " +
           "JOIN p ON contains(d.text, p.ph)) " +
           "SELECT d.doc_id, " +
-          "coalesce(list_sort(list(h.ph) FILTER (h.ph IS NOT NULL)), " +
-          "CAST([] AS VARCHAR[])) AS hits, " +
+          // DuckDB array_to_string(NULL|[]) is NULL; Spark array_join
+          // of an empty array is '' — coalesce the STRING, not the list
+          "coalesce(array_to_string(list_sort(list(h.ph) " +
+          "FILTER (h.ph IS NOT NULL)), '|'), '') AS hits, " +
           "count(h.ph) AS n_hits " +
           "FROM documents d LEFT JOIN h USING (doc_id) " +
           "GROUP BY d.doc_id ORDER BY d.doc_id"))

@@ -27,6 +27,26 @@ class RegistrySpec extends GraftSuite {
     }
   }
 
+  test("no oracled query exposes a top-level array/map/struct column") {
+    // The driver's pandas comparison lexsorts result cells and dies on
+    // nested cells ("unhashable type: numpy.ndarray" — q169, r8). Any
+    // list-shaped output in an oracled query must be string-joined (the
+    // q70 convention: array_join(sort_array(xs), '|')). Schema-only
+    // check: analyze, don't execute.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val oracled = SparkEntry.oracleSql.keySet
+    val offenders = Registry.all.filter(q => oracled(q.name)).flatMap { q =>
+      val bad = q.run(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => f.name
+      }
+      if (bad.isEmpty) None else Some(s"${q.name}: ${bad.mkString(",")}")
+    }
+    assert(offenders.isEmpty,
+      s"nested output columns in oracled queries: ${offenders.mkString("; ")}")
+  }
+
   test("oracle-checked queries are deterministic across runs") {
     for (name <- Seq("q01_pricing_summary", "q05_window_topk",
         "q26_knn_brute_force")) {

@@ -82,6 +82,21 @@ def compare(exp, got):
         if ek != gk:
             return False, (f"col {c} dtype kind differs: "
                            f"oracle={exp[c].dtype} got={got[c].dtype}")
+    # The driver's pandas comparison lexsorts result cells and raises
+    # "unhashable type: numpy.ndarray" on array/list/dict cells (q169,
+    # r8) — this gate must fail the same class locally first. Any
+    # nested cell in either frame is a harness-compat defect: oracled
+    # queries must string-join lists (the q70 convention).
+    for c in ecols:
+        for frame, side in ((exp, "oracle"), (got, "got")):
+            if len(frame) and frame[c].dtype.kind == "O":
+                v = frame[c].iloc[0]
+                if v is not None and not isinstance(
+                        v, (str, bytes, bool, int, float)):
+                    return False, (f"col {c} ({side}) has nested cell "
+                                   f"type {type(v).__name__}: the driver "
+                                   f"harness cannot hash array/map cells"
+                                   f" — string-join it (q70 convention)")
     for c in ecols:
         ev, gv = exp[c].tolist(), got[c].tolist()
         for i, (a, b) in enumerate(zip(ev, gv)):
