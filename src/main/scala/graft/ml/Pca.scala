@@ -201,6 +201,74 @@ object Pca extends Serializable {
       .withColumn("cov", round(col("cov"), roundTo))
   }
 
+  /** Top principal component via UNROLLED POWER ITERATION — the
+    * SQL-replayable face of the PCA family (the q158-Lloyd determinism
+    * contract applied to an eigensolve). The production path is the
+    * driver Jacobi ([[fit]], q111, rows-only); this one is built so a
+    * SQL engine can recompute every stage bit-for-bit:
+    *
+    *  - the covariance enters the iteration already ROUNDED to
+    *    `covRound` dp ([[covarianceLong]] — the grid q110 proves equal
+    *    to DuckDB's covar_samp), as do the column means, so both
+    *    engines iterate on IDENTICAL matrices;
+    *  - v₀ = round(1/√dim, vecRound) on every coordinate; each round
+    *    computes u = C·v with an ascending-j left-to-right sum (the
+    *    list_sum order), normalizes by √(Σuᵢ²) (ascending i), and
+    *    RE-QUANTIZES each coordinate to `vecRound` dp with Spark's
+    *    round semantics (BigDecimal HALF_UP — [[org.apache.spark.sql
+    *    .catalyst.expressions.Round]]) before the next round consumes
+    *    it;
+    *  - the projection (x − μ)·v is the q154 zip_with/aggregate left
+    *    fold, bit-identical to DuckDB's list kernels.
+    *
+    * The driver holds only the d×d rounded covariance (the same
+    * bounded artifact the Jacobi path collects); the data-sized work is
+    * the one Gramian pass + the one projection scan. Returns
+    * (idCol, pc1) rounded to `vecRound`. */
+  def powerIterationTopPc(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iterations: Int = 5, covRound: Int = 8,
+      vecRound: Int = 6): DataFrame = {
+    val covRows = covarianceLong(df, vecCol, dim, roundTo = covRound)
+      .collect()
+    val c = Array.ofDim[Double](dim, dim)
+    covRows.foreach { r =>
+      val i = r.getLong(0).toInt - 1
+      val j = r.getLong(1).toInt - 1
+      val x = r.getDouble(2)
+      c(i)(j) = x; c(j)(i) = x
+    }
+    val mu = df
+      .select(posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col("pos"))
+      .agg(round(avg(col("col")), covRound).as("m"))
+      .orderBy(col("pos"))
+      .collect().map(_.getDouble(1))
+    require(mu.length == dim, s"expected $dim dims, got ${mu.length}")
+    // Spark round() semantics exactly (Round uses BigDecimal HALF_UP on
+    // Double.toString's canonical decimal) — the oracle's round() must
+    // agree on the same doubles, which q158 already established
+    def rq(x: Double): Double = BigDecimal.valueOf(x)
+      .setScale(vecRound, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var v = Array.fill(dim)(rq(1.0 / math.sqrt(dim.toDouble)))
+    for (_ <- 1 to iterations) {
+      val u = Array.tabulate(dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += c(i)(j) * v(j); j += 1 }
+        s
+      }
+      var n2 = 0.0
+      var i = 0
+      while (i < dim) { n2 += u(i) * u(i); i += 1 }
+      val norm = math.sqrt(n2)
+      v = u.map(x => rq(x / norm))
+    }
+    val centered = zip_with(col(vecCol).cast("array<double>"),
+      typedLit(mu.toSeq), (x, m) => x - m)
+    val pc = aggregate(zip_with(centered, typedLit(v.toSeq),
+      (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
+    df.select(col(idCol), round(pc, vecRound).as("pc1"))
+  }
+
   def fit(df: DataFrame, vecCol: String, dim: Int, k: Int): Model = {
     require(k >= 1 && k <= dim, s"k=$k out of range 1..$dim")
     // one eigensolve/ordering/sign implementation for every fit path —

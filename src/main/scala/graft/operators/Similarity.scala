@@ -64,6 +64,59 @@ object Similarity extends Serializable {
       when(dot(asDouble(vec), typedLit(p)) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Replayable ±1 hyperplanes for the ORACLED sign-LSH face: component
+    * (j, i) is the parity of the first hex nibble of md5("j|i") — a
+    * public hash any SQL engine recomputes verbatim (the q176 md5-band
+    * trick applied to random projections). Rademacher signs are a valid
+    * sign-LSH family (Achlioptas-style sparse/±1 projections preserve
+    * the angular hash property); the production path keeps seeded
+    * Gaussians ([[hyperplanes]]). */
+  def md5SignPlanes(dim: Int, bits: Int): Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(bits) { j =>
+      Seq.tabulate(dim) { i =>
+        val hex = md.digest(s"$j|$i".getBytes("UTF-8"))
+        // first hex nibble = high nibble of byte 0
+        if (((hex(0) >> 4) & 0x1) == 1) 1 else -1
+      }
+    }
+  }
+
+  /** Bucket id over EXACT integer arithmetic: the vector is quantized to
+    * round(x·10⁶) longs, so the sign of each ±1-weighted dot product is
+    * decided in ℤ — no float-summation-order wobble can flip a bucket
+    * bit between engines. bit j = (Σᵢ wⱼᵢ·qᵢ > 0). */
+  def lshBucketReplayable(vec: Column, planes: Seq[Seq[Int]]): Column = {
+    val qv = transform(asDouble(vec), x => round(x * 1e6).cast("long"))
+    planes.zipWithIndex.map { case (p, j) =>
+      val d = aggregate(
+        zip_with(qv, typedLit(p.map(_.toLong)), (x, w) => x * w),
+        lit(0L), (acc, x) => acc + x)
+      when(d > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** The ORACLED twin of [[annTopK]]: md5-derived ±1 hyperplanes +
+    * integer bucket bits ([[lshBucketReplayable]]), then exact cosine
+    * scoring within buckets — every stage SQL-replayable. */
+  def annTopKReplayable(queries: DataFrame, candidates: DataFrame,
+      queryId: String, queryVec: String, candId: String, candVec: String,
+      k: Int, bits: Int = 4): DataFrame = {
+    val dim = candidates.select(size(col(candVec))).first().getInt(0)
+    val planes = md5SignPlanes(dim, bits)
+    val qb = queries.withColumn("bucket",
+      lshBucketReplayable(col(queryVec), planes))
+    val cb = candidates.withColumn("bucket",
+      lshBucketReplayable(col(candVec), planes))
+    val scored = cb.join(broadcast(qb), "bucket")
+      .filter(col(candId) =!= col(queryId))
+      .select(col(queryId), col(candId),
+        cosine(col(queryVec), col(candVec)).as("cos"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cos").desc, col(candId))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Approximate top-k: queries only score candidates in their own LSH
     * bucket. `bits` trades recall for candidate-set size (2^bits buckets).
     */

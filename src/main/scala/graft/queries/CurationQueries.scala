@@ -289,22 +289,72 @@ object CurationQueries {
         "round(avg(lp), 6) AS avg_logprob FROM sc " +
         "GROUP BY doc_id ORDER BY doc_id"))
 
+  /** The 12 unrolled BPE training rounds as chained DuckDB CTEs — the
+    * q158-Lloyd trick applied to tokenizer training (r8 VERDICT #3's
+    * last "genuinely infeasible" family, now replayed). Per round:
+    * weighted adjacent-pair counts over the CURRENT symbolization,
+    * argmax with the (count desc, left, right) tie-break, then the
+    * left-to-right non-overlapping rewrite. Words travel as
+    * '|'-delimited symbol strings; one merge application =
+    * regexp_replace WITHOUT the 'g' flag (leftmost occurrence only —
+    * repeatedly merging the leftmost remaining pair IS the greedy
+    * semantics, and the delimiters keep symbols atomic), nested 4× per
+    * round (8-char max word → ≤4 applications). `MATERIALIZED` pins
+    * each round's word table to one evaluation — w(r-1) is referenced
+    * by both the pair count and the rewrite, and DuckDB's default CTE
+    * inlining made the chain exponential (measured: >120 s inlined,
+    * 0.14 s materialized). */
+  private def bpeRoundsCte(k: Int): String = {
+    def rewrite(expr: String): String =
+      s"regexp_replace($expr, '\\|' || m.l || '\\|' || m.r || '\\|', " +
+        "'|' || m.l || m.r || '|')"
+    val rounds = (1 to k).map { r =>
+      val prev = s"w${r - 1}"
+      val rew = (1 to 4).foldLeft("s") { (e, _) => rewrite(e) }
+      s", p$r AS (SELECT pr.l AS l, pr.r AS r, sum(c)::BIGINT AS cb " +
+        "FROM (SELECT c, unnest(list_transform(generate_series(1, " +
+        "len(sy)-1), i -> {'l': sy[i], 'r': sy[i+1]})) AS pr " +
+        "FROM (SELECT c, list_filter(string_split(s,'|'), x -> x != '') " +
+        s"AS sy FROM $prev)) GROUP BY 1, 2)" +
+        s", m$r AS (SELECT l, r, cb FROM p$r ORDER BY cb DESC, l, r " +
+        "LIMIT 1)" +
+        s", w$r AS MATERIALIZED (SELECT w, c, $rew AS s FROM $prev, m$r m)"
+    }.mkString
+    "WITH wc AS (SELECT w, count(*)::BIGINT AS c FROM (SELECT " +
+      "unnest(string_split(text,' ')) AS w FROM documents) " +
+      "WHERE len(w)>0 GROUP BY w), " +
+      "w0 AS MATERIALIZED (SELECT w, c, '|' || " +
+      "array_to_string(string_split(w,''),'|') || '|' AS s FROM wc)" +
+      rounds
+  }
+
   /** BPE merge training ([[Bpe.topMerges]]): distributed word count +
-    * driver merge loop over the bounded vocabulary. Deterministic
-    * (count-then-lexicographic tie-break) but iterative — merge r+1
-    * depends on the text rewritten by merge r — so there is no ANSI
-    * oracle; BpeSpec verifies the loop against an independent reference
-    * implementation. */
+    * driver merge loop over the bounded vocabulary. FULLY ORACLED as of
+    * r9 ([[bpeRoundsCte]]): the merge loop is deterministic
+    * (count-then-lexicographic tie-break), so DuckDB re-derives the
+    * whole merge table from the corpus — rank, pair AND weighted count
+    * per round — with no engine-side hash anywhere. BpeSpec still pins
+    * the loop against an independent reference implementation. */
   val q124BpeMerges: GraftQuery = GraftQuery(
     "q124_bpe_merges",
     (s, d) => Bpe.topMerges(Tables.documents(s, d), "text", k = 12),
-    None)
+    Some(
+      bpeRoundsCte(12) +
+        " SELECT * FROM (" +
+        (1 to 12).map(r => s"SELECT $r AS rank, l AS \"left\", " +
+          s"r AS \"right\", cb AS pair_count FROM m$r")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY rank"))
 
   /** Tokenizer lifecycle, closed: train merges ([[Bpe.topMerges]]),
     * encode the corpus with them ([[Bpe.encode]]), report per-source
     * token counts and the chars-per-token compression the learned vocab
-    * buys. Deterministic rows-only (the encode replays an iterative
-    * merge list — no ANSI form); the merge table itself is q124. */
+    * buys. ORACLED via [[bpeRoundsCte]]: after the 12 training rounds,
+    * each word's final symbolization IS its BPE encoding (encode
+    * replays merges in rank order with the same applyMerge semantics —
+    * [[Bpe.encode]] and [[Bpe.trainMerges]] share the method), so the
+    * oracle joins token occurrences to the trained word table and sums
+    * symbol counts per source. */
   val q127BpeEncode: GraftQuery = GraftQuery(
     "q127_bpe_encode",
     (s, d) => {
@@ -322,5 +372,19 @@ object CurationQueries {
             .as("chars_per_token"))
         .orderBy($"source")
     },
-    None)
+    Some(
+      bpeRoundsCte(12) +
+        ", enc AS (SELECT w, len(list_filter(string_split(s,'|'), " +
+        "x -> x != ''))::BIGINT AS nsym FROM w12), " +
+        "tok AS (SELECT d.source, e.nsym FROM (SELECT source, " +
+        "unnest(string_split(text,' ')) AS w FROM documents) d " +
+        "JOIN enc e USING (w) WHERE len(d.w) > 0), " +
+        "bpe AS (SELECT source, sum(nsym)::BIGINT AS total_bpe_tokens " +
+        "FROM tok GROUP BY source), " +
+        "chars AS (SELECT source, count(*)::BIGINT AS n_docs, " +
+        "sum(length(replace(text, ' ', '')))::BIGINT AS n_chars " +
+        "FROM documents GROUP BY source) " +
+        "SELECT source, n_docs, total_bpe_tokens, " +
+        "round(n_chars::DOUBLE / total_bpe_tokens, 4) AS chars_per_token " +
+        "FROM chars JOIN bpe USING (source) ORDER BY source"))
 }

@@ -29,7 +29,7 @@ object OperatorQueries {
     q163PrefixJaccardIngest, q166TriangleCount, q167ImageNearDups,
     q168LabelPropagation, q170AudioNearDups, q172PersonalizedPageRank,
     q173ContainmentJoin, q174KeepBest, q175Winnowing, q176LshOracled,
-    q178SimhashOracled)
+    q178SimhashOracled, q179AnnOracled)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -1124,6 +1124,55 @@ object OperatorQueries {
         .select($"query_id", $"vec_id", round($"cos", 6).as("cos"), $"rk")
         .orderBy($"query_id", $"rk")
     })
+
+  /** Sign-LSH ANN with the md5 hyperplane family
+    * ([[graft.operators.Similarity.annTopKReplayable]]) — the ORACLED
+    * face of q64, extending the replayable trilogy to the ANN index
+    * stack: hyperplane signs are md5-nibble parities, bucket bits are
+    * decided over EXACT integer arithmetic (vectors quantized to
+    * round(x·10⁶) longs, ±1 weights — no float-order wobble can flip a
+    * bucket between engines), and the within-bucket cosine ranking is
+    * the q153-proven list-kernel parity. Production q64 keeps seeded
+    * Gaussian hyperplanes and stays rows-only. */
+  val q179AnnOracled: GraftQuery = GraftQuery(
+    "q179_ann_oracled",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val c = e.select($"vec_id", $"embedding".as("cv"))
+      graft.operators.Similarity.annTopKReplayable(q, c, "query_id",
+          "qv", "vec_id", "cv", k = 5, bits = 4)
+        .select($"query_id", $"vec_id", round($"cos", 6).as("cos"), $"rk")
+        .orderBy($"query_id", $"rk")
+    },
+    Some(
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
+        "list_transform(embedding::DOUBLE[], " +
+        "x -> round(x * 1000000)::BIGINT) AS qv FROM embeddings), " +
+        "pl AS (SELECT j, list_transform(generate_series(0, 63), " +
+        "i -> CASE WHEN ('0x' || substr(md5(j::VARCHAR || '|' || " +
+        "i::VARCHAR), 1, 1))::INT % 2 = 1 THEN 1::BIGINT " +
+        "ELSE (-1)::BIGINT END) AS w " +
+        "FROM generate_series(0, 3) AS g(j)), " +
+        "bj AS (SELECT e.vec_id, pl.j, list_sum(list_transform(" +
+        "range(1, 65), k -> e.qv[k] * pl.w[k])) AS d FROM e, pl), " +
+        "bk AS (SELECT vec_id, sum(CASE WHEN d > 0 THEN (1 << j) " +
+        "ELSE 0 END)::INT AS bucket FROM bj GROUP BY vec_id), " +
+        "q AS (SELECT e.vec_id AS query_id, e.v AS qvec, bk.bucket " +
+        "FROM e JOIN bk USING (vec_id) WHERE vec_id < 5), " +
+        "c AS (SELECT e.vec_id AS cand_id, e.v AS cvec, bk.bucket " +
+        "FROM e JOIN bk USING (vec_id)), " +
+        "sc AS (SELECT q.query_id, c.cand_id, " +
+        "list_dot_product(q.qvec, c.cvec) / " +
+        "(sqrt(list_dot_product(q.qvec, q.qvec)) * " +
+        "sqrt(list_dot_product(c.cvec, c.cvec))) AS cos_raw " +
+        "FROM q JOIN c USING (bucket) WHERE c.cand_id != q.query_id) " +
+        "SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rk FROM (" +
+        "SELECT query_id, cand_id AS vec_id, cos_raw, row_number() " +
+        "OVER (PARTITION BY query_id ORDER BY cos_raw DESC, cand_id) " +
+        "AS rk FROM sc) WHERE rk <= 5 ORDER BY query_id, rk"))
 
   /** Sketch-based approximate aggregates (HLL distinct + t-digest-style
     * quantile): the 100 TB substitutes for exact countDistinct /

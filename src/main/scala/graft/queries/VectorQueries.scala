@@ -14,7 +14,8 @@ object VectorQueries {
   def all: Seq[GraftQuery] =
     Seq(q25CosinePairs, q26KnnBruteForce, q110Covariance, q111PcaProject,
       q115PcaAnnRecall, q118PcaPerLabel, q148ArrayHof,
-      q153ExactTopK, q154ExactL2TopK, q158KmeansLloyd, q159KmeansSweep)
+      q153ExactTopK, q154ExactL2TopK, q158KmeansLloyd, q159KmeansSweep,
+      q180PcaPowerIteration)
 
   /** The GROUND-TRUTH half of every cosine recall gate
     * (q47/q64/q66/q115), served through the SAME per-JVM cache those
@@ -379,6 +380,56 @@ object VectorQueries {
           round(avg(abs($"pc1")), 6).as("mean_abs_pc1"),
           round(max($"pc1"), 6).as("max_pc1"))
         .orderBy($"label")
+    })
+
+  /** Top principal component via UNROLLED POWER ITERATION
+    * ([[graft.ml.Pca.powerIterationTopPc]]) — the ORACLED face of the
+    * PCA family (q111 stays rows-only for the Jacobi eigensolve).
+    * DuckDB replays every stage: the 8-dp covariance grid (q110's
+    * proven covar_samp parity, upper triangle mirrored exactly as the
+    * Scala side mirrors it), 8-dp means, v₀ = round(1/√64, 6), five
+    * matvec+normalize rounds with 6-dp re-quantization (the q158
+    * contract — both engines iterate on identical quantized inputs, and
+    * the matvec/norm sums are ascending-index left folds on both
+    * sides), then the q154 zip_with/aggregate projection fold. */
+  val q180PcaPowerIteration: GraftQuery = GraftQuery(
+    "q180_pca_power_iteration",
+    (s, d) => {
+      import s.implicits._
+      graft.ml.Pca.powerIterationTopPc(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          dim = 64, iterations = 5)
+        .orderBy($"vec_id")
+    },
+    Some {
+      val rounds = (1 to 5).map { r =>
+        val prev = if (r == 1) "v0" else s"v${r - 1}"
+        s", u$r AS (SELECT i, list_sum(list_transform(range(1, 65), " +
+          s"k -> cm.r[k] * pv.v[k])) AS u FROM cm, $prev pv)" +
+          s", ul$r AS (SELECT list(u ORDER BY i) AS ul FROM u$r)" +
+          s", v$r AS (SELECT list_transform(ul, x -> round(x / " +
+          "sqrt(list_sum(list_transform(ul, y -> y * y))), 6)) AS v " +
+          s"FROM ul$r)"
+      }.mkString
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
+        "FROM embeddings), " +
+        "ex AS (SELECT vec_id, unnest(v) AS x, " +
+        "unnest(generate_series(1, len(v))) AS i FROM e), " +
+        "mu AS (SELECT i, round(avg(x), 8) AS m FROM ex GROUP BY i), " +
+        "mul AS (SELECT list(m ORDER BY i) AS mu FROM mu), " +
+        "cvu AS (SELECT a.i AS i, b.i AS j, " +
+        "round(covar_samp(a.x, b.x), 8) AS cov FROM ex a " +
+        "JOIN ex b USING (vec_id) WHERE a.i <= b.i GROUP BY 1, 2), " +
+        "cvf AS (SELECT i, j, cov FROM cvu " +
+        "UNION ALL SELECT j, i, cov FROM cvu WHERE i != j), " +
+        "cm AS MATERIALIZED (SELECT i, list(cov ORDER BY j) AS r " +
+        "FROM cvf GROUP BY i), " +
+        "v0 AS (SELECT list_transform(range(1, 65), " +
+        "x -> round(1.0 / sqrt(64.0), 6)) AS v)" +
+        rounds +
+        " SELECT e.vec_id, round(list_sum(list_transform(range(1, 65), " +
+        "i -> (e.v[i] - mul.mu[i]) * fv.v[i])), 6) AS pc1 " +
+        "FROM e, mul, v5 fv ORDER BY vec_id"
     })
 
   /** PCA projection ([[graft.ml.Pca]]): 64-dim embeddings reduced to the

@@ -476,6 +476,40 @@ class SimilaritySpec extends GraftSuite {
     assert(top.toSeq === Seq(1L, 2L))
   }
 
+  test("md5SignPlanes is a deterministic ±1 family and the replayable " +
+      "ANN path returns verifiable within-bucket top-k") {
+    val planes = Similarity.md5SignPlanes(dim = 64, bits = 4)
+    assert(planes.size === 4 && planes.forall(_.size === 64))
+    assert(planes.flatten.forall(w => w == 1 || w == -1))
+    assert(planes === Similarity.md5SignPlanes(64, 4))
+    // not degenerate: each plane mixes signs
+    assert(planes.forall(p => p.contains(1) && p.contains(-1)))
+    val e = Tables.embeddings(spark, sf)
+    val s = spark
+    import s.implicits._
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = e.select($"vec_id", $"embedding".as("cv"))
+    val got = Similarity.annTopKReplayable(q, c, "query_id", "qv",
+      "vec_id", "cv", k = 5, bits = 4)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // every (query, cand) pair shares its integer-arithmetic bucket —
+    // replay the bucket expression directly
+    val buckets = e.select($"vec_id",
+        Similarity.lshBucketReplayable($"embedding", planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (qi, ci) = (r.getLong(0), r.getLong(1))
+      assert(buckets(qi) === buckets(ci), s"pair ($qi,$ci) not bucket-mates")
+    }
+    // partition-invariant (integer bucket bits + exact ranking)
+    val re = Similarity.annTopKReplayable(q, c.repartition(7), "query_id",
+      "qv", "vec_id", "cv", k = 5, bits = 4).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      re.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
   test("annRecall emits every query with recall in [0,1]") {
     val e = Tables.embeddings(spark, sf)
     val s = spark

@@ -217,6 +217,37 @@ class PcaSpec extends GraftSuite {
       assert(math.abs(cov(i)(j) - covFlat(i)(j)) < 1e-9)
   }
 
+  test("powerIterationTopPc aligns with the Jacobi pc1 and is " +
+      "partition-invariant") {
+    val pi = Pca.powerIterationTopPc(emb, "vec_id", "embedding",
+      dim = 64, iterations = 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val model = Pca.fit(emb, "embedding", dim = 64, k = 1)
+    val jc = model.transform(emb, "embedding")
+      .select(col("vec_id"), col("pc1"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ids = pi.keySet.toSeq.sorted
+    // aligned with the Jacobi pc1 up to sign. The synthetic embeddings
+    // are near-isotropic (top eigenvalues close — the q115 spectrum
+    // note), so power iteration's (λ₂/λ₁)ⁿ convergence is slow and a
+    // tight bar would pin the spectrum, not the operator; 0.9 catches
+    // a wrong-subspace result while q180's oracle pins the exact
+    // 5-round values relationally. measured: 0.952 at 30 rounds.
+    val a = ids.map(pi)
+    val b = ids.map(jc)
+    def center(xs: Seq[Double]) = { val m = xs.sum / xs.size; xs.map(_ - m) }
+    val (ca, cb) = (center(a), center(b))
+    val corr = ca.zip(cb).map { case (x, y) => x * y }.sum /
+      math.sqrt(ca.map(x => x * x).sum * cb.map(x => x * x).sum)
+    assert(math.abs(corr) > 0.9, s"corr=$corr")
+    // partition-invariant: the covariance combine is index-ordered and
+    // the iteration is driver-side on the quantized grid
+    val re = Pca.powerIterationTopPc(emb.repartition(13), "vec_id",
+      "embedding", dim = 64, iterations = 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ids.forall(id => pi(id) == re(id)))
+  }
+
   test("covarianceLong upper triangle matches a local computation") {
     val rows = emb.select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
