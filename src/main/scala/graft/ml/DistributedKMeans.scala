@@ -86,6 +86,40 @@ object DistributedKMeans {
     (assignments, cents)
   }
 
+  /** One REPLAYABLE bisecting step — the distributed, oracle-able face
+    * of the reference's BisectingKMeans family ([[LocalKMeans
+    * .fitBisecting]] stays the per-segment production path): fit k=2 on
+    * the full input (init = first two points by id, `iterations`
+    * unrolled Lloyd rounds under the q158 quantization contract), pick
+    * the LARGEST child (count desc, cluster-id asc — fitBisecting's
+    * largest-splittable rule made total), then fit k=2 on that child's
+    * members (init = its first two members by id). Output: (id, parent,
+    * child, d2) — parent = the level-1 label, child = the final leaf
+    * label within it (= parent for the unsplit cluster), d2 = squared
+    * distance to the final centroid. The (parent, child) PAIR is the
+    * leaf key: labels are init-point ids, which can collide across
+    * levels. Only bounded artifacts reach the driver (a 2-row count). */
+  def bisectOnce(points: DataFrame, idCol: String, vecCol: String,
+      iterations: Int = 3, roundDp: Int = 6): DataFrame = {
+    val vecs = points
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val (a1, _) = fit(vecs, "id", "v", k = 2, iterations = iterations,
+      roundDp = roundDp)
+    val chosen = a1.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("cluster"))
+      .limit(1).collect()(0).getLong(0)
+    val sub = vecs.join(
+      a1.filter(col("cluster") === chosen).select("id"), "id")
+    val (a2, _) = fit(sub, "id", "v", k = 2, iterations = iterations,
+      roundDp = roundDp)
+    a1.filter(col("cluster") =!= chosen)
+      .select(col("id"), col("cluster").as("parent"),
+        col("cluster").as("child"), col("d2"))
+      .unionByName(a2.select(col("id"), lit(chosen).as("parent"),
+        col("cluster").as("child"), col("d2")))
+  }
+
   /** k-means|| (Bahmani et al., VLDB'12) seeding, fully distributed and
     * DETERMINISTIC: instead of k sequential k-means++ draws (k driver
     * round-trips, unusable at 100 TB), each of `rounds` passes samples

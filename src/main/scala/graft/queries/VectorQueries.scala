@@ -15,7 +15,7 @@ object VectorQueries {
     Seq(q25CosinePairs, q26KnnBruteForce, q110Covariance, q111PcaProject,
       q115PcaAnnRecall, q118PcaPerLabel, q148ArrayHof,
       q153ExactTopK, q154ExactL2TopK, q158KmeansLloyd, q159KmeansSweep,
-      q180PcaPowerIteration)
+      q180PcaPowerIteration, q181BisectOracled, q182GmmEmOracled)
 
   /** The GROUND-TRUTH half of every cosine recall gate
     * (q47/q64/q66/q115), served through the SAME per-JVM cache those
@@ -155,6 +155,121 @@ object VectorQueries {
         "(SELECT *, row_number() OVER (PARTITION BY id " +
         "ORDER BY d2, c) AS rk FROM sf) WHERE rk = 1 ORDER BY id"
     })
+
+  /** Shared builder for a k=2 Lloyd unroll as chained DuckDB CTEs (the
+    * q158 pattern parametrized by source CTE and name prefix): init =
+    * first two points of `src` by id, 3 rounds, 6-dp centroid
+    * re-quantization, final assignment CTE `<p>af` = (id, c, d2). */
+  private def lloyd2Cte(src: String, p: String): String = {
+    def dist(cAlias: String): String =
+      "list_sum(list_transform(range(1, len(p.v) + 1), " +
+        s"i -> (p.v[i] - $cAlias.cv[i]) * (p.v[i] - $cAlias.cv[i])))"
+    val rounds = (1 to 3).map { r =>
+      val prev = if (r == 1) s"${p}c0" else s"${p}c${r - 1}"
+      s", ${p}s$r AS (SELECT p.id, p.v, c.c, ${dist("c")} AS d2 " +
+        s"FROM $src p, $prev c)" +
+        s", ${p}a$r AS (SELECT id, v, c FROM (SELECT *, row_number() " +
+        "OVER (PARTITION BY id ORDER BY d2, c) AS rk " +
+        s"FROM ${p}s$r) WHERE rk = 1)" +
+        s", ${p}c$r AS (SELECT c, list(m ORDER BY pp) AS cv FROM " +
+        s"(SELECT a.c, t.i AS pp, round(avg(a.v[t.i]), 6) AS m " +
+        s"FROM ${p}a$r a, range(1, 65) t(i) GROUP BY a.c, t.i) GROUP BY c)"
+    }.mkString
+    s", ${p}c0 AS (SELECT id AS c, v AS cv FROM $src ORDER BY id LIMIT 2)" +
+      rounds +
+      s", ${p}af AS MATERIALIZED (SELECT id, c, d2 FROM (SELECT p.id, " +
+      s"c.c, ${dist("c")} AS d2, row_number() OVER (PARTITION BY p.id " +
+      s"ORDER BY ${dist("c")}, c) AS rk FROM $src p, ${p}c3 c) " +
+      "WHERE rk = 1)"
+  }
+
+  /** One REPLAYABLE bisecting step ([[graft.ml.DistributedKMeans
+    * .bisectOnce]]) — the first green CORRECTNESS row for the M3
+    * (BisectingKMeans) family: level-1 k=2 Lloyd fit (q158 contract),
+    * the largest-child selection rule made total (count desc, cluster
+    * asc), then a k=2 refit of the chosen child with init = its first
+    * two members by id. DuckDB replays both unrolls AND the selection;
+    * every (parent, child, d2) hash-matched. The per-segment
+    * full-recursion production path (q36, LocalKMeans.fitBisecting)
+    * stays rows-only. */
+  val q181BisectOracled: GraftQuery = GraftQuery(
+    "q181_bisect_oracled",
+    (s, d) => {
+      import s.implicits._
+      val vecs = Tables.embeddings(s, d)
+        .select($"vec_id".cast("long").as("id"),
+          graft.operators.Similarity.asDouble($"embedding").as("v"))
+      graft.ml.DistributedKMeans.bisectOnce(vecs, "id", "v",
+          iterations = 3)
+        .select($"id", $"parent", $"child", round($"d2", 6).as("d2"))
+        .orderBy($"id")
+    },
+    Some(
+      "WITH v AS MATERIALIZED (SELECT vec_id AS id, " +
+        "embedding::DOUBLE[] AS v FROM embeddings)" +
+        lloyd2Cte("v", "x") +
+        ", ch AS (SELECT c FROM xaf GROUP BY c " +
+        "ORDER BY count(*) DESC, c LIMIT 1)" +
+        ", v2 AS MATERIALIZED (SELECT v.id, v.v FROM v " +
+        "JOIN xaf ON v.id = xaf.id JOIN ch ON xaf.c = ch.c)" +
+        lloyd2Cte("v2", "y") +
+        " SELECT id, parent, child, round(d2, 6) AS d2 FROM (" +
+        "SELECT a.id, a.c AS parent, a.c AS child, a.d2 " +
+        "FROM xaf a, ch WHERE a.c != ch.c " +
+        "UNION ALL SELECT b.id, ch.c AS parent, b.c AS child, b.d2 " +
+        "FROM yaf b, ch) ORDER BY id"))
+
+  /** One REPLAYABLE GMM EM round ([[graft.ml.DistributedGmm
+    * .emRoundReplayable]]) — the first green CORRECTNESS row for the
+    * M4 (GaussianMixture) family: 2 components, diagonal unit
+    * covariance, explicit init (π=½, μ = first two points by id),
+    * E → M → E with log-likelihoods quantized BEFORE the softmax and
+    * means/weights re-quantized after the M step, so the exp() library
+    * wobble (≤1 ulp) is absorbed by 6-dp output rounding (the q119 ln
+    * precedent). The per-segment full-covariance production path
+    * (q32/q37, LocalGMM) stays rows-only. */
+  val q182GmmEmOracled: GraftQuery = GraftQuery(
+    "q182_gmm_em_oracled",
+    (s, d) => {
+      import s.implicits._
+      graft.ml.DistributedGmm.emRoundReplayable(
+          Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy($"id")
+    },
+    Some(
+      "WITH e AS MATERIALIZED (SELECT vec_id AS id, " +
+        "embedding::DOUBLE[] AS v FROM embeddings), " +
+        "mm AS MATERIALIZED (SELECT v, row_number() OVER (ORDER BY id) " +
+        "AS r FROM (SELECT id, v FROM e ORDER BY id LIMIT 2)), " +
+        "r1 AS MATERIALIZED (SELECT id, v, " +
+        "round(1.0 / (1.0 + exp(l1 - l0)), 6) AS r0 FROM (" +
+        "SELECT e.id, e.v, " +
+        "round(-0.5 * list_sum(list_transform(range(1, 65), " +
+        "i -> (e.v[i] - a.v[i]) * (e.v[i] - a.v[i]))), 6) AS l0, " +
+        "round(-0.5 * list_sum(list_transform(range(1, 65), " +
+        "i -> (e.v[i] - b.v[i]) * (e.v[i] - b.v[i]))), 6) AS l1 " +
+        "FROM e, (SELECT v FROM mm WHERE r = 1) a, " +
+        "(SELECT v FROM mm WHERE r = 2) b)), " +
+        "mw AS (SELECT sum(r0) AS w0, sum(1.0 - r0) AS w1, " +
+        "round(avg(r0), 6) AS p0, round(avg(1.0 - r0), 6) AS p1 " +
+        "FROM r1), " +
+        "mus AS MATERIALIZED (SELECT t.i AS i, " +
+        "round(sum(r1.r0 * r1.v[t.i]) / any_value(mw.w0), 6) AS m0, " +
+        "round(sum((1.0 - r1.r0) * r1.v[t.i]) / any_value(mw.w1), 6) " +
+        "AS m1 FROM r1, range(1, 65) t(i), mw GROUP BY t.i), " +
+        "mu0n AS (SELECT list(m0 ORDER BY i) AS mu FROM mus), " +
+        "mu1n AS (SELECT list(m1 ORDER BY i) AS mu FROM mus), " +
+        "e2 AS (SELECT r1.id, r1.r0, " +
+        "round(-0.5 * list_sum(list_transform(range(1, 65), " +
+        "i -> (r1.v[i] - a.mu[i]) * (r1.v[i] - a.mu[i]))), 6) AS l0b, " +
+        "round(-0.5 * list_sum(list_transform(range(1, 65), " +
+        "i -> (r1.v[i] - b.mu[i]) * (r1.v[i] - b.mu[i]))), 6) AS l1b " +
+        "FROM r1, mu0n a, mu1n b) " +
+        "SELECT e2.id, e2.r0, round(1.0 / (1.0 + (mw.p1 / mw.p0) * " +
+        "exp(e2.l1b - e2.l0b)), 6) AS r0b, " +
+        "CASE WHEN round(1.0 / (1.0 + (mw.p1 / mw.p0) * " +
+        "exp(e2.l1b - e2.l0b)), 6) >= 0.5 THEN 0 ELSE 1 END AS assign " +
+        "FROM e2, mw ORDER BY e2.id"))
 
   /** The reference's optimal-k search re-expressed for ONE huge corpus
     * ([[graft.ml.DistributedKMeans.sweepK]]): deterministic k-means||

@@ -105,6 +105,60 @@ class DistributedKMeansSpec extends GraftSuite {
     assert(ws === ws.sorted.reverse, s"wssse not decreasing: $sweep")
   }
 
+  test("bisectOnce splits the largest child and yields three " +
+      "consistent, partition-invariant leaves") {
+    val df = blobs.map { case (id, v, _) => (id, v) }.toDF("id", "v")
+    val out = DistributedKMeans.bisectOnce(df, "id", "v", iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.length === 90)
+    // exactly three (parent, child) leaves; the split parent carries two
+    val leaves = out.map(r => (r._2, r._3)).distinct
+    assert(leaves.length === 3, s"leaves=$leaves")
+    val byParent = leaves.groupBy(_._1)
+    assert(byParent.values.map(_.size).toSeq.sorted === Seq(1, 2))
+    // the SPLIT parent was the larger level-1 child: its two leaves
+    // together outnumber (or tie) the kept one — 2 blobs vs 1 here
+    val sizes = out.groupBy(r => (r._2, r._3)).view.mapValues(_.size)
+    val splitParent = byParent.collectFirst {
+      case (p, ls) if ls.size == 2 => p }.get
+    val splitTotal = sizes.filterKeys(_._1 == splitParent).values.sum
+    assert(splitTotal >= 90 - splitTotal)
+    // three planted blobs → the three leaves ARE the blobs
+    val blobOf = blobs.map(p => p._1 -> p._3).toMap
+    out.groupBy(r => (r._2, r._3)).foreach { case (leaf, rows) =>
+      assert(rows.map(r => blobOf(r._1)).distinct.size === 1,
+        s"leaf $leaf mixes blobs")
+    }
+    // partition-invariant (the q158 quantization contract end-to-end)
+    val re = DistributedKMeans.bisectOnce(
+        df.repartition(11), "id", "v", iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.sortBy(_._1).toSeq === re.sortBy(_._1).toSeq)
+  }
+
+  test("emRoundReplayable responsibilities are valid, move toward the " +
+      "planted structure, and are partition-invariant") {
+    // two blobs only: component-0 seeds in blob 0, component-1 in blob 1
+    val two = blobs.filter(_._3 < 2)
+    val df = two.map { case (id, v, _) => (id, v) }.toDF("id", "v")
+    val out = graft.ml.DistributedGmm.emRoundReplayable(df, "id", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(out.length === two.size)
+    assert(out.forall(r => r._2 >= 0 && r._2 <= 1 && r._3 >= 0 && r._3 <= 1))
+    // unit-covariance posteriors on well-separated blobs are decisive:
+    // assignment equals blob identity (init: id0 ∈ blob0, id1 ∈ blob1)
+    val blobOf = two.map(p => p._1 -> p._3).toMap
+    out.foreach { case (id, _, _, a) => assert(a === blobOf(id)) }
+    val re = graft.ml.DistributedGmm.emRoundReplayable(
+        df.repartition(7), "id", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(out.sortBy(_._1).toSeq === re.sortBy(_._1).toSeq)
+  }
+
   test("checkpoint cadence bounds the plan like the PageRank cadence") {
     val df = blobs.map { case (id, v, _) => (id, v) }.toDF("id", "v")
     def joins(iters: Int): Int =
