@@ -152,23 +152,52 @@ object Graph extends Serializable {
     * shuffle of adjacency data at all — measured 3.8 s vs 17.3 s for
     * the wedge exchange at sf0.1 (1.2 M edges), identical counts; the
     * table sat just over the 10 MB auto-broadcast line, which is why
-    * AQE alone left it as a sort-merge join. Pass false when the
-    * per-node table itself outgrows the broadcast budget (billions of
-    * nodes): the closure degrades to two shuffle equi-joins on node
-    * id — still edge-list-sized exchanges, never the Σ outdeg² wedge
-    * volume. Per-node counts are a corner explode + aggregation. */
+    * AQE alone left it as a sort-merge join. With `Some(false)` the
+    * closure degrades to two shuffle equi-joins on node id — still
+    * edge-list-sized exchanges, never the Σ outdeg² wedge volume.
+    * Per-node counts are a corner explode + aggregation.
+    *
+    * `broadcastAdjacency = None` (the default since round 9) SIZES the
+    * choice instead of hardcoding it: the canonical edge and node
+    * counts are measured (two cheap jobs against frames the closure
+    * consumes anyway, both persisted for their later reuses) and the
+    * adjacency payload estimated at 8·m + 44·n bytes (one long array
+    * slot per oriented edge + per-node row/array overhead); at or
+    * under [[DefaultAdjacencyBroadcastBytes]] the measured-winner
+    * broadcast plan runs, above it the shuffle plan. The ×10 sweep's
+    * data points calibrate the default: 12 M edges ≈ 140 MB estimated
+    * — comfortably inside the 256 MB budget where broadcast measured
+    * 49.2 s vs 74.5 s shuffle — while a 100× node table estimates in
+    * the tens of GB and auto-degrades instead of OOMing the driver. */
+  val DefaultAdjacencyBroadcastBytes: Long = 256L << 20
+
+  /** The auto strategy's size model: m canonical edges contribute one
+    * 8-byte array slot each; n nodes ~44 bytes of row + array + degree
+    * overhead. Public so the crossover is spec-able against the
+    * measured sweep points without running a 12 M-edge graph in CI. */
+  def adjacencyFitsBroadcast(m: Long, n: Long,
+      budgetBytes: Long = DefaultAdjacencyBroadcastBytes): Boolean =
+    8L * m + 44L * n <= budgetBytes
+
   def triangleCounts(pairs: DataFrame, idA: String, idB: String,
-      broadcastAdjacency: Boolean = true): DataFrame = {
+      broadcastAdjacency: Option[Boolean] = None,
+      broadcastBudgetBytes: Long = DefaultAdjacencyBroadcastBytes)
+      : DataFrame = {
     val canon = pairs
       .select(least(col(idA), col(idB)).as("a"),
         greatest(col(idA), col(idB)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .persist() // consumed by deg, the orientation join, and counting
     val und = canon.select(col("a").as("id"), col("b").as("nb"))
       .unionAll(canon.select(col("b").as("id"), col("a").as("nb")))
     val deg = und.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .persist() // consumed by both orientation sides + the final join
+    val doBroadcast = broadcastAdjacency.getOrElse(
+      adjacencyFitsBroadcast(canon.count(), deg.count(),
+        broadcastBudgetBytes))
     val side = (f: DataFrame) =>
-      if (broadcastAdjacency) broadcast(f) else f
+      if (doBroadcast) broadcast(f) else f
     // annotate both endpoint degrees, then orient low-rank → high-rank
     // (rank = (deg, id); ids are distinct so the order is total).
     // deg is node-sized plain longs — strictly smaller than the
@@ -214,10 +243,12 @@ object Graph extends Serializable {
           .otherwise(lit(0.0)), 6).as("lcc"))
     // evict any stale entry from a previous plan-identical call (the
     // pageRank/connectedComponents bug class), then materialize while
-    // o is cached and release the intermediate
+    // o is cached and release the intermediates
     out.unpersist()
     out.persist().count()
     o.unpersist()
+    deg.unpersist()
+    canon.unpersist()
     out
   }
 

@@ -224,7 +224,8 @@ class GraphSpec extends GraftSuite {
     assert(trianglesOf(edges) === localTriangles(edges))
   }
 
-  test("shuffle-join closure (broadcastAdjacency=false) is identical") {
+  test("shuffle-join closure (broadcastAdjacency=Some(false)) is " +
+      "identical") {
     val s = spark
     import s.implicits._
     val edges = (1L to 12L).map(i => (0L, i)) ++
@@ -232,9 +233,34 @@ class GraphSpec extends GraftSuite {
     val a = Graph.triangleCounts(edges.toDF("id_a", "id_b"), "id_a",
       "id_b").collect().map(_.toSeq).sortBy(_.toString)
     val b = Graph.triangleCounts(edges.toDF("id_a", "id_b"), "id_a",
-      "id_b", broadcastAdjacency = false)
+      "id_b", broadcastAdjacency = Some(false))
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(a.toSeq === b.toSeq)
+  }
+
+  test("auto adjacency strategy sizes the broadcast decision and both " +
+      "physical plans agree") {
+    val s = spark
+    import s.implicits._
+    val edges = (1L to 12L).map(i => (0L, i)) ++
+      (1L to 12L).map(i => (i, i % 12 + 1)) ++ Seq((2L, 7L), (3L, 9L))
+    val df = edges.toDF("id_a", "id_b")
+    // the decision model, pinned at the ×10 sweep's calibration points
+    // (BASELINE.md graph rows: broadcast measured 49.2 s vs 74.5 s
+    // shuffle at 12 M edges): the measured-winner regime stays
+    // broadcast under the default budget, a 100× node table does not
+    assert(Graph.adjacencyFitsBroadcast(m = 12_000_000L, n = 1_000_000L),
+      "the measured broadcast-winner regime must stay under the budget")
+    assert(!Graph.adjacencyFitsBroadcast(
+      m = 1_200_000_000L, n = 100_000_000L),
+      "a 100x graph must auto-degrade to the shuffle closure")
+    // both physical strategies agree on results: auto (broadcast here)
+    // vs a 1-byte budget (forces the shuffle closure)
+    val auto = Graph.triangleCounts(df, "id_a", "id_b")
+    val forced = Graph.triangleCounts(df, "id_a", "id_b",
+      broadcastAdjacency = None, broadcastBudgetBytes = 1L)
+    assert(auto.collect().map(_.toSeq).sortBy(_.toString).toSeq ===
+      forced.collect().map(_.toSeq).sortBy(_.toString).toSeq)
   }
 
   // -------------------------------------------------- labelPropagation
