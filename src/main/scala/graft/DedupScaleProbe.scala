@@ -256,6 +256,31 @@ object DedupScaleProbe {
     (scored.count(), perBase.agg(max(col("ns"))).head().getLong(0))
   }
 
+  /** Phrase-screen audit at replication m ([[graft.operators
+    * .PhraseScreen.screen]] with q169's phrase list): screening is
+    * content-pure per document — ONE linear Aho–Corasick scan, no pair
+    * term, nothing shuffles until this audit's aggregation — so exact
+    * clones must reproduce the base exactly: total hits EXACTLY m× and
+    * every clone's sorted hit string equal to its base's
+    * (maxVariantsPerBase == 1; a violation is a correctness failure,
+    * not a statistic). Returns (Σ n_hits, max distinct hit-strings per
+    * base doc). */
+  def screenCounts(docs: DataFrame, m: Int): (Long, Long) = {
+    val (corpus, stride) = replicateExact(docs, m)
+    val phrases = Seq("join filter", "data vector", "slow stream",
+      "fast hash", "window merge", "customer group", "agg small",
+      "quantum flux")
+    val hits = graft.operators.PhraseScreen
+      .screen(corpus, "doc_id", "text", phrases)
+      .withColumn("hs", array_join(col("hits"), "|"))
+    val perBase = hits
+      .withColumn("base_id", pmod(col("doc_id"), lit(stride)))
+      .groupBy(col("base_id"))
+      .agg(countDistinct(col("hs")).as("ns"))
+    (hits.agg(sum(col("n_hits"))).head().getLong(0),
+      perBase.agg(max(col("ns"))).head().getLong(0))
+  }
+
   /** (candidate pairs, dup pairs ≥ threshold) at replication m. */
   /** Exact prefix-filter join ([[Dedup.prefixFilterJaccardPairs]]) at
     * replication m: replicas keep disjoint shingle spaces, so the
@@ -371,6 +396,15 @@ object DedupScaleProbe {
           val (rows, maxw) = dsirCounts(docs, m)
           val secs = (System.nanoTime() - t0) / 1e9
           f""""x$m":{"docs":${nBase * m},"weighted":$rows,"maxDistinctPerBase":$maxw,"secs":$secs%.2f}"""
+        }
+      else if (args.headOption.contains("--screen"))
+        // phrase-screen sweep: content-pure scan, hits exactly m× and
+        // every clone's hit string equals its base's (maxv == 1).
+        Seq(1, 2, 5, 10).map { m =>
+          val t0 = System.nanoTime()
+          val (hits, maxv) = screenCounts(docs, m)
+          val secs = (System.nanoTime() - t0) / 1e9
+          f""""x$m":{"docs":${nBase * m},"hits":$hits,"maxVariantsPerBase":$maxv,"secs":$secs%.2f}"""
         }
       else if (args.headOption.contains("--qc"))
         // quality-classifier sweep: bounded training + content-pure

@@ -1477,6 +1477,18 @@ class DedupScaleSpec extends GraftSuite {
       s"cross-replica pairs leaked: $total != sum of $per")
   }
 
+  test("phrase-screen hits are EXACTLY additive and content-pure " +
+      "across clones") {
+    val docs = Tables.documents(spark, sf)
+    val (h1, m1) = graft.DedupScaleProbe.screenCounts(docs, 1)
+    val (h3, m3) = graft.DedupScaleProbe.screenCounts(docs, 3)
+    assert(h1 > 0, "no screening hits at base size")
+    assert(h3 === 3 * h1, s"hits not additive: x1=$h1 x3=$h3")
+    // one distinct hit string across all clones of every base doc —
+    // the scan is content-pure, no corpus-level state leaks in
+    assert(m1 === 1L && m3 === 1L)
+  }
+
   test("DSIR weights are content-pure: every clone bit-equal to its " +
       "base doc, at 1× and 3× replication") {
     val docs = Tables.documents(spark, sf)
