@@ -397,7 +397,38 @@ object DedupScaleProbe {
           val secs = (System.nanoTime() - t0) / 1e9
           f""""x$m":{"docs":${nBase * m},"weighted":$rows,"maxDistinctPerBase":$maxw,"secs":$secs%.2f}"""
         }
-      else if (args.headOption.contains("--screen"))
+      else if (args.headOption.contains("--graph50")) {
+        // production-iteration-count exhibit (r8 VERDICT #6): 50 rounds
+        // per graph op on the sf co-purchase graph with the checkpoint
+        // cadence engaged (5 for PR/PPR, 2 for LPA) — wall + output
+        // mass pin that plan depth and runtime stay bounded far past
+        // the 10-round bench configuration
+        val pe = Tables.lineitem(spark, sfDir)
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(col("ps")).as("id_a"), col("ps"))
+          .select(col("id_a"), explode(col("ps")).as("id_b"))
+          .filter(col("id_a") < col("id_b"))
+          .persist()
+        val nEdges = pe.count()
+        def timed(label: String)(f: => DataFrame): String = {
+          val t0 = System.nanoTime()
+          val n = f.count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          f""""$label":{"rows":$n,"secs":$secs%.1f}"""
+        }
+        val out = Seq(
+          f""""edges":$nEdges""",
+          timed("pagerank50")(graft.operators.Graph.pageRankUndirected(
+            pe, "id_a", "id_b", iterations = 50)),
+          timed("ppr50")(graft.operators.Graph.personalizedPageRank(
+            pe, "id_a", "id_b", seeds = Seq(1L, 2L, 3L),
+            iterations = 50)),
+          timed("lpa50")(graft.operators.Graph.labelPropagation(
+            pe, "id_a", "id_b", rounds = 50)))
+        pe.unpersist()
+        out
+      } else if (args.headOption.contains("--screen"))
         // phrase-screen sweep: content-pure scan, hits exactly m× and
         // every clone's hit string equals its base's (maxv == 1).
         Seq(1, 2, 5, 10).map { m =>

