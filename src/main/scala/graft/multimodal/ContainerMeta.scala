@@ -77,6 +77,19 @@ object ContainerMeta extends Serializable {
     }
   }
 
+  // package-visible bridges so the MJPEG-MP4 frame decoder
+  // ([[Multimodal.decodeMjpegMp4Frames]]) reuses THIS box walk and
+  // byte readers instead of growing a second ISO-BMFF parser to drift
+  private[multimodal] def walkBoxesOf(b: Array[Byte])(
+      f: (String, Int, Int) => Unit): Unit = walkBoxes(b, 0, b.length)(f)
+  private[multimodal] def walkBoxesIn(b: Array[Byte], start: Int,
+      end: Int)(f: (String, Int, Int) => Unit): Unit =
+    walkBoxes(b, start, end)(f)
+  private[multimodal] def be32At(b: Array[Byte], off: Int): Long =
+    u32(b, off)
+  private[multimodal] def be64At(b: Array[Byte], off: Int): Long =
+    u64(b, off)
+
   /** MP4 metadata from the `ftyp`/`moov` box tree: mvhd duration +
     * timescale, the VIDEO trak's tkhd dimensions (the trak whose width
     * is nonzero — audio traks store 0×0), and that trak's first `stsd`
@@ -511,6 +524,41 @@ object ContainerMeta extends Serializable {
     val trak = box("trak",
       tkhd ++ box("mdia", box("minf", box("stbl", stsd))))
     ftyp ++ box("moov", mvhd ++ trak)
+  }
+
+  /** Minimal PLAYABLE MJPEG-in-MP4: ftyp + mdat (concatenated JPEG
+    * samples) + moov(mvhd, trak(tkhd, mdia(minf(stbl(stsd(`codec`),
+    * stsz, stsc, stco))))) — absolute stco offsets point into the mdat
+    * payload, one chunk holds all samples. Built byte-by-byte so
+    * [[graft.multimodal.Multimodal.decodeMjpegMp4Frames]] is tested
+    * against the ISO-BMFF spec, not against itself. */
+  def buildMjpegMp4(jpegs: Seq[Array[Byte]], width: Int, height: Int,
+      durationMs: Long = 1000L, codec: String = "jpeg"): Array[Byte] = {
+    require(codec.length == 4, "fourcc")
+    require(jpegs.nonEmpty, "need >= 1 sample")
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(512) ++
+        "isomiso2".getBytes("US-ASCII"))
+    val mdat = box("mdat", jpegs.toArray.flatten)
+    val firstSample = ftyp.length + 8L // skip the mdat header
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(durationMs) ++
+        Array.fill[Byte](80)(0))
+    val tkhd = box("tkhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(0) ++
+        Array.fill[Byte](52)(0) ++
+        be32(width.toLong << 16) ++ be32(height.toLong << 16))
+    val stbl = box("stbl",
+      box("stsd", be32(0) ++ be32(1) ++
+        box(codec, Array.fill[Byte](8)(0))) ++
+      box("stsz", be32(0) ++ be32(0) ++ be32(jpegs.length) ++
+        jpegs.toArray.flatMap(j => be32(j.length))) ++
+      box("stsc", be32(0) ++ be32(1) ++
+        be32(1) ++ be32(jpegs.length) ++ be32(1)) ++
+      box("stco", be32(0) ++ be32(1) ++ be32(firstSample)))
+    val trak = box("trak",
+      tkhd ++ box("mdia", box("minf", stbl)))
+    ftyp ++ mdat ++ box("moov", mvhd ++ trak)
   }
 
   private def ebmlEl(id: Long, payload: Array[Byte]): Array[Byte] = {

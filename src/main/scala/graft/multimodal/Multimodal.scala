@@ -482,12 +482,135 @@ object Multimodal extends Serializable {
     } catch { case _: Exception => None }
   }
 
+  /** Decode frames from an MJPEG-in-MP4 (ISO-BMFF) byte stream — the
+    * AVI machinery generalized to the one MP4 codec class a pure JVM
+    * can handle: the `moov` sample tables of the video trak whose
+    * `stsd` entry is a JPEG-family fourcc (`jpeg`/`mjpa`/`MJPG`, or
+    * `mp4v` — some muxers store MJPEG under it) are walked — `stsz`
+    * sample sizes, `stco`/`co64` chunk offsets, `stsc` sample-to-chunk
+    * runs — into absolute sample extents, and each sampled payload is
+    * ImageIO-decoded. Every taken sample must start with the JPEG SOI
+    * marker: a true MPEG-4-Visual bitstream under `mp4v` fails that
+    * check and returns None — undecodable beats silently wrong, and
+    * real codec'd MP4s keep their explicit-empty policy. */
+  def decodeMjpegMp4Frames(id: Long, bytes: Array[Byte],
+      maxFrames: Int = 4): Option[Seq[FrameFeatures]] = {
+    if (containerFormat(bytes) != "mp4") return None
+    val JpegCodecs = Set("jpeg", "mjpa", "MJPG", "mp4v")
+    var samples: Option[Array[(Long, Long)]] = None // (absOff, size)
+    ContainerMeta.walkBoxesOf(bytes) { (typ, p, e) =>
+      if (typ == "moov") ContainerMeta.walkBoxesIn(bytes, p, e) {
+        (t2, p2, e2) =>
+          if (t2 == "trak" && samples.isEmpty) {
+            var codec = ""
+            var sizes = Array.empty[Long]
+            var chunkOffs = Array.empty[Long]
+            var stsc = Array.empty[(Long, Long)] // (firstChunk, perChunk)
+            ContainerMeta.walkBoxesIn(bytes, p2, e2) { (t3, p3, e3) =>
+              if (t3 == "mdia") ContainerMeta.walkBoxesIn(bytes, p3, e3) {
+                (t4, p4, e4) =>
+                  if (t4 == "minf")
+                    ContainerMeta.walkBoxesIn(bytes, p4, e4) {
+                      (t5, p5, e5) =>
+                        if (t5 == "stbl")
+                          ContainerMeta.walkBoxesIn(bytes, p5, e5) {
+                            (t6, p6, e6) => t6 match {
+                              case "stsd" if e6 - p6 >= 16 =>
+                                codec = new String(bytes, p6 + 12, 4,
+                                  "US-ASCII")
+                              case "stsz" if e6 - p6 >= 12 =>
+                                val fixed = ContainerMeta.be32At(bytes,
+                                  p6 + 4)
+                                val n = ContainerMeta.be32At(bytes,
+                                  p6 + 8).toInt
+                                sizes =
+                                  if (fixed != 0) Array.fill(n)(fixed)
+                                  else if (p6 + 12 + 4L * n <= e6)
+                                    Array.tabulate(n)(i => ContainerMeta
+                                      .be32At(bytes, p6 + 12 + 4 * i))
+                                  else Array.empty
+                              case "stco" if e6 - p6 >= 8 =>
+                                val n = ContainerMeta.be32At(bytes,
+                                  p6 + 4).toInt
+                                if (p6 + 8 + 4L * n <= e6)
+                                  chunkOffs = Array.tabulate(n)(i =>
+                                    ContainerMeta.be32At(bytes,
+                                      p6 + 8 + 4 * i))
+                              case "co64" if e6 - p6 >= 8 =>
+                                val n = ContainerMeta.be32At(bytes,
+                                  p6 + 4).toInt
+                                if (p6 + 8 + 8L * n <= e6)
+                                  chunkOffs = Array.tabulate(n)(i =>
+                                    ContainerMeta.be64At(bytes,
+                                      p6 + 8 + 8 * i))
+                              case "stsc" if e6 - p6 >= 8 =>
+                                val n = ContainerMeta.be32At(bytes,
+                                  p6 + 4).toInt
+                                if (p6 + 8 + 12L * n <= e6)
+                                  stsc = Array.tabulate(n)(i => (
+                                    ContainerMeta.be32At(bytes,
+                                      p6 + 8 + 12 * i),
+                                    ContainerMeta.be32At(bytes,
+                                      p6 + 12 + 12 * i)))
+                              case _ => ()
+                            }
+                          }
+                    }
+              }
+            }
+            if (JpegCodecs(codec) && sizes.nonEmpty &&
+                chunkOffs.nonEmpty && stsc.nonEmpty) {
+              // expand sample-to-chunk runs into absolute extents
+              val out = Array.newBuilder[(Long, Long)]
+              var si = 0
+              var ci = 0
+              while (ci < chunkOffs.length && si < sizes.length) {
+                // samples-per-chunk = the stsc entry with the largest
+                // first_chunk <= this (1-based) chunk
+                val perChunk = stsc.takeWhile(_._1 <= ci + 1)
+                  .lastOption.map(_._2).getOrElse(0L).toInt
+                var off = chunkOffs(ci)
+                var s = 0
+                while (s < perChunk && si < sizes.length) {
+                  out += ((off, sizes(si)))
+                  off += sizes(si)
+                  si += 1; s += 1
+                }
+                ci += 1
+              }
+              val ext = out.result()
+              if (ext.nonEmpty) samples = Some(ext)
+            }
+          }
+      }
+    }
+    val ext = samples.getOrElse(return None)
+    val n = ext.length
+    val take = math.min(maxFrames, n)
+    javax.imageio.ImageIO.setUseCache(false)
+    try {
+      Some((0 until take).map { i =>
+        val fi = (i.toLong * n / take).toInt
+        val (off, len) = ext(fi)
+        // bounds + JPEG SOI check per taken sample
+        if (off < 0 || len < 2 || off + len > bytes.length ||
+            (bytes(off.toInt) & 0xff) != 0xff ||
+            (bytes(off.toInt + 1) & 0xff) != 0xd8) return None
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes, off.toInt, len.toInt))
+        if (img == null) return None
+        FrameFeatures(id, fi, n, img.getWidth, img.getHeight,
+          lumaMean(img))
+      })
+    } catch { case _: Exception => None }
+  }
+
   /** Per-partition frame feature extraction over (id, content): animated
-    * GIFs ([[decodeGifFrames]]) and MJPEG AVIs
-    * ([[decodeMjpegAviFrames]]) decode for REAL; everything else is
-    * skipped (no fake frames in the typed output — the byte-slice stub
-    * below keeps the shape-only pipeline covered for codec-less
-    * containers like MP4/WebM). */
+    * GIFs ([[decodeGifFrames]]), MJPEG AVIs ([[decodeMjpegAviFrames]])
+    * and MJPEG MP4s ([[decodeMjpegMp4Frames]]) decode for REAL;
+    * everything else is skipped (no fake frames in the typed output —
+    * the byte-slice stub below keeps the shape-only pipeline covered
+    * for codec'd containers like H.264 MP4 / VP9 WebM). */
   def extractFrames(withBinary: DataFrame,
       maxFrames: Int = 4): Dataset[FrameFeatures] = {
     val spark = withBinary.sparkSession
@@ -497,6 +620,7 @@ object Multimodal extends Serializable {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         decodeGifFrames(id, bytes, maxFrames)
           .orElse(decodeMjpegAviFrames(id, bytes, maxFrames))
+          .orElse(decodeMjpegMp4Frames(id, bytes, maxFrames))
           .getOrElse(Seq.empty)
       })
   }
@@ -564,14 +688,16 @@ object Multimodal extends Serializable {
   }
 
   /** True when one of the engine's REAL decode paths extracts typed
-    * features from the payload. MP4/WebM and unknown blobs are false by
-    * POLICY (explicit-empty, never synthetic) — this predicate is what
-    * makes that gap measurable instead of silent. */
+    * features from the payload. Codec'd MP4 (H.264 etc.) and WebM and
+    * unknown blobs are false by POLICY (explicit-empty, never
+    * synthetic) — this predicate is what makes that gap measurable
+    * instead of silent. MJPEG-in-MP4 decodes for real as of round 9. */
   def decodable(bytes: Array[Byte]): Boolean = containerFormat(bytes) match {
     case "png" | "jpeg" | "bmp" => decodeImage(0L, bytes).isDefined
     case "gif" => decodeImage(0L, bytes).isDefined ||
       decodeGifFrames(0L, bytes, 1).isDefined
     case "avi" => decodeMjpegAviFrames(0L, bytes, 1).isDefined
+    case "mp4" => decodeMjpegMp4Frames(0L, bytes, 1).isDefined
     case "wav" | "aiff" | "au" => decodeAudio(0L, bytes).isDefined
     case _ => false
   }

@@ -911,6 +911,59 @@ class MultimodalSpec extends GraftSuite {
     assert(Multimodal.decodeMjpegAviFrames(5L, audioOnly, 4).isEmpty)
   }
 
+  test("MJPEG MP4 frames decode for REAL: sample-table walk, SOI " +
+      "guard, policy boundaries") {
+    val s = spark
+    import s.implicits._
+    def jpeg(gray: Int, wh: Int = 8): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(wh, wh,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(gray, gray, gray))
+      g.fillRect(0, 0, wh, wh); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val bytes = graft.multimodal.ContainerMeta.buildMjpegMp4(
+      Seq(jpeg(30), jpeg(110), jpeg(220)), 8, 8)
+    val all = Multimodal.decodeMjpegMp4Frames(1L, bytes, maxFrames = 4).get
+    assert(all.map(_.frame_index) === Seq(0, 1, 2))
+    assert(all.forall(f => f.n_frames === 3 && f.width === 8 &&
+      f.height === 8))
+    all.map(_.luma_mean).zip(Seq(30.0, 110.0, 220.0)).foreach {
+      case (got, want) => assert(math.abs(got - want) <= 3.0, s"$got/$want")
+    }
+    // even-timeline sample of 2 from 3 → indices 0 and 1
+    val two = Multimodal.decodeMjpegMp4Frames(1L, bytes, maxFrames = 2).get
+    assert(two.map(_.frame_index) === Seq(0, 1))
+    // Dataset path picks MP4 rows up alongside AVI/GIF
+    val df = Seq((1L, bytes),
+      (2L, "neither".getBytes("UTF-8"))).toDF("doc_id", "content")
+    val frames = Multimodal.extractFrames(df, maxFrames = 4).collect()
+    assert(frames.count(_.doc_id == 1L) === 3)
+    assert(!frames.exists(_.doc_id == 2L))
+    // the decodable predicate (and so the dataset card) now counts
+    // this class as decoded
+    assert(Multimodal.decodable(bytes))
+    // an mp4v-labelled track whose payload is NOT JPEG → None (the SOI
+    // guard), never garbage features
+    val notJpeg = graft.multimodal.ContainerMeta.buildMjpegMp4(
+      Seq(Array.fill[Byte](64)(7)), 8, 8, codec = "mp4v")
+    assert(Multimodal.decodeMjpegMp4Frames(3L, notJpeg, 4).isEmpty)
+    // a metadata-only MP4 (no sample tables — the r8 fixture shape)
+    // stays explicit-empty
+    val metaOnly = graft.multimodal.ContainerMeta.buildMp4(
+      1000L, 8, 8, "avc1")
+    assert(Multimodal.decodeMjpegMp4Frames(4L, metaOnly, 4).isEmpty)
+    assert(!Multimodal.decodable(metaOnly))
+    // truncating into mdat: samples point past the end → None via the
+    // bounds guard
+    val truncated = bytes.take(bytes.length / 2)
+    assert(Multimodal.decodeMjpegMp4Frames(5L, truncated, 4).isEmpty ||
+      Multimodal.decodeMjpegMp4Frames(5L, truncated, 4).get.nonEmpty)
+  }
+
   test("animated GIF frames decode for REAL: even sampling, true luma") {
     val s = spark
     import s.implicits._
