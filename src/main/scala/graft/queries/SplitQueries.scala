@@ -18,7 +18,7 @@ object SplitQueries {
     q133DsirResample, q134SketchAccuracy, q135QualityClassifier, q177DsirOracled,
     q136SnapshotDiff, q143GatedCuration, q144Decontaminate,
     q151IncrementalCuration, q157ExactDistinct, q164CmsFrequency,
-    q165WeightedSample)
+    q165WeightedSample, q183CmsOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -49,6 +49,64 @@ object SplitQueries {
       }.toDF("t", "exact", "est", "bound_ok").orderBy($"t")
     },
     None)
+
+  /** Count-min sketch with the md5 hash family — the ORACLED face of
+    * q164 (which stays rows-only on Spark's own CountMinSketch
+    * implementation): d=4 rows × w=512 buckets, bucket(j, t) =
+    * md5("j|t") first-8-hex mod w (the q176 replayable-hash trick
+    * applied to frequency sketching). DuckDB rebuilds the whole sketch
+    * table and replays every probe's min-over-rows estimate; the
+    * admissible flag (est ≥ exact — CMS never underestimates) is part
+    * of the hashed output. Pure integer arithmetic end-to-end. */
+  val q183CmsOracled: GraftQuery = GraftQuery(
+    "q183_cms_oracled",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("t"))
+      val js = broadcast(s.range(4).select($"id".cast("int").as("j")))
+      def bucket(j: org.apache.spark.sql.Column,
+          t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        pmod(conv(substring(md5(concat(j.cast("string"), lit("|"), t)
+          .cast("binary")), 1, 8), 16, 10).cast("long"), lit(512L))
+      val cms = toks.crossJoin(js)
+        .groupBy($"j", bucket($"j", $"t").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val probes = Seq("customer", "vector", "window", "merge", "the")
+      val pj = broadcast(probes.toDF("t")).crossJoin(js)
+        .select($"t", $"j", bucket($"j", $"t").as("bucket"))
+      val est = pj.join(cms, Seq("j", "bucket"), "left")
+        .groupBy($"t").agg(min(coalesce($"c", lit(0L))).as("est"))
+      val exact = toks.filter($"t".isin(probes: _*))
+        .groupBy($"t").agg(count(lit(1)).as("exact"))
+      probes.toDF("t")
+        .join(exact, Seq("t"), "left")
+        .join(est, Seq("t"))
+        .select($"t", coalesce($"exact", lit(0L)).as("exact"), $"est",
+          ($"est" >= coalesce($"exact", lit(0L))).as("admissible"))
+        .orderBy($"t")
+    },
+    Some(
+      "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t " +
+        "FROM documents), " +
+        "js AS (SELECT unnest(generate_series(0, 3)) AS j), " +
+        "cms AS MATERIALIZED (SELECT j, " +
+        "('0x' || substr(md5(j::VARCHAR || '|' || t), 1, 8))::BIGINT " +
+        "% 512 AS bucket, count(*)::BIGINT AS c " +
+        "FROM tok, js GROUP BY 1, 2), " +
+        "pr AS (SELECT * FROM (VALUES ('customer'), ('vector'), " +
+        "('window'), ('merge'), ('the')) AS x(t)), " +
+        "pj AS (SELECT pr.t, js.j, ('0x' || substr(md5(js.j::VARCHAR " +
+        "|| '|' || pr.t), 1, 8))::BIGINT % 512 AS bucket FROM pr, js), " +
+        "est AS (SELECT t, min(coalesce(cms.c, 0))::BIGINT AS est " +
+        "FROM pj LEFT JOIN cms USING (j, bucket) GROUP BY t), " +
+        "ex AS (SELECT t, count(*)::BIGINT AS exact FROM tok " +
+        "WHERE t IN ('customer','vector','window','merge','the') " +
+        "GROUP BY t) " +
+        "SELECT pr.t, coalesce(ex.exact, 0)::BIGINT AS exact, est.est, " +
+        "est.est >= coalesce(ex.exact, 0) AS admissible " +
+        "FROM pr LEFT JOIN ex USING (t) JOIN est USING (t) " +
+        "ORDER BY t"))
 
   /** Weighted sample without replacement ([[Sampling
     * .weightedSamplePerGroup]], Efraimidis–Spirakis A-Res): 5 docs per

@@ -15,7 +15,8 @@ object VectorQueries {
     Seq(q25CosinePairs, q26KnnBruteForce, q110Covariance, q111PcaProject,
       q115PcaAnnRecall, q118PcaPerLabel, q148ArrayHof,
       q153ExactTopK, q154ExactL2TopK, q158KmeansLloyd, q159KmeansSweep,
-      q180PcaPowerIteration, q181BisectOracled, q182GmmEmOracled)
+      q180PcaPowerIteration, q181BisectOracled, q182GmmEmOracled,
+      q184SemdedupOracled, q185IvfOracled)
 
   /** The GROUND-TRUTH half of every cosine recall gate
     * (q47/q64/q66/q115), served through the SAME per-JVM cache those
@@ -156,11 +157,12 @@ object VectorQueries {
         "ORDER BY d2, c) AS rk FROM sf) WHERE rk = 1 ORDER BY id"
     })
 
-  /** Shared builder for a k=2 Lloyd unroll as chained DuckDB CTEs (the
-    * q158 pattern parametrized by source CTE and name prefix): init =
-    * first two points of `src` by id, 3 rounds, 6-dp centroid
-    * re-quantization, final assignment CTE `<p>af` = (id, c, d2). */
-  private def lloyd2Cte(src: String, p: String): String = {
+  /** Shared builder for a k-means Lloyd unroll as chained DuckDB CTEs
+    * (the q158 pattern parametrized by source CTE, name prefix and k):
+    * init = first k points of `src` by id, 3 rounds, 6-dp centroid
+    * re-quantization, final assignment CTE `<p>af` = (id, c, d2), final
+    * centroids `<p>c3` = (c, cv). */
+  private def lloydCte(src: String, p: String, k: Int): String = {
     def dist(cAlias: String): String =
       "list_sum(list_transform(range(1, len(p.v) + 1), " +
         s"i -> (p.v[i] - $cAlias.cv[i]) * (p.v[i] - $cAlias.cv[i])))"
@@ -175,7 +177,8 @@ object VectorQueries {
         s"(SELECT a.c, t.i AS pp, round(avg(a.v[t.i]), 6) AS m " +
         s"FROM ${p}a$r a, range(1, 65) t(i) GROUP BY a.c, t.i) GROUP BY c)"
     }.mkString
-    s", ${p}c0 AS (SELECT id AS c, v AS cv FROM $src ORDER BY id LIMIT 2)" +
+    s", ${p}c0 AS (SELECT id AS c, v AS cv FROM $src ORDER BY id " +
+      s"LIMIT $k)" +
       rounds +
       s", ${p}af AS MATERIALIZED (SELECT id, c, d2 FROM (SELECT p.id, " +
       s"c.c, ${dist("c")} AS d2, row_number() OVER (PARTITION BY p.id " +
@@ -207,12 +210,12 @@ object VectorQueries {
     Some(
       "WITH v AS MATERIALIZED (SELECT vec_id AS id, " +
         "embedding::DOUBLE[] AS v FROM embeddings)" +
-        lloyd2Cte("v", "x") +
+        lloydCte("v", "x", 2) +
         ", ch AS (SELECT c FROM xaf GROUP BY c " +
         "ORDER BY count(*) DESC, c LIMIT 1)" +
         ", v2 AS MATERIALIZED (SELECT v.id, v.v FROM v " +
         "JOIN xaf ON v.id = xaf.id JOIN ch ON xaf.c = ch.c)" +
-        lloyd2Cte("v2", "y") +
+        lloydCte("v2", "y", 2) +
         " SELECT id, parent, child, round(d2, 6) AS d2 FROM (" +
         "SELECT a.id, a.c AS parent, a.c AS child, a.d2 " +
         "FROM xaf a, ch WHERE a.c != ch.c " +
@@ -270,6 +273,132 @@ object VectorQueries {
         "CASE WHEN round(1.0 / (1.0 + (mw.p1 / mw.p0) * " +
         "exp(e2.l1b - e2.l0b)), 6) >= 0.5 THEN 0 ELSE 1 END AS assign " +
         "FROM e2, mw ORDER BY e2.id"))
+
+  /** SemDedup with a replayable cluster stage — the ORACLED face of
+    * q105 (whose seeded-k-means++ clustering stays rows-only): the
+    * q158 Lloyd fit (k=4, first-4 init, 3 unrolled rounds) assigns
+    * clusters, then every same-cluster pair with cosine ≥ 0.95 is an
+    * emitted near-dup — the exact SemDedup shape (cluster to avoid the
+    * n² term, score only within clusters), with DuckDB replaying the
+    * fit AND the within-cluster pair scoring end-to-end. The τ
+    * comparison runs on the raw cosine both sides (the q153-proven
+    * bit-identical list fold), so no boundary wobble. The synthetic
+    * embeddings carry no natural ≥0.95 pairs (max pairwise cosine
+    * ~0.51), so near-dup CLONES are planted IN THE QUERY (the
+    * q96/q150 convention — both engines build identical clones:
+    * ids < 25 duplicated at id+10000 with coordinate 1 scaled by
+    * 1.02, cosine ≈ 0.9997) — what the oracle then verifies is that
+    * the cluster stage CO-LOCATES each clone with its base and the
+    * scorer finds exactly the planted pairs. */
+  val q184SemdedupOracled: GraftQuery = GraftQuery(
+    "q184_semdedup_oracled",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.embeddings(s, d)
+        .select($"vec_id".cast("long").as("id"),
+          graft.operators.Similarity.asDouble($"embedding").as("v"))
+      val clones = base.filter($"id" < 25)
+        .select(($"id" + 10000L).as("id"),
+          zip_with($"v", sequence(lit(1), size($"v")),
+            (x, i) => when(i === 1, x * 1.02).otherwise(x)).as("v"))
+      val vecs = base.unionByName(clones)
+      val (af, _) = graft.ml.DistributedKMeans.fit(
+        vecs, "id", "v", k = 4, iterations = 3)
+      val withV = af.select($"id", $"cluster").join(vecs, "id")
+      withV.as("a").join(withV.as("b"),
+          col("a.cluster") === col("b.cluster") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.cluster").as("cluster"),
+          graft.operators.Similarity.cosine(col("a.v"), col("b.v"))
+            .as("cos_raw"))
+        .filter($"cos_raw" >= 0.95)
+        .select($"id_a", $"id_b", $"cluster",
+          round($"cos_raw", 6).as("cos"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(
+      "WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v " +
+        "FROM embeddings), " +
+        "cl AS (SELECT id + 10000 AS id, list_transform(" +
+        "range(1, len(v) + 1), i -> CASE WHEN i = 1 THEN v[1] * 1.02 " +
+        "ELSE v[i] END) AS v FROM b WHERE id < 25), " +
+        "v AS MATERIALIZED (SELECT * FROM b UNION ALL SELECT * FROM cl)" +
+        lloydCte("v", "x", 4) +
+        ", pw AS MATERIALIZED (SELECT a.id, a.c, v.v FROM xaf a " +
+        "JOIN v ON v.id = a.id)" +
+        ", pr AS (SELECT a.id AS id_a, b.id AS id_b, a.c AS cluster, " +
+        "list_dot_product(a.v, b.v) / " +
+        "(sqrt(list_dot_product(a.v, a.v)) * " +
+        "sqrt(list_dot_product(b.v, b.v))) AS cos_raw " +
+        "FROM pw a JOIN pw b ON a.c = b.c AND a.id < b.id) " +
+        "SELECT id_a, id_b, cluster, round(cos_raw, 6) AS cos FROM pr " +
+        "WHERE cos_raw >= 0.95 ORDER BY id_a, id_b"))
+
+  /** IVF ANN with a replayable coarse quantizer — the ORACLED face of
+    * the q66/q94 index family (whose LocalKMeans-seeded codebooks stay
+    * rows-only): coarse centroids come from the q158 Lloyd fit (k=4
+    * lists, 3 unrolled rounds), each query probes its nprobe=2 nearest
+    * lists (d², centroid-id tie-break), and candidates in the probed
+    * lists are ranked by exact cosine (top-5, id tie-break). DuckDB
+    * replays the fit, the probe selection, and the ranking — the full
+    * IVF search path relationally verified. */
+  val q185IvfOracled: GraftQuery = GraftQuery(
+    "q185_ivf_oracled",
+    (s, d) => {
+      import s.implicits._
+      val vecs = Tables.embeddings(s, d)
+        .select($"vec_id".cast("long").as("id"),
+          graft.operators.Similarity.asDouble($"embedding").as("v"))
+      val (af, cents) = graft.ml.DistributedKMeans.fit(
+        vecs, "id", "v", k = 4, iterations = 3)
+      val q = vecs.filter($"id" < 5)
+        .select($"id".as("qid"), $"v".as("qv"))
+      val qd = q.crossJoin(broadcast(cents))
+        .select($"qid", $"qv", $"c",
+          aggregate(zip_with($"qv", $"cv", (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x).as("d2"))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"d2".asc, $"c".asc)
+      val probed = qd.withColumn("rk", row_number().over(wp))
+        .filter($"rk" <= 2).select($"qid", $"qv", $"c")
+      val cands = probed.join(af.select($"cluster".as("c"),
+          $"id".as("cand")), "c")
+        .filter($"cand" =!= $"qid")
+        .join(vecs.select($"id".as("cand"), $"v".as("cv")), "cand")
+        .select($"qid", $"cand",
+          graft.operators.Similarity.cosine($"qv", $"cv").as("cos_raw"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"cos_raw".desc, $"cand".asc)
+      cands.withColumn("rk", row_number().over(wr)).filter($"rk" <= 5)
+        .select($"qid".as("query_id"), $"cand".as("vec_id"),
+          round($"cos_raw", 6).as("cos"), $"rk")
+        .orderBy($"query_id", $"rk")
+    },
+    Some {
+      val dist = "list_sum(list_transform(range(1, len(p.v) + 1), " +
+        "i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i])))"
+      "WITH v AS MATERIALIZED (SELECT vec_id AS id, " +
+        "embedding::DOUBLE[] AS v FROM embeddings)" +
+        lloydCte("v", "x", 4) +
+        s", qd AS (SELECT p.id AS qid, c.c, $dist AS d2 " +
+        "FROM v p, xc3 c WHERE p.id < 5)" +
+        ", qp AS (SELECT qid, c FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY d2, c) AS rk FROM qd) " +
+        "WHERE rk <= 2)" +
+        ", cand AS (SELECT qp.qid, a.id AS cid FROM qp " +
+        "JOIN xaf a ON a.c = qp.c AND a.id != qp.qid)" +
+        ", sc AS (SELECT cand.qid, cand.cid, " +
+        "list_dot_product(q.v, c2.v) / " +
+        "(sqrt(list_dot_product(q.v, q.v)) * " +
+        "sqrt(list_dot_product(c2.v, c2.v))) AS cos_raw " +
+        "FROM cand JOIN v q ON q.id = cand.qid " +
+        "JOIN v c2 ON c2.id = cand.cid) " +
+        "SELECT qid AS query_id, cid AS vec_id, " +
+        "round(cos_raw, 6) AS cos, rk FROM (SELECT *, row_number() " +
+        "OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rk " +
+        "FROM sc) WHERE rk <= 5 ORDER BY query_id, rk"
+    })
 
   /** The reference's optimal-k search re-expressed for ONE huge corpus
     * ([[graft.ml.DistributedKMeans.sweepK]]): deterministic k-means||
