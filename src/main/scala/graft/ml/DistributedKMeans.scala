@@ -101,10 +101,15 @@ object DistributedKMeans {
     * levels. Only bounded artifacts reach the driver (a 2-row count). */
   def bisectOnce(points: DataFrame, idCol: String, vecCol: String,
       iterations: Int = 3, roundDp: Int = 6): DataFrame = {
+    // persisted: the two fits + the selection + the member join scan
+    // this frame ~2·(iterations+1) times — at these widths the cache is
+    // a clear win and changes nothing numerically (quantized contract)
     val vecs = points
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val (a1, _) = fit(vecs, "id", "v", k = 2, iterations = iterations,
+      .persist()
+    val (a1u, _) = fit(vecs, "id", "v", k = 2, iterations = iterations,
       roundDp = roundDp)
+    val a1 = a1u.persist()
     val chosen = a1.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("cluster"))
@@ -113,11 +118,17 @@ object DistributedKMeans {
       a1.filter(col("cluster") === chosen).select("id"), "id")
     val (a2, _) = fit(sub, "id", "v", k = 2, iterations = iterations,
       roundDp = roundDp)
-    a1.filter(col("cluster") =!= chosen)
+    val out = a1.filter(col("cluster") =!= chosen)
       .select(col("id"), col("cluster").as("parent"),
         col("cluster").as("child"), col("d2"))
       .unionByName(a2.select(col("id"), lit(chosen).as("parent"),
         col("cluster").as("child"), col("d2")))
+    out.unpersist()
+    val res = out.persist()
+    res.count()
+    a1.unpersist()
+    vecs.unpersist()
+    res
   }
 
   /** k-means|| (Bahmani et al., VLDB'12) seeding, fully distributed and

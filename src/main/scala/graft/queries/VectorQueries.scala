@@ -16,7 +16,7 @@ object VectorQueries {
       q115PcaAnnRecall, q118PcaPerLabel, q148ArrayHof,
       q153ExactTopK, q154ExactL2TopK, q158KmeansLloyd, q159KmeansSweep,
       q180PcaPowerIteration, q181BisectOracled, q182GmmEmOracled,
-      q184SemdedupOracled, q185IvfOracled)
+      q184SemdedupOracled, q185IvfOracled, q186PcaPerLabelOracled)
 
   /** The GROUND-TRUTH half of every cosine recall gate
     * (q47/q64/q66/q115), served through the SAME per-JVM cache those
@@ -674,6 +674,75 @@ object VectorQueries {
         " SELECT e.vec_id, round(list_sum(list_transform(range(1, 65), " +
         "i -> (e.v[i] - mul.mu[i]) * fv.v[i])), 6) AS pc1 " +
         "FROM e, mul, v5 fv ORDER BY vec_id"
+    })
+
+  /** PER-LABEL power-iteration PCA — the ORACLED face of the
+    * per-group family (q118's fitPerGroup stays rows-only for its
+    * Jacobi eigensolves): every label's own top component via the
+    * q180 contract (8-dp covariance/means grid, v₀ = round(1/√64, 6),
+    * five 6-dp re-quantized rounds), all ten labels replayed by ONE
+    * DuckDB CTE chain with the label carried through every stage.
+    * Output mirrors q118's summary: mean |pc1| and max pc1 per label
+    * (mean(pc1) ≡ 0 by centering, so those are the values a
+    * wrong-group or uncentered projection would break). */
+  val q186PcaPerLabelOracled: GraftQuery = GraftQuery(
+    "q186_pca_per_label_oracled",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val labels = emb.select($"label").distinct()
+        .collect().map(_.getInt(0)).sorted
+      labels.map { l =>
+        graft.ml.Pca.powerIterationTopPc(
+            emb.filter($"label" === l), "vec_id", "embedding",
+            dim = 64, iterations = 5)
+          .agg(count(lit(1)).as("n"),
+            round(avg(abs($"pc1")), 6).as("mean_abs_pc1"),
+            round(max($"pc1"), 6).as("max_pc1"))
+          .select(lit(l).as("label"), $"n", $"mean_abs_pc1",
+            $"max_pc1")
+      }.reduce(_ unionByName _).orderBy($"label")
+    },
+    Some {
+      val rounds = (1 to 5).map { r =>
+        val prev = if (r == 1) "v0" else s"v${r - 1}"
+        s", u$r AS (SELECT cm.label, cm.i, " +
+          "list_sum(list_transform(range(1, 65), " +
+          s"k -> cm.r[k] * pv.v[k])) AS u FROM cm JOIN $prev pv " +
+          "USING (label))" +
+          s", ul$r AS (SELECT label, list(u ORDER BY i) AS ul " +
+          s"FROM u$r GROUP BY label)" +
+          s", v$r AS (SELECT label, list_transform(ul, x -> round(x / " +
+          "sqrt(list_sum(list_transform(ul, y -> y * y))), 6)) AS v " +
+          s"FROM ul$r)"
+      }.mkString
+      "WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v " +
+        "FROM embeddings), " +
+        "ex AS (SELECT label, vec_id, unnest(v) AS x, " +
+        "unnest(generate_series(1, len(v))) AS i FROM e), " +
+        "mu AS (SELECT label, i, round(avg(x), 8) AS m FROM ex " +
+        "GROUP BY 1, 2), " +
+        "mul AS (SELECT label, list(m ORDER BY i) AS mu FROM mu " +
+        "GROUP BY label), " +
+        "cvu AS (SELECT a.label, a.i AS i, b.i AS j, " +
+        "round(covar_samp(a.x, b.x), 8) AS cov FROM ex a " +
+        "JOIN ex b ON a.vec_id = b.vec_id AND a.label = b.label " +
+        "WHERE a.i <= b.i GROUP BY 1, 2, 3), " +
+        "cvf AS (SELECT label, i, j, cov FROM cvu " +
+        "UNION ALL SELECT label, j, i, cov FROM cvu WHERE i != j), " +
+        "cm AS MATERIALIZED (SELECT label, i, list(cov ORDER BY j) " +
+        "AS r FROM cvf GROUP BY 1, 2), " +
+        "v0 AS (SELECT DISTINCT label, list_transform(range(1, 65), " +
+        "x -> round(1.0 / sqrt(64.0), 6)) AS v FROM e)" +
+        rounds +
+        ", pc AS (SELECT e.label, e.vec_id, " +
+        "round(list_sum(list_transform(range(1, 65), " +
+        "i -> (e.v[i] - mul.mu[i]) * (fv.v[i]))), 6) AS pc1 " +
+        "FROM e JOIN mul USING (label) JOIN v5 fv USING (label)) " +
+        "SELECT label, count(*)::BIGINT AS n, " +
+        "round(avg(abs(pc1)), 6) AS mean_abs_pc1, " +
+        "round(max(pc1), 6) AS max_pc1 FROM pc GROUP BY label " +
+        "ORDER BY label"
     })
 
   /** PCA projection ([[graft.ml.Pca]]): 64-dim embeddings reduced to the

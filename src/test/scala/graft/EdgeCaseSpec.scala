@@ -161,4 +161,39 @@ class EdgeCaseSpec extends GraftSuite {
       .encode(tiny, "vec_id", "embedding", cb).collect()
     assert(codes.length === 2)
   }
+
+  test("replayable ML faces refuse degenerate inputs loudly") {
+    val s = spark
+    import s.implicits._
+    val one = Seq((0L, Seq.fill(4)(0.5))).toDF("id", "v")
+    // GMM EM needs two init points
+    intercept[IllegalArgumentException] {
+      graft.ml.DistributedGmm.emRoundReplayable(one, "id", "v")
+    }
+    // power iteration: a dim mismatch between the stated dim and the
+    // data must fail the mean-vector arity check, not mis-project
+    intercept[Exception] {
+      graft.ml.Pca.powerIterationTopPc(
+        Seq((0L, Seq.fill(4)(0.1)), (1L, Seq.fill(4)(0.9)),
+          (2L, Seq.fill(4)(0.4))).toDF("id", "v"),
+        "id", "v", dim = 8, iterations = 2)
+    }
+  }
+
+  test("bisectOnce on two identical points still yields consistent " +
+      "leaves") {
+    val s = spark
+    import s.implicits._
+    // 4 points, two coincident pairs: the level-1 split separates the
+    // pairs; the chosen child (tie → smaller label) splits into two
+    // leaves that may share a centroid — labels must still partition
+    // the ids and d2 stay finite
+    val df = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 1.0)),
+      (2L, Seq(0.0, 0.0)), (3L, Seq(1.0, 1.0))).toDF("id", "v")
+    val out = graft.ml.DistributedKMeans.bisectOnce(df, "id", "v",
+      iterations = 2).collect()
+    assert(out.map(_.getLong(0)).sorted === Array(0L, 1L, 2L, 3L))
+    assert(out.forall(r => !r.getDouble(3).isNaN &&
+      !r.getDouble(3).isInfinite))
+  }
 }

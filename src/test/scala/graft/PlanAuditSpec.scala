@@ -27,9 +27,16 @@ class PlanAuditSpec extends GraftSuite {
     "q83_topk_agg_knn",     // same probe set through the aggregator path
     "q115_pca_ann_recall",  // 5-probe reduced-space scoring + 1-row floor gate
     "q154_exact_l2_topk",   // 5-probe exact-L2 ground truth (q26's L2 twin)
-    "q158_kmeans_lloyd")    // n×k assignment vs the k=4-row centroid frame
+    "q158_kmeans_lloyd",    // n×k assignment vs the k=4-row centroid frame
                             // — |L|×k with tiny fixed k IS Lloyd's assign
                             // step, not a lost join key
+    "q181_bisect_oracled",  // the same n×k=2 assign kernel, twice
+    "q183_cms_oracled",     // tokens × the 4-row hash-row frame — |T|×d
+                            // with constant d, the sketch-build shape
+    "q184_semdedup_oracled", // the q158 assign kernel feeding the
+                             // within-cluster (equi-join) pair scorer
+    "q185_ivf_oracled")     // assign kernel + 5-query probe selection
+                            // vs the 4-row centroid frame
 
   /** crossJoin(broadcast(global aggregate)) — a 1-row side, |L|×1 and
     * linear; Spark renders it as BroadcastNestedLoopJoin but it is the
