@@ -18,7 +18,7 @@ object SplitQueries {
     q133DsirResample, q134SketchAccuracy, q135QualityClassifier, q177DsirOracled,
     q136SnapshotDiff, q143GatedCuration, q144Decontaminate,
     q151IncrementalCuration, q157ExactDistinct, q164CmsFrequency,
-    q165WeightedSample, q183CmsOracled)
+    q165WeightedSample, q183CmsOracled, q187LogregOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -227,6 +227,80 @@ object SplitQueries {
         "::DECIMAL(20,6))::DOUBLE, 6) AS log_weight " +
         "FROM dc JOIN r USING (bucket) GROUP BY doc_id " +
         "ORDER BY doc_id"))
+
+  /** Logistic-regression TRAINING replayed in SQL — the ORACLED face
+    * of the quality-classifier family (q135's production path stays
+    * rows-only: xxhash64 features + a bounded training sample +
+    * 50-iteration GD): [[graft.ml.DistributedLogReg
+    * .fitScoreReplayable]] fits 6 unrolled batch-GD rounds (lr=6) on
+    * portable sha-bucket gram features (the q177 hash family) over the
+    * full corpus (target = lang='en'), quantizing the margin before
+    * the sigmoid, the sigmoid after it, and the weights/bias after
+    * every gradient step (the q158 contract) — DuckDB re-derives the
+    * features, replays all six training rounds with the weight
+    * vector as a 64-list, and re-scores every document. The first
+    * oracled TRAINED MODEL in the registry: an engine drift anywhere
+    * in the fit (hashing, normalization, gradient, update order) flips
+    * hash_match. The corpus's lang signal is deliberately weak
+    * (~0.005 token-distribution deltas), so the fit's learning shows
+    * as RANKING separation (AUC ≈ 0.64 vs 0.5 chance — spec-gated),
+    * not a flipped 0.5 threshold; scores are the production semantics
+    * (downstream threshold/top-k). */
+  val q187LogregOracled: GraftQuery = GraftQuery(
+    "q187_logreg_oracled",
+    (s, d) => {
+      import s.implicits._
+      graft.ml.DistributedLogReg.fitScoreReplayable(
+          Tables.documents(s, d), "doc_id", "text",
+          isTarget = $"lang" === "en", buckets = 64, iters = 6,
+          lr = 6.0)
+        .orderBy($"doc_id")
+    },
+    Some {
+      val rounds = (1 to 6).map { t =>
+        val wp = if (t == 1) "w0" else s"w${t - 1}"
+        s", z$t AS (SELECT f.doc_id, any_value(f.y) AS y, " +
+          "round(sum(w.w[f.bucket + 1] * f.x), 6) " +
+          s"AS z FROM fx f, $wp w GROUP BY f.doc_id)" +
+          s", p$t AS MATERIALIZED (SELECT doc_id, y, " +
+          s"round(1.0 / (1.0 + exp(-z)), 6) AS p FROM z$t)" +
+          s", g$t AS (SELECT r.i AS bucket, coalesce(sum((p.p - p.y) " +
+          "* f.x), 0.0) / (SELECT m FROM mm) AS g " +
+          "FROM range(0, 65) r(i) " +
+          s"LEFT JOIN fx f ON f.bucket = r.i " +
+          s"LEFT JOIN p$t p ON p.doc_id = f.doc_id GROUP BY r.i)" +
+          s", gl$t AS (SELECT list(g ORDER BY bucket) AS gl FROM g$t)" +
+          s", w$t AS MATERIALIZED (SELECT list_transform(" +
+          "range(1, 66), i -> round(wp.w[i] - 6.0 * gl.gl[i], 6)) " +
+          s"AS w FROM $wp wp, gl$t gl)"
+      }.mkString
+      "WITH tk AS (SELECT doc_id, lang = 'en' AS tgt, " +
+        "string_split(text,' ') AS t FROM documents), " +
+        "g AS (SELECT doc_id, tgt, unnest(list_concat(t, " +
+        "CASE WHEN len(t) >= 2 THEN list_transform(" +
+        "generate_series(1, len(t) - 1), i -> array_to_string(" +
+        "list_slice(t, i, i + 1), ' ')) " +
+        "ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM tk), " +
+        "dc AS (SELECT doc_id, tgt, " +
+        "('0x' || substr(sha256(gram), 1, 8))::BIGINT % 64 AS bucket, " +
+        "count(*)::DOUBLE AS c FROM g GROUP BY 1, 2, 3), " +
+        "tot AS (SELECT doc_id, sum(c) AS n FROM dc GROUP BY doc_id), " +
+        // bias rides as feature 64 with x = 1 on every doc — one
+        // aggregation serves every gradient component (incl. bias)
+        "fx AS MATERIALIZED (SELECT dc.doc_id, dc.bucket, " +
+        "dc.c / tot.n AS x, CASE WHEN dc.tgt THEN 1.0 ELSE 0.0 END " +
+        "AS y FROM dc JOIN tot USING (doc_id) " +
+        "UNION ALL SELECT doc_id, 64 AS bucket, 1.0 AS x, " +
+        "CASE WHEN any_value(tgt) THEN 1.0 ELSE 0.0 END AS y " +
+        "FROM dc GROUP BY doc_id), " +
+        "mm AS (SELECT count(DISTINCT doc_id)::DOUBLE AS m FROM fx), " +
+        "w0 AS (SELECT list_transform(range(1, 66), x -> 0.0) AS w)" +
+        rounds +
+        " SELECT f.doc_id, any_value(f.y)::INT AS label, " +
+        "round(1.0 / (1.0 + exp(-round(" +
+        "sum(w.w[f.bucket + 1] * f.x), 6))), 6) AS score " +
+        "FROM fx f, w6 w GROUP BY f.doc_id ORDER BY f.doc_id"
+    })
 
   /** DSIR resampling report ([[Dsir.importanceWeights]] +
     * [[Dsir.resampleTopK]]): tilt the corpus toward an `en`-language

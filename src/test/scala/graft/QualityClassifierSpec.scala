@@ -7,6 +7,33 @@ import graft.ml.QualityClassifier
 /** Hashed-n-gram logistic quality classifier: separation, determinism,
   * and training guards. */
 class QualityClassifierSpec extends GraftSuite {
+
+  test("replayable logistic fit learns a ranking signal and is " +
+      "partition-invariant") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ml.DistributedLogReg.fitScoreReplayable(df, "doc_id",
+          "text", isTarget = col("lang") === "en", buckets = 64,
+          iters = 6, lr = 6.0)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val out = run(docs)
+    assert(out.length === docs.count())
+    // AUC: the lang signal is weak by corpus design, so the learning
+    // evidence is ranking separation over chance — 0.55 floor (the
+    // measured value is ~0.64 at sf0.001/0.01)
+    val pos = out.filter(_._2 == 1).map(_._3)
+    val neg = out.filter(_._2 == 0).map(_._3)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    val auc = pos.iterator.map(p =>
+      neg.count(n => p > n) + 0.5 * neg.count(n => p == n)).sum /
+      (pos.length.toDouble * neg.length)
+    assert(auc > 0.55, s"fit shows no ranking signal: auc=$auc")
+    // the q158 contract end-to-end: bit-identical at any partitioning
+    val re = run(docs.repartition(13))
+    assert(out.sortBy(_._1).toSeq === re.sortBy(_._1).toSeq)
+  }
   import spark.implicits._
 
   private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.01")
