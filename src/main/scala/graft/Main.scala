@@ -447,14 +447,7 @@ object Main {
     val comp = graft.operators.Compression.profile(docs, "doc_id", "text")
     val out = phrasesFile match {
       case Some(f) =>
-        // Using + distinct: leak-free read, and a repeated (or
-        // whitespace-variant) line must not trip Automaton's
-        // duplicate-phrases require — screening a phrase once is
-        // the obvious intent
-        val phrases = scala.util.Using.resource(
-            scala.io.Source.fromFile(f)) { src =>
-          src.getLines().map(_.trim).filter(_.nonEmpty).toSeq.distinct
-        }
+        val phrases = graft.operators.PhraseScreen.loadPhrases(f)
         val hits = graft.operators.PhraseScreen.screen(
           docs, "doc_id", "text", phrases)
         comp.join(hits, Seq("doc_id"))

@@ -243,6 +243,60 @@ object DistributedKMeans {
     if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
 
+  /** The REPLAYABLE k-sweep — M9/A9's oracle-able face (q189): fit
+    * every k under the q158 determinism contract (first-k-by-id init,
+    * fixed unrolled rounds, 6-dp centroid quantization), score each fit
+    * with WSSSE and the simplified silhouette, and apply the selection
+    * policy (max silhouette, smaller k on ties) — the n-way
+    * generalization of [[bisectOnce]]'s 2-way choice, with every number
+    * relationally verifiable. The seeded-k-means|| production sweep
+    * ([[sweepK]]) stays rows-only; THIS face pins sweep + scoring +
+    * argmax.
+    *
+    * Cross-engine determinism beyond the fit itself: WSSSE and the
+    * silhouette mean are order-sensitive double reductions, so each
+    * per-point term is quantized at 6 dp and summed as DECIMAL(20,6) —
+    * decimal addition is exact and order-insensitive (the q177
+    * contract) — then converted to double once at the end. Returns one
+    * row per k: (k, wssse, silhouette, chosen), ordered by k. */
+  def sweepKReplayable(points: DataFrame, idCol: String, vecCol: String,
+      ks: Seq[Int], iterations: Int = 3): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val vecs = points
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .persist()
+    val rows = ks.sorted.map { k =>
+      val (af, cents) = fit(vecs, "id", "v", k, iterations)
+      val wssse = af
+        .agg(sum(round(col("d2"), 6).cast(DecimalType(20, 6)))
+          .cast("double"))
+        .head().getDouble(0)
+      val sil = vecs.crossJoin(broadcast(cents))
+        .withColumn("dd", sqrt(sqDist(col("v"), col("cv"))))
+        .groupBy(col("id"))
+        .agg(sort_array(collect_list(col("dd"))).as("ds"))
+        .select(col("ds").getItem(0).as("a"), col("ds").getItem(1).as("b"))
+        .agg(
+          sum(round(when(greatest(col("a"), col("b")) > 0,
+            (col("b") - col("a")) / greatest(col("a"), col("b")))
+            .otherwise(lit(0.0)), 6).cast(DecimalType(20, 6)))
+            .cast("double").as("ss"),
+          count(lit(1)).as("n"))
+        .select(round(col("ss") / col("n"), 6))
+        .head().getDouble(0)
+      (k, wssse, sil)
+    }
+    vecs.unpersist()
+    // selection policy, total: max silhouette, smaller k on ties —
+    // applied to the already-quantized scores so any engine replays it
+    val bestK = rows.maxBy { case (k, _, s) => (s, -k) }._1
+    rows.map { case (k, w, s) => (k, w, s, k == bestK) }
+      .toDF("k", "wssse", "silhouette", "chosen")
+      .orderBy(col("k"))
+  }
+
   /** The reference's optimal-k sweep re-expressed for one huge corpus:
     * fit every k with the deterministic k-means|| seeding, score with
     * the simplified silhouette, report WSSSE for the elbow — the same

@@ -523,9 +523,21 @@ object Multimodal extends Serializable {
                                   p6 + 4)
                                 val n = ContainerMeta.be32At(bytes,
                                   p6 + 8).toInt
+                                // fixed-size branch: n comes straight
+                                // off untrusted bytes, so bound it like
+                                // the variable/stco/stsc branches do —
+                                // n samples of `fixed` bytes can't
+                                // exceed the file, else a declared
+                                // sample_count ~2^31 allocates GBs
+                                // outside the try/catch (OOM Error)
                                 sizes =
-                                  if (fixed != 0) Array.fill(n)(fixed)
-                                  else if (p6 + 12 + 4L * n <= e6)
+                                  if (fixed != 0) {
+                                    if (n > 0 && fixed > 0 &&
+                                        fixed * n.toLong <= bytes.length)
+                                      Array.fill(n)(fixed)
+                                    else Array.empty
+                                  }
+                                  else if (p6 + 12 + 4L * n <= e6 && n >= 0)
                                     Array.tabulate(n)(i => ContainerMeta
                                       .be32At(bytes, p6 + 12 + 4 * i))
                                   else Array.empty

@@ -90,6 +90,15 @@ object PhraseScreen extends Serializable {
     }
   }
 
+  /** Read a phrase-per-line blocklist file: trims, drops blank lines,
+    * and dedupes (a repeated or whitespace-variant line must not trip
+    * the Automaton's duplicate-phrases require — screening a phrase
+    * once is the obvious intent). Leak-free via Using. */
+  def loadPhrases(path: String): Seq[String] =
+    scala.util.Using.resource(scala.io.Source.fromFile(path)) { src =>
+      src.getLines().map(_.trim).filter(_.nonEmpty).toSeq.distinct
+    }
+
   /** Screen every document against the phrase list: returns (idCol,
     * hits, n_hits) with `hits` the SORTED distinct matched phrases
     * (empty array when clean) — deterministic, content-pure, and

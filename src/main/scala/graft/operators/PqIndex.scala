@@ -266,6 +266,72 @@ object PqIndex extends Serializable {
     scoreAdc(spark, queries, pruned, cb, topK)
   }
 
+  /** The REPLAYABLE PQ search — codebook fit + encode + ADC ranking
+    * under the q158 determinism contract, so every stage is
+    * relationally verifiable (the q188 oracle): per subspace, a
+    * [[graft.ml.DistributedKMeans.fit]] (init = first k subvectors by
+    * id, fixed unrolled rounds, 6-dp centroid quantization) both
+    * TRAINS the subspace codebook and ENCODES every vector (the fit's
+    * final argmin IS the first-min PQ code); queries (id < maxQueryId)
+    * score candidates with ADC — per subspace a k-row query-to-centroid
+    * distance table, per candidate m broadcast-join lookups summed
+    * left-to-right. The seeded-sample production path ([[train]]/
+    * [[adcTopK]]) keeps its LocalKMeans codebooks; THIS face pins the
+    * split → per-subspace-fit → code-lookup → ADC-sum pipeline.
+    * Returns (query_id, cand_id, adc_d2 rounded 6 dp, rk ≤ topK).
+    *
+    * 100 TB shape: codes never leave their partitions until the final
+    * per-query top-k; the m id-joins building the wide code table
+    * share one shuffle key (id), and every ADC join broadcasts a
+    * (queries × k)-row table. */
+  def adcTopKReplayable(points: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iterations: Int, maxQueryId: Long, topK: Int,
+      dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val vecs = points
+      .select(col(idCol).cast("long").as("id"),
+        Similarity.asDouble(col(vecCol)).as("v"))
+      .persist()
+    val parts = (0 until m).map { s =>
+      val sub = vecs.select($"id",
+        slice($"v", s * subDim + 1, subDim).as("v"))
+      val (af, cents) = graft.ml.DistributedKMeans.fit(
+        sub, "id", "v", k, iterations)
+      val codes = af.select($"id", $"cluster".as(s"c$s"))
+      val qd = sub.filter($"id" < maxQueryId)
+        .crossJoin(broadcast(cents))
+        .select($"id".as("qid"), $"c".as(s"c$s"),
+          aggregate(zip_with($"v", $"cv", (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x).as(s"t$s"))
+      (codes, qd)
+    }
+    // wide code table: one row per candidate, m code columns — the m
+    // joins share the id key (one co-partitioned exchange chain)
+    val wide = parts.map(_._1).reduceLeft(_.join(_, "id"))
+    // ADC: each subspace lookup is a broadcast join against the
+    // (queries × k)-row distance table; the first join introduces qid
+    val scored = parts.zipWithIndex.foldLeft(wide) {
+      case (acc, ((_, qd), s)) =>
+        if (s == 0) acc.join(broadcast(qd), Seq(s"c$s"))
+        else acc.join(broadcast(qd), Seq("qid", s"c$s"))
+    }
+    val adc = (0 until m).map(s => col(s"t$s")).reduceLeft(_ + _)
+    val w = Window.partitionBy($"qid").orderBy($"adc".asc, $"id".asc)
+    val out = scored.filter($"id" =!= $"qid")
+      .select($"qid", $"id", adc.as("adc"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= topK)
+      .select($"qid".as("query_id"), $"id".as("cand_id"),
+        round($"adc", 6).as("adc_d2"), $"rk")
+      .orderBy($"query_id", $"rk")
+    out.persist().count()
+    vecs.unpersist()
+    out
+  }
+
   /** Recall@k of the ADC short list against the exact (brute-force
     * squared-L2) top-k, with the quantization side served from PREBUILT
     * artifacts (codebook + codes — persisted or cached): only the exact

@@ -305,9 +305,15 @@ object CurationQueries {
     * inlining made the chain exponential (measured: >120 s inlined,
     * 0.14 s materialized). */
   private def bpeRoundsCte(k: Int): String = {
+    // symbols are spliced into a regex pattern/replacement, so quote
+    // them: regexp_escape for the pattern (a word containing . * ( +
+    // must match literally) and backslash-doubling for the replacement
+    // (RE2 treats \1 as a backref there)
     def rewrite(expr: String): String =
-      s"regexp_replace($expr, '\\|' || m.l || '\\|' || m.r || '\\|', " +
-        "'|' || m.l || m.r || '|')"
+      s"regexp_replace($expr, '\\|' || regexp_escape(m.l) || '\\|' || " +
+        "regexp_escape(m.r) || '\\|', " +
+        "'|' || replace(m.l, '\\', '\\\\') || " +
+        "replace(m.r, '\\', '\\\\') || '|')"
     val rounds = (1 to k).map { r =>
       val prev = s"w${r - 1}"
       val rew = (1 to 4).foldLeft("s") { (e, _) => rewrite(e) }
@@ -323,8 +329,17 @@ object CurationQueries {
     "WITH wc AS (SELECT w, count(*)::BIGINT AS c FROM (SELECT " +
       "unnest(string_split(text,' ')) AS w FROM documents) " +
       "WHERE len(w)>0 GROUP BY w), " +
+      // the 4-deep rewrite nesting covers at most 4 non-overlapping
+      // merge sites per word per round, which is exact only for words
+      // of <= 8 symbols — enforce that corpus invariant LOUDLY (a
+      // longer word would silently under-merge and surface as a
+      // spurious red gate instead of this targeted error)
+      "guard AS (SELECT CASE WHEN max(len(w)) > 8 THEN error(" +
+      "'bpe oracle: 4-deep rewrite assumes max word length 8') " +
+      "ELSE 1 END AS ok FROM wc), " +
       "w0 AS MATERIALIZED (SELECT w, c, '|' || " +
-      "array_to_string(string_split(w,''),'|') || '|' AS s FROM wc)" +
+      "array_to_string(string_split(w,''),'|') || '|' AS s " +
+      "FROM wc, guard)" +
       rounds
   }
 

@@ -16,7 +16,8 @@ object VectorQueries {
       q115PcaAnnRecall, q118PcaPerLabel, q148ArrayHof,
       q153ExactTopK, q154ExactL2TopK, q158KmeansLloyd, q159KmeansSweep,
       q180PcaPowerIteration, q181BisectOracled, q182GmmEmOracled,
-      q184SemdedupOracled, q185IvfOracled, q186PcaPerLabelOracled)
+      q184SemdedupOracled, q185IvfOracled, q186PcaPerLabelOracled,
+      q188PqOracled, q189SweepOracled)
 
   /** The GROUND-TRUTH half of every cosine recall gate
     * (q47/q64/q66/q115), served through the SAME per-JVM cache those
@@ -158,11 +159,12 @@ object VectorQueries {
     })
 
   /** Shared builder for a k-means Lloyd unroll as chained DuckDB CTEs
-    * (the q158 pattern parametrized by source CTE, name prefix and k):
-    * init = first k points of `src` by id, 3 rounds, 6-dp centroid
-    * re-quantization, final assignment CTE `<p>af` = (id, c, d2), final
-    * centroids `<p>c3` = (c, cv). */
-  private def lloydCte(src: String, p: String, k: Int): String = {
+    * (the q158 pattern parametrized by source CTE, name prefix, k and
+    * dimensionality): init = first k points of `src` by id, 3 rounds,
+    * 6-dp centroid re-quantization, final assignment CTE `<p>af` =
+    * (id, c, d2), final centroids `<p>c3` = (c, cv). */
+  private def lloydCte(src: String, p: String, k: Int,
+      dims: Int = 64): String = {
     def dist(cAlias: String): String =
       "list_sum(list_transform(range(1, len(p.v) + 1), " +
         s"i -> (p.v[i] - $cAlias.cv[i]) * (p.v[i] - $cAlias.cv[i])))"
@@ -175,7 +177,8 @@ object VectorQueries {
         s"FROM ${p}s$r) WHERE rk = 1)" +
         s", ${p}c$r AS (SELECT c, list(m ORDER BY pp) AS cv FROM " +
         s"(SELECT a.c, t.i AS pp, round(avg(a.v[t.i]), 6) AS m " +
-        s"FROM ${p}a$r a, range(1, 65) t(i) GROUP BY a.c, t.i) GROUP BY c)"
+        s"FROM ${p}a$r a, range(1, ${dims + 1}) t(i) " +
+        "GROUP BY a.c, t.i) GROUP BY c)"
     }.mkString
     s", ${p}c0 AS (SELECT id AS c, v AS cv FROM $src ORDER BY id " +
       s"LIMIT $k)" +
@@ -398,6 +401,104 @@ object VectorQueries {
         "round(cos_raw, 6) AS cos, rk FROM (SELECT *, row_number() " +
         "OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rk " +
         "FROM sc) WHERE rk <= 5 ORDER BY query_id, rk"
+    })
+
+  /** PQ/ADC search with a fully replayable pipeline — the ORACLED face
+    * of the q93/q94 product-quantization family (whose seeded-sample
+    * LocalKMeans codebooks stay rows-only), closing the last ANN family
+    * without a green fit row: [[graft.operators.PqIndex
+    * .adcTopKReplayable]] splits each 64-dim vector into m=4 16-dim
+    * subspaces, fits a k=4 codebook per subspace under the q158 Lloyd
+    * contract (first-4 init, 3 unrolled rounds, 6-dp centroid
+    * quantization — the fit's final argmin IS the first-min PQ code),
+    * then ranks candidates for queries id<5 by ADC: per subspace a
+    * 4-row query-to-centroid distance table, per candidate four
+    * broadcast-join lookups summed left-to-right (bit-identical to
+    * DuckDB's left-assoc `+` chain over the q154-proven list folds).
+    * DuckDB replays all four subspace fits, the code assignment, the
+    * ADC tables AND the ranking end-to-end. */
+  val q188PqOracled: GraftQuery = GraftQuery(
+    "q188_pq_oracled",
+    (s, d) => graft.operators.PqIndex.adcTopKReplayable(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      m = 4, k = 4, iterations = 3, maxQueryId = 5L, topK = 5),
+    Some {
+      val m = 4
+      val subDim = 16
+      def dist: String =
+        "list_sum(list_transform(range(1, len(p.v) + 1), " +
+          "i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i])))"
+      val slices = (0 until m).map { s =>
+        s", v$s AS MATERIALIZED (SELECT id, " +
+          s"v[${s * subDim + 1}:${(s + 1) * subDim}] AS v FROM v)" +
+          lloydCte(s"v$s", s"p$s", 4, subDim) +
+          s", qd$s AS (SELECT p.id AS qid, c.c, $dist AS d2 " +
+          s"FROM v$s p, p${s}c3 c WHERE p.id < 5)"
+      }.mkString
+      val wideJoins = (1 until m)
+        .map(s => s"JOIN p${s}af a$s USING (id) ").mkString
+      val adcJoins = (1 until m)
+        .map(s => s"JOIN qd$s t$s ON t$s.qid = t0.qid " +
+          s"AND t$s.c = w.c$s ").mkString
+      val adcSum = (0 until m).map(s => s"t$s.d2").mkString(" + ")
+      "WITH v AS MATERIALIZED (SELECT vec_id AS id, " +
+        "embedding::DOUBLE[] AS v FROM embeddings)" +
+        slices +
+        ", wide AS (SELECT a0.id, " +
+        (0 until m).map(s => s"a$s.c AS c$s").mkString(", ") +
+        s" FROM p0af a0 $wideJoins)" +
+        s", sc AS (SELECT t0.qid, w.id AS cid, $adcSum AS adc " +
+        s"FROM wide w JOIN qd0 t0 ON t0.c = w.c0 $adcJoins" +
+        "WHERE w.id != t0.qid) " +
+        "SELECT qid AS query_id, cid AS cand_id, round(adc, 6) " +
+        "AS adc_d2, rk FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY adc, cid) AS rk FROM sc) " +
+        "WHERE rk <= 5 ORDER BY query_id, rk"
+    })
+
+  /** The ORACLED k-sweep + selection — M9/A9's distributed face with a
+    * green row (q159's seeded production sweep stays rows-only):
+    * [[graft.ml.DistributedKMeans.sweepKReplayable]] fits k ∈ {2,3,4}
+    * under the q158 Lloyd contract, scores each fit with WSSSE and the
+    * simplified silhouette (per-point terms 6-dp-quantized and summed
+    * as DECIMAL(20,6) — the q177 order-insensitive reduction), and
+    * flags the policy winner (max silhouette, smaller k on ties).
+    * DuckDB replays all three fits, both scores AND the argmax — the
+    * n-way generalization of q181's 2-way selection replay. */
+  val q189SweepOracled: GraftQuery = GraftQuery(
+    "q189_sweep_oracled",
+    (s, d) => graft.ml.DistributedKMeans.sweepKReplayable(
+      Tables.embeddings(s, d)
+        .selectExpr("cast(vec_id as long) as id",
+          "cast(embedding as array<double>) as v"),
+      "id", "v", ks = Seq(2, 3, 4), iterations = 3),
+    Some {
+      def dist: String =
+        "list_sum(list_transform(range(1, len(p.v) + 1), " +
+          "i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i])))"
+      val perK = Seq(2, 3, 4).map { k =>
+        lloydCte("v", s"k$k", k) +
+          s", w$k AS (SELECT sum(round(d2, 6)::DECIMAL(20,6)) AS w " +
+          s"FROM k${k}af)" +
+          s", sd$k AS (SELECT p.id, sqrt($dist) AS dd " +
+          s"FROM v p, k${k}c3 c)" +
+          s", ab$k AS (SELECT id, (list_sort(list(dd)))[1] AS a, " +
+          s"(list_sort(list(dd)))[2] AS b FROM sd$k GROUP BY id)" +
+          s", s$k AS (SELECT sum(round(CASE WHEN greatest(a, b) > 0 " +
+          "THEN (b - a) / greatest(a, b) ELSE 0 END, 6)" +
+          s"::DECIMAL(20,6)) AS ss, count(*) AS n FROM ab$k)" +
+          s", r$k AS (SELECT $k AS k, (SELECT w FROM w$k)::DOUBLE " +
+          s"AS wssse, round((SELECT ss FROM s$k)::DOUBLE / " +
+          s"(SELECT n FROM s$k), 6) AS silhouette)"
+      }.mkString
+      "WITH v AS MATERIALIZED (SELECT vec_id AS id, " +
+        "embedding::DOUBLE[] AS v FROM embeddings)" +
+        perK +
+        ", allr AS (SELECT * FROM r2 UNION ALL SELECT * FROM r3 " +
+        "UNION ALL SELECT * FROM r4) " +
+        "SELECT k, wssse, silhouette, (row_number() OVER " +
+        "(ORDER BY silhouette DESC, k) = 1) AS chosen " +
+        "FROM allr ORDER BY k"
     })
 
   /** The reference's optimal-k search re-expressed for ONE huge corpus

@@ -105,6 +105,29 @@ class DistributedKMeansSpec extends GraftSuite {
     assert(ws === ws.sorted.reverse, s"wssse not decreasing: $sweep")
   }
 
+  test("sweepKReplayable: picks the planted k, falls in WSSSE, and is " +
+      "bit-identical across partition counts") {
+    def run(parts: Int): Seq[(Int, Double, Double, Boolean)] = {
+      val df = blobs.map { case (id, v, _) => (id, v) }
+        .toDF("id", "v").repartition(parts)
+      DistributedKMeans.sweepKReplayable(df, "id", "v",
+          ks = Seq(2, 3, 4), iterations = 3)
+        .collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+          r.getBoolean(3))).toSeq
+    }
+    val rows = run(3)
+    assert(rows.map(_._1) === Seq(2, 3, 4))
+    // exactly one winner, and it's the planted k=3
+    assert(rows.count(_._4) === 1)
+    assert(rows.find(_._4).get._1 === 3, s"chose wrong k: $rows")
+    // WSSSE decreasing in k (the elbow surface)
+    val ws = rows.map(_._2)
+    assert(ws === ws.sorted.reverse, s"wssse not decreasing: $rows")
+    // the decimal-sum contract: same numbers at any partitioning
+    assert(rows === run(8))
+  }
+
   test("bisectOnce splits the largest child and yields three " +
       "consistent, partition-invariant leaves") {
     val df = blobs.map { case (id, v, _) => (id, v) }.toDF("id", "v")

@@ -239,4 +239,17 @@ class DsirSpec extends GraftSuite {
     assert(counts.get(2L) === Some(1L))
     assert(counts.get(3L) === Some(3L))
   }
+
+  test("portable buckets are seedless by contract: non-zero seed throws " +
+      "instead of being silently ignored") {
+    val d = Seq((1L, "some text")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dsir.gramRows(d, "doc_id", "text", buckets = 64, seed = 7L,
+        portable = true)
+    }
+    // seed = 0 is the documented portable form and still works
+    // (2 unigrams + 1 bigram)
+    assert(Dsir.gramRows(d, "doc_id", "text", buckets = 64, seed = 0L,
+      portable = true).count() === 3L)
+  }
 }

@@ -962,6 +962,19 @@ class MultimodalSpec extends GraftSuite {
     val truncated = bytes.take(bytes.length / 2)
     assert(Multimodal.decodeMjpegMp4Frames(5L, truncated, 4).isEmpty ||
       Multimodal.decodeMjpegMp4Frames(5L, truncated, 4).get.nonEmpty)
+    // a malformed fixed-size stsz declaring sample_count ~2^31 must NOT
+    // attempt a multi-GB allocation (OutOfMemoryError is not an
+    // Exception — it would kill the task, not return None): patch the
+    // fixture's stsz in place to fixed=1024, count=Int.MaxValue
+    val evil = bytes.clone()
+    val stszAt = evil.indices.find(i => i + 4 <= evil.length &&
+      new String(evil, i, 4, "US-ASCII") == "stsz").get
+    def put32(at: Int, v: Long): Unit = (0 until 4).foreach { j =>
+      evil(at + j) = ((v >>> (8 * (3 - j))) & 0xff).toByte
+    }
+    put32(stszAt + 8, 1024L)              // sample_size (fixed branch)
+    put32(stszAt + 12, Int.MaxValue.toLong) // sample_count
+    assert(Multimodal.decodeMjpegMp4Frames(6L, evil, 4).isEmpty)
   }
 
   test("animated GIF frames decode for REAL: even sampling, true luma") {
@@ -1072,6 +1085,19 @@ class MultimodalSpec extends GraftSuite {
     val pairs = Dedup.hammingNearDups(sigs, maxHamming = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.toSeq === Seq((1L, 3L, 0)))
+  }
+
+  test("hammingNearDups rejects out-of-range budgets (64 would " +
+      "degenerate banding to an all-pairs cross join)") {
+    val s = spark
+    import s.implicits._
+    val sigs = Seq((1L, 0L), (2L, 1L)).toDF("doc_id", "sig")
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNearDups(sigs, maxHamming = 64)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNearDups(sigs, maxHamming = -1)
+    }
   }
 
   /** In-memory 16-bit mono PCM WAV of a sine wave — JDK-only fixture. */
@@ -1952,6 +1978,20 @@ class PhraseScreenSpec extends GraftSuite {
     intercept[IllegalArgumentException] {
       new PhraseScreen.Automaton(IndexedSeq("dup", "dup"))
     }
+  }
+
+  test("loadPhrases: trims, drops blanks, dedupes whitespace variants " +
+      "— an Automaton builds from any file") {
+    val f = java.io.File.createTempFile("phrases", ".txt")
+    f.deleteOnExit()
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try w.print("quick\n  brown \n\nquick\nbrown\n   \nfox\n")
+    finally w.close()
+    val phrases = PhraseScreen.loadPhrases(f.getPath)
+    assert(phrases === Seq("quick", "brown", "fox"))
+    // the point of the dedupe: this must NOT trip the duplicate require
+    val auto = new PhraseScreen.Automaton(phrases.toIndexedSeq)
+    assert(auto.matches("a quick fox") === Set(0, 2))
   }
 }
 

@@ -168,6 +168,56 @@ class PqSpec extends GraftSuite {
     assert(PqIndex.readIndex(spark, s"$dir/pq")._2.count() === e.count())
   }
 
+  test("replayable ADC search: correct shape, deterministic, and its " +
+      "ADC sums equal a hand-computed table lookup") {
+    val got = PqIndex.adcTopKReplayable(embeddings, "vec_id", "embedding",
+      m = 4, k = 4, iterations = 3, maxQueryId = 3L, topK = 5)
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.map(_._1).distinct.sorted.toSeq === Seq(0L, 1L, 2L))
+    assert(rows.groupBy(_._1).values.forall(_.map(_._4).sorted.toSeq
+      === Seq(1, 2, 3, 4, 5)))
+    assert(rows.forall { case (q, c, _, _) => q != c })
+    // per query, adc_dist is non-decreasing in rank
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+    // the replayable contract: a second run is bit-identical
+    val again = PqIndex.adcTopKReplayable(embeddings, "vec_id",
+        "embedding", m = 4, k = 4, iterations = 3, maxQueryId = 3L,
+        topK = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.toSeq === again.toSeq)
+    // and the per-subspace fits it composes are the q158 fit: rebuild
+    // the ADC sum for one (query, cand) pair by hand from the four
+    // subspace fits and compare
+    val vecs = embeddings.select($"vec_id".cast("long").as("id"),
+      Similarity.asDouble($"embedding").as("v"))
+    val subFits = (0 until 4).map { s =>
+      val sub = vecs.select($"id", slice($"v", s * 16 + 1, 16).as("v"))
+      val (af, cents) = graft.ml.DistributedKMeans.fit(
+        sub, "id", "v", k = 4, iterations = 3)
+      val code = af.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val cv = cents.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val qsub = sub.filter($"id" < 3).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      (code, cv, qsub)
+    }
+    val (q0, c0, adc0, _) = rows.minBy(r => (r._1, r._4))
+    val want = (0 until 4).map { s =>
+      val (code, cv, qsub) = subFits(s)
+      val qv = qsub(q0)
+      val ct = cv(code(c0))
+      qv.zip(ct).map { case (a, b) => (a - b) * (a - b) }
+        .foldLeft(0.0)(_ + _)
+    }.reduceLeft(_ + _)
+    assert(math.abs(math.rint(want * 1e6) / 1e6 - adc0) < 1e-9,
+      s"hand ADC $want vs $adc0")
+  }
+
   test("ADC recall@10 beats random by a wide margin") {
     // sf0.01: 500 candidates -> random recall@10 ≈ 10/499 ≈ 0.02
     val e01 = Tables.embeddings(spark, "/root/testdata/sf0.01")

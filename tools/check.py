@@ -87,16 +87,26 @@ def compare(exp, got):
     # r8) — this gate must fail the same class locally first. Any
     # nested cell in either frame is a harness-compat defect: oracled
     # queries must string-join lists (the q70 convention).
+    # Scan EVERY value (a first-row None/str with a later-row ndarray
+    # must still fail here, not in the driver), and whitelist the
+    # scalar object types DuckDB legitimately emits in object-dtype
+    # frames (date/datetime/Decimal/numpy scalars hash fine).
+    import datetime
+    import decimal
+    import numpy as np
+    scalar_ok = (str, bytes, bool, int, float, datetime.date,
+                 datetime.datetime, datetime.time, decimal.Decimal,
+                 np.generic)
     for c in ecols:
         for frame, side in ((exp, "oracle"), (got, "got")):
             if len(frame) and frame[c].dtype.kind == "O":
-                v = frame[c].iloc[0]
-                if v is not None and not isinstance(
-                        v, (str, bytes, bool, int, float)):
-                    return False, (f"col {c} ({side}) has nested cell "
-                                   f"type {type(v).__name__}: the driver "
-                                   f"harness cannot hash array/map cells"
-                                   f" — string-join it (q70 convention)")
+                for v in frame[c]:
+                    if v is not None and not isinstance(v, scalar_ok):
+                        return False, (
+                            f"col {c} ({side}) has nested cell type "
+                            f"{type(v).__name__}: the driver harness "
+                            f"cannot hash array/map cells — string-join "
+                            f"it (q70 convention)")
     for c in ecols:
         ev, gv = exp[c].tolist(), got[c].tolist()
         for i, (a, b) in enumerate(zip(ev, gv)):
