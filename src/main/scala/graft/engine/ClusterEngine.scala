@@ -253,6 +253,53 @@ object ClusterEngine extends Serializable {
       }
   }
 
+  /** The REPLAYABLE slice through the segmentation path (q190) — G1/G2's
+    * oracle-able face: the SAME one-shuffle pipeline as [[runNd]]
+    * (per-segment three-way scaling → `groupByKey.flatMapGroups` →
+    * in-task lexicographic sort → local fit), but with the seeded
+    * k-means++ kernel swapped for [[LocalKMeans.fitLloydQuantized]]
+    * (first-k-distinct init labelled by lex rank, fixed rounds, 6-dp
+    * HALF_UP centroid quantization) so every per-point assignment is
+    * relationally verifiable. The production path ([[run]]/[[runNd]])
+    * keeps its seed-search semantics; THIS face pins scaling +
+    * segmentation + sort + Lloyd in one green row. Segments with <2
+    * distinct points drop (the reference guard). Returns (ma, mi, id,
+    * cluster, d2) — cluster = the init point's 1-based lex rank. */
+  def runNdReplayable(df: DataFrame, macroCol: String, microCol: String,
+      metricCols: Seq[String], idCol: String, k: Int,
+      iterations: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scaled = Scaling.scaleSegments(df, macroCol, microCol, metricCols)
+    val vec = array(metricCols.map(c =>
+      col(Scaling.scaledName(c)).cast("double")): _*)
+    scaled.select(
+        col(macroCol).cast("string"),
+        col(microCol).cast("string"),
+        col(idCol).cast("long"),
+        vec.as("v"))
+      .as[(String, String, Long, Seq[Double])]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (String, String),
+          it: Iterator[(String, String, Long, Seq[Double])]) =>
+        // total in-task order: lexicographic on the scaled vector, id
+        // tie-break — the SQL replay's row_number(ORDER BY x, y, id)
+        val rows = it.map(t => (t._3, t._4.toArray)).toArray
+          .sortWith { (a, b) =>
+            val c = lexCompare(a._2, b._2)
+            if (c != 0) c < 0 else a._1 < b._1
+          }
+        LocalKMeans.fitLloydQuantized(rows.map(_._2), k, iterations) match {
+          case None => Iterator.empty
+          case Some((labels, d2s)) =>
+            rows.indices.iterator.map { i =>
+              (key._1, key._2, rows(i)._1, labels(i), d2s(i))
+            }
+        }
+      }
+      .toDF("ma", "mi", "id", "cluster", "d2")
+  }
+
   // ------------------------------------------------------------- spark.ml
 
   private def mlFit(df: DataFrame, k: Int, alg: String, seed: Long,

@@ -43,6 +43,66 @@ object LocalKMeans extends Serializable {
     s
   }
 
+  /** The REPLAYABLE per-segment Lloyd fit (q190's kernel) — the q158
+    * determinism contract applied to the in-JVM segment path: init =
+    * the first k DISTINCT points in the caller's order, each labelled
+    * with its 1-based position (so SQL can re-derive labels as lex
+    * row_numbers); fixed `iterations` rounds; every centroid
+    * coordinate re-quantized HALF_UP at 6 dp per round (BigDecimal —
+    * the same rounding Spark's and DuckDB's `round(x, 6)` apply to the
+    * non-negative scaled coordinates this face feeds it); argmin ties
+    * break on the lower label; a centroid that captures nothing drops
+    * out. Returns None for <2 distinct points (the reference's
+    * ≥2-distinct guard), else (label, final-d2) per point in input
+    * order. */
+  def fitLloydQuantized(points: Array[Array[Double]], k: Int,
+      iterations: Int): Option[(Array[Long], Array[Double])] = {
+    require(k >= 2 && iterations >= 1)
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    var i = 0
+    while (i < points.length && chosen.size < k) {
+      val key = points(i).toSeq
+      if (!seen(key)) { seen += key; chosen += (((i + 1).toLong, points(i))) }
+      i += 1
+    }
+    if (chosen.size < 2) return None
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var cents: Seq[(Long, Array[Double])] = chosen.toSeq // label-ascending
+    // first strict minimum in label order == ORDER BY d2, c
+    def assign(): Array[(Int, Double)] = points.map { p =>
+      var best = 0
+      var bd = sqdist(p, cents(0)._2)
+      var ci = 1
+      while (ci < cents.length) {
+        val dd = sqdist(p, cents(ci)._2)
+        if (dd < bd) { bd = dd; best = ci }
+        ci += 1
+      }
+      (best, bd)
+    }
+    for (_ <- 1 to iterations) {
+      val lab = assign()
+      // groupBy over ascending indices keeps in-group order = the
+      // caller's (lexicographic) order — the summation order contract
+      val byC = points.indices.groupBy(ix => lab(ix)._1)
+      cents = cents.indices.flatMap { ci =>
+        byC.get(ci).map { members =>
+          val dim = points(0).length
+          val nv = Array.tabulate(dim) { j =>
+            var s = 0.0
+            members.foreach(mi => s += points(mi)(j))
+            r6(s / members.size)
+          }
+          (cents(ci)._1, nv)
+        }
+      }
+    }
+    val fin = assign()
+    Some((fin.map(a => cents(a._1)._1), fin.map(_._2)))
+  }
+
   /** Lloyd's algorithm with k-means++ init. Deterministic for a given
     * (points-order, k, seed). k is capped at the number of distinct points.
     */

@@ -11,7 +11,7 @@ object SqlCoverageQueries2 {
   def all: Seq[GraftQuery] = Seq(q67Cube, q68ExplodeUnnest,
     q69AboveCustomerAvg, q70CollectList, q71Unpivot, q72FirstLast,
     q74ManySegments, q75BoolAggs, q76StatsAggs, q77TopKAgg,
-    q87GroupingId)
+    q87GroupingId, q190SegmentEngineOracled)
 
   /** CUBE over two dimensions with grouping-id disambiguation. */
   val q67Cube: GraftQuery = GraftQuery(
@@ -164,6 +164,76 @@ object SqlCoverageQueries2 {
       res.select(col("macroId"), col("microId"), col("k"),
         round(col("silhouette"), 4).as("silhouette"))
         .orderBy(col("macroId"), col("microId"))
+    })
+
+  /** The segmentation ENGINE path with a green row — G1/G2's first
+    * oracled face (q74's full k-search production path stays
+    * rows-only): [[graft.engine.ClusterEngine.runNdReplayable]] drives
+    * the SAME one-shuffle pipeline — per-(event_type × user-parity)
+    * three-way min–max scaling, `groupByKey.flatMapGroups`
+    * segmentation, in-task lexicographic sort — with the quantized
+    * first-k-distinct Lloyd kernel, and DuckDB replays ALL of it:
+    * the scaling arithmetic, the segment row_number order, the
+    * ≥2-distinct guard, the init selection, three Lloyd rounds and
+    * every final per-event assignment + distance. */
+  val q190SegmentEngineOracled: GraftQuery = GraftQuery(
+    "q190_segment_engine_oracled",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("bucket", ($"user_id" % 2).cast("string"))
+        .withColumn("uval", ($"user_id" % 97).cast("double"))
+      graft.engine.ClusterEngine.runNdReplayable(ev,
+          "event_type", "bucket", Seq("value", "uval"), "event_id",
+          k = 2, iterations = 3)
+        .select($"ma".as("macro_id"), $"mi".as("micro_id"),
+          $"id".as("event_id"), $"cluster", round($"d2", 6).as("d2"))
+        .orderBy($"macro_id", $"micro_id", $"event_id")
+    },
+    Some {
+      val rounds = (1 to 3).map { r =>
+        val prev = if (r == 1) "c0" else s"c${r - 1}"
+        s", s$r AS (SELECT p.ma, p.mi, p.rn, p.id, p.x, p.y, c.c, " +
+          "(p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy) " +
+          s"AS d2 FROM p0 p JOIN $prev c ON c.ma = p.ma AND c.mi = p.mi)" +
+          s", a$r AS (SELECT ma, mi, rn, id, x, y, c FROM (SELECT *, " +
+          "row_number() OVER (PARTITION BY ma, mi, rn ORDER BY d2, c) " +
+          s"AS rk FROM s$r) WHERE rk = 1)" +
+          s", c$r AS (SELECT ma, mi, c, round(avg(x), 6) AS cx, " +
+          s"round(avg(y), 6) AS cy FROM a$r GROUP BY ma, mi, c)"
+      }.mkString
+      "WITH e AS (SELECT event_type AS ma, (user_id % 2)::VARCHAR AS mi, " +
+        "event_id AS id, value::DOUBLE AS x0, " +
+        "(user_id % 97)::DOUBLE AS y0 FROM events " +
+        "WHERE value IS NOT NULL AND user_id IS NOT NULL), " +
+        "b AS (SELECT ma, mi, min(x0) AS mnx, max(x0) AS mxx, " +
+        "min(y0) AS mny, max(y0) AS mxy FROM e GROUP BY ma, mi), " +
+        "sc AS (SELECT e.ma, e.mi, e.id, " +
+        "CASE WHEN b.mxx - b.mnx > 0 THEN " +
+        "(e.x0 - b.mnx) / (b.mxx - b.mnx) * 100.0 ELSE 0.0 END AS x, " +
+        "CASE WHEN b.mxy - b.mny > 0 THEN " +
+        "(e.y0 - b.mny) / (b.mxy - b.mny) * 100.0 ELSE 0.0 END AS y " +
+        "FROM e JOIN b USING (ma, mi)), " +
+        "p1 AS MATERIALIZED (SELECT *, row_number() OVER " +
+        "(PARTITION BY ma, mi ORDER BY x, y, id) AS rn FROM sc), " +
+        "d0 AS (SELECT *, row_number() OVER " +
+        "(PARTITION BY ma, mi, x, y ORDER BY rn) AS dup FROM p1), " +
+        "ok AS (SELECT ma, mi FROM d0 WHERE dup = 1 GROUP BY ma, mi " +
+        "HAVING count(*) >= 2), " +
+        "p0 AS MATERIALIZED (SELECT p1.* FROM p1 JOIN ok " +
+        "USING (ma, mi)), " +
+        "c0 AS (SELECT ma, mi, rn AS c, x AS cx, y AS cy FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY ma, mi " +
+        "ORDER BY rn) AS ck FROM d0 WHERE dup = 1) WHERE ck <= 2)" +
+        rounds +
+        ", sf AS (SELECT p.ma, p.mi, p.rn, p.id, c.c, " +
+        "(p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy) " +
+        "AS d2 FROM p0 p JOIN c3 c ON c.ma = p.ma AND c.mi = p.mi) " +
+        "SELECT ma AS macro_id, mi AS micro_id, id AS event_id, " +
+        "c AS cluster, round(d2, 6) AS d2 FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY ma, mi, rn ORDER BY d2, c) " +
+        "AS rk FROM sf) WHERE rk = 1 " +
+        "ORDER BY macro_id, micro_id, event_id"
     })
 
   /** Boolean aggregates (every / any). */

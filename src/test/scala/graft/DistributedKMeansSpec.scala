@@ -128,6 +128,42 @@ class DistributedKMeansSpec extends GraftSuite {
     assert(rows === run(8))
   }
 
+  test("fitLloydQuantized: first-k-distinct init by lex rank, blob " +
+      "recovery, degenerate guard") {
+    import graft.ml.LocalKMeans
+    // sorted-by-x points: two tight groups; init = positions 1 and 2
+    // (first two DISTINCT values), labels are those 1-based ranks
+    val pts = Array(
+      Array(0.0, 0.0), Array(0.1, 0.0), Array(0.1, 0.0),
+      Array(9.9, 1.0), Array(10.0, 1.0))
+    val Some((labels, d2s)) = LocalKMeans.fitLloydQuantized(pts, 2, 3)
+    assert(labels.toSeq === Seq(1L, 1L, 1L, 2L, 2L))
+    assert(d2s.forall(_ < 1.0))
+    // <2 distinct points → None (the reference guard)
+    assert(LocalKMeans.fitLloydQuantized(
+      Array(Array(1.0), Array(1.0)), 2, 3).isEmpty)
+  }
+
+  test("runNdReplayable is partition-invariant and covers every " +
+      "surviving segment row") {
+    val df = blobs.map { case (id, v, blob) =>
+      (s"seg${id % 2}", "all", id, v(0), v(1), blob) }
+      .toDF("ma", "mi", "id", "x", "y", "blob")
+    def run(parts: Int) = graft.engine.ClusterEngine.runNdReplayable(
+        df.repartition(parts), "ma", "mi", Seq("x", "y"), "id",
+        k = 2, iterations = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._3).toSeq
+    val a = run(2)
+    assert(a.size === 90) // every input row assigned, both segments
+    assert(a === run(7))
+    // within each segment exactly two cluster labels (k=2, 3 blobs
+    // merged into 2 under the fixed-k fit)
+    a.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._4).distinct.size === 2)
+    }
+  }
+
   test("bisectOnce splits the largest child and yields three " +
       "consistent, partition-invariant leaves") {
     val df = blobs.map { case (id, v, _) => (id, v) }.toDF("id", "v")
