@@ -132,9 +132,27 @@ object Bench {
     // r4 briefly shipped [median,min] pairs, which left <4 queries of
     // headroom in the driver's ~2000-char capture window at 102 queries;
     // the min lives on in bench_detail.json for adjudication.
-    val qs = prefixes.zip(results)
+    //
+    // r10 trim: sub-0.15 s queries leave the per-query map and fold
+    // into ONE top-level "tail" summary (count, summed seconds, max) —
+    // at 181 queries the r9 line had ~14 queries of headroom left, and
+    // 39 registry queries sit under 0.15 s where the 1-dp entry carries
+    // no regression signal anyway (the trip-bar is >0.2 s). The
+    // per-query series for EVERY query, tail included, stays in
+    // bench_detail.json (the series of record); a tail query that
+    // regresses past the threshold simply reappears in the map. The
+    // summary is a top-level envelope key, NOT a fake entry inside
+    // "queries", so the driver's per-query ingestion never sees a
+    // non-query key or a non-scalar value.
+    val tailThreshold = 0.15
+    val (big, tail) = prefixes.zip(results)
+      .partition { case (_, (_, med, _, _)) => med >= tailThreshold }
+    val qs = big
       .map { case (k, (_, med, _, _)) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
+    val tailSum = tail.map(_._2._2).sum
+    val tailMax = if (tail.isEmpty) 0.0 else tail.map(_._2._2).max
+    val tailJson = f""""tail":{"lt":$tailThreshold%.2f,"n":${tail.size},"sec":$tailSum%.2f,"max":$tailMax%.2f}"""
     // Self-adjudication evidence on stderr (NOT the stdout capture — the
     // driver's ~2000-char window is reserved for the metric line): the
     // top movers' per-repeat samples in capture order, with per-repeat
@@ -157,11 +175,13 @@ object Bench {
     // adjudicable from the artifact itself
     val env = f""""load":[$loadStart%.1f,$loadEnd%.1f],"freeMb":$freeHeapMb"""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$repeats,$env,"queries":$qs,"sf":"$sfName"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$repeats,$env,$tailJson,"queries":$qs,"sf":"$sfName"}"""
     // Capture-window budget: the driver keeps ~2000 chars of stdout. Per
-    // query the line now spends len("\"NNN\":N.N,") ≈ 9.3 chars (numeric
-    // keys + 1dp, r9 — computed from the r8 medians: 1603 chars at 172
-    // queries, headroom to ~195); the fixed envelope is ~115 chars.
+    // emitted query the line spends len("\"NNN\":N.N,") ≈ 10 chars
+    // (numeric keys + 1dp); the sub-0.15 s tail (~39 queries, r9) folds
+    // into the fixed-cost "tail" envelope key, so headroom is ~215
+    // registry queries (r10 — measured 1813 chars at 181 queries
+    // without the fold); the fixed envelope is ~160 chars.
     // Past 1950 the stdout copy DEGRADES to the envelope + a pointer
     // (per-query medians remain in bench_result.json /
     // bench_detail.json, which always carry the full line) rather than
@@ -172,7 +192,7 @@ object Bench {
         System.err.println(s"[bench] metric line ${line.length} chars " +
           "exceeds the ~2000-char capture window — emitting total-only " +
           "on stdout; per-query medians in bench_result.json")
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$repeats,$env,"queries":{},"queries_in":"bench_result.json","sf":"$sfName"}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$repeats,$env,$tailJson,"queries":{},"queries_in":"bench_result.json","sf":"$sfName"}"""
       }
     // Belt and braces for the driver's parser: the bare line on stdout
     // (build.sbt routes forked output past sbt's `[info]` logger) AND a

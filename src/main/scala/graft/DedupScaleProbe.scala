@@ -156,6 +156,42 @@ object DedupScaleProbe {
     (total, per)
   }
 
+  /** Image + audio near-dup pair counts at replication m — the
+    * multimodal mirror of [[simhashCounts]]: the synthetic corpora
+    * ([[graft.multimodal.Multimodal.syntheticPng]]/[[graft.multimodal
+    * .Multimodal.syntheticWav]]) derive content from fmix64(doc_id), so
+    * replicating the ID SPACE (stride offsets) replicates the corpora
+    * with decorrelated signatures — each replica plants its own
+    * docId ≡ 1 (mod 40) twins, and a cross-replica Hamming ≤ 2 match
+    * is ~2⁻⁵⁰ per pair. Per-replica twin counts differ slightly (the
+    * mod-40 pattern shifts with the stride offset), so the gated
+    * invariant is ADDITIVITY: union pairs == Σ per-replica pairs — the
+    * banded join contributes zero cross-corpus term, i.e. growth is
+    * linear. Returns (imgTotal, imgPerReplica, audTotal,
+    * audPerReplica). */
+  def mmCounts(docs: DataFrame, m: Int): (Long, Seq[Long], Long, Seq[Long]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mm = graft.multimodal.Multimodal
+    val png = udf((id: Long) => mm.syntheticPng(id))
+    val wav = udf((id: Long) => mm.syntheticWav(id))
+    val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    def ids(r: Int): DataFrame =
+      docs.select((col("doc_id") + lit(r * stride)).as("doc_id"))
+    val all = (0 until m).map(ids).reduce(_ unionAll _)
+    def imgPairs(d: DataFrame): Long =
+      Dedup.hammingNearDups(
+        mm.imageDHashes(d.select($"doc_id", png($"doc_id").as("content"))),
+        maxHamming = 2).count()
+    def audPairs(d: DataFrame): Long =
+      Dedup.hammingNearDups(
+        mm.audioFingerprints(
+          d.select($"doc_id", wav($"doc_id").as("content"))),
+        maxHamming = 2).count()
+    (imgPairs(all), (0 until m).map(r => imgPairs(ids(r))),
+      audPairs(all), (0 until m).map(r => audPairs(ids(r))))
+  }
+
   /** Winnowing-candidate and containment-pair counts at replication m:
     * the affine-rotated replicas have DISJOINT shingle/gram spaces, so
     * for both operators cross-replica pairs are impossible and the
@@ -445,6 +481,21 @@ object DedupScaleProbe {
           val (rows, maxs) = qcCounts(docs, m)
           val secs = (System.nanoTime() - t0) / 1e9
           f""""x$m":{"docs":${nBase * m},"scored":$rows,"maxDistinctPerBase":$maxs,"secs":$secs%.2f}"""
+        }
+      else if (args.headOption.contains("--mm"))
+        // multimodal sweep: image + audio near-dup pairs must be
+        // EXACTLY additive across id-space replicas (checked here —
+        // a cross-replica pair means banded Hamming pairing leaks
+        // across decorrelated corpora); wall ~linear in the per-row
+        // codec work
+        Seq(1, 2, 3).map { m =>
+          val t0 = System.nanoTime()
+          val (iT, iP, aT, aP) = mmCounts(docs, m)
+          val secs = (System.nanoTime() - t0) / 1e9
+          require(iT == iP.sum, s"image pairs not additive: $iT vs $iP")
+          require(aT == aP.sum, s"audio pairs not additive: $aT vs $aP")
+          f""""x$m":{"docs":${nBase * m},"imgPairs":$iT,""" +
+            f""""audPairs":$aT,"secs":$secs%.2f}"""
         }
       else if (args.headOption.contains("--wn"))
         // winnowing + containment additivity sweep: disjoint replica

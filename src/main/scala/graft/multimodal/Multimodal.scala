@@ -36,6 +36,75 @@ object Multimodal extends Serializable {
       .withColumn("meta", struct(lit("application/octet-stream").as("mime"),
         length(col("content")).cast("long").as("n_bytes")))
 
+  /** Deterministic synthetic PNG for doc `docId` — the q167 fixture
+    * corpus, shared with the multimodal scale sweep (`--mm`): 9×8
+    * blocks of luma from the full murmur3 fmix64 of (docId, block)
+    * (the 2-round variant left a low-bit period that planted spurious
+    * Hamming-0 pairs — BASELINE.md r8), and every docId ≡ 1 (mod 40)
+    * carries a REPLICA of its predecessor's image at 2× resolution,
+    * +4 brightness, ±1 checkerboard dither — the perturbations dHash
+    * must absorb. Block values are multiples of 16, so the dither can
+    * never flip a gradient. */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false) // idempotent, JVM-wide
+    val base = if (docId % 40 == 1 && docId > 0) docId - 1 else docId
+    val twin = base != docId
+    val k = if (twin) 8 else 4 // replica at 2x resolution
+    val img = new java.awt.image.BufferedImage(9 * k, 8 * k,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (r <- 0 until 8; c <- 0 until 9) {
+      var h = base * 1000003L + r * 9 + c
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+      h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33
+      val v0 = ((h & 0xf) * 16).toInt
+      for (y <- r * k until (r + 1) * k; x <- c * k until (c + 1) * k) {
+        val dither = if (twin) 4 + (if ((x + y) % 2 == 0) 1 else -1)
+          else 0
+        val v = math.min(255, v0 + dither)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic PCM WAV for doc `docId` — the q170 fixture
+    * corpus (audio mirror of [[syntheticPng]]): a 65-segment square-
+    * wave envelope with segment amplitudes from fmix64(docId, seg);
+    * docId ≡ 1 (mod 40) carries its predecessor's clip at HALF volume
+    * and DOUBLE sample rate — the transforms the energy-contour hash
+    * absorbs (square carrier ⇒ window RMS = amplitude at any rate). */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val base = if (docId % 40 == 1 && docId > 0) docId - 1 else docId
+    val twin = base != docId
+    val rate = if (twin) 16000f else 8000f
+    val perSeg = if (twin) 320 else 160
+    val vol = if (twin) 0.5 else 1.0
+    val pcm = new Array[Byte](65 * perSeg * 2)
+    for (seg <- 0 until 65) {
+      var h = base * 9176213L + seg
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+      h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33
+      val amp = ((h & 0xf) * 0.05 + 0.05) * vol
+      for (j <- 0 until perSeg) {
+        val i = seg * perSeg + j
+        val sign = if (i % 2 == 0) 1 else -1
+        val sample = (sign * amp * 32767).toInt.toShort
+        pcm(2 * i) = (sample & 0xff).toByte
+        pcm(2 * i + 1) = ((sample >> 8) & 0xff).toByte
+      }
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, (65 * perSeg).toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Shannon entropy (bits/byte) of a payload — needs only the bytes,
     * shared by the real and fallback decode paths. */
   def byteEntropy(bytes: Array[Byte]): Double = {

@@ -18,7 +18,7 @@ object MLQueries {
   def all: Seq[GraftQuery] = Seq(q30ClusterLocal, q31ClusterMl,
     q32ClusterGmmMl, q33OptimalKLocal, q34CentroidRadius, q35SegmentGuard,
     q36ClusterBisecting, q37ClusterGmmLocal, q38TfIdf, q39Cluster3d,
-    q81Word2Vec)
+    q81Word2Vec, q191Word2VecOracled)
 
   private def lineitemConf = EngineConf(
     macroCol = "l_returnflag", microCol = "l_linestatus",
@@ -233,6 +233,96 @@ object MLQueries {
         lineitemConf.copy(iterNum = 1),
         Seq("l_quantity", "l_extendedprice", "l_discount"))
       flatten(res)
+    })
+
+  /** Word2vec training with a green row — the ORACLED face of q81
+    * ([[graft.ml.DistributedWord2Vec.fitReplayable]]), the last model
+    * family without one: 2 batch-GD rounds of skip-gram +
+    * deterministic negative sampling over the corpus (md5 init, md5
+    * negatives, 6-dp dot quantization before the sigmoid, 9-dp DECIMAL
+    * gradient sums, 6-dp round-boundary re-quantization). DuckDB
+    * replays tokenization, the vocabulary order, both init matrices,
+    * every pair + its negative draw, both gradients and both updates —
+    * all 8 components of every trained input vector hash-matched. */
+  val q191Word2VecOracled: GraftQuery = GraftQuery(
+    "q191_word2vec_oracled",
+    (s, d) => graft.ml.DistributedWord2Vec.fitReplayable(
+      Tables.documents(s, d), "doc_id", "text",
+      dim = 8, minCount = 5, rounds = 2, lr = 0.5),
+    Some {
+      val dim = 8
+      def vecCtes(r: Int): String =
+        s", uvec$r AS (SELECT w, list(x ORDER BY j) AS u FROM u$r " +
+          "GROUP BY w)" +
+          s", vvec$r AS (SELECT w, list(x ORDER BY j) AS v FROM v$r " +
+          "GROUP BY w)"
+      val rounds = (1 to 2).map { r =>
+        val p = r - 1
+        s", s$r AS MATERIALIZED (SELECT c, o, nw, " +
+          "round(1.0 / (1.0 + exp(-round(dpos, 6))), 6) - 1.0 AS gpos, " +
+          "round(1.0 / (1.0 + exp(-round(dneg, 6))), 6) AS gneg FROM (" +
+          "SELECT pr.c, pr.o, pr.nw, " +
+          s"list_sum(list_transform(range(1, ${dim + 1}), " +
+          "i -> uc.u[i] * vo.v[i])) AS dpos, " +
+          s"list_sum(list_transform(range(1, ${dim + 1}), " +
+          "i -> uc.u[i] * vn.v[i])) AS dneg " +
+          s"FROM pr, uvec$p uc, vvec$p vo, vvec$p vn " +
+          "WHERE uc.w = pr.c AND vo.w = pr.o AND vn.w = pr.nw))" +
+          s", gu$r AS (SELECT w, j, " +
+          "sum(round(t, 9)::DECIMAL(28,9))::DOUBLE AS g, " +
+          "count(*) AS cnt FROM (" +
+          s"SELECT s.c AS w, t.j, s.gpos * vo.v[t.j + 1] + " +
+          s"s.gneg * vn.v[t.j + 1] AS t " +
+          s"FROM s$r s, vvec$p vo, vvec$p vn, range(0, $dim) t(j) " +
+          "WHERE vo.w = s.o AND vn.w = s.nw) GROUP BY w, j)" +
+          s", gvt$r AS (SELECT s.o AS w, t.j, s.gpos * uc.u[t.j + 1] " +
+          s"AS t FROM s$r s, uvec$p uc, range(0, $dim) t(j) " +
+          "WHERE uc.w = s.c " +
+          s"UNION ALL SELECT s.nw AS w, t.j, s.gneg * uc.u[t.j + 1] " +
+          s"AS t FROM s$r s, uvec$p uc, range(0, $dim) t(j) " +
+          "WHERE uc.w = s.c)" +
+          s", gv$r AS (SELECT w, j, " +
+          "sum(round(t, 9)::DECIMAL(28,9))::DOUBLE AS g, " +
+          "count(*) AS cnt " +
+          s"FROM gvt$r GROUP BY w, j)" +
+          s", u$r AS MATERIALIZED (SELECT u.w, u.j, " +
+          "round(u.x - 0.5 * coalesce(g.g / g.cnt, 0.0), 6) AS x " +
+          s"FROM u$p u LEFT JOIN gu$r g ON g.w = u.w AND g.j = u.j)" +
+          s", v$r AS MATERIALIZED (SELECT v.w, v.j, " +
+          "round(v.x - 0.5 * coalesce(g.g / g.cnt, 0.0), 6) AS x " +
+          s"FROM v$p v LEFT JOIN gv$r g ON g.w = v.w AND g.j = v.j)" +
+          vecCtes(r)
+      }.mkString
+      "WITH tk AS MATERIALIZED (SELECT doc_id, p.i - 1 AS pos, " +
+        "p.w AS w FROM (SELECT doc_id, unnest(list_transform(" +
+        "generate_series(1, len(ws)), i -> {'i': i, 'w': ws[i]})) AS p " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS ws " +
+        "FROM documents)) WHERE len(p.w) > 0), " +
+        "vs AS MATERIALIZED (SELECT w, row_number() OVER " +
+        "(ORDER BY n DESC, w) - 1 AS idx FROM (SELECT w, count(*) " +
+        "AS n FROM tk GROUP BY w HAVING count(*) >= 5)), " +
+        "vc AS (SELECT count(*) AS v FROM vs), " +
+        s"u0 AS MATERIALIZED (SELECT w, t.j, ((('0x' || " +
+        "substr(md5(w || '|u|' || t.j::VARCHAR), 1, 6))::BIGINT " +
+        s"/ 16777215.0 - 0.5) / $dim.0) AS x FROM vs, " +
+        s"range(0, $dim) t(j)), " +
+        s"v0 AS MATERIALIZED (SELECT w, t.j, ((('0x' || " +
+        "substr(md5(w || '|v|' || t.j::VARCHAR), 1, 6))::BIGINT " +
+        s"/ 16777215.0 - 0.5) / $dim.0) AS x FROM vs, " +
+        s"range(0, $dim) t(j)), " +
+        "tv AS (SELECT tk.doc_id, tk.pos, tk.w FROM tk " +
+        "JOIN vs USING (w)), " +
+        "pr AS MATERIALIZED (SELECT p.c, p.o, vs2.w AS nw FROM (" +
+        "SELECT a.doc_id, a.pos, a.w AS c, b.w AS o, " +
+        "('0x' || substr(md5(a.w || '|' || b.w || '|' || " +
+        "a.doc_id::VARCHAR || '|' || a.pos::VARCHAR), 1, 8))::BIGINT " +
+        "% (SELECT v FROM vc) AS nidx " +
+        "FROM tv a JOIN tv b ON b.doc_id = a.doc_id " +
+        "AND b.pos = a.pos + 1) p JOIN vs vs2 ON vs2.idx = p.nidx)" +
+        vecCtes(0) +
+        rounds +
+        " SELECT w AS word, j, round(x, 6) AS u FROM u2 " +
+        "ORDER BY word, j"
     })
 
   /** Train word embeddings on the corpus (spark.ml Word2Vec, seed-pinned,

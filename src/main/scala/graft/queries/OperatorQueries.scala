@@ -761,35 +761,9 @@ object OperatorQueries {
     "q167_image_neardups",
     (s, d) => {
       import s.implicits._
-      val png = udf((docId: Long) => {
-        javax.imageio.ImageIO.setUseCache(false) // idempotent, JVM-wide
-        val base = if (docId % 40 == 1 && docId > 0) docId - 1 else docId
-        val twin = base != docId
-        val k = if (twin) 8 else 4 // replica at 2x resolution
-        val img = new java.awt.image.BufferedImage(9 * k, 8 * k,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        for (r <- 0 until 8; c <- 0 until 9) {
-          // block luma: multiples of 16 in [0,240] from a seeded hash —
-          // adjacent blocks are either equal or ≥16 apart, so the +4
-          // brightness and ±1 dither below can never flip a gradient.
-          // Full murmur3 fmix64: the 2-round variant leaves a low-bit
-          // period (bases 152 apart produced IDENTICAL nibble streams
-          // → hundreds of spurious Hamming-0 pairs at sf0.01)
-          var h = base * 1000003L + r * 9 + c
-          h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
-          h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33
-          val v0 = ((h & 0xf) * 16).toInt
-          for (y <- r * k until (r + 1) * k; x <- c * k until (c + 1) * k) {
-            val dither = if (twin) 4 + (if ((x + y) % 2 == 0) 1 else -1)
-              else 0
-            val v = math.min(255, v0 + dither)
-            img.setRGB(x, y, (v << 16) | (v << 8) | v)
-          }
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        bos.toByteArray
-      })
+      // synthesis shared with the --mm scale sweep (see
+      // [[Multimodal.syntheticPng]] for the fmix64 + twin contract)
+      val png = udf((docId: Long) => Multimodal.syntheticPng(docId))
       val imgs = Tables.documents(s, d)
         .select($"doc_id", png($"doc_id").as("content"))
       val sigs = Multimodal.imageDHashes(imgs)
@@ -811,36 +785,9 @@ object OperatorQueries {
     "q170_audio_neardups",
     (s, d) => {
       import s.implicits._
-      val wav = udf((docId: Long) => {
-        val base = if (docId % 40 == 1 && docId > 0) docId - 1 else docId
-        val twin = base != docId
-        val rate = if (twin) 16000f else 8000f
-        val perSeg = if (twin) 320 else 160
-        val vol = if (twin) 0.5 else 1.0
-        val pcm = new Array[Byte](65 * perSeg * 2)
-        for (seg <- 0 until 65) {
-          var h = base * 9176213L + seg
-          h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
-          h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33
-          val amp = ((h & 0xf) * 0.05 + 0.05) * vol
-          for (j <- 0 until perSeg) {
-            val i = seg * perSeg + j
-            val sign = if (i % 2 == 0) 1 else -1
-            val sample = (sign * amp * 32767).toInt.toShort
-            pcm(2 * i) = (sample & 0xff).toByte
-            pcm(2 * i + 1) = ((sample >> 8) & 0xff).toByte
-          }
-        }
-        val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1,
-          true, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt,
-          (65 * perSeg).toLong)
-        val out = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-        out.toByteArray
-      })
+      // synthesis shared with the --mm scale sweep (see
+      // [[Multimodal.syntheticWav]] for the fmix64 + twin contract)
+      val wav = udf((docId: Long) => Multimodal.syntheticWav(docId))
       val clips = Tables.documents(s, d)
         .select($"doc_id", wav($"doc_id").as("content"))
       val sigs = Multimodal.audioFingerprints(clips)

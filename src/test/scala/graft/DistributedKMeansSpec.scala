@@ -229,3 +229,57 @@ class DistributedKMeansSpec extends GraftSuite {
       "plan depth grew with iterations across the cadence boundary")
   }
 }
+
+/** The replayable word2vec face behind q191: batch-GD SGNS with md5
+  * init/negatives and the quantized-reduction contract — deterministic
+  * at any partitioning, and training must IMPROVE the SGNS objective
+  * (positive-pair sigmoid rises, negative-pair sigmoid falls). */
+class DistributedWord2VecSpec extends GraftSuite {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("bit-identical across partition counts") {
+    def run(parts: Int) = graft.ml.DistributedWord2Vec.fitReplayable(
+        docs.repartition(parts), "doc_id", "text",
+        dim = 8, minCount = 5, rounds = 2, lr = 0.5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      .toSeq
+    val a = run(3)
+    assert(a.nonEmpty && a.size % 8 === 0)
+    assert(a === run(11))
+  }
+
+  test("training rises the positive-pair sigmoid and sinks the " +
+      "negative draw — the SGNS objective actually improves") {
+    val w2v = graft.ml.DistributedWord2Vec
+    def meanSig(rounds: Int): (Double, Double) = {
+      val (u, v, pairs) = w2v.fitMatrices(docs, "doc_id", "text",
+        dim = 8, minCount = 5, rounds = rounds, lr = 0.5)
+      def vec(m: org.apache.spark.sql.DataFrame, n: String) = m
+        .groupBy($"w")
+        .agg(array_sort(collect_list(struct($"j", $"x"))).as("p"))
+        .select($"w", transform($"p", e => e.getField("x")).as(n))
+      val dot = (a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =>
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
+          (acc, x) => acc + x)
+      val r = pairs
+        .join(vec(u, "uc").select($"w".as("c"), $"uc"), "c")
+        .join(vec(v, "vo").select($"w".as("o"), $"vo"), "o")
+        .join(vec(v, "vn").select($"w".as("nw"), $"vn"), "nw")
+        .agg(
+          avg(lit(1.0) / (lit(1.0) + exp(-dot($"uc", $"vo")))).as("p"),
+          avg(lit(1.0) / (lit(1.0) + exp(-dot($"uc", $"vn")))).as("n"))
+        .head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // rounds = 1 vs 2: more training => positives score higher,
+    // negatives lower (the loss the GD rounds descend)
+    val (p1, n1) = meanSig(1)
+    val (p2, n2) = meanSig(2)
+    assert(p2 > p1, s"positive sigmoid did not rise: $p1 -> $p2")
+    assert(n2 < n1, s"negative sigmoid did not fall: $n1 -> $n2")
+  }
+}

@@ -1591,6 +1591,20 @@ class DedupScaleSpec extends GraftSuite {
     assert(m3 === 1L, s"3x corpus: $m3 distinct scores for one doc")
   }
 
+  test("image and audio near-dup pairs are EXACTLY additive across " +
+      "id-space replicas — zero cross-corpus term") {
+    // per-replica twin counts shift with the stride offset (the mod-40
+    // pattern), so the gated invariant is additivity, like --simhash:
+    // decorrelated fmix64 signatures mean the banded Hamming join must
+    // add no cross-replica pair
+    val docs = Tables.documents(spark, sf)
+    val (iT, iP, aT, aP) = graft.DedupScaleProbe.mmCounts(docs, 2)
+    assert(iP.forall(_ > 0), s"a replica planted no image pairs: $iP")
+    assert(aP.forall(_ > 0), s"a replica planted no audio pairs: $aP")
+    assert(iT === iP.sum, s"image cross-replica leak: $iT != sum $iP")
+    assert(aT === aP.sum, s"audio cross-replica leak: $aT != sum $aP")
+  }
+
   test("SemDedup recovers every planted clone at 1× and 4× replication") {
     // per-replica orthogonal transforms keep within-replica cosines
     // exact, cluster count scales with the corpus (16·m) — so planted
