@@ -124,7 +124,9 @@ object DistributedWord2Vec {
           (sig6(dot($"uc", $"vo")) - lit(1.0)).as("gpos"),
           sig6(dot($"uc", $"vn")).as("gneg"))
         .persist()
-      scored.count()
+      // no count() here: the u-update's job populates this cache and
+      // the v-update reads it — an eager count would be one extra full
+      // pair scan per round
       // u-gradient: per (center, j), Σ round(gpos·vo[j] + gneg·vn[j], 9)
       // per-word MEAN gradients (sum/count): a summed batch gradient
       // scales with word frequency and lr·Σ overshoots (measured: the

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: fuse a lexical ranking (BM25, [[Bm25.topK]]) with
+  * a semantic ranking (exact cosine over the embedding column) by
+  * Reciprocal Rank Fusion — `rrf(d) = Σ_legs 1/(c + rank_leg(d))`
+  * (Cormack, Clarke & Buettcher, SIGIR'09), the standard zero-tuning
+  * fusion for RAG / retrieval-augmented training-data pipelines.
+  *
+  * Everything is rank arithmetic on two small top-k lists, so the
+  * fusion is exactly replayable in SQL (q192): both legs are already
+  * oracled shapes (q160 BM25, q153 cosine top-k), ranks are ints, and
+  * the RRF sum is two IEEE terms added in a fixed order. 100 TB shape:
+  * each leg prunes to its own top-k before the fuse — the full-outer
+  * join runs on ≤ 2k rows regardless of corpus size, and the semantic
+  * leg scales via the ANN index stack (IVF/PQ) when brute cosine
+  * stops being the right tool.
+  */
+object Retrieval {
+
+  /** RRF-fuse two (doc_id, rk) rankings; missing legs contribute 0.
+    * Returns (doc_id, rrf, rk) — top `k` by (rrf DESC, doc_id). */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, k: Int,
+      c: Int = 60): DataFrame = {
+    val fused = lex.select(col("doc_id"), col("rk").as("rk_lex"))
+      .join(sem.select(col("doc_id"), col("rk").as("rk_sem")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(c.toDouble) + col("rk_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("rk_sem")), lit(0.0)))
+          .as("rrf"))
+    fused
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), round(col("rrf"), 6).as("rrf"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
+  /** The full hybrid query: BM25 top-`legK` for `queryTerms` fused with
+    * cosine top-`legK` around the embedding of `queryVecId` (the query
+    * document itself is excluded from the semantic leg). */
+  def hybridTopK(docs: DataFrame, embeddings: DataFrame,
+      queryTerms: Seq[String], queryVecId: Long, k: Int,
+      legK: Int = 20): DataFrame = {
+    val lex = Bm25.topK(docs, "doc_id", "text", queryTerms, legK)
+    val vecs = embeddings.select(col("vec_id").cast("long").as("doc_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val qv = vecs.filter(col("doc_id") === queryVecId)
+      .select(col("v").as("qv"))
+    val sem = vecs.filter(col("doc_id") =!= queryVecId)
+      .crossJoin(broadcast(qv))
+      .select(col("doc_id"),
+        Similarity.cosine(col("v"), col("qv")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))))
+      .filter(col("rk") <= legK)
+    rrfFuse(lex, sem, k)
+  }
+}

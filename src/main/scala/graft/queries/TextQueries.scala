@@ -12,7 +12,8 @@ object TextQueries {
   def all: Seq[GraftQuery] = Seq(q20TokenStats, q21DedupExact,
     q22DedupPrefixKey, q23StopwordRatio, q96PiiRedact, q97Repetition,
     q98Contamination, q114OovRate, q119UnigramLogProb, q150NfcNormalize,
-    q160Bm25TopK, q169PhraseScreen, q171CompressionGate)
+    q160Bm25TopK, q169PhraseScreen, q171CompressionGate,
+    q192HybridRrf, q193Decontaminate)
 
   /** Compression-ratio quality gate
     * ([[graft.operators.Compression.profile]]): deflate(text)/|text|
@@ -106,6 +107,91 @@ object TextQueries {
         "SELECT doc_id, score, row_number() OVER " +
         "(ORDER BY score DESC, doc_id) AS rk FROM sc " +
         "ORDER BY score DESC, doc_id LIMIT 20"))
+
+  /** Hybrid retrieval ([[graft.operators.Retrieval.hybridTopK]]):
+    * BM25 top-20 (q160's exact leg) fused with exact-cosine top-20
+    * around document 0's embedding by Reciprocal Rank Fusion
+    * (1/(60+rank) per leg, missing legs contribute 0) — the standard
+    * zero-tuning hybrid for RAG-style pipelines. Fully oracled: both
+    * legs are already-proven replayable shapes and RRF is rank
+    * arithmetic, so DuckDB re-derives the lexical scores, the cosine
+    * ranking, the full-outer fuse and the final top-10. */
+  val q192HybridRrf: GraftQuery = GraftQuery(
+    "q192_hybrid_rrf",
+    (s, d) => graft.operators.Retrieval.hybridTopK(
+      Tables.documents(s, d), Tables.embeddings(s, d),
+      queryTerms = Seq("customer", "vector", "window", "merge"),
+      queryVecId = 0L, k = 10),
+    Some(
+      // lexical leg = q160's CTE verbatim (k = 20)
+      "WITH st AS (SELECT count(*)::DOUBLE AS n, " +
+        "avg(len(string_split(text,' ')))::DOUBLE AS avgdl " +
+        "FROM documents), " +
+        "tok AS (SELECT doc_id, " +
+        "len(string_split(text,' '))::DOUBLE AS dl, " +
+        "unnest(string_split(text,' ')) AS t FROM documents), " +
+        "tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf, " +
+        "any_value(dl) AS dl FROM tok " +
+        "WHERE t IN ('customer','vector','window','merge') " +
+        "GROUP BY doc_id, t), " +
+        "df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t), " +
+        "sc AS (SELECT doc_id, round(sum(round(" +
+        "ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) * " +
+        "tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))" +
+        ", 6)), 4) AS score " +
+        "FROM tf JOIN df USING (t), st GROUP BY doc_id), " +
+        "lex AS (SELECT doc_id, row_number() OVER " +
+        "(ORDER BY score DESC, doc_id) AS rk FROM sc " +
+        "ORDER BY score DESC, doc_id LIMIT 20), " +
+        // semantic leg: exact cosine vs doc 0's embedding (q153 kernel)
+        "v AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v " +
+        "FROM embeddings), " +
+        "q AS (SELECT v AS qv FROM v WHERE doc_id = 0), " +
+        "semsc AS (SELECT v.doc_id, " +
+        "list_dot_product(v.v, q.qv) / (sqrt(list_dot_product(v.v, v.v)) " +
+        "* sqrt(list_dot_product(q.qv, q.qv))) AS cos " +
+        "FROM v, q WHERE v.doc_id != 0), " +
+        "sem AS (SELECT doc_id, row_number() OVER " +
+        "(ORDER BY cos DESC, doc_id) AS rk FROM semsc " +
+        "ORDER BY cos DESC, doc_id LIMIT 20), " +
+        "fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, " +
+        "coalesce(1.0 / (60.0 + lex.rk), 0.0) + " +
+        "coalesce(1.0 / (60.0 + sem.rk), 0.0) AS rrf " +
+        "FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id) " +
+        "SELECT doc_id, round(rrf, 6) AS rrf, rk FROM (" +
+        "SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk " +
+        "FROM fused) WHERE rk <= 10 ORDER BY rk"))
+
+  /** Benchmark decontamination ([[graft.operators.Decontaminate
+    * .overlapReport]]): training docs sharing any 4-token gram with
+    * the held-out slice (doc_id ≡ 0 mod 97 — the stand-in eval set),
+    * with per-doc evidence (distinct shared grams, distinct eval docs
+    * matched). w = 4 fits this corpus's short synthetic docs; real
+    * pipelines run 8–13 (the operator's default is 8). Fully oracled:
+    * grams are plain token strings, counts are exact ints. */
+  val q193Decontaminate: GraftQuery = GraftQuery(
+    "q193_decontaminate",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      graft.operators.Decontaminate.overlapReport(
+        docs.filter($"doc_id" % 97 =!= 0),
+        docs.filter($"doc_id" % 97 === 0),
+        "doc_id", "text", w = 4)
+    },
+    Some(
+      "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws " +
+        "FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, " +
+        "unnest(list_transform(generate_series(1, " +
+        "greatest(0, len(ws) - 3)), i -> array_to_string(" +
+        "list_slice(ws, i, i + 3), ' '))) AS gram FROM d)), " +
+        "ev AS (SELECT gram, doc_id AS eval_id FROM g " +
+        "WHERE doc_id % 97 = 0) " +
+        "SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_grams, " +
+        "count(DISTINCT ev.eval_id) AS n_eval_docs " +
+        "FROM g JOIN ev USING (gram) WHERE g.doc_id % 97 != 0 " +
+        "GROUP BY g.doc_id ORDER BY g.doc_id"))
 
   /** Token counting: whitespace tokens, distinct tokens, char length. */
   val q20TokenStats: GraftQuery = GraftQuery(

@@ -2084,3 +2084,73 @@ class KeepBestSpec extends GraftSuite {
     assert(best === canon)
   }
 }
+
+class RetrievalSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.operators.Retrieval
+
+  test("rrfFuse matches the hand-computed RRF on a tiny case, " +
+      "missing legs contribute zero") {
+    val lex = Seq((10L, 1), (20L, 2)).toDF("doc_id", "rk")
+    val sem = Seq((20L, 1), (30L, 2)).toDF("doc_id", "rk")
+    val got = Retrieval.rrfFuse(lex, sem, k = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    // B(20) in both legs wins; A(10) lex-only beats C(30) sem-only
+    // (rank 1 vs rank 2)
+    assert(got.map(_._1).toSeq === Seq(20L, 10L, 30L))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(0)._2 === r6(1.0 / 61 + 1.0 / 62))
+    assert(got(1)._2 === r6(1.0 / 61))
+    assert(got(2)._2 === r6(1.0 / 62))
+  }
+
+  test("hybridTopK excludes the query doc from the semantic leg and " +
+      "returns exactly k fused rows") {
+    val got = Retrieval.hybridTopK(
+      Tables.documents(spark, sf), Tables.embeddings(spark, sf),
+      queryTerms = Seq("customer", "vector"), queryVecId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(got.length === 10)
+    assert(got.map(_._3).toSeq === (1 to 10))
+    // doc 0 can reach the list through the LEXICAL leg only — if
+    // present its rrf must be a pure single-leg value (< 1/60 once),
+    // never carrying a semantic rank-1 self-match (which would give
+    // it 1/61 + lex and near-certain first place)
+    got.find(_._1 == 0L).foreach { case (_, rrf, _) =>
+      assert(rrf <= 1.0 / 61 + 1e-9, s"doc 0 scored both legs: $rrf")
+    }
+  }
+}
+
+class DecontaminateSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.operators.Decontaminate
+
+  test("flags exactly the docs sharing a w-gram, with exact evidence " +
+      "counts; short docs emit no grams") {
+    val evalSet = Seq(
+      (1000L, "alpha beta gamma delta epsilon"),
+      (2000L, "one two three four")).toDF("doc_id", "text")
+    val train = Seq(
+      // shares "alpha beta gamma delta" AND "beta gamma delta epsilon"
+      (1L, "x alpha beta gamma delta epsilon y"),
+      // shares one gram with EACH eval doc
+      (2L, "one two three four alpha beta gamma delta"),
+      (3L, "nothing in common with anything here"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val got = Decontaminate.overlapReport(train, evalSet,
+        "doc_id", "text", w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1L), (2L, 2L, 2L)))
+  }
+
+  test("gram stream is content-pure and deduplicated per doc") {
+    // a doc repeating the same 4-gram contributes it ONCE
+    val evalSet = Seq((9L, "a b c d")).toDF("doc_id", "text")
+    val train = Seq((1L, "a b c d a b c d")).toDF("doc_id", "text")
+    val got = Decontaminate.overlapReport(train, evalSet,
+        "doc_id", "text", w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 1L, 1L)))
+  }
+}

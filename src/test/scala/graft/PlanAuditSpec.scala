@@ -35,8 +35,11 @@ class PlanAuditSpec extends GraftSuite {
                             // with constant d, the sketch-build shape
     "q184_semdedup_oracled", // the q158 assign kernel feeding the
                              // within-cluster (equi-join) pair scorer
-    "q185_ivf_oracled")     // assign kernel + 5-query probe selection
+    "q185_ivf_oracled",     // assign kernel + 5-query probe selection
                             // vs the 4-row centroid frame
+    "q188_pq_oracled")      // the q158 assign kernel per 16-dim
+                            // subspace (4× |L|×k=4) — PQ codebook
+                            // training IS repeated Lloyd assignment
 
   /** crossJoin(broadcast(global aggregate)) — a 1-row side, |L|×1 and
     * linear; Spark renders it as BroadcastNestedLoopJoin but it is the
@@ -51,7 +54,8 @@ class PlanAuditSpec extends GraftSuite {
     "q128_bigram_logprob",    // same (N + V) backoff denominator
     "q133_dsir_resample",     // ÷ corpus gram totals (DSIR smoothing)
     "q160_bm25_topk",         // × 1-row (N, avgdl) corpus stats
-    "q177_dsir_oracled")      // same DSIR smoothing ÷ 1-row totals
+    "q177_dsir_oracled",      // same DSIR smoothing ÷ 1-row totals
+    "q192_hybrid_rrf")        // × the 1-row query-embedding side
 
   test("no registry query plans an unintended quadratic join") {
     val offenders = Registry.all
