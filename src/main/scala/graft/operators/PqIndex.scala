@@ -295,6 +295,64 @@ object PqIndex extends Serializable {
       .select(col(idCol).cast("long").as("id"),
         Similarity.asDouble(col(vecCol)).as("v"))
       .persist()
+    val out = adcScoreReplayable(vecs, m, k, iterations, subDim,
+      maxQueryId, topK, candFilter = None)
+    out.persist().count()
+    vecs.unpersist()
+    out
+  }
+
+  /** The REPLAYABLE IVF-PQ composite (q195): the q185 coarse stage —
+    * a full-dim [[graft.ml.DistributedKMeans.fit]] (first-`nlist`
+    * init, q158 contract) whose per-query `nprobe` nearest lists
+    * (d², centroid-id tie-break) prune the candidate set — feeding the
+    * q188 ADC stage, which scores ONLY the surviving candidates. The
+    * FAISS pairing, relationally verified end-to-end: candidate COUNT
+    * drops by ~nprobe/nlist, candidate COST drops to m table adds,
+    * and DuckDB replays both prunes and every ADC sum. The
+    * seeded-codebook production composite ([[ivfPqTopK]]) stays
+    * rows-only. */
+  def ivfAdcTopKReplayable(points: DataFrame, idCol: String,
+      vecCol: String, m: Int, k: Int, iterations: Int, nlist: Int,
+      nprobe: Int, maxQueryId: Long, topK: Int,
+      dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val vecs = points
+      .select(col(idCol).cast("long").as("id"),
+        Similarity.asDouble(col(vecCol)).as("v"))
+      .persist()
+    val (caf, ccents) = graft.ml.DistributedKMeans.fit(
+      vecs, "id", "v", nlist, iterations)
+    val qd = vecs.filter($"id" < maxQueryId)
+      .crossJoin(broadcast(ccents))
+      .select($"id".as("qid"), $"c",
+        aggregate(zip_with($"v", $"cv", (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"))
+    val wp = Window.partitionBy($"qid").orderBy($"d2".asc, $"c".asc)
+    val probed = qd.withColumn("rk", row_number().over(wp))
+      .filter($"rk" <= nprobe).select($"qid", $"c")
+    val cands = probed
+      .join(caf.select($"cluster".as("c"), $"id"), "c")
+      .select($"qid", $"id")
+    val out = adcScoreReplayable(vecs, m, k, iterations, dim / m,
+      maxQueryId, topK, candFilter = Some(cands))
+    out.persist().count()
+    vecs.unpersist()
+    out
+  }
+
+  /** Shared ADC stage of the replayable faces: per-subspace q158 fits
+    * (codebook + codes from the same fit), wide code table, m
+    * broadcast-join table lookups summed left-to-right; `candFilter`
+    * (qid, id) restricts scoring to pruned candidates (the IVF-PQ
+    * composite) — None scores everything (the flat-PQ face). */
+  private def adcScoreReplayable(vecs: DataFrame, m: Int, k: Int,
+      iterations: Int, subDim: Int, maxQueryId: Long, topK: Int,
+      candFilter: Option[DataFrame]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
     val parts = (0 until m).map { s =>
       val sub = vecs.select($"id",
         slice($"v", s * subDim + 1, subDim).as("v"))
@@ -310,26 +368,31 @@ object PqIndex extends Serializable {
     }
     // wide code table: one row per candidate, m code columns — the m
     // joins share the id key (one co-partitioned exchange chain)
-    val wide = parts.map(_._1).reduceLeft(_.join(_, "id"))
+    val wide0 = parts.map(_._1).reduceLeft(_.join(_, "id"))
+    // IVF prune (when present) BEFORE the ADC lookups: only surviving
+    // (qid, cand) rows pay the m joins
+    val wide = candFilter match {
+      case Some(cands) => wide0.join(cands, "id")
+      case None        => wide0
+    }
     // ADC: each subspace lookup is a broadcast join against the
-    // (queries × k)-row distance table; the first join introduces qid
+    // (queries × k)-row distance table; with no prune the first join
+    // introduces qid
     val scored = parts.zipWithIndex.foldLeft(wide) {
       case (acc, ((_, qd), s)) =>
-        if (s == 0) acc.join(broadcast(qd), Seq(s"c$s"))
+        if (s == 0 && candFilter.isEmpty)
+          acc.join(broadcast(qd), Seq(s"c$s"))
         else acc.join(broadcast(qd), Seq("qid", s"c$s"))
     }
     val adc = (0 until m).map(s => col(s"t$s")).reduceLeft(_ + _)
     val w = Window.partitionBy($"qid").orderBy($"adc".asc, $"id".asc)
-    val out = scored.filter($"id" =!= $"qid")
+    scored.filter($"id" =!= $"qid")
       .select($"qid", $"id", adc.as("adc"))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= topK)
       .select($"qid".as("query_id"), $"id".as("cand_id"),
         round($"adc", 6).as("adc_d2"), $"rk")
       .orderBy($"query_id", $"rk")
-    out.persist().count()
-    vecs.unpersist()
-    out
   }
 
   /** Recall@k of the ADC short list against the exact (brute-force

@@ -17,7 +17,8 @@ object VectorQueries {
       q153ExactTopK, q154ExactL2TopK, q158KmeansLloyd, q159KmeansSweep,
       q180PcaPowerIteration, q181BisectOracled, q182GmmEmOracled,
       q184SemdedupOracled, q185IvfOracled, q186PcaPerLabelOracled,
-      q188PqOracled, q189SweepOracled)
+      q188PqOracled, q189SweepOracled, q194ScalarQuant,
+      q195IvfPqOracled)
 
   /** The GROUND-TRUTH half of every cosine recall gate
     * (q47/q64/q66/q115), served through the SAME per-JVM cache those
@@ -530,6 +531,90 @@ object VectorQueries {
         .toDF("k", "wssse", "silhouette")
         .orderBy($"k")
     })
+
+  /** The fused IVF-PQ composite with a green row — q94's oracle-able
+    * face ([[graft.operators.PqIndex.ivfAdcTopKReplayable]]): the q185
+    * coarse quantizer (full-dim k=4 Lloyd fit, nprobe=2 list
+    * selection) prunes candidates, the q188 ADC stage (4×16-dim
+    * subspace fits, broadcast table lookups) scores only the
+    * survivors — the FAISS pairing relationally verified end-to-end.
+    * The seeded-codebook production composite (q94) stays rows-only. */
+  val q195IvfPqOracled: GraftQuery = GraftQuery(
+    "q195_ivfpq_oracled",
+    (s, d) => graft.operators.PqIndex.ivfAdcTopKReplayable(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      m = 4, k = 4, iterations = 3, nlist = 4, nprobe = 2,
+      maxQueryId = 5L, topK = 5),
+    Some {
+      val m = 4
+      val subDim = 16
+      def dist: String =
+        "list_sum(list_transform(range(1, len(p.v) + 1), " +
+          "i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i])))"
+      val slices = (0 until m).map { s =>
+        s", v$s AS MATERIALIZED (SELECT id, " +
+          s"v[${s * subDim + 1}:${(s + 1) * subDim}] AS v FROM v)" +
+          lloydCte(s"v$s", s"p$s", 4, subDim) +
+          s", qd$s AS (SELECT p.id AS qid, c.c, $dist AS d2 " +
+          s"FROM v$s p, p${s}c3 c WHERE p.id < 5)"
+      }.mkString
+      val wideJoins = (1 until m)
+        .map(s => s"JOIN p${s}af a$s USING (id) ").mkString
+      val adcJoins = (0 until m)
+        .map(s => s"JOIN qd$s t$s ON t$s.qid = cand.qid " +
+          s"AND t$s.c = w.c$s ").mkString
+      val adcSum = (0 until m).map(s => s"t$s.d2").mkString(" + ")
+      "WITH v AS MATERIALIZED (SELECT vec_id AS id, " +
+        "embedding::DOUBLE[] AS v FROM embeddings)" +
+        lloydCte("v", "x", 4) +
+        s", cqd AS (SELECT p.id AS qid, c.c, $dist AS d2 " +
+        "FROM v p, xc3 c WHERE p.id < 5)" +
+        ", qp AS (SELECT qid, c FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY d2, c) AS rk FROM cqd) " +
+        "WHERE rk <= 2)" +
+        ", cand AS (SELECT qp.qid, a.id FROM qp " +
+        "JOIN xaf a ON a.c = qp.c)" +
+        slices +
+        ", wide AS (SELECT a0.id, " +
+        (0 until m).map(s => s"a$s.c AS c$s").mkString(", ") +
+        s" FROM p0af a0 $wideJoins)" +
+        s", sc AS (SELECT cand.qid, w.id AS cid, $adcSum AS adc " +
+        s"FROM wide w JOIN cand ON cand.id = w.id $adcJoins" +
+        "WHERE w.id != cand.qid) " +
+        "SELECT qid AS query_id, cid AS cand_id, round(adc, 6) " +
+        "AS adc_d2, rk FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY adc, cid) AS rk FROM sc) " +
+        "WHERE rk <= 5 ORDER BY query_id, rk"
+    })
+
+  /** Int8 scalar quantization of the embedding store
+    * ([[graft.operators.ScalarQuant.quantizeReport]]) — the
+    * storage-tier compression companion to PQ (faiss SQ8): per-dim
+    * corpus min/max define a linear [0,255] code (4× smaller at rest,
+    * independent per-dimension decode). Fully oracled: bounds, every
+    * code (exact integer checksum per vector) and the reconstruction
+    * error are affine arithmetic DuckDB re-derives end-to-end. */
+  val q194ScalarQuant: GraftQuery = GraftQuery(
+    "q194_scalar_quant",
+    (s, d) => graft.operators.ScalarQuant.quantizeReport(
+      Tables.embeddings(s, d), "vec_id", "embedding"),
+    Some(
+      "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
+        "FROM embeddings), " +
+        "b AS (SELECT t.i AS j, min(v.v[t.i]) AS mn, " +
+        "max(v.v[t.i]) AS mx FROM v, range(1, 65) t(i) GROUP BY t.i), " +
+        "bl AS (SELECT list(mn ORDER BY j) AS mns, " +
+        "list(mx ORDER BY j) AS mxs FROM b), " +
+        "c AS (SELECT vec_id, v, list_transform(range(1, 65), " +
+        "i -> CASE WHEN bl.mxs[i] - bl.mns[i] > 0 THEN " +
+        "round((v.v[i] - bl.mns[i]) / (bl.mxs[i] - bl.mns[i]) " +
+        "* 255.0)::BIGINT ELSE 0 END) AS cs FROM v, bl) " +
+        "SELECT vec_id, list_sum(cs)::BIGINT AS code_sum, " +
+        "round(list_sum(list_transform(range(1, 65), i -> " +
+        "(c.v[i] - (bl.mns[i] + cs[i] / 255.0 * " +
+        "(bl.mxs[i] - bl.mns[i]))) * (c.v[i] - (bl.mns[i] + " +
+        "cs[i] / 255.0 * (bl.mxs[i] - bl.mns[i]))))), 6) " +
+        "AS recon_err FROM c, bl ORDER BY vec_id"))
 
   /** Higher-order array-function coverage, fully oracled: per-element
     * transform (x²) folded by `aggregate`, a `filter` count, and the

@@ -2154,3 +2154,40 @@ class DecontaminateSpec extends GraftSuite {
     assert(got.toSeq === Seq((1L, 1L, 1L)))
   }
 }
+
+class ScalarQuantSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.operators.ScalarQuant
+
+  test("codes are within the per-dim quantization error bound; " +
+      "constant dims decode exactly; partition-invariant") {
+    val e = Tables.embeddings(spark, sf)
+    val (mns, mxs) = ScalarQuant.bounds(e, "vec_id", "embedding")
+    assert(mns.length === 64 && mxs.length === 64)
+    // worst-case squared error per dim is (step/2)^2 at the cell edge
+    val bound = mns.zip(mxs)
+      .map { case (mn, mx) => math.pow((mx - mn) / 255.0 / 2, 2) }.sum
+    val got = ScalarQuant.quantizeReport(e, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === e.count())
+    got.foreach { case (id, _, err) =>
+      assert(err >= 0 && err <= bound + 1e-9,
+        s"vec $id recon_err $err above bound $bound")
+    }
+    // determinism at another partitioning
+    val again = ScalarQuant.quantizeReport(e.repartition(7),
+        "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === again.toSeq)
+  }
+
+  test("a constant dimension codes to 0 and contributes zero error") {
+    val df = Seq(
+      (1L, Array(5.0f, 1.0f)),
+      (2L, Array(5.0f, 3.0f))).toDF("vec_id", "embedding")
+    val got = ScalarQuant.quantizeReport(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // dim 1 constant -> code 0 both rows; dim 2 codes 0 and 255
+    assert(got.toSeq === Seq((1L, 0L, 0.0), (2L, 255L, 0.0)))
+  }
+}

