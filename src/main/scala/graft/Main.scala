@@ -88,6 +88,13 @@ object Main {
     case "compact" :: dir :: rest =>
       runCompact(dir,
         rest.headOption.map(_.toLong).getOrElse(128L) * 1024 * 1024)
+    case "decontaminate" :: input :: evalSet :: outDir :: rest =>
+      runDecontaminate(input, evalSet, outDir,
+        rest.headOption.map(_.toInt).getOrElse(8))
+    case "quantize" :: input :: outDir :: _ =>
+      runQuantize(input, outDir)
+    case "hybrid-search" :: docs :: emb :: outDir :: rest =>
+      runHybridSearch(docs, emb, outDir, rest)
     case "curate" :: "--append" :: input :: outDir :: rest =>
       runCurate(input, outDir,
         rest.headOption.map(_.toLong).getOrElse(2000L), append = true)
@@ -118,6 +125,9 @@ object Main {
            |       graft.Main snapshot-diff <oldParquet> <newParquet> <outDir>
            |       graft.Main quality-filter <docsParquet> <outDir> [threshold]
            |       graft.Main dsir-select <docsParquet> <outDir> [k]
+           |       graft.Main decontaminate <docsParquet> <evalParquet> <outDir> [w]
+           |       graft.Main quantize <embParquet> <outDir>
+           |       graft.Main hybrid-search <docsParquet> <embParquet> <outDir> <term term ...> [--vec <id>] [--k <n>]
            |       graft.Main curate [--append] <docsParquet> <outDir> [rowsPerShard]
            |       graft.Main compact <parquetDir> [targetMB]  (writers must be quiesced)
            |       graft.Main media-meta <binaryParquet> <outDir>
@@ -460,6 +470,65 @@ object Main {
     val kept = spark.read.parquet(outDir)
     println(s">>> [screen] kept=${kept.filter(col("keep")).count()} " +
       s"of ${kept.count()}")
+    spark.stop()
+  }
+
+  /** Benchmark decontamination: per-training-doc w-gram overlap report
+    * against the eval set, plus the CLEANED corpus (overlapping docs
+    * anti-joined away) — the artifact keeps the evidence, the clean
+    * set is what trains. */
+  private def runDecontaminate(input: String, evalSet: String,
+      outDir: String, w: Int): Unit = {
+    val spark = session()
+    import org.apache.spark.sql.functions.col
+    val train = spark.read.parquet(input)
+    val ev = spark.read.parquet(evalSet)
+    val report = graft.operators.Decontaminate.overlapReport(
+      train, ev, "doc_id", "text", w)
+    Sinks.writeParquet(report, s"$outDir/report")
+    val clean = train.join(
+      spark.read.parquet(s"$outDir/report").select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    Sinks.writeParquet(clean, s"$outDir/clean")
+    println(s">>> [decontaminate] contaminated=" +
+      s"${spark.read.parquet(s"$outDir/report").count()} " +
+      s"kept=${spark.read.parquet(s"$outDir/clean").count()} " +
+      s"of ${train.count()}")
+    spark.stop()
+  }
+
+  /** Int8 scalar quantization audit: per-vector code checksum +
+    * reconstruction error ([[graft.operators.ScalarQuant]]). */
+  private def runQuantize(input: String, outDir: String): Unit = {
+    val spark = session()
+    import org.apache.spark.sql.functions.{avg, round}
+    val emb = spark.read.parquet(input)
+    val rep = graft.operators.ScalarQuant.quantizeReport(
+      emb, "vec_id", "embedding")
+    Sinks.writeParquet(rep, outDir)
+    val mean = spark.read.parquet(outDir)
+      .agg(round(avg("recon_err"), 6)).head().getDouble(0)
+    println(s">>> [quantize] vectors=${emb.count()} meanReconErr=$mean")
+    spark.stop()
+  }
+
+  /** Hybrid BM25 + cosine retrieval with RRF fusion
+    * ([[graft.operators.Retrieval.hybridTopK]]). */
+  private def runHybridSearch(docs: String, emb: String, outDir: String,
+      rest: List[String]): Unit = {
+    def opt(flag: String): Option[String] =
+      rest.sliding(2).collectFirst { case List(`flag`, v) => v }
+    val terms = rest.takeWhile(!_.startsWith("--"))
+    require(terms.nonEmpty, "hybrid-search needs at least one query term")
+    val spark = session()
+    val out = graft.operators.Retrieval.hybridTopK(
+      spark.read.parquet(docs), spark.read.parquet(emb),
+      queryTerms = terms,
+      queryVecId = opt("--vec").map(_.toLong).getOrElse(0L),
+      k = opt("--k").map(_.toInt).getOrElse(10))
+    Sinks.writeParquet(out, outDir)
+    println(s">>> [hybrid-search] results=" +
+      s"${spark.read.parquet(outDir).count()}")
     spark.stop()
   }
 
