@@ -32,6 +32,29 @@ object Decontaminate {
         .otherwise(array().cast("array<string>"))
     }
 
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * gram screen (SemDedup's insight applied to eval-set leakage:
+    * paraphrased benchmark items share no 8-gram but sit at cosine
+    * ≈ 1): every (train, eval) pair with cosine ≥ `tau` is reported
+    * with its score. Exact and replayable (q197): the eval side is
+    * benchmark-sized, so it BROADCASTS and the scan is linear in the
+    * training corpus — no LSH recall risk on the compliance path; at
+    * extreme eval sizes the IVF-pruned SemDedup machinery takes over. */
+  def semanticOverlap(train: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
+    val t = train.select(col(idCol).cast("long").as("train_id"),
+      Similarity.asDouble(col(vecCol)).as("tv"))
+    val e = evalSet.select(col(idCol).cast("long").as("eval_id"),
+      Similarity.asDouble(col(vecCol)).as("ev"))
+    t.crossJoin(broadcast(e))
+      .select(col("train_id"), col("eval_id"),
+        Similarity.cosine(col("tv"), col("ev")).as("cos_raw"))
+      .filter(col("cos_raw") >= tau)
+      .select(col("train_id"), col("eval_id"),
+        round(col("cos_raw"), 6).as("cos"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
   /** Per-training-document overlap report against the eval set:
     * (doc_id, n_shared_grams — distinct grams also present in ANY eval
     * doc, n_eval_docs — distinct eval documents sharing at least one

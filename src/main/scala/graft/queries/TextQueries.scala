@@ -13,7 +13,7 @@ object TextQueries {
     q22DedupPrefixKey, q23StopwordRatio, q96PiiRedact, q97Repetition,
     q98Contamination, q114OovRate, q119UnigramLogProb, q150NfcNormalize,
     q160Bm25TopK, q169PhraseScreen, q171CompressionGate,
-    q192HybridRrf, q193Decontaminate)
+    q192HybridRrf, q193Decontaminate, q196PiiRedact)
 
   /** Compression-ratio quality gate
     * ([[graft.operators.Compression.profile]]): deflate(text)/|text|
@@ -192,6 +192,56 @@ object TextQueries {
         "count(DISTINCT ev.eval_id) AS n_eval_docs " +
         "FROM g JOIN ev USING (gram) WHERE g.doc_id % 97 != 0 " +
         "GROUP BY g.doc_id ORDER BY g.doc_id"))
+
+  /** PII redaction audit ([[graft.operators.PiiRedact.redact]]): the
+    * C4/Dolma scrub — emails / IPv4s / phone numbers detected with
+    * engine-portable regexes (no lookaround, ASCII classes), replaced
+    * with typed placeholders, per-doc counts kept as evidence. The
+    * corpus carries no natural PII shapes (verified), so findings are
+    * PLANTED IN THE QUERY (the q184/q96 convention — both engines
+    * append identical synthetic PII to deterministic doc slices).
+    * Fully oracled: counts AND the redacted text hash-match. */
+  val q196PiiRedact: GraftQuery = GraftQuery(
+    "q196_pii_redact",
+    (s, d) => {
+      import s.implicits._
+      val planted = Tables.documents(s, d).select($"doc_id",
+        concat($"text",
+          when($"doc_id" % 7 === 0, concat(lit(" contact user"),
+            $"doc_id".cast("string"), lit("@mail.example.com now")))
+            .otherwise(lit("")),
+          when($"doc_id" % 11 === 0, concat(lit(" from host 10.0."),
+            ($"doc_id" % 200).cast("string"), lit(".25")))
+            .otherwise(lit("")),
+          when($"doc_id" % 13 === 0, concat(lit(" call 555-867-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text"))
+      graft.operators.PiiRedact.redact(planted, "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some(
+      "WITH p AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 7 = 0 THEN ' contact user' || " +
+        "doc_id::VARCHAR || '@mail.example.com now' ELSE '' END || " +
+        "CASE WHEN doc_id % 11 = 0 THEN ' from host 10.0.' || " +
+        "(doc_id % 200)::VARCHAR || '.25' ELSE '' END || " +
+        "CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-' || " +
+        "lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END AS text " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        "len(regexp_extract_all(text, " +
+        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails, " +
+        "len(regexp_extract_all(text, " +
+        "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) " +
+        "AS n_ips, " +
+        "len(regexp_extract_all(text, " +
+        "'\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS n_phones, " +
+        "regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'), " +
+        "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', " +
+        "'[IP]', 'g'), " +
+        "'\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '[PHONE]', 'g') " +
+        "AS redacted FROM p ORDER BY doc_id"))
 
   /** Token counting: whitespace tokens, distinct tokens, char length. */
   val q20TokenStats: GraftQuery = GraftQuery(

@@ -18,7 +18,7 @@ object VectorQueries {
       q180PcaPowerIteration, q181BisectOracled, q182GmmEmOracled,
       q184SemdedupOracled, q185IvfOracled, q186PcaPerLabelOracled,
       q188PqOracled, q189SweepOracled, q194ScalarQuant,
-      q195IvfPqOracled)
+      q195IvfPqOracled, q197SemanticDecon)
 
   /** The GROUND-TRUTH half of every cosine recall gate
     * (q47/q64/q66/q115), served through the SAME per-JVM cache those
@@ -586,6 +586,52 @@ object VectorQueries {
         "(PARTITION BY qid ORDER BY adc, cid) AS rk FROM sc) " +
         "WHERE rk <= 5 ORDER BY query_id, rk"
     })
+
+  /** SEMANTIC decontamination ([[graft.operators.Decontaminate
+    * .semanticOverlap]]) — the embedding-space complement of q193's
+    * gram screen: train×eval cosine ≥ 0.95 with the eval side
+    * broadcast (benchmark-sized). The corpus has no natural ≥0.95
+    * pairs (max ~0.51), so leaks are PLANTED IN THE QUERY (the q184
+    * convention): the first 10 eval vectors (vec_id ≡ 0 mod 97) get a
+    * near-clone on the TRAIN side at id+1000000 with coordinate 1
+    * scaled 1.02 — the screen must find exactly those pairs. Fully
+    * oracled end-to-end. */
+  val q197SemanticDecon: GraftQuery = GraftQuery(
+    "q197_semantic_decon",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.embeddings(s, d)
+        .select($"vec_id".cast("long").as("vec_id"),
+          graft.operators.Similarity.asDouble($"embedding")
+            .as("embedding"))
+      val evalSet = base.filter($"vec_id" % 97 === 0)
+      val clones = evalSet.orderBy($"vec_id").limit(10)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          zip_with($"embedding", sequence(lit(1), size($"embedding")),
+            (x, i) => when(i === 1, x * 1.02).otherwise(x))
+            .as("embedding"))
+      val train = base.filter($"vec_id" % 97 =!= 0).unionByName(clones)
+      graft.operators.Decontaminate.semanticOverlap(
+        train, evalSet, "vec_id", "embedding", tau = 0.95)
+    },
+    Some(
+      "WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
+        "FROM embeddings), " +
+        "ev AS (SELECT vec_id AS eval_id, v AS ev FROM b " +
+        "WHERE vec_id % 97 = 0), " +
+        "cl AS (SELECT eval_id + 1000000 AS train_id, " +
+        "list_transform(range(1, len(ev) + 1), i -> CASE WHEN i = 1 " +
+        "THEN ev[1] * 1.02 ELSE ev[i] END) AS tv FROM " +
+        "(SELECT * FROM ev ORDER BY eval_id LIMIT 10)), " +
+        "tr AS (SELECT vec_id AS train_id, v AS tv FROM b " +
+        "WHERE vec_id % 97 != 0 UNION ALL SELECT * FROM cl), " +
+        "sc AS (SELECT tr.train_id, ev.eval_id, " +
+        "list_dot_product(tr.tv, ev.ev) / " +
+        "(sqrt(list_dot_product(tr.tv, tr.tv)) * " +
+        "sqrt(list_dot_product(ev.ev, ev.ev))) AS cos_raw " +
+        "FROM tr, ev) " +
+        "SELECT train_id, eval_id, round(cos_raw, 6) AS cos FROM sc " +
+        "WHERE cos_raw >= 0.95 ORDER BY train_id, eval_id"))
 
   /** Int8 scalar quantization of the embedding store
     * ([[graft.operators.ScalarQuant.quantizeReport]]) — the

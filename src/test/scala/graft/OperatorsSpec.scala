@@ -2191,3 +2191,70 @@ class ScalarQuantSpec extends GraftSuite {
     assert(got.toSeq === Seq((1L, 0L, 0.0), (2L, 255L, 0.0)))
   }
 }
+
+class PiiRedactSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.operators.PiiRedact
+
+  test("detects and redacts each PII class with exact counts; clean " +
+      "text passes through untouched") {
+    val docs = Seq(
+      (1L, "mail a.user@corp.example.org or b_x%2@my-host.io today"),
+      (2L, "server 192.168.0.1 then 10.0.200.25 replied"),
+      (3L, "call 555-867-5309 re 555-123-4567"),
+      (4L, "plain text with no identifiers at all"),
+      (5L, "mixed x@y.zw from 8.8.8.8 call 111-222-3333"))
+      .toDF("doc_id", "text")
+    val got = PiiRedact.redact(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    assert(got(0) === ((1L, 2, 0, 0,
+      "mail [EMAIL] or [EMAIL] today")))
+    assert(got(1) === ((2L, 0, 2, 0,
+      "server [IP] then [IP] replied")))
+    assert(got(2) === ((3L, 0, 0, 2, "call [PHONE] re [PHONE]")))
+    assert(got(3) === ((4L, 0, 0, 0,
+      "plain text with no identifiers at all")))
+    assert(got(4) === ((5L, 1, 1, 1, "mixed [EMAIL] from [IP] call [PHONE]")))
+  }
+
+  test("placeholder tokens never cascade into later patterns; " +
+      "numeric-TLD addresses are IPs, not emails") {
+    // x@10.0.0.1 is NOT an email under the conservative pattern (the
+    // TLD must be alphabetic) — the embedded IP redacts instead; and
+    // a replaced [EMAIL] token must never re-match the ip/phone pass
+    val docs = Seq(
+      (1L, "x@10.0.0.1 and 10.0.0.1"),
+      (2L, "a@b.cd then 1.2.3.4 then 555-123-4567"))
+      .toDF("doc_id", "text")
+    val got = PiiRedact.redact(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(got(0).getString(4) === "x@[IP] and [IP]")
+    assert(got(0).getInt(1) === 0) // not counted as an email either
+    assert(got(1).getString(4) === "[EMAIL] then [IP] then [PHONE]")
+  }
+}
+
+class SemanticDeconSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.operators.Decontaminate
+
+  test("finds exactly the planted near-clones above tau, none below") {
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id".cast("long").as("vec_id"),
+        graft.operators.Similarity.asDouble($"embedding").as("embedding"))
+    val evalSet = e.filter($"vec_id" < 5)
+    val clone = evalSet.filter($"vec_id" === 2)
+      .select(($"vec_id" + 5000L).as("vec_id"),
+        zip_with($"embedding", sequence(lit(1), size($"embedding")),
+          (x, i) => when(i === 1, x * 1.02).otherwise(x)).as("embedding"))
+    val train = e.filter($"vec_id" >= 5).unionByName(clone)
+    val got = Decontaminate.semanticOverlap(train, evalSet,
+        "vec_id", "embedding", tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === 1)
+    assert(got(0)._1 === 5002L && got(0)._2 === 2L)
+    assert(got(0)._3 > 0.99)
+  }
+}
