@@ -13,7 +13,7 @@ object TextQueries {
     q22DedupPrefixKey, q23StopwordRatio, q96PiiRedact, q97Repetition,
     q98Contamination, q114OovRate, q119UnigramLogProb, q150NfcNormalize,
     q160Bm25TopK, q169PhraseScreen, q171CompressionGate,
-    q192HybridRrf, q193Decontaminate, q196PiiRedact)
+    q192HybridRrf, q193Decontaminate, q196PiiRedact, q198StreamPii)
 
   /** Compression-ratio quality gate
     * ([[graft.operators.Compression.profile]]): deflate(text)/|text|
@@ -201,47 +201,80 @@ object TextQueries {
     * PLANTED IN THE QUERY (the q184/q96 convention — both engines
     * append identical synthetic PII to deterministic doc slices).
     * Fully oracled: counts AND the redacted text hash-match. */
+  /** The q196/q198 planted-PII corpus (shared so the batch face and
+    * its streaming replay screen the identical documents). */
+  private def plantPii(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, concat(lit(" from host 10.0."),
+          (col("doc_id") % 200).cast("string"), lit(".25")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, concat(lit(" call 555-867-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+
+  /** The q196 replay in DuckDB, shared with the streaming face q198 —
+    * one oracle, two execution modes. (Declared before both query vals:
+    * a forward reference would initialize to null inside Some().) */
+  private val piiOracleSql: String =
+    "WITH p AS (SELECT doc_id, text || " +
+      "CASE WHEN doc_id % 7 = 0 THEN ' contact user' || " +
+      "doc_id::VARCHAR || '@mail.example.com now' ELSE '' END || " +
+      "CASE WHEN doc_id % 11 = 0 THEN ' from host 10.0.' || " +
+      "(doc_id % 200)::VARCHAR || '.25' ELSE '' END || " +
+      "CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-' || " +
+      "lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END AS text " +
+      "FROM documents) " +
+      "SELECT doc_id, " +
+      "len(regexp_extract_all(text, " +
+      "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails, " +
+      "len(regexp_extract_all(text, " +
+      "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) " +
+      "AS n_ips, " +
+      "len(regexp_extract_all(text, " +
+      "'\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS n_phones, " +
+      "regexp_replace(regexp_replace(regexp_replace(text, " +
+      "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'), " +
+      "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', " +
+      "'[IP]', 'g'), " +
+      "'\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '[PHONE]', 'g') " +
+      "AS redacted FROM p ORDER BY doc_id"
+
   val q196PiiRedact: GraftQuery = GraftQuery(
     "q196_pii_redact",
     (s, d) => {
       import s.implicits._
-      val planted = Tables.documents(s, d).select($"doc_id",
-        concat($"text",
-          when($"doc_id" % 7 === 0, concat(lit(" contact user"),
-            $"doc_id".cast("string"), lit("@mail.example.com now")))
-            .otherwise(lit("")),
-          when($"doc_id" % 11 === 0, concat(lit(" from host 10.0."),
-            ($"doc_id" % 200).cast("string"), lit(".25")))
-            .otherwise(lit("")),
-          when($"doc_id" % 13 === 0, concat(lit(" call 555-867-"),
-            lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
-            .otherwise(lit(""))).as("text"))
-      graft.operators.PiiRedact.redact(planted, "doc_id", "text")
+      graft.operators.PiiRedact.redact(
+          plantPii(Tables.documents(s, d)), "doc_id", "text")
         .orderBy($"doc_id")
     },
-    Some(
-      "WITH p AS (SELECT doc_id, text || " +
-        "CASE WHEN doc_id % 7 = 0 THEN ' contact user' || " +
-        "doc_id::VARCHAR || '@mail.example.com now' ELSE '' END || " +
-        "CASE WHEN doc_id % 11 = 0 THEN ' from host 10.0.' || " +
-        "(doc_id % 200)::VARCHAR || '.25' ELSE '' END || " +
-        "CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-' || " +
-        "lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END AS text " +
-        "FROM documents) " +
-        "SELECT doc_id, " +
-        "len(regexp_extract_all(text, " +
-        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails, " +
-        "len(regexp_extract_all(text, " +
-        "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) " +
-        "AS n_ips, " +
-        "len(regexp_extract_all(text, " +
-        "'\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS n_phones, " +
-        "regexp_replace(regexp_replace(regexp_replace(text, " +
-        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'), " +
-        "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', " +
-        "'[IP]', 'g'), " +
-        "'\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '[PHONE]', 'g') " +
-        "AS redacted FROM p ORDER BY doc_id"))
+    Some(piiOracleSql))
+
+  /** The STREAMING replay of q196 ([[graft.streaming.ScreenStream]]):
+    * the planted corpus lands as four parquet files, each micro-batch
+    * flows through the same [[graft.operators.PiiRedact.redact]]
+    * expression, and the appended union must hash-match the IDENTICAL
+    * batch oracle — the q41/q102 contract applied to the compliance
+    * screen (stateless per row, so exactly-once rides the file-source
+    * checkpoint alone). */
+  val q198StreamPii: GraftQuery = GraftQuery(
+    "q198_stream_pii",
+    (s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q198").toString
+      plantPii(Tables.documents(s, d))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$root/src")
+      graft.streaming.ScreenStream.runToCompletion(s, s"$root/src",
+        s"$root/out", s"$root/chk")
+      s.read.parquet(s"$root/out").orderBy($"doc_id")
+    },
+    Some(piiOracleSql))
 
   /** Token counting: whitespace tokens, distinct tokens, char length. */
   val q20TokenStats: GraftQuery = GraftQuery(

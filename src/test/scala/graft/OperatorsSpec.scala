@@ -2258,3 +2258,29 @@ class SemanticDeconSpec extends GraftSuite {
     assert(got(0)._3 > 0.99)
   }
 }
+
+class ScreenStreamSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("streaming screen equals the batch redaction and a restart " +
+      "with the same checkpoint appends nothing") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_screenstream").toString
+    val docs = Seq(
+      (1L, "mail a@b.cd now"),
+      (2L, "server 10.0.0.1 up"),
+      (3L, "clean row")).toDF("doc_id", "text")
+    docs.repartition(3).write.parquet(s"$root/src")
+    graft.streaming.ScreenStream.runToCompletion(spark, s"$root/src",
+      s"$root/out", s"$root/chk")
+    val streamed = spark.read.parquet(s"$root/out")
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    val batch = graft.operators.PiiRedact.redact(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    // restart against the same checkpoint: backlog already consumed
+    graft.streaming.ScreenStream.runToCompletion(spark, s"$root/src",
+      s"$root/out", s"$root/chk")
+    assert(spark.read.parquet(s"$root/out").count() === 3)
+  }
+}
