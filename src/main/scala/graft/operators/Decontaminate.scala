@@ -55,6 +55,48 @@ object Decontaminate {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  /** Span-level decontamination EXCISION — the Dolma-style alternative
+    * to dropping a contaminated document wholesale: every token
+    * covered by ANY eval-overlapping `w`-gram is removed and the
+    * remaining tokens re-joined, so a long document that merely quotes
+    * a benchmark item keeps its clean content. Returns only affected
+    * documents: (doc_id, n_removed — tokens excised, cleaned).
+    * Replayable end-to-end (q199): matched gram START positions become
+    * covered-token intervals, their union is a per-doc position set,
+    * and the rebuild is an index filter — all list arithmetic. Same
+    * broadcast shape as [[overlapReport]]. */
+  def exciseOverlap(train: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, w: Int = 8): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(gramsOf(col(textCol), w)).as("gram"))
+      .distinct()
+    // matched gram start positions (1-based) per train doc
+    val starts = train
+      .select(col(idCol).as("doc_id"),
+        posexplode(gramsOf(col(textCol), w)).as(Seq("p0", "gram")))
+      .join(broadcast(evalGrams), "gram")
+      .select(col("doc_id"), (col("p0") + 1).as("start"))
+    // union of covered token positions: starts × [start, start+w-1]
+    val covered = starts
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (w - 1)))
+          .as("cov"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("cov"))).as("cov"))
+    train.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(covered, "doc_id")
+      .select(col("doc_id"),
+        size(col("cov")).cast("long").as("n_removed"),
+        graft.functions.TextFunctions.bound(split(col("text"), " ")) {
+          toks =>
+            concat_ws(" ", transform(
+              filter(sequence(lit(1), size(toks)),
+                i => !array_contains(col("cov"), i)),
+              i => element_at(toks, i)))
+        }.as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-training-document overlap report against the eval set:
     * (doc_id, n_shared_grams — distinct grams also present in ANY eval
     * doc, n_eval_docs — distinct eval documents sharing at least one

@@ -13,7 +13,8 @@ object TextQueries {
     q22DedupPrefixKey, q23StopwordRatio, q96PiiRedact, q97Repetition,
     q98Contamination, q114OovRate, q119UnigramLogProb, q150NfcNormalize,
     q160Bm25TopK, q169PhraseScreen, q171CompressionGate,
-    q192HybridRrf, q193Decontaminate, q196PiiRedact, q198StreamPii)
+    q192HybridRrf, q193Decontaminate, q196PiiRedact, q198StreamPii,
+    q199DeconExcise)
 
   /** Compression-ratio quality gate
     * ([[graft.operators.Compression.profile]]): deflate(text)/|text|
@@ -275,6 +276,48 @@ object TextQueries {
       s.read.parquet(s"$root/out").orderBy($"doc_id")
     },
     Some(piiOracleSql))
+
+  /** Span-level decontamination EXCISION ([[graft.operators
+    * .Decontaminate.exciseOverlap]]) — q193's surgical complement: the
+    * tokens covered by eval-overlapping 4-grams are removed and the
+    * document re-joined, instead of dropping it wholesale (the Dolma
+    * treatment). Fully oracled: matched starts → covered-position
+    * union → index-filtered rebuild, all replayed as DuckDB list
+    * arithmetic; every cleaned text hash-matched. */
+  val q199DeconExcise: GraftQuery = GraftQuery(
+    "q199_decon_excise",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      graft.operators.Decontaminate.exciseOverlap(
+        docs.filter($"doc_id" % 97 =!= 0),
+        docs.filter($"doc_id" % 97 === 0),
+        "doc_id", "text", w = 4)
+    },
+    Some(
+      "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws " +
+        "FROM documents), " +
+        "eg AS (SELECT DISTINCT gram FROM (SELECT " +
+        "unnest(list_transform(generate_series(1, " +
+        "greatest(0, len(ws) - 3)), i -> array_to_string(" +
+        "list_slice(ws, i, i + 3), ' '))) AS gram FROM d " +
+        "WHERE doc_id % 97 = 0)), " +
+        "tg AS (SELECT t.doc_id, t.p.i AS start FROM (SELECT doc_id, " +
+        "unnest(list_transform(generate_series(1, " +
+        "greatest(0, len(ws) - 3)), i -> {'i': i, " +
+        "'g': array_to_string(list_slice(ws, i, i + 3), ' ')})) AS p " +
+        "FROM d WHERE doc_id % 97 != 0) t " +
+        "JOIN eg ON t.p.g = eg.gram), " +
+        "cov AS (SELECT doc_id, list_sort(list(DISTINCT c)) AS cov " +
+        "FROM (SELECT doc_id, unnest(generate_series(start, " +
+        "start + 3)) AS c FROM tg) GROUP BY doc_id) " +
+        "SELECT d.doc_id, len(cov.cov)::BIGINT AS n_removed, " +
+        // coalesce the STRING: DuckDB array_to_string([]) is NULL,
+        // Spark concat_ws of an empty array is '' (the q169 trap)
+        "coalesce(array_to_string(list_transform(list_filter(" +
+        "generate_series(1, len(d.ws)), " +
+        "i -> NOT list_contains(cov.cov, i)), i -> d.ws[i]), ' '), '') " +
+        "AS cleaned FROM d JOIN cov USING (doc_id) ORDER BY doc_id"))
 
   /** Token counting: whitespace tokens, distinct tokens, char length. */
   val q20TokenStats: GraftQuery = GraftQuery(

@@ -2284,3 +2284,28 @@ class ScreenStreamSpec extends GraftSuite {
     assert(spark.read.parquet(s"$root/out").count() === 3)
   }
 }
+
+class DeconExciseSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.operators.Decontaminate
+
+  test("excises exactly the covered tokens, merges overlapping gram " +
+      "spans, and a fully-covered doc cleans to empty") {
+    val evalSet = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val train = Seq(
+      // two overlapping matched grams (a b c d @1, b c d e @2) cover
+      // tokens 1..5 — the interval UNION, not 8 removals
+      (1L, "a b c d e keep these words"),
+      (2L, "keep a b c d tail"),
+      (3L, "totally clean document"),
+      (4L, "a b c d e")) // fully covered
+      .toDF("doc_id", "text")
+    val got = Decontaminate.exciseOverlap(train, evalSet,
+        "doc_id", "text", w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq === Seq(
+      (1L, 5L, "keep these words"),
+      (2L, 4L, "keep tail"),
+      (4L, 5L, "")))
+  }
+}
