@@ -40,8 +40,12 @@ class PlanAuditSpec extends GraftSuite {
     "q188_pq_oracled",      // the q158 assign kernel per 16-dim
                             // subspace (4× |L|×k=4) — PQ codebook
                             // training IS repeated Lloyd assignment
-    "q195_ivfpq_oracled")   // the same kernels + the coarse 64-dim
+    "q195_ivfpq_oracled",   // the same kernels + the coarse 64-dim
                             // assign — the IVF-PQ composite
+    "q197_semantic_decon")  // train × BROADCAST eval side: the eval
+                            // set is benchmark-sized by definition, so
+                            // |train|×|eval| is linear in the corpus —
+                            // the compliance screen's exact-recall shape
 
   /** crossJoin(broadcast(global aggregate)) — a 1-row side, |L|×1 and
     * linear; Spark renders it as BroadcastNestedLoopJoin but it is the
