@@ -192,6 +192,23 @@ object DedupScaleProbe {
       audPairs(all), (0 until m).map(r => audPairs(ids(r))))
   }
 
+  /** Decontamination overlap counts at replication m: each replica
+    * carries its OWN eval slice (doc_id ≡ 0 mod 97 over its offset id
+    * range) and a disjoint gram space (affine-rotated text), so the
+    * union's contaminated-doc count must be EXACTLY the sum of the
+    * per-replica counts — a cross-replica gram match would mean the
+    * broadcast eval join leaks across corpora. Per-replica counts
+    * legitimately differ (the mod-97 slice shifts with the offset). */
+  def deconCounts(docs: DataFrame, m: Int, w: Int = 4): (Long, Seq[Long]) = {
+    val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    def cnt(d: DataFrame): Long = graft.operators.Decontaminate
+      .overlapReport(d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0), "doc_id", "text", w)
+      .count()
+    (cnt(replicate(docs, m)),
+      (0 until m).map(r => cnt(replicaOf(docs, r, stride))))
+  }
+
   /** Winnowing-candidate and containment-pair counts at replication m:
     * the affine-rotated replicas have DISJOINT shingle/gram spaces, so
     * for both operators cross-replica pairs are impossible and the
@@ -496,6 +513,18 @@ object DedupScaleProbe {
           require(aT == aP.sum, s"audio pairs not additive: $aT vs $aP")
           f""""x$m":{"docs":${nBase * m},"imgPairs":$iT,""" +
             f""""audPairs":$aT,"secs":$secs%.2f}"""
+        }
+      else if (args.headOption.contains("--decon"))
+        // decontamination sweep: contaminated docs EXACTLY additive
+        // across disjoint-gram-space replicas (checked here); wall
+        // ~linear (one gram explode + a broadcast join per side)
+        Seq(1, 2, 5, 10).map { m =>
+          val t0 = System.nanoTime()
+          val (total, per) = deconCounts(docs, m)
+          val secs = (System.nanoTime() - t0) / 1e9
+          require(total == per.sum,
+            s"decon not additive: $total vs $per")
+          f""""x$m":{"docs":${nBase * m},"contaminated":$total,"secs":$secs%.2f}"""
         }
       else if (args.headOption.contains("--wn"))
         // winnowing + containment additivity sweep: disjoint replica

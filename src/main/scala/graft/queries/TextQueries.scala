@@ -14,7 +14,7 @@ object TextQueries {
     q98Contamination, q114OovRate, q119UnigramLogProb, q150NfcNormalize,
     q160Bm25TopK, q169PhraseScreen, q171CompressionGate,
     q192HybridRrf, q193Decontaminate, q196PiiRedact, q198StreamPii,
-    q199DeconExcise)
+    q199DeconExcise, q200DatasetSim)
 
   /** Compression-ratio quality gate
     * ([[graft.operators.Compression.profile]]): deflate(text)/|text|
@@ -318,6 +318,46 @@ object TextQueries {
         "generate_series(1, len(d.ws)), " +
         "i -> NOT list_contains(cov.cov, i)), i -> d.ws[i]), ' '), '') " +
         "AS cleaned FROM d JOIN cov USING (doc_id) ORDER BY doc_id"))
+
+  /** Dataset-level similarity matrix ([[graft.operators.DatasetSim
+    * .pairwise]]): per source pair, the EXACT Jaccard of distinct
+    * 3-token shingle sets AND the 32-slot md5-MinHash estimate — the
+    * corpus-governance view (which sources overlap, and whether the
+    * compact signatures a 100 TB onboarding pipeline would actually
+    * compare agree with ground truth). Fully oracled: the signature
+    * is the q176 portable-minhash family lifted to datasets, and both
+    * faces replay in DuckDB. */
+  val q200DatasetSim: GraftQuery = GraftQuery(
+    "q200_dataset_similarity",
+    (s, d) => graft.operators.DatasetSim.pairwise(
+      Tables.documents(s, d), "source", "text"),
+    Some(
+      "WITH sh AS MATERIALIZED (SELECT DISTINCT src, shingle FROM (" +
+        "SELECT source AS src, unnest(list_transform(" +
+        "generate_series(1, greatest(0, len(ws) - 2)), " +
+        "i -> array_to_string(list_slice(ws, i, i + 2), ' '))) " +
+        "AS shingle FROM (SELECT source, string_split(text, ' ') " +
+        "AS ws FROM documents))), " +
+        "sz AS (SELECT src, count(*) AS n FROM sh GROUP BY src), " +
+        "it AS (SELECT a.src AS src_a, b.src AS src_b, count(*) " +
+        "AS n_common FROM sh a JOIN sh b ON a.shingle = b.shingle " +
+        "AND a.src < b.src GROUP BY 1, 2), " +
+        "sg AS (SELECT src, t.s AS slot, min(md5(t.s::VARCHAR || '|' " +
+        "|| shingle)) AS mh FROM sh, range(1, 33) t(s) " +
+        "GROUP BY src, t.s), " +
+        "es AS (SELECT a.src AS src_a, b.src AS src_b, " +
+        "sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)::DOUBLE / 32 " +
+        "AS est FROM sg a JOIN sg b ON a.slot = b.slot " +
+        "AND a.src < b.src GROUP BY 1, 2) " +
+        "SELECT sa.src AS src_a, sb.src AS src_b, sa.n AS n_a, " +
+        "sb.n AS n_b, coalesce(it.n_common, 0) AS n_common, " +
+        "round(coalesce(it.n_common, 0)::DOUBLE / " +
+        "(sa.n + sb.n - coalesce(it.n_common, 0)), 6) AS jaccard, " +
+        "round(coalesce(es.est, 0.0), 6) AS jaccard_est " +
+        "FROM sz sa JOIN sz sb ON sa.src < sb.src " +
+        "LEFT JOIN it ON it.src_a = sa.src AND it.src_b = sb.src " +
+        "LEFT JOIN es ON es.src_a = sa.src AND es.src_b = sb.src " +
+        "ORDER BY src_a, src_b"))
 
   /** Token counting: whitespace tokens, distinct tokens, char length. */
   val q20TokenStats: GraftQuery = GraftQuery(

@@ -2309,3 +2309,47 @@ class DeconExciseSpec extends GraftSuite {
       (4L, 5L, "")))
   }
 }
+
+class DatasetSimSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.operators.DatasetSim
+
+  test("identical sources score 1.0 on both faces, disjoint score 0") {
+    val docs = Seq(
+      ("s1", "alpha beta gamma delta epsilon"),
+      ("s2", "alpha beta gamma delta epsilon"),
+      ("s3", "one two three four five six"))
+      .toDF("source", "text")
+    val got = DatasetSim.pairwise(docs, "source", "text")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got(("s1", "s2")) === ((1.0, 1.0)))
+    assert(got(("s1", "s3")) === ((0.0, 0.0)))
+    assert(got(("s2", "s3")) === ((0.0, 0.0)))
+  }
+
+  test("the 32-slot estimate tracks exact Jaccard within MinHash " +
+      "sampling error on the corpus") {
+    val rows = DatasetSim.pairwise(Tables.documents(spark, sf),
+        "source", "text")
+      .collect().map(r => (r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val errs = rows.map { case (j, e) => math.abs(j - e) }
+    // std of a 32-slot estimator is sqrt(J(1-J)/32) <= 0.089
+    assert(errs.sum / errs.length < 0.1,
+      s"mean |exact-est| ${errs.sum / errs.length}")
+    assert(errs.max < 0.35, s"worst pair off by ${errs.max}")
+  }
+}
+
+class DeconScaleSpec extends GraftSuite {
+  test("contaminated docs are EXACTLY additive across disjoint-gram " +
+      "replicas — the eval broadcast join has no cross-corpus term") {
+    val docs = Tables.documents(spark, sf)
+    val (total, per) = graft.DedupScaleProbe.deconCounts(docs, 3)
+    assert(total > 0, "no contamination found at base size")
+    assert(total === per.sum,
+      s"cross-replica gram leak: $total != sum of $per")
+  }
+}
