@@ -32,6 +32,57 @@ object Decontaminate {
         .otherwise(array().cast("array<string>"))
     }
 
+  /** Persist the eval-set gram index: (gram, eval_id) rows plus a
+    * one-row meta with `w` — screening a growing training corpus then
+    * reads the INDEX, never the eval documents (which may not even be
+    * distributable — benchmark answer keys stay where they live). */
+  def writeEvalIndex(evalSet: DataFrame, idCol: String, textCol: String,
+      path: String, w: Int = 8): Unit = {
+    val spark = evalSet.sparkSession
+    import spark.implicits._
+    evalSet
+      .select(col(idCol).as("eval_id"),
+        explode(gramsOf(col(textCol), w)).as("gram"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$path/grams")
+    Seq(w).toDF("w").write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append NEW eval documents to a persisted index — idempotent (a
+    * retried batch anti-joins its already-indexed (gram, eval_id)
+    * rows away) and O(batch): the indexed corpus is never re-read. */
+  def appendEvalDocs(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, idCol: String,
+      textCol: String): Unit = {
+    val w = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val existing = spark.read.parquet(s"$path/grams")
+    newDocs
+      .select(col(idCol).as("eval_id"),
+        explode(gramsOf(col(textCol), w)).as("gram"))
+      .distinct()
+      .join(existing, Seq("gram", "eval_id"), "left_anti")
+      .write.mode("append").parquet(s"$path/grams")
+  }
+
+  /** [[overlapReport]] served from the PERSISTED index: identical
+    * output for the same eval set (spec-pinned), with only the index
+    * artifacts read at screen time. */
+  def overlapAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, train: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val evalGrams = spark.read.parquet(s"$path/grams")
+    train
+      .select(col(idCol).as("doc_id"),
+        explode(gramsOf(col(textCol), w)).as("gram"))
+      .distinct()
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SEMANTIC decontamination — the embedding-space complement of the
     * gram screen (SemDedup's insight applied to eval-set leakage:
     * paraphrased benchmark items share no 8-gram but sit at cosine

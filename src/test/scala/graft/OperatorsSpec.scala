@@ -2353,3 +2353,41 @@ class DeconScaleSpec extends GraftSuite {
       s"cross-replica gram leak: $total != sum of $per")
   }
 }
+
+class DeconIndexSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.operators.Decontaminate
+
+  test("index-served screen equals the direct screen; append is " +
+      "idempotent and extends coverage") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_decon_idx").toString
+    val docs = Tables.documents(spark, sf)
+    val evalA = docs.filter($"doc_id" % 97 === 0)
+    val evalB = docs.filter($"doc_id" % 89 === 0 && $"doc_id" % 97 =!= 0)
+    val train = docs.filter($"doc_id" % 97 =!= 0 && $"doc_id" % 89 =!= 0)
+    Decontaminate.writeEvalIndex(evalA, "doc_id", "text",
+      s"$root/idx", w = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    val direct = rows(Decontaminate.overlapReport(train, evalA,
+      "doc_id", "text", w = 4))
+    val served = rows(Decontaminate.overlapAgainstIndex(spark,
+      s"$root/idx", train, "doc_id", "text"))
+    assert(direct.nonEmpty && served === direct)
+    // append a second eval wave: coverage must equal the UNION screen
+    Decontaminate.appendEvalDocs(spark, s"$root/idx", evalB,
+      "doc_id", "text")
+    val both = rows(Decontaminate.overlapAgainstIndex(spark,
+      s"$root/idx", train, "doc_id", "text"))
+    val union = rows(Decontaminate.overlapReport(train,
+      evalA.unionByName(evalB), "doc_id", "text", w = 4))
+    assert(both === union)
+    // retry idempotence: re-appending the same wave changes nothing
+    val n = spark.read.parquet(s"$root/idx/grams").count()
+    Decontaminate.appendEvalDocs(spark, s"$root/idx", evalB,
+      "doc_id", "text")
+    assert(spark.read.parquet(s"$root/idx/grams").count() === n)
+  }
+}
