@@ -42,10 +42,14 @@ class PlanAuditSpec extends GraftSuite {
                             // training IS repeated Lloyd assignment
     "q195_ivfpq_oracled",   // the same kernels + the coarse 64-dim
                             // assign — the IVF-PQ composite
-    "q197_semantic_decon")  // train × BROADCAST eval side: the eval
+    "q197_semantic_decon",  // train × BROADCAST eval side: the eval
                             // set is benchmark-sized by definition, so
                             // |train|×|eval| is linear in the corpus —
                             // the compliance screen's exact-recall shape
+    "q200_dataset_similarity") // the |sources|² pair matrix (the `<`
+                               // range self-join on the SOURCE list —
+                               // tens of rows at any corpus size; the
+                               // shingle/signature joins stay equi)
 
   /** crossJoin(broadcast(global aggregate)) — a 1-row side, |L|×1 and
     * linear; Spark renders it as BroadcastNestedLoopJoin but it is the
