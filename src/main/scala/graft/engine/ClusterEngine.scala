@@ -268,6 +268,7 @@ object ClusterEngine extends Serializable {
   def runNdReplayable(df: DataFrame, macroCol: String, microCol: String,
       metricCols: Seq[String], idCol: String, k: Int,
       iterations: Int): DataFrame = {
+    require(metricCols.nonEmpty, "need at least one metric column")
     val spark = df.sparkSession
     import spark.implicits._
     val scaled = Scaling.scaleSegments(df, macroCol, microCol, metricCols)

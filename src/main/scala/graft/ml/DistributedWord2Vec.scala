@@ -67,6 +67,9 @@ object DistributedWord2Vec {
   private[graft] def fitMatrices(docs: DataFrame, idCol: String,
       textCol: String, dim: Int, minCount: Int, rounds: Int,
       lr: Double): (DataFrame, DataFrame, DataFrame) = {
+    require(dim >= 1 && rounds >= 1 && minCount >= 1 && lr > 0,
+      s"bad hyperparameters: dim=$dim rounds=$rounds " +
+        s"minCount=$minCount lr=$lr")
     val spark = docs.sparkSession
     import spark.implicits._
     val tok = docs

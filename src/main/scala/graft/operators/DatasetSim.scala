@@ -37,6 +37,8 @@ object DatasetSim {
     * src_a < src_b, both scores 6 dp. */
   def pairwise(docs: DataFrame, srcCol: String, textCol: String,
       shingleN: Int = 3, slots: Int = 32): DataFrame = {
+    require(shingleN >= 1 && slots >= 1,
+      s"need shingleN >= 1 and slots >= 1, got ($shingleN, $slots)")
     // not persisted: the branches consume it inside ONE final job and
     // an eager cache would outlive the call (the q159 lesson — measure
     // before caching; the distinct re-scan is cheap at any SF)

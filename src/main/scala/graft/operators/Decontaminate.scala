@@ -24,13 +24,17 @@ object Decontaminate {
   /** `w`-token gram strings of a text column (let-bound against the
     * HOF-CSE re-evaluation term). Documents shorter than `w` tokens
     * emit no grams. */
-  private[graft] def gramsOf(textCol: Column, w: Int): Column =
+  private[graft] def gramsOf(textCol: Column, w: Int): Column = {
+    // w = 0 would build zero-length "grams" from sequence(1, n+1) and
+    // silently match everything
+    require(w >= 1, s"gram width must be >= 1, got $w")
     graft.functions.TextFunctions.bound(split(textCol, " ")) { toks =>
       when(size(toks) >= w,
         transform(sequence(lit(1), size(toks) - (w - 1)),
           i => concat_ws(" ", slice(toks, i, lit(w)))))
         .otherwise(array().cast("array<string>"))
     }
+  }
 
   /** Persist the eval-set gram index: (gram, eval_id) rows plus a
     * one-row meta with `w` — screening a growing training corpus then

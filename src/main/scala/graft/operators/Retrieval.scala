@@ -51,6 +51,10 @@ object Retrieval {
       Similarity.asDouble(col("embedding")).as("v"))
     val qv = vecs.filter(col("doc_id") === queryVecId)
       .select(col("v").as("qv"))
+    // a missing query vector would SILENTLY degrade the fuse to
+    // lex-only (empty cross join) — fail loudly instead
+    require(qv.count() == 1,
+      s"query vector $queryVecId not found in the embedding table")
     val sem = vecs.filter(col("doc_id") =!= queryVecId)
       .crossJoin(broadcast(qv))
       .select(col("doc_id"),

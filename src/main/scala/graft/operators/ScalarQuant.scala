@@ -22,6 +22,12 @@ object ScalarQuant {
     * dim-row artifact, collected like centroids. */
   def bounds(embeddings: DataFrame, idCol: String, vecCol: String)
       : (Seq[Double], Seq[Double]) = {
+    // ragged vectors would silently alias dimensions in the posexplode
+    // grouping (and decode garbage) — reject them up front
+    val dims = embeddings
+      .agg(countDistinct(size(col(vecCol)))).head().getLong(0)
+    require(dims <= 1,
+      s"embeddings must share one dimensionality, found $dims distinct")
     val rows = embeddings
       .select(posexplode(Similarity.asDouble(col(vecCol)))
         .as(Seq("j", "x")))

@@ -2391,3 +2391,38 @@ class DeconIndexSpec extends GraftSuite {
     assert(spark.read.parquet(s"$root/idx/grams").count() === n)
   }
 }
+
+class NewOpGuardsSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("new operators reject degenerate arguments loudly") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.operators.Decontaminate.overlapReport(docs, docs,
+        "doc_id", "text", w = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.DatasetSim.pairwise(
+        Seq(("s", "a b")).toDF("source", "text"), "source", "text",
+        slots = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ml.DistributedWord2Vec.fitReplayable(docs, "doc_id",
+        "text", rounds = 0)
+    }
+    // a missing hybrid-search query vector fails loudly instead of
+    // silently degrading to the lexical leg alone
+    val emb = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.operators.Retrieval.hybridTopK(docs, emb,
+        Seq("a"), queryVecId = 99L, k = 5)
+    }
+    // ragged embedding tables are rejected by the quantizer
+    val ragged = Seq((1L, Array(1.0f)), (2L, Array(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.operators.ScalarQuant.quantizeReport(ragged,
+        "vec_id", "embedding")
+    }
+  }
+}
