@@ -88,6 +88,8 @@ object Main {
     case "compact" :: dir :: rest =>
       runCompact(dir,
         rest.headOption.map(_.toLong).getOrElse(128L) * 1024 * 1024)
+    case "jsonl-ingest" :: input :: outDir :: _ =>
+      runJsonlIngest(input, outDir)
     case "decontaminate" :: input :: evalSet :: outDir :: rest =>
       runDecontaminate(input, evalSet, outDir,
         rest.headOption.map(_.toInt).getOrElse(8))
@@ -125,6 +127,7 @@ object Main {
            |       graft.Main snapshot-diff <oldParquet> <newParquet> <outDir>
            |       graft.Main quality-filter <docsParquet> <outDir> [threshold]
            |       graft.Main dsir-select <docsParquet> <outDir> [k]
+           |       graft.Main jsonl-ingest <jsonlPath> <outDir>  (clean parquet + quarantine)
            |       graft.Main decontaminate <docsParquet> <evalParquet> <outDir> [w]
            |       graft.Main quantize <embParquet> <outDir>
            |       graft.Main hybrid-search <docsParquet> <embParquet> <outDir> <term term ...> [--vec <id>] [--k <n>]
@@ -470,6 +473,21 @@ object Main {
     val kept = spark.read.parquet(outDir)
     println(s">>> [screen] kept=${kept.filter(col("keep")).count()} " +
       s"of ${kept.count()}")
+    spark.stop()
+  }
+
+  /** JSONL front door: PERMISSIVE read with corrupt-line quarantine
+    * ([[graft.io.Sources.readJsonl]]) → clean parquet + the quarantined
+    * raw lines as the audit artifact. */
+  private def runJsonlIngest(input: String, outDir: String): Unit = {
+    val spark = session()
+    val df = graft.io.Sources.readJsonl(spark, input)
+    val (clean, bad) = graft.io.Sources.splitQuarantine(df)
+    Sinks.writeParquet(clean, s"$outDir/clean")
+    Sinks.writeParquet(bad, s"$outDir/quarantine")
+    println(s">>> [jsonl-ingest] clean=" +
+      s"${spark.read.parquet(s"$outDir/clean").count()} quarantined=" +
+      s"${spark.read.parquet(s"$outDir/quarantine").count()}")
     spark.stop()
   }
 

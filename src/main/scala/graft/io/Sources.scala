@@ -30,6 +30,41 @@ object Sources {
     }
   }
 
+  /** JSONL scan — the training-data interchange format (one JSON doc
+    * per line): PERMISSIVE with the same corrupt-record quarantine
+    * contract as [[readCsv]] — a malformed line lands whole in
+    * [[CorruptRecordCol]] (schema'd reads) instead of killing the read
+    * or silently vanishing; `splitQuarantine` separates clean rows
+    * from the evidence. Explicit schema recommended at scale (schema
+    * inference is an extra full pass). */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptRecordCol)
+    schema match {
+      case Some(s) =>
+        // the quarantine column must be part of the read schema or
+        // Spark drops corrupt lines silently under PERMISSIVE
+        val withQ =
+          if (s.fieldNames.contains(CorruptRecordCol)) s
+          else s.add(CorruptRecordCol, "string")
+        base.schema(withQ).json(path)
+      case None => base.json(path)
+    }
+  }
+
+  /** (clean rows, quarantined rows) from a [[readJsonl]]/[[readCsv]]
+    * frame — the corrupt column is dropped from the clean side and the
+    * raw line preserved on the quarantine side for the audit trail. */
+  def splitQuarantine(df: DataFrame): (DataFrame, DataFrame) =
+    if (!df.columns.contains(CorruptRecordCol)) (df, df.limit(0))
+    else {
+      import org.apache.spark.sql.functions.col
+      (df.filter(col(CorruptRecordCol).isNull).drop(CorruptRecordCol),
+        df.filter(col(CorruptRecordCol).isNotNull))
+    }
+
   /** S2: existence probe before read (`preprocess.py:50-56`). */
   def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(path))

@@ -116,4 +116,40 @@ class IoSpec extends GraftSuite {
       .collect().find(r => r.macroId == "A" && r.microId == "F").get
     assert(res2.k === 2)
   }
+
+  test("JSONL scan quarantines malformed lines with the raw line " +
+      "preserved; splitQuarantine separates clean from evidence") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val dir = Files.createTempDirectory("graft_jsonl")
+    val content =
+      """{"doc_id": 1, "text": "clean one"}
+        |{"doc_id": 2, "text": "clean two"}
+        |{"doc_id": 3, "text": "broken
+        |not json at all
+        |{"doc_id": 4, "text": "clean four"}
+        |""".stripMargin
+    val f = dir.resolve("docs.jsonl")
+    Files.write(f, content.getBytes(StandardCharsets.UTF_8))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val df = Sources.readJsonl(spark, f.toString, Some(schema)).cache()
+    val (clean, bad) = Sources.splitQuarantine(df)
+    assert(clean.columns.toSeq === Seq("doc_id", "text"))
+    assert(clean.collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 4L))
+    // both malformed lines preserved verbatim for the audit trail
+    val quarantined = bad.collect()
+      .map(_.getAs[String](Sources.CorruptRecordCol)).sorted
+    assert(quarantined.length === 2)
+    assert(quarantined.exists(_.contains("not json at all")))
+    // schema-less read still works (no quarantine column, nothing lost
+    // silently beyond Spark's inference semantics)
+    val inferred = Sources.readJsonl(spark, f.toString)
+    assert(inferred.count() >= 3)
+    // a frame WITHOUT the quarantine column splits to (all, empty)
+    val (c2, b2) = Sources.splitQuarantine(clean)
+    assert(c2.count() === 3 && b2.count() === 0)
+  }
+
 }
