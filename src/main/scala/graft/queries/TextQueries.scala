@@ -14,7 +14,7 @@ object TextQueries {
     q98Contamination, q114OovRate, q119UnigramLogProb, q150NfcNormalize,
     q160Bm25TopK, q169PhraseScreen, q171CompressionGate,
     q192HybridRrf, q193Decontaminate, q196PiiRedact, q198StreamPii,
-    q199DeconExcise, q200DatasetSim)
+    q199DeconExcise, q200DatasetSim, q201JsonlRoundtrip)
 
   /** Compression-ratio quality gate
     * ([[graft.operators.Compression.profile]]): deflate(text)/|text|
@@ -358,6 +358,31 @@ object TextQueries {
         "LEFT JOIN it ON it.src_a = sa.src AND it.src_b = sb.src " +
         "LEFT JOIN es ON es.src_a = sa.src AND es.src_b = sb.src " +
         "ORDER BY src_a, src_b"))
+
+  /** JSONL source round trip ([[graft.io.Sources.readJsonl]]): the
+    * corpus written as JSON-lines (the interchange format training
+    * corpora actually arrive in) and read back through the PERMISSIVE
+    * + quarantine front door must reproduce every row byte-for-byte
+    * against the parquet ground truth — the source path inside the
+    * correctness gate, not just IoSpec. */
+  val q201JsonlRoundtrip: GraftQuery = GraftQuery(
+    "q201_jsonl_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q201").toString
+      Tables.documents(s, d)
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .write.mode("overwrite").json(s"$root/jsonl")
+      val (clean, bad) = graft.io.Sources.splitQuarantine(
+        graft.io.Sources.readJsonl(s, s"$root/jsonl"))
+      require(bad.isEmpty, "self-written JSONL must not quarantine")
+      clean.select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .orderBy($"doc_id")
+    },
+    Some(
+      "SELECT doc_id, text, lang, source, n_chars FROM documents " +
+        "ORDER BY doc_id"))
 
   /** Token counting: whitespace tokens, distinct tokens, char length. */
   val q20TokenStats: GraftQuery = GraftQuery(
