@@ -56,7 +56,14 @@ object Sources {
 
   /** (clean rows, quarantined rows) from a [[readJsonl]]/[[readCsv]]
     * frame — the corrupt column is dropped from the clean side and the
-    * raw line preserved on the quarantine side for the audit trail. */
+    * raw line preserved on the quarantine side for the audit trail.
+    *
+    * Spark contract: an action on the QUARANTINE side that prunes to
+    * the corrupt column alone (e.g. `bad.count()` straight off the
+    * raw file) raises QUERY_ONLY_CORRUPT_RECORD_COLUMN — cache the
+    * parsed frame first, or write it out and count the artifact (the
+    * `jsonl-ingest` verb does the latter; JsonlEdgeSpec pins the
+    * cached recipe). */
   def splitQuarantine(df: DataFrame): (DataFrame, DataFrame) =
     if (!df.columns.contains(CorruptRecordCol)) (df, df.limit(0))
     else {

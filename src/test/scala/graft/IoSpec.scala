@@ -153,3 +153,41 @@ class IoSpec extends GraftSuite {
   }
 
 }
+
+class JsonlEdgeSpec extends GraftSuite {
+  import java.nio.file.Files
+  import java.nio.charset.StandardCharsets
+  import graft.io.Sources
+
+  test("an all-corrupt JSONL file quarantines every line and yields " +
+      "zero clean rows instead of failing the read") {
+    val dir = Files.createTempDirectory("graft_jsonl_bad")
+    val f = dir.resolve("junk.jsonl")
+    Files.write(f, "not json\nstill not json\n<xml even/>\n"
+      .getBytes(StandardCharsets.UTF_8))
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // the documented recipe: cache the parsed frame BEFORE quarantine-
+    // side actions — Spark refuses corrupt-column-only queries off the
+    // raw file (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val parsed = Sources.readJsonl(spark, f.toString, Some(schema)).cache()
+    val (clean, bad) = Sources.splitQuarantine(parsed)
+    assert(clean.count() === 0)
+    assert(bad.count() === 3)
+    parsed.unpersist()
+  }
+
+  test("screening against an EMPTY eval index reports nothing and " +
+      "does not fail") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_empty_idx").toString
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    graft.operators.Decontaminate.writeEvalIndex(empty, "doc_id",
+      "text", s"$root/idx", w = 4)
+    val train = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    assert(graft.operators.Decontaminate.overlapAgainstIndex(spark,
+      s"$root/idx", train, "doc_id", "text").count() === 0)
+  }
+}
