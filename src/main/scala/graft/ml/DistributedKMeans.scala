@@ -86,6 +86,80 @@ object DistributedKMeans {
     (assignments, cents)
   }
 
+  /** Grouped multi-k Lloyd — every k of a sweep fit in ONE pass per
+    * round. Tagging each centroid row with its sweep key `kk` and
+    * grouping the argmin by (kk, id) makes the per-round cost one scan
+    * and one shuffle for the WHOLE sweep instead of one per k: the
+    * point×centroid pair count is identical to running the fits
+    * separately (Σ n·k either way), but a 100 TB sweep re-reads the
+    * corpus `iterations` times, not `iterations · |ks|` times. Each
+    * k's math is untouched — the (kk, id) group sees exactly its own
+    * k's centroids, and the q158 quantization contract (6-dp centroid
+    * re-quantization per round, decimal-summable scores downstream)
+    * makes the grouped fit bit-identical to |ks| separate [[fit]]
+    * calls (DistributedKMeansSpec pins that equivalence).
+    *
+    * `inits` (optional) supplies per-k seeds as (kk, c, cv); default is
+    * the first k points by id for each k — one limit(max k) + a
+    * row_number over those ≤ max(ks) rows, not a scan per k. The final
+    * centroid frame (Σk rows) is eagerly localCheckpoint'ed so every
+    * downstream scoring pass is shallow instead of replaying the
+    * `iterations`-round lineage per action — the sweep's whole reason
+    * to exist. Returns (assignments (kk, id, cluster, d2),
+    * centroids (kk, c, cv)). */
+  def fitMulti(points: DataFrame, idCol: String, vecCol: String,
+      ks: Seq[Int], iterations: Int, inits: Option[DataFrame] = None,
+      roundDp: Int = 6, checkpointEvery: Int = 5)
+      : (DataFrame, DataFrame) = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "every k must be >= 1")
+    require(ks.distinct.size == ks.size, "duplicate k in sweep")
+    require(iterations >= 1, "iterations must be >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val spark = points.sparkSession
+    import spark.implicits._
+    org.apache.spark.sql.GraftExprBridge.ensureOptimization(spark,
+      graft.expressions.L2Fusion)
+    val vecs = points
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val c0 = inits.getOrElse {
+      val top = vecs.orderBy(col("id")).limit(ks.max)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
+      top.crossJoin(broadcast(ks.toDF("kk")))
+        .filter(col("rn") <= col("kk"))
+        .select(col("kk"), col("id").as("c"), col("v").as("cv"))
+    }
+    var cents = c0
+    for (iter <- 1 to iterations) {
+      cents = vecs.crossJoin(broadcast(cents))
+        .withColumn("d2", sqDist(col("v"), col("cv")))
+        .groupBy(col("kk"), col("id"))
+        .agg(min_by(struct(col("c"), col("v")),
+          struct(col("d2"), col("c"))).as("a"))
+        .select(col("kk"), col("a.c").as("c"),
+          posexplode(col("a.v")).as(Seq("p", "x")))
+        .groupBy(col("kk"), col("c"), col("p"))
+        .agg(round(avg(col("x")), roundDp).as("m"))
+        .groupBy(col("kk"), col("c"))
+        .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("pm"))
+        .select(col("kk"), col("c"),
+          transform(col("pm"), e => e.getField("m")).as("cv"))
+      if (iter % checkpointEvery == 0 && iter < iterations)
+        cents = cents.localCheckpoint(true)
+    }
+    // Σk rows: cut the unrolled lineage here so scoring actions don't
+    // each replay `iterations` rounds
+    cents = cents.localCheckpoint(true)
+    val assignments = vecs.crossJoin(broadcast(cents))
+      .withColumn("d2", sqDist(col("v"), col("cv")))
+      .groupBy(col("kk"), col("id"))
+      .agg(min_by(struct(col("c"), col("d2")),
+        struct(col("d2"), col("c"))).as("a"))
+      .select(col("kk"), col("id"), col("a.c").as("cluster"),
+        col("a.d2").as("d2"))
+    (assignments, cents)
+  }
+
   /** One REPLAYABLE bisecting step — the distributed, oracle-able face
     * of the reference's BisectingKMeans family ([[LocalKMeans
     * .fitBisecting]] stays the per-segment production path): fit k=2 on
@@ -146,73 +220,102 @@ object DistributedKMeans {
     * KMeans|| finisher shape with the RNG replaced by argmax. */
   def initParallel(points: DataFrame, idCol: String, vecCol: String,
       k: Int, seed: Long, rounds: Int = 2, oversampleFactor: Int = 2)
+      : DataFrame =
+    initParallelMulti(points, idCol, vecCol, Seq(k), seed, rounds,
+      oversampleFactor).select(col("c"), col("cv"))
+
+  /** [[initParallel]] for a whole k-sweep in one set of passes: every
+    * k's candidate trajectory is tracked independently (tagged `kk`),
+    * but each sampling round is ONE corpus scan + ONE driver collect
+    * for all ks instead of one per k — the d²-min, the per-k cost sum,
+    * and the Bernoulli draw all ride the same grouped aggregation. The
+    * per-k results are bit-identical to |ks| separate [[initParallel]]
+    * calls (the draw threshold min(1, l·d²/cost) is the only place k
+    * enters, and it's applied per-kk row). Returns (kk, c, cv). */
+  def initParallelMulti(points: DataFrame, idCol: String, vecCol: String,
+      ks: Seq[Int], seed: Long, rounds: Int = 2, oversampleFactor: Int = 2)
       : DataFrame = {
-    require(k >= 1 && rounds >= 1)
+    require(ks.nonEmpty && ks.forall(_ >= 1) && rounds >= 1)
+    require(ks.distinct.size == ks.size, "duplicate k in sweep")
     val spark = points.sparkSession
     import spark.implicits._
     val vecs = points
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val l = (oversampleFactor.toLong * k).toDouble
-    // start from the minimum seeded-hash point: arbitrary but pure.
-    // The candidate set stays a COLLECTED local relation throughout —
-    // it is bounded (≈ rounds·oversample·k rows), each round's cross
-    // join broadcasts it, and keeping it local avoids a lineage chain
-    // and a driver action per round beyond the unavoidable cost sum.
-    var centers: Seq[(Long, Seq[Double])] = vecs
+    // start from the minimum seeded-hash point: arbitrary but pure —
+    // and k-independent, so every sweep entry shares it. The candidate
+    // sets stay COLLECTED local relations throughout — bounded
+    // (≈ rounds·oversample·k rows each), each round's cross join
+    // broadcasts their union, and keeping them local avoids a lineage
+    // chain and a driver action per k beyond the one grouped collect.
+    val start: Seq[(Long, Seq[Double])] = vecs
       .orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(1)
       .select(col("id").as("c"), col("v").as("cv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    var centers: Map[Int, Seq[(Long, Seq[Double])]] =
+      ks.map(k => k -> start).toMap
+    def centersDf = broadcast(
+      ks.flatMap(k => centers(k).map { case (c, cv) => (k, c, cv) })
+        .toDF("kk", "c", "cv"))
     for (r <- 1 to rounds) {
-      val centersDf = broadcast(centers.toDF("c", "cv"))
       val d2min = vecs.crossJoin(centersDf)
         .withColumn("d2", sqDist(col("v"), col("cv")))
-        .groupBy(col("id")).agg(min(col("d2")).as("d2"),
+        .groupBy(col("kk"), col("id")).agg(min(col("d2")).as("d2"),
           first(col("v")).as("v"))
       // uniform in [0,1) from the top 53 bits of the seeded hash; the
-      // cost sum rides the same pass via a window-free global agg
+      // per-k cost sum rides the same pass via a broadcast re-agg
       val u = shiftrightunsigned(
         xxhash64(col("id"), lit(seed + r)), 11)
         .cast("double") / lit(9007199254740992.0)
+      val l = col("kk").cast("double") * lit(oversampleFactor.toDouble)
       val chosen = d2min
-        .crossJoin(broadcast(d2min.agg(sum(col("d2")).as("cost"))))
+        .join(broadcast(
+          d2min.groupBy(col("kk")).agg(sum(col("d2")).as("cost"))), "kk")
         .filter(col("cost") > 0 &&
-          u < least(lit(1.0), lit(l) * col("d2") / col("cost")))
-        .select(col("id"), col("v"))
-        .collect().map(row => (row.getLong(0), row.getSeq[Double](1)))
-      centers = (centers ++ chosen).distinctBy(_._1).sortBy(_._1)
+          u < least(lit(1.0), l * col("d2") / col("cost")))
+        .select(col("kk"), col("id"), col("v"))
+        .collect()
+        .map(row => (row.getInt(0), row.getLong(1), row.getSeq[Double](2)))
+      centers = ks.map { k =>
+        val ch = chosen.collect { case (`k`, id, v) => (id, v) }.toSeq
+        k -> (centers(k) ++ ch).distinctBy(_._1).sortBy(_._1)
+      }.toMap
     }
-    // weight candidates by attraction, reduce to k deterministically
-    val weightRows = vecs.crossJoin(broadcast(centers.toDF("c", "cv")))
+    // weight candidates by attraction, reduce to k deterministically —
+    // one grouped pass for the whole sweep
+    val weightRows = vecs.crossJoin(centersDf)
       .withColumn("d2", sqDist(col("v"), col("cv")))
-      .groupBy(col("id"))
+      .groupBy(col("kk"), col("id"))
       .agg(min_by(col("c"), struct(col("d2"), col("c"))).as("c"))
-      .groupBy(col("c")).agg(count(lit(1)).as("w"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val cand = centers
-      .map { case (c, cv) =>
-        (c, cv.toArray, weightRows.getOrElse(c, 0L))
+      .groupBy(col("kk"), col("c")).agg(count(lit(1)).as("w"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    ks.flatMap { k =>
+      val cand = centers(k)
+        .map { case (c, cv) =>
+          (c, cv.toArray, weightRows.getOrElse((k, c), 0L))
+        }
+        .sortBy(_._1)
+      val picked = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Array[Double])]
+      if (cand.nonEmpty) {
+        def d2(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+          s
+        }
+        // max weight first (id-asc tie-break via stable sorted input)
+        picked += { val m = cand.maxBy(_._3); (m._1, m._2) }
+        while (picked.size < math.min(k, cand.size)) {
+          val next = cand
+            .filterNot(c => picked.exists(_._1 == c._1))
+            .maxBy { c =>
+              (c._3.toDouble * picked.map(p => d2(c._2, p._2)).min, -c._1)
+            }
+          picked += ((next._1, next._2))
+        }
       }
-      .sortBy(_._1)
-    val picked = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Array[Double])]
-    if (cand.nonEmpty) {
-      def d2(a: Array[Double], b: Array[Double]): Double = {
-        var s = 0.0; var i = 0
-        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-        s
-      }
-      // max weight first (id-asc tie-break via stable sorted input)
-      picked += { val m = cand.maxBy(_._3); (m._1, m._2) }
-      while (picked.size < math.min(k, cand.size)) {
-        val next = cand
-          .filterNot(c => picked.exists(_._1 == c._1))
-          .maxBy { c =>
-            (c._3.toDouble * picked.map(p => d2(c._2, p._2)).min, -c._1)
-          }
-        picked += ((next._1, next._2))
-      }
-    }
-    picked.toSeq.map { case (c, cv) => (c, cv.toSeq) }.toDF("c", "cv")
+      picked.toSeq.map { case (c, cv) => (k, c, cv.toSeq) }
+    }.toDF("kk", "c", "cv")
   }
 
   /** Simplified silhouette of an assignment (Hruschka et al.): per
@@ -267,32 +370,38 @@ object DistributedKMeans {
     val vecs = points
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .persist()
-    val rows = ks.sorted.map { k =>
-      val (af, cents) = fit(vecs, "id", "v", k, iterations)
-      val wssse = af
-        .agg(sum(round(col("d2"), 6).cast(DecimalType(20, 6)))
-          .cast("double"))
-        .head().getDouble(0)
-      val sil = vecs.crossJoin(broadcast(cents))
-        .withColumn("dd", sqrt(sqDist(col("v"), col("cv"))))
-        .groupBy(col("id"))
-        .agg(sort_array(collect_list(col("dd"))).as("ds"))
-        .select(col("ds").getItem(0).as("a"), col("ds").getItem(1).as("b"))
-        .agg(
-          sum(round(when(greatest(col("a"), col("b")) > 0,
-            (col("b") - col("a")) / greatest(col("a"), col("b")))
-            .otherwise(lit(0.0)), 6).cast(DecimalType(20, 6)))
-            .cast("double").as("ss"),
-          count(lit(1)).as("n"))
-        .select(round(col("ss") / col("n"), 6))
-        .head().getDouble(0)
-      (k, wssse, sil)
-    }
+    // grouped fit: one scan+shuffle per round for the whole sweep, and
+    // ONE scoring action for all ks (WSSSE off the grouped assignments,
+    // silhouette off one grouped two-nearest pass) — was 2 actions × |ks|,
+    // each replaying its fit lineage. Same quantized numbers, so the
+    // DuckDB oracle (per-k CTE replay) is untouched.
+    val (af, cents) = fitMulti(vecs, "id", "v", ks.sorted, iterations)
+    val w = af
+      .groupBy(col("kk"))
+      .agg(sum(round(col("d2"), 6).cast(DecimalType(20, 6)))
+        .cast("double").as("wssse"))
+    val sil = vecs.crossJoin(broadcast(cents))
+      .withColumn("dd", sqrt(sqDist(col("v"), col("cv"))))
+      .groupBy(col("kk"), col("id"))
+      .agg(sort_array(collect_list(col("dd"))).as("ds"))
+      .select(col("kk"), col("ds").getItem(0).as("a"),
+        col("ds").getItem(1).as("b"))
+      .groupBy(col("kk"))
+      .agg(
+        sum(round(when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)), 6).cast(DecimalType(20, 6)))
+          .cast("double").as("ss"),
+        count(lit(1)).as("n"))
+      .select(col("kk"), round(col("ss") / col("n"), 6).as("sil"))
+    val rows = w.join(sil, "kk").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
     vecs.unpersist()
     // selection policy, total: max silhouette, smaller k on ties —
     // applied to the already-quantized scores so any engine replays it
     val bestK = rows.maxBy { case (k, _, s) => (s, -k) }._1
-    rows.map { case (k, w, s) => (k, w, s, k == bestK) }
+    rows.map { case (k, w0, s) => (k, w0, s, k == bestK) }
       .toDF("k", "wssse", "silhouette", "chosen")
       .orderBy(col("k"))
   }
@@ -301,11 +410,12 @@ object DistributedKMeans {
     * fit every k with the deterministic k-means|| seeding, score with
     * the simplified silhouette, report WSSSE for the elbow — the same
     * decision surface `ksearch.KPolicy` consumes, computed without
-    * ever collecting the data. WSSSE and silhouette ride ONE scoring
-    * pass per k (per-point min d² and the two nearest centroid
-    * distances come from the same aggregation) — the sweep is
-    * driver-round-trip-bound, not data-bound, so every saved action
-    * counts. Returns (k, wssse, silhouette) rows. */
+    * ever collecting the data. The fits and the scoring run GROUPED
+    * over all ks ([[fitMulti]]): one corpus scan per Lloyd round and
+    * ONE scoring pass for the whole sweep (per-point min d² and the
+    * two nearest centroid distances come from the same aggregation) —
+    * the sweep is seeding-round-trip-bound, not data-bound. Returns
+    * (k, wssse, silhouette) rows. */
   def sweepK(points: DataFrame, idCol: String, vecCol: String,
       ks: Seq[Int], iterations: Int = 5, seed: Long = 42L)
       : Seq[(Int, Double, Double)] = {
@@ -320,26 +430,36 @@ object DistributedKMeans {
     // projection is not. Revisit only with a measured win.
     val vecs = points
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // everything runs GROUPED across the sweep: the k-means|| seeding
+    // (one collect per sampling round for all ks), the `iterations`
+    // Lloyd rounds (one scan+shuffle per round, fitMulti), and the
+    // scoring (one pass) — instead of ~(rounds·2 + iterations + 1)
+    // corpus scans PER k
+    val inits = initParallelMulti(vecs, "id", "v", ks, seed)
+    val (_, centsDf) = fitMulti(vecs, "id", "v", ks, iterations,
+      inits = Some(inits))
+    // kEff per k: seeding can return < k centers on tiny inputs; the
+    // <2-centers guard (silhouette := 0) keys off it as before
+    val kEff = centsDf.groupBy(col("kk")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val scored = vecs.crossJoin(broadcast(centsDf))
+      .withColumn("d2", sqDist(col("v"), col("cv")))
+      .groupBy(col("kk"), col("id"))
+      .agg(min(col("d2")).as("w"),
+        sort_array(collect_list(sqrt(col("d2")))).as("ds"))
+      .select(col("kk"), col("w"), col("ds").getItem(0).as("a"),
+        when(size(col("ds")) >= 2, col("ds").getItem(1))
+          .otherwise(lit(0.0)).as("b"))
+      .groupBy(col("kk"))
+      .agg(sum(col("w")).as("wssse"),
+        avg(when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0))).as("sil"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
     ks.map { k =>
-      val init = initParallel(vecs, "id", "v", k, seed)
-      val (_, centsDf) = fit(vecs, "id", "v", k, iterations,
-        init = Some(init))
-      val cents = centsDf.collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-      val kEff = cents.size
-      val scored = vecs.crossJoin(broadcast(cents.toDF("c", "cv")))
-        .withColumn("d2", sqDist(col("v"), col("cv")))
-        .groupBy(col("id"))
-        .agg(min(col("d2")).as("w"),
-          sort_array(collect_list(sqrt(col("d2")))).as("ds"))
-        .select(col("w"), col("ds").getItem(0).as("a"),
-          (if (kEff >= 2) col("ds").getItem(1) else lit(0.0)).as("b"))
-        .agg(sum(col("w")).as("wssse"),
-          avg(when(greatest(col("a"), col("b")) > 0,
-            (col("b") - col("a")) / greatest(col("a"), col("b")))
-            .otherwise(lit(0.0))).as("sil"))
-        .head()
-      (k, scored.getDouble(0), if (kEff < 2) 0.0 else scored.getDouble(1))
+      val (w, s) = scored(k)
+      (k, w, if (kEff.getOrElse(k, 0L) < 2) 0.0 else s)
     }
   }
 }

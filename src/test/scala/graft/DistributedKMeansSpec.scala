@@ -90,6 +90,24 @@ class DistributedKMeansSpec extends GraftSuite {
     assert(a.size === 3)
   }
 
+  test("initParallelMulti is bit-identical to per-k initParallel (the " +
+      "grouped seeding contract)") {
+    val df = blobs.map { case (id, v, _) => (id, v) }.toDF("id", "v")
+    val ks = Seq(2, 3, 4)
+    val grouped = DistributedKMeans
+      .initParallelMulti(df, "id", "v", ks, seed = 7L)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toSeq))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)
+        .toSeq).toMap
+    ks.foreach { k =>
+      val solo = DistributedKMeans.initParallel(df, "id", "v", k, seed = 7L)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      assert(grouped(k) === solo, s"seeding diverged at k=$k")
+    }
+  }
+
   test("distributed optimal-k sweep picks the planted k by simplified " +
       "silhouette") {
     val df = blobs.map { case (id, v, _) => (id, v) }.toDF("id", "v")
@@ -126,6 +144,33 @@ class DistributedKMeansSpec extends GraftSuite {
     assert(ws === ws.sorted.reverse, s"wssse not decreasing: $rows")
     // the decimal-sum contract: same numbers at any partitioning
     assert(rows === run(8))
+  }
+
+  test("fitMulti is bit-identical to |ks| separate fits (the grouped " +
+      "sweep contract)") {
+    val df = blobs.map { case (id, v, _) => (id, v) }.toDF("id", "v")
+    val ks = Seq(2, 3, 4)
+    val (afm, cm) = DistributedKMeans.fitMulti(df, "id", "v", ks,
+      iterations = 3)
+    val gotC = cm.collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2).toSeq))
+      .toMap
+    val gotA = afm.collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    ks.foreach { k =>
+      val (af, cents) = DistributedKMeans.fit(df, "id", "v", k,
+        iterations = 3)
+      cents.collect().foreach { r =>
+        assert(gotC((k, r.getLong(0))) === r.getSeq[Double](1).toSeq,
+          s"centroid diverged at k=$k c=${r.getLong(0)}")
+      }
+      af.collect().foreach { r =>
+        assert(gotA((k, r.getLong(0))) === ((r.getLong(1), r.getDouble(2))),
+          s"assignment diverged at k=$k id=${r.getLong(0)}")
+      }
+      assert(gotC.keys.count(_._1 == k) === cents.count())
+    }
   }
 
   test("fitLloydQuantized: first-k-distinct init by lex rank, blob " +
