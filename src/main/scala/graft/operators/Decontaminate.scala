@@ -68,14 +68,13 @@ object Decontaminate {
       .write.mode("append").parquet(s"$path/grams")
   }
 
-  /** [[overlapReport]] served from the PERSISTED index: identical
-    * output for the same eval set (spec-pinned), with only the index
-    * artifacts read at screen time. */
-  def overlapAgainstIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, train: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val w = spark.read.parquet(s"$path/meta").head().getInt(0)
-    val evalGrams = spark.read.parquet(s"$path/grams")
+  /** The shared overlap kernel: distinct train grams → broadcast join
+    * against the (gram, eval_id) set → per-doc evidence counts.
+    * UNORDERED — batch faces append a total ORDER BY, the streaming
+    * face ([[graft.streaming.DeconStream]]) must not sort per
+    * micro-batch. */
+  private[graft] def overlapCore(train: DataFrame, evalGrams: DataFrame,
+      idCol: String, textCol: String, w: Int): DataFrame =
     train
       .select(col(idCol).as("doc_id"),
         explode(gramsOf(col(textCol), w)).as("gram"))
@@ -84,6 +83,16 @@ object Decontaminate {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_shared_grams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
+
+  /** [[overlapReport]] served from the PERSISTED index: identical
+    * output for the same eval set (spec-pinned), with only the index
+    * artifacts read at screen time. */
+  def overlapAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, train: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val evalGrams = spark.read.parquet(s"$path/grams")
+    overlapCore(train, evalGrams, idCol, textCol, w)
       .orderBy(col("doc_id"))
   }
 
@@ -159,17 +168,12 @@ object Decontaminate {
     * with an anti-join. */
   def overlapReport(train: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, w: Int = 8): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("doc_id"),
+    val evalGrams = evalSet
+      .select(col(idCol).as("eval_id"),
         explode(gramsOf(col(textCol), w)).as("gram"))
       .distinct()
-    val evalGrams = grams(evalSet)
-      .select(col("gram"), col("doc_id").as("eval_id"))
-    grams(train)
-      .join(broadcast(evalGrams), "gram")
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("gram")).as("n_shared_grams"),
-        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .select(col("gram"), col("eval_id"))
+    overlapCore(train, evalGrams, idCol, textCol, w)
       .orderBy(col("doc_id"))
   }
 }

@@ -14,7 +14,8 @@ object TextQueries {
     q98Contamination, q114OovRate, q119UnigramLogProb, q150NfcNormalize,
     q160Bm25TopK, q169PhraseScreen, q171CompressionGate,
     q192HybridRrf, q193Decontaminate, q196PiiRedact, q198StreamPii,
-    q199DeconExcise, q200DatasetSim, q201JsonlRoundtrip)
+    q199DeconExcise, q200DatasetSim, q201JsonlRoundtrip,
+    q202StreamDecon)
 
   /** Compression-ratio quality gate
     * ([[graft.operators.Compression.profile]]): deflate(text)/|text|
@@ -163,6 +164,23 @@ object TextQueries {
         "SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk " +
         "FROM fused) WHERE rk <= 10 ORDER BY rk"))
 
+  /** The q193 replay in DuckDB, shared with the streaming face q202 —
+    * one oracle, two execution modes. (Declared before both query vals:
+    * a forward reference would initialize to null inside Some().) */
+  private val deconOracleSql: String =
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws " +
+      "FROM documents), " +
+      "g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, " +
+      "unnest(list_transform(generate_series(1, " +
+      "greatest(0, len(ws) - 3)), i -> array_to_string(" +
+      "list_slice(ws, i, i + 3), ' '))) AS gram FROM d)), " +
+      "ev AS (SELECT gram, doc_id AS eval_id FROM g " +
+      "WHERE doc_id % 97 = 0) " +
+      "SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_grams, " +
+      "count(DISTINCT ev.eval_id) AS n_eval_docs " +
+      "FROM g JOIN ev USING (gram) WHERE g.doc_id % 97 != 0 " +
+      "GROUP BY g.doc_id ORDER BY g.doc_id"
+
   /** Benchmark decontamination ([[graft.operators.Decontaminate
     * .overlapReport]]): training docs sharing any 4-token gram with
     * the held-out slice (doc_id ≡ 0 mod 97 — the stand-in eval set),
@@ -180,19 +198,36 @@ object TextQueries {
         docs.filter($"doc_id" % 97 === 0),
         "doc_id", "text", w = 4)
     },
-    Some(
-      "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws " +
-        "FROM documents), " +
-        "g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, " +
-        "unnest(list_transform(generate_series(1, " +
-        "greatest(0, len(ws) - 3)), i -> array_to_string(" +
-        "list_slice(ws, i, i + 3), ' '))) AS gram FROM d)), " +
-        "ev AS (SELECT gram, doc_id AS eval_id FROM g " +
-        "WHERE doc_id % 97 = 0) " +
-        "SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_grams, " +
-        "count(DISTINCT ev.eval_id) AS n_eval_docs " +
-        "FROM g JOIN ev USING (gram) WHERE g.doc_id % 97 != 0 " +
-        "GROUP BY g.doc_id ORDER BY g.doc_id"))
+    Some(deconOracleSql))
+
+  /** The STREAMING replay of q193 ([[graft.streaming.DeconStream]]):
+    * the eval slice is indexed ONCE ([[graft.operators.Decontaminate
+    * .writeEvalIndex]]), the training corpus lands as four parquet
+    * files, and each micro-batch is screened against the persisted
+    * index — the stream-static join every growing corpus actually
+    * runs (O(shard) per arrival, never re-reading what's already
+    * screened). Per-doc evidence is batch-complete (a doc's grams all
+    * come from its one row), so the appended union must hash-match the
+    * IDENTICAL batch oracle — q198's contract applied to
+    * decontamination. */
+  val q202StreamDecon: GraftQuery = GraftQuery(
+    "q202_stream_decon",
+    (s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q202").toString
+      val docs = Tables.documents(s, d)
+      graft.operators.Decontaminate.writeEvalIndex(
+        docs.filter($"doc_id" % 97 === 0), "doc_id", "text",
+        s"$root/idx", w = 4)
+      docs.filter($"doc_id" % 97 =!= 0)
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$root/src")
+      graft.streaming.DeconStream.runToCompletion(s, s"$root/src",
+        s"$root/idx", s"$root/out", s"$root/chk")
+      s.read.parquet(s"$root/out").orderBy($"doc_id")
+    },
+    Some(deconOracleSql))
 
   /** PII redaction audit ([[graft.operators.PiiRedact.redact]]): the
     * C4/Dolma scrub — emails / IPv4s / phone numbers detected with

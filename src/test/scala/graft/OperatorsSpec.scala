@@ -2285,6 +2285,41 @@ class ScreenStreamSpec extends GraftSuite {
   }
 }
 
+class DeconStreamSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.operators.Decontaminate
+
+  test("streaming screen against the persisted index equals the batch " +
+      "report and a restart with the same checkpoint appends nothing") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_deconstream").toString
+    val evalSet = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a b c d e and more"),   // two shared grams
+      (2L, "keep a b c d tail"),    // one shared gram
+      (3L, "totally clean document here"),
+      (4L, "x y z a b c d e"))      // matches arrive in a later file
+      .toDF("doc_id", "text")
+    Decontaminate.writeEvalIndex(evalSet, "doc_id", "text",
+      s"$root/idx", w = 4)
+    train.repartition(3).write.parquet(s"$root/src")
+    graft.streaming.DeconStream.runToCompletion(spark, s"$root/src",
+      s"$root/idx", s"$root/out", s"$root/chk")
+    val streamed = spark.read.parquet(s"$root/out")
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    val batch = Decontaminate.overlapReport(train, evalSet,
+        "doc_id", "text", w = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.map(_.head) === Seq(1L, 2L, 4L))
+    // restart against the same checkpoint: backlog already consumed,
+    // nothing double-screened
+    graft.streaming.DeconStream.runToCompletion(spark, s"$root/src",
+      s"$root/idx", s"$root/out", s"$root/chk")
+    assert(spark.read.parquet(s"$root/out").count() === 3)
+  }
+}
+
 class DeconExciseSpec extends GraftSuite {
   import spark.implicits._
   import graft.operators.Decontaminate
