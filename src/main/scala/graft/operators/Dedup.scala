@@ -840,35 +840,101 @@ object Dedup extends Serializable {
   def minhashNearDupsReplayable(df: DataFrame, idCol: String,
       textCol: String, numHashes: Int = 8, bands: Int = 4,
       threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+    val (sh, banded) = replayableShinglesAndBands(df, idCol, textCol,
+      numHashes, bands, shingleN)
+    val cands = banded.select(col("band"), col("key"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("key"), col("id").as("id_b")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    cands.select(col("id_a"), col("id_b"),
+        shingleSetJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The md5-family building blocks shared by [[minhashNearDupsReplayable]]
+    * and the streaming screen: distinct shingle strings per doc, and the
+    * banded LSH keys (signature j = lexicographic min of md5("j|" ++
+    * shingle), band = '#'-joined signature slice). The shingle array is
+    * a materialized column, so the per-j transforms read it bound (no
+    * HOF-CSE term). Returns ((id, sh), (id, band, key)). */
+  private[graft] def replayableShinglesAndBands(df: DataFrame,
+      idCol: String, textCol: String, numHashes: Int, bands: Int,
+      shingleN: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sh = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
-    // signature j = min over shingles of md5("j|" ++ shingle); the
-    // shingle array is a materialized column, so the per-j transforms
-    // read it bound (no HOF-CSE term)
     val sigs = (0 until numHashes).map(j =>
       array_min(transform(col("sh"), s =>
         md5(concat(lit(s"$j|"), s)))).as(s"s$j"))
     val signed = sh.select(col("id") +: col("sh") +: sigs: _*)
-    // band b = the concatenated signature slice; candidates share any
-    // full band (the LSH pigeonhole)
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         concat_ws("#", (0 until rowsPerBand)
           .map(r => col(s"s${b * rowsPerBand + r}")): _*).as("key")))
     val banded = signed.select(col("id"),
       explode(array(bandCols: _*)).as("bk"))
-    val cands = banded.select(col("bk"), col("id").as("id_a"))
-      .join(banded.select(col("bk"), col("id").as("id_b")), "bk")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    cands.select(col("id_a"), col("id_b"),
-        (inter.cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    (sh, banded)
+  }
+
+  /** Exact Jaccard of two distinct-shingle-STRING array columns (the
+    * replayable complement of [[hashSetJaccard]]). */
+  private[graft] def shingleSetJaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  /** Persist the REPLAYABLE near-dup index for a corpus: band keys for
+    * candidate generation, distinct shingle strings for exact-Jaccard
+    * verification, and the banding geometry — everything an arriving
+    * shard needs to screen itself against the corpus without touching
+    * the corpus text again ([[graft.streaming.NearDupStream]]). The md5
+    * family costs string width vs the production xxhash64 index
+    * ([[writeIndex]]); what it buys is an ANSI-SQL oracle over the
+    * whole streaming screen (q203). */
+  def writeReplayableIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 8, bands: Int = 4,
+      shingleN: Int = 3): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (sh, banded) = replayableShinglesAndBands(df, idCol, textCol,
+      numHashes, bands, shingleN)
+    banded.write.mode("overwrite").parquet(s"$path/bands")
+    sh.write.mode("overwrite").parquet(s"$path/sh")
+    Seq((numHashes, bands, shingleN))
+      .toDF("num_hashes", "bands", "shingle_n")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Screen a new batch against a persisted replayable index: the
+    * batch's band keys join the corpus's, matches verify with exact
+    * shingle Jaccard — O(batch) signatures + one bucket join, the
+    * corpus text never read. Returns (new_id, corpus_id, jaccard ≥
+    * threshold). A doc id present on BOTH sides is skipped (the
+    * redelivered-batch guard, as in [[minhashNearDupsAgainstIndex]]). */
+  def minhashScreenReplayable(corpusBands: DataFrame, corpusSh: DataFrame,
+      newBatch: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bands: Int = 4, threshold: Double = 0.5,
+      shingleN: Int = 3): DataFrame = {
+    val (nsh, nb) = replayableShinglesAndBands(newBatch, idCol, textCol,
+      numHashes, bands, shingleN)
+    val cands = corpusBands
+      .select(col("band"), col("key"), col("id").as("corpus_id"))
+      .join(nb.select(col("band"), col("key"), col("id").as("new_id")),
+        Seq("band", "key"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    cands
+      .join(nsh.select(col("id").as("new_id"), col("sh").as("sh_n")),
+        "new_id")
+      .join(corpusSh.select(col("id").as("corpus_id"), col("sh").as("sh_c")),
+        "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        shingleSetJaccard(col("sh_n"), col("sh_c")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

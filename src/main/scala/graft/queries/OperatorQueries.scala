@@ -29,7 +29,7 @@ object OperatorQueries {
     q163PrefixJaccardIngest, q166TriangleCount, q167ImageNearDups,
     q168LabelPropagation, q170AudioNearDups, q172PersonalizedPageRank,
     q173ContainmentJoin, q174KeepBest, q175Winnowing, q176LshOracled,
-    q178SimhashOracled, q179AnnOracled)
+    q178SimhashOracled, q179AnnOracled, q203StreamNearDup)
 
   /** Backward as-of join via union+window (one shuffle, no range-join
     * blowup); oracle = DuckDB's native ASOF LEFT JOIN. */
@@ -847,6 +847,61 @@ object OperatorQueries {
         "SELECT id_a, id_b, round(i::DOUBLE / (ma + mb - i), 4) " +
         "AS jaccard FROM v WHERE i::DOUBLE / (ma + mb - i) >= 0.5 " +
         "ORDER BY id_a, id_b"
+    })
+
+  /** The STREAMING near-dup screen ([[graft.streaming.NearDupStream]]):
+    * the odd-id half of the corpus is indexed once
+    * ([[Dedup.writeReplayableIndex]] — md5 band keys + shingle sets),
+    * the even-id half arrives as four parquet files, and every
+    * micro-batch LSH-screens itself against the persisted index. The
+    * whole screen — signatures, banding, the stream-static candidate
+    * join, exact-Jaccard verification — replays in DuckDB (the q176
+    * family restricted to cross pairs), so the appended union
+    * hash-matches an ANSI oracle: q202's contract applied to dedup.
+    * The production ingest loop (q163/`dedup-ingest`, xxhash64, index
+    * growth) stays rows-only; this is its oracled verification twin. */
+  val q203StreamNearDup: GraftQuery = GraftQuery(
+    "q203_stream_neardup",
+    (s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q203").toString
+      val docs = Tables.documents(s, d)
+      Dedup.writeReplayableIndex(docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text", s"$root/idx")
+      docs.filter($"doc_id" % 2 === 0)
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$root/src")
+      graft.streaming.NearDupStream.runToCompletion(s, s"$root/src",
+        s"$root/idx", s"$root/out", s"$root/chk")
+      s.read.parquet(s"$root/out")
+        .select($"new_id", $"corpus_id", round($"jaccard", 4).as("jaccard"))
+        .orderBy($"new_id", $"corpus_id")
+    },
+    Some {
+      val mins = (0 until 8).map(j =>
+        s"list_min(list_transform(sh, s -> md5('$j|' || s))) AS s$j")
+        .mkString(", ")
+      val bandRows = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, s${2 * b} || '#' || s${2 * b + 1} " +
+          "AS key FROM sig").mkString(" UNION ALL ")
+      "WITH t AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, greatest(1, len(string_split(text,' ')) - 2)), " +
+        "i -> array_to_string(list_slice(string_split(text,' '), i, i+2), " +
+        "' '))) AS sh FROM documents), " +
+        s"sig AS (SELECT doc_id, $mins FROM t), " +
+        s"b AS ($bandRows), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS new_id, c.doc_id " +
+        "AS corpus_id FROM b a JOIN b c ON a.band = c.band " +
+        "AND a.key = c.key WHERE a.doc_id % 2 = 0 AND c.doc_id % 2 = 1), " +
+        "v AS (SELECT cd.new_id, cd.corpus_id, " +
+        "len(list_intersect(x.sh, y.sh)) AS i, " +
+        "len(x.sh) AS ma, len(y.sh) AS mb FROM cand cd " +
+        "JOIN t x ON x.doc_id = cd.new_id " +
+        "JOIN t y ON y.doc_id = cd.corpus_id) " +
+        "SELECT new_id, corpus_id, round(i::DOUBLE / (ma + mb - i), 4) " +
+        "AS jaccard FROM v WHERE i::DOUBLE / (ma + mb - i) >= 0.5 " +
+        "ORDER BY new_id, corpus_id"
     })
 
   /** SimHash near-dup candidates (Hamming ≤ 6 over 64-bit signatures,

@@ -2320,6 +2320,52 @@ class DeconStreamSpec extends GraftSuite {
   }
 }
 
+class NearDupStreamSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.operators.Dedup
+
+  test("streaming LSH screen against the persisted replayable index " +
+      "finds the planted cross-split clone, equals the direct screen, " +
+      "and a restart appends nothing") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ndstream").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, base),                              // clone source (indexed)
+      (3L, "completely different words here by construction okay"),
+      (5L, "yet another unrelated document body with many tokens"))
+      .toDF("doc_id", "text")
+    val arriving = Seq(
+      (2L, base + " lambda"),                  // near-dup of doc 1
+      (4L, "nothing in common with anything at all whatsoever truly"),
+      (6L, "fresh clean content that matches no indexed document text"))
+      .toDF("doc_id", "text")
+    Dedup.writeReplayableIndex(corpus, "doc_id", "text", s"$root/idx")
+    arriving.repartition(3).write.parquet(s"$root/src")
+    graft.streaming.NearDupStream.runToCompletion(spark, s"$root/src",
+      s"$root/idx", s"$root/out", s"$root/chk")
+    val streamed = spark.read.parquet(s"$root/out")
+      .orderBy($"new_id", $"corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    // the direct (non-streaming) screen over the same index
+    val direct = Dedup.minhashScreenReplayable(
+        spark.read.parquet(s"$root/idx/bands"),
+        spark.read.parquet(s"$root/idx/sh"),
+        arriving, "doc_id", "text")
+      .orderBy($"new_id", $"corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(streamed === direct)
+    assert(streamed.map(t => (t._1, t._2)) === Seq((2L, 1L)))
+    assert(streamed.head._3 > 0.5)
+    // restart against the same checkpoint: backlog already consumed
+    graft.streaming.NearDupStream.runToCompletion(spark, s"$root/src",
+      s"$root/idx", s"$root/out", s"$root/chk")
+    assert(spark.read.parquet(s"$root/out").count() === 1)
+  }
+}
+
 class DeconExciseSpec extends GraftSuite {
   import spark.implicits._
   import graft.operators.Decontaminate
