@@ -93,6 +93,16 @@ object Main {
     case "decontaminate" :: input :: evalSet :: outDir :: rest =>
       runDecontaminate(input, evalSet, outDir,
         rest.headOption.map(_.toInt).getOrElse(8))
+    case "decon-index" :: evalSet :: indexDir :: rest =>
+      runDeconIndex(evalSet, indexDir,
+        rest.headOption.map(_.toInt).getOrElse(8))
+    case "decon-stream" :: srcDir :: indexDir :: outDir :: chkDir :: _ =>
+      runDeconStream(srcDir, indexDir, outDir, chkDir)
+    case "neardup-index" :: input :: indexDir :: _ =>
+      runNearDupIndex(input, indexDir)
+    case "neardup-stream" :: srcDir :: indexDir :: outDir :: chkDir :: rest =>
+      runNearDupStream(srcDir, indexDir, outDir, chkDir,
+        rest.headOption.map(_.toDouble).getOrElse(0.5))
     case "quantize" :: input :: outDir :: _ =>
       runQuantize(input, outDir)
     case "hybrid-search" :: docs :: emb :: outDir :: rest =>
@@ -129,6 +139,10 @@ object Main {
            |       graft.Main dsir-select <docsParquet> <outDir> [k]
            |       graft.Main jsonl-ingest <jsonlPath> <outDir>  (clean parquet + quarantine)
            |       graft.Main decontaminate <docsParquet> <evalParquet> <outDir> [w]
+           |       graft.Main decon-index <evalParquet> <indexDir> [w]
+           |       graft.Main decon-stream <srcDir> <indexDir> <outDir> <chkDir>
+           |       graft.Main neardup-index <docsParquet> <indexDir>
+           |       graft.Main neardup-stream <srcDir> <indexDir> <outDir> <chkDir> [threshold]
            |       graft.Main quantize <embParquet> <outDir>
            |       graft.Main hybrid-search <docsParquet> <embParquet> <outDir> <term term ...> [--vec <id>] [--k <n>]
            |       graft.Main curate [--append] <docsParquet> <outDir> [rowsPerShard]
@@ -512,6 +526,57 @@ object Main {
       s"${spark.read.parquet(s"$outDir/report").count()} " +
       s"kept=${spark.read.parquet(s"$outDir/clean").count()} " +
       s"of ${train.count()}")
+    spark.stop()
+  }
+
+  /** Build the persisted eval-gram decon index once; `decon-stream`
+    * then screens arriving shards without re-reading the eval set. */
+  private def runDeconIndex(evalSet: String, indexDir: String,
+      w: Int): Unit = {
+    val spark = session()
+    graft.operators.Decontaminate.writeEvalIndex(
+      spark.read.parquet(evalSet), "doc_id", "text", indexDir, w)
+    println(s">>> [decon-index] grams=" +
+      s"${spark.read.parquet(s"$indexDir/grams").count()} w=$w")
+    spark.stop()
+  }
+
+  /** Streaming decontamination screen: drain the parquet backlog in
+    * `srcDir` against the persisted index, appending per-doc overlap
+    * evidence (the q202 face). Re-running with the same checkpoint is
+    * a no-op. */
+  private def runDeconStream(srcDir: String, indexDir: String,
+      outDir: String, chkDir: String): Unit = {
+    val spark = session()
+    graft.streaming.DeconStream.runToCompletion(spark, srcDir, indexDir,
+      outDir, chkDir)
+    println(s">>> [decon-stream] flagged=" +
+      s"${spark.read.parquet(outDir).count()}")
+    spark.stop()
+  }
+
+  /** Build the persisted REPLAYABLE near-dup index (md5 band keys +
+    * shingle sets) for `neardup-stream`. The xxhash64 production index
+    * stays behind `dedup-ingest`. */
+  private def runNearDupIndex(input: String, indexDir: String): Unit = {
+    val spark = session()
+    graft.operators.Dedup.writeReplayableIndex(
+      spark.read.parquet(input), "doc_id", "text", indexDir)
+    println(s">>> [neardup-index] docs=" +
+      s"${spark.read.parquet(s"$indexDir/sh").count()}")
+    spark.stop()
+  }
+
+  /** Streaming near-dup screen: drain the parquet backlog in `srcDir`
+    * against the persisted replayable index, appending verified
+    * (new_id, corpus_id, jaccard) matches (the q203 face). */
+  private def runNearDupStream(srcDir: String, indexDir: String,
+      outDir: String, chkDir: String, threshold: Double): Unit = {
+    val spark = session()
+    graft.streaming.NearDupStream.runToCompletion(spark, srcDir, indexDir,
+      outDir, chkDir, threshold = threshold)
+    println(s">>> [neardup-stream] matches=" +
+      s"${spark.read.parquet(outDir).count()}")
     spark.stop()
   }
 

@@ -72,6 +72,17 @@ object Sources {
         df.filter(col(CorruptRecordCol).isNotNull))
     }
 
+  /** ORC scan — the other columnar format lake corpora arrive in.
+    * Spark's native vectorized ORC reader has the same pushdown
+    * surface as parquet: predicates and column pruning reach the scan
+    * (IoSpec asserts PushedFilters + a pruned readSchema on the
+    * physical plan), so an ORC-resident corpus pays shard-pruned IO,
+    * not a full read. No schema parameter: ORC files carry their own
+    * typed schema (unlike [[readCsv]]/[[readJsonl]] there is no
+    * permissive text-parse stage to quarantine). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S2: existence probe before read (`preprocess.py:50-56`). */
   def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(path))

@@ -15,7 +15,7 @@ object TextQueries {
     q160Bm25TopK, q169PhraseScreen, q171CompressionGate,
     q192HybridRrf, q193Decontaminate, q196PiiRedact, q198StreamPii,
     q199DeconExcise, q200DatasetSim, q201JsonlRoundtrip,
-    q202StreamDecon)
+    q202StreamDecon, q204OrcRoundtrip)
 
   /** Compression-ratio quality gate
     * ([[graft.operators.Compression.profile]]): deflate(text)/|text|
@@ -418,6 +418,31 @@ object TextQueries {
     Some(
       "SELECT doc_id, text, lang, source, n_chars FROM documents " +
         "ORDER BY doc_id"))
+
+  /** ORC source round trip with a PUSHED predicate
+    * ([[graft.io.Sources.readOrc]]): the corpus written as ORC (the
+    * other columnar lake format) and read back through a filtered,
+    * projected scan must reproduce the parquet ground truth exactly —
+    * and IoSpec asserts the predicate and the 3-column projection
+    * actually reach the ORC scan (PushedFilters + pruned readSchema),
+    * so an ORC-resident corpus pays pruned IO, not a full read. */
+  val q204OrcRoundtrip: GraftQuery = GraftQuery(
+    "q204_orc_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q204").toString
+      Tables.documents(s, d)
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .write.mode("overwrite").orc(s"$root/orc")
+      graft.io.Sources.readOrc(s, s"$root/orc")
+        .filter($"n_chars" >= 200)
+        .select($"doc_id", $"lang", $"n_chars")
+        .orderBy($"doc_id")
+    },
+    Some(
+      "SELECT doc_id, lang, n_chars FROM documents " +
+        "WHERE n_chars >= 200 ORDER BY doc_id"))
 
   /** Token counting: whitespace tokens, distinct tokens, char length. */
   val q20TokenStats: GraftQuery = GraftQuery(

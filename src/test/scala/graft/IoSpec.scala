@@ -76,6 +76,32 @@ class IoSpec extends GraftSuite {
     assert(inferred.columns.take(2).toSeq === Seq("ram_usage", "cpu_percent"))
   }
 
+  test("ORC round trip preserves rows and pushes filter + projection " +
+      "into the scan") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_orc").toString
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    docs.write.mode("overwrite").orc(s"$root/orc")
+    val back = Sources.readOrc(spark, s"$root/orc")
+      .filter($"n_chars" >= 200)
+      .select($"doc_id", $"lang", $"n_chars")
+    // the predicate must reach the ORC scan, and the scan must read
+    // only the 3 projected columns (not text/source)
+    val physical = back.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") &&
+      physical.contains("GreaterThanOrEqual(n_chars"),
+      s"filter did not reach the ORC scan:\n$physical")
+    val scanSchema = "ReadSchema:.*".r.findFirstIn(physical).getOrElse("")
+    assert(!scanSchema.contains("text") && !scanSchema.contains("source"),
+      s"projection not pruned at the ORC scan: $scanSchema")
+    // and the data round-trips exactly
+    val expected = docs.filter($"n_chars" >= 200)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    assert(back.orderBy($"doc_id").collect().map(_.toSeq).toSeq === expected)
+  }
+
   test("downsample keeps small inputs and samples large ones with a seed") {
     val df = Tables.lineitem(spark, sf)
     assert(Sources.downsample(df, 1000000L, 1L).count() === df.count())
