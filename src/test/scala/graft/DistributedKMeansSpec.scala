@@ -173,6 +173,45 @@ class DistributedKMeansSpec extends GraftSuite {
     }
   }
 
+  test("fitGrouped is bit-identical to one fit per group (the grouped " +
+      "subspace contract)") {
+    // two groups = the two coordinate slices of the blobs, each fit
+    // with k=2 — the PQ subspace shape
+    val df = blobs.map { case (id, v, _) => (id, v) }.toDF("id", "v")
+    val sub = df.select(col("id"), explode(array(
+        struct(lit(0).as("g"), slice(col("v"), 1, 1).as("v")),
+        struct(lit(1).as("g"), slice(col("v"), 2, 1).as("v")))).as("sv"))
+      .select(col("sv.g").as("g"), col("id"), col("sv.v").as("v"))
+    val inits = df.orderBy(col("id")).limit(2)
+      .select(col("id"), col("v"))
+      .crossJoin(spark.range(2).select(col("id").cast("int").as("g")))
+      .select(col("g"), df("id").as("c"),
+        slice(col("v"), col("g") + lit(1), lit(1)).as("cv"))
+    val (gaf, gc) = DistributedKMeans.fitGrouped(sub, inits,
+      iterations = 3)
+    val gotC = gc.collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2).toSeq))
+      .toMap
+    val gotA = gaf.collect()
+      .map(r => ((r.getInt(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    (0 until 2).foreach { g =>
+      val sliced = df.select(col("id"),
+        slice(col("v"), g + 1, 1).as("v"))
+      val (af, cents) = DistributedKMeans.fit(sliced, "id", "v", k = 2,
+        iterations = 3)
+      cents.collect().foreach { r =>
+        assert(gotC((g, r.getLong(0))) === r.getSeq[Double](1).toSeq,
+          s"centroid diverged at g=$g c=${r.getLong(0)}")
+      }
+      af.collect().foreach { r =>
+        assert(gotA((g, r.getLong(0))) === ((r.getLong(1), r.getDouble(2))),
+          s"assignment diverged at g=$g id=${r.getLong(0)}")
+      }
+      assert(gotC.keys.count(_._1 == g) === cents.count())
+    }
+  }
+
   test("fitLloydQuantized: first-k-distinct init by lex rank, blob " +
       "recovery, degenerate guard") {
     import graft.ml.LocalKMeans
