@@ -550,8 +550,11 @@ object Main {
     val spark = session()
     graft.streaming.DeconStream.runToCompletion(spark, srcDir, indexDir,
       outDir, chkDir)
-    println(s">>> [decon-stream] flagged=" +
-      s"${spark.read.parquet(outDir).count()}")
+    // an already-drained checkpoint (or all-empty source files) is a
+    // correct no-op that never creates outDir
+    val flagged = if (graft.io.Sources.exists(spark, outDir))
+      spark.read.parquet(outDir).count() else 0L
+    println(s">>> [decon-stream] flagged=$flagged")
     spark.stop()
   }
 
@@ -575,8 +578,10 @@ object Main {
     val spark = session()
     graft.streaming.NearDupStream.runToCompletion(spark, srcDir, indexDir,
       outDir, chkDir, threshold = threshold)
-    println(s">>> [neardup-stream] matches=" +
-      s"${spark.read.parquet(outDir).count()}")
+    // same no-op contract as decon-stream: nothing drained, no outDir
+    val matches = if (graft.io.Sources.exists(spark, outDir))
+      spark.read.parquet(outDir).count() else 0L
+    println(s">>> [neardup-stream] matches=$matches")
     spark.stop()
   }
 

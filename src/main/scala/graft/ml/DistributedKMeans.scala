@@ -332,11 +332,17 @@ object DistributedKMeans {
         xxhash64(col("id"), lit(seed + r)), 11)
         .cast("double") / lit(9007199254740992.0)
       val l = col("kk").cast("double") * lit(oversampleFactor.toDouble)
+      // the acceptance ratio is quantized at 12 dp: `cost` is an
+      // order-sensitive double sum whose last ulps depend on the
+      // physical plan (grouped vs solo, partition count), and an
+      // unquantized threshold would let that wobble flip a draw sitting
+      // within ulps of u — 12 dp absorbs it (relative wobble ~1e-16)
+      // while leaving every real draw untouched
       val chosen = d2min
         .join(broadcast(
           d2min.groupBy(col("kk")).agg(sum(col("d2")).as("cost"))), "kk")
         .filter(col("cost") > 0 &&
-          u < least(lit(1.0), l * col("d2") / col("cost")))
+          u < least(lit(1.0), round(l * col("d2") / col("cost"), 12)))
         .select(col("kk"), col("id"), col("v"))
         .collect()
         .map(row => (row.getInt(0), row.getLong(1), row.getSeq[Double](2)))

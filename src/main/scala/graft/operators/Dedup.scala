@@ -863,10 +863,18 @@ object Dedup extends Serializable {
   private[graft] def replayableShinglesAndBands(df: DataFrame,
       idCol: String, textCol: String, numHashes: Int, bands: Int,
       shingleN: Int): (DataFrame, DataFrame) = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     val sh = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
+    (sh, bandsFromShingles(sh, numHashes, bands))
+  }
+
+  /** Band keys from an (id, sh) frame — split out so the persisted
+    * index build can derive bands from the MATERIALIZED shingle
+    * artifact (one tokenize+shingle pass over the corpus, not two). */
+  private[graft] def bandsFromShingles(sh: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
     val sigs = (0 until numHashes).map(j =>
       array_min(transform(col("sh"), s =>
         md5(concat(lit(s"$j|"), s)))).as(s"s$j"))
@@ -875,10 +883,9 @@ object Dedup extends Serializable {
       struct(lit(b).as("band"),
         concat_ws("#", (0 until rowsPerBand)
           .map(r => col(s"s${b * rowsPerBand + r}")): _*).as("key")))
-    val banded = signed.select(col("id"),
+    signed.select(col("id"),
       explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    (sh, banded)
   }
 
   /** Exact Jaccard of two distinct-shingle-STRING array columns (the
@@ -899,12 +906,18 @@ object Dedup extends Serializable {
   def writeReplayableIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, numHashes: Int = 8, bands: Int = 4,
       shingleN: Int = 3): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = df.sparkSession
     import spark.implicits._
-    val (sh, banded) = replayableShinglesAndBands(df, idCol, textCol,
-      numHashes, bands, shingleN)
-    banded.write.mode("overwrite").parquet(s"$path/bands")
-    sh.write.mode("overwrite").parquet(s"$path/sh")
+    // write the shingle sets first, then derive the band keys from the
+    // WRITTEN artifact: the corpus is tokenized + shingled exactly once
+    // (the md5 signature pass reads the compact parquet back, not the
+    // text)
+    df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleN).as("sh"))
+      .write.mode("overwrite").parquet(s"$path/sh")
+    bandsFromShingles(spark.read.parquet(s"$path/sh"), numHashes, bands)
+      .write.mode("overwrite").parquet(s"$path/bands")
     Seq((numHashes, bands, shingleN))
       .toDF("num_hashes", "bands", "shingle_n")
       .write.mode("overwrite").parquet(s"$path/meta")

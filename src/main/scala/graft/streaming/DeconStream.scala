@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.broadcast
 
 import graft.operators.Decontaminate
 
@@ -27,15 +26,15 @@ object DeconStream {
       indexDir: String, outDir: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       oneFilePerBatch: Boolean = true): Unit = {
-    // read the index ONCE (w + the gram set), not per micro-batch; the
-    // broadcast inside overlapCore re-ships it only when a batch runs
+    // read the index ONCE (w + the gram set), not per micro-batch;
+    // overlapCore broadcasts the gram set itself when a batch runs
     val w = spark.read.parquet(s"$indexDir/meta").head().getInt(0)
     val evalGrams = spark.read.parquet(s"$indexDir/grams")
     FileIngest.drain(
       FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
         (batch, _) =>
           Decontaminate
-            .overlapCore(batch, broadcast(evalGrams), idCol, textCol, w)
+            .overlapCore(batch, evalGrams, idCol, textCol, w)
             .write.mode("append").parquet(outDir)
       })
   }

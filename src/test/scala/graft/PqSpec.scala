@@ -24,6 +24,43 @@ class PqSpec extends GraftSuite {
     assert(codes.count() === embeddings.count())
   }
 
+  test("fitGrouped on the real subspace slices is bit-identical to one " +
+      "fit per slice (the grouped-codebook contract at subDim = 16)") {
+    val m = 4; val subDim = 16; val k = 4; val iters = 2
+    val vecs = embeddings.select($"vec_id".cast("long").as("id"),
+      Similarity.asDouble($"embedding").as("v"))
+    val sliceStructs = (0 until m).map(s =>
+      struct(lit(s).as("g"), slice($"v", s * subDim + 1, subDim).as("v")))
+    val sub = vecs.select($"id", explode(array(sliceStructs: _*)).as("sv"))
+      .select($"sv.g".as("g"), $"id", $"sv.v".as("v"))
+    val inits = vecs.orderBy($"id").limit(k).select($"id", $"v")
+      .crossJoin(spark.range(m).select($"id".cast("int").as("g")))
+      .select($"g", $"id".as("c"),
+        slice($"v", $"g" * lit(subDim) + 1, lit(subDim)).as("cv"))
+    val (gaf, gc) = graft.ml.DistributedKMeans.fitGrouped(sub, inits,
+      iterations = iters)
+    val gotC = gc.collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2).toSeq))
+      .toMap
+    val gotA = gaf.collect()
+      .map(r => ((r.getInt(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    (0 until m).foreach { s =>
+      val sliced = vecs.select($"id",
+        slice($"v", s * subDim + 1, subDim).as("v"))
+      val (af, cents) = graft.ml.DistributedKMeans.fit(
+        sliced, "id", "v", k, iterations = iters)
+      cents.collect().foreach { r =>
+        assert(gotC((s, r.getLong(0))) === r.getSeq[Double](1).toSeq,
+          s"centroid diverged at g=$s c=${r.getLong(0)}")
+      }
+      af.collect().foreach { r =>
+        assert(gotA((s, r.getLong(0))) === ((r.getLong(1), r.getDouble(2))),
+          s"assignment diverged at g=$s id=${r.getLong(0)}")
+      }
+    }
+  }
+
   test("expression encoder matches the JVM reference encoder exactly") {
     val cb = PqIndex.train(embeddings, "vec_id", "embedding", 8, 16, 42L)
     val fromExpr = PqIndex.encode(embeddings, "vec_id", "embedding", cb)
