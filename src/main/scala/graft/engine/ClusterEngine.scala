@@ -253,6 +253,50 @@ object ClusterEngine extends Serializable {
       }
   }
 
+  /** The HUGE-SEGMENT regime (q205): per-segment k-means where a single
+    * segment is too large to collect into one task ([[run]]'s
+    * `flatMapGroups` needs the segment in executor memory) and the
+    * segments too few to amortize one spark.ml job each ([[runMl]]).
+    * Built on [[graft.ml.DistributedKMeans.fitGrouped]]: the segment
+    * key is the Lloyd group, so every round is ONE scan + ONE shuffle
+    * for ALL segments and no row is ever collected — the third point
+    * of the segmentation design space (many-small → [[run]], few-huge
+    * → THIS, midpoints → [[runMl]]). The centroid frame it broadcasts
+    * per round is segments × k rows — right for the few-huge regime
+    * this serves, wrong for a million tiny segments (that's [[run]]).
+    *
+    * Fully replayable (the q158 contract per segment: init = each
+    * segment's first k points by id, fixed rounds, 6-dp centroid
+    * quantization, d2/cluster-id argmin tie-break), so DuckDB replays
+    * scaling + init + every round + every final assignment. Same
+    * three-way scaling front door as [[runNdReplayable]]. Returns
+    * (ma, mi, id, cluster, d2) — cluster = the init point's id. */
+  def runGroupedReplayable(df: DataFrame, macroCol: String,
+      microCol: String, metricCols: Seq[String], idCol: String, k: Int,
+      iterations: Int): DataFrame = {
+    require(metricCols.nonEmpty, "need at least one metric column")
+    require(k >= 1, "k must be >= 1")
+    val scaled = Scaling.scaleSegments(df, macroCol, microCol, metricCols)
+    val vec = array(metricCols.map(c =>
+      col(Scaling.scaledName(c)).cast("double")): _*)
+    val pts = scaled.select(
+      struct(col(macroCol).cast("string").as("ma"),
+        col(microCol).cast("string").as("mi")).as("g"),
+      col(idCol).cast("long").as("id"), vec.as("v"))
+    // per-segment first-k-by-id init: one window pass (hash by segment,
+    // sort by id within) — the only per-segment ordering the fit needs
+    val inits = pts
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("id"))))
+      .filter(col("rn") <= k)
+      .select(col("g"), col("id").as("c"), col("v").as("cv"))
+    val (af, _) = graft.ml.DistributedKMeans.fitGrouped(pts, inits,
+      iterations, checkpointFinal = false)
+    af.select(col("g.ma").as("ma"), col("g.mi").as("mi"), col("id"),
+      col("cluster"), col("d2"))
+  }
+
   /** The REPLAYABLE slice through the segmentation path (q190) — G1/G2's
     * oracle-able face: the SAME one-shuffle pipeline as [[runNd]]
     * (per-segment three-way scaling → `groupByKey.flatMapGroups` →

@@ -11,7 +11,8 @@ object SqlCoverageQueries2 {
   def all: Seq[GraftQuery] = Seq(q67Cube, q68ExplodeUnnest,
     q69AboveCustomerAvg, q70CollectList, q71Unpivot, q72FirstLast,
     q74ManySegments, q75BoolAggs, q76StatsAggs, q77TopKAgg,
-    q87GroupingId, q190SegmentEngineOracled)
+    q87GroupingId, q190SegmentEngineOracled,
+    q205SegmentDistributedOracled)
 
   /** CUBE over two dimensions with grouping-id disambiguation. */
   val q67Cube: GraftQuery = GraftQuery(
@@ -232,6 +233,70 @@ object SqlCoverageQueries2 {
         "SELECT ma AS macro_id, mi AS micro_id, id AS event_id, " +
         "c AS cluster, round(d2, 6) AS d2 FROM (SELECT *, " +
         "row_number() OVER (PARTITION BY ma, mi, rn ORDER BY d2, c) " +
+        "AS rk FROM sf) WHERE rk = 1 " +
+        "ORDER BY macro_id, micro_id, event_id"
+    })
+
+  /** The HUGE-segment regime with a green row
+    * ([[graft.engine.ClusterEngine.runGroupedReplayable]]): per-segment
+    * k-means where a segment does NOT fit one task — the segment key
+    * becomes the group of a grouped distributed Lloyd
+    * (`DistributedKMeans.fitGrouped`), so all segments fit in one
+    * scan+shuffle per round and nothing is collected. Same input shape
+    * as q190 (event_type × user-parity segments, scaled (value, uval)
+    * metrics) so the two regimes' faces are directly comparable; the
+    * kernel differs per the q158 contract (init = first k points BY ID
+    * per segment — no lex sort, no distinct guard: a starved twin
+    * centroid drops instead). DuckDB replays scaling, per-segment init,
+    * three rounds and every final assignment. */
+  val q205SegmentDistributedOracled: GraftQuery = GraftQuery(
+    "q205_segment_distributed_oracled",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("bucket", ($"user_id" % 2).cast("string"))
+        .withColumn("uval", ($"user_id" % 97).cast("double"))
+      graft.engine.ClusterEngine.runGroupedReplayable(ev,
+          "event_type", "bucket", Seq("value", "uval"), "event_id",
+          k = 2, iterations = 3)
+        .select($"ma".as("macro_id"), $"mi".as("micro_id"),
+          $"id".as("event_id"), $"cluster", round($"d2", 6).as("d2"))
+        .orderBy($"macro_id", $"micro_id", $"event_id")
+    },
+    Some {
+      val rounds = (1 to 3).map { r =>
+        val prev = if (r == 1) "c0" else s"c${r - 1}"
+        s", s$r AS (SELECT p.ma, p.mi, p.id, p.x, p.y, c.c, " +
+          "(p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy) " +
+          s"AS d2 FROM p0 p JOIN $prev c ON c.ma = p.ma AND c.mi = p.mi)" +
+          s", a$r AS (SELECT ma, mi, id, x, y, c FROM (SELECT *, " +
+          "row_number() OVER (PARTITION BY ma, mi, id ORDER BY d2, c) " +
+          s"AS rk FROM s$r) WHERE rk = 1)" +
+          s", c$r AS (SELECT ma, mi, c, round(avg(x), 6) AS cx, " +
+          s"round(avg(y), 6) AS cy FROM a$r GROUP BY ma, mi, c)"
+      }.mkString
+      "WITH e AS (SELECT event_type AS ma, (user_id % 2)::VARCHAR AS mi, " +
+        "event_id AS id, value::DOUBLE AS x0, " +
+        "(user_id % 97)::DOUBLE AS y0 FROM events " +
+        "WHERE value IS NOT NULL AND user_id IS NOT NULL), " +
+        "b AS (SELECT ma, mi, min(x0) AS mnx, max(x0) AS mxx, " +
+        "min(y0) AS mny, max(y0) AS mxy FROM e GROUP BY ma, mi), " +
+        "p0 AS MATERIALIZED (SELECT e.ma, e.mi, e.id, " +
+        "CASE WHEN b.mxx - b.mnx > 0 THEN " +
+        "(e.x0 - b.mnx) / (b.mxx - b.mnx) * 100.0 ELSE 0.0 END AS x, " +
+        "CASE WHEN b.mxy - b.mny > 0 THEN " +
+        "(e.y0 - b.mny) / (b.mxy - b.mny) * 100.0 ELSE 0.0 END AS y " +
+        "FROM e JOIN b USING (ma, mi)), " +
+        "c0 AS (SELECT ma, mi, id AS c, x AS cx, y AS cy FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY ma, mi " +
+        "ORDER BY id) AS rn FROM p0) WHERE rn <= 2)" +
+        rounds +
+        ", sf AS (SELECT p.ma, p.mi, p.id, c.c, " +
+        "(p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy) " +
+        "AS d2 FROM p0 p JOIN c3 c ON c.ma = p.ma AND c.mi = p.mi) " +
+        "SELECT ma AS macro_id, mi AS micro_id, id AS event_id, " +
+        "c AS cluster, round(d2, 6) AS d2 FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY ma, mi, id ORDER BY d2, c) " +
         "AS rk FROM sf) WHERE rk = 1 " +
         "ORDER BY macro_id, micro_id, event_id"
     })

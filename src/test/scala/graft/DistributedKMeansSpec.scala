@@ -248,6 +248,38 @@ class DistributedKMeansSpec extends GraftSuite {
     }
   }
 
+  test("runGroupedReplayable is partition-invariant, covers every row, " +
+      "and each segment equals a direct fit on that segment's scaled " +
+      "points") {
+    val df = blobs.map { case (id, v, blob) =>
+      (s"seg${id % 2}", "all", id, v(0), v(1), blob) }
+      .toDF("ma", "mi", "id", "x", "y", "blob")
+    def run(parts: Int) = graft.engine.ClusterEngine.runGroupedReplayable(
+        df.repartition(parts), "ma", "mi", Seq("x", "y"), "id",
+        k = 2, iterations = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._3).toSeq
+    val a = run(2)
+    assert(a.size === 90)
+    assert(a === run(7))
+    // regime contract: segment seg0 alone, scaled the same way then fit
+    // directly with the q158 fit, is bit-identical
+    val scaled = graft.preprocess.Scaling.scaleSegments(
+      df, "ma", "mi", Seq("x", "y"))
+    val seg0 = scaled.filter(col("ma") === "seg0")
+      .select(col("id"), array(
+        col(graft.preprocess.Scaling.scaledName("x")).cast("double"),
+        col(graft.preprocess.Scaling.scaledName("y")).cast("double"))
+        .as("v"))
+    val (af, _) = DistributedKMeans.fit(seg0, "id", "v", k = 2,
+      iterations = 3)
+    val direct = af.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    a.filter(_._1 == "seg0").foreach { case (_, _, id, c, d2) =>
+      assert(direct(id) === ((c, d2)), s"segment fit diverged at id=$id")
+    }
+  }
+
   test("bisectOnce splits the largest child and yields three " +
       "consistent, partition-invariant leaves") {
     val df = blobs.map { case (id, v, _) => (id, v) }.toDF("id", "v")
