@@ -358,10 +358,10 @@ object Pca extends Serializable {
       .coalesce(1).write.mode("append").parquet(dir)
   }
 
-  /** Fit from the persisted artifact alone — no corpus read. Batch rows
-    * are combined in batch_id order (deterministic). */
-  def fitFromMoments(spark: org.apache.spark.sql.SparkSession,
-      dir: String, k: Int): Model = {
+  /** Sum the persisted artifact's rows in batch_id order
+    * (deterministic): (n, Σx, Σxxᵀ upper triangle, dim). */
+  private def combinedMoments(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Array[Double], Array[Double], Int) = {
     val rows = spark.read.parquet(dir)
       .orderBy(col("batch_id"))
       .select(col("dim"), col("n"), col("sums"), col("gram_upper"))
@@ -379,7 +379,42 @@ object Pca extends Serializable {
       i = 0
       while (i < gram.length) { gram(i) += g(i); i += 1 }
     }
+    (n, sums, gram, dim)
+  }
+
+  /** Fit from the persisted artifact alone — no corpus read. */
+  def fitFromMoments(spark: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int): Model = {
+    val (n, sums, gram, dim) = combinedMoments(spark, dir)
     modelFromMoments(n, sums, gram, dim, k)
+  }
+
+  /** The [[covarianceLong]] grid served from the PERSISTED moments
+    * artifact — the oracle-able face of the incremental lifecycle
+    * (q206): a corpus ingested as several appended batches must yield
+    * the SAME sample covariance as one pass over everything (moment
+    * associativity made checkable). Only the artifact is read. */
+  def covarianceFromMoments(spark: org.apache.spark.sql.SparkSession,
+      dir: String, roundTo: Int = 6): DataFrame = {
+    import spark.implicits._
+    val (n, sums, gram, dim) = combinedMoments(spark, dir)
+    require(n >= 2, s"covariance needs >=2 rows, got $n")
+    val mu = sums.map(_ / n)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double)]
+    var i = 0
+    var gi = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        rows += ((i + 1L, j + 1L,
+          (gram(gi) - n * mu(i) * mu(j)) / (n - 1)))
+        gi += 1; j += 1
+      }
+      i += 1
+    }
+    rows.toSeq.toDF("i", "j", "cov")
+      .withColumn("cov", round(col("cov"), roundTo))
   }
 
   /** Per-group moments aggregator: buffer = [n, Σx (d), Σxxᵀ upper

@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
 object VectorQueries {
 
   def all: Seq[GraftQuery] =
-    Seq(q25CosinePairs, q26KnnBruteForce, q110Covariance, q111PcaProject,
+    Seq(q25CosinePairs, q26KnnBruteForce, q110Covariance,
+      q206IncrementalMomentsOracled, q111PcaProject,
       q115PcaAnnRecall, q118PcaPerLabel, q148ArrayHof,
       q153ExactTopK, q154ExactL2TopK, q158KmeansLloyd, q159KmeansSweep,
       q180PcaPowerIteration, q181BisectOracled, q182GmmEmOracled,
@@ -776,6 +777,39 @@ object VectorQueries {
       import s.implicits._
       graft.ml.Pca.covarianceLong(
           Tables.embeddings(s, d), "embedding", dim = 64, roundTo = 8)
+        .orderBy($"i", $"j")
+    },
+    Some(
+      "WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, " +
+        "unnest(generate_series(1, len(embedding))) AS i " +
+        "FROM embeddings), " +
+        "p AS (SELECT a.i AS i, b.i AS j, covar_samp(a.v, b.v) AS cov " +
+        "FROM e a JOIN e b USING (vec_id) WHERE a.i <= b.i " +
+        "GROUP BY 1, 2) " +
+        "SELECT i, j, round(cov, 8) AS cov FROM p ORDER BY i, j"))
+
+  /** The incremental-moments lifecycle ORACLED end-to-end
+    * ([[graft.ml.Pca.writeMoments]]/[[graft.ml.Pca.appendMoments]]/
+    * [[graft.ml.Pca.covarianceFromMoments]]): two thirds of the corpus
+    * start the persisted artifact, the last third is APPENDED as a
+    * second batch (one ~d²/2-double row — the old data is never
+    * re-read), and the covariance derived from the SUMMED artifact
+    * must equal DuckDB's single-pass covar_samp over everything —
+    * q110's oracle verbatim. Moment associativity is the whole reason
+    * a 100 TB model can grow per-shard; this row makes it checkable
+    * rather than assumed. */
+  val q206IncrementalMomentsOracled: GraftQuery = GraftQuery(
+    "q206_incremental_moments_oracled",
+    (s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q206").toString
+      val emb = Tables.embeddings(s, d)
+      graft.ml.Pca.writeMoments(
+        emb.filter($"vec_id" % 3 =!= 0), "embedding", 64, s"$root/m")
+      graft.ml.Pca.appendMoments(
+        emb.filter($"vec_id" % 3 === 0), "embedding", 64, s"$root/m")
+      graft.ml.Pca.covarianceFromMoments(s, s"$root/m", roundTo = 8)
         .orderBy($"i", $"j")
     },
     Some(

@@ -180,6 +180,15 @@ class PcaSpec extends GraftSuite {
         b.select(col("vec_id"), slice(col("embedding"), 1, 32)
           .as("embedding")), "embedding", 32, dir)
     }
+    // the q206 contract: the covariance grid served from the summed
+    // artifact equals the single-pass grid over everything
+    val inc = Pca.covarianceFromMoments(spark, dir, roundTo = 8)
+      .orderBy(col("i"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val whole = Pca.covarianceLong(emb, "embedding", 64, roundTo = 8)
+      .orderBy(col("i"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(inc === whole)
   }
 
   test("d=512 grouped combine: covariance parity and determinism") {
