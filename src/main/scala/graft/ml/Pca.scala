@@ -358,6 +358,30 @@ object Pca extends Serializable {
       .coalesce(1).write.mode("append").parquet(dir)
   }
 
+  /** IDEMPOTENT per-stream-batch moments upsert — the streaming twin
+    * of [[appendMoments]]: the row's batch_id is the CALLER'S id (a
+    * Structured Streaming batchId, stable across redelivery) and the
+    * write is a dynamic partitioned overwrite of exactly that
+    * partition (the KStore/SketchIngest pattern), so an at-least-once
+    * redelivered batch REPLACES its own row instead of double-counting
+    * its moments — the gap that makes [[appendMoments]] single-writer/
+    * exactly-once-delivery-only. [[fitFromMoments]]/
+    * [[covarianceFromMoments]] read both layouts (flat and
+    * partitioned) identically. */
+  def upsertMomentsBatch(batch: DataFrame, vecCol: String, dim: Int,
+      dir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (n, s, g) = momentsRow(batch, vecCol, dim)
+    Seq((batchId, dim, n, s, g))
+      .toDF("batch_id", "dim", "n", "sums", "gram_upper")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(dir)
+  }
+
   /** Sum the persisted artifact's rows in batch_id order
     * (deterministic): (n, Σx, Σxxᵀ upper triangle, dim). */
   private def combinedMoments(spark: org.apache.spark.sql.SparkSession,

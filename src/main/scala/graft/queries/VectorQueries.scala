@@ -13,7 +13,8 @@ object VectorQueries {
 
   def all: Seq[GraftQuery] =
     Seq(q25CosinePairs, q26KnnBruteForce, q110Covariance,
-      q206IncrementalMomentsOracled, q111PcaProject,
+      q206IncrementalMomentsOracled, q207StreamMomentsOracled,
+      q111PcaProject,
       q115PcaAnnRecall, q118PcaPerLabel, q148ArrayHof,
       q153ExactTopK, q154ExactL2TopK, q158KmeansLloyd, q159KmeansSweep,
       q180PcaPowerIteration, q181BisectOracled, q182GmmEmOracled,
@@ -809,6 +810,38 @@ object VectorQueries {
         emb.filter($"vec_id" % 3 =!= 0), "embedding", 64, s"$root/m")
       graft.ml.Pca.appendMoments(
         emb.filter($"vec_id" % 3 === 0), "embedding", 64, s"$root/m")
+      graft.ml.Pca.covarianceFromMoments(s, s"$root/m", roundTo = 8)
+        .orderBy($"i", $"j")
+    },
+    Some(
+      "WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, " +
+        "unnest(generate_series(1, len(embedding))) AS i " +
+        "FROM embeddings), " +
+        "p AS (SELECT a.i AS i, b.i AS j, covar_samp(a.v, b.v) AS cov " +
+        "FROM e a JOIN e b USING (vec_id) WHERE a.i <= b.i " +
+        "GROUP BY 1, 2) " +
+        "SELECT i, j, round(cov, 8) AS cov FROM p ORDER BY i, j"))
+
+  /** STREAMING model growth ORACLED ([[graft.streaming.MomentsStream]]):
+    * the corpus arrives as four parquet files, every micro-batch
+    * upserts one moments row keyed by its streaming batchId (dynamic
+    * partitioned overwrite — an at-least-once redelivery REPLACES its
+    * row, so the model cannot double-count), and the covariance served
+    * from the artifact must hash-match DuckDB's single-pass covar_samp
+    * over everything the stream saw — q110's oracle through the
+    * checkpoint. The q202/q203 streaming-face contract applied to a
+    * MODEL artifact instead of an output table. */
+  val q207StreamMomentsOracled: GraftQuery = GraftQuery(
+    "q207_stream_moments_oracled",
+    (s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q207").toString
+      Tables.embeddings(s, d)
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$root/src")
+      graft.streaming.MomentsStream.runToCompletion(s, s"$root/src",
+        s"$root/m", s"$root/chk")
       graft.ml.Pca.covarianceFromMoments(s, s"$root/m", roundTo = 8)
         .orderBy($"i", $"j")
     },

@@ -191,6 +191,35 @@ class PcaSpec extends GraftSuite {
     assert(inc === whole)
   }
 
+  test("streaming moments ingest equals the single pass, survives a " +
+      "restart, and a redelivered batchId replaces its row") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_momstream").toString
+    emb.repartition(3).write.parquet(s"$root/src")
+    graft.streaming.MomentsStream.runToCompletion(spark, s"$root/src",
+      s"$root/m", s"$root/chk")
+    def grid(dir: String) = Pca.covarianceFromMoments(spark, dir, 8)
+      .orderBy(col("i"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val streamed = grid(s"$root/m")
+    val whole = Pca.covarianceLong(emb, "embedding", 64, roundTo = 8)
+      .orderBy(col("i"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed === whole)
+    // restart with the same checkpoint: backlog consumed, rows stable
+    graft.streaming.MomentsStream.runToCompletion(spark, s"$root/src",
+      s"$root/m", s"$root/chk")
+    assert(spark.read.parquet(s"$root/m").count() === 3)
+    // redelivery semantics: upserting an EXISTING batchId replaces its
+    // row (no double-count), so the grid is unchanged
+    Pca.upsertMomentsBatch(emb, "embedding", 64, s"$root/m2",
+      batchId = 5L)
+    Pca.upsertMomentsBatch(emb, "embedding", 64, s"$root/m2",
+      batchId = 5L)
+    assert(spark.read.parquet(s"$root/m2").count() === 1)
+    assert(grid(s"$root/m2") === whole)
+  }
+
   test("d=512 grouped combine: covariance parity and determinism") {
     // 512-wide vectors at 80 partitions put the flat per-partition
     // collect past the 64 MB driver budget (one partial ≈ 1.05 MB), so
