@@ -103,6 +103,9 @@ object Main {
     case "neardup-stream" :: srcDir :: indexDir :: outDir :: chkDir :: rest =>
       runNearDupStream(srcDir, indexDir, outDir, chkDir,
         rest.headOption.map(_.toDouble).getOrElse(0.5))
+    case "moments-stream" :: srcDir :: momentsDir :: chkDir :: rest =>
+      runMomentsStream(srcDir, momentsDir, chkDir,
+        rest.headOption.map(_.toInt).getOrElse(64))
     case "quantize" :: input :: outDir :: _ =>
       runQuantize(input, outDir)
     case "hybrid-search" :: docs :: emb :: outDir :: rest =>
@@ -143,6 +146,7 @@ object Main {
            |       graft.Main decon-stream <srcDir> <indexDir> <outDir> <chkDir>
            |       graft.Main neardup-index <docsParquet> <indexDir>
            |       graft.Main neardup-stream <srcDir> <indexDir> <outDir> <chkDir> [threshold]
+           |       graft.Main moments-stream <srcDir> <momentsDir> <chkDir> [dim]
            |       graft.Main quantize <embParquet> <outDir>
            |       graft.Main hybrid-search <docsParquet> <embParquet> <outDir> <term term ...> [--vec <id>] [--k <n>]
            |       graft.Main curate [--append] <docsParquet> <outDir> [rowsPerShard]
@@ -582,6 +586,21 @@ object Main {
     val matches = if (graft.io.Sources.exists(spark, outDir))
       spark.read.parquet(outDir).count() else 0L
     println(s">>> [neardup-stream] matches=$matches")
+    spark.stop()
+  }
+
+  /** Streaming model growth: drain the embedding backlog in `srcDir`,
+    * upserting one idempotent moments row per micro-batch (the q207
+    * face); the artifact then serves [[graft.ml.Pca.fitFromMoments]]
+    * without ever re-reading data. */
+  private def runMomentsStream(srcDir: String, momentsDir: String,
+      chkDir: String, dim: Int): Unit = {
+    val spark = session()
+    graft.streaming.MomentsStream.runToCompletion(spark, srcDir,
+      momentsDir, chkDir, dim = dim)
+    val rows = if (graft.io.Sources.exists(spark, momentsDir))
+      spark.read.parquet(momentsDir).count() else 0L
+    println(s">>> [moments-stream] batches=$rows")
     spark.stop()
   }
 

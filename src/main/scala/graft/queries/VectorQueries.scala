@@ -18,7 +18,8 @@ object VectorQueries {
       q115PcaAnnRecall, q118PcaPerLabel, q148ArrayHof,
       q153ExactTopK, q154ExactL2TopK, q158KmeansLloyd, q159KmeansSweep,
       q180PcaPowerIteration, q181BisectOracled, q182GmmEmOracled,
-      q184SemdedupOracled, q185IvfOracled, q186PcaPerLabelOracled,
+      q184SemdedupOracled, q185IvfOracled, q208IvfGrowOracled,
+      q186PcaPerLabelOracled,
       q188PqOracled, q189SweepOracled, q194ScalarQuant,
       q195IvfPqOracled, q197SemanticDecon)
 
@@ -394,6 +395,94 @@ object VectorQueries {
         "WHERE rk <= 2)" +
         ", cand AS (SELECT qp.qid, a.id AS cid FROM qp " +
         "JOIN xaf a ON a.c = qp.c AND a.id != qp.qid)" +
+        ", sc AS (SELECT cand.qid, cand.cid, " +
+        "list_dot_product(q.v, c2.v) / " +
+        "(sqrt(list_dot_product(q.v, q.v)) * " +
+        "sqrt(list_dot_product(c2.v, c2.v))) AS cos_raw " +
+        "FROM cand JOIN v q ON q.id = cand.qid " +
+        "JOIN v c2 ON c2.id = cand.cid) " +
+        "SELECT qid AS query_id, cid AS vec_id, " +
+        "round(cos_raw, 6) AS cos, rk FROM (SELECT *, row_number() " +
+        "OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rk " +
+        "FROM sc) WHERE rk <= 5 ORDER BY query_id, rk"
+    })
+
+  /** INCREMENTAL IVF index growth ORACLED — the `ann-ingest` semantic
+    * with a green row: the coarse quantizer is fit on the BASE corpus
+    * only (two thirds, q158 contract), the appended third is
+    * bucket-assigned under the STORED centroids (no retraining — the
+    * exact mechanism `IvfIndex.appendVectors` runs per micro-batch),
+    * and the q185 search (nprobe=2, within-bucket cosine top-5) over
+    * the GROWN bucket table must rank appended vectors alongside base
+    * ones. DuckDB replays the base fit, the append-time assignment,
+    * the union, and the search — index growth verified end-to-end,
+    * including findability of what was appended. */
+  val q208IvfGrowOracled: GraftQuery = GraftQuery(
+    "q208_ivf_grow_oracled",
+    (s, d) => {
+      import s.implicits._
+      val vecs = Tables.embeddings(s, d)
+        .select($"vec_id".cast("long").as("id"),
+          graft.operators.Similarity.asDouble($"embedding").as("v"))
+        .persist()
+      val base = vecs.filter($"id" % 3 =!= 0)
+      val (baf, cents) = graft.ml.DistributedKMeans.fit(
+        base, "id", "v", k = 4, iterations = 3)
+      def sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      // append-time assignment: the stored-centroid argmin (what each
+      // ingested micro-batch pays), NOT a refit
+      val aaf = vecs.filter($"id" % 3 === 0)
+        .crossJoin(broadcast(cents))
+        .withColumn("d2", sq($"v", $"cv"))
+        .groupBy($"id")
+        .agg(min_by($"c", struct($"d2", $"c")).as("c"))
+      val idx = baf.select($"id", $"cluster".as("c"))
+        .unionByName(aaf.select($"id", $"c"))
+      val q = vecs.filter($"id" < 5)
+        .select($"id".as("qid"), $"v".as("qv"))
+      val qd = q.crossJoin(broadcast(cents))
+        .select($"qid", $"qv", $"c", sq($"qv", $"cv").as("d2"))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"d2".asc, $"c".asc)
+      val probed = qd.withColumn("rk", row_number().over(wp))
+        .filter($"rk" <= 2).select($"qid", $"qv", $"c")
+      val cands = probed.join(idx, "c")
+        .filter($"id" =!= $"qid")
+        .join(vecs.select($"id", $"v".as("cv")), "id")
+        .select($"qid", $"id",
+          graft.operators.Similarity.cosine($"qv", $"cv").as("cos_raw"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"cos_raw".desc, $"id".asc)
+      val out = cands.withColumn("rk", row_number().over(wr))
+        .filter($"rk" <= 5)
+        .select($"qid".as("query_id"), $"id".as("vec_id"),
+          round($"cos_raw", 6).as("cos"), $"rk")
+        .orderBy($"query_id", $"rk")
+      out.persist().count()
+      vecs.unpersist()
+      out
+    },
+    Some {
+      val dist = "list_sum(list_transform(range(1, len(p.v) + 1), " +
+        "i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i])))"
+      "WITH v AS MATERIALIZED (SELECT vec_id AS id, " +
+        "embedding::DOUBLE[] AS v FROM embeddings), " +
+        "b AS MATERIALIZED (SELECT * FROM v WHERE id % 3 != 0)" +
+        lloydCte("b", "x", 4) +
+        s", ap AS (SELECT id, c FROM (SELECT p.id, c.c, $dist AS d2, " +
+        s"row_number() OVER (PARTITION BY p.id ORDER BY $dist, c) " +
+        "AS rk FROM v p, xc3 c WHERE p.id % 3 = 0) WHERE rk = 1)" +
+        ", idx AS (SELECT id, c FROM xaf UNION ALL " +
+        "SELECT id, c FROM ap)" +
+        s", qd AS (SELECT p.id AS qid, c.c, $dist AS d2 " +
+        "FROM v p, xc3 c WHERE p.id < 5)" +
+        ", qp AS (SELECT qid, c FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY d2, c) AS rk FROM qd) " +
+        "WHERE rk <= 2)" +
+        ", cand AS (SELECT qp.qid, i.id AS cid FROM qp " +
+        "JOIN idx i ON i.c = qp.c AND i.id != qp.qid)" +
         ", sc AS (SELECT cand.qid, cand.cid, " +
         "list_dot_product(q.v, c2.v) / " +
         "(sqrt(list_dot_product(q.v, q.v)) * " +

@@ -37,6 +37,9 @@ class PlanAuditSpec extends GraftSuite {
                              // within-cluster (equi-join) pair scorer
     "q185_ivf_oracled",     // assign kernel + 5-query probe selection
                             // vs the 4-row centroid frame
+    "q208_ivf_grow_oracled", // the same assign kernel, twice: the base
+                             // fit and the append-time stored-centroid
+                             // assignment (the ann-ingest mechanism)
     "q188_pq_oracled",      // the q158 assign kernel per 16-dim
                             // subspace (4× |L|×k=4) — PQ codebook
                             // training IS repeated Lloyd assignment
