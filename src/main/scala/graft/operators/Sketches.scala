@@ -127,4 +127,69 @@ object Sketches extends Serializable {
       new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
     (cms, row.getLong(1))
   }
+
+  /** Portable HyperLogLog registers (Flajolet et al. 2007) under the
+    * md5 replayable-hash family — the fully-ORACLED face of the HLL
+    * surface above (whose DataSketches binaries and built-in HLL++
+    * estimates are engine-internal): bucket = first `p` bits of
+    * md5(key) read as hex, rho = leading-zero count of the NEXT 32
+    * bits + 1, register = max rho per bucket. rho comes from
+    * `33 - length(bin(w))` — a string length, not a floating log, so
+    * there is no log2-boundary hazard — and the whole sketch is
+    * integer arithmetic that DuckDB rebuilds bit-for-bit from the same
+    * parquet. One groupBy on a p-bit key: at most 2^p output rows at
+    * any input scale, and register-max merge keeps the sketch
+    * append-only (re-ingesting a key can never raise a register).
+    * `p` must be a multiple of 4 so the bucket is a whole-hex-digit
+    * prefix both engines slice identically. */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16 && p % 4 == 0,
+      s"p must be a multiple of 4 in [4,16], got $p")
+    val hexDigits = p / 4
+    val h = md5(col(keyCol).cast("string").cast("binary"))
+    val bucket = conv(substring(h, 1, hexDigits), 16, 10).cast("int")
+    val w = conv(substring(h, hexDigits + 1, 8), 16, 10).cast("long")
+    val rho = when(w === 0L, lit(33))
+      .otherwise(lit(33) - length(bin(w)))
+    df.select(bucket.as("bucket"), rho.as("rho"))
+      .groupBy("bucket").agg(max("rho").cast("int").as("register"))
+  }
+
+  /** One-row estimate summary over [[hllRegisters]] output. The
+    * inverse-power sum is carried SCALED BY 2^33 as an exact BIGINT
+    * (sum of `1L << (33 - register)` over non-empty buckets plus
+    * 2^33 per empty bucket — every term is an integer and the total
+    * stays below 2^(33+p), within exact double range for p ≤ 16), so
+    * the raw estimate alpha_m * m^2 / S derives from an integer both
+    * engines share; linear counting takes over below 2.5m when empty
+    * buckets exist, exactly as both engines replay the same CASE.
+    * Estimates are rounded to 4 dp in-engine per the oracle
+    * convention. */
+  def hllEstimate(registers: DataFrame, p: Int = 8): DataFrame = {
+    val m = 1L << p
+    val scale = 8589934592.0 // 2^33
+    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+      lit(m.toDouble) * lit(m.toDouble)
+    val agg = registers.agg(
+      count(lit(1)).as("nonzero"),
+      coalesce(sum(expr("shiftleft(1L, 33 - register)")), lit(0L))
+        .as("nz_scaled"),
+      coalesce(max(col("register")), lit(0)).as("max_register"))
+    val summary = agg.select(
+      lit(m).as("m"),
+      (lit(m) - col("nonzero")).as("zero_regs"),
+      (col("nz_scaled") + (lit(m) - col("nonzero")) * lit(8589934592L))
+        .as("sum_scaled"),
+      col("max_register"))
+    val raw = alphaM2 / (col("sum_scaled") / lit(scale))
+    val lcUsed = col("zero_regs") > 0L && raw <= lit(2.5) * lit(m.toDouble)
+    summary.select(
+      col("m"), col("zero_regs"), col("max_register"), col("sum_scaled"),
+      round(raw, 4).as("raw_est"),
+      lcUsed.as("lc_used"),
+      when(lcUsed,
+        round(lit(m.toDouble) *
+          log(lit(m.toDouble) / col("zero_regs").cast("double")), 4))
+        .otherwise(round(raw, 4)).as("est"))
+  }
 }

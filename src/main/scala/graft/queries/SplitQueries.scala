@@ -18,7 +18,7 @@ object SplitQueries {
     q133DsirResample, q134SketchAccuracy, q135QualityClassifier, q177DsirOracled,
     q136SnapshotDiff, q143GatedCuration, q144Decontaminate,
     q151IncrementalCuration, q157ExactDistinct, q164CmsFrequency,
-    q165WeightedSample, q183CmsOracled, q187LogregOracled)
+    q165WeightedSample, q183CmsOracled, q187LogregOracled, q209HllOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -107,6 +107,65 @@ object SplitQueries {
         "est.est >= coalesce(ex.exact, 0) AS admissible " +
         "FROM pr LEFT JOIN ex USING (t) JOIN est USING (t) " +
         "ORDER BY t"))
+
+  /** Portable HyperLogLog, fully ORACLED ([[graft.operators.Sketches
+    * .hllRegisters]]/[[graft.operators.Sketches.hllEstimate]]) — the
+    * distinct-count twin of q183's count-min face, closing the last
+    * engine-hash sketch asymmetry: q65/q134's built-in HLL++ estimates
+    * are deterministic but engine-internal; HERE the whole sketch is
+    * the md5 hash family plus integer arithmetic, so DuckDB rebuilds
+    * the identical 256 registers from the same parquet and replays
+    * the estimate — registers, scaled inverse-power sum (an exact
+    * BIGINT), branch choice (linear counting vs raw) and the relative
+    * error against the exact distinct are ALL in the hashed row.
+    * Cardinality target: o_orderkey (1.5k/15k/150k distinct across
+    * the SFs — the raw-estimate branch with ~1.04/sqrt(256) ≈ 6.5%
+    * expected error; the spec gates the error, the oracle gates the
+    * bits). */
+  val q209HllOracled: GraftQuery = GraftQuery(
+    "q209_hll_oracled",
+    (s, d) => {
+      import s.implicits._
+      val keys = Tables.orders(s, d).select($"o_orderkey")
+      val regs = graft.operators.Sketches.hllRegisters(keys, "o_orderkey")
+      val summary = graft.operators.Sketches.hllEstimate(regs)
+      val exact = keys.agg(
+        countDistinct($"o_orderkey").as("exact"))
+      summary.crossJoin(exact)
+        .select($"m", $"zero_regs", $"max_register", $"sum_scaled",
+          $"raw_est", $"lc_used", $"est", $"exact",
+          round(($"est" - $"exact") / $"exact", 4).as("rel_err"))
+    },
+    Some(
+      "WITH h AS (SELECT " +
+        "('0x' || substr(md5(o_orderkey::VARCHAR), 1, 2))::BIGINT " +
+        "AS bucket, " +
+        "('0x' || substr(md5(o_orderkey::VARCHAR), 3, 8))::BIGINT " +
+        "AS w FROM orders), " +
+        "r AS (SELECT bucket, max(CASE WHEN w = 0 THEN 33 " +
+        "ELSE 33 - length(bin(w)) END) AS register FROM h GROUP BY 1), " +
+        "a AS (SELECT count(*)::BIGINT AS nonzero, " +
+        "sum(1::BIGINT << (33 - register))::BIGINT AS nz_scaled, " +
+        "max(register) AS max_register FROM r), " +
+        "s AS (SELECT 256::BIGINT AS m, " +
+        "(256 - nonzero)::BIGINT AS zero_regs, " +
+        "(nz_scaled + (256 - nonzero) * 8589934592)::BIGINT " +
+        "AS sum_scaled, max_register::INT AS max_register FROM a), " +
+        "e AS (SELECT *, (0.7213::DOUBLE / (1.0::DOUBLE + " +
+        "1.079::DOUBLE / 256.0::DOUBLE) * 256.0::DOUBLE * 256.0::DOUBLE) " +
+        "/ (sum_scaled / 8589934592.0::DOUBLE) AS raw FROM s), " +
+        "f AS (SELECT m, zero_regs, max_register, sum_scaled, " +
+        "round(raw, 4) AS raw_est, " +
+        "(zero_regs > 0 AND raw <= 640.0::DOUBLE) AS lc_used, " +
+        "CASE WHEN zero_regs > 0 AND raw <= 640.0::DOUBLE " +
+        "THEN round(256.0::DOUBLE * ln(256.0::DOUBLE / zero_regs), 4) " +
+        "ELSE round(raw, 4) END AS est FROM e), " +
+        "x AS (SELECT count(DISTINCT o_orderkey)::BIGINT AS exact " +
+        "FROM orders) " +
+        "SELECT f.m, f.zero_regs, f.max_register, f.sum_scaled, " +
+        "f.raw_est, f.lc_used, f.est, x.exact, " +
+        "round((f.est - x.exact) / x.exact, 4) AS rel_err FROM f, x"),
+  )
 
   /** Weighted sample without replacement ([[Sampling
     * .weightedSamplePerGroup]], Efraimidis–Spirakis A-Res): 5 docs per

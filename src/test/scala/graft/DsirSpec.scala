@@ -252,4 +252,45 @@ class DsirSpec extends GraftSuite {
     assert(Dsir.gramRows(d, "doc_id", "text", buckets = 64, seed = 0L,
       portable = true).count() === 3L)
   }
+
+  test("portable HLL: rho hand-check against a known md5") {
+    // md5('hello') = 5d41402abc4b2a76... → bucket 0x5d = 93,
+    // w = 0x41402abc (31 bits) → rho = 33 - 31 = 2
+    val one = Seq("hello").toDF("k")
+    val r = Sketches.hllRegisters(one, "k").collect()
+    assert(r.length === 1)
+    assert(r.head.getInt(0) === 93 && r.head.getInt(1) === 2)
+  }
+
+  test("portable HLL: registers are partition-invariant and duplicate-" +
+      "insensitive; estimate lands within the 256-register error band") {
+    val keys = Tables.orders(spark, sf).select($"o_orderkey")
+    val regs = Sketches.hllRegisters(keys, "o_orderkey")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val shuffled = Sketches.hllRegisters(
+        keys.repartition(11), "o_orderkey")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(regs === shuffled)
+    val doubled = Sketches.hllRegisters(
+        keys.union(keys), "o_orderkey")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(regs === doubled) // register-max: re-ingest is a no-op
+    val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(keys, "o_orderkey"))
+      .select($"est").head().getDouble(0)
+    val exact = keys.distinct().count().toDouble
+    // 3 sigma of 1.04/sqrt(256) ≈ 19.5%
+    assert(math.abs(est - exact) / exact < 0.195,
+      s"est $est vs exact $exact")
+  }
+
+  test("portable HLL: linear-counting branch engages on a tiny key set " +
+      "and beats the raw estimate there") {
+    val tiny = spark.range(20).select($"id".cast("string").as("k"))
+    val row = Sketches.hllEstimate(Sketches.hllRegisters(tiny, "k"))
+      .select($"lc_used", $"est", $"zero_regs").head()
+    assert(row.getBoolean(0), "expected linear counting at n=20, m=256")
+    assert(math.abs(row.getDouble(1) - 20.0) < 2.0,
+      s"LC estimate ${row.getDouble(1)} should be near 20")
+  }
 }
