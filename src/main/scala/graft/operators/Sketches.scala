@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distinct-count sketches with a persisted, APPEND-ONLY artifact
@@ -155,6 +155,32 @@ object Sketches extends Serializable {
       .groupBy("bucket").agg(max("rho").cast("int").as("register"))
   }
 
+  /** Upsert one batch's portable-HLL registers into the artifact at
+    * `path` as the partition directory `batch_id=<id>` — the
+    * [[appendSketches]] lifecycle applied to the fully-oracled md5
+    * register face: OVERWRITE per batch directory makes at-least-once
+    * redelivery replace its own rows, and register-max merge across
+    * batch directories ([[hllRegistersFromArtifact]]) makes the merged
+    * sketch independent of batch boundaries — a key counted in two
+    * batches can never inflate a register. Each batch contributes at
+    * most 2^p tiny rows however large the batch is. */
+  def upsertHllBatch(df: DataFrame, keyCol: String, path: String,
+      batchId: Long, p: Int = 8): Unit = {
+    requireNoLegacyFlatFiles(df.sparkSession, path)
+    hllRegisters(df, keyCol, p)
+      .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+  }
+
+  /** Merged registers from the artifact alone (max per bucket across
+    * every batch directory — associative and idempotent, so the result
+    * equals [[hllRegisters]] over the union of everything ingested).
+    * Feed straight into [[hllEstimate]]. */
+  def hllRegistersFromArtifact(spark: SparkSession, path: String)
+      : DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("bucket"))
+      .agg(max(col("register")).cast("int").as("register"))
+
   /** One-row estimate summary over [[hllRegisters]] output. The
     * inverse-power sum is carried SCALED BY 2^33 as an exact BIGINT
     * (sum of `1L << (33 - register)` over non-empty buckets plus
@@ -192,4 +218,54 @@ object Sketches extends Serializable {
           log(lit(m.toDouble) / col("zero_regs").cast("double")), 4))
         .otherwise(round(raw, 4)).as("est"))
   }
+
+  /** Bit position of hash function `j` for `key` in a portable Bloom
+    * filter of `mBits` bits: the first 48 bits of md5(j ":" key) taken
+    * mod mBits — nonnegative integer arithmetic both engines replay
+    * bit-for-bit (the q209/q183 md5 hash-family convention, salted by
+    * the hash index so the k functions are independent draws). */
+  private def bloomPos(key: Column, j: Column, mBits: Int): Column =
+    (conv(substring(
+        md5(concat(j.cast("string"), lit(":"), key).cast("binary")),
+        1, 12), 16, 10).cast("long") % mBits).cast("int")
+
+  /** MEMBERSHIP sketch — the portable Bloom filter completing the md5
+    * sketch family (HLL = how many distinct, count-min = how often,
+    * Bloom = have we seen THIS): the set bits of a filter over
+    * `keyCol`, as distinct `pos` rows. Set-union mergeable and
+    * append-only (bits only turn on), at most `mBits` output rows at
+    * any input scale — the 100 TB shape is "sketch the reference set
+    * once, broadcast the bits, screen the corpus with no shuffle of
+    * the corpus itself". No false negatives ever; false-positive rate
+    * ≈ (1 - e^(-k·n/m))^k, sized by the caller. */
+  def bloomBits(df: DataFrame, keyCol: String, mBits: Int = 4096,
+      k: Int = 3): DataFrame = {
+    require(mBits > 0 && k >= 1 && k <= 8,
+      s"need mBits > 0 and 1 <= k <= 8, got mBits=$mBits k=$k")
+    df.select(col(keyCol).cast("string").as("key"))
+      .select(explode(sequence(lit(1), lit(k))).as("j"), col("key"))
+      .select(bloomPos(col("key"), col("j"), mBits).as("pos"))
+      .distinct()
+  }
+
+  /** Screen `df` against a [[bloomBits]] filter (built with the SAME
+    * mBits/k): returns the ids whose key hits on ALL k positions.
+    * The bit side is tiny (≤ mBits rows) and broadcasts; the corpus
+    * side explodes k rows per key through a broadcast-hash join and
+    * re-groups on the id — one shuffle keyed by id, no shuffle of the
+    * reference set. Supersets the exact semi-join by construction
+    * (zero false negatives); the caller resolves survivors with the
+    * exact check on the far-smaller flagged slice. */
+  def bloomScreen(df: DataFrame, idCol: String, keyCol: String,
+      bits: DataFrame, mBits: Int = 4096, k: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), col(keyCol).cast("string").as("key"))
+      .select(col("id"), explode(sequence(lit(1), lit(k))).as("j"),
+        col("key"))
+      .select(col("id"), col("j"),
+        bloomPos(col("key"), col("j"), mBits).as("pos"))
+      .join(broadcast(bits), "pos")
+      .groupBy(col("id"))
+      .agg(countDistinct(col("j")).as("nj"))
+      .filter(col("nj") === k)
+      .select(col("id"))
 }

@@ -18,7 +18,8 @@ object SplitQueries {
     q133DsirResample, q134SketchAccuracy, q135QualityClassifier, q177DsirOracled,
     q136SnapshotDiff, q143GatedCuration, q144Decontaminate,
     q151IncrementalCuration, q157ExactDistinct, q164CmsFrequency,
-    q165WeightedSample, q183CmsOracled, q187LogregOracled, q209HllOracled)
+    q165WeightedSample, q183CmsOracled, q187LogregOracled, q209HllOracled,
+    q210BloomOracled, q211HllStreamOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -164,6 +165,122 @@ object SplitQueries {
         "FROM orders) " +
         "SELECT f.m, f.zero_regs, f.max_register, f.sum_scaled, " +
         "f.raw_est, f.lc_used, f.est, x.exact, " +
+        "round((f.est - x.exact) / x.exact, 4) AS rel_err FROM f, x"),
+  )
+
+  /** Portable Bloom-filter screen, fully ORACLED
+    * ([[graft.operators.Sketches.bloomBits]]/[[graft.operators
+    * .Sketches.bloomScreen]]) — the MEMBERSHIP sketch completing the
+    * md5 family (q209 HLL = how many distinct, q183 CMS = how often,
+    * HERE = have we seen this): an eval slice of the corpus
+    * (doc_id % 17 = 0) builds a 4096-bit, k=3 filter over its text;
+    * every document whose text hits all three positions is flagged and
+    * graded against the exact text semi-join. Zero false negatives by
+    * construction (the spec gates the FPR; the oracle gates the bits —
+    * DuckDB rebuilds the identical bit set and screen from the same
+    * parquet). The 100 TB decontamination pre-screen: the bits
+    * broadcast (≤ mBits rows however large the eval set), the corpus
+    * never shuffles against the reference, and the exact check runs
+    * only on the flagged sliver. */
+  val q210BloomOracled: GraftQuery = GraftQuery(
+    "q210_bloom_oracled",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val eval = docs.filter($"doc_id" % 17 === 0)
+      val bits = graft.operators.Sketches.bloomBits(
+        eval.select($"text"), "text")
+      val flagged = graft.operators.Sketches.bloomScreen(
+          docs, "doc_id", "text", bits)
+        .select($"id".as("doc_id"))
+      val exact = docs
+        .join(eval.select($"text").distinct(), Seq("text"), "left_semi")
+        .select($"doc_id", lit(true).as("exact_hit"))
+      flagged.join(exact, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"exact_hit", lit(false)).as("exact_hit"))
+        .orderBy($"doc_id")
+    },
+    Some(
+      "WITH ev AS (SELECT DISTINCT text FROM documents " +
+        "WHERE doc_id % 17 = 0), " +
+        "bits AS (SELECT DISTINCT " +
+        "('0x' || substr(md5(j::VARCHAR || ':' || text), 1, 12))" +
+        "::BIGINT % 4096 AS pos " +
+        "FROM ev, generate_series(1, 3) AS t(j)), " +
+        "tp AS (SELECT doc_id, j, " +
+        "('0x' || substr(md5(j::VARCHAR || ':' || text), 1, 12))" +
+        "::BIGINT % 4096 AS pos " +
+        "FROM documents, generate_series(1, 3) AS t(j)), " +
+        "hits AS (SELECT doc_id FROM tp JOIN bits USING (pos) " +
+        "GROUP BY doc_id HAVING count(DISTINCT j) = 3), " +
+        "ex AS (SELECT DISTINCT d.doc_id FROM documents d " +
+        "JOIN ev e ON d.text = e.text) " +
+        "SELECT h.doc_id, (e2.doc_id IS NOT NULL) AS exact_hit " +
+        "FROM hits h LEFT JOIN ex e2 ON h.doc_id = e2.doc_id " +
+        "ORDER BY h.doc_id"),
+  )
+
+  /** STREAMING cardinality growth ORACLED
+    * ([[graft.streaming.HllStream]] / [[graft.operators.Sketches
+    * .upsertHllBatch]]): the order keys arrive as four parquet files,
+    * every micro-batch upserts ≤ 256 register rows keyed by its
+    * streaming batchId (dynamic partitioned overwrite — an
+    * at-least-once redelivery REPLACES its rows), and the estimate
+    * served from the register-max merge of the artifact must
+    * hash-match the single-pass q209 oracle over everything the stream
+    * saw — register-max associativity is the whole reason a 100 TB
+    * distinct count can grow per shard, and this row makes it
+    * checkable through a real checkpoint. n_batches pins the stream
+    * shape (repartition(4) + one file per trigger ⇒ exactly 4). */
+  val q211HllStreamOracled: GraftQuery = GraftQuery(
+    "q211_hll_stream_oracled",
+    (s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q211").toString
+      Tables.orders(s, d).select($"o_orderkey").repartition(4)
+        .write.mode("overwrite").parquet(s"$root/src")
+      graft.streaming.HllStream.runToCompletion(s, s"$root/src",
+        s"$root/hll", s"$root/chk", "o_orderkey")
+      val regs = graft.operators.Sketches
+        .hllRegistersFromArtifact(s, s"$root/hll")
+      val nb = s.read.parquet(s"$root/hll")
+        .agg(countDistinct($"batch_id").as("n_batches"))
+      val exact = Tables.orders(s, d)
+        .agg(countDistinct($"o_orderkey").as("exact"))
+      graft.operators.Sketches.hllEstimate(regs)
+        .crossJoin(nb).crossJoin(exact)
+        .select($"m", $"zero_regs", $"max_register", $"sum_scaled",
+          $"est", $"exact", $"n_batches",
+          round(($"est" - $"exact") / $"exact", 4).as("rel_err"))
+    },
+    Some(
+      "WITH h AS (SELECT " +
+        "('0x' || substr(md5(o_orderkey::VARCHAR), 1, 2))::BIGINT " +
+        "AS bucket, " +
+        "('0x' || substr(md5(o_orderkey::VARCHAR), 3, 8))::BIGINT " +
+        "AS w FROM orders), " +
+        "r AS (SELECT bucket, max(CASE WHEN w = 0 THEN 33 " +
+        "ELSE 33 - length(bin(w)) END) AS register FROM h GROUP BY 1), " +
+        "a AS (SELECT count(*)::BIGINT AS nonzero, " +
+        "sum(1::BIGINT << (33 - register))::BIGINT AS nz_scaled, " +
+        "max(register) AS max_register FROM r), " +
+        "s AS (SELECT 256::BIGINT AS m, " +
+        "(256 - nonzero)::BIGINT AS zero_regs, " +
+        "(nz_scaled + (256 - nonzero) * 8589934592)::BIGINT " +
+        "AS sum_scaled, max_register::INT AS max_register FROM a), " +
+        "e AS (SELECT *, (0.7213::DOUBLE / (1.0::DOUBLE + " +
+        "1.079::DOUBLE / 256.0::DOUBLE) * 256.0::DOUBLE * 256.0::DOUBLE) " +
+        "/ (sum_scaled / 8589934592.0::DOUBLE) AS raw FROM s), " +
+        "f AS (SELECT m, zero_regs, max_register, sum_scaled, " +
+        "CASE WHEN zero_regs > 0 AND raw <= 640.0::DOUBLE " +
+        "THEN round(256.0::DOUBLE * ln(256.0::DOUBLE / zero_regs), 4) " +
+        "ELSE round(raw, 4) END AS est FROM e), " +
+        "x AS (SELECT count(DISTINCT o_orderkey)::BIGINT AS exact " +
+        "FROM orders) " +
+        "SELECT f.m, f.zero_regs, f.max_register, f.sum_scaled, " +
+        "f.est, x.exact, 4::BIGINT AS n_batches, " +
         "round((f.est - x.exact) / x.exact, 4) AS rel_err FROM f, x"),
   )
 

@@ -293,4 +293,56 @@ class DsirSpec extends GraftSuite {
     assert(math.abs(row.getDouble(1) - 20.0) < 2.0,
       s"LC estimate ${row.getDouble(1)} should be near 20")
   }
+
+  test("portable bloom: zero false negatives by construction; FPR " +
+      "stays inside the sizing bound at this m/k") {
+    val docs = Tables.documents(spark, sf)
+    val eval = docs.filter($"doc_id" % 17 === 0)
+    val bits = Sketches.bloomBits(eval.select($"text"), "text")
+    val flagged = Sketches.bloomScreen(docs, "doc_id", "text", bits)
+      .collect().map(_.getLong(0)).toSet
+    val exact = docs
+      .join(eval.select($"text").distinct(), Seq("text"), "left_semi")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(flagged),
+      s"bloom missed ${(exact -- flagged).size} true hits")
+    val nonHits = docs.count() - exact.size
+    val fpr = (flagged -- exact).size.toDouble / math.max(nonHits, 1L)
+    assert(fpr < 0.05, s"FPR $fpr over $nonHits clean docs at m=4096 k=3")
+  }
+
+  test("portable bloom: screening against a filter of OTHER keys flags " +
+      "almost nothing (the filter carries real information)") {
+    val docs = Tables.documents(spark, sf)
+    val otherBits = Sketches.bloomBits(
+      spark.range(1000, 1030).select($"id".cast("string").as("k")), "k")
+    val flagged = Sketches.bloomScreen(docs, "doc_id", "text", otherBits)
+      .count()
+    assert(flagged.toDouble / docs.count() < 0.05,
+      s"$flagged docs hit a 30-key unrelated filter")
+  }
+
+  test("streaming HLL: artifact merge equals the batch sketch, and " +
+      "re-ingesting counted keys cannot inflate it") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_hllstream").toString
+    val keys = Tables.orders(spark, sf).select($"o_orderkey")
+    keys.repartition(3).write.mode("overwrite").parquet(s"$root/src")
+    graft.streaming.HllStream.runToCompletion(spark, s"$root/src",
+      s"$root/hll", s"$root/chk", "o_orderkey")
+    def merged(): Map[Int, Int] =
+      Sketches.hllRegistersFromArtifact(spark, s"$root/hll")
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val fromArtifact = merged()
+    val direct = Sketches.hllRegisters(keys, "o_orderkey")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(fromArtifact === direct,
+      "register-max merge across batches must equal the one-pass sketch")
+    // re-ingesting already-counted keys in a LATER batch cannot
+    // inflate a register (register-max merge) — the duplicate-delivery
+    // face of the artifact lifecycle
+    Sketches.upsertHllBatch(keys, "o_orderkey", s"$root/hll",
+      batchId = 99L)
+    assert(merged() === direct, "re-ingest inflated the merged sketch")
+  }
 }

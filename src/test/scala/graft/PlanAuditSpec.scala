@@ -68,7 +68,9 @@ class PlanAuditSpec extends GraftSuite {
     "q133_dsir_resample",     // ÷ corpus gram totals (DSIR smoothing)
     "q160_bm25_topk",         // × 1-row (N, avgdl) corpus stats
     "q177_dsir_oracled",      // same DSIR smoothing ÷ 1-row totals
-    "q192_hybrid_rrf")        // × the 1-row query-embedding side
+    "q192_hybrid_rrf",        // × the 1-row query-embedding side
+    "q209_hll_oracled",       // 1-row sketch summary × 1-row exact count
+    "q211_hll_stream_oracled") // same 1-row faces + 1-row batch count
 
   test("no registry query plans an unintended quadratic join") {
     val offenders = Registry.all
