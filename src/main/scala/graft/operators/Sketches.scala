@@ -248,6 +248,92 @@ object Sketches extends Serializable {
       .distinct()
   }
 
+  /** Upsert one batch's Bloom bits into the artifact at `path` as the
+    * partition directory `batch_id=<id>` — the third merge semantics of
+    * the streaming-sketch trio: HLL registers merge by MAX (q211),
+    * count-min counters by SUM ([[upsertCmsBatch]]), Bloom bits by set
+    * UNION. Union is idempotent per bit, so at-least-once redelivery is
+    * harmless even before the per-batch overwrite replaces its rows;
+    * each batch contributes at most `mBits` tiny rows. */
+  def upsertBloomBatch(df: DataFrame, keyCol: String, path: String,
+      batchId: Long, mBits: Int = 4096, k: Int = 3): Unit = {
+    requireNoLegacyFlatFiles(df.sparkSession, path)
+    bloomBits(df, keyCol, mBits, k)
+      .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+  }
+
+  /** Merged Bloom bits from the artifact alone (set union across every
+    * batch directory — bits only turn on, so the merge equals
+    * [[bloomBits]] over the union of everything ingested). Feed
+    * straight into [[bloomScreen]]. */
+  def bloomBitsFromArtifact(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("pos")).distinct()
+
+  /** Portable count-min counter table under the md5 hash family —
+    * `d` rows × `w` buckets, bucket(j, key) = md5(j "|" key)
+    * first-8-hex mod w (the q183 convention, factored for the artifact
+    * lifecycle): at most d·w output rows at any input scale, and
+    * per-batch tables merge by elementwise SUM into exactly the
+    * one-pass table because counts are additive over a partition of
+    * the input. */
+  def cmsCounters(df: DataFrame, keyCol: String, d: Int = 4,
+      w: Int = 512): DataFrame = {
+    require(d >= 1 && d <= 8 && w > 0,
+      s"need 1 <= d <= 8 and w > 0, got d=$d w=$w")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val js = broadcast(spark.range(d).select($"id".cast("int").as("j")))
+    df.select(col(keyCol).cast("string").as("key"))
+      .crossJoin(js)
+      .groupBy(col("j"),
+        pmod(conv(substring(md5(concat(col("j").cast("string"), lit("|"),
+            col("key")).cast("binary")), 1, 8), 16, 10).cast("long"),
+          lit(w.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Upsert one batch's count-min counters into the artifact at `path`
+    * as the partition directory `batch_id=<id>`. Counters merge by SUM
+    * — NOT idempotent per key like HLL's max or Bloom's union — which
+    * is exactly why the batchId-keyed overwrite matters here most: an
+    * at-least-once redelivery REPLACES its batch's counters instead of
+    * double-counting them. */
+  def upsertCmsBatch(df: DataFrame, keyCol: String, path: String,
+      batchId: Long, d: Int = 4, w: Int = 512): Unit = {
+    requireNoLegacyFlatFiles(df.sparkSession, path)
+    cmsCounters(df, keyCol, d, w)
+      .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+  }
+
+  /** Merged counters from the artifact alone (elementwise sum across
+    * every batch directory — equals [[cmsCounters]] over the
+    * concatenation of everything ingested, because each key occurrence
+    * was counted in exactly one batch). */
+  def cmsCountersFromArtifact(spark: SparkSession, path: String)
+      : DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+
+  /** Point-query estimates over a [[cmsCounters]] table for a tiny
+    * probe set: min over the d rows of the counter at bucket(j, probe)
+    * — never undercounts; overcounts only on hash collisions. The
+    * probe side is a broadcast-size literal table; the counter side is
+    * at most d·w rows, so the join never shuffles the corpus. */
+  def cmsEstimates(counters: DataFrame, probes: Seq[String], d: Int = 4,
+      w: Int = 512): DataFrame = {
+    val spark = counters.sparkSession
+    import spark.implicits._
+    val js = broadcast(spark.range(d).select($"id".cast("int").as("j")))
+    val pj = broadcast(probes.toDF("t")).crossJoin(js)
+      .select($"t", $"j",
+        pmod(conv(substring(md5(concat($"j".cast("string"), lit("|"),
+            $"t").cast("binary")), 1, 8), 16, 10).cast("long"),
+          lit(w.toLong)).as("bucket"))
+    pj.join(counters, Seq("j", "bucket"), "left")
+      .groupBy($"t").agg(min(coalesce($"c", lit(0L))).as("est"))
+  }
+
   /** Screen `df` against a [[bloomBits]] filter (built with the SAME
     * mBits/k): returns the ids whose key hits on ALL k positions.
     * The bit side is tiny (≤ mBits rows) and broadcasts; the corpus

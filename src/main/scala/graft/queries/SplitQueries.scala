@@ -19,7 +19,8 @@ object SplitQueries {
     q136SnapshotDiff, q143GatedCuration, q144Decontaminate,
     q151IncrementalCuration, q157ExactDistinct, q164CmsFrequency,
     q165WeightedSample, q183CmsOracled, q187LogregOracled, q209HllOracled,
-    q210BloomOracled, q211HllStreamOracled)
+    q210BloomOracled, q211HllStreamOracled, q212BloomStreamOracled,
+    q213CmsStreamOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -282,6 +283,130 @@ object SplitQueries {
         "SELECT f.m, f.zero_regs, f.max_register, f.sum_scaled, " +
         "f.est, x.exact, 4::BIGINT AS n_batches, " +
         "round((f.est - x.exact) / x.exact, 4) AS rel_err FROM f, x"),
+  )
+
+  /** STREAMING Bloom growth ORACLED ([[graft.streaming.SketchStreams
+    * .runBloomToCompletion]] / [[graft.operators.Sketches
+    * .upsertBloomBatch]]): the q210 eval slice arrives as four files,
+    * every micro-batch upserts ≤ mBits bit rows keyed by its streaming
+    * batchId, and the screen served from the SET-UNION merge of the
+    * artifact must hash-match the single-pass q210 oracle — bits only
+    * turn on, so the merged filter keeps zero false negatives whatever
+    * the batch boundaries were, which is why a 100 TB reference set can
+    * be sketched shard-by-shard and screened incrementally. The second
+    * leg of the merge-law trio: q211 = MAX, HERE = UNION, q213 = SUM.
+    */
+  val q212BloomStreamOracled: GraftQuery = GraftQuery(
+    "q212_bloom_stream_oracled",
+    (s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q212").toString
+      val docs = Tables.documents(s, d)
+      val eval = docs.filter($"doc_id" % 17 === 0)
+      eval.select($"text").repartition(4)
+        .write.mode("overwrite").parquet(s"$root/src")
+      graft.streaming.SketchStreams.runBloomToCompletion(s,
+        s"$root/src", s"$root/bloom", s"$root/chk", "text")
+      val bits = graft.operators.Sketches
+        .bloomBitsFromArtifact(s, s"$root/bloom")
+      val nb = s.read.parquet(s"$root/bloom")
+        .agg(countDistinct($"batch_id").as("n_batches"))
+      val flagged = graft.operators.Sketches.bloomScreen(
+          docs, "doc_id", "text", bits)
+        .select($"id".as("doc_id"))
+      val exact = docs
+        .join(eval.select($"text").distinct(), Seq("text"), "left_semi")
+        .select($"doc_id", lit(true).as("exact_hit"))
+      flagged.join(exact, Seq("doc_id"), "left")
+        .crossJoin(nb)
+        .select($"doc_id",
+          coalesce($"exact_hit", lit(false)).as("exact_hit"),
+          $"n_batches")
+        .orderBy($"doc_id")
+    },
+    Some(
+      "WITH ev AS (SELECT DISTINCT text FROM documents " +
+        "WHERE doc_id % 17 = 0), " +
+        "bits AS (SELECT DISTINCT " +
+        "('0x' || substr(md5(j::VARCHAR || ':' || text), 1, 12))" +
+        "::BIGINT % 4096 AS pos " +
+        "FROM ev, generate_series(1, 3) AS t(j)), " +
+        "tp AS (SELECT doc_id, j, " +
+        "('0x' || substr(md5(j::VARCHAR || ':' || text), 1, 12))" +
+        "::BIGINT % 4096 AS pos " +
+        "FROM documents, generate_series(1, 3) AS t(j)), " +
+        "hits AS (SELECT doc_id FROM tp JOIN bits USING (pos) " +
+        "GROUP BY doc_id HAVING count(DISTINCT j) = 3), " +
+        "ex AS (SELECT DISTINCT d.doc_id FROM documents d " +
+        "JOIN ev e ON d.text = e.text) " +
+        "SELECT h.doc_id, (e2.doc_id IS NOT NULL) AS exact_hit, " +
+        "4::BIGINT AS n_batches " +
+        "FROM hits h LEFT JOIN ex e2 ON h.doc_id = e2.doc_id " +
+        "ORDER BY h.doc_id"),
+  )
+
+  /** STREAMING count-min growth ORACLED ([[graft.streaming
+    * .SketchStreams.runCmsToCompletion]] / [[graft.operators.Sketches
+    * .upsertCmsBatch]]): the token stream arrives as four files, every
+    * micro-batch upserts ≤ d·w counter rows keyed by its streaming
+    * batchId, and the probe estimates served from the elementwise-SUM
+    * merge of the artifact must hash-match the single-pass q183 oracle.
+    * SUM is the one merge law of the trio that is NOT idempotent — a
+    * redelivered batch would double-count — so this row is the one that
+    * actually exercises the batchId-keyed overwrite for correctness,
+    * not just hygiene (q211's max and q212's union would both survive a
+    * duplicate batch unscathed; a summed counter would not). */
+  val q213CmsStreamOracled: GraftQuery = GraftQuery(
+    "q213_cms_stream_oracled",
+    (s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q213").toString
+      val toks = Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("t"))
+      toks.repartition(4).write.mode("overwrite").parquet(s"$root/src")
+      graft.streaming.SketchStreams.runCmsToCompletion(s,
+        s"$root/src", s"$root/cms", s"$root/chk", "t")
+      val counters = graft.operators.Sketches
+        .cmsCountersFromArtifact(s, s"$root/cms")
+      val nb = s.read.parquet(s"$root/cms")
+        .agg(countDistinct($"batch_id").as("n_batches"))
+      val probes = Seq("customer", "vector", "window", "merge", "the")
+      val est = graft.operators.Sketches.cmsEstimates(counters, probes)
+      val exact = toks.filter($"t".isin(probes: _*))
+        .groupBy($"t").agg(count(lit(1)).as("exact"))
+      probes.toDF("t")
+        .join(exact, Seq("t"), "left")
+        .join(est, Seq("t"))
+        .crossJoin(nb)
+        .select($"t", coalesce($"exact", lit(0L)).as("exact"), $"est",
+          ($"est" >= coalesce($"exact", lit(0L))).as("admissible"),
+          $"n_batches")
+        .orderBy($"t")
+    },
+    Some(
+      "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t " +
+        "FROM documents), " +
+        "js AS (SELECT unnest(generate_series(0, 3)) AS j), " +
+        "cms AS MATERIALIZED (SELECT j, " +
+        "('0x' || substr(md5(j::VARCHAR || '|' || t), 1, 8))::BIGINT " +
+        "% 512 AS bucket, count(*)::BIGINT AS c " +
+        "FROM tok, js GROUP BY 1, 2), " +
+        "pr AS (SELECT * FROM (VALUES ('customer'), ('vector'), " +
+        "('window'), ('merge'), ('the')) AS x(t)), " +
+        "pj AS (SELECT pr.t, js.j, ('0x' || substr(md5(js.j::VARCHAR " +
+        "|| '|' || pr.t), 1, 8))::BIGINT % 512 AS bucket FROM pr, js), " +
+        "est AS (SELECT t, min(coalesce(cms.c, 0))::BIGINT AS est " +
+        "FROM pj LEFT JOIN cms USING (j, bucket) GROUP BY t), " +
+        "ex AS (SELECT t, count(*)::BIGINT AS exact FROM tok " +
+        "WHERE t IN ('customer','vector','window','merge','the') " +
+        "GROUP BY t) " +
+        "SELECT pr.t, coalesce(ex.exact, 0)::BIGINT AS exact, est.est, " +
+        "est.est >= coalesce(ex.exact, 0) AS admissible, " +
+        "4::BIGINT AS n_batches " +
+        "FROM pr LEFT JOIN ex USING (t) JOIN est USING (t) " +
+        "ORDER BY t"),
   )
 
   /** Weighted sample without replacement ([[Sampling

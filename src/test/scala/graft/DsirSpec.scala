@@ -345,4 +345,68 @@ class DsirSpec extends GraftSuite {
       batchId = 99L)
     assert(merged() === direct, "re-ingest inflated the merged sketch")
   }
+
+  test("streaming bloom: artifact union equals the one-pass bits, and " +
+      "re-ingesting seen keys cannot change the filter") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bloomstream").toString
+    val docs = Tables.documents(spark, sf)
+    val eval = docs.filter($"doc_id" % 17 === 0).select($"text")
+    eval.repartition(3).write.mode("overwrite").parquet(s"$root/src")
+    graft.streaming.SketchStreams.runBloomToCompletion(spark,
+      s"$root/src", s"$root/bloom", s"$root/chk", "text")
+    def merged(): Set[Int] =
+      Sketches.bloomBitsFromArtifact(spark, s"$root/bloom")
+        .collect().map(_.getInt(0)).toSet
+    val fromArtifact = merged()
+    val direct = Sketches.bloomBits(eval, "text")
+      .collect().map(_.getInt(0)).toSet
+    assert(fromArtifact === direct,
+      "set-union merge across batches must equal the one-pass filter")
+    // bits only turn on: a duplicate delivery in a LATER batch is a
+    // no-op on the merged filter (union is idempotent per bit)
+    Sketches.upsertBloomBatch(eval, "text", s"$root/bloom",
+      batchId = 99L)
+    assert(merged() === direct, "re-ingest changed the merged filter")
+  }
+
+  test("streaming cms: artifact sum equals the one-pass counters; a " +
+      "REPLAYED batch id replaces (idempotent upsert) while a NEW batch " +
+      "id adds (sum merge)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cmsstream").toString
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("t"))
+    toks.repartition(3).write.mode("overwrite").parquet(s"$root/src")
+    graft.streaming.SketchStreams.runCmsToCompletion(spark,
+      s"$root/src", s"$root/cms", s"$root/chk", "t")
+    def merged(): Map[(Int, Long), Long] =
+      Sketches.cmsCountersFromArtifact(spark, s"$root/cms")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val fromArtifact = merged()
+    val direct = Sketches.cmsCounters(toks, "t")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fromArtifact === direct,
+      "sum merge across batches must equal the one-pass counter table")
+    // the non-idempotent merge law is exactly why the upsert is keyed
+    // by batch id — shown on a hand-built artifact where the batch ↔
+    // input mapping is certain: REPLAYING a batch id with its own input
+    // leaves the totals unchanged, while the SAME input under a NEW
+    // batch id ADDS its mass
+    val slice = toks.limit(500).cache()
+    val manual = s"$root/cms_manual"
+    Sketches.upsertCmsBatch(slice, "t", manual, batchId = 0L)
+    Sketches.upsertCmsBatch(toks, "t", manual, batchId = 1L)
+    def total(): Long = Sketches.cmsCountersFromArtifact(spark, manual)
+      .agg(org.apache.spark.sql.functions.sum($"c")).head().getLong(0)
+    val before = total()
+    Sketches.upsertCmsBatch(slice, "t", manual, batchId = 0L)
+    assert(total() === before,
+      "replaying an already-ingested batch id must not change totals")
+    Sketches.upsertCmsBatch(slice, "t", manual, batchId = 2L)
+    assert(total() === before + slice.count() * 4,
+      "a new batch id must ADD exactly its d x rows mass (sum merge)")
+  }
 }

@@ -45,6 +45,8 @@ class PlanAuditSpec extends GraftSuite {
                             // training IS repeated Lloyd assignment
     "q195_ivfpq_oracled",   // the same kernels + the coarse 64-dim
                             // assign — the IVF-PQ composite
+    "q213_cms_stream_oracled", // the q183 |T|×d sketch-probe shape over
+                               // the artifact + a 1-row batch count
     "q197_semantic_decon",  // train × BROADCAST eval side: the eval
                             // set is benchmark-sized by definition, so
                             // |train|×|eval| is linear in the corpus —
@@ -70,7 +72,8 @@ class PlanAuditSpec extends GraftSuite {
     "q177_dsir_oracled",      // same DSIR smoothing ÷ 1-row totals
     "q192_hybrid_rrf",        // × the 1-row query-embedding side
     "q209_hll_oracled",       // 1-row sketch summary × 1-row exact count
-    "q211_hll_stream_oracled") // same 1-row faces + 1-row batch count
+    "q211_hll_stream_oracled", // same 1-row faces + 1-row batch count
+    "q212_bloom_stream_oracled") // × the 1-row batch count
 
   test("no registry query plans an unintended quadratic join") {
     val offenders = Registry.all
