@@ -20,7 +20,7 @@ object SplitQueries {
     q151IncrementalCuration, q157ExactDistinct, q164CmsFrequency,
     q165WeightedSample, q183CmsOracled, q187LogregOracled, q209HllOracled,
     q210BloomOracled, q211HllStreamOracled, q212BloomStreamOracled,
-    q213CmsStreamOracled)
+    q213CmsStreamOracled, q214HllOverlapOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -407,6 +407,93 @@ object SplitQueries {
         "4::BIGINT AS n_batches " +
         "FROM pr LEFT JOIN ex USING (t) JOIN est USING (t) " +
         "ORDER BY t"),
+  )
+
+  /** Dataset-overlap estimation by HLL SET ALGEBRA, fully ORACLED —
+    * the sketch-level answer to "how much does corpus A overlap corpus
+    * B" WITHOUT EVER JOINING THEM: build portable p=12 registers per
+    * side ([[graft.operators.Sketches.hllRegisters]]), merge by
+    * register-max into the union sketch, and estimate the intersection
+    * by inclusion-exclusion (|A∩B| ≈ Â + B̂ - Û). At 100 TB the two
+    * corpora may live in different systems — each side ships 4096 tiny
+    * register rows and the overlap is answered from sketches alone;
+    * the exact INTERSECT here is the grading baseline, not the
+    * mechanism. DuckDB rebuilds all three register sets and replays
+    * the same estimate CASE per side, so the estimates, the
+    * inclusion-exclusion arithmetic and the relative error are all in
+    * the hashed row. */
+  val q214HllOverlapOracled: GraftQuery = GraftQuery(
+    "q214_hll_overlap_oracled",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val a = docs.filter($"doc_id" % 2 === 0).select($"text")
+      val b = docs.filter($"doc_id" % 3 === 0).select($"text")
+      val ra = graft.operators.Sketches.hllRegisters(a, "text", p = 12)
+      val rb = graft.operators.Sketches.hllRegisters(b, "text", p = 12)
+      val ru = ra.unionByName(rb).groupBy($"bucket")
+        .agg(max($"register").cast("int").as("register"))
+      def est(r: org.apache.spark.sql.DataFrame, name: String) =
+        graft.operators.Sketches.hllEstimate(r, p = 12)
+          .select($"est".as(name))
+      val exacts = a.distinct()
+        .join(b.distinct(), Seq("text"), "left_semi")
+        .agg(count(lit(1)).as("exact_overlap"))
+        .crossJoin(a.agg(countDistinct($"text").as("exact_a")))
+        .crossJoin(b.agg(countDistinct($"text").as("exact_b")))
+      est(ra, "est_a").crossJoin(est(rb, "est_b"))
+        .crossJoin(est(ru, "est_u")).crossJoin(exacts)
+        .withColumn("est_overlap",
+          round($"est_a" + $"est_b" - $"est_u", 4))
+        .select($"est_a", $"est_b", $"est_u", $"est_overlap",
+          $"exact_a", $"exact_b", $"exact_overlap",
+          round(($"est_overlap" - $"exact_overlap") / $"exact_overlap",
+            4).as("rel_err"))
+    },
+    Some(
+      "WITH ka AS (SELECT text AS key FROM documents " +
+        "WHERE doc_id % 2 = 0), " +
+        "kb AS (SELECT text AS key FROM documents " +
+        "WHERE doc_id % 3 = 0), " +
+        "k AS (SELECT 'a' AS s, key FROM ka " +
+        "UNION ALL SELECT 'b', key FROM kb), " +
+        "h AS (SELECT s, " +
+        "('0x' || substr(md5(key), 1, 3))::BIGINT AS bucket, " +
+        "('0x' || substr(md5(key), 4, 8))::BIGINT AS w FROM k), " +
+        "r AS (SELECT s, bucket, max(CASE WHEN w = 0 THEN 33 " +
+        "ELSE 33 - length(bin(w)) END) AS register FROM h " +
+        "GROUP BY 1, 2), " +
+        "r3 AS (SELECT s, bucket, register FROM r UNION ALL " +
+        "SELECT 'u', bucket, max(register) FROM r GROUP BY bucket), " +
+        "a AS (SELECT s, count(*)::BIGINT AS nonzero, " +
+        "sum(1::BIGINT << (33 - register))::BIGINT AS nz_scaled " +
+        "FROM r3 GROUP BY s), " +
+        "e AS (SELECT s, (4096 - nonzero)::BIGINT AS zero_regs, " +
+        "(nz_scaled + (4096 - nonzero) * 8589934592)::BIGINT " +
+        "AS sum_scaled FROM a), " +
+        "rw AS (SELECT s, zero_regs, (0.7213::DOUBLE / (1.0::DOUBLE + " +
+        "1.079::DOUBLE / 4096.0::DOUBLE) * 4096.0::DOUBLE * " +
+        "4096.0::DOUBLE) / (sum_scaled / 8589934592.0::DOUBLE) " +
+        "AS raw FROM e), " +
+        "est AS (SELECT s, CASE WHEN zero_regs > 0 " +
+        "AND raw <= 10240.0::DOUBLE " +
+        "THEN round(4096.0::DOUBLE * ln(4096.0::DOUBLE / zero_regs), 4) " +
+        "ELSE round(raw, 4) END AS est FROM rw), " +
+        "p AS (SELECT max(CASE WHEN s = 'a' THEN est END) AS est_a, " +
+        "max(CASE WHEN s = 'b' THEN est END) AS est_b, " +
+        "max(CASE WHEN s = 'u' THEN est END) AS est_u FROM est), " +
+        "po AS (SELECT est_a, est_b, est_u, " +
+        "round(est_a + est_b - est_u, 4) AS est_overlap FROM p), " +
+        "x AS (SELECT " +
+        "(SELECT count(DISTINCT key) FROM ka)::BIGINT AS exact_a, " +
+        "(SELECT count(DISTINCT key) FROM kb)::BIGINT AS exact_b, " +
+        "(SELECT count(*) FROM (SELECT DISTINCT key FROM ka " +
+        "INTERSECT SELECT DISTINCT key FROM kb))::BIGINT " +
+        "AS exact_overlap) " +
+        "SELECT po.est_a, po.est_b, po.est_u, po.est_overlap, " +
+        "x.exact_a, x.exact_b, x.exact_overlap, " +
+        "round((po.est_overlap - x.exact_overlap) / x.exact_overlap, 4) " +
+        "AS rel_err FROM po, x"),
   )
 
   /** Weighted sample without replacement ([[Sampling

@@ -409,4 +409,26 @@ class DsirSpec extends GraftSuite {
     assert(total() === before + slice.count() * 4,
       "a new batch id must ADD exactly its d x rows mass (sum merge)")
   }
+
+  test("hll set algebra: union registers dominate each side pointwise, " +
+      "and the inclusion-exclusion overlap lands near the exact count") {
+    val row = Registry.byName("q214_hll_overlap_oracled")
+      .run(spark, sf).head()
+    val (estA, estB, estU) =
+      (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    val exactOverlap = row.getLong(6)
+    val relErr = row.getDouble(7)
+    // union cardinality can never exceed the sum of the sides, and the
+    // estimator preserves that at the register level (pointwise max ⇒
+    // smaller inverse-power sum ⇒ larger estimate than either side)
+    assert(estU <= estA + estB + 1e-6, s"U=$estU > A+B=${estA + estB}")
+    assert(estU >= math.max(estA, estB) - 1e-6,
+      s"U=$estU < max(A,B)=${math.max(estA, estB)}")
+    assert(exactOverlap > 0, "fixture slices must overlap")
+    // p=12 ⇒ ~1.6% per-estimate error; three estimates compound into
+    // the overlap, so gate loosely — the ORACLE gates the exact bits,
+    // this gates that the estimator is actually informative
+    assert(math.abs(relErr) < 0.35,
+      s"overlap rel_err $relErr vs exact $exactOverlap")
+  }
 }

@@ -73,7 +73,8 @@ class PlanAuditSpec extends GraftSuite {
     "q192_hybrid_rrf",        // × the 1-row query-embedding side
     "q209_hll_oracled",       // 1-row sketch summary × 1-row exact count
     "q211_hll_stream_oracled", // same 1-row faces + 1-row batch count
-    "q212_bloom_stream_oracled") // × the 1-row batch count
+    "q212_bloom_stream_oracled", // × the 1-row batch count
+    "q214_hll_overlap_oracled") // 1-row estimate × 1-row exact faces
 
   test("no registry query plans an unintended quadratic join") {
     val offenders = Registry.all
