@@ -219,6 +219,61 @@ object Sketches extends Serializable {
         .otherwise(round(raw, 4)).as("est"))
   }
 
+  /** Per-GROUP portable-HLL registers — [[hllRegisters]] keyed by
+    * `groupCols`: one groupBy on (group, p-bit bucket), at most
+    * #groups × 2^p output rows at any input scale. The per-source
+    * cardinality profile of a corpus in one pass, with every register
+    * replayable by the oracle (the grouped twin of the DataSketches
+    * [[groupSketches]] surface, whose binaries are engine-internal). */
+  def hllRegistersByGroup(df: DataFrame, groupCols: Seq[String],
+      keyCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16 && p % 4 == 0,
+      s"p must be a multiple of 4 in [4,16], got $p")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val hexDigits = p / 4
+    val h = md5(col(keyCol).cast("string").cast("binary"))
+    val bucket = conv(substring(h, 1, hexDigits), 16, 10).cast("int")
+    val w = conv(substring(h, hexDigits + 1, 8), 16, 10).cast("long")
+    val rho = when(w === 0L, lit(33))
+      .otherwise(lit(33) - length(bin(w)))
+    df.select(groupCols.map(col) :+ bucket.as("bucket") :+
+        rho.as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("rho").cast("int").as("register"))
+  }
+
+  /** Per-group estimate summary over [[hllRegistersByGroup]] output —
+    * the [[hllEstimate]] arithmetic with the group columns retained
+    * (same exact-BIGINT scaled sum, same linear-counting CASE, so the
+    * grouped face replays in SQL term-for-term). One row per group. */
+  def hllEstimateByGroup(registers: DataFrame, groupCols: Seq[String],
+      p: Int = 8): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val m = 1L << p
+    val scale = 8589934592.0 // 2^33
+    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+      lit(m.toDouble) * lit(m.toDouble)
+    val agg = registers.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("nonzero"),
+      sum(expr("shiftleft(1L, 33 - register)")).as("nz_scaled"),
+      max(col("register")).as("max_register"))
+    val summary = agg.select(
+      groupCols.map(col) ++ Seq(
+        (lit(m) - col("nonzero")).as("zero_regs"),
+        (col("nz_scaled") + (lit(m) - col("nonzero")) * lit(8589934592L))
+          .as("sum_scaled"),
+        col("max_register")): _*)
+    val raw = alphaM2 / (col("sum_scaled") / lit(scale))
+    val lcUsed = col("zero_regs") > 0L && raw <= lit(2.5) * lit(m.toDouble)
+    summary.select(
+      groupCols.map(col) ++ Seq(
+        col("zero_regs"), col("max_register"), col("sum_scaled"),
+        when(lcUsed,
+          round(lit(m.toDouble) *
+            log(lit(m.toDouble) / col("zero_regs").cast("double")), 4))
+          .otherwise(round(raw, 4)).as("est")): _*)
+  }
+
   /** Bit position of hash function `j` for `key` in a portable Bloom
     * filter of `mBits` bits: the first 48 bits of md5(j ":" key) taken
     * mod mBits — nonnegative integer arithmetic both engines replay

@@ -20,7 +20,8 @@ object SplitQueries {
     q151IncrementalCuration, q157ExactDistinct, q164CmsFrequency,
     q165WeightedSample, q183CmsOracled, q187LogregOracled, q209HllOracled,
     q210BloomOracled, q211HllStreamOracled, q212BloomStreamOracled,
-    q213CmsStreamOracled, q214HllOverlapOracled)
+    q213CmsStreamOracled, q214HllOverlapOracled, q215HllProfileOracled,
+    q216OverlapMatrixOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -494,6 +495,177 @@ object SplitQueries {
         "x.exact_a, x.exact_b, x.exact_overlap, " +
         "round((po.est_overlap - x.exact_overlap) / x.exact_overlap, 4) " +
         "AS rel_err FROM po, x"),
+  )
+
+  /** Per-source cardinality PROFILE, fully ORACLED ([[graft.operators
+    * .Sketches.hllRegistersByGroup]]/[[graft.operators.Sketches
+    * .hllEstimateByGroup]]) — the grouped twin of q209, and the
+    * oracled face of the DataSketches artifact profile (q134/q65,
+    * whose binaries are engine-internal): one groupBy on (source,
+    * 8-bit bucket) builds every source's registers in a single pass
+    * (at most 20×256 rows at any corpus size), and the per-source
+    * estimate CASE replays in DuckDB term-for-term next to the exact
+    * per-source distinct. The dataset-card shape at 100 TB: "how many
+    * distinct documents does each source contribute" answered without
+    * a per-source exact distinct over the full corpus. */
+  val q215HllProfileOracled: GraftQuery = GraftQuery(
+    "q215_hll_profile_oracled",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val regs = graft.operators.Sketches
+        .hllRegistersByGroup(docs, Seq("source"), "text")
+      val ests = graft.operators.Sketches
+        .hllEstimateByGroup(regs, Seq("source"))
+      val exact = docs.groupBy($"source")
+        .agg(countDistinct($"text").as("exact"))
+      ests.join(exact, Seq("source"))
+        .select($"source", $"zero_regs", $"max_register", $"sum_scaled",
+          $"est", $"exact",
+          round(($"est" - $"exact") / $"exact", 4).as("rel_err"))
+        .orderBy($"source")
+    },
+    Some(
+      "WITH h AS (SELECT source AS s, " +
+        "('0x' || substr(md5(text), 1, 2))::BIGINT AS bucket, " +
+        "('0x' || substr(md5(text), 3, 8))::BIGINT AS w " +
+        "FROM documents), " +
+        "r AS (SELECT s, bucket, max(CASE WHEN w = 0 THEN 33 " +
+        "ELSE 33 - length(bin(w)) END) AS register FROM h " +
+        "GROUP BY 1, 2), " +
+        "a AS (SELECT s, count(*)::BIGINT AS nonzero, " +
+        "sum(1::BIGINT << (33 - register))::BIGINT AS nz_scaled, " +
+        "max(register)::INT AS max_register FROM r GROUP BY s), " +
+        "e AS (SELECT s, (256 - nonzero)::BIGINT AS zero_regs, " +
+        "(nz_scaled + (256 - nonzero) * 8589934592)::BIGINT " +
+        "AS sum_scaled, max_register FROM a), " +
+        "rw AS (SELECT *, (0.7213::DOUBLE / (1.0::DOUBLE + " +
+        "1.079::DOUBLE / 256.0::DOUBLE) * 256.0::DOUBLE * " +
+        "256.0::DOUBLE) / (sum_scaled / 8589934592.0::DOUBLE) " +
+        "AS raw FROM e), " +
+        "est AS (SELECT s, zero_regs, max_register, sum_scaled, " +
+        "CASE WHEN zero_regs > 0 AND raw <= 640.0::DOUBLE " +
+        "THEN round(256.0::DOUBLE * ln(256.0::DOUBLE / zero_regs), 4) " +
+        "ELSE round(raw, 4) END AS est FROM rw), " +
+        "x AS (SELECT source AS s, count(DISTINCT text)::BIGINT " +
+        "AS exact FROM documents GROUP BY 1) " +
+        "SELECT est.s AS source, est.zero_regs, est.max_register, " +
+        "est.sum_scaled, est.est, x.exact, " +
+        "round((est.est - x.exact) / x.exact, 4) AS rel_err " +
+        "FROM est JOIN x USING (s) ORDER BY source"),
+  )
+
+  /** Pairwise dataset-overlap MATRIX by HLL set algebra, fully ORACLED
+    * — q214's two-corpus inclusion-exclusion generalized to N datasets
+    * in one pass: four corpus slices (doc_id % m = 0 for m ∈ 2..5 —
+    * genuinely overlapping, with nested pairs like A4 ⊂ A2 in the
+    * fixture) each build p=12 grouped registers, every pair's union
+    * sketch is a register-max over its two members' rows, and all six
+    * overlap estimates come from sketches alone. At 100 TB this is the
+    * contamination matrix across N snapshots/sources: N×4096 register
+    * rows in, N² pair estimates out, the corpora themselves never
+    * joined — the exact per-pair INTERSECT here is only the grading
+    * baseline. Every register, estimate CASE and inclusion-exclusion
+    * term replays in DuckDB. */
+  val q216OverlapMatrixOracled: GraftQuery = GraftQuery(
+    "q216_overlap_matrix_oracled",
+    (s, d) => {
+      import s.implicits._
+      val ms = Seq(2, 3, 4, 5)
+      val docs = Tables.documents(s, d)
+      val slices = docs
+        .select($"doc_id", $"text",
+          explode(array(ms.map(lit): _*)).as("ds"))
+        .filter($"doc_id" % $"ds" === 0)
+        .select($"ds", $"text")
+      val r = graft.operators.Sketches
+        .hllRegistersByGroup(slices, Seq("ds"), "text", p = 12)
+      val es = graft.operators.Sketches
+        .hllEstimateByGroup(r, Seq("ds"), p = 12)
+        .select($"ds", $"est")
+      val pairs = (for { i <- ms; j <- ms if i < j } yield (i, j))
+        .toDF("d1", "d2")
+      val members = pairs
+        .select($"d1", $"d2", explode(array($"d1", $"d2")).as("ds"))
+      val ru = members.join(r, Seq("ds"))
+        .groupBy($"d1", $"d2", $"bucket")
+        .agg(max($"register").cast("int").as("register"))
+      val eu = graft.operators.Sketches
+        .hllEstimateByGroup(ru, Seq("d1", "d2"), p = 12)
+        .select($"d1", $"d2", $"est".as("est_u"))
+      val st = slices.distinct()
+      val xo = st.as("a")
+        .join(st.as("b"),
+          $"a.text" === $"b.text" && $"a.ds" < $"b.ds")
+        .groupBy($"a.ds".as("d1"), $"b.ds".as("d2"))
+        .agg(countDistinct($"a.text").as("exact_overlap"))
+      pairs
+        .join(es.select($"ds".as("d1"), $"est".as("est_a")), Seq("d1"))
+        .join(es.select($"ds".as("d2"), $"est".as("est_b")), Seq("d2"))
+        .join(eu, Seq("d1", "d2"))
+        .join(xo, Seq("d1", "d2"))
+        .withColumn("est_overlap",
+          round($"est_a" + $"est_b" - $"est_u", 4))
+        .select($"d1", $"d2", $"est_a", $"est_b", $"est_u",
+          $"est_overlap", $"exact_overlap",
+          round(($"est_overlap" - $"exact_overlap") / $"exact_overlap",
+            4).as("rel_err"))
+        .orderBy($"d1", $"d2")
+    },
+    Some(
+      "WITH sl AS (SELECT m.ds, d.text FROM documents d, " +
+        "(VALUES (2), (3), (4), (5)) AS m(ds) " +
+        "WHERE d.doc_id % m.ds = 0), " +
+        "h AS (SELECT ds, " +
+        "('0x' || substr(md5(text), 1, 3))::BIGINT AS bucket, " +
+        "('0x' || substr(md5(text), 4, 8))::BIGINT AS w FROM sl), " +
+        "r AS (SELECT ds, bucket, max(CASE WHEN w = 0 THEN 33 " +
+        "ELSE 33 - length(bin(w)) END) AS register FROM h " +
+        "GROUP BY 1, 2), " +
+        "pairs AS (SELECT a.ds AS d1, b.ds AS d2 " +
+        "FROM (SELECT DISTINCT ds FROM sl) a, " +
+        "(SELECT DISTINCT ds FROM sl) b WHERE a.ds < b.ds), " +
+        "ru AS (SELECT p.d1, p.d2, r.bucket, max(r.register) " +
+        "AS register FROM pairs p JOIN r ON r.ds IN (p.d1, p.d2) " +
+        "GROUP BY 1, 2, 3), " +
+        "ea AS (SELECT ds, CASE WHEN zero_regs > 0 " +
+        "AND raw <= 10240.0::DOUBLE " +
+        "THEN round(4096.0::DOUBLE * ln(4096.0::DOUBLE / zero_regs), 4) " +
+        "ELSE round(raw, 4) END AS est FROM " +
+        "(SELECT ds, zero_regs, (0.7213::DOUBLE / (1.0::DOUBLE + " +
+        "1.079::DOUBLE / 4096.0::DOUBLE) * 4096.0::DOUBLE * " +
+        "4096.0::DOUBLE) / (sum_scaled / 8589934592.0::DOUBLE) AS raw " +
+        "FROM (SELECT ds, (4096 - count(*))::BIGINT AS zero_regs, " +
+        "(sum(1::BIGINT << (33 - register)) + " +
+        "(4096 - count(*)) * 8589934592)::BIGINT AS sum_scaled " +
+        "FROM r GROUP BY ds))), " +
+        "eu AS (SELECT d1, d2, CASE WHEN zero_regs > 0 " +
+        "AND raw <= 10240.0::DOUBLE " +
+        "THEN round(4096.0::DOUBLE * ln(4096.0::DOUBLE / zero_regs), 4) " +
+        "ELSE round(raw, 4) END AS est_u FROM " +
+        "(SELECT d1, d2, zero_regs, (0.7213::DOUBLE / (1.0::DOUBLE + " +
+        "1.079::DOUBLE / 4096.0::DOUBLE) * 4096.0::DOUBLE * " +
+        "4096.0::DOUBLE) / (sum_scaled / 8589934592.0::DOUBLE) AS raw " +
+        "FROM (SELECT d1, d2, (4096 - count(*))::BIGINT AS zero_regs, " +
+        "(sum(1::BIGINT << (33 - register)) + " +
+        "(4096 - count(*)) * 8589934592)::BIGINT AS sum_scaled " +
+        "FROM ru GROUP BY d1, d2))), " +
+        "x AS (SELECT a.ds AS d1, b.ds AS d2, " +
+        "count(DISTINCT a.text)::BIGINT AS exact_overlap " +
+        "FROM (SELECT DISTINCT ds, text FROM sl) a " +
+        "JOIN (SELECT DISTINCT ds, text FROM sl) b " +
+        "ON a.text = b.text AND a.ds < b.ds GROUP BY 1, 2), " +
+        "po AS (SELECT p.d1, p.d2, ea1.est AS est_a, ea2.est AS est_b, " +
+        "eu.est_u, round(ea1.est + ea2.est - eu.est_u, 4) " +
+        "AS est_overlap, x.exact_overlap " +
+        "FROM pairs p JOIN ea ea1 ON ea1.ds = p.d1 " +
+        "JOIN ea ea2 ON ea2.ds = p.d2 " +
+        "JOIN eu ON eu.d1 = p.d1 AND eu.d2 = p.d2 " +
+        "JOIN x ON x.d1 = p.d1 AND x.d2 = p.d2) " +
+        "SELECT d1, d2, est_a, est_b, est_u, est_overlap, " +
+        "exact_overlap, " +
+        "round((est_overlap - exact_overlap) / exact_overlap, 4) " +
+        "AS rel_err FROM po ORDER BY d1, d2"),
   )
 
   /** Weighted sample without replacement ([[Sampling

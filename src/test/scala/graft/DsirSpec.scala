@@ -431,4 +431,48 @@ class DsirSpec extends GraftSuite {
     assert(math.abs(relErr) < 0.35,
       s"overlap rel_err $relErr vs exact $exactOverlap")
   }
+
+  test("grouped hll: per-group registers and estimate equal the solo " +
+      "sketch of each group's slice") {
+    val docs = Tables.documents(spark, sf)
+    val grouped = Sketches
+      .hllRegistersByGroup(docs, Seq("source"), "text")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val src = "src3"
+    val solo = Sketches
+      .hllRegisters(docs.filter($"source" === src), "text")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val slice = grouped.collect { case ((s, b), reg) if s == src =>
+      b -> reg }
+    assert(slice === solo,
+      "grouped registers must equal the solo sketch per group")
+    val est = Sketches.hllEstimateByGroup(
+        Sketches.hllRegistersByGroup(docs, Seq("source"), "text"),
+        Seq("source"))
+      .filter($"source" === src).select($"est").head().getDouble(0)
+    val soloEst = Sketches.hllEstimate(
+        Sketches.hllRegisters(docs.filter($"source" === src), "text"))
+      .select($"est").head().getDouble(0)
+    assert(est === soloEst,
+      "grouped estimate must equal the solo estimate per group")
+  }
+
+  test("overlap matrix: every pair's union dominates its sides and " +
+      "the overlap estimates stay informative") {
+    val rows = Registry.byName("q216_overlap_matrix_oracled")
+      .run(spark, sf).collect()
+    assert(rows.length === 6, "4 slices make 6 pairs")
+    rows.foreach { r =>
+      val (estA, estB, estU) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(estU <= estA + estB + 1e-6,
+        s"pair (${r.getInt(0)},${r.getInt(1)}): U > A+B")
+      assert(estU >= math.max(estA, estB) - 1e-6,
+        s"pair (${r.getInt(0)},${r.getInt(1)}): U < max(A,B)")
+      assert(r.getLong(6) > 0, "fixture slices must overlap")
+      assert(math.abs(r.getDouble(7)) < 0.35,
+        s"pair (${r.getInt(0)},${r.getInt(1)}) rel_err ${r.getDouble(7)}")
+    }
+  }
 }
