@@ -106,6 +106,10 @@ object Main {
     case "moments-stream" :: srcDir :: momentsDir :: chkDir :: rest =>
       runMomentsStream(srcDir, momentsDir, chkDir,
         rest.headOption.map(_.toInt).getOrElse(64))
+    case "hll-stream" :: srcDir :: hllDir :: chkDir :: keyCol :: _ =>
+      runHllStream(srcDir, hllDir, chkDir, keyCol)
+    case "overlap" :: aPath :: bPath :: keyCol :: outDir :: _ =>
+      runOverlap(aPath, bPath, keyCol, outDir)
     case "quantize" :: input :: outDir :: _ =>
       runQuantize(input, outDir)
     case "hybrid-search" :: docs :: emb :: outDir :: rest =>
@@ -147,6 +151,8 @@ object Main {
            |       graft.Main neardup-index <docsParquet> <indexDir>
            |       graft.Main neardup-stream <srcDir> <indexDir> <outDir> <chkDir> [threshold]
            |       graft.Main moments-stream <srcDir> <momentsDir> <chkDir> [dim]
+           |       graft.Main hll-stream <srcDir> <hllDir> <chkDir> <keyCol>
+           |       graft.Main overlap <aParquet> <bParquet> <keyCol> <outDir>
            |       graft.Main quantize <embParquet> <outDir>
            |       graft.Main hybrid-search <docsParquet> <embParquet> <outDir> <term term ...> [--vec <id>] [--k <n>]
            |       graft.Main curate [--append] <docsParquet> <outDir> [rowsPerShard]
@@ -601,6 +607,52 @@ object Main {
     val rows = if (graft.io.Sources.exists(spark, momentsDir))
       spark.read.parquet(momentsDir).count() else 0L
     println(s">>> [moments-stream] batches=$rows")
+    spark.stop()
+  }
+
+  /** Streaming distinct-count growth over the portable-HLL artifact
+    * ([[graft.streaming.HllStream]]): drain the backlog, then serve
+    * the estimate from the register-max merge of the artifact alone —
+    * the q211 lifecycle as an operational verb. */
+  private def runHllStream(srcDir: String, hllDir: String,
+      chkDir: String, keyCol: String): Unit = {
+    val spark = session()
+    graft.streaming.HllStream.runToCompletion(spark, srcDir, hllDir,
+      chkDir, keyCol)
+    val regs = graft.operators.Sketches
+      .hllRegistersFromArtifact(spark, hllDir)
+    val est = graft.operators.Sketches.hllEstimate(regs)
+      .select("est").head().getDouble(0)
+    val batches = spark.read.parquet(hllDir)
+      .select("batch_id").distinct().count()
+    println(s">>> [hll-stream] batches=$batches est=$est")
+    spark.stop()
+  }
+
+  /** Dataset-overlap estimate by HLL set algebra ([[graft.operators
+    * .Sketches]], the q214 mechanism): |A∩B| ≈ Â + B̂ - Û from p=12
+    * portable registers — the two inputs are sketched independently
+    * and never joined. Writes the one-row estimate to `outDir`. */
+  private def runOverlap(aPath: String, bPath: String, keyCol: String,
+      outDir: String): Unit = {
+    val spark = session()
+    import org.apache.spark.sql.functions.{col, max, round}
+    val sk = graft.operators.Sketches
+    val ra = sk.hllRegisters(spark.read.parquet(aPath), keyCol, p = 12)
+    val rb = sk.hllRegisters(spark.read.parquet(bPath), keyCol, p = 12)
+    val ru = ra.unionByName(rb).groupBy(col("bucket"))
+      .agg(max(col("register")).cast("int").as("register"))
+    def est(r: org.apache.spark.sql.DataFrame, name: String) =
+      sk.hllEstimate(r, p = 12).select(col("est").as(name))
+    val out = est(ra, "est_a").crossJoin(est(rb, "est_b"))
+      .crossJoin(est(ru, "est_u"))
+      .withColumn("est_overlap",
+        round(col("est_a") + col("est_b") - col("est_u"), 4))
+    Sinks.writeParquet(out, outDir)
+    val row = spark.read.parquet(outDir).head()
+    println(s">>> [overlap] est_a=${row.getDouble(0)} " +
+      s"est_b=${row.getDouble(1)} est_u=${row.getDouble(2)} " +
+      s"est_overlap=${row.getDouble(3)}")
     spark.stop()
   }
 
