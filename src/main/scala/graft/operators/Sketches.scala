@@ -274,6 +274,52 @@ object Sketches extends Serializable {
           .otherwise(round(raw, 4)).as("est")): _*)
   }
 
+  /** QUANTILE sketch — a fixed-width histogram over an integral
+    * column: bin = clamp(value DIV width, 0, nbins-1), counted in one
+    * groupBy with at most `nbins` output rows at any input scale.
+    * Counts merge by elementwise SUM (the q213 law), so per-shard
+    * histograms add into exactly the global one — and unlike Spark's
+    * own `approx_percentile` (Greenwald–Khanna summaries whose merge
+    * is order-sensitive, deliberately excluded from the registry) the
+    * sketch is PARTITION-INVARIANT by construction: pure integer
+    * arithmetic both engines replay bit-for-bit. Accuracy is bounded
+    * by the bin width the caller sizes. */
+  def histogramCounts(df: DataFrame, valueCol: String, width: Long,
+      nbins: Int): DataFrame = {
+    require(width > 0 && nbins > 1,
+      s"need width > 0 and nbins > 1, got width=$width nbins=$nbins")
+    df.select(least(greatest(
+        expr(s"CAST($valueCol AS BIGINT) DIV $width"), lit(0L)),
+        lit(nbins - 1L)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a [[histogramCounts]] sketch: for each q
+    * the target rank is ceil(q·n), the bin holding that rank comes
+    * from the cumulative counts, and the estimate interpolates
+    * linearly inside the bin — every term an integer except the final
+    * division, so both engines replay it exactly. The probe side is
+    * |qs| literal rows against ≤ nbins cumulative rows; at 100 TB the
+    * sketch is the only thing that ever leaves the executors. */
+  def histogramQuantiles(counts: DataFrame, width: Long,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must sit in (0, 1], got $qs")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+    val c = counts.withColumn("cum", sum(col("cnt")).over(w))
+    val t = counts.agg(sum(col("cnt")).as("n"))
+    val r = qs.toDF("q").crossJoin(t)
+      .select(col("q"), ceil(col("q") * col("n")).cast("long").as("rk"))
+    r.join(c,
+        col("cum") >= col("rk") && (col("cum") - col("cnt")) < col("rk"))
+      .select(col("q"),
+        round(col("bin") * lit(width) + lit(width.toDouble) *
+          (col("rk") - (col("cum") - col("cnt"))) / col("cnt"), 4)
+          .as("est"))
+  }
+
   /** Bit position of hash function `j` for `key` in a portable Bloom
     * filter of `mBits` bits: the first 48 bits of md5(j ":" key) taken
     * mod mBits — nonnegative integer arithmetic both engines replay

@@ -21,7 +21,8 @@ object SplitQueries {
     q165WeightedSample, q183CmsOracled, q187LogregOracled, q209HllOracled,
     q210BloomOracled, q211HllStreamOracled, q212BloomStreamOracled,
     q213CmsStreamOracled, q214HllOverlapOracled, q215HllProfileOracled,
-    q216OverlapMatrixOracled)
+    q216OverlapMatrixOracled, q217HistQuantilesOracled,
+    q218BloomJoinOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -666,6 +667,107 @@ object SplitQueries {
         "exact_overlap, " +
         "round((est_overlap - exact_overlap) / exact_overlap, 4) " +
         "AS rel_err FROM po ORDER BY d1, d2"),
+  )
+
+  /** Partition-invariant approximate QUANTILES, fully ORACLED
+    * ([[graft.operators.Sketches.histogramCounts]]/[[graft.operators
+    * .Sketches.histogramQuantiles]]) — the mergeable-quantile face the
+    * registry deliberately lacked: Spark's `approx_percentile` is
+    * excluded because Greenwald–Khanna merges are order-sensitive,
+    * and exact percentiles (q107) rescan everything. HERE a
+    * fixed-width integer histogram (40 bins × width 16 over n_chars,
+    * SUM-mergeable per shard) answers p50/p95/p99 by cumulative-rank
+    * interpolation — pure integer arithmetic plus one division, so
+    * DuckDB replays bins, ranks and estimates bit-for-bit, graded
+    * against the exact percentile (q107's proven percentile ≡
+    * quantile_cont parity). The 100 TB shape: ≤ nbins rows ever leave
+    * the executors, and shard histograms ADD. */
+  val q217HistQuantilesOracled: GraftQuery = GraftQuery(
+    "q217_hist_quantiles_oracled",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val counts = graft.operators.Sketches
+        .histogramCounts(docs, "n_chars", width = 16L, nbins = 40)
+      val est = graft.operators.Sketches
+        .histogramQuantiles(counts, width = 16L,
+          qs = Seq(0.5, 0.95, 0.99))
+      val exact = docs.agg(
+          percentile($"n_chars", lit(0.5)).as("e50"),
+          percentile($"n_chars", lit(0.95)).as("e95"),
+          percentile($"n_chars", lit(0.99)).as("e99"))
+        .selectExpr(
+          "stack(3, 0.5D, e50, 0.95D, e95, 0.99D, e99) AS (q, exact)")
+        .select($"q", round($"exact", 4).as("exact"))
+      est.join(exact, Seq("q"))
+        .select($"q", $"est", $"exact",
+          round(abs($"est" - $"exact"), 4).as("abs_err"))
+        .orderBy($"q")
+    },
+    Some(
+      "WITH b AS (SELECT least(greatest(n_chars // 16, 0), 39)" +
+        "::BIGINT AS bin, count(*)::BIGINT AS cnt FROM documents " +
+        "GROUP BY 1), " +
+        "c AS (SELECT bin, cnt, " +
+        "sum(cnt) OVER (ORDER BY bin)::BIGINT AS cum FROM b), " +
+        "t AS (SELECT count(*)::BIGINT AS n FROM documents), " +
+        "qs AS (SELECT * FROM (VALUES (0.5::DOUBLE), (0.95::DOUBLE), " +
+        "(0.99::DOUBLE)) v(q)), " +
+        "r AS (SELECT q, ceil(q * n)::BIGINT AS rk FROM qs, t), " +
+        "est AS (SELECT r.q, round(c.bin * 16 + 16.0::DOUBLE * " +
+        "(r.rk - (c.cum - c.cnt)) / c.cnt, 4) AS est " +
+        "FROM r JOIN c ON c.cum >= r.rk AND c.cum - c.cnt < r.rk), " +
+        "x AS (SELECT 0.5::DOUBLE AS q, " +
+        "round(quantile_cont(n_chars, 0.5), 4) AS exact " +
+        "FROM documents UNION ALL " +
+        "SELECT 0.95::DOUBLE, round(quantile_cont(n_chars, 0.95), 4) " +
+        "FROM documents UNION ALL " +
+        "SELECT 0.99::DOUBLE, round(quantile_cont(n_chars, 0.99), 4) " +
+        "FROM documents) " +
+        "SELECT est.q, est.est, x.exact, " +
+        "round(abs(est.est - x.exact), 4) AS abs_err " +
+        "FROM est JOIN x USING (q) ORDER BY est.q"),
+  )
+
+  /** BLOOM-ACCELERATED exact semi-join, fully ORACLED — the runtime-
+    * filter pattern composed end-to-end: the reference key set builds
+    * a 65536-bit k=3 filter ([[graft.operators.Sketches.bloomBits]] —
+    * ~2 KB of bit rows however many keys), the corpus's DISTINCT keys
+    * are screened through the broadcast bits, only the flagged sliver
+    * is confirmed against the reference with the exact equi-join, and
+    * the confirmed keys drive the final aggregation. The ORACLE is the
+    * plain exact join — the whole point is that the mechanism changes
+    * and the result provably does not (bloom never drops a true key;
+    * the confirm step removes its false positives). At 100 TB this is
+    * how you semi-join against a reference too large to broadcast
+    * exactly: broadcast its bloom instead, and the corpus-side shuffle
+    * carries only candidates. */
+  val q218BloomJoinOracled: GraftQuery = GraftQuery(
+    "q218_bloom_join_oracled",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val ref = Tables.orders(s, d).filter($"o_orderkey" % 41 === 0)
+        .select($"o_orderkey")
+      val bits = graft.operators.Sketches.bloomBits(
+        ref, "o_orderkey", mBits = 65536, k = 3)
+      val cand = graft.operators.Sketches.bloomScreen(
+          li.select($"l_orderkey").distinct(), "l_orderkey",
+          "l_orderkey", bits, mBits = 65536, k = 3)
+        .select($"id".as("l_orderkey"))
+      val confirmed = cand.join(ref,
+        cand("l_orderkey") === ref("o_orderkey"), "left_semi")
+      li.join(confirmed, Seq("l_orderkey"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+        .orderBy($"l_returnflag")
+    },
+    Some(
+      "SELECT l_returnflag, count(*)::BIGINT AS n, " +
+        "sum(l_quantity) AS sum_qty " +
+        "FROM lineitem JOIN (SELECT o_orderkey FROM orders " +
+        "WHERE o_orderkey % 41 = 0) r ON l_orderkey = r.o_orderkey " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
   )
 
   /** Weighted sample without replacement ([[Sampling

@@ -475,4 +475,57 @@ class DsirSpec extends GraftSuite {
         s"pair (${r.getInt(0)},${r.getInt(1)}) rel_err ${r.getDouble(7)}")
     }
   }
+
+  test("histogram quantiles: shard histograms SUM-merge into the " +
+      "global one, and estimates stay within one bin width of exact") {
+    val docs = Tables.documents(spark, sf)
+    val whole = Sketches.histogramCounts(docs, "n_chars", 16L, 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = Sketches.histogramCounts(
+      docs.filter($"doc_id" % 2 === 0), "n_chars", 16L, 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Sketches.histogramCounts(
+      docs.filter($"doc_id" % 2 =!= 0), "n_chars", 16L, 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged === whole,
+      "per-shard histograms must add into the global histogram")
+    Registry.byName("q217_hist_quantiles_oracled").run(spark, sf)
+      .collect().foreach { r =>
+        assert(r.getDouble(3) <= 16.0,
+          s"q=${r.getDouble(0)}: abs_err ${r.getDouble(3)} beyond " +
+            "one bin width")
+      }
+  }
+
+  test("bloom-accelerated semi-join: result equals the direct exact " +
+      "join, and the prescreen passes only a candidate sliver") {
+    val li = Tables.lineitem(spark, sf)
+    val ref = Tables.orders(spark, sf)
+      .filter($"o_orderkey" % 41 === 0).select($"o_orderkey")
+    val direct = li.join(ref, li("l_orderkey") === ref("o_orderkey"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        r.getDouble(2))).toMap
+    val viaBloom = Registry.byName("q218_bloom_join_oracled")
+      .run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(viaBloom === direct,
+      "the bloom path must be result-identical to the exact join")
+    // prescreen effectiveness: the candidate set is within 2× the true
+    // key population (bloom FPs only), far below the distinct corpus
+    val bits = Sketches.bloomBits(ref, "o_orderkey", 65536, 3)
+    val cand = Sketches.bloomScreen(li.select($"l_orderkey").distinct(),
+      "l_orderkey", "l_orderkey", bits, 65536, 3).count()
+    val trueKeys = li.select($"l_orderkey").distinct()
+      .join(ref, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .count()
+    val allKeys = li.select($"l_orderkey").distinct().count()
+    assert(cand >= trueKeys, "bloom can never drop a true key")
+    assert(cand <= trueKeys * 2 + 16,
+      s"prescreen too leaky: $cand candidates vs $trueKeys true keys")
+    assert(cand < allKeys, "prescreen must actually prune")
+  }
 }

@@ -47,6 +47,10 @@ class PlanAuditSpec extends GraftSuite {
                             // assign — the IVF-PQ composite
     "q213_cms_stream_oracled", // the q183 |T|×d sketch-probe shape over
                                // the artifact + a 1-row batch count
+    "q217_hist_quantiles_oracled", // |qs|=3 rank probes × ≤40
+                                   // cumulative-histogram rows — the
+                                   // rank-containment range join IS
+                                   // the quantile lookup
     "q197_semantic_decon",  // train × BROADCAST eval side: the eval
                             // set is benchmark-sized by definition, so
                             // |train|×|eval| is linear in the corpus —
