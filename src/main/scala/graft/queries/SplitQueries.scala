@@ -22,7 +22,7 @@ object SplitQueries {
     q210BloomOracled, q211HllStreamOracled, q212BloomStreamOracled,
     q213CmsStreamOracled, q214HllOverlapOracled, q215HllProfileOracled,
     q216OverlapMatrixOracled, q217HistQuantilesOracled,
-    q218BloomJoinOracled)
+    q218BloomJoinOracled, q219F2SketchOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -768,6 +768,54 @@ object SplitQueries {
         "FROM lineitem JOIN (SELECT o_orderkey FROM orders " +
         "WHERE o_orderkey % 41 = 0) r ON l_orderkey = r.o_orderkey " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
+  )
+
+  /** SELF-JOIN SIZE (second frequency moment F2) estimated from the
+    * count-min sketch alone, fully ORACLED — the Cormode–Muthukrishnan
+    * join-size estimate applied to the duplication-mass question:
+    * Σ_t c_t² is the number of identical-token pairs, i.e. the pair
+    * budget a dedup pass would face, and HERE it is answered from d
+    * rows of w counters (est_j = Σ_b c_{j,b}², est = min_j — never an
+    * undercount, overcount only from hash collisions ≈ (Σc)²/w) WITHOUT
+    * ever grouping the full key space or joining the corpus to itself.
+    * Pure integer arithmetic end-to-end: DuckDB rebuilds the d×w
+    * counter table and replays every squared sum, the min, the
+    * admissibility flag and the relative error against the exact F2.
+    * The 100 TB shape: skew detection and dedup-pair budgeting from a
+    * fixed-size summary before launching the expensive job. */
+  val q219F2SketchOracled: GraftQuery = GraftQuery(
+    "q219_f2_sketch_oracled",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("t"))
+      val counters = graft.operators.Sketches
+        .cmsCounters(toks, "t", d = 4, w = 8192)
+      val est = counters.groupBy($"j")
+        .agg(sum($"c" * $"c").as("f2j"))
+        .agg(min($"f2j").as("est"))
+      val exact = toks.groupBy($"t").agg(count(lit(1)).as("c"))
+        .agg(sum($"c" * $"c").as("exact"))
+      est.crossJoin(exact)
+        .select($"est", $"exact",
+          ($"est" >= $"exact").as("admissible"),
+          round(($"est" - $"exact") / $"exact", 4).as("rel_err"))
+    },
+    Some(
+      "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t " +
+        "FROM documents), " +
+        "js AS (SELECT unnest(generate_series(0, 3)) AS j), " +
+        "cms AS (SELECT j, " +
+        "('0x' || substr(md5(j::VARCHAR || '|' || t), 1, 8))::BIGINT " +
+        "% 8192 AS bucket, count(*)::BIGINT AS c " +
+        "FROM tok, js GROUP BY 1, 2), " +
+        "f2 AS (SELECT j, sum(c * c)::BIGINT AS f2j FROM cms " +
+        "GROUP BY j), " +
+        "e AS (SELECT min(f2j)::BIGINT AS est FROM f2), " +
+        "x AS (SELECT sum(c * c)::BIGINT AS exact FROM " +
+        "(SELECT count(*)::BIGINT AS c FROM tok GROUP BY t)) " +
+        "SELECT e.est, x.exact, e.est >= x.exact AS admissible, " +
+        "round((e.est - x.exact) / x.exact, 4) AS rel_err FROM e, x"),
   )
 
   /** Weighted sample without replacement ([[Sampling

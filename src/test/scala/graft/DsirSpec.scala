@@ -528,4 +528,24 @@ class DsirSpec extends GraftSuite {
       s"prescreen too leaky: $cand candidates vs $trueKeys true keys")
     assert(cand < allKeys, "prescreen must actually prune")
   }
+
+  test("F2 sketch: the counter table stays bounded, the estimate " +
+      "never undercounts, and collisions stay inside the (sum c)^2/w " +
+      "expectation band") {
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("t"))
+    val counters = Sketches.cmsCounters(toks, "t", d = 4, w = 8192)
+    assert(counters.count() <= 4L * 8192L, "counter table unbounded")
+    val row = Registry.byName("q219_f2_sketch_oracled")
+      .run(spark, sf).head()
+    val (est, exact) = (row.getLong(0), row.getLong(1))
+    assert(row.getBoolean(2) && est >= exact,
+      s"F2 estimate $est undercounts exact $exact")
+    val n = toks.count().toDouble
+    // E[overcount per row] = (sum c)^2 / w; min over d rows sits well
+    // inside a few multiples of that
+    val band = 8.0 * n * n / 8192.0
+    assert(est - exact <= band,
+      s"overcount ${est - exact} beyond the collision band $band")
+  }
 }

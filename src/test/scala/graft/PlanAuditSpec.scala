@@ -51,6 +51,8 @@ class PlanAuditSpec extends GraftSuite {
                                    // cumulative-histogram rows — the
                                    // rank-containment range join IS
                                    // the quantile lookup
+    "q219_f2_sketch_oracled", // the q183 |T|×d sketch-build shape +
+                              // 1-row est × 1-row exact
     "q197_semantic_decon",  // train × BROADCAST eval side: the eval
                             // set is benchmark-sized by definition, so
                             // |train|×|eval| is linear in the corpus —
