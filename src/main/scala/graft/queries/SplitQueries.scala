@@ -22,7 +22,7 @@ object SplitQueries {
     q210BloomOracled, q211HllStreamOracled, q212BloomStreamOracled,
     q213CmsStreamOracled, q214HllOverlapOracled, q215HllProfileOracled,
     q216OverlapMatrixOracled, q217HistQuantilesOracled,
-    q218BloomJoinOracled, q219F2SketchOracled)
+    q218BloomJoinOracled, q219F2SketchOracled, q220JoinSizeOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -814,6 +814,67 @@ object SplitQueries {
         "e AS (SELECT min(f2j)::BIGINT AS est FROM f2), " +
         "x AS (SELECT sum(c * c)::BIGINT AS exact FROM " +
         "(SELECT count(*)::BIGINT AS c FROM tok GROUP BY t)) " +
+        "SELECT e.est, x.exact, e.est >= x.exact AS admissible, " +
+        "round((e.est - x.exact) / x.exact, 4) AS rel_err FROM e, x"),
+  )
+
+  /** CROSS-corpus JOIN-SIZE estimation by CMS inner product, fully
+    * ORACLED — q219's F2 generalized to two different corpora: the
+    * equi-join size |A ⋈ B| on a key equals Σ_t cA_t·cB_t (here the
+    * cross-duplication mass between two document slices' token
+    * streams), and the sketch estimate is min_j Σ_b cA_{j,b}·cB_{j,b}
+    * over each side's d×w counters — each corpus is sketched
+    * INDEPENDENTLY (they never meet; only two fixed-size counter
+    * tables join, on (j, bucket)), the estimate never undercounts, and
+    * every product, sum, min and the error vs the exact join size
+    * replays in DuckDB as pure integers. The 100 TB planning shape:
+    * "how big would this join / cross-dedup pass be" answered from two
+    * shipped sketches before any shuffle of the data. */
+  val q220JoinSizeOracled: GraftQuery = GraftQuery(
+    "q220_join_size_oracled",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      def toksOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(explode(split($"text", " ")).as("t"))
+      val ta = toksOf(docs.filter($"doc_id" % 2 === 0))
+      val tb = toksOf(docs.filter($"doc_id" % 2 =!= 0))
+      val ca = graft.operators.Sketches.cmsCounters(ta, "t", 4, 8192)
+        .withColumnRenamed("c", "ca")
+      val cb = graft.operators.Sketches.cmsCounters(tb, "t", 4, 8192)
+        .withColumnRenamed("c", "cb")
+      val est = ca.join(cb, Seq("j", "bucket"))
+        .groupBy($"j").agg(sum($"ca" * $"cb").as("ipj"))
+        .agg(min($"ipj").as("est"))
+      val exact = ta.groupBy($"t").agg(count(lit(1)).as("na"))
+        .join(tb.groupBy($"t").agg(count(lit(1)).as("nb")), Seq("t"))
+        .agg(coalesce(sum($"na" * $"nb"), lit(0L)).as("exact"))
+      est.crossJoin(exact)
+        .select($"est", $"exact",
+          ($"est" >= $"exact").as("admissible"),
+          round(($"est" - $"exact") / $"exact", 4).as("rel_err"))
+    },
+    Some(
+      "WITH ta AS (SELECT unnest(string_split(text, ' ')) AS t " +
+        "FROM documents WHERE doc_id % 2 = 0), " +
+        "tb AS (SELECT unnest(string_split(text, ' ')) AS t " +
+        "FROM documents WHERE doc_id % 2 <> 0), " +
+        "js AS (SELECT unnest(generate_series(0, 3)) AS j), " +
+        "ca AS (SELECT j, " +
+        "('0x' || substr(md5(j::VARCHAR || '|' || t), 1, 8))::BIGINT " +
+        "% 8192 AS bucket, count(*)::BIGINT AS ca " +
+        "FROM ta, js GROUP BY 1, 2), " +
+        "cb AS (SELECT j, " +
+        "('0x' || substr(md5(j::VARCHAR || '|' || t), 1, 8))::BIGINT " +
+        "% 8192 AS bucket, count(*)::BIGINT AS cb " +
+        "FROM tb, js GROUP BY 1, 2), " +
+        "ip AS (SELECT ca.j, sum(ca.ca * cb.cb)::BIGINT AS ipj " +
+        "FROM ca JOIN cb USING (j, bucket) GROUP BY ca.j), " +
+        "e AS (SELECT min(ipj)::BIGINT AS est FROM ip), " +
+        "x AS (SELECT coalesce(sum(na * nb), 0)::BIGINT AS exact FROM " +
+        "(SELECT t, count(*)::BIGINT AS na FROM ta GROUP BY t) a " +
+        "JOIN (SELECT t, count(*)::BIGINT AS nb FROM tb GROUP BY t) b " +
+        "USING (t)) " +
         "SELECT e.est, x.exact, e.est >= x.exact AS admissible, " +
         "round((e.est - x.exact) / x.exact, 4) AS rel_err FROM e, x"),
   )

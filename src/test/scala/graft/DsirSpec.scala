@@ -548,4 +548,20 @@ class DsirSpec extends GraftSuite {
     assert(est - exact <= band,
       s"overcount ${est - exact} beyond the collision band $band")
   }
+
+  test("join-size sketch: two independently-built sketches estimate " +
+      "the cross join size without undercounting, inside the band") {
+    val row = Registry.byName("q220_join_size_oracled")
+      .run(spark, sf).head()
+    val (est, exact) = (row.getLong(0), row.getLong(1))
+    assert(exact > 0, "fixture slices must share tokens")
+    assert(row.getBoolean(2) && est >= exact,
+      s"join-size estimate $est undercounts exact $exact")
+    val docs = Tables.documents(spark, sf)
+    def n(m: Int) = docs.filter($"doc_id" % 2 === m)
+      .select(explode(split($"text", " "))).count().toDouble
+    val band = 8.0 * n(0) * n(1) / 8192.0
+    assert(est - exact <= band,
+      s"overcount ${est - exact} beyond the collision band $band")
+  }
 }
