@@ -636,12 +636,11 @@ object Main {
   private def runOverlap(aPath: String, bPath: String, keyCol: String,
       outDir: String): Unit = {
     val spark = session()
-    import org.apache.spark.sql.functions.{col, max, round}
+    import org.apache.spark.sql.functions.{col, round}
     val sk = graft.operators.Sketches
     val ra = sk.hllRegisters(spark.read.parquet(aPath), keyCol, p = 12)
     val rb = sk.hllRegisters(spark.read.parquet(bPath), keyCol, p = 12)
-    val ru = ra.unionByName(rb).groupBy(col("bucket"))
-      .agg(max(col("register")).cast("int").as("register"))
+    val ru = sk.hllMergeRegisters(ra, rb)
     def est(r: org.apache.spark.sql.DataFrame, name: String) =
       sk.hllEstimate(r, p = 12).select(col("est").as(name))
     val out = est(ra, "est_a").crossJoin(est(rb, "est_b"))

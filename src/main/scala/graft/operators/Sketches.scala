@@ -151,9 +151,18 @@ object Sketches extends Serializable {
     val w = conv(substring(h, hexDigits + 1, 8), 16, 10).cast("long")
     val rho = when(w === 0L, lit(33))
       .otherwise(lit(33) - length(bin(w)))
-    df.select(bucket.as("bucket"), rho.as("rho"))
+    df.where(col(keyCol).isNotNull) // NULL keys ignored, as count(DISTINCT) would
+      .select(bucket.as("bucket"), rho.as("rho"))
       .groupBy("bucket").agg(max("rho").cast("int").as("register"))
   }
+
+  /** Register-max merge of two register sets — the ONE definition of
+    * HLL union shared by the overlap faces (q214, the `overlap` verb)
+    * and consistent with [[hllRegistersFromArtifact]]'s cross-batch
+    * merge: pointwise max per bucket, associative and idempotent. */
+  def hllMergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("bucket"))
+      .agg(max(col("register")).cast("int").as("register"))
 
   /** Upsert one batch's portable-HLL registers into the artifact at
     * `path` as the partition directory `batch_id=<id>` — the
@@ -236,7 +245,8 @@ object Sketches extends Serializable {
     val w = conv(substring(h, hexDigits + 1, 8), 16, 10).cast("long")
     val rho = when(w === 0L, lit(33))
       .otherwise(lit(33) - length(bin(w)))
-    df.select(groupCols.map(col) :+ bucket.as("bucket") :+
+    df.where(col(keyCol).isNotNull) // NULL keys ignored, as count(DISTINCT) would
+      .select(groupCols.map(col) :+ bucket.as("bucket") :+
         rho.as("rho"): _*)
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max("rho").cast("int").as("register"))
@@ -289,7 +299,7 @@ object Sketches extends Serializable {
     require(width > 0 && nbins > 1,
       s"need width > 0 and nbins > 1, got width=$width nbins=$nbins")
     df.select(least(greatest(
-        expr(s"CAST($valueCol AS BIGINT) DIV $width"), lit(0L)),
+        expr(s"CAST(`$valueCol` AS BIGINT) DIV $width"), lit(0L)),
         lit(nbins - 1L)).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
   }
@@ -343,7 +353,8 @@ object Sketches extends Serializable {
       k: Int = 3): DataFrame = {
     require(mBits > 0 && k >= 1 && k <= 8,
       s"need mBits > 0 and 1 <= k <= 8, got mBits=$mBits k=$k")
-    df.select(col(keyCol).cast("string").as("key"))
+    df.where(col(keyCol).isNotNull) // a NULL key has no bits to set
+      .select(col(keyCol).cast("string").as("key"))
       .select(explode(sequence(lit(1), lit(k))).as("j"), col("key"))
       .select(bloomPos(col("key"), col("j"), mBits).as("pos"))
       .distinct()
@@ -377,6 +388,14 @@ object Sketches extends Serializable {
     * per-batch tables merge by elementwise SUM into exactly the
     * one-pass table because counts are additive over a partition of
     * the input. */
+  /** Counter bucket of hash row `j` for `key` in a width-`w` count-min
+    * table: md5("j|key") first-8-hex mod w — the ONE definition shared
+    * by the build ([[cmsCounters]]) and probe ([[cmsEstimates]]) sides
+    * so they can never drift apart (the q183 hash convention). */
+  private def cmsBucket(key: Column, j: Column, w: Int): Column =
+    pmod(conv(substring(md5(concat(j.cast("string"), lit("|"), key)
+      .cast("binary")), 1, 8), 16, 10).cast("long"), lit(w.toLong))
+
   def cmsCounters(df: DataFrame, keyCol: String, d: Int = 4,
       w: Int = 512): DataFrame = {
     require(d >= 1 && d <= 8 && w > 0,
@@ -386,10 +405,7 @@ object Sketches extends Serializable {
     val js = broadcast(spark.range(d).select($"id".cast("int").as("j")))
     df.select(col(keyCol).cast("string").as("key"))
       .crossJoin(js)
-      .groupBy(col("j"),
-        pmod(conv(substring(md5(concat(col("j").cast("string"), lit("|"),
-            col("key")).cast("binary")), 1, 8), 16, 10).cast("long"),
-          lit(w.toLong)).as("bucket"))
+      .groupBy(col("j"), cmsBucket(col("key"), col("j"), w).as("bucket"))
       .agg(count(lit(1)).as("c"))
   }
 
@@ -427,10 +443,7 @@ object Sketches extends Serializable {
     import spark.implicits._
     val js = broadcast(spark.range(d).select($"id".cast("int").as("j")))
     val pj = broadcast(probes.toDF("t")).crossJoin(js)
-      .select($"t", $"j",
-        pmod(conv(substring(md5(concat($"j".cast("string"), lit("|"),
-            $"t").cast("binary")), 1, 8), 16, 10).cast("long"),
-          lit(w.toLong)).as("bucket"))
+      .select($"t", $"j", cmsBucket($"t", $"j", w).as("bucket"))
     pj.join(counters, Seq("j", "bucket"), "left")
       .groupBy($"t").agg(min(coalesce($"c", lit(0L))).as("est"))
   }

@@ -29,8 +29,7 @@ object AnnIndexes {
   private def dirFor(kind: String, sfDir: String)(
       build: String => Unit): String =
     dirs.computeIfAbsent(s"$kind|$sfDir", { _ =>
-      val d = java.nio.file.Files
-        .createTempDirectory(s"graft_${kind}_idx").toString
+      val d = Scratch.dir(s"graft_${kind}_idx")
       build(d)
       d
     })

@@ -864,8 +864,7 @@ object OperatorQueries {
     "q203_stream_neardup",
     (s, d) => {
       import s.implicits._
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q203").toString
+      val root = Scratch.dir("graft_q203")
       val docs = Tables.documents(s, d)
       Dedup.writeReplayableIndex(docs.filter($"doc_id" % 2 === 1),
         "doc_id", "text", s"$root/idx")

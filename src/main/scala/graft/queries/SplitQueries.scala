@@ -240,8 +240,7 @@ object SplitQueries {
     "q211_hll_stream_oracled",
     (s, d) => {
       import s.implicits._
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q211").toString
+      val root = Scratch.dir("graft_q211")
       Tables.orders(s, d).select($"o_orderkey").repartition(4)
         .write.mode("overwrite").parquet(s"$root/src")
       graft.streaming.HllStream.runToCompletion(s, s"$root/src",
@@ -302,8 +301,7 @@ object SplitQueries {
     "q212_bloom_stream_oracled",
     (s, d) => {
       import s.implicits._
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q212").toString
+      val root = Scratch.dir("graft_q212")
       val docs = Tables.documents(s, d)
       val eval = docs.filter($"doc_id" % 17 === 0)
       eval.select($"text").repartition(4)
@@ -363,8 +361,7 @@ object SplitQueries {
     "q213_cms_stream_oracled",
     (s, d) => {
       import s.implicits._
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q213").toString
+      val root = Scratch.dir("graft_q213")
       val toks = Tables.documents(s, d)
         .select(explode(split($"text", " ")).as("t"))
       toks.repartition(4).write.mode("overwrite").parquet(s"$root/src")
@@ -433,8 +430,7 @@ object SplitQueries {
       val b = docs.filter($"doc_id" % 3 === 0).select($"text")
       val ra = graft.operators.Sketches.hllRegisters(a, "text", p = 12)
       val rb = graft.operators.Sketches.hllRegisters(b, "text", p = 12)
-      val ru = ra.unionByName(rb).groupBy($"bucket")
-        .agg(max($"register").cast("int").as("register"))
+      val ru = graft.operators.Sketches.hllMergeRegisters(ra, rb)
       def est(r: org.apache.spark.sql.DataFrame, name: String) =
         graft.operators.Sketches.hllEstimate(r, p = 12)
           .select($"est".as(name))

@@ -214,8 +214,7 @@ object TextQueries {
     "q202_stream_decon",
     (s, d) => {
       import s.implicits._
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q202").toString
+      val root = Scratch.dir("graft_q202")
       val docs = Tables.documents(s, d)
       graft.operators.Decontaminate.writeEvalIndex(
         docs.filter($"doc_id" % 97 === 0), "doc_id", "text",
@@ -301,8 +300,7 @@ object TextQueries {
     "q198_stream_pii",
     (s, d) => {
       import s.implicits._
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q198").toString
+      val root = Scratch.dir("graft_q198")
       plantPii(Tables.documents(s, d))
         .repartition(4)
         .write.mode("overwrite").parquet(s"$root/src")
@@ -404,8 +402,7 @@ object TextQueries {
     "q201_jsonl_roundtrip",
     (s, d) => {
       import s.implicits._
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q201").toString
+      val root = Scratch.dir("graft_q201")
       Tables.documents(s, d)
         .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
         .write.mode("overwrite").json(s"$root/jsonl")
@@ -430,8 +427,7 @@ object TextQueries {
     "q204_orc_roundtrip",
     (s, d) => {
       import s.implicits._
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q204").toString
+      val root = Scratch.dir("graft_q204")
       Tables.documents(s, d)
         .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
         .write.mode("overwrite").orc(s"$root/orc")

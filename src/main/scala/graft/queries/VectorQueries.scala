@@ -892,8 +892,7 @@ object VectorQueries {
     "q206_incremental_moments_oracled",
     (s, d) => {
       import s.implicits._
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q206").toString
+      val root = Scratch.dir("graft_q206")
       val emb = Tables.embeddings(s, d)
       graft.ml.Pca.writeMoments(
         emb.filter($"vec_id" % 3 =!= 0), "embedding", 64, s"$root/m")
@@ -924,8 +923,7 @@ object VectorQueries {
     "q207_stream_moments_oracled",
     (s, d) => {
       import s.implicits._
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q207").toString
+      val root = Scratch.dir("graft_q207")
       Tables.embeddings(s, d)
         .repartition(4)
         .write.mode("overwrite").parquet(s"$root/src")

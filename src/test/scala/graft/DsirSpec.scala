@@ -564,4 +564,26 @@ class DsirSpec extends GraftSuite {
     assert(est - exact <= band,
       s"overcount ${est - exact} beyond the collision band $band")
   }
+
+  test("null keys are IGNORED by the portable sketches (the " +
+      "count(DISTINCT) convention), never folded into phantom rows") {
+    val df = spark.range(100).select(
+      when($"id" % 10 === 0, lit(null))
+        .otherwise($"id".cast("string")).as("k"))
+    val clean = df.filter($"k".isNotNull)
+    def regMap(d: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(d, "k").collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(regMap(df) === regMap(clean),
+      "a NULL key must not perturb the register set")
+    val grouped = Sketches.hllRegistersByGroup(
+      df.withColumn("g", lit("x")), Seq("g"), "k")
+    assert(grouped.filter($"bucket".isNull).count() === 0,
+      "no NULL-bucket row may reach the grouped estimate")
+    val bits = Sketches.bloomBits(df, "k")
+    assert(bits.filter($"pos".isNull).count() === 0,
+      "a NULL key has no bits to set")
+    assert(bits.count() ===
+      Sketches.bloomBits(clean, "k").count())
+  }
 }
