@@ -22,7 +22,8 @@ object SplitQueries {
     q210BloomOracled, q211HllStreamOracled, q212BloomStreamOracled,
     q213CmsStreamOracled, q214HllOverlapOracled, q215HllProfileOracled,
     q216OverlapMatrixOracled, q217HistQuantilesOracled,
-    q218BloomJoinOracled, q219F2SketchOracled, q220JoinSizeOracled)
+    q218BloomJoinOracled, q219F2SketchOracled, q220JoinSizeOracled,
+    q221DailyUsersOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -873,6 +874,70 @@ object SplitQueries {
         "USING (t)) " +
         "SELECT e.est, x.exact, e.est >= x.exact AS admissible, " +
         "round((e.est - x.exact) / x.exact, 4) AS rel_err FROM e, x"),
+  )
+
+  /** Event-time cardinality PROFILE — daily distinct users from
+    * grouped portable-HLL registers, fully ORACLED: the q215 grouped
+    * sketch keyed by the event-time day (epoch-millis per the q15
+    * convention), so "how many distinct users did we see each day"
+    * costs one groupBy on (day, 8-bit bucket) — at most 30×256 rows —
+    * instead of a per-day exact distinct over the full stream. The
+    * fixture spans BOTH estimator branches across the SFs (daily
+    * n≈12/130/1330 vs m=256: deep linear counting at sf0.001/0.01,
+    * the raw harmonic branch at sf0.1), and DuckDB replays registers,
+    * branch choice and estimates per day next to the exact distinct.
+    * The streaming-analytics shape at 100 TB: per-window cardinality
+    * from a fixed-size artifact the stream upserts (q211's law), never
+    * from rescanning the window. */
+  val q221DailyUsersOracled: GraftQuery = GraftQuery(
+    "q221_daily_users_oracled",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(unix_millis(date_trunc("day", $"ts")).as("day_ms"),
+          $"user_id")
+      val regs = graft.operators.Sketches
+        .hllRegistersByGroup(ev, Seq("day_ms"), "user_id")
+      val ests = graft.operators.Sketches
+        .hllEstimateByGroup(regs, Seq("day_ms"))
+      val exact = ev.groupBy($"day_ms")
+        .agg(countDistinct($"user_id").as("exact"))
+      ests.join(exact, Seq("day_ms"))
+        .select($"day_ms", $"zero_regs", $"sum_scaled", $"est",
+          $"exact", round(($"est" - $"exact") / $"exact", 4)
+            .as("rel_err"))
+        .orderBy($"day_ms")
+    },
+    Some(
+      "WITH ev AS (SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, " +
+        "user_id FROM events WHERE user_id IS NOT NULL), " +
+        "h AS (SELECT day_ms, " +
+        "('0x' || substr(md5(user_id::VARCHAR), 1, 2))::BIGINT " +
+        "AS bucket, " +
+        "('0x' || substr(md5(user_id::VARCHAR), 3, 8))::BIGINT " +
+        "AS w FROM ev), " +
+        "r AS (SELECT day_ms, bucket, max(CASE WHEN w = 0 THEN 33 " +
+        "ELSE 33 - length(bin(w)) END) AS register FROM h " +
+        "GROUP BY 1, 2), " +
+        "a AS (SELECT day_ms, count(*)::BIGINT AS nonzero, " +
+        "sum(1::BIGINT << (33 - register))::BIGINT AS nz_scaled " +
+        "FROM r GROUP BY day_ms), " +
+        "e AS (SELECT day_ms, (256 - nonzero)::BIGINT AS zero_regs, " +
+        "(nz_scaled + (256 - nonzero) * 8589934592)::BIGINT " +
+        "AS sum_scaled FROM a), " +
+        "rw AS (SELECT *, (0.7213::DOUBLE / (1.0::DOUBLE + " +
+        "1.079::DOUBLE / 256.0::DOUBLE) * 256.0::DOUBLE * " +
+        "256.0::DOUBLE) / (sum_scaled / 8589934592.0::DOUBLE) " +
+        "AS raw FROM e), " +
+        "est AS (SELECT day_ms, zero_regs, sum_scaled, " +
+        "CASE WHEN zero_regs > 0 AND raw <= 640.0::DOUBLE " +
+        "THEN round(256.0::DOUBLE * ln(256.0::DOUBLE / zero_regs), 4) " +
+        "ELSE round(raw, 4) END AS est FROM rw), " +
+        "x AS (SELECT day_ms, count(DISTINCT user_id)::BIGINT " +
+        "AS exact FROM ev GROUP BY 1) " +
+        "SELECT est.day_ms, est.zero_regs, est.sum_scaled, est.est, " +
+        "x.exact, round((est.est - x.exact) / x.exact, 4) AS rel_err " +
+        "FROM est JOIN x USING (day_ms) ORDER BY est.day_ms"),
   )
 
   /** Weighted sample without replacement ([[Sampling

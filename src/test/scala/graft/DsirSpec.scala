@@ -586,4 +586,16 @@ class DsirSpec extends GraftSuite {
     assert(bits.count() ===
       Sketches.bloomBits(clean, "k").count())
   }
+
+  test("daily-user profile: every day present, estimates informative " +
+      "at this regime") {
+    val rows = Registry.byName("q221_daily_users_oracled")
+      .run(spark, sf).collect()
+    assert(rows.length === 30, s"expected 30 days, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(4) > 0, "fixture days must have users")
+      assert(math.abs(r.getDouble(5)) < 0.15,
+        s"day ${r.getLong(0)}: rel_err ${r.getDouble(5)}")
+    }
+  }
 }
