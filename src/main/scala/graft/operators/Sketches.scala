@@ -304,6 +304,28 @@ object Sketches extends Serializable {
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Upsert one batch's histogram counts into the artifact at `path`
+    * as the partition directory `batch_id=<id>` — the q213 SUM law
+    * applied to the quantile sketch: per-batch bin counts add into
+    * exactly the one-pass histogram, and the batchId-keyed overwrite
+    * keeps at-least-once redelivery from double-counting. Each batch
+    * contributes at most `nbins` tiny rows. */
+  def upsertHistBatch(df: DataFrame, valueCol: String, path: String,
+      batchId: Long, width: Long, nbins: Int): Unit = {
+    requireNoLegacyFlatFiles(df.sparkSession, path)
+    histogramCounts(df, valueCol, width, nbins)
+      .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+  }
+
+  /** Merged histogram from the artifact alone (per-bin sum across
+    * every batch directory — equals [[histogramCounts]] over the
+    * concatenation of everything ingested). Feed straight into
+    * [[histogramQuantiles]]. */
+  def histogramCountsFromArtifact(spark: SparkSession, path: String)
+      : DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+
   /** Quantile estimates from a [[histogramCounts]] sketch: for each q
     * the target rank is ceil(q·n), the bin holding that rank comes
     * from the cumulative counts, and the estimate interpolates

@@ -23,7 +23,7 @@ object SplitQueries {
     q213CmsStreamOracled, q214HllOverlapOracled, q215HllProfileOracled,
     q216OverlapMatrixOracled, q217HistQuantilesOracled,
     q218BloomJoinOracled, q219F2SketchOracled, q220JoinSizeOracled,
-    q221DailyUsersOracled)
+    q221DailyUsersOracled, q222HistStreamOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -938,6 +938,73 @@ object SplitQueries {
         "SELECT est.day_ms, est.zero_regs, est.sum_scaled, est.est, " +
         "x.exact, round((est.est - x.exact) / x.exact, 4) AS rel_err " +
         "FROM est JOIN x USING (day_ms) ORDER BY est.day_ms"),
+  )
+
+  /** STREAMING quantile growth ORACLED ([[graft.streaming
+    * .SketchStreams.runHistToCompletion]] / [[graft.operators.Sketches
+    * .upsertHistBatch]]) — the q217 histogram given the artifact
+    * lifecycle: document lengths arrive as four files, every
+    * micro-batch upserts ≤ nbins bin rows keyed by its streaming
+    * batchId (SUM law — the q213 overwrite discipline), and
+    * p50/p95/p99 served from the per-bin sum of the artifact must
+    * hash-match the single-pass q217 oracle through a real checkpoint.
+    * Every portable sketch in the library now has batch, streaming AND
+    * oracled faces: HLL (q209/q211), Bloom (q210/q212), count-min
+    * (q183/q213), histogram (q217/HERE). */
+  val q222HistStreamOracled: GraftQuery = GraftQuery(
+    "q222_hist_stream_oracled",
+    (s, d) => {
+      import s.implicits._
+      val root = Scratch.dir("graft_q222")
+      val docs = Tables.documents(s, d)
+      docs.select($"n_chars").repartition(4)
+        .write.mode("overwrite").parquet(s"$root/src")
+      graft.streaming.SketchStreams.runHistToCompletion(s,
+        s"$root/src", s"$root/hist", s"$root/chk", "n_chars",
+        width = 16L, nbins = 40)
+      val counts = graft.operators.Sketches
+        .histogramCountsFromArtifact(s, s"$root/hist")
+      val nb = s.read.parquet(s"$root/hist")
+        .agg(countDistinct($"batch_id").as("n_batches"))
+      val est = graft.operators.Sketches
+        .histogramQuantiles(counts, width = 16L,
+          qs = Seq(0.5, 0.95, 0.99))
+      val exact = docs.agg(
+          percentile($"n_chars", lit(0.5)).as("e50"),
+          percentile($"n_chars", lit(0.95)).as("e95"),
+          percentile($"n_chars", lit(0.99)).as("e99"))
+        .selectExpr(
+          "stack(3, 0.5D, e50, 0.95D, e95, 0.99D, e99) AS (q, exact)")
+        .select($"q", round($"exact", 4).as("exact"))
+      est.join(exact, Seq("q")).crossJoin(nb)
+        .select($"q", $"est", $"exact",
+          round(abs($"est" - $"exact"), 4).as("abs_err"), $"n_batches")
+        .orderBy($"q")
+    },
+    Some(
+      "WITH b AS (SELECT least(greatest(n_chars // 16, 0), 39)" +
+        "::BIGINT AS bin, count(*)::BIGINT AS cnt FROM documents " +
+        "GROUP BY 1), " +
+        "c AS (SELECT bin, cnt, " +
+        "sum(cnt) OVER (ORDER BY bin)::BIGINT AS cum FROM b), " +
+        "t AS (SELECT count(*)::BIGINT AS n FROM documents), " +
+        "qs AS (SELECT * FROM (VALUES (0.5::DOUBLE), (0.95::DOUBLE), " +
+        "(0.99::DOUBLE)) v(q)), " +
+        "r AS (SELECT q, ceil(q * n)::BIGINT AS rk FROM qs, t), " +
+        "est AS (SELECT r.q, round(c.bin * 16 + 16.0::DOUBLE * " +
+        "(r.rk - (c.cum - c.cnt)) / c.cnt, 4) AS est " +
+        "FROM r JOIN c ON c.cum >= r.rk AND c.cum - c.cnt < r.rk), " +
+        "x AS (SELECT 0.5::DOUBLE AS q, " +
+        "round(quantile_cont(n_chars, 0.5), 4) AS exact " +
+        "FROM documents UNION ALL " +
+        "SELECT 0.95::DOUBLE, round(quantile_cont(n_chars, 0.95), 4) " +
+        "FROM documents UNION ALL " +
+        "SELECT 0.99::DOUBLE, round(quantile_cont(n_chars, 0.99), 4) " +
+        "FROM documents) " +
+        "SELECT est.q, est.est, x.exact, " +
+        "round(abs(est.est - x.exact), 4) AS abs_err, " +
+        "4::BIGINT AS n_batches " +
+        "FROM est JOIN x USING (q) ORDER BY est.q"),
   )
 
   /** Weighted sample without replacement ([[Sampling

@@ -47,4 +47,18 @@ object SketchStreams {
         (batch, batchId) =>
           Sketches.upsertCmsBatch(batch, keyCol, cmsDir, batchId, d, w)
       })
+
+  /** Drain `srcDir` into a histogram artifact at `histDir`: one
+    * sum-mergeable bin-count batch per micro-batch — the quantile
+    * sketch's streaming face (serve p50/p95/p99 from the artifact
+    * while the data streams in). */
+  def runHistToCompletion(spark: SparkSession, srcDir: String,
+      histDir: String, checkpointDir: String, valueCol: String,
+      width: Long, nbins: Int, oneFilePerBatch: Boolean = true): Unit =
+    FileIngest.drain(
+      FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
+        (batch, batchId) =>
+          Sketches.upsertHistBatch(batch, valueCol, histDir, batchId,
+            width, nbins)
+      })
 }

@@ -587,6 +587,24 @@ class DsirSpec extends GraftSuite {
       Sketches.bloomBits(clean, "k").count())
   }
 
+  test("streaming histogram: the artifact's per-bin sum equals the " +
+      "one-pass histogram through a real checkpoint") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_histstream").toString
+    val docs = Tables.documents(spark, sf)
+    docs.select($"n_chars").repartition(3)
+      .write.mode("overwrite").parquet(s"$root/src")
+    graft.streaming.SketchStreams.runHistToCompletion(spark,
+      s"$root/src", s"$root/hist", s"$root/chk", "n_chars", 16L, 40)
+    val fromArtifact = Sketches
+      .histogramCountsFromArtifact(spark, s"$root/hist")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = Sketches.histogramCounts(docs, "n_chars", 16L, 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromArtifact === direct,
+      "per-bin sum across batches must equal the one-pass histogram")
+  }
+
   test("daily-user profile: every day present, estimates informative " +
       "at this regime") {
     val rows = Registry.byName("q221_daily_users_oracled")

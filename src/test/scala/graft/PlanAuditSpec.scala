@@ -53,6 +53,8 @@ class PlanAuditSpec extends GraftSuite {
                                    // the quantile lookup
     "q219_f2_sketch_oracled", // the q183 |T|×d sketch-build shape +
                               // 1-row est × 1-row exact
+    "q222_hist_stream_oracled", // the q217 rank-containment lookup
+                                // over the artifact + 1-row batch count
     "q220_join_size_oracled", // two |T|×d sketch builds; the sketches
                               // then join equi on (j, bucket)
     "q197_semantic_decon",  // train × BROADCAST eval side: the eval
