@@ -108,6 +108,10 @@ object Main {
         rest.headOption.map(_.toInt).getOrElse(64))
     case "hll-stream" :: srcDir :: hllDir :: chkDir :: keyCol :: _ =>
       runHllStream(srcDir, hllDir, chkDir, keyCol)
+    case "hist-stream" :: srcDir :: histDir :: chkDir :: valueCol :: rest =>
+      runHistStream(srcDir, histDir, chkDir, valueCol,
+        rest.headOption.map(_.toLong).getOrElse(16L),
+        rest.drop(1).headOption.map(_.toInt).getOrElse(64))
     case "overlap" :: aPath :: bPath :: keyCol :: outDir :: _ =>
       runOverlap(aPath, bPath, keyCol, outDir)
     case "quantize" :: input :: outDir :: _ =>
@@ -152,6 +156,7 @@ object Main {
            |       graft.Main neardup-stream <srcDir> <indexDir> <outDir> <chkDir> [threshold]
            |       graft.Main moments-stream <srcDir> <momentsDir> <chkDir> [dim]
            |       graft.Main hll-stream <srcDir> <hllDir> <chkDir> <keyCol>
+           |       graft.Main hist-stream <srcDir> <histDir> <chkDir> <valueCol> [width] [nbins]
            |       graft.Main overlap <aParquet> <bParquet> <keyCol> <outDir>
            |       graft.Main quantize <embParquet> <outDir>
            |       graft.Main hybrid-search <docsParquet> <embParquet> <outDir> <term term ...> [--vec <id>] [--k <n>]
@@ -626,6 +631,27 @@ object Main {
     val batches = spark.read.parquet(hllDir)
       .select("batch_id").distinct().count()
     println(s">>> [hll-stream] batches=$batches est=$est")
+    spark.stop()
+  }
+
+  /** Streaming quantile growth over the histogram artifact
+    * ([[graft.streaming.SketchStreams.runHistToCompletion]]): drain
+    * the backlog, then serve p50/p95/p99 from the per-bin sum of the
+    * artifact alone — the q222 lifecycle as an operational verb. */
+  private def runHistStream(srcDir: String, histDir: String,
+      chkDir: String, valueCol: String, width: Long, nbins: Int): Unit = {
+    val spark = session()
+    graft.streaming.SketchStreams.runHistToCompletion(spark, srcDir,
+      histDir, chkDir, valueCol, width, nbins)
+    val counts = graft.operators.Sketches
+      .histogramCountsFromArtifact(spark, histDir)
+    val qs = graft.operators.Sketches
+      .histogramQuantiles(counts, width, Seq(0.5, 0.95, 0.99))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val batches = spark.read.parquet(histDir)
+      .select("batch_id").distinct().count()
+    println(s">>> [hist-stream] batches=$batches p50=${qs(0.5)} " +
+      s"p95=${qs(0.95)} p99=${qs(0.99)}")
     spark.stop()
   }
 
