@@ -23,7 +23,8 @@ object SplitQueries {
     q213CmsStreamOracled, q214HllOverlapOracled, q215HllProfileOracled,
     q216OverlapMatrixOracled, q217HistQuantilesOracled,
     q218BloomJoinOracled, q219F2SketchOracled, q220JoinSizeOracled,
-    q221DailyUsersOracled, q222HistStreamOracled)
+    q221DailyUsersOracled, q222HistStreamOracled,
+    q223SketchJaccardOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -1005,6 +1006,133 @@ object SplitQueries {
         "round(abs(est.est - x.exact), 4) AS abs_err, " +
         "4::BIGINT AS n_batches " +
         "FROM est JOIN x USING (q) ORDER BY est.q"),
+  )
+
+  /** Sketch-estimated JACCARD and CONTAINMENT matrix, fully ORACLED —
+    * the metrics a dedup pipeline actually thresholds on, derived from
+    * the q216 register algebra: J(A,B) = overlap/union and
+    * containment of the SECOND slice in the first, overlap/|B| — both
+    * estimated purely from per-slice p=12 registers (Â, B̂, Û ⇒
+    * Ĵ = (Â+B̂-Û)/Û) and graded
+    * against the exact set ratios. The HLL route to what q200 answers
+    * by MinHash signatures — two independent estimators of the same
+    * dataset-similarity question, each replayable in SQL. The fixture's
+    * nested pair (A4 ⊂ A2) pins containment ≈ 1 from sketches alone.
+    * At 100 TB: threshold "are these two sources near-duplicates of
+    * each other" on shipped register files, before any corpus joins. */
+  val q223SketchJaccardOracled: GraftQuery = GraftQuery(
+    "q223_sketch_jaccard_oracled",
+    (s, d) => {
+      import s.implicits._
+      val ms = Seq(2, 3, 4, 5)
+      val docs = Tables.documents(s, d)
+      val slices = docs
+        .select($"doc_id", $"text",
+          explode(array(ms.map(lit): _*)).as("ds"))
+        .filter($"doc_id" % $"ds" === 0)
+        .select($"ds", $"text")
+      val r = graft.operators.Sketches
+        .hllRegistersByGroup(slices, Seq("ds"), "text", p = 12)
+      val es = graft.operators.Sketches
+        .hllEstimateByGroup(r, Seq("ds"), p = 12)
+        .select($"ds", $"est")
+      val pairs = (for { i <- ms; j <- ms if i < j } yield (i, j))
+        .toDF("d1", "d2")
+      val members = pairs
+        .select($"d1", $"d2", explode(array($"d1", $"d2")).as("ds"))
+      val ru = members.join(r, Seq("ds"))
+        .groupBy($"d1", $"d2", $"bucket")
+        .agg(max($"register").cast("int").as("register"))
+      val eu = graft.operators.Sketches
+        .hllEstimateByGroup(ru, Seq("d1", "d2"), p = 12)
+        .select($"d1", $"d2", $"est".as("est_u"))
+      val st = slices.distinct()
+      val xo = st.as("a")
+        .join(st.as("b"),
+          $"a.text" === $"b.text" && $"a.ds" < $"b.ds")
+        .groupBy($"a.ds".as("d1"), $"b.ds".as("d2"))
+        .agg(countDistinct($"a.text").as("x_overlap"))
+      val xu = members.join(st, Seq("ds"))
+        .groupBy($"d1", $"d2")
+        .agg(countDistinct($"text").as("x_union"))
+      val xb = st.groupBy($"ds".as("d2"))
+        .agg(countDistinct($"text").as("x_b"))
+      pairs
+        .join(es.select($"ds".as("d1"), $"est".as("est_a")), Seq("d1"))
+        .join(es.select($"ds".as("d2"), $"est".as("est_b")), Seq("d2"))
+        .join(eu, Seq("d1", "d2"))
+        .join(xo, Seq("d1", "d2")).join(xu, Seq("d1", "d2"))
+        .join(xb, Seq("d2"))
+        .withColumn("est_ov", round($"est_a" + $"est_b" - $"est_u", 4))
+        .select($"d1", $"d2",
+          round($"est_ov" / $"est_u", 4).as("est_jaccard"),
+          round($"x_overlap" / $"x_union", 4).as("exact_jaccard"),
+          round($"est_ov" / $"est_b", 4).as("est_containment"),
+          round($"x_overlap" / $"x_b", 4).as("exact_containment"))
+        .orderBy($"d1", $"d2")
+    },
+    Some(
+      "WITH sl AS (SELECT m.ds, d.text FROM documents d, " +
+        "(VALUES (2), (3), (4), (5)) AS m(ds) " +
+        "WHERE d.doc_id % m.ds = 0), " +
+        "h AS (SELECT ds, " +
+        "('0x' || substr(md5(text), 1, 3))::BIGINT AS bucket, " +
+        "('0x' || substr(md5(text), 4, 8))::BIGINT AS w FROM sl), " +
+        "r AS (SELECT ds, bucket, max(CASE WHEN w = 0 THEN 33 " +
+        "ELSE 33 - length(bin(w)) END) AS register FROM h " +
+        "GROUP BY 1, 2), " +
+        "pairs AS (SELECT a.ds AS d1, b.ds AS d2 " +
+        "FROM (SELECT DISTINCT ds FROM sl) a, " +
+        "(SELECT DISTINCT ds FROM sl) b WHERE a.ds < b.ds), " +
+        "ru AS (SELECT p.d1, p.d2, r.bucket, max(r.register) " +
+        "AS register FROM pairs p JOIN r ON r.ds IN (p.d1, p.d2) " +
+        "GROUP BY 1, 2, 3), " +
+        "ea AS (SELECT ds, CASE WHEN zero_regs > 0 " +
+        "AND raw <= 10240.0::DOUBLE " +
+        "THEN round(4096.0::DOUBLE * ln(4096.0::DOUBLE / zero_regs), 4) " +
+        "ELSE round(raw, 4) END AS est FROM " +
+        "(SELECT ds, zero_regs, (0.7213::DOUBLE / (1.0::DOUBLE + " +
+        "1.079::DOUBLE / 4096.0::DOUBLE) * 4096.0::DOUBLE * " +
+        "4096.0::DOUBLE) / (sum_scaled / 8589934592.0::DOUBLE) AS raw " +
+        "FROM (SELECT ds, (4096 - count(*))::BIGINT AS zero_regs, " +
+        "(sum(1::BIGINT << (33 - register)) + " +
+        "(4096 - count(*)) * 8589934592)::BIGINT AS sum_scaled " +
+        "FROM r GROUP BY ds))), " +
+        "eu AS (SELECT d1, d2, CASE WHEN zero_regs > 0 " +
+        "AND raw <= 10240.0::DOUBLE " +
+        "THEN round(4096.0::DOUBLE * ln(4096.0::DOUBLE / zero_regs), 4) " +
+        "ELSE round(raw, 4) END AS est_u FROM " +
+        "(SELECT d1, d2, zero_regs, (0.7213::DOUBLE / (1.0::DOUBLE + " +
+        "1.079::DOUBLE / 4096.0::DOUBLE) * 4096.0::DOUBLE * " +
+        "4096.0::DOUBLE) / (sum_scaled / 8589934592.0::DOUBLE) AS raw " +
+        "FROM (SELECT d1, d2, (4096 - count(*))::BIGINT AS zero_regs, " +
+        "(sum(1::BIGINT << (33 - register)) + " +
+        "(4096 - count(*)) * 8589934592)::BIGINT AS sum_scaled " +
+        "FROM ru GROUP BY d1, d2))), " +
+        "st AS (SELECT DISTINCT ds, text FROM sl), " +
+        "xo AS (SELECT a.ds AS d1, b.ds AS d2, " +
+        "count(DISTINCT a.text)::BIGINT AS x_overlap " +
+        "FROM st a JOIN st b ON a.text = b.text AND a.ds < b.ds " +
+        "GROUP BY 1, 2), " +
+        "xu AS (SELECT p.d1, p.d2, count(DISTINCT st.text)::BIGINT " +
+        "AS x_union FROM pairs p JOIN st ON st.ds IN (p.d1, p.d2) " +
+        "GROUP BY 1, 2), " +
+        "xb AS (SELECT ds AS d2, count(DISTINCT text)::BIGINT AS x_b " +
+        "FROM st GROUP BY 1), " +
+        "po AS (SELECT p.d1, p.d2, ea2.est AS est_b, eu.est_u, " +
+        "round(ea1.est + ea2.est - eu.est_u, 4) AS est_ov, " +
+        "xo.x_overlap, xu.x_union, xb.x_b " +
+        "FROM pairs p JOIN ea ea1 ON ea1.ds = p.d1 " +
+        "JOIN ea ea2 ON ea2.ds = p.d2 " +
+        "JOIN eu ON eu.d1 = p.d1 AND eu.d2 = p.d2 " +
+        "JOIN xo ON xo.d1 = p.d1 AND xo.d2 = p.d2 " +
+        "JOIN xu ON xu.d1 = p.d1 AND xu.d2 = p.d2 " +
+        "JOIN xb ON xb.d2 = p.d2) " +
+        "SELECT d1, d2, round(est_ov / est_u, 4) AS est_jaccard, " +
+        "round(x_overlap / x_union, 4) AS exact_jaccard, " +
+        "round(est_ov / est_b, 4) AS est_containment, " +
+        "round(x_overlap / x_b, 4) AS exact_containment " +
+        "FROM po ORDER BY d1, d2"),
   )
 
   /** Weighted sample without replacement ([[Sampling

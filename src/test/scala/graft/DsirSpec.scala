@@ -605,6 +605,28 @@ class DsirSpec extends GraftSuite {
       "per-bin sum across batches must equal the one-pass histogram")
   }
 
+  test("sketch jaccard/containment: nested slices read as contained, " +
+      "estimates track the exact set ratios") {
+    val rows = Registry.byName("q223_sketch_jaccard_oracled")
+      .run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    // A4 ⊂ A2 exactly (doc_id % 4 = 0 ⇒ % 2 = 0): exact containment
+    // of the d2 slice is 1, and the sketch estimate must land near it
+    val (j24, xj24, c24, xc24) = rows((2, 4))
+    assert(xc24 === 1.0, s"exact containment of A4 in A2 is 1, got $xc24")
+    assert(math.abs(c24 - 1.0) < 0.15, s"sketch containment $c24 off 1")
+    assert(math.abs(j24 - xj24) < 0.1,
+      s"sketch jaccard $j24 vs exact $xj24")
+    // a non-nested pair must NOT read as contained
+    val (_, _, c23, xc23) = rows((2, 3))
+    assert(xc23 < 0.8 && c23 < 0.9,
+      s"non-nested pair reads contained: est $c23 exact $xc23")
+    rows.foreach { case (p, (j, xj, _, _)) =>
+      assert(math.abs(j - xj) < 0.1, s"pair $p jaccard $j vs $xj") }
+  }
+
   test("daily-user profile: every day present, estimates informative " +
       "at this regime") {
     val rows = Registry.byName("q221_daily_users_oracled")
