@@ -568,7 +568,7 @@ object Main {
     // an already-drained checkpoint (or all-empty source files) is a
     // correct no-op that never creates outDir
     val flagged = if (graft.io.Sources.exists(spark, outDir))
-      spark.read.parquet(outDir).count() else 0L
+      graft.streaming.DeconStream.readOutput(spark, outDir).count() else 0L
     println(s">>> [decon-stream] flagged=$flagged")
     spark.stop()
   }
@@ -595,7 +595,7 @@ object Main {
       outDir, chkDir, threshold = threshold)
     // same no-op contract as decon-stream: nothing drained, no outDir
     val matches = if (graft.io.Sources.exists(spark, outDir))
-      spark.read.parquet(outDir).count() else 0L
+      graft.streaming.NearDupStream.readOutput(spark, outDir).count() else 0L
     println(s">>> [neardup-stream] matches=$matches")
     spark.stop()
   }

@@ -190,6 +190,20 @@ object Sketches extends Serializable {
       .groupBy(col("bucket"))
       .agg(max(col("register")).cast("int").as("register"))
 
+  /** Bias-correction constant alpha_m (Flajolet et al. 2007 §4): the
+    * asymptotic 0.7213/(1 + 1.079/m) only holds for m >= 128; the
+    * paper pins exact constants for the small register counts, so a
+    * p=4 sketch (m=16) is not carrying a systematic ~7% bias on top
+    * of its already-large standard error. All registry queries use
+    * p=8/12 where the asymptotic branch applies, so their oracles
+    * replay the same constant unchanged. */
+  private def hllAlpha(m: Long): Double = m match {
+    case 16L => 0.673
+    case 32L => 0.697
+    case 64L => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m.toDouble)
+  }
+
   /** One-row estimate summary over [[hllRegisters]] output. The
     * inverse-power sum is carried SCALED BY 2^33 as an exact BIGINT
     * (sum of `1L << (33 - register)` over non-empty buckets plus
@@ -203,8 +217,7 @@ object Sketches extends Serializable {
   def hllEstimate(registers: DataFrame, p: Int = 8): DataFrame = {
     val m = 1L << p
     val scale = 8589934592.0 // 2^33
-    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
-      lit(m.toDouble) * lit(m.toDouble)
+    val alphaM2 = lit(hllAlpha(m)) * lit(m.toDouble) * lit(m.toDouble)
     val agg = registers.agg(
       count(lit(1)).as("nonzero"),
       coalesce(sum(expr("shiftleft(1L, 33 - register)")), lit(0L))
@@ -261,8 +274,7 @@ object Sketches extends Serializable {
     require(groupCols.nonEmpty, "need at least one group column")
     val m = 1L << p
     val scale = 8589934592.0 // 2^33
-    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
-      lit(m.toDouble) * lit(m.toDouble)
+    val alphaM2 = lit(hllAlpha(m)) * lit(m.toDouble) * lit(m.toDouble)
     val agg = registers.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("nonzero"),
       sum(expr("shiftleft(1L, 33 - register)")).as("nz_scaled"),

@@ -873,7 +873,7 @@ object OperatorQueries {
         .write.mode("overwrite").parquet(s"$root/src")
       graft.streaming.NearDupStream.runToCompletion(s, s"$root/src",
         s"$root/idx", s"$root/out", s"$root/chk")
-      s.read.parquet(s"$root/out")
+      graft.streaming.NearDupStream.readOutput(s, s"$root/out")
         .select($"new_id", $"corpus_id", round($"jaccard", 4).as("jaccard"))
         .orderBy($"new_id", $"corpus_id")
     },

@@ -224,7 +224,8 @@ object TextQueries {
         .write.mode("overwrite").parquet(s"$root/src")
       graft.streaming.DeconStream.runToCompletion(s, s"$root/src",
         s"$root/idx", s"$root/out", s"$root/chk")
-      s.read.parquet(s"$root/out").orderBy($"doc_id")
+      graft.streaming.DeconStream.readOutput(s, s"$root/out")
+        .orderBy($"doc_id")
     },
     Some(deconOracleSql))
 
@@ -263,21 +264,26 @@ object TextQueries {
       "(doc_id % 200)::VARCHAR || '.25' ELSE '' END || " +
       "CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-' || " +
       "lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END AS text " +
-      "FROM documents) " +
-      "SELECT doc_id, " +
+      "FROM documents), " +
+      "r1 AS (SELECT doc_id, " +
       "len(regexp_extract_all(text, " +
-      "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails, " +
-      "len(regexp_extract_all(text, " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails, " +
+      "regexp_replace(text, " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', " +
+      "'[EMAIL]', 'g') AS t1 FROM p), " +
+      "r2 AS (SELECT doc_id, n_emails, " +
+      "len(regexp_extract_all(t1, " +
       "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) " +
       "AS n_ips, " +
-      "len(regexp_extract_all(text, " +
-      "'\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS n_phones, " +
-      "regexp_replace(regexp_replace(regexp_replace(text, " +
-      "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'), " +
+      "regexp_replace(t1, " +
       "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', " +
-      "'[IP]', 'g'), " +
+      "'[IP]', 'g') AS t2 FROM r1) " +
+      "SELECT doc_id, n_emails, n_ips, " +
+      "len(regexp_extract_all(t2, " +
+      "'\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS n_phones, " +
+      "regexp_replace(t2, " +
       "'\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '[PHONE]', 'g') " +
-      "AS redacted FROM p ORDER BY doc_id"
+      "AS redacted FROM r2 ORDER BY doc_id"
 
   val q196PiiRedact: GraftQuery = GraftQuery(
     "q196_pii_redact",
@@ -292,10 +298,10 @@ object TextQueries {
   /** The STREAMING replay of q196 ([[graft.streaming.ScreenStream]]):
     * the planted corpus lands as four parquet files, each micro-batch
     * flows through the same [[graft.operators.PiiRedact.redact]]
-    * expression, and the appended union must hash-match the IDENTICAL
-    * batch oracle — the q41/q102 contract applied to the compliance
-    * screen (stateless per row, so exactly-once rides the file-source
-    * checkpoint alone). */
+    * expression, and the accumulated union must hash-match the
+    * IDENTICAL batch oracle — the q41/q102 contract applied to the
+    * compliance screen (stateless per row; batchId-keyed overwrite
+    * output makes the foreachBatch sink replay-idempotent). */
   val q198StreamPii: GraftQuery = GraftQuery(
     "q198_stream_pii",
     (s, d) => {
@@ -306,7 +312,8 @@ object TextQueries {
         .write.mode("overwrite").parquet(s"$root/src")
       graft.streaming.ScreenStream.runToCompletion(s, s"$root/src",
         s"$root/out", s"$root/chk")
-      s.read.parquet(s"$root/out").orderBy($"doc_id")
+      graft.streaming.ScreenStream.readOutput(s, s"$root/out")
+        .orderBy($"doc_id")
     },
     Some(piiOracleSql))
 

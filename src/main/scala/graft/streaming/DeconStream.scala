@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.Decontaminate
 
@@ -10,9 +10,13 @@ import graft.operators.Decontaminate
   * stream-static join face of q193's batch report. Per-document
   * evidence (distinct shared grams, distinct eval docs matched) is
   * complete within one micro-batch because a document's grams all come
-  * from its single row — no cross-batch state, so exactly-once rides
-  * the file-source checkpoint alone (the q198/q41 contract) and the
-  * appended union must hash-match the IDENTICAL batch oracle (q202).
+  * from its single row — no cross-batch state. foreachBatch is only
+  * at-least-once, so each batch's report lands in its own
+  * `batch_id=<id>` partition directory with overwrite
+  * ([[FileIngest.writeBatchExactlyOnce]]) — a crash-replayed batch
+  * overwrites its own previous output instead of duplicating it — and
+  * the accumulated union must hash-match the IDENTICAL batch oracle
+  * (q202).
   *
   * At 100 TB: this is how decontamination actually runs in a growing
   * corpus — the eval index is built once (benchmark-sized, broadcast),
@@ -32,10 +36,15 @@ object DeconStream {
     val evalGrams = spark.read.parquet(s"$indexDir/grams")
     FileIngest.drain(
       FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
-        (batch, _) =>
-          Decontaminate
-            .overlapCore(batch, evalGrams, idCol, textCol, w)
-            .write.mode("append").parquet(outDir)
+        (batch, batchId) =>
+          FileIngest.writeBatchExactlyOnce(
+            Decontaminate.overlapCore(batch, evalGrams, idCol, textCol, w),
+            outDir, batchId)
       })
   }
+
+  /** Read the accumulated screen output (drops the batch_id layout
+    * column — consumers see the per-batch schema). */
+  def readOutput(spark: SparkSession, outDir: String): DataFrame =
+    FileIngest.readBatchedOutput(spark, outDir)
 }

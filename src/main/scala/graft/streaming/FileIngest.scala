@@ -33,4 +33,22 @@ private[streaming] object FileIngest {
   /** Drain the backlog and stop — the replay/backfill harness. */
   def drain(q: StreamingQuery): Unit =
     try q.awaitTermination() finally if (q.isActive) q.stop()
+
+  /** Exactly-once batch output for foreachBatch sinks: foreachBatch is
+    * only at-least-once (a crash between the sink write and the
+    * checkpoint offset commit replays the batch), so a blind append
+    * duplicates rows on restart. Writing each batch to its own
+    * `batch_id=<id>` partition directory with OVERWRITE makes the
+    * replay land on top of its previous output instead — the same
+    * contract [[graft.operators.Sketches.upsertHllBatch]] and the
+    * other sketch upserts key their artifacts by. */
+  def writeBatchExactlyOnce(batch: DataFrame, outDir: String,
+      batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** Read an output directory written by [[writeBatchExactlyOnce]],
+    * dropping the partition-layout column so consumers see exactly the
+    * per-batch schema. */
+  def readBatchedOutput(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir).drop("batch_id")
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.Dedup
 
@@ -17,8 +17,11 @@ import graft.operators.Dedup
   *
   * Per-batch evidence is complete within the batch (a document's
   * shingles all come from its single row and the other join side is
-  * static), so exactly-once rides the file-source checkpoint alone —
-  * the q198/q202 contract. At 100 TB each arriving shard pays O(shard)
+  * static), but foreachBatch is only at-least-once, so each batch's
+  * report lands in its own `batch_id=<id>` partition directory with
+  * overwrite ([[FileIngest.writeBatchExactlyOnce]]) — a crash-replayed
+  * batch overwrites its own previous output instead of duplicating it
+  * (the q198/q202 contract). At 100 TB each arriving shard pays O(shard)
   * md5 signatures + one bucket join against the index; the screened
   * corpus is never re-read. */
 object NearDupStream {
@@ -36,10 +39,16 @@ object NearDupStream {
     val corpusSh = spark.read.parquet(s"$indexDir/sh")
     FileIngest.drain(
       FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
-        (batch, _) =>
-          Dedup.minhashScreenReplayable(corpusBands, corpusSh, batch,
-              idCol, textCol, numHashes, bands, threshold, shingleN)
-            .write.mode("append").parquet(outDir)
+        (batch, batchId) =>
+          FileIngest.writeBatchExactlyOnce(
+            Dedup.minhashScreenReplayable(corpusBands, corpusSh, batch,
+              idCol, textCol, numHashes, bands, threshold, shingleN),
+            outDir, batchId)
       })
   }
+
+  /** Read the accumulated screen output (drops the batch_id layout
+    * column — consumers see the per-batch schema). */
+  def readOutput(spark: SparkSession, outDir: String): DataFrame =
+    FileIngest.readBatchedOutput(spark, outDir)
 }

@@ -1,14 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.PiiRedact
 
 /** STREAMING PII screen: document files land in a directory and each
   * micro-batch flows through the SAME [[PiiRedact.redact]] expression
-  * the batch pipeline uses, appending the audited redactions per
-  * batch. The operator is stateless per row, so exactly-once comes
-  * free from the file-source checkpoint (no state store) and the
+  * the batch pipeline uses, writing the audited redactions per batch.
+  * The operator is stateless per row, but foreachBatch alone is only
+  * at-least-once — a crash between the sink write and the checkpoint
+  * offset commit replays the batch — so each batch lands in its own
+  * `batch_id=<id>` partition directory with overwrite
+  * ([[FileIngest.writeBatchExactlyOnce]]): the replay overwrites its
+  * own previous output and the sink is effectively exactly-once. The
   * stream's union must equal the batch run over the same files — the
   * q41/q102 replay contract, gated by the q198 oracle hash-match.
   *
@@ -23,8 +27,13 @@ object ScreenStream {
       oneFilePerBatch: Boolean = true): Unit =
     FileIngest.drain(
       FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
-        (batch, _) =>
-          PiiRedact.redact(batch, idCol, textCol)
-            .write.mode("append").parquet(outDir)
+        (batch, batchId) =>
+          FileIngest.writeBatchExactlyOnce(
+            PiiRedact.redact(batch, idCol, textCol), outDir, batchId)
       })
+
+  /** Read the accumulated screen output (drops the batch_id layout
+    * column — consumers see the per-batch schema). */
+  def readOutput(spark: SparkSession, outDir: String): DataFrame =
+    FileIngest.readBatchedOutput(spark, outDir)
 }

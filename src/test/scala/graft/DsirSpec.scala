@@ -294,6 +294,23 @@ class DsirSpec extends GraftSuite {
       s"LC estimate ${row.getDouble(1)} should be near 20")
   }
 
+  test("portable HLL: p=4 uses the exact small-m alpha (0.673), not " +
+      "the asymptotic constant") {
+    // 500 distinct keys over m=16 registers: every bucket is occupied
+    // (P[empty] ≈ (15/16)^500 ≈ 1e-14), so the raw branch is exercised
+    val keys = spark.range(500).select($"id".cast("string").as("k"))
+    val regs = Sketches.hllRegisters(keys, "k", p = 4)
+    val row = Sketches.hllEstimate(regs, p = 4)
+      .select($"zero_regs", $"est").head()
+    assert(row.getLong(0) === 0L, "all 16 buckets should be occupied")
+    // rebuild the raw estimate by hand with the paper's m=16 constant
+    val sum = regs.collect()
+      .map(r => math.pow(2.0, -r.getInt(1))).sum
+    val expected = math.round(0.673 * 16.0 * 16.0 / sum * 1e4) / 1e4
+    assert(row.getDouble(1) === expected,
+      s"est ${row.getDouble(1)} != hand 0.673-estimate $expected")
+  }
+
   test("portable bloom: zero false negatives by construction; FPR " +
       "stays inside the sizing bound at this m/k") {
     val docs = Tables.documents(spark, sf)

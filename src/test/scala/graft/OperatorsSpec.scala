@@ -2234,6 +2234,30 @@ class PiiRedactSpec extends GraftSuite {
     assert(got(0).getInt(1) === 0) // not counted as an email either
     assert(got(1).getString(4) === "[EMAIL] then [IP] then [PHONE]")
   }
+
+  test("mixed-case emails are detected (case-insensitive classes)") {
+    val docs = Seq((1L, "reach John.Doe@Example.COM or ALL@CAPS.NET"))
+      .toDF("doc_id", "text")
+    val got = PiiRedact.redact(docs, "doc_id", "text")
+      .collect().head
+    assert(got.getInt(1) === 2)
+    assert(got.getString(4) === "reach [EMAIL] or [EMAIL]")
+  }
+
+  test("audit counts agree with what was actually removed when an " +
+      "earlier substitution exposes a later match") {
+    // x@y.com192.168.0.1: no \b boundary before 192 in the ORIGINAL
+    // (m→1 is word→word), but after [EMAIL] lands the ]→1 boundary
+    // lets the IP pattern match — the count must see the same text
+    // the replacement pass does, so n_ips = 1, not 0
+    val docs = Seq((1L, "ping x@y.com192.168.0.1 now"))
+      .toDF("doc_id", "text")
+    val got = PiiRedact.redact(docs, "doc_id", "text")
+      .collect().head
+    assert(got.getInt(1) === 1)
+    assert(got.getInt(2) === 1)
+    assert(got.getString(4) === "ping [EMAIL][IP] now")
+  }
 }
 
 class SemanticDeconSpec extends GraftSuite {
@@ -2273,7 +2297,7 @@ class ScreenStreamSpec extends GraftSuite {
     docs.repartition(3).write.parquet(s"$root/src")
     graft.streaming.ScreenStream.runToCompletion(spark, s"$root/src",
       s"$root/out", s"$root/chk")
-    val streamed = spark.read.parquet(s"$root/out")
+    val streamed = graft.streaming.ScreenStream.readOutput(spark, s"$root/out")
       .orderBy($"doc_id").collect().map(_.toSeq).toSeq
     val batch = graft.operators.PiiRedact.redact(docs, "doc_id", "text")
       .orderBy($"doc_id").collect().map(_.toSeq).toSeq
@@ -2281,7 +2305,32 @@ class ScreenStreamSpec extends GraftSuite {
     // restart against the same checkpoint: backlog already consumed
     graft.streaming.ScreenStream.runToCompletion(spark, s"$root/src",
       s"$root/out", s"$root/chk")
-    assert(spark.read.parquet(s"$root/out").count() === 3)
+    assert(graft.streaming.ScreenStream.readOutput(spark, s"$root/out")
+      .count() === 3)
+  }
+
+  test("a replayed batch overwrites its own previous output instead " +
+      "of duplicating it (foreachBatch is at-least-once)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_screenreplay").toString
+    val docs = Seq(
+      (1L, "mail a@b.cd now"),
+      (2L, "server 10.0.0.1 up"),
+      (3L, "clean row")).toDF("doc_id", "text")
+    docs.repartition(3).write.parquet(s"$root/src")
+    graft.streaming.ScreenStream.runToCompletion(spark, s"$root/src",
+      s"$root/out", s"$root/chk")
+    // simulate the crash-replay window: the checkpoint is lost but the
+    // sink output survives — every batch re-runs against the same
+    // files in the same deterministic order, and the batchId-keyed
+    // overwrite must land each replay on top of its own output (a
+    // blind append sink would double the corpus here)
+    graft.streaming.ScreenStream.runToCompletion(spark, s"$root/src",
+      s"$root/out", s"$root/chk2")
+    val got = graft.streaming.ScreenStream.readOutput(spark, s"$root/out")
+    assert(got.count() === 3)
+    assert(got.select("doc_id").as[Long].collect().sorted
+      === Array(1L, 2L, 3L))
   }
 }
 
@@ -2305,7 +2354,7 @@ class DeconStreamSpec extends GraftSuite {
     train.repartition(3).write.parquet(s"$root/src")
     graft.streaming.DeconStream.runToCompletion(spark, s"$root/src",
       s"$root/idx", s"$root/out", s"$root/chk")
-    val streamed = spark.read.parquet(s"$root/out")
+    val streamed = graft.streaming.DeconStream.readOutput(spark, s"$root/out")
       .orderBy($"doc_id").collect().map(_.toSeq).toSeq
     val batch = Decontaminate.overlapReport(train, evalSet,
         "doc_id", "text", w = 4)
@@ -2316,7 +2365,8 @@ class DeconStreamSpec extends GraftSuite {
     // nothing double-screened
     graft.streaming.DeconStream.runToCompletion(spark, s"$root/src",
       s"$root/idx", s"$root/out", s"$root/chk")
-    assert(spark.read.parquet(s"$root/out").count() === 3)
+    assert(graft.streaming.DeconStream.readOutput(spark, s"$root/out")
+      .count() === 3)
   }
 }
 
@@ -2344,7 +2394,8 @@ class NearDupStreamSpec extends GraftSuite {
     arriving.repartition(3).write.parquet(s"$root/src")
     graft.streaming.NearDupStream.runToCompletion(spark, s"$root/src",
       s"$root/idx", s"$root/out", s"$root/chk")
-    val streamed = spark.read.parquet(s"$root/out")
+    val streamed = graft.streaming.NearDupStream
+      .readOutput(spark, s"$root/out")
       .orderBy($"new_id", $"corpus_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSeq
@@ -2362,7 +2413,8 @@ class NearDupStreamSpec extends GraftSuite {
     // restart against the same checkpoint: backlog already consumed
     graft.streaming.NearDupStream.runToCompletion(spark, s"$root/src",
       s"$root/idx", s"$root/out", s"$root/chk")
-    assert(spark.read.parquet(s"$root/out").count() === 1)
+    assert(graft.streaming.NearDupStream.readOutput(spark, s"$root/out")
+      .count() === 1)
   }
 }
 
