@@ -30,9 +30,14 @@ import org.apache.spark.sql.types.DecimalType
   *    sigmoid so libm exp wobble is absorbed (the q182 precedent);
   *    both U and V update simultaneously from round-start values.
   *
-  * 100 TB shape: one aggregation per matrix per round keyed on
-  * (word, dim) — gradient traffic is vocab-sized, never corpus-sized;
-  * the three vector joins per pair broadcast the tiny vocab matrices.
+  * 100 TB shape: ONE aggregation per round — every pair row emits its
+  * U-terms and V-terms side-tagged into a single (side, word, dim)
+  * sum (the q187 one-aggregation contract), so the corpus-sized
+  * training set is scanned once per round and gradient traffic is
+  * vocab-sized, never corpus-sized; the three vector joins per pair
+  * broadcast the tiny vocab matrices. The exact decimal sum is
+  * order-insensitive, so adding the side key to the grouping leaves
+  * every gradient bit-identical to the two-aggregation form.
   */
 object DistributedWord2Vec {
 
@@ -112,8 +117,8 @@ object DistributedWord2Vec {
         "nidx")
       .select($"c", $"o", $"nw")
       .persist()
-    // (materialize before the round loop reuses the frame)
-    pairs.count()
+    // no eager count: the first round's gradient job materializes the
+    // pair cache on its way through (one scan fills both caches)
     var u = init("u")
     var v = init("v")
     for (_ <- 1 to rounds) {
@@ -126,45 +131,49 @@ object DistributedWord2Vec {
         .select($"c", $"o", $"nw", $"uc", $"vo", $"vn",
           (sig6(dot($"uc", $"vo")) - lit(1.0)).as("gpos"),
           sig6(dot($"uc", $"vn")).as("gneg"))
-        .persist()
-      // no count() here: the u-update's job populates this cache and
-      // the v-update reads it — an eager count would be one extra full
-      // pair scan per round
-      // u-gradient: per (center, j), Σ round(gpos·vo[j] + gneg·vn[j], 9)
-      // per-word MEAN gradients (sum/count): a summed batch gradient
+      // ONE corpus-sized aggregation per round: each pair row emits
+      // its u-terms (per j: gpos·vo[j] + gneg·vn[j], keyed by the
+      // center word), its v-context terms (gpos·uc[j], keyed by o) and
+      // its v-negative terms (gneg·uc[j], keyed by nw) into a single
+      // side-tagged explode, summed per (side, word, j). gpos/gneg are
+      // plain attributes here, so the transform lambdas re-read
+      // columns, not recomputed sigmoids (the HOF-CSE trap).
+      // Per-word MEAN gradients (sum/count): a summed batch gradient
       // scales with word frequency and lr·Σ overshoots (measured: the
       // positive sigmoid FELL 0.50 → 0.44 between rounds), while a
       // global 1/N would quantize rare words' updates to zero at 6 dp —
       // the per-word mean keeps every update O(lr·σ'·|v|) and stays
       // relational (count rides the same aggregation)
-      val gu = scored
-        .select($"c".as("w"), posexplode(
-          zip_with($"vo", $"vn",
-            (a, b) => $"gpos" * a + $"gneg" * b)).as(Seq("j", "t")))
-        .groupBy($"w", $"j")
+      val js = sequence(lit(0), lit(dim - 1))
+      val g = scored
+        .select(explode(concat(
+          transform(js, j => struct(lit("u").as("side"), $"c".as("w"),
+            j.as("j"), ($"gpos" * element_at($"vo", j + 1) +
+              $"gneg" * element_at($"vn", j + 1)).as("t"))),
+          transform(js, j => struct(lit("v").as("side"), $"o".as("w"),
+            j.as("j"), ($"gpos" * element_at($"uc", j + 1)).as("t"))),
+          transform(js, j => struct(lit("v").as("side"), $"nw".as("w"),
+            j.as("j"), ($"gneg" * element_at($"uc", j + 1)).as("t")))))
+          .as("e"))
+        .select($"e.side", $"e.w", $"e.j", $"e.t")
+        .groupBy($"side", $"w", $"j")
         .agg(sum(round($"t", 9).cast(DecimalType(28, 9)))
           .cast("double").as("g"), count(lit(1)).as("cnt"))
-      // v-gradient: context rows get gpos·uc[j], negative rows gneg·uc[j]
-      val gvTerms = scored
-        .select($"o".as("w"),
-          posexplode(transform($"uc", x => $"gpos" * x)).as(Seq("j", "t")))
-        .unionByName(scored.select($"nw".as("w"),
-          posexplode(transform($"uc", x => $"gneg" * x))
-            .as(Seq("j", "t"))))
-      val gv = gvTerms.groupBy($"w", $"j")
-        .agg(sum(round($"t", 9).cast(DecimalType(28, 9)))
-          .cast("double").as("g"), count(lit(1)).as("cnt"))
-      def step(m: DataFrame, g: DataFrame): DataFrame =
-        m.join(g, Seq("w", "j"), "left")
+        .persist()
+      g.count() // the round's one corpus-sized job
+      def step(m: DataFrame, grad: DataFrame): DataFrame =
+        m.join(grad.drop("side"), Seq("w", "j"), "left")
           .select($"w", $"j",
             round($"x" - lit(lr) * (coalesce($"g" /
               $"cnt".cast("double"), lit(0.0))), 6).as("x"))
-      val u1 = step(u, gu)
-      val v1 = step(v, gv)
-      u = u1.persist()
-      v = v1.persist()
+      val (u0, v0) = (u, v)
+      u = step(u0, g.filter($"side" === "u")).persist()
+      v = step(v0, g.filter($"side" === "v")).persist()
+      // vocab×dim-sized jobs: pin the new matrices, then release the
+      // round's gradients and the superseded matrices
       u.count(); v.count()
-      scored.unpersist()
+      g.unpersist()
+      u0.unpersist(); v0.unpersist()
     }
     vsorted.unpersist()
     (u, v, pairs)
