@@ -242,10 +242,12 @@ object SplitQueries {
     "q211_hll_stream_oracled",
     (s, d) => {
       import s.implicits._
+      val src = AnnIndexes.prepared("q211src", d) { p =>
+        Tables.orders(s, d).select($"o_orderkey").repartition(4)
+          .write.mode("overwrite").parquet(p)
+      }
       val root = Scratch.dir("graft_q211")
-      Tables.orders(s, d).select($"o_orderkey").repartition(4)
-        .write.mode("overwrite").parquet(s"$root/src")
-      graft.streaming.HllStream.runToCompletion(s, s"$root/src",
+      graft.streaming.HllStream.runToCompletion(s, src,
         s"$root/hll", s"$root/chk", "o_orderkey")
       val regs = graft.operators.Sketches
         .hllRegistersFromArtifact(s, s"$root/hll")
@@ -303,13 +305,15 @@ object SplitQueries {
     "q212_bloom_stream_oracled",
     (s, d) => {
       import s.implicits._
-      val root = Scratch.dir("graft_q212")
       val docs = Tables.documents(s, d)
       val eval = docs.filter($"doc_id" % 17 === 0)
-      eval.select($"text").repartition(4)
-        .write.mode("overwrite").parquet(s"$root/src")
+      val src = AnnIndexes.prepared("q212src", d) { p =>
+        eval.select($"text").repartition(4)
+          .write.mode("overwrite").parquet(p)
+      }
+      val root = Scratch.dir("graft_q212")
       graft.streaming.SketchStreams.runBloomToCompletion(s,
-        s"$root/src", s"$root/bloom", s"$root/chk", "text")
+        src, s"$root/bloom", s"$root/chk", "text")
       val bits = graft.operators.Sketches
         .bloomBitsFromArtifact(s, s"$root/bloom")
       val nb = s.read.parquet(s"$root/bloom")
@@ -363,12 +367,14 @@ object SplitQueries {
     "q213_cms_stream_oracled",
     (s, d) => {
       import s.implicits._
-      val root = Scratch.dir("graft_q213")
       val toks = Tables.documents(s, d)
         .select(explode(split($"text", " ")).as("t"))
-      toks.repartition(4).write.mode("overwrite").parquet(s"$root/src")
+      val src = AnnIndexes.prepared("q213src", d) { p =>
+        toks.repartition(4).write.mode("overwrite").parquet(p)
+      }
+      val root = Scratch.dir("graft_q213")
       graft.streaming.SketchStreams.runCmsToCompletion(s,
-        s"$root/src", s"$root/cms", s"$root/chk", "t")
+        src, s"$root/cms", s"$root/chk", "t")
       val counters = graft.operators.Sketches
         .cmsCountersFromArtifact(s, s"$root/cms")
       val nb = s.read.parquet(s"$root/cms")
@@ -956,12 +962,14 @@ object SplitQueries {
     "q222_hist_stream_oracled",
     (s, d) => {
       import s.implicits._
-      val root = Scratch.dir("graft_q222")
       val docs = Tables.documents(s, d)
-      docs.select($"n_chars").repartition(4)
-        .write.mode("overwrite").parquet(s"$root/src")
+      val src = AnnIndexes.prepared("q222src", d) { p =>
+        docs.select($"n_chars").repartition(4)
+          .write.mode("overwrite").parquet(p)
+      }
+      val root = Scratch.dir("graft_q222")
       graft.streaming.SketchStreams.runHistToCompletion(s,
-        s"$root/src", s"$root/hist", s"$root/chk", "n_chars",
+        src, s"$root/hist", s"$root/chk", "n_chars",
         width = 16L, nbins = 40)
       val counts = graft.operators.Sketches
         .histogramCountsFromArtifact(s, s"$root/hist")

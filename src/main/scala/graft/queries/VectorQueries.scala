@@ -923,11 +923,13 @@ object VectorQueries {
     "q207_stream_moments_oracled",
     (s, d) => {
       import s.implicits._
+      val src = AnnIndexes.prepared("q207src", d) { p =>
+        Tables.embeddings(s, d)
+          .repartition(4)
+          .write.mode("overwrite").parquet(p)
+      }
       val root = Scratch.dir("graft_q207")
-      Tables.embeddings(s, d)
-        .repartition(4)
-        .write.mode("overwrite").parquet(s"$root/src")
-      graft.streaming.MomentsStream.runToCompletion(s, s"$root/src",
+      graft.streaming.MomentsStream.runToCompletion(s, src,
         s"$root/m", s"$root/chk")
       graft.ml.Pca.covarianceFromMoments(s, s"$root/m", roundTo = 8)
         .orderBy($"i", $"j")
