@@ -172,8 +172,15 @@ object Bench {
     // capture-context telemetry: 1-min load average at start/end of the
     // run (plus free heap) — a contended window (concurrent sbt, driver
     // side-work) shows up here, making a 117s-vs-70s capture dispute
-    // adjudicable from the artifact itself
-    val env = f""""load":[$loadStart%.1f,$loadEnd%.1f],"freeMb":$freeHeapMb"""
+    // adjudicable from the artifact itself. The capture id (epoch
+    // seconds + start load) is shared verbatim between the metric line
+    // and bench_detail.json's __env, so a detail file can never
+    // silently describe a DIFFERENT run than the metric line it sits
+    // next to (the r10 __env mismatch).
+    val captureId =
+      s"${System.currentTimeMillis / 1000}-" + f"$loadStart%.1f"
+    val env = f""""load":[$loadStart%.1f,$loadEnd%.1f],""" +
+      f""""freeMb":$freeHeapMb,"cid":"$captureId""""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$repeats,$env,$tailJson,"queries":$qs,"sf":"$sfName"}"""
     // Capture-window budget: the driver keeps ~2000 chars of stdout. Per
