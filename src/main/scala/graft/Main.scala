@@ -159,7 +159,7 @@ object Main {
            |       graft.Main hist-stream <srcDir> <histDir> <chkDir> <valueCol> [width] [nbins]
            |       graft.Main overlap <aParquet> <bParquet> <keyCol> <outDir>
            |       graft.Main quantize <embParquet> <outDir>
-           |       graft.Main hybrid-search <docsParquet> <embParquet> <outDir> <term term ...> [--vec <id>] [--k <n>]
+           |       graft.Main hybrid-search <docsParquet> <embParquet> <outDir> <term term ...> [--vec <id>] [--k <n>] [--rerank]
            |       graft.Main curate [--append] <docsParquet> <outDir> [rowsPerShard]
            |       graft.Main compact <parquetDir> [targetMB]  (writers must be quiesced)
            |       graft.Main media-meta <binaryParquet> <outDir>
@@ -705,11 +705,19 @@ object Main {
     val terms = rest.takeWhile(!_.startsWith("--"))
     require(terms.nonEmpty, "hybrid-search needs at least one query term")
     val spark = session()
-    val out = graft.operators.Retrieval.hybridTopK(
-      spark.read.parquet(docs), spark.read.parquet(emb),
-      queryTerms = terms,
-      queryVecId = opt("--vec").map(_.toLong).getOrElse(0L),
-      k = opt("--k").map(_.toInt).getOrElse(10))
+    val vecId = opt("--vec").map(_.toLong).getOrElse(0L)
+    val k = opt("--k").map(_.toInt).getOrElse(10)
+    // --rerank re-scores the fused candidates pairwise from the stored
+    // embeddings (the q224 two-stage face)
+    val out =
+      if (rest.contains("--rerank"))
+        graft.operators.Retrieval.rerankTopK(
+          spark.read.parquet(docs), spark.read.parquet(emb),
+          queryTerms = terms, queryVecId = vecId, k = k)
+      else
+        graft.operators.Retrieval.hybridTopK(
+          spark.read.parquet(docs), spark.read.parquet(emb),
+          queryTerms = terms, queryVecId = vecId, k = k)
     Sinks.writeParquet(out, outDir)
     println(s">>> [hybrid-search] results=" +
       s"${spark.read.parquet(outDir).count()}")

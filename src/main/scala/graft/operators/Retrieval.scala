@@ -64,4 +64,44 @@ object Retrieval {
       .filter(col("rk") <= legK)
     rrfFuse(lex, sem, k)
   }
+
+  /** Two-stage retrieve → rerank, closing the retrieval stack
+    * end-to-end: [[hybridTopK]] is the RECALL stage (cheap, rank
+    * arithmetic over pruned legs), then every surviving (query,
+    * candidate) pair is re-scored from the STORED embeddings — the
+    * replayable stand-in for a cross-encoder pass: a pairwise
+    * interaction over the full vectors of both sides, not the
+    * retrieval ranks that produced the candidate. rerank_score =
+    * round(qv·cv, 6) (6-dp pin before the order-sensitive ranking,
+    * the q158 rule), final order (rerank_score DESC, doc_id).
+    *
+    * Returns (doc_id, rrf, rrf_rk, rerank_score, rerank_rk) so the
+    * stage-1 and stage-2 orders are both in the hashed row — rank
+    * MOVEMENT is the evidence the rerank did something. A candidate
+    * with no stored embedding cannot be pair-scored and is DROPPED
+    * (inner join — e.g. lexical-leg docs beyond the embedded id range
+    * at sf0.1), exactly as a cross-encoder stage would skip a
+    * candidate whose content it cannot fetch.
+    *
+    * 100 TB shape: the candidate frame is k rows — broadcast into the
+    * embeddings scan, so stage 2 reads k stored vectors however large
+    * the corpus; a real cross-encoder swaps the dot for a model call
+    * over the same k-row frame. */
+  def rerankTopK(docs: DataFrame, embeddings: DataFrame,
+      queryTerms: Seq[String], queryVecId: Long, k: Int,
+      legK: Int = 20): DataFrame = {
+    val cands = hybridTopK(docs, embeddings, queryTerms, queryVecId, k,
+      legK)
+    val vecs = embeddings.select(col("vec_id").cast("long").as("doc_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val qv = vecs.filter(col("doc_id") === queryVecId)
+      .select(col("v").as("qv"))
+    vecs.join(broadcast(cands), Seq("doc_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("doc_id"), col("rrf"), col("rk").as("rrf_rk"),
+        round(Similarity.dot(col("v"), col("qv")), 6).as("rerank_score"))
+      .withColumn("rerank_rk", row_number().over(
+        Window.orderBy(col("rerank_score").desc, col("doc_id"))))
+      .orderBy(col("rerank_rk"))
+  }
 }

@@ -15,7 +15,7 @@ object TextQueries {
     q160Bm25TopK, q169PhraseScreen, q171CompressionGate,
     q192HybridRrf, q193Decontaminate, q196PiiRedact, q198StreamPii,
     q199DeconExcise, q200DatasetSim, q201JsonlRoundtrip,
-    q202StreamDecon, q204OrcRoundtrip)
+    q202StreamDecon, q204OrcRoundtrip, q224RerankOracled)
 
   /** Compression-ratio quality gate
     * ([[graft.operators.Compression.profile]]): deflate(text)/|text|
@@ -118,51 +118,84 @@ object TextQueries {
     * legs are already-proven replayable shapes and RRF is rank
     * arithmetic, so DuckDB re-derives the lexical scores, the cosine
     * ranking, the full-outer fuse and the final top-10. */
+  /** The shared hybrid-retrieval CTE chain (lexical leg = q160's CTE
+    * verbatim at k = 20; semantic leg = exact cosine vs doc 0's
+    * embedding, the q153 kernel; RRF fuse) — the common prefix of the
+    * q192 oracle and its q224 rerank extension. */
+  private val hybridCtes: String =
+    "WITH st AS (SELECT count(*)::DOUBLE AS n, " +
+      "avg(len(string_split(text,' ')))::DOUBLE AS avgdl " +
+      "FROM documents), " +
+      "tok AS (SELECT doc_id, " +
+      "len(string_split(text,' '))::DOUBLE AS dl, " +
+      "unnest(string_split(text,' ')) AS t FROM documents), " +
+      "tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf, " +
+      "any_value(dl) AS dl FROM tok " +
+      "WHERE t IN ('customer','vector','window','merge') " +
+      "GROUP BY doc_id, t), " +
+      "df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t), " +
+      "sc AS (SELECT doc_id, round(sum(round(" +
+      "ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) * " +
+      "tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))" +
+      ", 6)), 4) AS score " +
+      "FROM tf JOIN df USING (t), st GROUP BY doc_id), " +
+      "lex AS (SELECT doc_id, row_number() OVER " +
+      "(ORDER BY score DESC, doc_id) AS rk FROM sc " +
+      "ORDER BY score DESC, doc_id LIMIT 20), " +
+      "v AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v " +
+      "FROM embeddings), " +
+      "q AS (SELECT v AS qv FROM v WHERE doc_id = 0), " +
+      "semsc AS (SELECT v.doc_id, " +
+      "list_dot_product(v.v, q.qv) / (sqrt(list_dot_product(v.v, v.v)) " +
+      "* sqrt(list_dot_product(q.qv, q.qv))) AS cos " +
+      "FROM v, q WHERE v.doc_id != 0), " +
+      "sem AS (SELECT doc_id, row_number() OVER " +
+      "(ORDER BY cos DESC, doc_id) AS rk FROM semsc " +
+      "ORDER BY cos DESC, doc_id LIMIT 20), " +
+      "fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, " +
+      "coalesce(1.0 / (60.0 + lex.rk), 0.0) + " +
+      "coalesce(1.0 / (60.0 + sem.rk), 0.0) AS rrf " +
+      "FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)"
+
   val q192HybridRrf: GraftQuery = GraftQuery(
     "q192_hybrid_rrf",
     (s, d) => graft.operators.Retrieval.hybridTopK(
       Tables.documents(s, d), Tables.embeddings(s, d),
       queryTerms = Seq("customer", "vector", "window", "merge"),
       queryVecId = 0L, k = 10),
-    Some(
-      // lexical leg = q160's CTE verbatim (k = 20)
-      "WITH st AS (SELECT count(*)::DOUBLE AS n, " +
-        "avg(len(string_split(text,' ')))::DOUBLE AS avgdl " +
-        "FROM documents), " +
-        "tok AS (SELECT doc_id, " +
-        "len(string_split(text,' '))::DOUBLE AS dl, " +
-        "unnest(string_split(text,' ')) AS t FROM documents), " +
-        "tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf, " +
-        "any_value(dl) AS dl FROM tok " +
-        "WHERE t IN ('customer','vector','window','merge') " +
-        "GROUP BY doc_id, t), " +
-        "df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t), " +
-        "sc AS (SELECT doc_id, round(sum(round(" +
-        "ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) * " +
-        "tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))" +
-        ", 6)), 4) AS score " +
-        "FROM tf JOIN df USING (t), st GROUP BY doc_id), " +
-        "lex AS (SELECT doc_id, row_number() OVER " +
-        "(ORDER BY score DESC, doc_id) AS rk FROM sc " +
-        "ORDER BY score DESC, doc_id LIMIT 20), " +
-        // semantic leg: exact cosine vs doc 0's embedding (q153 kernel)
-        "v AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v " +
-        "FROM embeddings), " +
-        "q AS (SELECT v AS qv FROM v WHERE doc_id = 0), " +
-        "semsc AS (SELECT v.doc_id, " +
-        "list_dot_product(v.v, q.qv) / (sqrt(list_dot_product(v.v, v.v)) " +
-        "* sqrt(list_dot_product(q.qv, q.qv))) AS cos " +
-        "FROM v, q WHERE v.doc_id != 0), " +
-        "sem AS (SELECT doc_id, row_number() OVER " +
-        "(ORDER BY cos DESC, doc_id) AS rk FROM semsc " +
-        "ORDER BY cos DESC, doc_id LIMIT 20), " +
-        "fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, " +
-        "coalesce(1.0 / (60.0 + lex.rk), 0.0) + " +
-        "coalesce(1.0 / (60.0 + sem.rk), 0.0) AS rrf " +
-        "FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id) " +
-        "SELECT doc_id, round(rrf, 6) AS rrf, rk FROM (" +
-        "SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk " +
-        "FROM fused) WHERE rk <= 10 ORDER BY rk"))
+    Some(hybridCtes +
+      " SELECT doc_id, round(rrf, 6) AS rrf, rk FROM (" +
+      "SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk " +
+      "FROM fused) WHERE rk <= 10 ORDER BY rk"))
+
+  /** Two-stage retrieve → RERANK ([[graft.operators.Retrieval
+    * .rerankTopK]]), closing the retrieval stack end-to-end as an
+    * oracled face: the q192 hybrid RRF top-10 is the recall stage,
+    * then every (query, candidate) pair is re-scored by the dot
+    * product of the STORED embeddings — the replayable stand-in for a
+    * cross-encoder pass (pairwise interaction over full vectors, not
+    * the retrieval ranks). Both orders are in the hashed row
+    * (rrf_rk vs rerank_rk), so the rank movement the rerank causes is
+    * itself oracle-checked; round(dot, 6) rides the q25-proven
+    * list_dot_product parity. At 100 TB stage 2 touches k stored
+    * vectors however large the corpus (k-row broadcast into the
+    * embeddings scan). */
+  val q224RerankOracled: GraftQuery = GraftQuery(
+    "q224_rerank_oracled",
+    (s, d) => graft.operators.Retrieval.rerankTopK(
+      Tables.documents(s, d), Tables.embeddings(s, d),
+      queryTerms = Seq("customer", "vector", "window", "merge"),
+      queryVecId = 0L, k = 10),
+    Some(hybridCtes +
+      ", cand AS (SELECT doc_id, round(rrf, 6) AS rrf, rk AS rrf_rk " +
+      "FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) " +
+      "AS rk FROM fused) WHERE rk <= 10), " +
+      "rr AS (SELECT c.doc_id, c.rrf, c.rrf_rk, " +
+      "round(list_dot_product(v.v, q.qv), 6) AS rerank_score " +
+      "FROM cand c JOIN v ON v.doc_id = c.doc_id, q) " +
+      "SELECT doc_id, rrf, rrf_rk, rerank_score, " +
+      "row_number() OVER (ORDER BY rerank_score DESC, doc_id) " +
+      "AS rerank_rk FROM rr ORDER BY rerank_rk"))
 
   /** The q193 replay in DuckDB, shared with the streaming face q202 —
     * one oracle, two execution modes. (Declared before both query vals:

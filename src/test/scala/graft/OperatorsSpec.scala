@@ -2120,6 +2120,39 @@ class RetrievalSpec extends GraftSuite {
       assert(rrf <= 1.0 / 61 + 1e-9, s"doc 0 scored both legs: $rrf")
     }
   }
+
+  test("rerankTopK keeps exactly the hybrid candidate set, scores " +
+      "every pair by the stored-embedding dot, and re-orders by it") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val terms = Seq("customer", "vector", "window", "merge")
+    val cands = Retrieval.hybridTopK(docs, emb, terms, 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    val got = Retrieval.rerankTopK(docs, emb, terms, 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2),
+        r.getDouble(3), r.getInt(4)))
+    // same candidate set, stage-1 ranks carried through verbatim
+    assert(got.map(_._1).toSet === cands.keySet)
+    got.foreach { case (id, _, rrfRk, _, _) =>
+      assert(rrfRk === cands(id), s"stage-1 rank drifted for doc $id")
+    }
+    // stage-2 order: rerank_score DESC with doc_id tie-break
+    assert(got.map(_._5).toSeq === (1 to 10))
+    val resorted = got.sortBy(t => (-t._4, t._1)).map(_._1).toSeq
+    assert(got.map(_._1).toSeq === resorted)
+    // every score equals the dot of the stored vectors, recomputed
+    // locally at the same 6-dp pin
+    val vecs = emb.select($"vec_id".cast("long"),
+        graft.operators.Similarity.asDouble($"embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val qv = vecs(0L)
+    got.foreach { case (id, _, _, score, _) =>
+      val dot = vecs(id).zip(qv).map { case (a, b) => a * b }
+        .foldLeft(0.0)(_ + _)
+      assert(math.abs(score - math.rint(dot * 1e6) / 1e6) < 1e-9,
+        s"doc $id: $score vs local dot $dot")
+    }
+  }
 }
 
 class DecontaminateSpec extends GraftSuite {

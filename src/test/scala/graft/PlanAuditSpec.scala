@@ -81,6 +81,7 @@ class PlanAuditSpec extends GraftSuite {
     "q160_bm25_topk",         // × 1-row (N, avgdl) corpus stats
     "q177_dsir_oracled",      // same DSIR smoothing ÷ 1-row totals
     "q192_hybrid_rrf",        // × the 1-row query-embedding side
+    "q224_rerank_oracled",    // same 1-row query vector × k candidates
     "q209_hll_oracled",       // 1-row sketch summary × 1-row exact count
     "q211_hll_stream_oracled", // same 1-row faces + 1-row batch count
     "q212_bloom_stream_oracled", // × the 1-row batch count
