@@ -557,9 +557,9 @@ object Main {
   }
 
   /** Streaming decontamination screen: drain the parquet backlog in
-    * `srcDir` against the persisted index, appending per-doc overlap
-    * evidence (the q202 face). Re-running with the same checkpoint is
-    * a no-op. */
+    * `srcDir` against the persisted index, writing per-doc overlap
+    * evidence to batchId-keyed partition dirs (replay-idempotent; the
+    * q202 face). Re-running with the same checkpoint is a no-op. */
   private def runDeconStream(srcDir: String, indexDir: String,
       outDir: String, chkDir: String): Unit = {
     val spark = session()
@@ -586,8 +586,9 @@ object Main {
   }
 
   /** Streaming near-dup screen: drain the parquet backlog in `srcDir`
-    * against the persisted replayable index, appending verified
-    * (new_id, corpus_id, jaccard) matches (the q203 face). */
+    * against the persisted replayable index, writing verified
+    * (new_id, corpus_id, jaccard) matches to batchId-keyed partition
+    * dirs (replay-idempotent; the q203 face). */
   private def runNearDupStream(srcDir: String, indexDir: String,
       outDir: String, chkDir: String, threshold: Double): Unit = {
     val spark = session()

@@ -219,6 +219,8 @@ object AnnIndexes {
     })
 
   /** Drop all cached artifacts (test hook). */
-  private[graft] def reset(): Unit =
-    { dirs.clear(); exactTops.clear(); pcaModels.clear() }
+  private[graft] def reset(): Unit = {
+    dirs.clear(); exactTops.clear(); pcaModels.clear()
+    jacEdges.clear(); spanTables.clear()
+  }
 }
