@@ -45,7 +45,17 @@ object Retrieval {
     * document itself is excluded from the semantic leg). */
   def hybridTopK(docs: DataFrame, embeddings: DataFrame,
       queryTerms: Seq[String], queryVecId: Long, k: Int,
-      legK: Int = 20): DataFrame = {
+      legK: Int = 20): DataFrame =
+    hybridParts(docs, embeddings, queryTerms, queryVecId, k, legK)._1
+
+  /** [[hybridTopK]]'s internals, shared with [[rerankTopK]] so the
+    * rerank stage reuses the vector frames stage 1 already built
+    * instead of re-deriving them (one embeddings projection + one
+    * query-vector lookup per call, not two). Returns
+    * (fused candidates, (doc_id, v) vectors, 1-row query vector). */
+  private def hybridParts(docs: DataFrame, embeddings: DataFrame,
+      queryTerms: Seq[String], queryVecId: Long, k: Int,
+      legK: Int): (DataFrame, DataFrame, DataFrame) = {
     val lex = Bm25.topK(docs, "doc_id", "text", queryTerms, legK)
     val vecs = embeddings.select(col("vec_id").cast("long").as("doc_id"),
       Similarity.asDouble(col("embedding")).as("v"))
@@ -62,7 +72,7 @@ object Retrieval {
       .withColumn("rk", row_number().over(
         Window.orderBy(col("cos").desc, col("doc_id"))))
       .filter(col("rk") <= legK)
-    rrfFuse(lex, sem, k)
+    (rrfFuse(lex, sem, k), vecs, qv)
   }
 
   /** Two-stage retrieve → rerank, closing the retrieval stack
@@ -90,12 +100,8 @@ object Retrieval {
   def rerankTopK(docs: DataFrame, embeddings: DataFrame,
       queryTerms: Seq[String], queryVecId: Long, k: Int,
       legK: Int = 20): DataFrame = {
-    val cands = hybridTopK(docs, embeddings, queryTerms, queryVecId, k,
-      legK)
-    val vecs = embeddings.select(col("vec_id").cast("long").as("doc_id"),
-      Similarity.asDouble(col("embedding")).as("v"))
-    val qv = vecs.filter(col("doc_id") === queryVecId)
-      .select(col("v").as("qv"))
+    val (cands, vecs, qv) = hybridParts(docs, embeddings, queryTerms,
+      queryVecId, k, legK)
     vecs.join(broadcast(cands), Seq("doc_id"))
       .crossJoin(broadcast(qv))
       .select(col("doc_id"), col("rrf"), col("rk").as("rrf_rk"),

@@ -208,7 +208,9 @@ object Sketches extends Serializable {
     * inverse-power sum is carried SCALED BY 2^33 as an exact BIGINT
     * (sum of `1L << (33 - register)` over non-empty buckets plus
     * 2^33 per empty bucket — every term is an integer and the total
-    * stays below 2^(33+p), within exact double range for p ≤ 16), so
+    * stays below 2^(33+p), within exact double range for p ≤ 16;
+    * the shift is never negative because rho = 33 − length(bin(w))
+    * over a 32-bit w saturates registers at exactly 33), so
     * the raw estimate alpha_m * m^2 / S derives from an integer both
     * engines share; linear counting takes over below 2.5m when empty
     * buckets exist, exactly as both engines replay the same CASE.

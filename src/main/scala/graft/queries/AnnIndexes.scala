@@ -180,26 +180,25 @@ object AnnIndexes {
     * doc_id alone), so build-once ≡ build-per-query; the `--mm` scale
     * sweep keeps synthesizing inline because its replicated id spaces
     * are probe-local. */
-  def syntheticImages(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = dirFor("synthpng", sfDir) { d =>
-      val png = udf((docId: Long) =>
-        graft.multimodal.Multimodal.syntheticPng(docId))
-      graft.io.Sinks.writeParquet(
-        Tables.documents(spark, sfDir)
-          .select(col("doc_id"), png(col("doc_id")).as("content")), d)
-    }
-    spark.read.parquet(dir)
-  }
+  def syntheticImages(spark: SparkSession, sfDir: String): DataFrame =
+    syntheticCorpus(spark, sfDir, "synthpng",
+      graft.multimodal.Multimodal.syntheticPng)
 
   /** Deterministic synthetic WAV corpus (doc_id, content) — the q170
     * twin of [[syntheticImages]]. */
-  def syntheticAudio(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = dirFor("synthwav", sfDir) { d =>
-      val wav = udf((docId: Long) =>
-        graft.multimodal.Multimodal.syntheticWav(docId))
+  def syntheticAudio(spark: SparkSession, sfDir: String): DataFrame =
+    syntheticCorpus(spark, sfDir, "synthwav",
+      graft.multimodal.Multimodal.syntheticWav)
+
+  /** Shared builder for the per-JVM synthetic corpora: dump
+    * (doc_id, synth(doc_id)) once per (kind, sfDir), read back after. */
+  private def syntheticCorpus(spark: SparkSession, sfDir: String,
+      kind: String, synth: Long => Array[Byte]): DataFrame = {
+    val dir = dirFor(kind, sfDir) { d =>
+      val f = udf((docId: Long) => synth(docId))
       graft.io.Sinks.writeParquet(
         Tables.documents(spark, sfDir)
-          .select(col("doc_id"), wav(col("doc_id")).as("content")), d)
+          .select(col("doc_id"), f(col("doc_id")).as("content")), d)
     }
     spark.read.parquet(dir)
   }

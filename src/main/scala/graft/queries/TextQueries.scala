@@ -110,14 +110,6 @@ object TextQueries {
         "(ORDER BY score DESC, doc_id) AS rk FROM sc " +
         "ORDER BY score DESC, doc_id LIMIT 20"))
 
-  /** Hybrid retrieval ([[graft.operators.Retrieval.hybridTopK]]):
-    * BM25 top-20 (q160's exact leg) fused with exact-cosine top-20
-    * around document 0's embedding by Reciprocal Rank Fusion
-    * (1/(60+rank) per leg, missing legs contribute 0) — the standard
-    * zero-tuning hybrid for RAG-style pipelines. Fully oracled: both
-    * legs are already-proven replayable shapes and RRF is rank
-    * arithmetic, so DuckDB re-derives the lexical scores, the cosine
-    * ranking, the full-outer fuse and the final top-10. */
   /** The shared hybrid-retrieval CTE chain (lexical leg = q160's CTE
     * verbatim at k = 20; semantic leg = exact cosine vs doc 0's
     * embedding, the q153 kernel; RRF fuse) — the common prefix of the
@@ -157,6 +149,14 @@ object TextQueries {
       "coalesce(1.0 / (60.0 + sem.rk), 0.0) AS rrf " +
       "FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)"
 
+  /** Hybrid retrieval ([[graft.operators.Retrieval.hybridTopK]]):
+    * BM25 top-20 (q160's exact leg) fused with exact-cosine top-20
+    * around document 0's embedding by Reciprocal Rank Fusion
+    * (1/(60+rank) per leg, missing legs contribute 0) — the standard
+    * zero-tuning hybrid for RAG-style pipelines. Fully oracled: both
+    * legs are already-proven replayable shapes and RRF is rank
+    * arithmetic, so DuckDB re-derives the lexical scores, the cosine
+    * ranking, the full-outer fuse and the final top-10. */
   val q192HybridRrf: GraftQuery = GraftQuery(
     "q192_hybrid_rrf",
     (s, d) => graft.operators.Retrieval.hybridTopK(

@@ -48,7 +48,28 @@ private[streaming] object FileIngest {
 
   /** Read an output directory written by [[writeBatchExactlyOnce]],
     * dropping the partition-layout column so consumers see exactly the
-    * per-batch schema. */
-  def readBatchedOutput(spark: SparkSession, outDir: String): DataFrame =
+    * per-batch schema. A directory that mixes the PRE-batchId flat
+    * layout (top-level part files from the old blind-append sink) with
+    * `batch_id=` partition dirs fails loudly with migration guidance —
+    * Spark's partition discovery would otherwise either throw a
+    * conflicting-structure error or silently double-count the legacy
+    * rows next to their replayed batches (the [[graft.operators
+    * .Sketches]] artifact-migration contract). */
+  def readBatchedOutput(spark: SparkSession, outDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    val hasBatchDirs = entries.exists(_.startsWith("batch_id="))
+    val flat = entries.filterNot(_.startsWith("batch_id="))
+    require(!hasBatchDirs || flat.isEmpty,
+      s"$outDir mixes flat output files (${flat.take(3).mkString(", ")}" +
+        s"${if (flat.length > 3) ", ..." else ""}) from the pre-batchId " +
+        "append sink with batch_id=<id> partition dirs — move the flat " +
+        "files into their own batch_id=<id> directory (or re-drain into " +
+        "a fresh outDir) before reading, or the legacy rows would " +
+        "double-count next to their replayed batches.")
     spark.read.parquet(outDir).drop("batch_id")
+  }
 }

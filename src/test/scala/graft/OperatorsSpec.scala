@@ -2365,6 +2365,28 @@ class ScreenStreamSpec extends GraftSuite {
     assert(got.select("doc_id").as[Long].collect().sorted
       === Array(1L, 2L, 3L))
   }
+
+  test("readOutput fails loudly on a directory mixing the legacy flat " +
+      "append layout with batch_id partition dirs") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_screenmixed").toString
+    val docs = Seq((1L, "mail a@b.cd now")).toDF("doc_id", "text")
+    docs.write.parquet(s"$root/src")
+    graft.streaming.ScreenStream.runToCompletion(spark, s"$root/src",
+      s"$root/out", s"$root/chk")
+    // simulate a pre-migration outDir: one flat part file beside the
+    // batch_id= dirs (the old blind-append sink's layout)
+    graft.operators.PiiRedact.redact(docs, "doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/flat")
+    val flatPart = new java.io.File(s"$root/flat").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(flatPart.toPath,
+      java.nio.file.Paths.get(s"$root/out/legacy-part.parquet"))
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.ScreenStream.readOutput(spark, s"$root/out")
+    }
+    assert(e.getMessage.contains("batch_id"))
+  }
 }
 
 class DeconStreamSpec extends GraftSuite {

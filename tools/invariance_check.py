@@ -14,6 +14,22 @@ import sys
 import duckdb
 
 
+def vals_equal(x, y):
+    # NaN-aware: a bit-identical dump pair containing NaN must compare
+    # equal (Python tuple equality would report NaN != NaN)
+    if isinstance(x, float) and isinstance(y, float):
+        import math
+        if math.isnan(x) and math.isnan(y):
+            return True
+    return x == y
+
+
+def rows_equal(ra, rb):
+    return len(ra) == len(rb) and all(
+        len(x) == len(y) and all(map(vals_equal, x, y))
+        for x, y in zip(ra, rb))
+
+
 def main():
     a, b = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -41,7 +57,7 @@ def main():
             print(f"ERROR {q}: {e}")
             n_fail += 1
             continue
-        if ra == rb:
+        if rows_equal(ra, rb):
             n_pass += 1
         else:
             n_fail += 1
