@@ -199,6 +199,48 @@ object DedupScaleProbe {
     * per-replica counts — a cross-replica gram match would mean the
     * broadcast eval join leaks across corpora. Per-replica counts
     * legitimately differ (the mod-97 slice shifts with the offset). */
+  /** STREAMING near-dup screen at replication m — the additivity
+    * exhibit pushed through the REAL streaming path, not just the
+    * batch operator: the ×m corpus (disjoint shingle spaces per
+    * replica) splits odd/even on doc_id; the odd half is indexed once
+    * ([[Dedup.writeReplayableIndex]]) and the even half is drained
+    * through [[graft.streaming.NearDupStream]] as a genuine file
+    * backlog (4 micro-batches, fresh checkpoint). Returns
+    * (streamed matches, direct batch-screen matches, cross-replica
+    * matches). The gated invariants: streamed == direct (the stream ≡
+    * batch contract through a real checkpoint at every scale), and
+    * cross-replica == 0 (disjoint shingle spaces make a cross-replica
+    * match a leak in the stream-static band join). Per arriving shard
+    * the cost is O(shard) signatures + one bucket join — the wall
+    * series exhibits that the screen loop's per-arrival cost does not
+    * grow with what was already screened. */
+  def streamScreenCounts(spark: SparkSession, docs: DataFrame,
+      m: Int): (Long, Long, Long) = {
+    val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val corpus = replicate(docs, m)
+    val root = Scratch.dir(s"graft_probe_stream_x$m")
+    Dedup.writeReplayableIndex(corpus.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", s"$root/idx")
+    corpus.filter(col("doc_id") % 2 === 0)
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$root/src")
+    graft.streaming.NearDupStream.runToCompletion(spark, s"$root/src",
+      s"$root/idx", s"$root/out", s"$root/chk")
+    val streamed = graft.streaming.NearDupStream
+      .readOutput(spark, s"$root/out").persist()
+    val total = streamed.count()
+    val crossReplica = streamed
+      .filter(col("new_id").divide(stride).cast("long") =!=
+        col("corpus_id").divide(stride).cast("long"))
+      .count()
+    streamed.unpersist()
+    val direct = Dedup.minhashScreenReplayable(
+      spark.read.parquet(s"$root/idx/bands"),
+      spark.read.parquet(s"$root/idx/sh"),
+      corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text").count()
+    (total, direct, crossReplica)
+  }
+
   def deconCounts(docs: DataFrame, m: Int, w: Int = 4): (Long, Seq[Long]) = {
     val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     def cnt(d: DataFrame): Long = graft.operators.Decontaminate
@@ -513,6 +555,23 @@ object DedupScaleProbe {
           require(aT == aP.sum, s"audio pairs not additive: $aT vs $aP")
           f""""x$m":{"docs":${nBase * m},"imgPairs":$iT,""" +
             f""""audPairs":$aT,"secs":$secs%.2f}"""
+        }
+      else if (args.headOption.contains("--stream"))
+        // streaming-screen sweep: streamed == direct batch screen at
+        // every m (stream ≡ batch through a real checkpoint) and zero
+        // cross-replica matches (the stream-static band join does not
+        // leak across disjoint shingle spaces); wall covers index
+        // build + backlog dump + 4-micro-batch drain per point
+        Seq(1, 2, 3).map { m =>
+          val t0 = System.nanoTime()
+          val (streamed, direct, cross) =
+            streamScreenCounts(spark, docs, m)
+          val secs = (System.nanoTime() - t0) / 1e9
+          require(streamed == direct,
+            s"stream != batch at x$m: $streamed vs $direct")
+          require(cross == 0L,
+            s"cross-replica matches leaked at x$m: $cross")
+          f""""x$m":{"docs":${nBase * m},"matches":$streamed,"secs":$secs%.2f}"""
         }
       else if (args.headOption.contains("--decon"))
         // decontamination sweep: contaminated docs EXACTLY additive

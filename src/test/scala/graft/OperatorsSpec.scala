@@ -1543,6 +1543,17 @@ class DedupScaleSpec extends GraftSuite {
     assert(s3 === 3 * s1)
   }
 
+  test("streaming near-dup screen equals the direct batch screen and " +
+      "leaks nothing across replicas at x2") {
+    val docs = Tables.documents(spark, sf)
+    val (streamed, direct, cross) =
+      graft.DedupScaleProbe.streamScreenCounts(spark, docs, 2)
+    assert(streamed > 0, "no matches found at x2 — fixture broken")
+    assert(streamed === direct,
+      s"stream != batch through the checkpoint: $streamed vs $direct")
+    assert(cross === 0L, s"cross-replica matches leaked: $cross")
+  }
+
   test("SimHash pairs are EXACTLY additive across replicas — zero " +
       "cross-corpus term") {
     // per-replica counts legitimately differ (hamming distance depends
