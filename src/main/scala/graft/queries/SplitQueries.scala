@@ -24,7 +24,7 @@ object SplitQueries {
     q216OverlapMatrixOracled, q217HistQuantilesOracled,
     q218BloomJoinOracled, q219F2SketchOracled, q220JoinSizeOracled,
     q221DailyUsersOracled, q222HistStreamOracled,
-    q223SketchJaccardOracled)
+    q223SketchJaccardOracled, q225WatermarkLateOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -882,6 +882,65 @@ object SplitQueries {
         "SELECT e.est, x.exact, e.est >= x.exact AS admissible, " +
         "round((e.est - x.exact) / x.exact, 4) AS rel_err FROM e, x"),
   )
+
+  /** STREAMING late-data accounting, fully ORACLED ([[graft.streaming
+    * .EventStream.runLateAppend]]) — event-time WATERMARK semantics
+    * made checkable: the events table is split into four arrival
+    * shards (ts-quartiles) with PLANTED stragglers (every 37th row by
+    * the (ts, event_id) total order arrives two shards late — days
+    * behind a 30-minute watermark), drained one file per micro-batch
+    * in pinned modification-time order, and the append-mode tumbling
+    * 1-hour counts must hash-match DuckDB's replay of the full
+    * watermark protocol: running-max per-shard watermark, late-input
+    * filtering against the LAGGED watermark (Spark's
+    * eventTimeWatermarkForLateEvents — a straggler arriving in the
+    * very batch whose eviction finalizes its window still merges;
+    * WatermarkLateSpec pins all three semantic cases), and emission
+    * of exactly the windows the FINAL watermark passed. At 100 TB
+    * this is the correctness contract every event-time pipeline
+    * rests on — which rows a watermark silently drops is now an
+    * oracle-checked number, not a doc claim. */
+  val q225WatermarkLateOracled: GraftQuery = GraftQuery(
+    "q225_watermark_late_oracled",
+    (s, d) => {
+      import s.implicits._
+      val src = AnnIndexes.prepared("q225src", d) { p =>
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"ts", $"event_id")
+        val sharded = Tables.events(s, d)
+          .select($"event_id", $"ts",
+            (ntile(4).over(w) - 1).as("q"),
+            row_number().over(w).as("rn"))
+          .select($"event_id", $"ts",
+            when($"rn" % 37 === 0, least($"q" + 2, lit(3)))
+              .otherwise($"q").cast("int").as("shard"))
+        graft.streaming.EventStream.writeShardedBacklog(s, p, sharded,
+          "shard", 4)
+      }
+      graft.streaming.EventStream.runLateAppend(s, src, "30 minutes",
+          queryName = "graft_q225")
+        .orderBy($"w_start_ms")
+    },
+    Some(
+      "WITH ord AS (SELECT event_id, ts, " +
+        "ntile(4) OVER (ORDER BY ts, event_id) - 1 AS q, " +
+        "row_number() OVER (ORDER BY ts, event_id) AS rn FROM events), " +
+        "sh AS (SELECT ts, CASE WHEN rn % 37 = 0 " +
+        "THEN least(q + 2, 3) ELSE q END AS shard FROM ord), " +
+        "mx AS (SELECT shard, max(ts) AS mt FROM sh GROUP BY shard), " +
+        // the LAGGED (late-events) watermark for shard k: max event
+        // time over shards <= k-2, minus the delay (NULL = no filter)
+        "wm AS (SELECT shard, max(mt) OVER (ORDER BY shard " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) " +
+        "- INTERVAL 30 MINUTE AS wml FROM mx), " +
+        "surv AS (SELECT sh.ts FROM sh JOIN wm USING (shard) " +
+        "WHERE wm.wml IS NULL " +
+        "OR date_trunc('hour', sh.ts) + INTERVAL 1 HOUR > wm.wml), " +
+        "fin AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wmf FROM sh) " +
+        "SELECT epoch_ms(date_trunc('hour', surv.ts)) AS w_start_ms, " +
+        "count(*)::BIGINT AS n_events FROM surv, fin " +
+        "WHERE date_trunc('hour', surv.ts) + INTERVAL 1 HOUR <= fin.wmf " +
+        "GROUP BY 1 ORDER BY 1"))
 
   /** Event-time cardinality PROFILE — daily distinct users from
     * grouped portable-HLL registers, fully ORACLED: the q215 grouped

@@ -143,6 +143,69 @@ object EventStream {
       spark.table(queryName)
     }
 
+  /** Append-mode tumbling 1-hour counts over a SHARDED backlog drained
+    * one file per micro-batch in modification-time order, with a SHORT
+    * watermark so planted late arrivals actually fall behind it — the
+    * late-data accounting face (q225): the watermark sequence is a
+    * pure function of (file order, file contents), so which rows get
+    * dropped and which windows get emitted is deterministic and
+    * SQL-replayable. Spark's streaming-aggregation late rule is
+    * WINDOW-scoped and runs against the LAGGED watermark: each batch
+    * filters late input with the PREVIOUS batch's eviction watermark
+    * (eventTimeWatermarkForLateEvents) while evicting state with the
+    * current one — so a closed-window row arriving in the very batch
+    * whose eviction finalizes its window still merges, a row arriving
+    * any batch later is dropped, and a row OLDER than the watermark
+    * whose window is still open always aggregates (all three pinned
+    * in WatermarkLateSpec). Emitted set at drain end = windows whose
+    * end the final watermark passed (the no-data-batch flush, q101's
+    * machinery). Returns (w_start_ms, n_events). */
+  /** Write `sharded` as one parquet FILE per shard value, named
+    * `shard-<k>.parquet`, with STRICTLY INCREASING pinned modification
+    * times — the file stream's (modTime, path) order then equals the
+    * shard order on every replay regardless of write timing, which is
+    * what makes [[runLateAppend]]'s watermark sequence a pure function
+    * of the data. */
+  def writeShardedBacklog(spark: SparkSession, dir: String,
+      sharded: DataFrame, shardCol: String, nShards: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    for (k <- 0 until nShards) {
+      val tmp = s"$dir/_build_$k"
+      sharded.filter(col(shardCol) === k).drop(shardCol)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for shard $k"))
+      val dest = new org.apache.hadoop.fs.Path(s"$dir/shard-$k.parquet")
+      fs.rename(part, dest)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      fs.setTimes(dest, 1700000000000L + k * 60000L, -1)
+    }
+  }
+
+  def runLateAppend(spark: SparkSession, srcDir: String, delay: String,
+      queryName: String = "graft_late",
+      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+    withPartitions(spark, shufflePartitions) {
+      val schema = spark.read.parquet(srcDir).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val agg = src
+        .withWatermark("ts", delay)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_millis(col("window.start")).as("w_start_ms"),
+          col("n_events"))
+      val q = agg.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(queryName)
+    }
+
   private def withPartitions[A](spark: SparkSession,
       n: Option[Int])(body: => A): A = n match {
     case None => body

@@ -2484,6 +2484,42 @@ class NearDupStreamSpec extends GraftSuite {
   }
 }
 
+class WatermarkLateSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.streaming.EventStream
+
+  test("late semantics pinned: a closed-window row arriving in the " +
+      "batch that finalizes its window still merges; one arriving " +
+      "AFTER finalization is dropped; an older-than-watermark row " +
+      "whose window is open aggregates; un-finalized windows are " +
+      "never emitted") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_wmlate").toString
+    def ms(s: String) =
+      java.time.Instant.parse(s"2024-01-01T$s:00Z").toEpochMilli
+    val rows = Seq(
+      (1L, ms("10:05"), 0), // win 10-11
+      (2L, ms("13:05"), 0), // wm during batch 1 becomes 12:35
+      (3L, ms("10:15"), 1), // closed win, arrives in the SAME batch
+                            // whose eviction finalizes it -> merges
+      (4L, ms("13:20"), 1), // wm during batch 2 becomes 12:50
+      (5L, ms("10:10"), 2), // closed win, arrives AFTER finalization
+      (6L, ms("12:20"), 2), // ts < wm but win 12-13 is open -> kept
+      (7L, ms("13:40"), 2)) // advances the final wm to 13:10
+      .toDF("event_id", "m", "shard")
+      .select($"event_id", timestamp_millis($"m").as("ts"), $"shard")
+    EventStream.writeShardedBacklog(spark, s"$root/src", rows, "shard", 3)
+    val got = EventStream.runLateAppend(spark, s"$root/src",
+        "30 minutes", queryName = "graft_late_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // final wm 13:10: win 10-11 emitted once with BOTH the on-time
+    // 10:05 and the same-batch-as-finalization 10:15 (count 2), the
+    // post-finalization 10:10 dropped; win 12-13 emitted with the
+    // older-than-watermark 12:20; win 13-14 (end 14:00 > 13:10) held
+    assert(got.toSeq === Seq((ms("10:00"), 2L), (ms("12:00"), 1L)))
+  }
+}
+
 class DeconExciseSpec extends GraftSuite {
   import spark.implicits._
   import graft.operators.Decontaminate
