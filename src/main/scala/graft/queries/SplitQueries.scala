@@ -24,7 +24,8 @@ object SplitQueries {
     q216OverlapMatrixOracled, q217HistQuantilesOracled,
     q218BloomJoinOracled, q219F2SketchOracled, q220JoinSizeOracled,
     q221DailyUsersOracled, q222HistStreamOracled,
-    q223SketchJaccardOracled, q225WatermarkLateOracled)
+    q223SketchJaccardOracled, q225WatermarkLateOracled,
+    q226SlidingLateOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -940,6 +941,61 @@ object SplitQueries {
         "SELECT epoch_ms(date_trunc('hour', surv.ts)) AS w_start_ms, " +
         "count(*)::BIGINT AS n_events FROM surv, fin " +
         "WHERE date_trunc('hour', surv.ts) + INTERVAL 1 HOUR <= fin.wmf " +
+        "GROUP BY 1 ORDER BY 1"))
+
+  /** SLIDING-window late-data accounting, fully ORACLED — q225's
+    * protocol over OVERLAPPING windows (1 hour every 30 minutes,
+    * same planted-straggler backlog): Spark drops late input PER
+    * (row, window) pair, so a straggler whose earlier window was
+    * already finalized still counts in its open later window
+    * (pinned in WatermarkLateSpec). The oracle explodes every row to
+    * its two windows and replays the lagged-watermark filter per
+    * pair — window multiplicity, the filter, and final emission all
+    * in the hashed rows. */
+  val q226SlidingLateOracled: GraftQuery = GraftQuery(
+    "q226_sliding_late_oracled",
+    (s, d) => {
+      import s.implicits._
+      // same prepared backlog as q225 (shared key on purpose)
+      val src = AnnIndexes.prepared("q225src", d) { p =>
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"ts", $"event_id")
+        val sharded = Tables.events(s, d)
+          .select($"event_id", $"ts",
+            (ntile(4).over(w) - 1).as("q"),
+            row_number().over(w).as("rn"))
+          .select($"event_id", $"ts",
+            when($"rn" % 37 === 0, least($"q" + 2, lit(3)))
+              .otherwise($"q").cast("int").as("shard"))
+        graft.streaming.EventStream.writeShardedBacklog(s, p, sharded,
+          "shard", 4)
+      }
+      graft.streaming.EventStream.runLateAppend(s, src, "30 minutes",
+          queryName = "graft_q226", slide = Some("30 minutes"))
+        .orderBy($"w_start_ms")
+    },
+    Some(
+      "WITH ord AS (SELECT event_id, ts, " +
+        "ntile(4) OVER (ORDER BY ts, event_id) - 1 AS q, " +
+        "row_number() OVER (ORDER BY ts, event_id) AS rn FROM events), " +
+        "sh AS (SELECT ts, CASE WHEN rn % 37 = 0 " +
+        "THEN least(q + 2, 3) ELSE q END AS shard FROM ord), " +
+        "mx AS (SELECT shard, max(ts) AS mt FROM sh GROUP BY shard), " +
+        "wm AS (SELECT shard, max(mt) OVER (ORDER BY shard " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) " +
+        "- INTERVAL 30 MINUTE AS wml FROM mx), " +
+        // explode each row to its two overlapping 1h/30m windows and
+        // filter PER (row, window) against the lagged watermark
+        "cand AS (SELECT sh.ts, sh.shard, " +
+        "time_bucket(INTERVAL '30 minutes', sh.ts) - o.off AS w_start " +
+        "FROM sh, (VALUES (INTERVAL '0 minutes'), " +
+        "(INTERVAL '30 minutes')) o(off)), " +
+        "surv AS (SELECT c.w_start FROM cand c JOIN wm USING (shard) " +
+        "WHERE wm.wml IS NULL OR c.w_start + INTERVAL 1 HOUR > wm.wml), " +
+        "fin AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wmf FROM sh) " +
+        "SELECT epoch_ms(surv.w_start) AS w_start_ms, " +
+        "count(*)::BIGINT AS n_events FROM surv, fin " +
+        "WHERE surv.w_start + INTERVAL 1 HOUR <= fin.wmf " +
         "GROUP BY 1 ORDER BY 1"))
 
   /** Event-time cardinality PROFILE — daily distinct users from

@@ -187,14 +187,16 @@ object EventStream {
 
   def runLateAppend(spark: SparkSession, srcDir: String, delay: String,
       queryName: String = "graft_late",
-      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+      shufflePartitions: Option[Int] = Some(8),
+      windowDur: String = "1 hour",
+      slide: Option[String] = None): DataFrame =
     withPartitions(spark, shufflePartitions) {
       val schema = spark.read.parquet(srcDir).schema
       val src = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
       val agg = src
         .withWatermark("ts", delay)
-        .groupBy(window(col("ts"), "1 hour"))
+        .groupBy(window(col("ts"), windowDur, slide.getOrElse(windowDur)))
         .agg(count(lit(1)).as("n_events"))
         .select(unix_millis(col("window.start")).as("w_start_ms"),
           col("n_events"))

@@ -2518,6 +2518,34 @@ class WatermarkLateSpec extends GraftSuite {
     // older-than-watermark 12:20; win 13-14 (end 14:00 > 13:10) held
     assert(got.toSeq === Seq((ms("10:00"), 2L), (ms("12:00"), 1L)))
   }
+
+  test("sliding windows drop late input PER (row, window): a straggler " +
+      "whose earlier window is finalized still counts in its open " +
+      "later window") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_wmslide").toString
+    def ms(s: String) =
+      java.time.Instant.parse(s"2024-01-01T$s:00Z").toEpochMilli
+    val rows = Seq(
+      (1L, ms("10:05"), 0), // windows 09:30 and 10:00
+      (2L, ms("13:05"), 0), // lagged wm during batch 2 becomes 12:35
+      (3L, ms("13:20"), 1),
+      (4L, ms("12:10"), 2), // windows 11:30 (end 12:30 <= 12:35:
+                            // DROPPED) and 12:00 (end 13:00: KEPT)
+      (5L, ms("13:40"), 2)) // final wm 13:10
+      .toDF("event_id", "m", "shard")
+      .select($"event_id", timestamp_millis($"m").as("ts"), $"shard")
+    EventStream.writeShardedBacklog(spark, s"$root/src", rows, "shard", 3)
+    val got = EventStream.runLateAppend(spark, s"$root/src",
+        "30 minutes", queryName = "graft_slide_spec",
+        slide = Some("30 minutes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // emitted = windows ending <= 13:10: the straggler 12:10 appears
+    // in its open 12:00 window but NOT in the finalized 11:30 one
+    // (which was never created, so it is absent rather than zero)
+    assert(got.toSeq === Seq((ms("09:30"), 1L), (ms("10:00"), 1L),
+      (ms("12:00"), 1L)))
+  }
 }
 
 class DeconExciseSpec extends GraftSuite {
