@@ -25,7 +25,7 @@ object SplitQueries {
     q218BloomJoinOracled, q219F2SketchOracled, q220JoinSizeOracled,
     q221DailyUsersOracled, q222HistStreamOracled,
     q223SketchJaccardOracled, q225WatermarkLateOracled,
-    q226SlidingLateOracled)
+    q226SlidingLateOracled, q227SessionLateOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -997,6 +997,68 @@ object SplitQueries {
         "count(*)::BIGINT AS n_events FROM surv, fin " +
         "WHERE surv.w_start + INTERVAL 1 HOUR <= fin.wmf " +
         "GROUP BY 1 ORDER BY 1"))
+
+  /** SESSION-window late-data accounting, fully ORACLED — the third
+    * face of the watermark protocol (q225 tumbling, q226 sliding,
+    * HERE gap-merged per-key sessions): user-keyed 1-minute-gap
+    * sessions over the planted-straggler backlog, emitted once the
+    * watermark passes a session's end (last event + gap). The late
+    * predicate is SESSION-END-scoped against the lagged watermark
+    * (WatermarkLateSpec pins it at the ts-vs-end boundary), and the
+    * fixture's 30-minute margins vs the 1-minute gap make the oracle
+    * robust to any predicate strictness. DuckDB replays survivors →
+    * per-key gaps-and-islands → watermark-gated emission; session
+    * starts, ends, and counts all hash. Keyed sessions are how
+    * event-time sessionization actually runs at 100 TB — state is
+    * per (key, open session), never corpus-sized. */
+  val q227SessionLateOracled: GraftQuery = GraftQuery(
+    "q227_session_late_oracled",
+    (s, d) => {
+      import s.implicits._
+      val src = AnnIndexes.prepared("q227src", d) { p =>
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"ts", $"event_id")
+        val sharded = Tables.events(s, d)
+          .select($"event_id", $"ts", ($"user_id" % 4).as("k"),
+            (ntile(4).over(w) - 1).as("q"),
+            row_number().over(w).as("rn"))
+          .select($"event_id", $"ts", $"k",
+            when($"rn" % 37 === 0, least($"q" + 2, lit(3)))
+              .otherwise($"q").cast("int").as("shard"))
+        graft.streaming.EventStream.writeShardedBacklog(s, p, sharded,
+          "shard", 4)
+      }
+      graft.streaming.EventStream.runSessionAppend(s, src,
+          "30 minutes", "1 minute", queryName = "graft_q227")
+        .orderBy($"k", $"s_start_ms")
+    },
+    Some(
+      "WITH ord AS (SELECT event_id, ts, user_id % 4 AS k, " +
+        "ntile(4) OVER (ORDER BY ts, event_id) - 1 AS q, " +
+        "row_number() OVER (ORDER BY ts, event_id) AS rn FROM events), " +
+        "sh AS (SELECT ts, k, CASE WHEN rn % 37 = 0 " +
+        "THEN least(q + 2, 3) ELSE q END AS shard FROM ord), " +
+        "mx AS (SELECT shard, max(ts) AS mt FROM sh GROUP BY shard), " +
+        "wm AS (SELECT shard, max(mt) OVER (ORDER BY shard " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) " +
+        "- INTERVAL 30 MINUTE AS wml FROM mx), " +
+        "surv AS (SELECT sh.k, sh.ts FROM sh JOIN wm USING (shard) " +
+        "WHERE wm.wml IS NULL " +
+        "OR sh.ts + INTERVAL 1 MINUTE > wm.wml), " +
+        "s1 AS (SELECT k, ts, CASE WHEN " +
+        "lag(ts) OVER (PARTITION BY k ORDER BY ts) IS NULL OR " +
+        "ts - lag(ts) OVER (PARTITION BY k ORDER BY ts) " +
+        "> INTERVAL 1 MINUTE THEN 1 ELSE 0 END AS brk FROM surv), " +
+        "s2 AS (SELECT k, ts, sum(brk) OVER (PARTITION BY k " +
+        "ORDER BY ts) AS sid FROM s1), " +
+        "sess AS (SELECT k, min(ts) AS st, max(ts) AS en, " +
+        "count(*)::BIGINT AS n_events FROM s2 GROUP BY k, sid), " +
+        "fin AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wmf FROM sh) " +
+        "SELECT sess.k, epoch_ms(sess.st) AS s_start_ms, " +
+        "epoch_ms(sess.en + INTERVAL 1 MINUTE) AS s_end_ms, " +
+        "sess.n_events FROM sess, fin " +
+        "WHERE sess.en + INTERVAL 1 MINUTE <= fin.wmf " +
+        "ORDER BY sess.k, s_start_ms"))
 
   /** Event-time cardinality PROFILE — daily distinct users from
     * grouped portable-HLL registers, fully ORACLED: the q215 grouped

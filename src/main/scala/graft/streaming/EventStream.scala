@@ -208,6 +208,37 @@ object EventStream {
       spark.table(queryName)
     }
 
+  /** Append-mode KEYED SESSION-window counts over a sharded backlog —
+    * the session sibling of [[runLateAppend]] (q227): per-key sessions
+    * (gap-merged; Spark requires a key — global streaming session
+    * aggregation is unsupported), emitted once the watermark passes a
+    * session's end (last event + gap). Late handling rides the same
+    * lagged watermark; WatermarkLateSpec pins the session drop
+    * predicate. Returns (k, s_start_ms, s_end_ms, n_events). */
+  def runSessionAppend(spark: SparkSession, srcDir: String,
+      delay: String, gap: String, keyCol: String = "k",
+      queryName: String = "graft_session_late",
+      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+    withPartitions(spark, shufflePartitions) {
+      val schema = spark.read.parquet(srcDir).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val agg = src
+        .withWatermark("ts", delay)
+        .groupBy(col(keyCol), session_window(col("ts"), gap))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col(keyCol),
+          unix_millis(col("session_window.start")).as("s_start_ms"),
+          unix_millis(col("session_window.end")).as("s_end_ms"),
+          col("n_events"))
+      val q = agg.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(queryName)
+    }
+
   private def withPartitions[A](spark: SparkSession,
       n: Option[Int])(body: => A): A = n match {
     case None => body

@@ -2546,6 +2546,42 @@ class WatermarkLateSpec extends GraftSuite {
     assert(got.toSeq === Seq((ms("09:30"), 1L), (ms("10:00"), 1L),
       (ms("12:00"), 1L)))
   }
+
+  test("session windows: gap-merging, watermark-gated emission, and " +
+      "the late predicate discovered at the ts-vs-session-end boundary") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_wmsess").toString
+    def ms(s: String) =
+      java.time.Instant.parse(s"2024-01-01T$s:00Z").toEpochMilli
+    def msS(s: String) =
+      java.time.Instant.parse(s"2024-01-01T${s}Z").toEpochMilli
+    val rows = Seq(
+      (1L, msS("10:00:00"), 7L, 0), // merges with the next (same key)
+      (2L, msS("10:00:30"), 7L, 0),
+      (3L, msS("10:00:40"), 8L, 0), // same span, OTHER key: own session
+      (4L, ms("13:00"), 7L, 0),     // lagged wm during batch 1 -> 12:30
+      (5L, msS("12:29:30"), 7L, 1), // ts < wm, session end 12:30:30 > wm
+      (6L, ms("13:30"), 7L, 1))     // final wm 13:00
+      .toDF("event_id", "m", "k", "shard")
+      .select($"event_id", timestamp_millis($"m").as("ts"), $"k",
+        $"shard")
+    EventStream.writeShardedBacklog(spark, s"$root/src", rows, "shard", 2)
+    val got = EventStream.runSessionAppend(spark, s"$root/src",
+        "30 minutes", "1 minute", queryName = "graft_sess_spec")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._2, t._1))
+    // final wm 13:00 emits sessions ending <= 13:00: key 7's merged
+    // pair (10:00:00-10:01:30, n=2), key 8's singleton in the same
+    // span (keys never merge), and — the late predicate being
+    // SESSION-END-scoped like the window one — key 7's 12:29:30
+    // singleton (end 12:30:30 > lagged wm 12:30 at arrival). The
+    // 13:00 session (end 13:01 > 13:00) and 13:30 stay in state.
+    assert(got.toSeq === Seq(
+      (7L, msS("10:00:00"), msS("10:01:30"), 2L),
+      (8L, msS("10:00:40"), msS("10:01:40"), 1L),
+      (7L, msS("12:29:30"), msS("12:30:30"), 1L)))
+  }
 }
 
 class DeconExciseSpec extends GraftSuite {
