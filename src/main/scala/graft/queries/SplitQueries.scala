@@ -25,7 +25,8 @@ object SplitQueries {
     q218BloomJoinOracled, q219F2SketchOracled, q220JoinSizeOracled,
     q221DailyUsersOracled, q222HistStreamOracled,
     q223SketchJaccardOracled, q225WatermarkLateOracled,
-    q226SlidingLateOracled, q227SessionLateOracled)
+    q226SlidingLateOracled, q227SessionLateOracled,
+    q228UpdateModeOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -1059,6 +1060,60 @@ object SplitQueries {
         "sess.n_events FROM sess, fin " +
         "WHERE sess.en + INTERVAL 1 MINUTE <= fin.wmf " +
         "ORDER BY sess.k, s_start_ms"))
+
+  /** UPDATE-mode emission protocol, fully ORACLED — the fourth
+    * watermark face: the planted-straggler backlog through an
+    * update-mode tumbling aggregation, summarized as (window,
+    * n_updates, n_final). Update mode emits a window's CUMULATIVE
+    * count once per batch that changed it, so n_updates = the number
+    * of arrival shards contributing a SURVIVING row and n_final = the
+    * survivor count — both replayed from the (window, shard) survivor
+    * matrix under the lagged-watermark filter. A surviving row can
+    * never hit an evicted window (survival ⇒ end > lagged wm ≥ every
+    * earlier eviction watermark), so the summary needs no eviction
+    * model at all — watermark monotonicity, made load-bearing.
+    * WatermarkLateSpec pins the per-batch emission on a hand fixture;
+    * with q41 (complete), q225 (append) and HERE, all three output
+    * modes carry an oracled protocol face. */
+  val q228UpdateModeOracled: GraftQuery = GraftQuery(
+    "q228_update_mode_oracled",
+    (s, d) => {
+      import s.implicits._
+      // same prepared backlog as q225/q226 (shared key on purpose)
+      val src = AnnIndexes.prepared("q225src", d) { p =>
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"ts", $"event_id")
+        val sharded = Tables.events(s, d)
+          .select($"event_id", $"ts",
+            (ntile(4).over(w) - 1).as("q"),
+            row_number().over(w).as("rn"))
+          .select($"event_id", $"ts",
+            when($"rn" % 37 === 0, least($"q" + 2, lit(3)))
+              .otherwise($"q").cast("int").as("shard"))
+        graft.streaming.EventStream.writeShardedBacklog(s, p, sharded,
+          "shard", 4)
+      }
+      graft.streaming.EventStream.runUpdateCounts(s, src, "30 minutes",
+          queryName = "graft_q228")
+        .orderBy($"w_start_ms")
+    },
+    Some(
+      "WITH ord AS (SELECT event_id, ts, " +
+        "ntile(4) OVER (ORDER BY ts, event_id) - 1 AS q, " +
+        "row_number() OVER (ORDER BY ts, event_id) AS rn FROM events), " +
+        "sh AS (SELECT ts, CASE WHEN rn % 37 = 0 " +
+        "THEN least(q + 2, 3) ELSE q END AS shard FROM ord), " +
+        "mx AS (SELECT shard, max(ts) AS mt FROM sh GROUP BY shard), " +
+        "wm AS (SELECT shard, max(mt) OVER (ORDER BY shard " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) " +
+        "- INTERVAL 30 MINUTE AS wml FROM mx), " +
+        "surv AS (SELECT sh.ts, sh.shard FROM sh JOIN wm USING (shard) " +
+        "WHERE wm.wml IS NULL " +
+        "OR date_trunc('hour', sh.ts) + INTERVAL 1 HOUR > wm.wml) " +
+        "SELECT epoch_ms(date_trunc('hour', ts)) AS w_start_ms, " +
+        "count(DISTINCT shard)::BIGINT AS n_updates, " +
+        "count(*)::BIGINT AS n_final FROM surv " +
+        "GROUP BY 1 ORDER BY 1"))
 
   /** Event-time cardinality PROFILE — daily distinct users from
     * grouped portable-HLL registers, fully ORACLED: the q215 grouped

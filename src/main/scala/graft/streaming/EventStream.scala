@@ -208,6 +208,42 @@ object EventStream {
       spark.table(queryName)
     }
 
+  /** UPDATE-mode tumbling counts over a sharded backlog — the third
+    * output mode's emission protocol made checkable (q228; complete
+    * mode is q41's face, append mode q225's): each micro-batch emits
+    * every window whose state CHANGED, carrying the CUMULATIVE count,
+    * and the memory sink accumulates one row per (window, updating
+    * batch). Returns the accumulated updates summarized per window as
+    * (w_start_ms, n_updates, n_final) — how many batches touched the
+    * window and where its count ended. Late rows ride the same lagged
+    * watermark filter; a surviving row can never hit an evicted
+    * window (survival means end > lagged wm ≥ every earlier eviction
+    * watermark — monotonicity), so the summary is a pure function of
+    * the (window, shard) survivor matrix. */
+  def runUpdateCounts(spark: SparkSession, srcDir: String,
+      delay: String, queryName: String = "graft_update_late",
+      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+    withPartitions(spark, shufflePartitions) {
+      val schema = spark.read.parquet(srcDir).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val agg = src
+        .withWatermark("ts", delay)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_millis(col("window.start")).as("w_start_ms"),
+          col("n_events"))
+      val q = agg.writeStream
+        .outputMode(OutputMode.Update)
+        .format("memory").queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(queryName)
+        .groupBy(col("w_start_ms"))
+        .agg(count(lit(1)).as("n_updates"),
+          max(col("n_events")).as("n_final"))
+    }
+
   /** Append-mode KEYED SESSION-window counts over a sharded backlog —
     * the session sibling of [[runLateAppend]] (q227): per-key sessions
     * (gap-merged; Spark requires a key — global streaming session

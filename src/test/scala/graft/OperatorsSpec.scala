@@ -2582,6 +2582,38 @@ class WatermarkLateSpec extends GraftSuite {
       (8L, msS("10:00:40"), msS("10:01:40"), 1L),
       (7L, msS("12:29:30"), msS("12:30:30"), 1L)))
   }
+
+  test("update mode emits the cumulative count once per updating " +
+      "batch; dropped stragglers never update; no final-watermark " +
+      "emission gate") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_wmupdate").toString
+    def ms(s: String) =
+      java.time.Instant.parse(s"2024-01-01T$s:00Z").toEpochMilli
+    // the q225 tumbling fixture, observed through update mode
+    val rows = Seq(
+      (1L, ms("10:05"), 0),
+      (2L, ms("13:05"), 0),
+      (3L, ms("10:15"), 1), // lagged wm still unset -> updates win 10
+      (4L, ms("13:20"), 1),
+      (5L, ms("10:10"), 2), // lagged wm 12:35 -> dropped, NO update
+      (6L, ms("12:20"), 2),
+      (7L, ms("13:40"), 2))
+      .toDF("event_id", "m", "shard")
+      .select($"event_id", timestamp_millis($"m").as("ts"), $"shard")
+    EventStream.writeShardedBacklog(spark, s"$root/src", rows, "shard", 3)
+    val got = EventStream.runUpdateCounts(spark, s"$root/src",
+        "30 minutes", queryName = "graft_update_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // win 10: updated by batches 0 and 1 (the batch-2 straggler was
+    // filtered), final 2; win 12: one update; win 13: three updates —
+    // and unlike append mode, the still-open 13-14 window IS visible
+    assert(got.toSeq === Seq(
+      (ms("10:00"), 2L, 2L),
+      (ms("12:00"), 1L, 1L),
+      (ms("13:00"), 3L, 3L)))
+  }
 }
 
 class DeconExciseSpec extends GraftSuite {
