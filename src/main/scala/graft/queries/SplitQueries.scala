@@ -902,23 +902,34 @@ object SplitQueries {
     * this is the correctness contract every event-time pipeline
     * rests on — which rows a watermark silently drops is now an
     * oracle-checked number, not a doc claim. */
+  /** The ONE planted-straggler backlog builder behind the per-JVM
+    * `prepared("q225src")` cache: q225/q226/q228 must read the same
+    * arrival order by construction, and a single definition means
+    * drift can no longer hide behind whichever query ran first and
+    * warmed the cache (ADVICE r11). */
+  private def writeSharedLateBacklog(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      p: String): Unit = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"ts", $"event_id")
+    val sharded = Tables.events(s, d)
+      .select($"event_id", $"ts",
+        (ntile(4).over(w) - 1).as("q"),
+        row_number().over(w).as("rn"))
+      .select($"event_id", $"ts",
+        when($"rn" % 37 === 0, least($"q" + 2, lit(3)))
+          .otherwise($"q").cast("int").as("shard"))
+    graft.streaming.EventStream.writeShardedBacklog(s, p, sharded,
+      "shard", 4)
+  }
+
   val q225WatermarkLateOracled: GraftQuery = GraftQuery(
     "q225_watermark_late_oracled",
     (s, d) => {
       import s.implicits._
-      val src = AnnIndexes.prepared("q225src", d) { p =>
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy($"ts", $"event_id")
-        val sharded = Tables.events(s, d)
-          .select($"event_id", $"ts",
-            (ntile(4).over(w) - 1).as("q"),
-            row_number().over(w).as("rn"))
-          .select($"event_id", $"ts",
-            when($"rn" % 37 === 0, least($"q" + 2, lit(3)))
-              .otherwise($"q").cast("int").as("shard"))
-        graft.streaming.EventStream.writeShardedBacklog(s, p, sharded,
-          "shard", 4)
-      }
+      val src = AnnIndexes.prepared("q225src", d)(
+        writeSharedLateBacklog(s, d, _))
       graft.streaming.EventStream.runLateAppend(s, src, "30 minutes",
           queryName = "graft_q225")
         .orderBy($"w_start_ms")
@@ -957,20 +968,9 @@ object SplitQueries {
     "q226_sliding_late_oracled",
     (s, d) => {
       import s.implicits._
-      // same prepared backlog as q225 (shared key on purpose)
-      val src = AnnIndexes.prepared("q225src", d) { p =>
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy($"ts", $"event_id")
-        val sharded = Tables.events(s, d)
-          .select($"event_id", $"ts",
-            (ntile(4).over(w) - 1).as("q"),
-            row_number().over(w).as("rn"))
-          .select($"event_id", $"ts",
-            when($"rn" % 37 === 0, least($"q" + 2, lit(3)))
-              .otherwise($"q").cast("int").as("shard"))
-        graft.streaming.EventStream.writeShardedBacklog(s, p, sharded,
-          "shard", 4)
-      }
+      // same prepared backlog as q225 (shared key AND shared builder)
+      val src = AnnIndexes.prepared("q225src", d)(
+        writeSharedLateBacklog(s, d, _))
       graft.streaming.EventStream.runLateAppend(s, src, "30 minutes",
           queryName = "graft_q226", slide = Some("30 minutes"))
         .orderBy($"w_start_ms")
@@ -1011,7 +1011,18 @@ object SplitQueries {
     * per-key gaps-and-islands → watermark-gated emission; session
     * starts, ends, and counts all hash. Keyed sessions are how
     * event-time sessionization actually runs at 100 TB — state is
-    * per (key, open session), never corpus-sized. */
+    * per (key, open session), never corpus-sized.
+    *
+    * ORACLE CONSTRAINT (ADVICE r11, asserted at all three SFs in
+    * WatermarkLateSpec): the gaps-and-islands replay assumes no
+    * surviving straggler lands within `gap` of an earlier same-key
+    * survivor whose session end had already passed an eviction
+    * watermark when the straggler arrived — Spark would then emit TWO
+    * session rows (state was evicted, the straggler re-opens) where
+    * the replay merges ONE. Survival alone (ts+gap > lagged wm) does
+    * not rule this out; the fixture's 30-minute watermark margin vs
+    * the 1-minute gap does, and the spec makes that a checked fact
+    * instead of a data-dependent hope. */
   val q227SessionLateOracled: GraftQuery = GraftQuery(
     "q227_session_late_oracled",
     (s, d) => {
@@ -1079,20 +1090,9 @@ object SplitQueries {
     "q228_update_mode_oracled",
     (s, d) => {
       import s.implicits._
-      // same prepared backlog as q225/q226 (shared key on purpose)
-      val src = AnnIndexes.prepared("q225src", d) { p =>
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy($"ts", $"event_id")
-        val sharded = Tables.events(s, d)
-          .select($"event_id", $"ts",
-            (ntile(4).over(w) - 1).as("q"),
-            row_number().over(w).as("rn"))
-          .select($"event_id", $"ts",
-            when($"rn" % 37 === 0, least($"q" + 2, lit(3)))
-              .otherwise($"q").cast("int").as("shard"))
-        graft.streaming.EventStream.writeShardedBacklog(s, p, sharded,
-          "shard", 4)
-      }
+      // same prepared backlog as q225/q226 (shared key AND builder)
+      val src = AnnIndexes.prepared("q225src", d)(
+        writeSharedLateBacklog(s, d, _))
       graft.streaming.EventStream.runUpdateCounts(s, src, "30 minutes",
           queryName = "graft_q228")
         .orderBy($"w_start_ms")

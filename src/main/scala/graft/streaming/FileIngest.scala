@@ -43,8 +43,16 @@ private[streaming] object FileIngest {
     * contract [[graft.operators.Sketches.upsertHllBatch]] and the
     * other sketch upserts key their artifacts by. */
   def writeBatchExactlyOnce(batch: DataFrame, outDir: String,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
+    // a data column named like the partition-layout column would be
+    // silently shadowed and then dropped by readBatchedOutput —
+    // refuse loudly instead (rename it before the sink)
+    require(!batch.columns.contains("batch_id"),
+      "writeBatchExactlyOnce uses batch_id=<id> partition directories " +
+        "as its exactly-once key; the batch DataFrame must not carry " +
+        "its own batch_id column (rename it before the sink)")
     batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+  }
 
   /** Read an output directory written by [[writeBatchExactlyOnce]],
     * dropping the partition-layout column so consumers see exactly the

@@ -2614,6 +2614,62 @@ class WatermarkLateSpec extends GraftSuite {
       (ms("12:00"), 1L, 1L),
       (ms("13:00"), 3L, 3L)))
   }
+
+  test("q227 oracle constraint holds at all three SFs: no surviving " +
+      "straggler lands within the session gap of an earlier same-key " +
+      "survivor whose session end had already passed an eviction " +
+      "watermark at the straggler's arrival (the session-re-opening " +
+      "case where Spark emits two rows and the gaps-and-islands " +
+      "replay merges one)") {
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = 60L * 1000           // q227's 1-minute session gap
+    val delayMs = 30L * 60 * 1000    // q227's 30-minute delay
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      // replicate q227's shard assignment exactly
+      val w = Window.orderBy($"ts", $"event_id")
+      val sh = Tables.events(spark, dir)
+        .select($"ts", ($"user_id" % 4).as("k"),
+          (ntile(4).over(w) - 1).as("q"),
+          row_number().over(w).as("rn"))
+        .select(unix_millis($"ts").as("t"), $"k",
+          when($"rn" % 37 === 0, least($"q" + 2, lit(3)))
+            .otherwise($"q").cast("int").as("shard"))
+      val ws = Window.orderBy($"shard")
+      // wml = the LAGGED (late-events) watermark at this shard's
+      // batch: the filter q227's oracle replays, AND the strongest
+      // eviction watermark any batch BEFORE this one can have used
+      // (batch j evicts with max ts through batch j-1, so the max
+      // over batches < this one is the 2-preceding running max)
+      val wm = sh.groupBy($"shard").agg(max($"t").as("mt"))
+        .select($"shard",
+          (max($"mt").over(ws.rowsBetween(Window.unboundedPreceding,
+            -2)) - delayMs).as("wml"))
+      val surv = sh.join(broadcast(wm), Seq("shard"))
+        .filter($"wml".isNull || $"t" + gapMs > $"wml")
+      // consecutive same-key survivors by event time: the earlier one
+      // is the last event of the island the oracle would merge the
+      // later one into. Fragile iff they are within the gap AND the
+      // FIRST arrival's session end had passed an eviction watermark
+      // of some batch STRICTLY BEFORE the second arrival's batch —
+      // only then is the first one's state gone when the second one
+      // merges. Same-batch pairs and the merge-before-evict case (the
+      // eviction that would finalize the first session lands in the
+      // very batch the second event arrives in — the WatermarkLateSpec
+      // pinned semantics) always merge, whatever the watermark says.
+      val wk = Window.partitionBy($"k").orderBy($"t")
+      val fragile = surv
+        .select($"k", $"t", $"shard", $"wml",
+          lag($"t", 1).over(wk).as("pt"),
+          lag($"shard", 1).over(wk).as("pshard"),
+          lag($"wml", 1).over(wk).as("pwml"))
+        .filter($"pt".isNotNull && $"t" - $"pt" <= gapMs &&
+          (($"pshard" < $"shard" && $"pt" + gapMs <= $"wml") ||
+            ($"shard" < $"pshard" && $"t" + gapMs <= $"pwml")))
+      assert(fragile.count() === 0L,
+        s"q227 oracle re-opening constraint violated at $dir")
+    }
+  }
 }
 
 class DeconExciseSpec extends GraftSuite {

@@ -31,6 +31,9 @@ def rows_equal(ra, rb):
 
 
 def main():
+    if len(sys.argv) < 3:
+        print(__doc__)
+        sys.exit(2)
     a, b = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     qa = {os.path.basename(p) for p in glob.glob(f"{a}/q*")}
@@ -61,7 +64,11 @@ def main():
             n_pass += 1
         else:
             n_fail += 1
-            diff = [i for i, (x, y) in enumerate(zip(ra, rb)) if x != y]
+            # NaN-aware (vals_equal), or the reported index can point
+            # at a bit-identical NaN row instead of the real divergence
+            diff = [i for i, (x, y) in enumerate(zip(ra, rb))
+                    if not (len(x) == len(y)
+                            and all(map(vals_equal, x, y)))]
             print(f"MISMATCH {q}: rows {len(ra)} vs {len(rb)}, "
                   f"first differing row idx "
                   f"{diff[0] if diff else 'len-only'}")
