@@ -28,6 +28,58 @@ import org.apache.spark.sql.SparkSession
   *    adjudicated from memory a round later
   */
 object Bench {
+
+  /** Per-query JVM/stage telemetry (round-12, VERDICT r11 #1): two
+    * rounds of driver captures read q166 at 2.5-3× its local median
+    * and the commit-vs-commit A/Bs could only clear the CODE — the
+    * capture context (GC pressure? cache eviction? a join flip?) was
+    * unnamed because nothing recorded it. This listener sums task
+    * metrics so every repeat of every query carries its own GC ms,
+    * shuffle read/write bytes, spill bytes, and peak execution
+    * memory in bench_detail.json — the next anomalous driver row
+    * adjudicates itself from the artifact.
+    *
+    * The listener bus is asynchronous, so a snapshot taken right at
+    * query end could miss in-flight task-end events; [[settleRead]]
+    * polls until two consecutive reads agree (all jobs are already
+    * complete when it is called — only bus drain is being waited
+    * out), which bounds the wait without touching Spark's
+    * private[spark] waitUntilEmpty. */
+  private final class Telemetry extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val gcMs, shufRead, shufWrite, spill = new AtomicLong
+    val peakMem = new AtomicLong // max over tasks since last reset
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        gcMs.addAndGet(m.jvmGCTime)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        peakMem.getAndAccumulate(m.peakExecutionMemory, math.max)
+      }
+    }
+    private def read: (Long, Long, Long, Long, Long) =
+      (gcMs.get, shufRead.get, shufWrite.get, spill.get, peakMem.get)
+    /** Wait for the async bus to drain (stable read), then return the
+      * counters since the last reset and zero them. */
+    def settleRead(): (Long, Long, Long, Long, Long) = {
+      var prev = read
+      var stable = false
+      var waited = 0
+      while (!stable && waited < 1000) {
+        Thread.sleep(10); waited += 10
+        val cur = read
+        stable = cur == prev
+        prev = cur
+      }
+      gcMs.set(0); shufRead.set(0); shufWrite.set(0); spill.set(0)
+      peakMem.set(0)
+      prev
+    }
+  }
+
   private def fmt(v: Double): String = {
     // 1-decimal, trailing-zero-trimmed: at 172 queries the r8 metric
     // line hit 2062 chars and the driver captured total-only. 0.1 s
@@ -94,10 +146,13 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
     }
+    val telemetry = new Telemetry
+    spark.sparkContext.addSparkListener(telemetry)
     // warm-up: JIT + codegen + parquet footer caches
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).count()
     settle()
+    telemetry.settleRead() // discard warm-up counters
     val loadStart = load1
     // Per-repeat samples stay in CAPTURE ORDER everywhere they are
     // emitted (verbose + detail): round 7's q120 adjudication stalled on
@@ -114,7 +169,7 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        (sec, load1, freeHeapMb)
+        (sec, load1, freeHeapMb, telemetry.settleRead())
       }
       settle()
       val times = samples.map(_._1)
@@ -162,11 +217,14 @@ object Bench {
     // load + free heap. A capture like r7's q120 (median 66 s that did
     // not reproduce isolated) is then diagnosable from the round's log
     // alone — which repeats were slow, and whether load or heap moved.
+    def mb(b: Long): String = f"${b / 1048576.0}%.1f"
     results.sortBy(-_._2).take(10).foreach { case (k, med, _, all) =>
       System.err.println(f"[bench-top] $k med=$med%.3f " +
         f"all=${all.map(s => f"${s._1}%.3f").mkString(",")} " +
         f"load=${all.map(s => f"${s._2}%.1f").mkString(",")} " +
-        f"freeMb=${all.map(_._3).mkString(",")}")
+        f"freeMb=${all.map(_._3).mkString(",")} " +
+        f"gcMs=${all.map(_._4._1).mkString(",")} " +
+        f"shufMb=${all.map(s => mb(s._4._2 + s._4._3)).mkString(",")}")
     }
     val total = results.map(_._2).sum // sum of per-query medians
     // basename only: the full path spends ~15 chars of the driver's
@@ -217,11 +275,19 @@ object Bench {
       // full-precision per-query samples for BASELINE.md adjudication;
       // "all"/"rload"/"rfree" are in CAPTURE ORDER (see the sampling
       // comment above), not sorted
+      // per-repeat JVM/stage telemetry (capture order, like "all"):
+      // GC ms, shuffle read/write MB, spill MB, peak execution-memory
+      // MB — the q166-class driver-row adjudication data (r12)
       val detail = (results.map { case (name, med, min, all) =>
         "\"" + name + "\":{\"median\":" + f"$med%.3f" + ",\"min\":" + f"$min%.3f" +
           ",\"all\":[" + all.map(s => f"${s._1}%.3f").mkString(",") + "]" +
           ",\"rload\":[" + all.map(s => f"${s._2}%.1f").mkString(",") + "]" +
-          ",\"rfree\":[" + all.map(_._3).mkString(",") + "]}"
+          ",\"rfree\":[" + all.map(_._3).mkString(",") + "]" +
+          ",\"rgcMs\":[" + all.map(_._4._1).mkString(",") + "]" +
+          ",\"rsrMb\":[" + all.map(s => mb(s._4._2)).mkString(",") + "]" +
+          ",\"rswMb\":[" + all.map(s => mb(s._4._3)).mkString(",") + "]" +
+          ",\"rspillMb\":[" + all.map(s => mb(s._4._4)).mkString(",") + "]" +
+          ",\"rpeakMb\":[" + all.map(s => mb(s._4._5)).mkString(",") + "]}"
         // cpus is quoted: SPARK_GRAFT_CPUS="*" is a legitimate setting
         // (local[*]) that would otherwise emit unparseable JSON
       } :+ s""""__env":{$env,"cpus":"$cpus"}""").mkString("{", ",", "}")

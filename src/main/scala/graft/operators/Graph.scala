@@ -225,15 +225,20 @@ object Graph extends Serializable {
         array_intersect(col("nu"), col("nv")).as("ws"))
       .filter(size(col("ws")) > 0)
     // corner attribution: each w in the intersection is one triangle —
-    // +1 to w, and +|ws| to both u and v
-    val wCnt = closed.select(explode(col("ws")).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("t"))
-    val uvCnt = closed
-      .select(explode(array(col("u"), col("v"))).as("id"),
-        size(col("ws")).cast("long").as("t0"))
-      .groupBy(col("id")).agg(sum(col("t0")).as("t"))
-    val per = wCnt.unionAll(uvCnt)
-      .groupBy(col("id")).agg(sum(col("t")).as("n_tri"))
+    // +1 to w, and +|ws| to both u and v. ONE explode over the fused
+    // contribution array and ONE aggregation: the pre-r12 shape ran
+    // two groupBys plus a union re-group (three shuffles) AND, with
+    // two consumers of the unpersisted `closed`, computed the
+    // GC-heavy array_intersect join twice — exactly the allocation
+    // pressure the r11/r10 driver captures read as 2.5-3× inflation
+    val per = closed
+      .select(explode(concat(
+        array(
+          struct(col("u").as("id"), size(col("ws")).cast("long").as("t")),
+          struct(col("v").as("id"), size(col("ws")).cast("long").as("t"))),
+        transform(col("ws"),
+          w => struct(w.as("id"), lit(1L).as("t"))))).as("c"))
+      .groupBy(col("c.id").as("id")).agg(sum(col("c.t")).as("n_tri"))
     val out = deg.join(per, Seq("id"), "left")
       .select(col("id"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
