@@ -16,7 +16,7 @@ object CurationQueries {
     Seq(q121GopherFilters, q122Winsorize, q123RollingFeatures,
       q124BpeMerges, q125QuantileBins, q126RankDistribution,
       q127BpeEncode, q128BigramLogProb, q129GroupingSets,
-      q130StringAgg)
+      q130StringAgg, q229UnigramLmTrain, q230UnigramLmEncode)
 
   /** Gopher rule-pack sweep ([[TextFunctions.gopherFlags]]): per-doc
     * rule values + keep decision in ONE codegen'd scan — the MassiveWeb
@@ -402,4 +402,147 @@ object CurationQueries {
         "SELECT source, n_docs, total_bpe_tokens, " +
         "round(n_chars::DOUBLE / total_bpe_tokens, 4) AS chars_per_token " +
         "FROM chars JOIN bpe USING (source) ORDER BY source"))
+
+  /** The unrolled unigram-LM hard-EM replay — [[bpeRoundsCte]]'s
+    * sibling for [[graft.operators.UnigramLm]]. Per block r (an EM
+    * round, or the final encode pass): candidate matches = the
+    * substring table joined to vocab v(r-1); Viterbi DP unrolled over
+    * word positions 1..8 (d-stages, with the running p-union of
+    * reached boundaries), winner per (word, position) by
+    * row_number() over (cost, piece length, piece); 8 backtrace
+    * stages walk the best pieces; counts re-estimate v(r). DP costs
+    * accumulate dp[s] + cost(piece) in the same left-to-right
+    * grouping as the Scala DP, so with ln parity (q119/q128/q177
+    * precedent) every comparison sees bit-equal doubles.
+    * MATERIALIZED pins each stage to one evaluation — the q124
+    * exponential-inlining lesson. */
+  private def unigramCtes(blocks: Int, multiLimit: Int): String = {
+    val prefix =
+      "WITH wc AS MATERIALIZED (SELECT w, count(*)::BIGINT AS c FROM " +
+        "(SELECT unnest(string_split(text,' ')) AS w FROM documents) " +
+        "WHERE len(w)>0 GROUP BY w), " +
+        "guard AS (SELECT CASE WHEN max(len(w)) > 8 THEN error(" +
+        "'unigram oracle: viterbi DP unrolled to 8 positions') " +
+        "ELSE 1 END AS ok FROM wc), " +
+        "sub AS MATERIALIZED (SELECT w, c, q.s::INT AS s, q.e::INT AS e, " +
+        "substr(w, q.s, q.e - q.s + 1) AS piece FROM (SELECT w, c, " +
+        "unnest(flatten(list_transform(generate_series(1, len(w)), " +
+        "s -> list_transform(generate_series(s, len(w)), " +
+        "e -> {'s': s, 'e': e})))) AS q FROM wc, guard)), " +
+        "sc AS (SELECT piece, sum(c)::BIGINT AS cnt FROM sub " +
+        "GROUP BY piece), " +
+        "vb AS (SELECT piece, cnt FROM sc WHERE len(piece) = 1 " +
+        "UNION ALL SELECT piece, cnt FROM (SELECT piece, cnt FROM sc " +
+        s"WHERE len(piece) >= 2 ORDER BY cnt DESC, piece " +
+        s"LIMIT $multiLimit)), " +
+        "v0 AS MATERIALIZED (SELECT piece, -ln(cnt::DOUBLE / " +
+        "(SELECT sum(cnt)::DOUBLE FROM vb)) AS cost FROM vb)"
+    val rounds = (1 to blocks).map { r =>
+      val dp = (1 to 8).map { e =>
+        s", d${r}_$e AS MATERIALIZED (SELECT w, pos, cst, pc FROM (" +
+          s"SELECT c.w, $e AS pos, p.cst + c.cost AS cst, " +
+          "c.piece AS pc, row_number() OVER (PARTITION BY c.w " +
+          "ORDER BY p.cst + c.cost, len(c.piece), c.piece) AS rn " +
+          s"FROM cand$r c JOIN p${r}_${e - 1} p " +
+          s"ON c.w = p.w AND c.s - 1 = p.pos WHERE c.e = $e) " +
+          "WHERE rn = 1)" +
+          s", p${r}_$e AS MATERIALIZED (SELECT w, pos, cst " +
+          s"FROM p${r}_${e - 1} " +
+          s"UNION ALL SELECT w, pos, cst FROM d${r}_$e)"
+      }.mkString
+      val dall = (1 to 8)
+        .map(e => s"SELECT w, pos, pc FROM d${r}_$e")
+        .mkString(" UNION ALL ")
+      val bt = (1 to 8).map { i =>
+        s", bt${r}_$i AS MATERIALIZED (SELECT b.w, b.c, " +
+          s"d.pos - len(d.pc) AS pos, d.pc AS pc FROM bt${r}_${i - 1} b " +
+          s"JOIN dall$r d ON b.w = d.w AND b.pos = d.pos " +
+          "WHERE b.pos > 0)"
+      }.mkString
+      val used = (1 to 8).map(i => s"SELECT w, c, pc FROM bt${r}_$i")
+        .mkString(" UNION ALL ")
+      s", cand$r AS MATERIALIZED (SELECT b.w, b.s, b.e, b.piece, " +
+        s"v.cost FROM sub b JOIN v${r - 1} v USING (piece))" +
+        s", d${r}_0 AS (SELECT w, 0 AS pos, 0.0::DOUBLE AS cst, " +
+        "'' AS pc FROM wc)" +
+        s", p${r}_0 AS (SELECT w, pos, cst FROM d${r}_0)" +
+        dp +
+        s", dall$r AS MATERIALIZED ($dall)" +
+        s", bt${r}_0 AS (SELECT w, c, len(w) AS pos FROM wc)" +
+        bt +
+        s", used$r AS (SELECT w, c, pc FROM ($used))" +
+        s", u$r AS MATERIALIZED (SELECT pc AS piece, " +
+        s"sum(c)::BIGINT AS cnt FROM used$r GROUP BY pc)" +
+        s", v$r AS MATERIALIZED (SELECT piece, -ln(cnt::DOUBLE / " +
+        s"(SELECT sum(cnt)::DOUBLE FROM u$r)) AS cost FROM u$r)"
+    }.mkString
+    prefix + rounds
+  }
+
+  /** Unigram-LM tokenizer training ([[graft.operators.UnigramLm]]) —
+    * the SentencePiece-style sibling of q124: bounded candidate seed
+    * (chars + top-48 substrings), 3 hard-EM rounds, each a single
+    * distributed aggregation over the distinct-word relation with a
+    * driver M-step. FULLY ORACLED via [[unigramCtes]]: DuckDB
+    * re-derives every round's Viterbi piece counts AND the
+    * re-estimated costs from the corpus. */
+  val q229UnigramLmTrain: GraftQuery = GraftQuery(
+    "q229_unigram_lm_train",
+    (s, d) => graft.operators.UnigramLm.train(
+      Tables.documents(s, d), "text", multiLimit = 48, rounds = 3),
+    Some(
+      unigramCtes(blocks = 3, multiLimit = 48) +
+        " SELECT * FROM (" +
+        (1 to 3).map(r => s"SELECT $r AS rnd, u.piece, " +
+          "u.cnt AS n_uses, round(v.cost, 6) AS cost " +
+          s"FROM u$r u JOIN v$r v USING (piece)")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY rnd, piece"))
+
+  /** Unigram tokenizer lifecycle, closed (the q127 shape): train 3 EM
+    * rounds, segment the corpus with the FINAL vocab (oracle block 4
+    * = an encode pass against v3), report per-source token counts and
+    * the chars-per-token compression. The corpus join is per-distinct-
+    * word ([[graft.operators.UnigramLm.wordTokenCounts]] broadcast),
+    * so the encode re-segments each distinct word once however large
+    * the corpus. */
+  val q230UnigramLmEncode: GraftQuery = GraftQuery(
+    "q230_unigram_lm_encode",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val (_, cost) = graft.operators.UnigramLm.trainRounds(
+        docs, "text", multiLimit = 48, rounds = 3)
+      val wn = graft.operators.UnigramLm.wordTokenCounts(
+        docs, "text", cost)
+      val chars = docs.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(translate($"text", " ", ""))).as("n_chars"))
+      val lm = docs
+        .select($"source", explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0)
+        .join(broadcast(wn), "w")
+        .groupBy($"source").agg(sum($"nsym").as("total_lm_tokens"))
+      chars.join(lm, "source")
+        .select($"source", $"n_docs", $"total_lm_tokens",
+          round($"n_chars".cast("double") / $"total_lm_tokens", 4)
+            .as("chars_per_token"))
+        .orderBy($"source")
+    },
+    Some(
+      unigramCtes(blocks = 4, multiLimit = 48) +
+        ", enc AS (SELECT w, count(*)::BIGINT AS nsym FROM used4 " +
+        "GROUP BY w), " +
+        "tok AS (SELECT d.source, e.nsym FROM (SELECT source, " +
+        "unnest(string_split(text,' ')) AS w FROM documents) d " +
+        "JOIN enc e USING (w) WHERE len(d.w) > 0), " +
+        "lm AS (SELECT source, sum(nsym)::BIGINT AS total_lm_tokens " +
+        "FROM tok GROUP BY source), " +
+        "chars AS (SELECT source, count(*)::BIGINT AS n_docs, " +
+        "sum(length(replace(text, ' ', '')))::BIGINT AS n_chars " +
+        "FROM documents GROUP BY source) " +
+        "SELECT source, n_docs, total_lm_tokens, " +
+        "round(n_chars::DOUBLE / total_lm_tokens, 4) " +
+        "AS chars_per_token " +
+        "FROM chars JOIN lm USING (source) ORDER BY source"))
 }
