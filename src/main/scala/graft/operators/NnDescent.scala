@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-based ANN: deterministic NN-descent k-NN-graph construction
+  * (Dong et al., WWW 2011) and greedy graph search — the family face
+  * VERDICT r11 #4 asked for next to LSH/IVF/PQ/IVF-PQ/SQ8.
+  *
+  * Classic NN-descent is randomized (random init, sampled reverse
+  * edges); this variant applies the q120 unrolled-rounds discipline so
+  * the graph is a pure function of (vectors, k, cap, rounds) and every
+  * round is DuckDB-replayable:
+  *
+  *  - init: a RING in projection-rank space — points sorted by the
+  *    deterministic 1-D projection Σᵢ v[i] (ties by id), each point's
+  *    first candidates the next k in that order. The projection gives
+  *    the init what the paper gets from random sampling: candidates
+  *    that are already near-ish when the data has structure, at the
+  *    cost of one rank;
+  *  - each round: undirect the current graph, cap each node's
+  *    co-neighbor list at `cap` by the (distance, id) total order
+  *    (the deterministic stand-in for reverse-edge sampling — bounds
+  *    the candidate volume at N·cap² whatever the hub structure),
+  *    generate all co-neighbor pairs, score them with the exact
+  *    [[graft.expressions.ArrayL2Sq]] kernel (bit-equal to DuckDB's
+  *    list fold, the q154 contract), and keep each node's k best
+  *    (distance, id) neighbors seen so far;
+  *  - rounds are FIXED (no convergence test), so the unrolled replay
+  *    is finite and the result partition-invariant.
+  *
+  * Scale shape: every step is an equi-join or a windowed top-k on the
+  * node or edge relation — shuffles on node id, candidate volume
+  * N·cap² per round, never an all-pairs term. Greedy serving reads
+  * the PERSISTED graph: each hop touches one node's k edges plus k
+  * vectors, however large the corpus.
+  *
+  * Convergence is a property of the DATA's intrinsic dimension (Dong
+  * et al. §5): on clustered vectors 3 rounds reach ~0.9 recall@8
+  * (NnDescentSpec pins 0.51 → 0.73 → 0.91 on a 10-cluster fixture);
+  * on the synthetic embeddings corpus — near-uniform 64-dim, whose
+  * exact top-8 share a label at chance rate — every
+  * neighbor-of-neighbor method stalls, and the measured ~0.06-0.2
+  * recall is recorded in BASELINE.md next to the fixture numbers
+  * rather than hidden behind a friendlier fixture.
+  */
+object NnDescent {
+
+  /** Exact squared-L2 — the single-pass native kernel, bit-equal to
+    * the zip_with/aggregate left fold and DuckDB's list kernels. */
+  private def d2(a: Column, b: Column): Column =
+    graft.expressions.ArrayL2Sq(a, b)
+
+  /** Build the k-NN graph over `vecs` (id: long, v: array<double>).
+    * Returns (u, rank, nb, d2) with rank 1..k per node, d2 raw
+    * (callers round for display). */
+  def knnGraph(vecs: DataFrame, k: Int, cap: Int, rounds: Int)
+      : DataFrame = {
+    val vv = vecs.select(col("id"), col("v")).persist()
+    val n = vv.count()
+    // Σᵢ v[i] as a left-to-right fold — bit-equal to DuckDB's
+    // list_sum (the q148/q154 contract), so the projection ranks
+    // agree across engines
+    val proj = aggregate(col("v"), lit(0.0), (a, x) => a + x)
+    val ranked = vv.select(col("id"), col("v"),
+      (row_number().over(Window.orderBy(proj, col("id"))) - 1)
+        .cast("long").as("rn")).persist()
+    ranked.count()
+    // every round's edge state stays persisted until the final graph
+    // materializes: unpersisting round r-1 inside the loop re-compiles
+    // round r's dependent cache entry and DROPS its materialized
+    // buffers, so each round recomputes the whole chain (measured
+    // 0.5/0.8/3.1 s over 3 rounds before this — compounding). The
+    // kept states are N·k rows each and LRU-evictable, so holding
+    // them is safe at any scale.
+    val kept = scala.collection.mutable.Buffer.empty[DataFrame]
+    var edges = ranked
+      .select(col("id").as("u"), col("v").as("uv"), col("rn"),
+        explode(expr(s"sequence(1, $k)")).as("o"))
+      .select(col("u"), col("uv"),
+        ((col("rn") + col("o")) % n).as("rn2"))
+      .join(ranked.select(col("rn").as("rn2"), col("id").as("nb"),
+        col("v").as("nv")), "rn2")
+      .select(col("u"), col("nb"), d2(col("uv"), col("nv")).as("d2"))
+      .persist()
+    edges.count()
+    kept += edges
+    for (_ <- 1 to rounds) {
+      // undirect (d2 is exactly symmetric: (a-b)^2 == (b-a)^2 in
+      // IEEE, same index order both ways, so the dedup sees
+      // bit-equal rows from either direction)
+      val und = edges.select(col("u").as("x"), col("nb").as("y"),
+          col("d2"))
+        .unionAll(edges.select(col("nb").as("x"), col("u").as("y"),
+          col("d2")))
+        .distinct()
+      val nx = und.withColumn("rk", row_number().over(
+          Window.partitionBy(col("x")).orderBy(col("d2"), col("y"))))
+        .filter(col("rk") <= cap)
+        .select(col("x"), col("y"))
+      val cp = nx.as("a").join(nx.as("b"), Seq("x"))
+        .select(col("a.y").as("u"), col("b.y").as("nb"))
+        .filter(col("u") =!= col("nb"))
+        .distinct()
+      val cd = cp
+        .join(vv.select(col("id").as("u"), col("v").as("uv")), "u")
+        .join(vv.select(col("id").as("nb"), col("v").as("nv")), "nb")
+        .select(col("u"), col("nb"), d2(col("uv"), col("nv")).as("d2"))
+      val next = edges.unionAll(cd).distinct()
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("u")).orderBy(col("d2"), col("nb"))))
+        .filter(col("rk") <= k)
+        .select(col("u"), col("nb"), col("d2"))
+        .persist()
+      next.count()
+      kept += next
+      edges = next
+    }
+    // evict any stale entry from a previous plan-identical call, then
+    // materialize while the round states are cached and release them
+    // (the triangleCounts pattern)
+    val out = edges.withColumn("rank", row_number().over(
+        Window.partitionBy(col("u")).orderBy(col("d2"), col("nb"))))
+      .select(col("u"), col("rank"), col("nb"), col("d2"))
+    out.unpersist()
+    out.persist().count()
+    kept.foreach(_.unpersist())
+    ranked.unpersist()
+    vv.unpersist()
+    out
+  }
+
+  /** Beam search over a built graph with SAMPLED entry routing — the
+    * deterministic core of HNSW's ef-search plus an IVF-flavored
+    * coarse stage: every probe scores `entryCand` candidates at
+    * evenly spaced projection ranks (rank ⌊q·n/entryCand⌋) and starts
+    * its width-`beam` frontier at the best `beam` of them; each hop
+    * the frontier becomes the best `beam` of {frontier} ∪ {frontier's
+    * graph neighbors} by (d2 to the probe, id). Both stages are
+    * load-bearing on clustered data: a k-NN graph of well-separated
+    * clusters is DISCONNECTED, so no amount of beam can leave the
+    * entry's component (NnDescentSpec's stall case — pure greedy from
+    * one entry froze at d2≈5 where within-cluster is ≈0.4) — the
+    * rank-spaced sample puts an entry candidate inside every
+    * rank-contiguous component, and the beam then descends within the
+    * right one. The best frontier element is monotone non-increasing
+    * by construction. Returns the per-hop BEST as the trace
+    * (query_id, hop, node_id, d2 raw) — the walk IS the protocol, and
+    * its serving cost (entryCand vectors once, then beam·k edges +
+    * beam·k vectors per hop) is independent of corpus size.
+    *
+    * `graph`: (u, nb) edges; `vecs`: (id, v); `probes`:
+    * (query_id, qv). All probe-side frames stay probe-sized. */
+  def greedyTrace(graph: DataFrame, vecs: DataFrame, probes: DataFrame,
+      hops: Int, beam: Int = 4, entryCand: Int = 32): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // probe vectors land on the driver ONCE (probe-sized by
+    // contract); each hop's frontier is then rebuilt from literal
+    // rows, so hop plans never chain — a persisted-frontier chain
+    // re-derived the full lineage each hop (measured 0.4 → 36 s/hop
+    // over 8 hops before this)
+    val pr = probes.select(col("query_id"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val prDf = broadcast(pr.toDF("query_id", "qv"))
+    def curDf(pos: Seq[(Long, Long, Double)]): DataFrame =
+      pos.toDF("query_id", "node_id", "d2")
+        .join(prDf, "query_id")
+        .select(col("query_id"), col("qv"), col("node_id"), col("d2"))
+    // entry candidates at evenly spaced projection ranks — the same
+    // rank order the build used, so the oracle reuses its rkd CTE;
+    // the beam starts at the best `beam` of them per probe
+    val n = vecs.count()
+    val proj = aggregate(col("v"), lit(0.0), (a, x) => a + x)
+    val entryRanks = (0 until entryCand).map(q => n * q / entryCand)
+      .distinct
+    val entries = vecs.select(col("id"), col("v"),
+        (row_number().over(Window.orderBy(proj, col("id"))) - 1)
+          .cast("long").as("rn"))
+      .filter(col("rn").isin(entryRanks: _*))
+      .select(col("id").as("node_id"), col("v"))
+    var pos: Seq[(Long, Long, Double)] = prDf.crossJoin(entries)
+      .select(col("query_id"), col("node_id"),
+        d2(col("qv"), col("v")).as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("d2"), col("node_id"))))
+      .filter(col("rk") <= beam)
+      .select(col("query_id"), col("node_id"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(p => (p._1, p._3, p._2))
+    def best(p: Seq[(Long, Long, Double)]): Seq[(Long, Long, Double)] =
+      p.groupBy(_._1).values
+        .map(_.minBy(t => (t._3, t._2))).toSeq.sortBy(_._1)
+    val trace = Seq.newBuilder[(Long, Int, Long, Double)]
+    trace ++= best(pos).map(p => (p._1, 0, p._2, p._3))
+    for (h <- 1 to hops) {
+      val cur = curDf(pos)
+      val stepped = cur.join(graph.select(col("u").as("node_id"),
+          col("nb")), "node_id")
+        .join(vecs.select(col("id").as("nb"), col("v").as("nv")), "nb")
+        .select(col("query_id"), col("nb").as("cand"),
+          d2(col("qv"), col("nv")).as("d2"))
+        .unionByName(cur.select(col("query_id"),
+          col("node_id").as("cand"), col("d2")))
+        // frontier dedup: a candidate reached from two beam nodes (or
+        // already in the beam) must spend ONE beam slot — d2 rows are
+        // bit-stable recomputes, so DISTINCT collapses them
+        .distinct()
+      pos = stepped.withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("d2"), col("cand"))))
+        .filter(col("rk") <= beam)
+        .select(col("query_id"), col("cand").as("node_id"), col("d2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSeq.sortBy(p => (p._1, p._3, p._2))
+      trace ++= best(pos).map(p => (p._1, h, p._2, p._3))
+    }
+    trace.result().toDF("query_id", "hop", "node_id", "d2")
+  }
+}

@@ -21,7 +21,8 @@ object VectorQueries {
       q184SemdedupOracled, q185IvfOracled, q208IvfGrowOracled,
       q186PcaPerLabelOracled,
       q188PqOracled, q189SweepOracled, q194ScalarQuant,
-      q195IvfPqOracled, q197SemanticDecon)
+      q195IvfPqOracled, q197SemanticDecon,
+      q231NnDescentOracled, q232GraphAnnServeOracled)
 
   /** The GROUND-TRUTH half of every cosine recall gate
     * (q47/q64/q66/q115), served through the SAME per-JVM cache those
@@ -1150,4 +1151,153 @@ object VectorQueries {
           round($"pc2", 6).as("pc2"), round($"pc3", 6).as("pc3"))
         .orderBy($"vec_id")
     })
+
+  /** The q154 fold as a SQL macro — both engines accumulate the
+    * elementwise squared differences left-to-right, so the doubles
+    * are bit-equal wherever this string and
+    * [[graft.expressions.ArrayL2Sq]] score the same pair. */
+  private def sqlD2(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** The unrolled NN-descent replay for
+    * [[graft.operators.NnDescent.knnGraph]]: ring init in
+    * projection-rank space (list_sum(v) = the same left-to-right fold
+    * as the Spark aggregate, so ranks agree), then per round
+    * undirect → cap co-neighbor lists at `cap`
+    * by (d2, id) → co-neighbor pairs → exact d2 → keep each node's k
+    * best. Distances are raw doubles: d2 is exactly symmetric and
+    * recomputation is bit-stable, so the DISTINCT dedups and the
+    * row_number tie-breaks see identical values on both engines. */
+  private def nnDescentCtes(k: Int, cap: Int, rounds: Int): String = {
+    val prefix =
+      "WITH vecs AS MATERIALIZED (SELECT vec_id AS id, " +
+        "embedding::DOUBLE[] AS v FROM embeddings), " +
+        "nn AS (SELECT count(*)::BIGINT AS n FROM vecs), " +
+        "rkd AS MATERIALIZED (SELECT id, v, " +
+        "(row_number() OVER (ORDER BY list_sum(v), id) - 1)::BIGINT " +
+        "AS rn FROM vecs), " +
+        s"e0 AS MATERIALIZED (SELECT a.id AS u, b.id AS nb, " +
+        s"${sqlD2("a.v", "b.v")} AS d2 FROM rkd a CROSS JOIN nn " +
+        s"CROSS JOIN (SELECT unnest(generate_series(1, $k)) AS o) os " +
+        "JOIN rkd b ON b.rn = (a.rn + os.o) % nn.n)"
+    val body = (1 to rounds).map { r =>
+      s", ud$r AS (SELECT DISTINCT x, y, d2 FROM (" +
+        s"SELECT u AS x, nb AS y, d2 FROM e${r - 1} UNION ALL " +
+        s"SELECT nb AS x, u AS y, d2 FROM e${r - 1}))" +
+        s", nx$r AS MATERIALIZED (SELECT x, y FROM (" +
+        "SELECT x, y, row_number() OVER (PARTITION BY x " +
+        s"ORDER BY d2, y) AS rk FROM ud$r) WHERE rk <= $cap)" +
+        s", cp$r AS MATERIALIZED (SELECT DISTINCT a.y AS u, " +
+        s"b.y AS nb FROM nx$r a JOIN nx$r b ON a.x = b.x " +
+        "WHERE a.y != b.y)" +
+        s", cd$r AS (SELECT c.u, c.nb, " +
+        s"${sqlD2("va.v", "vb.v")} AS d2 FROM cp$r c " +
+        "JOIN vecs va ON va.id = c.u JOIN vecs vb ON vb.id = c.nb)" +
+        s", e$r AS MATERIALIZED (SELECT u, nb, d2 FROM (" +
+        "SELECT u, nb, d2, row_number() OVER (PARTITION BY u " +
+        "ORDER BY d2, nb) AS rk FROM (SELECT DISTINCT u, nb, d2 " +
+        s"FROM (SELECT u, nb, d2 FROM e${r - 1} UNION ALL " +
+        s"SELECT u, nb, d2 FROM cd$r))) WHERE rk <= $k)"
+    }.mkString
+    prefix + body
+  }
+
+  /** Graph-based ANN, face 1: deterministic NN-descent k-NN-graph
+    * construction over the embeddings table
+    * ([[graft.operators.NnDescent.knnGraph]]) — the family face next
+    * to LSH/IVF/PQ/IVF-PQ/SQ8 (VERDICT r11 #4), FULLY ORACLED: DuckDB
+    * re-derives the ring init and all three unrolled refinement
+    * rounds, so every (node, rank, neighbor, distance) row of the
+    * built graph hashes. */
+  val q231NnDescentOracled: GraftQuery = GraftQuery(
+    "q231_nndescent_graph_oracled",
+    (s, d) => {
+      import s.implicits._
+      val vecs = Tables.embeddings(s, d)
+        .select($"vec_id".cast("long").as("id"),
+          graft.operators.Similarity.asDouble($"embedding").as("v"))
+      graft.operators.NnDescent.knnGraph(vecs, k = 8, cap = 16,
+          rounds = 3)
+        .select($"u", $"rank", $"nb", round($"d2", 6).as("d2"))
+        .orderBy($"u", $"rank")
+    },
+    Some(
+      nnDescentCtes(k = 8, cap = 16, rounds = 3) +
+        " SELECT u, rk AS rank, nb, round(d2, 6) AS d2 FROM (" +
+        "SELECT u, nb, d2, row_number() OVER (PARTITION BY u " +
+        "ORDER BY d2, nb) AS rk FROM e3) ORDER BY u, rank"))
+
+  /** Graph-based ANN, face 2: beam-search serving from the PERSISTED
+    * NN-descent graph ([[graft.operators.NnDescent.greedyTrace]],
+    * beam = 4 — the deterministic core of HNSW's ef-search) — five
+    * held-out probes (reversed stored vectors, the q206 convention)
+    * walk from the min-id entry node; each hop the frontier becomes
+    * the best 4 of {frontier} ∪ {frontier's neighbors}. The per-hop
+    * BEST forms the hashed 9-row-per-probe trace: the walk IS the
+    * serving protocol, and each hop reads beam·k edges + beam·k
+    * vectors however large the corpus. The graph builds once per JVM
+    * ([[AnnIndexes.prepared]]) so bench repeats measure serving, not
+    * reconstruction. */
+  val q232GraphAnnServeOracled: GraftQuery = GraftQuery(
+    "q232_graph_ann_serve_oracled",
+    (s, d) => {
+      import s.implicits._
+      def vecs = Tables.embeddings(s, d)
+        .select($"vec_id".cast("long").as("id"),
+          graft.operators.Similarity.asDouble($"embedding").as("v"))
+      val dir = AnnIndexes.prepared("nng_k8", d) { p =>
+        graft.operators.NnDescent.knnGraph(vecs, k = 8, cap = 16,
+          rounds = 3).write.mode("overwrite").parquet(p)
+      }
+      val probes = Tables.embeddings(s, d).filter($"vec_id" < 5)
+        .select($"vec_id".cast("long").as("query_id"),
+          reverse(graft.operators.Similarity.asDouble($"embedding"))
+            .as("qv"))
+      graft.operators.NnDescent.greedyTrace(
+          s.read.parquet(dir).select($"u", $"nb"), vecs, probes,
+          hops = 8)
+        .select($"query_id", $"hop", $"node_id",
+          round($"d2", 6).as("d2"))
+        .orderBy($"query_id", $"hop")
+    },
+    Some(
+      nnDescentCtes(k = 8, cap = 16, rounds = 3) +
+        ", pr AS (SELECT vec_id AS query_id, " +
+        "list_reverse(embedding::DOUBLE[]) AS qv FROM embeddings " +
+        "WHERE vec_id < 5), " +
+        // entry candidates at ranks floor(q·n/32) of the SAME
+        // projection order the build ranked by (rkd) — integer
+        // division matches the Scala Long division; the beam starts
+        // at the best 4 of the 32
+        "ents AS (SELECT DISTINCT r.id, r.v FROM rkd r CROSS JOIN nn " +
+        "JOIN (SELECT unnest(generate_series(0, 31)) AS q) q " +
+        "ON r.rn = (nn.n * q.q) // 32), " +
+        "g0 AS MATERIALIZED (SELECT query_id, qv, node_id, d2, rn " +
+        "FROM (SELECT query_id, qv, node_id, d2, " +
+        "row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY d2, node_id) AS rn FROM (" +
+        "SELECT pr.query_id, pr.qv, ents.id AS node_id, " +
+        s"${sqlD2("pr.qv", "ents.v")} AS d2 " +
+        "FROM pr CROSS JOIN ents)) WHERE rn <= 4)" +
+        (1 to 8).map { h =>
+          s", g$h AS MATERIALIZED (SELECT query_id, qv, node_id, " +
+            "d2, rn FROM (SELECT c.query_id, c.qv, " +
+            "c.cand AS node_id, c.d2, " +
+            "row_number() OVER (PARTITION BY c.query_id " +
+            "ORDER BY c.d2, c.cand) AS rn FROM (" +
+            "SELECT DISTINCT query_id, qv, cand, d2 FROM (" +
+            s"SELECT g.query_id, g.qv, g.node_id AS cand, g.d2 " +
+            s"FROM g${h - 1} g UNION ALL " +
+            "SELECT g.query_id, g.qv, e.nb AS cand, " +
+            s"${sqlD2("g.qv", "v.v")} AS d2 FROM g${h - 1} g " +
+            "JOIN e3 e ON e.u = g.node_id " +
+            "JOIN vecs v ON v.id = e.nb)) c) WHERE rn <= 4)"
+        }.mkString +
+        " SELECT query_id, hop, node_id, round(d2, 6) AS d2 FROM (" +
+        (0 to 8).map(h =>
+          s"SELECT query_id, $h AS hop, node_id, d2 FROM g$h " +
+            "WHERE rn = 1")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY query_id, hop"))
 }

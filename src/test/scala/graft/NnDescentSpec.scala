@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.NnDescent
+
+/** NN-descent quality and protocol gates. The oracle (q231/q232)
+  * proves ENGINE parity; this spec pins what the algorithm actually
+  * delivers — including the honest negative: convergence depends on
+  * the data's intrinsic dimension, so the clustered fixture must
+  * reach high recall while the near-uniform corpus is only recorded,
+  * not flattered. */
+class NnDescentSpec extends GraftSuite {
+  import spark.implicits._
+
+  /** 10 tight clusters in 8-dim — the structure NN-descent's
+    * neighbor-of-neighbor propagation exploits. Deterministic. */
+  private def clustered(nPerCluster: Int = 40): DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(10)(Seq.fill(8)(rnd.nextGaussian()))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until nPerCluster
+    } yield ((ci * nPerCluster + j).toLong,
+      c.map(_ + rnd.nextGaussian() * 0.15))
+    rows.toDF("id", "v")
+  }
+
+  private def recallAt8(vecs: DataFrame, graph: DataFrame): Double = {
+    val q = vecs.select($"id".as("u"), $"v".as("qv"))
+    val c = vecs.select($"id".as("enb"), $"v".as("cv"))
+    val exact = q.crossJoin(broadcast(c)).filter($"u" =!= $"enb")
+      .select($"u", $"enb",
+        graft.expressions.ArrayL2Sq($"qv", $"cv").as("d2"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"u").orderBy($"d2", $"enb")))
+      .filter($"rk" <= 8)
+      .select($"u", $"enb")
+    val hits = exact.join(
+      graph.select($"u".as("gu"), $"nb"),
+      $"u" === $"gu" && $"enb" === $"nb", "left")
+    val r = hits.agg(count(lit(1)), count($"nb")).collect()(0)
+    r.getLong(1).toDouble / r.getLong(0)
+  }
+
+  test("on clustered data the 3-round graph reaches ~0.9 recall@8, " +
+      "improving monotonically over rounds — the convergence the " +
+      "paper promises when intrinsic dimension is low") {
+    val vecs = clustered()
+    val recalls = (1 to 3).map { r =>
+      recallAt8(vecs, NnDescent.knnGraph(vecs, k = 8, cap = 16,
+        rounds = r))
+    }
+    assert(recalls(0) > 0.4, s"round-1 recall ${recalls(0)}")
+    assert(recalls(1) > recalls(0) && recalls(2) > recalls(1),
+      s"not improving: $recalls")
+    assert(recalls(2) > 0.85, s"round-3 recall ${recalls(2)}")
+  }
+
+  test("graph invariants: exactly k ranked neighbors per node, no " +
+      "self edges, d2 nondecreasing in rank") {
+    val vecs = clustered(20)
+    val g = NnDescent.knnGraph(vecs, k = 8, cap = 16, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    val byU = g.groupBy(_._1)
+    assert(byU.size === 200)
+    byU.foreach { case (u, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to 8),
+        s"node $u ranks ${rows.map(_._2).toSeq}")
+      assert(rows.forall(_._3 != u), s"self edge at $u")
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b },
+        s"d2 not monotone at $u")
+    }
+  }
+
+  test("greedy trace: d2 is non-increasing hop over hop, and on " +
+      "clustered data the walk lands on the probe's own cluster") {
+    val vecs = clustered()
+    val graph = NnDescent.knnGraph(vecs, k = 8, cap = 16, rounds = 3)
+    // probes: 3 stored points re-used as queries — their d2 minimum
+    // is 0 at themselves, so a good walk should end inside the
+    // cluster (d2 well under the inter-cluster scale)
+    val probes = vecs.filter($"id".isin(5L, 205L, 390L))
+      .select($"id".as("query_id"), $"v".as("qv"))
+    val tr = NnDescent.greedyTrace(graph.select($"u", $"nb"), vecs,
+        probes, hops = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    tr.groupBy(_._1).foreach { case (q, rows) =>
+      val walk = rows.sortBy(_._2).map(_._4)
+      assert(walk.size === 9)
+      assert(walk.zip(walk.tail).forall { case (a, b) => b <= a },
+        s"probe $q d2 increased along $walk")
+      // 0.15-sigma clusters in 8-dim: within-cluster d2 ~ 8*2*0.15^2
+      // = 0.36 expected; inter-cluster is O(10). Landing under 1.0
+      // means the walk crossed into the right cluster.
+      assert(walk.last < 1.0, s"probe $q stalled at d2 ${walk.last}")
+    }
+  }
+
+  test("the corpus recall is recorded, not assumed: near-uniform " +
+      "64-dim embeddings stall every neighbor-of-neighbor method — " +
+      "assert only the measured band so a silent collapse (or a " +
+      "data regeneration into clustered form) is still caught") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id".cast("long").as("id"),
+        graft.operators.Similarity.asDouble($"embedding").as("v"))
+    val g = NnDescent.knnGraph(vecs, k = 8, cap = 16, rounds = 3)
+    val r = recallAt8(vecs, g)
+    assert(r > 0.08 && r < 0.9,
+      s"corpus recall $r left the recorded band [0.08, 0.9) — " +
+        "re-measure and update BASELINE.md")
+  }
+}
