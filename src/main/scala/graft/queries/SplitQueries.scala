@@ -26,7 +26,7 @@ object SplitQueries {
     q221DailyUsersOracled, q222HistStreamOracled,
     q223SketchJaccardOracled, q225WatermarkLateOracled,
     q226SlidingLateOracled, q227SessionLateOracled,
-    q228UpdateModeOracled)
+    q228UpdateModeOracled, q233StreamJoinLateOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -1114,6 +1114,89 @@ object SplitQueries {
         "count(DISTINCT shard)::BIGINT AS n_updates, " +
         "count(*)::BIGINT AS n_final FROM surv " +
         "GROUP BY 1 ORDER BY 1"))
+
+  /** STREAM-STREAM JOIN late-data accounting, fully ORACLED — the
+    * stateful-JOIN face of the watermark protocol (the q225-q228
+    * quartet covers aggregation emission; HERE is which PAIRS a
+    * two-sided-watermark interval join actually produces). The events
+    * table rides the standard planted-straggler backlog (with
+    * event_type and user_id kept) through
+    * [[graft.streaming.EventStream.runLateJoin]]: purchases ⋈ clicks
+    * on user within [p_ts - 1h, p_ts], 30-minute watermarks both
+    * sides. The protocol DuckDB replays — discovered on hand fixtures
+    * and pinned in WatermarkLateSpec — differs from the aggregation
+    * quartet in every clause: join INPUT is never watermark-filtered;
+    * the clock is the MIN of the two sides' node watermarks (each =
+    * that side's running max minus the delay, so the slower side
+    * drags the clock); state eviction at batch end applies the LAGGED
+    * global watermark (2-PRECEDING over shards, the same lag q225
+    * found) with NON-strict thresholds — a purchase dies at
+    * p_ts <= wm, a click at c_ts + 1h <= wm (the interval's upper
+    * bound extends its lifetime); and a pair is emitted iff the
+    * earlier-arriving side survived every eviction before the later
+    * side's batch (same-batch arrivals always match). At 100 TB this
+    * is THE contract for enrichment joins over event streams: which
+    * correlations silently vanish under a watermark is now an
+    * oracle-checked row set. */
+  val q233StreamJoinLateOracled: GraftQuery = GraftQuery(
+    "q233_stream_join_late_oracled",
+    (s, d) => {
+      import s.implicits._
+      val src = AnnIndexes.prepared("q233src", d) { p =>
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"ts", $"event_id")
+        val sharded = Tables.events(s, d)
+          .select($"event_id", $"ts", $"event_type", $"user_id",
+            (ntile(4).over(w) - 1).as("q"),
+            row_number().over(w).as("rn"))
+          .select($"event_id", $"ts", $"event_type", $"user_id",
+            when($"rn" % 37 === 0, least($"q" + 2, lit(3)))
+              .otherwise($"q").cast("int").as("shard"))
+        graft.streaming.EventStream.writeShardedBacklog(s, p, sharded,
+          "shard", 4)
+      }
+      graft.streaming.EventStream.runLateJoin(s, src, "30 minutes",
+          queryName = "graft_q233")
+        .orderBy($"p_event_id", $"c_event_id")
+    },
+    Some(
+      "WITH ord AS (SELECT event_id, ts, event_type, user_id, " +
+        "ntile(4) OVER (ORDER BY ts, event_id) - 1 AS q, " +
+        "row_number() OVER (ORDER BY ts, event_id) AS rn FROM events), " +
+        "sh AS (SELECT event_id, ts, event_type, user_id, " +
+        "CASE WHEN rn % 37 = 0 THEN least(q + 2, 3) ELSE q END " +
+        "AS shard FROM ord), " +
+        // per-side node watermarks: running max per side, min of the
+        // two, minus the delay; NULL while either side is silent
+        "mx AS (SELECT shard, " +
+        "max(ts) FILTER (WHERE event_type = 'purchase') AS mp, " +
+        "max(ts) FILTER (WHERE event_type = 'click') AS mc " +
+        "FROM sh GROUP BY shard), " +
+        "rm AS (SELECT shard, max(mp) OVER (ORDER BY shard) AS rmp, " +
+        "max(mc) OVER (ORDER BY shard) AS rmc FROM mx), " +
+        "wm AS (SELECT shard, CASE WHEN rmp IS NULL OR rmc IS NULL " +
+        "THEN NULL ELSE least(rmp, rmc) - INTERVAL 30 MINUTE END " +
+        "AS w FROM rm), " +
+        // eviction effective before batch j = the lagged watermark
+        "wl AS (SELECT shard, lag(w, 2) OVER (ORDER BY shard) AS wl " +
+        "FROM wm), " +
+        "p AS (SELECT event_id, ts, user_id, shard FROM sh " +
+        "WHERE event_type = 'purchase'), " +
+        "c AS (SELECT event_id, ts, user_id, shard FROM sh " +
+        "WHERE event_type = 'click'), " +
+        "pairs AS (SELECT p.event_id AS p_event_id, " +
+        "c.event_id AS c_event_id, p.ts AS pts, c.ts AS cts, " +
+        "p.shard AS ps, c.shard AS cs FROM p JOIN c " +
+        "ON p.user_id = c.user_id " +
+        "AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts), " +
+        "surv AS (SELECT pr.* FROM pairs pr JOIN wl " +
+        "ON wl.shard = greatest(pr.ps, pr.cs) WHERE pr.ps = pr.cs " +
+        "OR (pr.ps < pr.cs AND (wl.wl IS NULL OR pr.pts > wl.wl)) " +
+        "OR (pr.cs < pr.ps AND (wl.wl IS NULL " +
+        "OR pr.cts + INTERVAL 1 HOUR > wl.wl))) " +
+        "SELECT p_event_id, c_event_id, epoch_ms(pts) AS p_ms, " +
+        "epoch_ms(cts) AS c_ms FROM surv " +
+        "ORDER BY p_event_id, c_event_id"))
 
   /** Event-time cardinality PROFILE — daily distinct users from
     * grouped portable-HLL registers, fully ORACLED: the q215 grouped

@@ -275,6 +275,47 @@ object EventStream {
       spark.table(queryName)
     }
 
+  /** Append-mode STREAM-STREAM interval join over a sharded backlog —
+    * the stateful-JOIN late-data face (q233): one file source drained
+    * a file per micro-batch, split into purchase and click sides
+    * (each with its own watermark on the shared clock), inner-joined
+    * on user within [p_ts - 1h, p_ts]. Which pairs the join emits is
+    * the protocol under test: per-side input admission against the
+    * LAGGED watermark, per-side state eviction against the current
+    * one (purchases evictable at p_ts < wm, clicks at c_ts + 1h <
+    * wm — the interval bound shifts the click side), and the
+    * match-before-evict batch boundary — all pinned in
+    * WatermarkLateSpec and replayed in DuckDB by q233's oracle.
+    * Returns (p_event_id, c_event_id, p_ms, c_ms). */
+  def runLateJoin(spark: SparkSession, srcDir: String, delay: String,
+      queryName: String = "graft_late_join",
+      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+    withPartitions(spark, shufflePartitions) {
+      val schema = spark.read.parquet(srcDir).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", delay)
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_event_id"),
+          col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", delay)
+      val joined = purchases.join(clicks, expr(
+          "p_user = c_user AND " +
+            "c_ts >= p_ts - interval 1 hour AND c_ts <= p_ts"))
+        .select(col("p_event_id"), col("c_event_id"),
+          unix_millis(col("p_ts")).as("p_ms"),
+          unix_millis(col("c_ts")).as("c_ms"))
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(queryName)
+    }
+
   private def withPartitions[A](spark: SparkSession,
       n: Option[Int])(body: => A): A = n match {
     case None => body

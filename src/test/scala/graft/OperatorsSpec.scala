@@ -2615,6 +2615,75 @@ class WatermarkLateSpec extends GraftSuite {
       (ms("13:00"), 3L, 3L)))
   }
 
+  test("stream-stream interval join late/eviction protocol (q233 " +
+      "discovery): inner-join input is NEVER watermark-filtered " +
+      "(unlike aggregations); the global clock is the MIN of both " +
+      "sides' node watermarks; state eviction at batch end uses the " +
+      "LAGGED global watermark with NON-strict thresholds (purchase " +
+      "dies at p_ts <= wm, click at c_ts + 1h <= wm — the interval's " +
+      "upper bound extends the click's lifetime); a row arriving in " +
+      "the very batch whose eviction kills its partner still joins") {
+    def ms(s: String) =
+      java.time.Instant.parse(s"2024-01-01T$s:00Z").toEpochMilli
+    def run(rows: Seq[(Long, Long, String, Int)], nShards: Int,
+        name: String): Seq[(Long, Long)] = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ssj_spec").toString
+      val df = rows.toDF("event_id", "m", "event_type", "shard")
+        .select($"event_id", timestamp_millis($"m").as("ts"),
+          $"event_type", lit(1L).as("user_id"), $"shard")
+      EventStream.writeShardedBacklog(spark, s"$root/src", df,
+        "shard", nShards)
+      EventStream.runLateJoin(spark, s"$root/src", "30 minutes", name)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(identity).toSeq
+    }
+    // the discovery fixture: every branch of the protocol at once
+    val got = run(Seq(
+      (1L, ms("10:00"), "click", 0),
+      (2L, ms("10:30"), "purchase", 0),
+      (3L, ms("13:00"), "purchase", 0),
+      (4L, ms("10:15"), "click", 1),     // joins buffered P2
+      (5L, ms("12:15"), "click", 2),     // BELOW any agg-style input
+                                         // wm, still admitted: joins
+                                         // P3/P6 now and P10 LATER
+      (6L, ms("12:40"), "purchase", 2),
+      (7L, ms("13:40"), "purchase", 2),
+      (8L, ms("13:05"), "click", 3),
+      (9L, ms("12:35"), "click", 3),
+      (10L, ms("12:50"), "purchase", 3),
+      (11L, ms("13:15"), "click", 4),
+      (12L, ms("15:00"), "purchase", 4),
+      (13L, ms("10:10"), "click", 3),    // P2 dies END of b3 (lagged
+                                         // min-wm 11:45) — same-batch
+                                         // arrival still matches
+      (14L, ms("12:20"), "click", 4),    // P3/P6/P10 die end of b4 —
+                                         // same-batch match again
+      (15L, ms("13:30"), "purchase", 4),
+      (16L, ms("15:10"), "click", 4),    // advances the click clock
+      (17L, ms("13:10"), "purchase", 5), // clicks die end of b5 —
+                                         // same-batch match
+      (18L, ms("13:55"), "purchase", 6), // C8/C11 evicted (c+1h <=
+                                         // 14:30) -> NO pairs
+      (19L, ms("12:05"), "click", 6)),   // P3/P6/P10 evicted -> NONE
+      7, "graft_ssj_spec_a")
+    assert(got === Seq((2L, 1L), (2L, 4L), (2L, 13L), (3L, 5L),
+      (3L, 9L), (3L, 14L), (6L, 5L), (6L, 9L), (6L, 14L), (7L, 8L),
+      (7L, 11L), (10L, 5L), (10L, 9L), (10L, 14L), (15L, 8L),
+      (15L, 9L), (15L, 11L), (17L, 5L), (17L, 8L), (17L, 9L),
+      (17L, 14L)))
+    // boundary strictness: WM(0) lands EXACTLY on P1's threshold
+    // (min side-max 12:30 - 30min = 12:00 = p_ts); the b2 click finds
+    // it gone -> eviction is p_ts <= wm, not <
+    val got2 = run(Seq(
+      (1L, ms("12:00"), "purchase", 0),
+      (2L, ms("12:30"), "click", 0),
+      (3L, ms("12:30"), "purchase", 0),
+      (4L, ms("23:00"), "click", 1),
+      (5L, ms("11:30"), "click", 2)), 3, "graft_ssj_spec_b")
+    assert(got2 === Seq((3L, 2L)))
+  }
+
   test("q227 oracle constraint holds at all three SFs: no surviving " +
       "straggler lands within the session gap of an earlier same-key " +
       "survivor whose session end had already passed an eviction " +
