@@ -26,7 +26,12 @@ object Registry {
       SqlCoverageQueries2.all ++ PipelineQueries.all ++
       CurationQueries.all ++ SplitQueries.all ++ AnalyticsQueries.all
 
+  /** Architecture-contrast demos kept OUT of the timed/gated registry
+    * (the `exhibit` CLI verb and MlContrastSpec run them) — see
+    * [[MLQueries.exhibits]]. */
+  def exhibits: Seq[GraftQuery] = MLQueries.exhibits
+
   def byName(name: String): GraftQuery =
-    all.find(_.name == name).getOrElse(
+    (all ++ exhibits).find(_.name == name).getOrElse(
       throw new NoSuchElementException(s"no query named $name"))
 }

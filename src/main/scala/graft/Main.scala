@@ -35,6 +35,8 @@ object Main {
     case "dedup-spans" :: input :: outDir :: rest =>
       runDedupSpans(input, outDir,
         rest.headOption.map(_.toInt).getOrElse(12))
+    case "exhibit" :: sfDir :: outDir :: _ =>
+      runExhibits(sfDir, outDir)
     case "score" :: input :: outDir :: _ =>
       runScore(input, outDir)
     case "media-meta" :: input :: outDir :: _ =>
@@ -723,6 +725,21 @@ object Main {
     println(s">>> [hybrid-search] results=" +
       s"${spark.read.parquet(outDir).count()}")
     spark.stop()
+  }
+
+  /** Architecture-contrast exhibits (q31/q32 spark.ml backends):
+    * runnable on demand, out of the timed registry (VERDICT r11 #7 —
+    * their by-design spark.ml per-job overhead measured nothing new
+    * at 11 s per capture). Writes one parquet dir per exhibit. */
+  private def runExhibits(sfDir: String, outDir: String): Unit = {
+    val spark = session()
+    Registry.exhibits.foreach { q =>
+      val t0 = System.nanoTime()
+      val res = q.run(spark, sfDir)
+      res.write.mode("overwrite").parquet(s"$outDir/${q.name}")
+      System.err.println(f"[exhibit] ${q.name} " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
   }
 
   private def runScore(input: String, outDir: String): Unit = {

@@ -241,6 +241,82 @@ object TextFunctions extends Serializable {
       .agg(count(lit(1)).as("n_bigrams"), avg(col("lp")).as("avg_logprob"))
   }
 
+  /** Interpolated Kneser-Ney TRIGRAM log-probability per document —
+    * the CCNet-class LM filter next to the q119 unigram and q128
+    * interpolated-bigram scorers (VERDICT r11 #8). Chen & Goodman
+    * (1998) interpolated KN with a fixed discount D:
+    *
+    *   P(w3|w1w2) = max(c(w1w2w3)−D,0)/c(w1w2·)
+    *                + D·N1+(w1w2·)/c(w1w2·) · P(w3|w2)
+    *   P(w3|w2)   = max(N1+(·w2w3)−D,0)/N1+(·w2·)
+    *                + D·N1+(w2·)/N1+(·w2·) · P(w3)
+    *   P(w3)      = N1+(·w3)/N1+(··)        (continuation unigram)
+    *
+    * Every count table derives from ONE trigram-count aggregation
+    * (c(w1w2·) = Σ_w3 c(w1w2w3); the bigram TYPE tables come from the
+    * distinct (w2,w3) pairs of the same relation) — one counts
+    * shuffle per order, then vocab-bounded broadcast joins back onto
+    * the scored trigrams. Scored trigrams come from the corpus, so
+    * c(w1w2w3) ≥ 1 and no denominator is ever 0. D = 0.75 — a dyadic
+    * literal, IEEE-exact on both engines; all arithmetic is spelled
+    * with the same shape the DuckDB oracle uses so the doubles agree
+    * bit-for-bit before the final 6-dp pin (the q128 contract). */
+  def trigramKnLogProb(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, discount: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    val D = lit(discount)
+    def trigramsOf(t: Column): Column =
+      zip_with(
+        zip_with(slice(t, lit(1), size(t) - 2),
+          slice(t, lit(2), size(t) - 2),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        slice(t, lit(3), size(t) - 2),
+        (p, c) => struct(p.getField("w1").as("w1"),
+          p.getField("w2").as("w2"), c.as("w3")))
+    val tri = df
+      .select(col(idCol),
+        explode(trigramsOf(tokens(col(textCol)))).as("t"))
+      .select(col(idCol), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+    val tc = tri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("ct"))
+    val hist = tc.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("ct")).as("ch"), countDistinct(col("w3")).as("n1f"))
+    val midn = tc.groupBy(col("w2"), col("w3"))
+      .agg(countDistinct(col("w1")).as("n1pre"))
+    val midd = tc.select(col("w1"), col("w2"), col("w3")).distinct()
+      .groupBy(col("w2")).agg(count(lit(1)).as("nmid"))
+    val bty = tc.select(col("w2"), col("w3")).distinct()
+    val bfol = bty.groupBy(col("w2")).agg(count(lit(1)).as("nfol"))
+    val bpre = bty.groupBy(col("w3")).agg(count(lit(1)).as("npre"))
+    val btot = broadcast(bty.agg(count(lit(1)).as("__b")))
+    val puni = col("npre").cast("double") / col("__b").cast("double")
+    val pmid =
+      greatest(col("n1pre").cast("double") - D, lit(0.0)) /
+        col("nmid").cast("double") +
+        D * col("nfol").cast("double") / col("nmid").cast("double") *
+        puni
+    val ptri =
+      greatest(col("ct").cast("double") - D, lit(0.0)) /
+        col("ch").cast("double") +
+        D * col("n1f").cast("double") / col("ch").cast("double") *
+        pmid
+    // count-table joins stay strategy-free (the q128 shape): at bench
+    // scale AQE broadcasts them, at 100 TB trigram TYPE tables can be
+    // billions of rows and the planner must be free to shuffle
+    val scored = tri
+      .join(tc, Seq("w1", "w2", "w3"))
+      .join(hist, Seq("w1", "w2"))
+      .join(midn, Seq("w2", "w3"))
+      .join(midd, Seq("w2"))
+      .join(bfol, Seq("w2"))
+      .join(bpre, Seq("w3"))
+      .crossJoin(btot)
+      .select(col(idCol), log(ptri).as("lp"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), avg(col("lp")).as("avg_logprob"))
+  }
+
   /** Gopher-style document-quality rule pack (Rae et al. 2021,
     * arXiv:2112.11446, Appendix A1.1 — the document filters of the
     * MassiveWeb curation pipeline), as ONE struct-valued expression so a

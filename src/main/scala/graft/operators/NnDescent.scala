@@ -84,7 +84,6 @@ object NnDescent {
         col("v").as("nv")), "rn2")
       .select(col("u"), col("nb"), d2(col("uv"), col("nv")).as("d2"))
       .persist()
-    edges.count()
     kept += edges
     for (_ <- 1 to rounds) {
       // undirect (d2 is exactly symmetric: (a-b)^2 == (b-a)^2 in
@@ -113,7 +112,6 @@ object NnDescent {
         .filter(col("rk") <= k)
         .select(col("u"), col("nb"), col("d2"))
         .persist()
-      next.count()
       kept += next
       edges = next
     }

@@ -16,7 +16,8 @@ object CurationQueries {
     Seq(q121GopherFilters, q122Winsorize, q123RollingFeatures,
       q124BpeMerges, q125QuantileBins, q126RankDistribution,
       q127BpeEncode, q128BigramLogProb, q129GroupingSets,
-      q130StringAgg, q229UnigramLmTrain, q230UnigramLmEncode)
+      q130StringAgg, q229UnigramLmTrain, q230UnigramLmEncode,
+      q234TrigramKnOracled)
 
   /** Gopher rule-pack sweep ([[TextFunctions.gopherFlags]]): per-doc
     * rule values + keep decision in ONE codegen'd scan — the MassiveWeb
@@ -286,6 +287,62 @@ object CurationQueries {
         "FROM bg JOIN bcnt USING (w1, w2) JOIN hcnt USING (w1) " +
         "JOIN cnt ON bg.w2 = cnt.t, tot) " +
         "SELECT doc_id, count(*) AS n_bigrams, " +
+        "round(avg(lp), 6) AS avg_logprob FROM sc " +
+        "GROUP BY doc_id ORDER BY doc_id"))
+
+  /** Interpolated Kneser-Ney TRIGRAM scoring
+    * ([[TextFunctions.trigramKnLogProb]]) — the LM-filter ladder's
+    * top rung (q119 unigram, q128 interpolated bigram, HERE KN
+    * trigram, the CCNet-class filter). FULLY ORACLED: DuckDB
+    * re-derives every KN count table from the corpus (trigram counts,
+    * history sums, continuation type counts) and replays the exact
+    * discount arithmetic (D = 0.75, a dyadic literal; every term
+    * ::DOUBLE-cast so DuckDB's decimal literals never enter — the
+    * q172 trap). */
+  val q234TrigramKnOracled: GraftQuery = GraftQuery(
+    "q234_trigram_kn_oracled",
+    (s, d) => {
+      import s.implicits._
+      TextFunctions.trigramKnLogProb(Tables.documents(s, d), "doc_id",
+          "text")
+        .select($"doc_id", $"n_trigrams",
+          round($"avg_logprob", 6).as("avg_logprob"))
+        .orderBy($"doc_id")
+    },
+    Some(
+      "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ws " +
+        "FROM documents), " +
+        "tri AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, " +
+        "ws[i+2] AS w3 FROM (SELECT doc_id, ws, " +
+        "unnest(generate_series(1, len(ws) - 2)) AS i FROM tk " +
+        "WHERE len(ws) >= 3)), " +
+        "tc AS (SELECT w1, w2, w3, count(*)::BIGINT AS ct FROM tri " +
+        "GROUP BY 1, 2, 3), " +
+        "hist AS (SELECT w1, w2, sum(ct)::BIGINT AS ch, " +
+        "count(DISTINCT w3)::BIGINT AS n1f FROM tc GROUP BY 1, 2), " +
+        "midn AS (SELECT w2, w3, count(DISTINCT w1)::BIGINT AS n1pre " +
+        "FROM tc GROUP BY 1, 2), " +
+        "midd AS (SELECT w2, count(*)::BIGINT AS nmid FROM tc " +
+        "GROUP BY 1), " +
+        "bty AS (SELECT DISTINCT w2, w3 FROM tc), " +
+        "bfol AS (SELECT w2, count(*)::BIGINT AS nfol FROM bty " +
+        "GROUP BY 1), " +
+        "bpre AS (SELECT w3, count(*)::BIGINT AS npre FROM bty " +
+        "GROUP BY 1), " +
+        "btot AS (SELECT count(*)::BIGINT AS b FROM bty), " +
+        "sc AS (SELECT tri.doc_id, ln(" +
+        "greatest(tc.ct::DOUBLE - 0.75::DOUBLE, 0.0::DOUBLE) / " +
+        "hist.ch::DOUBLE + " +
+        "0.75::DOUBLE * hist.n1f::DOUBLE / hist.ch::DOUBLE * (" +
+        "greatest(midn.n1pre::DOUBLE - 0.75::DOUBLE, 0.0::DOUBLE) / " +
+        "midd.nmid::DOUBLE + " +
+        "0.75::DOUBLE * bfol.nfol::DOUBLE / midd.nmid::DOUBLE * " +
+        "(bpre.npre::DOUBLE / btot.b::DOUBLE))) AS lp " +
+        "FROM tri JOIN tc USING (w1, w2, w3) " +
+        "JOIN hist USING (w1, w2) JOIN midn USING (w2, w3) " +
+        "JOIN midd USING (w2) JOIN bfol USING (w2) " +
+        "JOIN bpre ON tri.w3 = bpre.w3 CROSS JOIN btot) " +
+        "SELECT doc_id, count(*)::BIGINT AS n_trigrams, " +
         "round(avg(lp), 6) AS avg_logprob FROM sc " +
         "GROUP BY doc_id ORDER BY doc_id"))
 

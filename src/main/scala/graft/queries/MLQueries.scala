@@ -15,10 +15,20 @@ import graft.preprocess.Scaling
   */
 object MLQueries {
 
-  def all: Seq[GraftQuery] = Seq(q30ClusterLocal, q31ClusterMl,
-    q32ClusterGmmMl, q33OptimalKLocal, q34CentroidRadius, q35SegmentGuard,
+  def all: Seq[GraftQuery] = Seq(q30ClusterLocal,
+    q33OptimalKLocal, q34CentroidRadius, q35SegmentGuard,
     q36ClusterBisecting, q37ClusterGmmLocal, q38TfIdf, q39Cluster3d,
     q81Word2Vec, q191Word2VecOracled)
+
+  /** The spark.ml CONTRAST demos (q31/q32) — architecture exhibits,
+    * not timed-registry rows (VERDICT r11 #7): their 11 s/capture is
+    * by-design spark.ml per-job overhead, the very thing the q30/q37
+    * one-shuffle engine exists to avoid, so paying it in every bench
+    * capture measures nothing new. They stay runnable (`exhibit` CLI
+    * verb, MlContrastSpec keeps them green at spec SF) and their
+    * semantics stay gated through the oracled engine faces
+    * (q158/q181/q182/q190/q205). */
+  def exhibits: Seq[GraftQuery] = Seq(q31ClusterMl, q32ClusterGmmMl)
 
   private def lineitemConf = EngineConf(
     macroCol = "l_returnflag", microCol = "l_linestatus",
