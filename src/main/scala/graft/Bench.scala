@@ -80,6 +80,21 @@ object Bench {
     }
   }
 
+  /** (total cpu ticks, steal ticks) from /proc/stat — host-level CPU
+    * steal is invisible to load average and JVM metrics, but it
+    * inflates every query uniformly (the broad-window capture class);
+    * sampling it per repeat makes that cause readable from the
+    * artifact. (0,0) off Linux. */
+  private def cpuTicks(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+")
+          .drop(1).map(_.toLong)
+        (f.sum, if (f.length > 7) f(7) else 0L)
+      } finally src.close()
+    } catch { case _: Exception => (0L, 0L) }
+
   private def fmt(v: Double): String = {
     // 1-decimal, trailing-zero-trimmed: at 172 queries the r8 metric
     // line hit 2062 chars and the driver captured total-only. 0.1 s
@@ -163,13 +178,19 @@ object Bench {
     // the artifact.
     val results = queries.map { case (name, fn) =>
       val samples = (1 to repeats).map { _ =>
+        val ticks0 = cpuTicks()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        (sec, load1, freeHeapMb, telemetry.settleRead())
+        val ticks1 = cpuTicks()
+        val dTot = ticks1._1 - ticks0._1
+        val steal =
+          if (dTot <= 0) 0.0
+          else 100.0 * (ticks1._2 - ticks0._2) / dTot
+        (sec, load1, freeHeapMb, telemetry.settleRead(), steal)
       }
       settle()
       val times = samples.map(_._1)
@@ -224,7 +245,8 @@ object Bench {
         f"load=${all.map(s => f"${s._2}%.1f").mkString(",")} " +
         f"freeMb=${all.map(_._3).mkString(",")} " +
         f"gcMs=${all.map(_._4._1).mkString(",")} " +
-        f"shufMb=${all.map(s => mb(s._4._2 + s._4._3)).mkString(",")}")
+        f"shufMb=${all.map(s => mb(s._4._2 + s._4._3)).mkString(",")} " +
+        f"steal%%=${all.map(s => f"${s._5}%.1f").mkString(",")}")
     }
     val total = results.map(_._2).sum // sum of per-query medians
     // basename only: the full path spends ~15 chars of the driver's
@@ -287,7 +309,8 @@ object Bench {
           ",\"rsrMb\":[" + all.map(s => mb(s._4._2)).mkString(",") + "]" +
           ",\"rswMb\":[" + all.map(s => mb(s._4._3)).mkString(",") + "]" +
           ",\"rspillMb\":[" + all.map(s => mb(s._4._4)).mkString(",") + "]" +
-          ",\"rpeakMb\":[" + all.map(s => mb(s._4._5)).mkString(",") + "]}"
+          ",\"rpeakMb\":[" + all.map(s => mb(s._4._5)).mkString(",") + "]" +
+          ",\"rstealPct\":[" + all.map(s => f"${s._5}%.1f").mkString(",") + "]}"
         // cpus is quoted: SPARK_GRAFT_CPUS="*" is a legitimate setting
         // (local[*]) that would otherwise emit unparseable JSON
       } :+ s""""__env":{$env,"cpus":"$cpus"}""").mkString("{", ",", "}")

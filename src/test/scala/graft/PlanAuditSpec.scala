@@ -77,6 +77,7 @@ class PlanAuditSpec extends GraftSuite {
     "q91_heavy_hitters",      // ÷ total rows (share %)
     "q119_unigram_logprob",   // ÷ (N + V) Laplace denominator
     "q128_bigram_logprob",    // same (N + V) backoff denominator
+    "q234_trigram_kn_oracled", // ÷ 1-row bigram-type total (KN base)
     "q133_dsir_resample",     // ÷ corpus gram totals (DSIR smoothing)
     "q160_bm25_topk",         // × 1-row (N, avgdl) corpus stats
     "q177_dsir_oracled",      // same DSIR smoothing ÷ 1-row totals
