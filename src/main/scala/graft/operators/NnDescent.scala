@@ -86,31 +86,42 @@ object NnDescent {
       .persist()
     kept += edges
     for (_ <- 1 to rounds) {
-      // undirect (d2 is exactly symmetric: (a-b)^2 == (b-a)^2 in
-      // IEEE, same index order both ways, so the dedup sees
-      // bit-equal rows from either direction)
-      val und = edges.select(col("u").as("x"), col("nb").as("y"),
-          col("d2"))
-        .unionAll(edges.select(col("nb").as("x"), col("u").as("y"),
-          col("d2")))
-        .distinct()
-      val nx = und.withColumn("rk", row_number().over(
-          Window.partitionBy(col("x")).orderBy(col("d2"), col("y"))))
-        .filter(col("rk") <= cap)
-        .select(col("x"), col("y"))
-      val cp = nx.as("a").join(nx.as("b"), Seq("x"))
-        .select(col("a.y").as("u"), col("b.y").as("nb"))
+      // capped co-neighbor lists in ONE aggregation per node: undirect
+      // (d2 is exactly symmetric — (a-b)^2 == (b-a)^2 in IEEE, same
+      // index order both ways, so duplicates are bit-equal), then
+      // sort_array on struct(d2, y) IS the (d2, id) total order,
+      // array_distinct collapses the both-directions duplicates
+      // (first occurrence of bit-equal structs), slice caps. The
+      // distinct + row_number window formulation this replaces spent
+      // three exchanges on the same result (r12 A/B: hash-identical
+      // at all three SFs, build median 11.6 → 7.0 s at sf0.1)
+      val nxArr = edges.select(col("u").as("x"),
+          struct(col("d2"), col("nb").as("y")).as("e"))
+        .unionAll(edges.select(col("nb").as("x"),
+          struct(col("d2"), col("u").as("y")).as("e")))
+        .groupBy(col("x"))
+        .agg(slice(array_distinct(sort_array(collect_list(col("e")))),
+          1, cap).as("ns"))
+      // co-neighbor pairs explode MAP-SIDE from the capped array —
+      // no self-join; duplicate (u, nb) pairs across hub nodes just
+      // recompute a bit-identical d2 and collapse in the final dedup
+      val cp = nxArr.select(
+          explode(expr("transform(ns, e -> e.y)")).as("u"), col("ns"))
+        .select(col("u"),
+          explode(expr("transform(ns, e -> e.y)")).as("nb"))
         .filter(col("u") =!= col("nb"))
-        .distinct()
       val cd = cp
         .join(vv.select(col("id").as("u"), col("v").as("uv")), "u")
         .join(vv.select(col("id").as("nb"), col("v").as("nv")), "nb")
         .select(col("u"), col("nb"), d2(col("uv"), col("nv")).as("d2"))
-      val next = edges.unionAll(cd).distinct()
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("u")).orderBy(col("d2"), col("nb"))))
-        .filter(col("rk") <= k)
-        .select(col("u"), col("nb"), col("d2"))
+      // keep-k: the same one-aggregation shape (sort, dedup, cap)
+      val next = edges.unionAll(cd)
+        .select(col("u"), struct(col("d2"), col("nb")).as("e"))
+        .groupBy(col("u"))
+        .agg(slice(array_distinct(sort_array(collect_list(col("e")))),
+          1, k).as("es"))
+        .select(col("u"), explode(col("es")).as("e"))
+        .select(col("u"), col("e.nb").as("nb"), col("e.d2").as("d2"))
         .persist()
       kept += next
       edges = next
