@@ -26,7 +26,8 @@ object SplitQueries {
     q221DailyUsersOracled, q222HistStreamOracled,
     q223SketchJaccardOracled, q225WatermarkLateOracled,
     q226SlidingLateOracled, q227SessionLateOracled,
-    q228UpdateModeOracled, q233StreamJoinLateOracled)
+    q228UpdateModeOracled, q233StreamJoinLateOracled,
+    q235OuterJoinLateOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -1115,6 +1116,27 @@ object SplitQueries {
         "count(*)::BIGINT AS n_final FROM surv " +
         "GROUP BY 1 ORDER BY 1"))
 
+  /** The ONE q233/q235 backlog builder behind the per-JVM
+    * `prepared("q233src")` cache — the q225 shared-builder lesson
+    * (ADVICE r11) applied on arrival: the inner and outer join faces
+    * must read the same arrival order by construction. */
+  private def writeJoinLateBacklog(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      p: String): Unit = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"ts", $"event_id")
+    val sharded = Tables.events(s, d)
+      .select($"event_id", $"ts", $"event_type", $"user_id",
+        (ntile(4).over(w) - 1).as("q"),
+        row_number().over(w).as("rn"))
+      .select($"event_id", $"ts", $"event_type", $"user_id",
+        when($"rn" % 37 === 0, least($"q" + 2, lit(3)))
+          .otherwise($"q").cast("int").as("shard"))
+    graft.streaming.EventStream.writeShardedBacklog(s, p, sharded,
+      "shard", 4)
+  }
+
   /** STREAM-STREAM JOIN late-data accounting, fully ORACLED — the
     * stateful-JOIN face of the watermark protocol (the q225-q228
     * quartet covers aggregation emission; HERE is which PAIRS a
@@ -1142,19 +1164,8 @@ object SplitQueries {
     "q233_stream_join_late_oracled",
     (s, d) => {
       import s.implicits._
-      val src = AnnIndexes.prepared("q233src", d) { p =>
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy($"ts", $"event_id")
-        val sharded = Tables.events(s, d)
-          .select($"event_id", $"ts", $"event_type", $"user_id",
-            (ntile(4).over(w) - 1).as("q"),
-            row_number().over(w).as("rn"))
-          .select($"event_id", $"ts", $"event_type", $"user_id",
-            when($"rn" % 37 === 0, least($"q" + 2, lit(3)))
-              .otherwise($"q").cast("int").as("shard"))
-        graft.streaming.EventStream.writeShardedBacklog(s, p, sharded,
-          "shard", 4)
-      }
+      val src = AnnIndexes.prepared("q233src", d)(
+        writeJoinLateBacklog(s, d, _))
       graft.streaming.EventStream.runLateJoin(s, src, "30 minutes",
           queryName = "graft_q233")
         .orderBy($"p_event_id", $"c_event_id")
@@ -1177,13 +1188,21 @@ object SplitQueries {
         "wm AS (SELECT shard, CASE WHEN rmp IS NULL OR rmc IS NULL " +
         "THEN NULL ELSE least(rmp, rmc) - INTERVAL 30 MINUTE END " +
         "AS w FROM rm), " +
-        // eviction effective before batch j = the lagged watermark
+        // eviction effective before batch j = the lagged watermark —
+        // the SAME value that gates input admission (below)
         "wl AS (SELECT shard, lag(w, 2) OVER (ORDER BY shard) AS wl " +
         "FROM wm), " +
-        "p AS (SELECT event_id, ts, user_id, shard FROM sh " +
-        "WHERE event_type = 'purchase'), " +
-        "c AS (SELECT event_id, ts, user_id, shard FROM sh " +
-        "WHERE event_type = 'click'), " +
+        // input-late rows (ts <= the lagged wm at arrival) are
+        // DROPPED ENTIRELY — they join nothing, not even same-batch
+        // state (the ProbeOJ2 discovery, pinned in WatermarkLateSpec)
+        "p AS (SELECT event_id, ts, user_id, sh.shard FROM sh " +
+        "JOIN wl ON wl.shard = sh.shard " +
+        "WHERE event_type = 'purchase' " +
+        "AND (wl.wl IS NULL OR ts > wl.wl)), " +
+        "c AS (SELECT event_id, ts, user_id, sh.shard FROM sh " +
+        "JOIN wl ON wl.shard = sh.shard " +
+        "WHERE event_type = 'click' " +
+        "AND (wl.wl IS NULL OR ts > wl.wl)), " +
         "pairs AS (SELECT p.event_id AS p_event_id, " +
         "c.event_id AS c_event_id, p.ts AS pts, c.ts AS cts, " +
         "p.shard AS ps, c.shard AS cs FROM p JOIN c " +
@@ -1197,6 +1216,92 @@ object SplitQueries {
         "SELECT p_event_id, c_event_id, epoch_ms(pts) AS p_ms, " +
         "epoch_ms(cts) AS c_ms FROM surv " +
         "ORDER BY p_event_id, c_event_id"))
+
+  /** LEFT OUTER stream-stream join late accounting, fully ORACLED —
+    * q233's outer face: WHEN does an unmatched purchase get its
+    * (p, NULL) row? The discovered protocol (pinned in
+    * WatermarkLateSpec on the same hand fixtures):
+    *
+    *  - a row arriving with ts at or below the LAGGED watermark (the
+    *    same eventTimeWatermarkForLateEvents aggregations filter
+    *    with) is dropped ENTIRELY — it joins nothing, not even
+    *    existing state, and a dropped left row NEVER gets a null row
+    *    (ProbeOJ2: an input-late click did not match an alive stored
+    *    purchase, and the purchase later nulled);
+    *  - an ADMITTED left row that matched nothing emits (p, NULL)
+    *    when its state is evicted — including by the trailing
+    *    no-data batch, whose eviction watermark is the FINAL one
+    *    (computed from all data), not the lagged one;
+    *  - so at drain end: null rows = admitted ∧ zero emitted pairs ∧
+    *    p_ts <= final watermark. Matched-then-evicted rows never
+    *    null (match-before-evict marks them).
+    *
+    * At 100 TB this is the funnel-analysis contract: which purchases
+    * report "no preceding click" vs which silently report NOTHING
+    * (input-late rows!) is now an oracle-checked row set — the
+    * silent class is the one that surprises people. */
+  val q235OuterJoinLateOracled: GraftQuery = GraftQuery(
+    "q235_outer_join_late_oracled",
+    (s, d) => {
+      import s.implicits._
+      // same prepared backlog as q233 (shared key AND builder)
+      val src = AnnIndexes.prepared("q233src", d)(
+        writeJoinLateBacklog(s, d, _))
+      graft.streaming.EventStream.runLateJoin(s, src, "30 minutes",
+          queryName = "graft_q235", joinType = "leftOuter")
+        .orderBy($"p_event_id", $"c_event_id".asc_nulls_first)
+    },
+    Some(
+      "WITH ord AS (SELECT event_id, ts, event_type, user_id, " +
+        "ntile(4) OVER (ORDER BY ts, event_id) - 1 AS q, " +
+        "row_number() OVER (ORDER BY ts, event_id) AS rn FROM events), " +
+        "sh AS (SELECT event_id, ts, event_type, user_id, " +
+        "CASE WHEN rn % 37 = 0 THEN least(q + 2, 3) ELSE q END " +
+        "AS shard FROM ord), " +
+        "mx AS (SELECT shard, " +
+        "max(ts) FILTER (WHERE event_type = 'purchase') AS mp, " +
+        "max(ts) FILTER (WHERE event_type = 'click') AS mc " +
+        "FROM sh GROUP BY shard), " +
+        "rm AS (SELECT shard, max(mp) OVER (ORDER BY shard) AS rmp, " +
+        "max(mc) OVER (ORDER BY shard) AS rmc FROM mx), " +
+        "wm AS (SELECT shard, CASE WHEN rmp IS NULL OR rmc IS NULL " +
+        "THEN NULL ELSE least(rmp, rmc) - INTERVAL 30 MINUTE END " +
+        "AS w FROM rm), " +
+        // wl = the lagged watermark: BOTH the input-admission gate
+        // and the pair-survival clock (q233); wf = the final one the
+        // trailing no-data batch evicts with
+        "wl AS (SELECT shard, lag(w, 2) OVER (ORDER BY shard) AS wl " +
+        "FROM wm), " +
+        "fin AS (SELECT w AS wf FROM wm ORDER BY shard DESC LIMIT 1), " +
+        "p AS (SELECT event_id, ts, user_id, sh.shard FROM sh " +
+        "JOIN wl ON wl.shard = sh.shard " +
+        "WHERE event_type = 'purchase' " +
+        "AND (wl.wl IS NULL OR ts > wl.wl)), " +
+        "c AS (SELECT event_id, ts, user_id, sh.shard FROM sh " +
+        "JOIN wl ON wl.shard = sh.shard " +
+        "WHERE event_type = 'click' " +
+        "AND (wl.wl IS NULL OR ts > wl.wl)), " +
+        "pairs AS (SELECT p.event_id AS p_event_id, " +
+        "c.event_id AS c_event_id, p.ts AS pts, c.ts AS cts, " +
+        "p.shard AS ps, c.shard AS cs FROM p JOIN c " +
+        "ON p.user_id = c.user_id " +
+        "AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts), " +
+        "surv AS (SELECT pr.* FROM pairs pr JOIN wl " +
+        "ON wl.shard = greatest(pr.ps, pr.cs) WHERE pr.ps = pr.cs " +
+        "OR (pr.ps < pr.cs AND (wl.wl IS NULL OR pr.pts > wl.wl)) " +
+        "OR (pr.cs < pr.ps AND (pr.cts + INTERVAL 1 HOUR > wl.wl " +
+        "OR wl.wl IS NULL))), " +
+        "nulls AS (SELECT p.event_id AS p_event_id, " +
+        "NULL::BIGINT AS c_event_id, epoch_ms(p.ts) AS p_ms, " +
+        "NULL::BIGINT AS c_ms FROM p, fin " +
+        "WHERE p.ts <= fin.wf " +
+        "AND NOT EXISTS (SELECT 1 FROM surv " +
+        "WHERE surv.p_event_id = p.event_id)) " +
+        "SELECT * FROM (" +
+        "SELECT p_event_id, c_event_id, epoch_ms(pts) AS p_ms, " +
+        "epoch_ms(cts) AS c_ms FROM surv " +
+        "UNION ALL SELECT * FROM nulls) " +
+        "ORDER BY p_event_id, c_event_id NULLS FIRST"))
 
   /** Event-time cardinality PROFILE — daily distinct users from
     * grouped portable-HLL registers, fully ORACLED: the q215 grouped

@@ -289,7 +289,8 @@ object EventStream {
     * Returns (p_event_id, c_event_id, p_ms, c_ms). */
   def runLateJoin(spark: SparkSession, srcDir: String, delay: String,
       queryName: String = "graft_late_join",
-      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+      shufflePartitions: Option[Int] = Some(8),
+      joinType: String = "inner"): DataFrame =
     withPartitions(spark, shufflePartitions) {
       val schema = spark.read.parquet(srcDir).schema
       val src = spark.readStream.schema(schema)
@@ -304,7 +305,8 @@ object EventStream {
         .withWatermark("c_ts", delay)
       val joined = purchases.join(clicks, expr(
           "p_user = c_user AND " +
-            "c_ts >= p_ts - interval 1 hour AND c_ts <= p_ts"))
+            "c_ts >= p_ts - interval 1 hour AND c_ts <= p_ts"),
+          joinType)
         .select(col("p_event_id"), col("c_event_id"),
           unix_millis(col("p_ts")).as("p_ms"),
           unix_millis(col("c_ts")).as("c_ms"))

@@ -2684,6 +2684,63 @@ class WatermarkLateSpec extends GraftSuite {
     assert(got2 === Seq((3L, 2L)))
   }
 
+  test("LEFT OUTER stream-stream join protocol (q235 discovery): an " +
+      "input-late row (ts <= the LAGGED watermark at arrival) is " +
+      "dropped ENTIRELY — it joins nothing, not even alive state, " +
+      "and never gets a null row; an ADMITTED unmatched left row " +
+      "emits (p, NULL) only when evicted, including by the trailing " +
+      "no-data batch with the FINAL watermark") {
+    def ms(s: String) =
+      java.time.Instant.parse(s"2024-01-01T$s:00Z").toEpochMilli
+    def run(rows: Seq[(Long, Long, String, Int)], nShards: Int,
+        name: String): Seq[(Long, Long)] = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_oj_spec").toString
+      val df = rows.toDF("event_id", "m", "event_type", "shard")
+        .select($"event_id", timestamp_millis($"m").as("ts"),
+          $"event_type", lit(1L).as("user_id"), $"shard")
+      EventStream.writeShardedBacklog(spark, s"$root/src", df,
+        "shard", nShards)
+      EventStream.runLateJoin(spark, s"$root/src", "30 minutes", name,
+          joinType = "leftOuter")
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sortBy(identity).toSeq
+    }
+    // W(0) = 12:00 (min side-max). C6@11:50 arrives b2 where the
+    // LAGGED wm is 12:00 >= its ts: dropped entirely, even though
+    // P1@12:10 sits alive in state and P8 arrives the same batch —
+    // P1 then nulls as UNMATCHED once the final watermark (19:30)
+    // passes it. The input-late purchase P7 is dropped too: no null.
+    // P9@20:00 is admitted but unevicted (> 19:30): no null either.
+    val got = run(Seq(
+      (1L, ms("12:10"), "purchase", 0),
+      (2L, ms("12:30"), "purchase", 0),
+      (3L, ms("12:30"), "click", 0),
+      (4L, ms("13:10"), "click", 1),
+      (5L, ms("13:40"), "purchase", 1),
+      (6L, ms("11:50"), "click", 2),
+      (7L, ms("11:55"), "purchase", 2),
+      (8L, ms("12:40"), "purchase", 2),
+      (9L, ms("20:00"), "purchase", 3),
+      (10L, ms("20:05"), "click", 3)), 4, "graft_oj_spec_a")
+    assert(got === Seq((1L, -1L), (2L, 3L), (5L, 4L), (8L, 3L)))
+    // null emission NEEDS eviction: the same fixture truncated before
+    // the clock-pusher shard leaves the final watermark at 12:40, so
+    // P1@12:10 still nulls but nothing else changes except the
+    // now-unevicted rows silently holding state
+    val got2 = run(Seq(
+      (1L, ms("12:10"), "purchase", 0),
+      (2L, ms("12:30"), "purchase", 0),
+      (3L, ms("12:30"), "click", 0),
+      (4L, ms("13:10"), "click", 1),
+      (5L, ms("13:40"), "purchase", 1),
+      (6L, ms("11:50"), "click", 2),
+      (7L, ms("11:55"), "purchase", 2),
+      (8L, ms("12:40"), "purchase", 2)), 3, "graft_oj_spec_b")
+    assert(got2 === Seq((1L, -1L), (2L, 3L), (5L, 4L), (8L, 3L)))
+  }
+
   test("q227 oracle constraint holds at all three SFs: no surviving " +
       "straggler lands within the session gap of an earlier same-key " +
       "survivor whose session end had already passed an eviction " +
