@@ -221,9 +221,13 @@ object Bench {
     // r11: threshold raised 0.15 → 0.2 s after the 222-query line hit
     // 1956 chars and degraded the stdout copy to total-only. Entries
     // in [0.15, 0.2) carry no regression signal either (the trip-bar
-    // is >0.2 s); folding the ~29 of them buys ~260 chars — headroom
-    // to ~245 registry queries.
-    val tailThreshold = 0.2
+    // is >0.2 s); folding the ~29 of them buys ~260 chars.
+    // r12: 0.2 → 0.25 — the 227-query line read 1916 chars (3 queries
+    // of headroom). A [0.2, 0.25) row leaves the stdout line only;
+    // its median stays in bench_detail.json (committed every round,
+    // the series of record), which is where trip-bar adjudication
+    // reads from anyway.
+    val tailThreshold = 0.25
     val (big, tail) = prefixes.zip(results)
       .partition { case (_, (_, med, _, _)) => med >= tailThreshold }
     val qs = big
