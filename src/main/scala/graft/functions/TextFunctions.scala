@@ -265,14 +265,20 @@ object TextFunctions extends Serializable {
       idCol: String, textCol: String, discount: Double = 0.75)
       : org.apache.spark.sql.DataFrame = {
     val D = lit(discount)
-    def trigramsOf(t: Column): Column =
+    // window count clamped at 0: a doc with < 3 tokens has NO trigrams
+    // and must vanish from the output (the oracle's len(ws) >= 3
+    // guard), not crash — Slice throws on a negative length, and a
+    // 1-token doc makes size(t) - 2 = -1 (ADVICE r12)
+    def trigramsOf(t: Column): Column = {
+      val nTri = greatest(size(t) - 2, lit(0))
       zip_with(
-        zip_with(slice(t, lit(1), size(t) - 2),
-          slice(t, lit(2), size(t) - 2),
+        zip_with(slice(t, lit(1), nTri),
+          slice(t, lit(2), nTri),
           (a, b) => struct(a.as("w1"), b.as("w2"))),
-        slice(t, lit(3), size(t) - 2),
+        slice(t, lit(3), nTri),
         (p, c) => struct(p.getField("w1").as("w1"),
           p.getField("w2").as("w2"), c.as("w3")))
+    }
     val tri = df
       .select(col(idCol),
         explode(trigramsOf(tokens(col(textCol)))).as("t"))

@@ -280,12 +280,15 @@ object EventStream {
     * a file per micro-batch, split into purchase and click sides
     * (each with its own watermark on the shared clock), inner-joined
     * on user within [p_ts - 1h, p_ts]. Which pairs the join emits is
-    * the protocol under test: per-side input admission against the
-    * LAGGED watermark, per-side state eviction against the current
-    * one (purchases evictable at p_ts < wm, clicks at c_ts + 1h <
-    * wm — the interval bound shifts the click side), and the
-    * match-before-evict batch boundary — all pinned in
-    * WatermarkLateSpec and replayed in DuckDB by q233's oracle.
+    * the protocol under test: per-side input admission AND per-side
+    * state eviction both run against the LAGGED global watermark
+    * (2-PRECEDING over batches, the q225 lag) with NON-strict
+    * thresholds — a purchase dies at p_ts <= wm, a click at
+    * c_ts + 1h <= wm (the interval's upper bound extends the click
+    * side's lifetime) — plus the match-before-evict batch boundary;
+    * all pinned in WatermarkLateSpec and replayed in DuckDB by q233's
+    * oracle (see the q233 scaladoc in SplitQueries for the full
+    * clause list).
     * Returns (p_event_id, c_event_id, p_ms, c_ms). */
   def runLateJoin(spark: SparkSession, srcDir: String, delay: String,
       queryName: String = "graft_late_join",

@@ -15,7 +15,12 @@ class TrigramKnSpec extends GraftSuite {
     (2L, "b c a b c"),
     (3L, "c c a b a d"),
     (4L, "a b"), // < 3 tokens: contributes no trigram, absent from out
-    (5L, "d a b c a a"))
+    (5L, "d a b c a a"),
+    // the ADVICE-r12 crash class: size(tokens) - 2 goes NEGATIVE here
+    // (Slice throws "Unexpected value for length" without the clamp) —
+    // both must score nothing, not fail the whole corpus scan
+    (6L, "a"), // 1 token
+    (7L, "")) // split("", " ") = [""] — 1 empty token
 
   private val D = 0.75
 
@@ -82,6 +87,7 @@ class TrigramKnSpec extends GraftSuite {
     }.toMap
     assert(got.keySet === expect.keySet)
     assert(!got.contains(4L)) // the 2-token doc scored nothing
+    assert(!got.contains(6L) && !got.contains(7L)) // sub-2-token docs too
     expect.foreach { case (id, (n, avg)) =>
       assert(got(id)._1 === n)
       assert(math.abs(got(id)._2 - avg) < 1e-12,
