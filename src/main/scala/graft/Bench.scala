@@ -63,8 +63,13 @@ object Bench {
     private def read: (Long, Long, Long, Long, Long) =
       (gcMs.get, shufRead.get, shufWrite.get, spill.get, peakMem.get)
     /** Wait for the async bus to drain (stable read), then return the
-      * counters since the last reset and zero them. */
-    def settleRead(): (Long, Long, Long, Long, Long) = {
+      * counters since the last reset and zero them. The Boolean is
+      * the settled flag (ADVICE r12): `false` means the 1 s cap fired
+      * before two consecutive reads agreed, so the returned counters
+      * may be partially drained and the NEXT repeat inherits the
+      * remainder — the artifact marks it instead of silently bleeding
+      * attribution across repeats. */
+    def settleRead(): ((Long, Long, Long, Long, Long), Boolean) = {
       var prev = read
       var stable = false
       var waited = 0
@@ -76,7 +81,7 @@ object Bench {
       }
       gcMs.set(0); shufRead.set(0); shufWrite.set(0); spill.set(0)
       peakMem.set(0)
-      prev
+      (prev, stable)
     }
   }
 
@@ -94,16 +99,6 @@ object Bench {
         (f.sum, if (f.length > 7) f(7) else 0L)
       } finally src.close()
     } catch { case _: Exception => (0L, 0L) }
-
-  private def fmt(v: Double): String = {
-    // 1-decimal, trailing-zero-trimmed: at 172 queries the r8 metric
-    // line hit 2062 chars and the driver captured total-only. 0.1 s
-    // resolution is below the regression trip-bar (0.2 s); full
-    // precision always lives in bench_result.json / bench_detail.json.
-    val s = f"$v%.1f"
-    if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-    else s
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -190,7 +185,8 @@ object Bench {
         val steal =
           if (dTot <= 0) 0.0
           else 100.0 * (ticks1._2 - ticks0._2) / dTot
-        (sec, load1, freeHeapMb, telemetry.settleRead(), steal)
+        val (tele, settled) = telemetry.settleRead()
+        (sec, load1, freeHeapMb, tele, steal, settled)
       }
       settle()
       val times = samples.map(_._1)
@@ -223,15 +219,21 @@ object Bench {
     // in [0.15, 0.2) carry no regression signal either (the trip-bar
     // is >0.2 s); folding the ~29 of them buys ~260 chars.
     // r12: 0.2 → 0.25 — the 227-query line read 1916 chars (3 queries
-    // of headroom). A [0.2, 0.25) row leaves the stdout line only;
-    // its median stays in bench_detail.json (committed every round,
-    // the series of record), which is where trip-bar adjudication
-    // reads from anyway.
-    val tailThreshold = 0.25
+    // of headroom).
+    // r13 (VERDICT r12 #6): per-query values are INTEGER DECISECONDS
+    // ("231":51 = 5.1 s), flagged by "qunit":"ds" in the envelope —
+    // threshold bumps were degrading the driver series one band at a
+    // time, and the decimal point + fraction digit were the cost. The
+    // same 147-entry r12 line re-encodes at 1357 chars (was 1916), so
+    // the threshold goes BACK to 0.2 and headroom at +5 queries/round
+    // is ~13 rounds. Seconds still live in bench_result.json /
+    // bench_detail.json (full precision, unchanged encoding).
+    val tailThreshold = 0.2
     val (big, tail) = prefixes.zip(results)
       .partition { case (_, (_, med, _, _)) => med >= tailThreshold }
     val qs = big
-      .map { case (k, (_, med, _, _)) => "\"" + k + "\":" + fmt(med) }
+      .map { case (k, (_, med, _, _)) =>
+        "\"" + k + "\":" + math.round(med * 10) }
       .mkString("{", ",", "}")
     val tailSum = tail.map(_._2._2).sum
     val tailMax = if (tail.isEmpty) 0.0 else tail.map(_._2._2).max
@@ -243,7 +245,11 @@ object Bench {
     // not reproduce isolated) is then diagnosable from the round's log
     // alone — which repeats were slow, and whether load or heap moved.
     def mb(b: Long): String = f"${b / 1048576.0}%.1f"
-    results.sortBy(-_._2).take(10).foreach { case (k, med, _, all) =>
+    // SLOWEST LAST (r13): the driver keeps the TAIL of stderr, and the
+    // r12 q187 adjudication failed because the slowest query's line —
+    // printed first — was the one the window truncated. Ascending
+    // order guarantees the anomalous row is the closest to the cut.
+    results.sortBy(_._2).takeRight(10).foreach { case (k, med, _, all) =>
       System.err.println(f"[bench-top] $k med=$med%.3f " +
         f"all=${all.map(s => f"${s._1}%.3f").mkString(",")} " +
         f"load=${all.map(s => f"${s._2}%.1f").mkString(",")} " +
@@ -267,9 +273,33 @@ object Bench {
     val captureId =
       s"${System.currentTimeMillis / 1000}-" + f"$loadStart%.1f"
     val env = f""""load":[$loadStart%.1f,$loadEnd%.1f],""" +
-      f""""freeMb":$freeHeapMb,"cid":"$captureId""""
+      f""""freeMb":$freeHeapMb,"cid":"$captureId","qunit":"ds""""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$repeats,$env,$tailJson,"queries":$qs,"sf":"$sfName"}"""
+    // Full per-repeat telemetry for every query whose median crossed
+    // 5 s, embedded in the bench_result.json line (which the driver
+    // captures whole) — the r12 q187 lesson: the stderr bench-top
+    // window truncated EXACTLY the anomalous row's GC column, so the
+    // 3×-inflation class gets its adjudication data via a channel
+    // that cannot truncate per-row.
+    def teleJson(all: Seq[(Double, Double, Long,
+        (Long, Long, Long, Long, Long), Double, Boolean)]): String =
+      "{\"all\":[" + all.map(s => f"${s._1}%.3f").mkString(",") + "]" +
+        ",\"rload\":[" + all.map(s => f"${s._2}%.1f").mkString(",") + "]" +
+        ",\"rfree\":[" + all.map(_._3).mkString(",") + "]" +
+        ",\"rgcMs\":[" + all.map(_._4._1).mkString(",") + "]" +
+        ",\"rsrMb\":[" + all.map(s => mb(s._4._2)).mkString(",") + "]" +
+        ",\"rswMb\":[" + all.map(s => mb(s._4._3)).mkString(",") + "]" +
+        ",\"rspillMb\":[" + all.map(s => mb(s._4._4)).mkString(",") + "]" +
+        ",\"rpeakMb\":[" + all.map(s => mb(s._4._5)).mkString(",") + "]" +
+        ",\"rstealPct\":[" + all.map(s => f"${s._5}%.1f").mkString(",") + "]" +
+        ",\"rsettled\":[" + all.map(s => if (s._6) 1 else 0).mkString(",") + "]}"
+    val topJson = results.filter(_._2 >= 5.0).sortBy(-_._2)
+      .map { case (name, med, _, all) =>
+        "\"" + name + "\":{\"median\":" + f"$med%.3f" + "," +
+          teleJson(all).drop(1)
+      }.mkString("{", ",", "}")
+    val fileLine = line.dropRight(1) + s""","top":$topJson}"""
     // Capture-window budget: the driver keeps ~2000 chars of stdout. Per
     // emitted query the line spends len("\"NNN\":N.N,") ≈ 10 chars
     // (numeric keys + 1dp); the sub-0.15 s tail (~39 queries, r9) folds
@@ -297,24 +327,18 @@ object Bench {
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_result.json"),
-        (line + "\n").getBytes("UTF-8"))
+        (fileLine + "\n").getBytes("UTF-8"))
       // full-precision per-query samples for BASELINE.md adjudication;
       // "all"/"rload"/"rfree" are in CAPTURE ORDER (see the sampling
       // comment above), not sorted
       // per-repeat JVM/stage telemetry (capture order, like "all"):
       // GC ms, shuffle read/write MB, spill MB, peak execution-memory
-      // MB — the q166-class driver-row adjudication data (r12)
+      // MB — the q166-class driver-row adjudication data (r12) —
+      // plus rsettled (0 = the telemetry bus was still draining at
+      // the 1 s cap, counters may bleed into the next repeat)
       val detail = (results.map { case (name, med, min, all) =>
-        "\"" + name + "\":{\"median\":" + f"$med%.3f" + ",\"min\":" + f"$min%.3f" +
-          ",\"all\":[" + all.map(s => f"${s._1}%.3f").mkString(",") + "]" +
-          ",\"rload\":[" + all.map(s => f"${s._2}%.1f").mkString(",") + "]" +
-          ",\"rfree\":[" + all.map(_._3).mkString(",") + "]" +
-          ",\"rgcMs\":[" + all.map(_._4._1).mkString(",") + "]" +
-          ",\"rsrMb\":[" + all.map(s => mb(s._4._2)).mkString(",") + "]" +
-          ",\"rswMb\":[" + all.map(s => mb(s._4._3)).mkString(",") + "]" +
-          ",\"rspillMb\":[" + all.map(s => mb(s._4._4)).mkString(",") + "]" +
-          ",\"rpeakMb\":[" + all.map(s => mb(s._4._5)).mkString(",") + "]" +
-          ",\"rstealPct\":[" + all.map(s => f"${s._5}%.1f").mkString(",") + "]}"
+        "\"" + name + "\":{\"median\":" + f"$med%.3f" +
+          ",\"min\":" + f"$min%.3f" + "," + teleJson(all).drop(1)
         // cpus is quoted: SPARK_GRAFT_CPUS="*" is a legitimate setting
         // (local[*]) that would otherwise emit unparseable JSON
       } :+ s""""__env":{$env,"cpus":"$cpus"}""").mkString("{", ",", "}")
@@ -324,6 +348,10 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] bench files not written: $e")
     }
+    // the listener is registered on a per-JVM bus: leaving it behind
+    // accumulates dead listeners across runBench invocations in one
+    // JVM (ADVICE r12)
+    spark.sparkContext.removeSparkListener(telemetry)
     spark.stop()
   }
 }

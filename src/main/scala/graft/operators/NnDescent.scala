@@ -52,6 +52,56 @@ object NnDescent {
   private def d2(a: Column, b: Column): Column =
     graft.expressions.ArrayL2Sq(a, b)
 
+  /** Global rank 0..n-1 of every vector by (Σᵢ v[i], id) —
+    * bit-identical to `row_number().over(Window.orderBy(proj, id))`
+    * but DISTRIBUTED (VERDICT r12 #2): the unpartitioned window this
+    * replaces funneled the ENTIRE vector table through ONE task to be
+    * numbered — invisible at sf0.1, the textbook single-partition
+    * sort bottleneck at 100 TB. Here the table is range-partitioned
+    * on the sort key, sorted within partitions (a parallel
+    * total-order sort — the partitioner guarantees partition i's
+    * keys precede partition i+1's), and numbered by the
+    * per-partition-counts → cumulative-offsets pattern
+    * (RDD.zipWithIndex: one lightweight count job, then a map).
+    * (id, Σv) is unique per row (ids are unique), so the rank is a
+    * pure function of the data — partition count and boundary
+    * placement cannot change it (InvarianceSpec-class property;
+    * q231/q232 hashes are the gate).
+    *
+    * The Σᵢ v[i] fold is left-to-right — bit-equal to DuckDB's
+    * list_sum (the q148/q154 contract), so projection ranks agree
+    * across engines. */
+  private[graft] def projRanked(vecs: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val proj = aggregate(col("v"), lit(0.0), (a, x) => a + x)
+    val sorted = vecs.select(col("id"), col("v"), proj.as("p"))
+      .repartitionByRange(col("p"), col("id"))
+      .sortWithinPartitions(col("p"), col("id"))
+    sorted.select(col("id"), col("v")).rdd
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .zipWithIndex
+      .map { case ((id, v), rn) => (id, v, rn) }
+      .toDF("id", "v", "rn")
+  }
+
+  /** The rank-spaced entry candidates for [[greedyTrace]] —
+    * `entryCand` rows at projection ranks ⌊q·n/entryCand⌋, the same
+    * rank order [[knnGraph]]'s ring init used. Computed ONCE at build
+    * time and persisted WITH the graph (the q232 protocol): the r12
+    * serve path re-ranked the whole corpus on every call, paying the
+    * full-table sort per trace for a frame that is a pure function of
+    * the stored vectors. Returns (node_id, v), ≤ entryCand rows. */
+  def entryCandidates(vecs: DataFrame, entryCand: Int = 32)
+      : DataFrame = {
+    val n = vecs.count()
+    val entryRanks = (0 until entryCand).map(q => n * q / entryCand)
+      .distinct
+    projRanked(vecs.select(col("id"), col("v")))
+      .filter(col("rn").isin(entryRanks: _*))
+      .select(col("id").as("node_id"), col("v"))
+  }
+
   /** Build the k-NN graph over `vecs` (id: long, v: array<double>).
     * Returns (u, rank, nb, d2) with rank 1..k per node, d2 raw
     * (callers round for display). */
@@ -59,13 +109,7 @@ object NnDescent {
       : DataFrame = {
     val vv = vecs.select(col("id"), col("v")).persist()
     val n = vv.count()
-    // Σᵢ v[i] as a left-to-right fold — bit-equal to DuckDB's
-    // list_sum (the q148/q154 contract), so the projection ranks
-    // agree across engines
-    val proj = aggregate(col("v"), lit(0.0), (a, x) => a + x)
-    val ranked = vv.select(col("id"), col("v"),
-      (row_number().over(Window.orderBy(proj, col("id"))) - 1)
-        .cast("long").as("rn")).persist()
+    val ranked = projRanked(vv).persist()
     ranked.count()
     // every round's edge state stays persisted until the final graph
     // materializes: unpersisting round r-1 inside the loop re-compiles
@@ -160,9 +204,23 @@ object NnDescent {
     * beam·k vectors per hop) is independent of corpus size.
     *
     * `graph`: (u, nb) edges; `vecs`: (id, v); `probes`:
-    * (query_id, qv). All probe-side frames stay probe-sized. */
+    * (query_id, qv). All probe-side frames stay probe-sized.
+    *
+    * The no-`entries` overload derives the entry candidates from
+    * `vecs` on the spot (one [[entryCandidates]] rank pass) —
+    * convenience for ad-hoc traces; a SERVING path should build them
+    * once with the graph and call the explicit-entries overload (the
+    * q232 protocol) so no per-call pass over the corpus remains. */
   def greedyTrace(graph: DataFrame, vecs: DataFrame, probes: DataFrame,
-      hops: Int, beam: Int = 4, entryCand: Int = 32): DataFrame = {
+      hops: Int, beam: Int = 4, entryCand: Int = 32): DataFrame =
+    greedyTrace(graph, vecs, probes, hops, beam,
+      entryCandidates(vecs, entryCand))
+
+  /** [[greedyTrace]] with PRE-BUILT entry candidates (node_id, v) —
+    * the serving form: reads only the persisted graph, the persisted
+    * entries, and the k vectors each hop touches. */
+  def greedyTrace(graph: DataFrame, vecs: DataFrame, probes: DataFrame,
+      hops: Int, beam: Int, entries: DataFrame): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     // probe vectors land on the driver ONCE (probe-sized by
@@ -177,19 +235,11 @@ object NnDescent {
       pos.toDF("query_id", "node_id", "d2")
         .join(prDf, "query_id")
         .select(col("query_id"), col("qv"), col("node_id"), col("d2"))
-    // entry candidates at evenly spaced projection ranks — the same
-    // rank order the build used, so the oracle reuses its rkd CTE;
-    // the beam starts at the best `beam` of them per probe
-    val n = vecs.count()
-    val proj = aggregate(col("v"), lit(0.0), (a, x) => a + x)
-    val entryRanks = (0 until entryCand).map(q => n * q / entryCand)
-      .distinct
-    val entries = vecs.select(col("id"), col("v"),
-        (row_number().over(Window.orderBy(proj, col("id"))) - 1)
-          .cast("long").as("rn"))
-      .filter(col("rn").isin(entryRanks: _*))
-      .select(col("id").as("node_id"), col("v"))
-    var pos: Seq[(Long, Long, Double)] = prDf.crossJoin(entries)
+    // the beam starts at the best `beam` of the entry candidates per
+    // probe (entries: ≤ entryCand rows by the entryCandidates
+    // contract — the crossJoin is probe-sized × entry-sized)
+    var pos: Seq[(Long, Long, Double)] = prDf.crossJoin(
+        entries.select(col("node_id"), col("v")))
       .select(col("query_id"), col("node_id"),
         d2(col("qv"), col("v")).as("d2"))
       .withColumn("rk", row_number().over(

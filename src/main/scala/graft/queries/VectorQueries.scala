@@ -1232,7 +1232,9 @@ object VectorQueries {
     * NN-descent graph ([[graft.operators.NnDescent.greedyTrace]],
     * beam = 4 — the deterministic core of HNSW's ef-search) — five
     * held-out probes (reversed stored vectors, the q206 convention)
-    * walk from the min-id entry node; each hop the frontier becomes
+    * each score 32 entry candidates at evenly spaced projection ranks
+    * (rank ⌊q·n/32⌋, the same rank order the build used) and seed the
+    * beam from the best 4 of them; each hop the frontier becomes
     * the best 4 of {frontier} ∪ {frontier's neighbors}. The per-hop
     * BEST forms the hashed 9-row-per-probe trace: the walk IS the
     * serving protocol, and each hop reads beam·k edges + beam·k
@@ -1246,17 +1248,23 @@ object VectorQueries {
       def vecs = Tables.embeddings(s, d)
         .select($"vec_id".cast("long").as("id"),
           graft.operators.Similarity.asDouble($"embedding").as("v"))
-      val dir = AnnIndexes.prepared("nng_k8", d) { p =>
+      // entry candidates persist WITH the graph (VERDICT r12 #2): the
+      // serve path must not re-rank the corpus per call — it reads
+      // two stored artifacts and k vectors per hop, nothing else
+      val dir = AnnIndexes.prepared("nng_k8e", d) { p =>
         graft.operators.NnDescent.knnGraph(vecs, k = 8, cap = 16,
-          rounds = 3).write.mode("overwrite").parquet(p)
+          rounds = 3).write.mode("overwrite").parquet(s"$p/graph")
+        graft.operators.NnDescent.entryCandidates(vecs, entryCand = 32)
+          .write.mode("overwrite").parquet(s"$p/entries")
       }
       val probes = Tables.embeddings(s, d).filter($"vec_id" < 5)
         .select($"vec_id".cast("long").as("query_id"),
           reverse(graft.operators.Similarity.asDouble($"embedding"))
             .as("qv"))
       graft.operators.NnDescent.greedyTrace(
-          s.read.parquet(dir).select($"u", $"nb"), vecs, probes,
-          hops = 8)
+          s.read.parquet(s"$dir/graph").select($"u", $"nb"), vecs,
+          probes, hops = 8, beam = 4,
+          entries = s.read.parquet(s"$dir/entries"))
         .select($"query_id", $"hop", $"node_id",
           round($"d2", 6).as("d2"))
         .orderBy($"query_id", $"hop")

@@ -105,6 +105,55 @@ class PlanAuditSpec extends GraftSuite {
       s"quadratic joins in:\n${offenders.mkString("\n")}")
   }
 
+  /** Global (empty-partitionSpec) windows whose INPUT is bounded by
+    * construction, so the single-partition sort is over a small frame,
+    * not the data: whitelisted with the bound. */
+  private val globalWindowBounded = Set(
+    "q224_rerank_oracled",  // stage-2 re-rank over the stage-1 top-k
+                            // candidate frame — k rows by contract
+                            // (the k-bound rides a rank filter the
+                            // bounded() walk can't see through a join)
+    "q217_hist_quantiles_oracled", // cumulative sum over the ≤40-row
+                                   // equi-width histogram (bins are
+                                   // the GROUP KEYS of a bounded-
+                                   // cardinality aggregate)
+    "q222_hist_stream_oracled")    // the same ≤40-bin cumulative frame
+                                   // read back from the artifact
+
+  test("no registry query sorts an unbounded relation through a " +
+      "single-partition window — the NnDescent ring-init class " +
+      "(VERDICT r12 #2): a Window with empty partitionSpec funnels " +
+      "its whole input through ONE task unless an optimizer limit " +
+      "(WindowGroupLimit / Limit) prunes it or the input is bounded") {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan,
+      Window => LWindow, GlobalLimit, LocalLimit, Aggregate,
+      WindowGroupLimit, LocalRelation, OneRowRelation}
+    // a subtree is "bounded" when every path to a leaf passes a limit,
+    // a grand (no-key) aggregate, or a local (literal) relation
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit | _: LocalLimit | _: WindowGroupLimit => true
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+      case _: LocalRelation => true
+      case _: OneRowRelation => true
+      case other if other.children.isEmpty => false
+      case other => other.children.forall(bounded)
+    }
+    val offenders = Registry.all
+      .filterNot(q => eager.contains(q.name))
+      .filterNot(q => globalWindowBounded.contains(q.name))
+      .flatMap { q =>
+        val plan = q.run(spark, sf).queryExecution.optimizedPlan
+        plan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty &&
+              !bounded(w.child) =>
+            s"${q.name}: global window over unbounded child\n" +
+              w.simpleString(3)
+        }
+      }
+    assert(offenders.isEmpty,
+      s"single-partition sorts in:\n${offenders.mkString("\n")}")
+  }
+
   test("q162's budget take is ONE shuffle (the per-source window)") {
     val p = Registry.byName("q162_token_budget").run(spark, sf)
       .queryExecution.executedPlan.toString
