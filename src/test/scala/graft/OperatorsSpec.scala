@@ -2741,6 +2741,54 @@ class WatermarkLateSpec extends GraftSuite {
     assert(got2 === Seq((1L, -1L), (2L, 3L), (5L, 4L), (8L, 3L)))
   }
 
+  test("FULL OUTER stream-stream join protocol (q236): the union of " +
+      "the inner pairs, the q235 left-null class (admitted unmatched " +
+      "purchase, evicted: p_ts <= final wm), and the SYMMETRIC right " +
+      "nulls — an admitted unmatched click emits (NULL, c) only when " +
+      "its state is evicted (c_ts + 1h <= final wm, the shifted " +
+      "interval bound); dropped input-late rows on EITHER side " +
+      "never null") {
+    def ms(s: String) =
+      java.time.Instant.parse(s"2024-01-01T$s:00Z").toEpochMilli
+    def run(rows: Seq[(Long, Long, String, Int)], nShards: Int,
+        name: String): Seq[(Long, Long)] = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_foj_spec").toString
+      val df = rows.toDF("event_id", "m", "event_type", "shard")
+        .select($"event_id", timestamp_millis($"m").as("ts"),
+          $"event_type", lit(1L).as("user_id"), $"shard")
+      EventStream.writeShardedBacklog(spark, s"$root/src", df,
+        "shard", nShards)
+      EventStream.runLateJoin(spark, s"$root/src", "30 minutes", name,
+          joinType = "fullOuter")
+        .collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sortBy(identity).toSeq
+    }
+    // the q235 fixture plus C11@14:50 — admitted (b2 lagged wm
+    // 12:00), matches NO purchase (none in [14:50, 15:50]), and IS
+    // evicted by the final watermark (14:50 + 1h = 15:50 <= 19:30) —
+    // the one right-null row. C10@20:05 is admitted+unmatched but
+    // UNEVICTED (21:05 > 19:30): no null. C6@11:50 is input-late:
+    // dropped entirely, no null. P1 nulls as in q235; P7 (input-late)
+    // and P9 (unevicted) don't.
+    val got = run(Seq(
+      (1L, ms("12:10"), "purchase", 0),
+      (2L, ms("12:30"), "purchase", 0),
+      (3L, ms("12:30"), "click", 0),
+      (4L, ms("13:10"), "click", 1),
+      (5L, ms("13:40"), "purchase", 1),
+      (6L, ms("11:50"), "click", 2),
+      (7L, ms("11:55"), "purchase", 2),
+      (8L, ms("12:40"), "purchase", 2),
+      (11L, ms("14:50"), "click", 2),
+      (9L, ms("20:00"), "purchase", 3),
+      (10L, ms("20:05"), "click", 3)), 4, "graft_foj_spec_a")
+    assert(got === Seq((-1L, 11L), (1L, -1L), (2L, 3L), (5L, 4L),
+      (8L, 3L)))
+  }
+
   test("q227 oracle constraint holds at all three SFs: no surviving " +
       "straggler lands within the session gap of an earlier same-key " +
       "survivor whose session end had already passed an eviction " +
