@@ -278,4 +278,65 @@ object NnDescent {
     }
     trace.result().toDF("query_id", "hop", "node_id", "d2")
   }
+
+  /** Beam-search TOP-K serving — the same walk as [[greedyTrace]] but
+    * returning each probe's k best DISTINCT nodes across EVERYTHING
+    * the walk scored (entry candidates + every hop's frontier ∪
+    * neighbor expansion): HNSW's ef-search return contract, where the
+    * answer set is the best of the visited set, not the final beam.
+    * Excludes a candidate equal to the probe's own query_id (the
+    * stored-probe convention every serve face uses). Per-hop cost is
+    * greedyTrace's (beam·k edges + vectors); the driver accumulates
+    * ≤ probes × (entryCand + hops·beam·(k+1)) scored rows — bounded
+    * by the probe contract, independent of corpus size. Returns
+    * (query_id, rank 1..k, node_id, d2). */
+  def beamTopK(graph: DataFrame, vecs: DataFrame, probes: DataFrame,
+      hops: Int, beam: Int, k: Int, entries: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val pr = probes.select(col("query_id"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val prDf = broadcast(pr.toDF("query_id", "qv"))
+    val seen = scala.collection.mutable.Map
+      .empty[(Long, Long), Double]
+    def note(rows: Seq[(Long, Long, Double)]): Unit =
+      rows.foreach { case (q, c, d) =>
+        if (c != q) seen.getOrElseUpdate((q, c), d) }
+    var pos: Seq[(Long, Long, Double)] = prDf.crossJoin(
+        entries.select(col("node_id"), col("v")))
+      .select(col("query_id"), col("node_id"),
+        d2(col("qv"), col("v")).as("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(p => (p._1, p._3, p._2))
+    note(pos)
+    pos = pos.groupBy(_._1).values
+      .flatMap(_.sortBy(p => (p._3, p._2)).take(beam)).toSeq
+    def curDf(p: Seq[(Long, Long, Double)]): DataFrame =
+      p.toDF("query_id", "node_id", "d2")
+        .join(prDf, "query_id")
+        .select(col("query_id"), col("qv"), col("node_id"), col("d2"))
+    for (_ <- 1 to hops) {
+      // dedup happens DRIVER-side (the collected frame is ≤ probes ×
+      // beam·k rows by contract) — a .distinct() here would spend a
+      // shuffle per hop on a frame that fits in one task
+      val stepped = curDf(pos)
+        .join(graph.select(col("u").as("node_id"), col("nb")),
+          "node_id")
+        .join(vecs.select(col("id").as("nb"), col("v").as("nv")), "nb")
+        .select(col("query_id"), col("nb").as("cand"),
+          d2(col("qv"), col("nv")).as("d2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSeq.distinct
+      note(stepped)
+      pos = (pos.map(p => (p._1, p._2, p._3)) ++ stepped)
+        .distinct.groupBy(_._1).values
+        .flatMap(_.sortBy(p => (p._3, p._2)).take(beam)).toSeq
+    }
+    seen.toSeq.map { case ((q, c), d) => (q, c, d) }
+      .groupBy(_._1).values.flatMap { rows =>
+        rows.sortBy(r => (r._3, r._2)).take(k).zipWithIndex
+          .map { case ((q, c, d), i) => (q, i + 1, c, d) }
+      }.toSeq.sortBy(r => (r._1, r._2))
+      .toDF("query_id", "rank", "node_id", "d2")
+  }
 }

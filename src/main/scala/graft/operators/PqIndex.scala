@@ -203,7 +203,7 @@ object PqIndex extends Serializable {
     * are bit-identical and deterministic). No driver-side broadcast
     * variable, and the plan shows the join + projection instead of an
     * opaque function call. */
-  private def scoreAdc(spark: SparkSession,
+  private[graft] def scoreAdc(spark: SparkSession,
       queries: Seq[(Long, Array[Double])], pairs: DataFrame, cb: Codebook,
       k: Int): DataFrame = {
     import spark.implicits._

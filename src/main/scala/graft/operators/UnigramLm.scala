@@ -161,6 +161,58 @@ object UnigramLm {
       .orderBy(col("rnd"), col("piece"))
   }
 
+  /** All n-best segmentations of `w` under `cost` — the deterministic
+    * core of Kudo (2018) §3's subword REGULARIZATION: the sampler
+    * draws from the n-best list with probability ∝ p(seg)^α, and the
+    * n-best list itself is exact. Words are ≤ 8 chars (the same guard
+    * the position-unrolled oracle DP uses), so FULL enumeration of
+    * the 2^(len-1) cut masks is bounded (≤ 128) and replayable —
+    * no approximate lattice needed. A segmentation is valid iff every
+    * piece is in the vocab; cost accumulates LEFT-TO-RIGHT over the
+    * pieces (the list_sum contract) so both engines see bit-equal
+    * doubles. Returns (rank 1.., seg '-'-joined, n_pieces, cost,
+    * gap = cost − best cost): the gap IS the sampler's log-odds —
+    * p(seg_i)/p(seg_1) = exp(−gap) — kept in log space so the gate
+    * never depends on exp() libm parity. */
+  def nBestSegmentations(w: String,
+      cost: scala.collection.Map[String, Double], n: Int)
+      : Seq[(Int, String, Int, Double, Double)] = {
+    val L = w.length
+    require(L <= 8, s"n-best enumeration unrolled to 8 chars, got $L")
+    val scored = (0 until (1 << math.max(L - 1, 0))).flatMap { mask =>
+      val cuts = (1 until L).filter(i => ((mask >> (i - 1)) & 1) == 1)
+      val bnds = 0 +: cuts :+ L
+      val pieces = (1 until bnds.length)
+        .map(j => w.substring(bnds(j - 1), bnds(j)))
+      val cs = pieces.map(cost.get)
+      if (cs.exists(_.isEmpty)) None
+      else Some((pieces.mkString("-"), pieces.length,
+        cs.map(_.get).foldLeft(0.0)(_ + _)))
+    }
+    val ranked = scored.sortBy(t => (t._3, t._2, t._1)).take(n)
+    val best = ranked.head._3
+    ranked.zipWithIndex.map { case ((seg, np, c), i) =>
+      (i + 1, seg, np, c, c - best)
+    }
+  }
+
+  /** Per-distinct-word n-best table (w, rank, seg, n_pieces, cost,
+    * gap) under a trained cost table — one UDF pass over the bounded
+    * distinct-word relation (the q127/q230 work split: 100 TB of
+    * corpus re-enumerates each distinct word once). */
+  def nBestTable(docs: DataFrame, textCol: String,
+      cost: Map[String, Double], n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cost)
+    val nb = udf((w: String) => nBestSegmentations(w, bc.value, n))
+    wordCounts(docs, textCol)
+      .select(col("w"), explode(nb(col("w"))).as("e"))
+      .select(col("w"), col("e._1").as("rank"), col("e._2").as("seg"),
+        col("e._3").cast("long").as("n_pieces"), col("e._4").as("cost"),
+        col("e._5").as("gap"))
+  }
+
   /** Per-distinct-word Viterbi token counts under a trained cost
     * table — the q127 lifecycle shape: token occurrences in the
     * corpus broadcast-join this bounded relation, so encoding 100 TB

@@ -17,6 +17,7 @@ object CurationQueries {
       q124BpeMerges, q125QuantileBins, q126RankDistribution,
       q127BpeEncode, q128BigramLogProb, q129GroupingSets,
       q130StringAgg, q229UnigramLmTrain, q230UnigramLmEncode,
+      q237UnigramNBestOracled,
       q234TrigramKnOracled)
 
   /** Gopher rule-pack sweep ([[TextFunctions.gopherFlags]]): per-doc
@@ -602,4 +603,60 @@ object CurationQueries {
         "round(n_chars::DOUBLE / total_lm_tokens, 4) " +
         "AS chars_per_token " +
         "FROM chars JOIN lm USING (source) ORDER BY source"))
+
+  /** Subword REGULARIZATION face (Kudo 2018 §3, VERDICT r12 #8): the
+    * exact n-best (n=3) segmentations of every distinct word under
+    * the q229-trained cost table, with each candidate's cost GAP to
+    * the best — the sampler's log-odds (p_i/p_1 = exp(−gap); kept in
+    * log space so the gate never rides exp() libm parity). Words are
+    * ≤ 8 chars (the oracle's standing DP guard), so DuckDB replays
+    * the FULL 2^(len−1) cut-mask enumeration next to the trained
+    * vocab: every (word, rank) row — segmentation string, piece
+    * count, left-fold cost, gap — hashes against Spark's. This
+    * completes the tokenizer family the way q195 completed IVF-PQ:
+    * train (q229), encode (q230), and now the sampling lattice the
+    * training objective actually marginalizes over. */
+  val q237UnigramNBestOracled: GraftQuery = GraftQuery(
+    "q237_unigram_nbest_oracled",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val (_, cost) = graft.operators.UnigramLm.trainRounds(
+        docs, "text", multiLimit = 48, rounds = 3)
+      graft.operators.UnigramLm.nBestTable(docs, "text", cost, n = 3)
+        .select($"w", $"rank", $"seg", $"n_pieces",
+          round($"cost", 6).as("cost"), round($"gap", 6).as("gap"))
+        .orderBy($"w", $"rank")
+    },
+    Some(
+      unigramCtes(blocks = 3, multiLimit = 48) +
+        // all 2^(len-1) cut masks per distinct word; bnds = cut
+        // positions framed by 0 and len(w)
+        ", msk AS (SELECT w, unnest(generate_series(0, " +
+        "(1::BIGINT << greatest(len(w) - 1, 0)) - 1)) AS mask " +
+        "FROM wc), " +
+        "segb AS (SELECT w, mask, [0] || list_filter(" +
+        "generate_series(1, len(w) - 1), " +
+        "i -> ((mask >> (i - 1)) & 1) = 1) || [len(w)] AS bnds " +
+        "FROM msk), " +
+        "segp AS (SELECT w, mask, list_transform(" +
+        "generate_series(1, len(bnds) - 1), " +
+        "j -> substr(w, bnds[j] + 1, bnds[j + 1] - bnds[j])) " +
+        "AS pieces FROM segb), " +
+        "pe AS (SELECT w, mask, array_to_string(pieces, '-') AS seg, " +
+        "len(pieces) AS np, unnest(pieces) AS piece, " +
+        "unnest(generate_series(1, len(pieces))) AS j FROM segp), " +
+        // valid iff every piece is in the final vocab; cost is the
+        // LEFT-TO-RIGHT fold over the j-ordered piece costs
+        "pj AS (SELECT w, mask, seg, np, count(v.piece) AS matched, " +
+        "list_sum(list(v.cost ORDER BY j)) AS cst FROM pe " +
+        "LEFT JOIN v3 v USING (piece) GROUP BY w, mask, seg, np), " +
+        "vs AS (SELECT w, seg, np, cst, " +
+        "row_number() OVER (PARTITION BY w " +
+        "ORDER BY cst, np, seg) AS rank, " +
+        "min(cst) OVER (PARTITION BY w) AS best FROM pj " +
+        "WHERE matched = np) " +
+        "SELECT w, rank::INT AS rank, seg, np::BIGINT AS n_pieces, " +
+        "round(cst, 6) AS cost, round(cst - best, 6) AS gap " +
+        "FROM vs WHERE rank <= 3 ORDER BY w, rank"))
 }

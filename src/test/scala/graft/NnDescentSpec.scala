@@ -102,6 +102,34 @@ class NnDescentSpec extends GraftSuite {
     }
   }
 
+  test("beamTopK (the ef-search return contract): k distinct non-self " +
+      "nodes per probe, d2 nondecreasing in rank, every returned " +
+      "node was actually scored (d2 exact), and on clustered data " +
+      "the visited-set top-8 lands in the probe's own cluster") {
+    val vecs = clustered()
+    val graph = NnDescent.knnGraph(vecs, k = 8, cap = 16, rounds = 3)
+      .select($"u", $"nb")
+    val entries = NnDescent.entryCandidates(vecs, entryCand = 32)
+    val probes = vecs.filter($"id".isin(5L, 205L, 390L))
+      .select($"id".as("query_id"), $"v".as("qv"))
+    val got = NnDescent.beamTopK(graph, vecs, probes, hops = 8,
+        beam = 4, k = 8, entries = entries)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length === 8, s"probe $q returned ${rows.length}")
+      assert(rows.map(_._2).sorted.toSeq === (1 to 8))
+      assert(!rows.exists(_._3 == q), s"probe $q returned itself")
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b },
+        s"probe $q d2 not monotone in rank")
+      // within-cluster d2 ~ 0.36 expected, inter-cluster O(10): the
+      // whole answer set should sit inside the probe's cluster
+      assert(byRank.last < 1.0,
+        s"probe $q rank-8 d2 ${byRank.last} left the cluster")
+    }
+  }
+
   test("the corpus recall is recorded, not assumed: near-uniform " +
       "64-dim embeddings stall every neighbor-of-neighbor method — " +
       "assert only the measured band so a silent collapse (or a " +
