@@ -85,7 +85,7 @@ object AnnFrontier {
 
   /** One frontier row: build once, serve `repeats` times (median),
     * recall against the metric-matched exact baseline. */
-  private final case class Row(dataset: String, method: String,
+  private[graft] final case class Row(dataset: String, method: String,
       buildS: Double, serveS: Double, recall: Double)
 
   // serve() must return (query_id, cand_id) rows for the 50 probes
