@@ -223,12 +223,14 @@ object Bench {
     // r13 (VERDICT r12 #6): per-query values are INTEGER DECISECONDS
     // ("231":51 = 5.1 s), flagged by "qunit":"ds" in the envelope —
     // threshold bumps were degrading the driver series one band at a
-    // time, and the decimal point + fraction digit were the cost. The
-    // same 147-entry r12 line re-encodes at 1357 chars (was 1916), so
-    // the threshold goes BACK to 0.2 and headroom at +5 queries/round
-    // is ~13 rounds. Seconds still live in bench_result.json /
-    // bench_detail.json (full precision, unchanged encoding).
-    val tailThreshold = 0.2
+    // time, and the decimal point + fraction digit were the cost.
+    // Measured at the 229-query r13 capture: 1495 chars at the 0.25
+    // threshold (was 1916 at 227 in the old encoding) — ~50 queries
+    // of headroom at ~9 chars/entry before the 1950 window. A
+    // [0.2, 0.25) row stays out of the stdout line (no trip-bar
+    // signal, the r12 rationale); bench_detail.json remains the
+    // full-precision series of record for every query.
+    val tailThreshold = 0.25
     val (big, tail) = prefixes.zip(results)
       .partition { case (_, (_, med, _, _)) => med >= tailThreshold }
     val qs = big
