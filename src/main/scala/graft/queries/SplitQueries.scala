@@ -27,7 +27,8 @@ object SplitQueries {
     q223SketchJaccardOracled, q225WatermarkLateOracled,
     q226SlidingLateOracled, q227SessionLateOracled,
     q228UpdateModeOracled, q233StreamJoinLateOracled,
-    q235OuterJoinLateOracled, q236FullOuterJoinLateOracled)
+    q235OuterJoinLateOracled, q236FullOuterJoinLateOracled,
+    q238RightOuterJoinLateOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -1392,6 +1393,76 @@ object SplitQueries {
         "SELECT p_event_id, c_event_id, epoch_ms(pts) AS p_ms, " +
         "epoch_ms(cts) AS c_ms FROM surv " +
         "UNION ALL SELECT * FROM pnulls " +
+        "UNION ALL SELECT * FROM cnulls) " +
+        "ORDER BY p_event_id NULLS FIRST, c_event_id NULLS FIRST"))
+
+  /** RIGHT OUTER stream-stream join late accounting, fully ORACLED —
+    * the fourth and final face of the q233 axis (inner / left / full
+    * / right). Protocol = q236 minus the left-null class, re-pinned
+    * on the hand fixture in WatermarkLateSpec: only admitted
+    * unmatched CLICKS null, at the click's own eviction threshold
+    * (c_ts + 1h <= final watermark); an unmatched purchase — evicted
+    * or not — emits NOTHING. With all four faces oracled, every
+    * outer-emission class of Spark's stream-stream interval join is
+    * an oracle-checked row set. */
+  val q238RightOuterJoinLateOracled: GraftQuery = GraftQuery(
+    "q238_right_outer_join_late_oracled",
+    (s, d) => {
+      import s.implicits._
+      // same prepared backlog as q233/q235/q236
+      val src = AnnIndexes.prepared("q233src", d)(
+        writeJoinLateBacklog(s, d, _))
+      graft.streaming.EventStream.runLateJoin(s, src, "30 minutes",
+          queryName = "graft_q238", joinType = "rightOuter")
+        .orderBy($"p_event_id".asc_nulls_first,
+          $"c_event_id".asc_nulls_first)
+    },
+    Some(
+      "WITH ord AS (SELECT event_id, ts, event_type, user_id, " +
+        "ntile(4) OVER (ORDER BY ts, event_id) - 1 AS q, " +
+        "row_number() OVER (ORDER BY ts, event_id) AS rn FROM events), " +
+        "sh AS (SELECT event_id, ts, event_type, user_id, " +
+        "CASE WHEN rn % 37 = 0 THEN least(q + 2, 3) ELSE q END " +
+        "AS shard FROM ord), " +
+        "mx AS (SELECT shard, " +
+        "max(ts) FILTER (WHERE event_type = 'purchase') AS mp, " +
+        "max(ts) FILTER (WHERE event_type = 'click') AS mc " +
+        "FROM sh GROUP BY shard), " +
+        "rm AS (SELECT shard, max(mp) OVER (ORDER BY shard) AS rmp, " +
+        "max(mc) OVER (ORDER BY shard) AS rmc FROM mx), " +
+        "wm AS (SELECT shard, CASE WHEN rmp IS NULL OR rmc IS NULL " +
+        "THEN NULL ELSE least(rmp, rmc) - INTERVAL 30 MINUTE END " +
+        "AS w FROM rm), " +
+        "wl AS (SELECT shard, lag(w, 2) OVER (ORDER BY shard) AS wl " +
+        "FROM wm), " +
+        "fin AS (SELECT w AS wf FROM wm ORDER BY shard DESC LIMIT 1), " +
+        "p AS (SELECT event_id, ts, user_id, sh.shard FROM sh " +
+        "JOIN wl ON wl.shard = sh.shard " +
+        "WHERE event_type = 'purchase' " +
+        "AND (wl.wl IS NULL OR ts > wl.wl)), " +
+        "c AS (SELECT event_id, ts, user_id, sh.shard FROM sh " +
+        "JOIN wl ON wl.shard = sh.shard " +
+        "WHERE event_type = 'click' " +
+        "AND (wl.wl IS NULL OR ts > wl.wl)), " +
+        "pairs AS (SELECT p.event_id AS p_event_id, " +
+        "c.event_id AS c_event_id, p.ts AS pts, c.ts AS cts, " +
+        "p.shard AS ps, c.shard AS cs FROM p JOIN c " +
+        "ON p.user_id = c.user_id " +
+        "AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts), " +
+        "surv AS (SELECT pr.* FROM pairs pr JOIN wl " +
+        "ON wl.shard = greatest(pr.ps, pr.cs) WHERE pr.ps = pr.cs " +
+        "OR (pr.ps < pr.cs AND (wl.wl IS NULL OR pr.pts > wl.wl)) " +
+        "OR (pr.cs < pr.ps AND (pr.cts + INTERVAL 1 HOUR > wl.wl " +
+        "OR wl.wl IS NULL))), " +
+        "cnulls AS (SELECT NULL::BIGINT AS p_event_id, " +
+        "c.event_id AS c_event_id, NULL::BIGINT AS p_ms, " +
+        "epoch_ms(c.ts) AS c_ms FROM c, fin " +
+        "WHERE c.ts + INTERVAL 1 HOUR <= fin.wf " +
+        "AND NOT EXISTS (SELECT 1 FROM surv " +
+        "WHERE surv.c_event_id = c.event_id)) " +
+        "SELECT * FROM (" +
+        "SELECT p_event_id, c_event_id, epoch_ms(pts) AS p_ms, " +
+        "epoch_ms(cts) AS c_ms FROM surv " +
         "UNION ALL SELECT * FROM cnulls) " +
         "ORDER BY p_event_id NULLS FIRST, c_event_id NULLS FIRST"))
 

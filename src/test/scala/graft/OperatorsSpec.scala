@@ -2789,6 +2789,45 @@ class WatermarkLateSpec extends GraftSuite {
       (8L, 3L)))
   }
 
+  test("RIGHT OUTER stream-stream join protocol (q238): exactly the " +
+      "full-outer output minus the left-null class — only admitted " +
+      "unmatched CLICKS null, at the click eviction threshold " +
+      "(c_ts + 1h <= final wm); unmatched purchases emit nothing") {
+    def ms(s: String) =
+      java.time.Instant.parse(s"2024-01-01T$s:00Z").toEpochMilli
+    def run(rows: Seq[(Long, Long, String, Int)], nShards: Int,
+        name: String): Seq[(Long, Long)] = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_roj_spec").toString
+      val df = rows.toDF("event_id", "m", "event_type", "shard")
+        .select($"event_id", timestamp_millis($"m").as("ts"),
+          $"event_type", lit(1L).as("user_id"), $"shard")
+      EventStream.writeShardedBacklog(spark, s"$root/src", df,
+        "shard", nShards)
+      EventStream.runLateJoin(spark, s"$root/src", "30 minutes", name,
+          joinType = "rightOuter")
+        .collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sortBy(identity).toSeq
+    }
+    // the q236 fixture: same pairs, the right null (C11), and NO
+    // (1, -1) row — P1's unmatched fate is invisible to right-outer
+    val got = run(Seq(
+      (1L, ms("12:10"), "purchase", 0),
+      (2L, ms("12:30"), "purchase", 0),
+      (3L, ms("12:30"), "click", 0),
+      (4L, ms("13:10"), "click", 1),
+      (5L, ms("13:40"), "purchase", 1),
+      (6L, ms("11:50"), "click", 2),
+      (7L, ms("11:55"), "purchase", 2),
+      (8L, ms("12:40"), "purchase", 2),
+      (11L, ms("14:50"), "click", 2),
+      (9L, ms("20:00"), "purchase", 3),
+      (10L, ms("20:05"), "click", 3)), 4, "graft_roj_spec_a")
+    assert(got === Seq((-1L, 11L), (2L, 3L), (5L, 4L), (8L, 3L)))
+  }
+
   test("q227 oracle constraint holds at all three SFs: no surviving " +
       "straggler lands within the session gap of an earlier same-key " +
       "survivor whose session end had already passed an eviction " +
