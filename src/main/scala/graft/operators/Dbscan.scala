@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grid-based DBSCAN (Ester et al., KDD 1996) — density clustering in
+  * the reference's own domain (its engine ships centroid methods:
+  * KMeans / bisecting / GMM; DBSCAN is the density face those cannot
+  * express: non-convex clusters + an explicit noise class).
+  *
+  * The classic algorithm is a sequential region-growing scan; this is
+  * the distributed grid formulation, every step a bounded equi-join:
+  *
+  *  - cell key (⌊x/eps⌋, ⌊y/eps⌋): any ε-neighbor lies in the 3×3
+  *    neighbor cells, so candidate pairs come from ONE equi-join of
+  *    the point table against itself on shifted cell keys (a 9-row
+  *    broadcast offset frame) — volume Σ_cell |cell|·|3×3 nbhd|,
+  *    never all-pairs;
+  *  - core points: ε-neighbor count ≥ minPts (the point itself
+  *    counts, per the paper's |N_eps(p)| ≥ minPts);
+  *  - clusters: connected components of the core-core ε-graph
+  *    ([[Dedup.connectedComponents]] — driver union-find under its
+  *    documented edge bound, iterative min-label propagation beyond);
+  *    the label is the component's min core id; a core point with no
+  *    core neighbor keeps its own id (a singleton cluster);
+  *  - border points: non-core with ≥ 1 core ε-neighbor, assigned the
+  *    MIN core neighbor's cluster (the deterministic stand-in for the
+  *    paper's first-reached assignment, which is scan-order-
+  *    dependent); everything else is noise (cluster −1).
+  *
+  * Exactly SQL-replayable (q239): coordinates arrive 6-dp quantized,
+  * the d2 arithmetic is spelled the same on both engines, and the
+  * oracle replays the component labels by unrolled pointer-doubling
+  * min-label rounds (neighbor-min + label-of-label jump, log₂-depth)
+  * with a convergence guard that errors rather than accept a
+  * non-converged labeling.
+  *
+  * Reference anchor: extends the clustering surface surveyed from
+  * scripts/cluster.py (SURVEY.md §2 M-rows) with the density family.
+  */
+object Dbscan {
+
+  /** Label every point: (id, x, y, role ∈ core|border|noise,
+    * cluster — min core id of the component, −1 for noise).
+    * `points`: (id long, x double, y double), coordinates already
+    * quantized by the caller (the q239 contract rounds to 6 dp). */
+  def label(points: DataFrame, eps: Double, minPts: Int): DataFrame = {
+    require(eps > 0 && minPts >= 1, s"bad eps=$eps minPts=$minPts")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val cell = points
+      .select(col("id"), col("x"), col("y"),
+        floor(col("x") / eps).cast("long").as("cx"),
+        floor(col("y") / eps).cast("long").as("cy"))
+      .persist()
+    cell.count()
+    // 9-row neighbor-offset frame: the grid join IS the ε-prune
+    val offs = broadcast(
+      Seq(-1L, 0L, 1L).flatMap(a => Seq(-1L, 0L, 1L).map(b => (a, b)))
+        .toDF("dx", "dy"))
+    def sq(c: Column): Column = c * c
+    val cand = cell.crossJoin(offs)
+      .select(col("id"), col("x"), col("y"),
+        (col("cx") + col("dx")).as("cx2"),
+        (col("cy") + col("dy")).as("cy2"))
+      .join(cell.select(col("id").as("id2"), col("x").as("x2"),
+        col("y").as("y2"), col("cx").as("cx2"), col("cy").as("cy2")),
+        Seq("cx2", "cy2"))
+      .filter(sq(col("x") - col("x2")) + sq(col("y") - col("y2"))
+        <= lit(eps * eps))
+      .select(col("id"), col("id2"))
+      .persist()
+    cand.count()
+    val core = cand.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minPts)
+      .select(col("id"))
+      .persist()
+    core.count()
+    val coreEdges = cand.filter(col("id") =!= col("id2"))
+      .join(core, Seq("id"))
+      .join(core.select(col("id").as("id2")), Seq("id2"))
+      .select(least(col("id"), col("id2")).as("id_a"),
+        greatest(col("id"), col("id2")).as("id_b"))
+      .distinct()
+    val comp = Dedup.connectedComponents(coreEdges)
+    val coreLab = core.join(comp, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("cluster"))
+      .persist()
+    coreLab.count()
+    comp.unpersist()
+    val border = cand.filter(col("id") =!= col("id2"))
+      .join(coreLab.select(col("id").as("id2"), col("cluster")),
+        Seq("id2"))
+      .join(core, Seq("id"), "left_anti")
+      .groupBy(col("id"))
+      .agg(min(col("cluster")).as("cluster"))
+    val labeled = points
+      .join(coreLab.select(col("id"), lit("core").as("role"),
+          col("cluster"))
+        .unionByName(border.select(col("id"), lit("border").as("role"),
+          col("cluster"))),
+        Seq("id"), "left_outer")
+      .select(col("id"), col("x"), col("y"),
+        coalesce(col("role"), lit("noise")).as("role"),
+        coalesce(col("cluster"), lit(-1L)).as("cluster"))
+    // materialize while the building blocks are cached, then release
+    labeled.unpersist()
+    labeled.persist().count()
+    Seq(cell, cand, core, coreLab).foreach(_.unpersist())
+    labeled
+  }
+}

@@ -397,7 +397,7 @@ object CurationQueries {
       "ELSE 1 END AS ok FROM wc), " +
       "w0 AS MATERIALIZED (SELECT w, c, '|' || " +
       "array_to_string(string_split(w,''),'|') || '|' AS s " +
-      "FROM wc, guard)" +
+      "FROM wc, guard WHERE guard.ok = 1)" +
       rounds
   }
 
@@ -486,7 +486,8 @@ object CurationQueries {
         "substr(w, q.s, q.e - q.s + 1) AS piece FROM (SELECT w, c, " +
         "unnest(flatten(list_transform(generate_series(1, len(w)), " +
         "s -> list_transform(generate_series(s, len(w)), " +
-        "e -> {'s': s, 'e': e})))) AS q FROM wc, guard)), " +
+        "e -> {'s': s, 'e': e})))) AS q FROM wc, guard " +
+        "WHERE guard.ok = 1)), " +
         "sc AS (SELECT piece, sum(c)::BIGINT AS cnt FROM sub " +
         "GROUP BY piece), " +
         "vb AS (SELECT piece, cnt FROM sc WHERE len(piece) = 1 " +

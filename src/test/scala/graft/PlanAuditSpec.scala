@@ -61,10 +61,14 @@ class PlanAuditSpec extends GraftSuite {
                             // set is benchmark-sized by definition, so
                             // |train|×|eval| is linear in the corpus —
                             // the compliance screen's exact-recall shape
-    "q200_dataset_similarity") // the |sources|² pair matrix (the `<`
+    "q200_dataset_similarity", // the |sources|² pair matrix (the `<`
                                // range self-join on the SOURCE list —
                                // tens of rows at any corpus size; the
                                // shingle/signature joins stay equi)
+    "q239_dbscan_oracled")     // points × the 9-row grid-offset frame
+                               // (|P|×9 map-side) + × the 1-row
+                               // min/max scaling bounds — the grid
+                               // join IS the ε-neighborhood prune
 
   /** crossJoin(broadcast(global aggregate)) — a 1-row side, |L|×1 and
     * linear; Spark renders it as BroadcastNestedLoopJoin but it is the
