@@ -65,7 +65,11 @@ object AnnFrontier {
       .join(approx.select(col("query_id"), col("cand_id")),
         Seq("query_id", "cand_id"), "left_semi")
       .count()
-    hits.toDouble / (K.toLong * NProbes)
+    // denominator = the exact baseline's OWN row count, not K·NProbes
+    // (ADVICE r13): a probe set smaller than NProbes (id gaps, tiny
+    // corpora) would otherwise deflate every recall, flat included
+    val denom = exact.count()
+    if (denom == 0L) 0.0 else hits.toDouble / denom
   }
 
   /** 10 tight clusters in 64-dim, 2000 points — the NnDescentSpec
@@ -101,9 +105,20 @@ object AnnFrontier {
     import spark.implicits._
     val vecs = vecs0.select(col("id"), col("v")).persist()
     val n = vecs.count()
-    // 50 evenly spaced stored ids — the probe set every method serves
+    // 50 evenly spaced stored vectors BY RANK in id order (ADVICE
+    // r13: rank positions are not id values — a table with id gaps
+    // would silently select fewer probes). The rank pass is the
+    // projRanked pattern: range-partition + sort-within-partitions +
+    // zipWithIndex, no single-partition window.
     val step = math.max(1L, n / NProbes)
-    val probeIds = (0 until NProbes).map(_ * step).filter(_ < n)
+    val targetRanks = (0 until NProbes).map(_ * step)
+      .filter(_ < n).toSet
+    val probeIds = vecs.select(col("id"))
+      .repartitionByRange(col("id"))
+      .sortWithinPartitions(col("id"))
+      .rdd.map(_.getLong(0)).zipWithIndex
+      .filter { case (_, rn) => targetRanks.contains(rn) }
+      .map(_._1).collect().toSeq.sorted
     val probes = vecs.filter(col("id").isin(probeIds: _*))
       .select(col("id").as("query_id"), col("v").as("qv"))
       .persist()

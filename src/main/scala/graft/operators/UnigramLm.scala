@@ -190,6 +190,12 @@ object UnigramLm {
         cs.map(_.get).foldLeft(0.0)(_ + _)))
     }
     val ranked = scored.sortBy(t => (t._3, t._2, t._1)).take(n)
+    // a word containing a character absent from the cost table has NO
+    // valid segmentation — return the empty n-best list rather than
+    // throwing from deep inside an executor (ADVICE r13): q237 is safe
+    // by construction (the same corpus trained the vocab), but any
+    // caller with a mismatched cost map deserves a clean empty answer
+    if (ranked.isEmpty) return Seq.empty
     val best = ranked.head._3
     ranked.zipWithIndex.map { case ((seg, np, c), i) =>
       (i + 1, seg, np, c, c - best)

@@ -616,7 +616,16 @@ object CurationQueries {
     * count, left-fold cost, gap — hashes against Spark's. This
     * completes the tokenizer family the way q195 completed IVF-PQ:
     * train (q229), encode (q230), and now the sampling lattice the
-    * training objective actually marginalizes over. */
+    * training objective actually marginalizes over.
+    *
+    * Collation contract (ADVICE r13): the rank tie-break on the seg
+    * string compares UTF-16 code units in Scala vs binary UTF-8 bytes
+    * in DuckDB — identical orders for ASCII, divergent only for
+    * supplementary-plane characters when cost AND piece count tie.
+    * The documents corpus is lowercase-ASCII prose by construction
+    * (TESTDATA.md), so the contract here is ASCII-only words; a
+    * non-ASCII corpus would need a collation-neutral tie-break key
+    * (e.g. the cut mask). */
   val q237UnigramNBestOracled: GraftQuery = GraftQuery(
     "q237_unigram_nbest_oracled",
     (s, d) => {

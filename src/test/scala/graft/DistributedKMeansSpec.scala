@@ -373,10 +373,9 @@ class DistributedWord2VecSpec extends GraftSuite {
     def meanSig(rounds: Int): (Double, Double) = {
       val (u, v, pairs) = w2v.fitMatrices(docs, "doc_id", "text",
         dim = 8, minCount = 5, rounds = rounds, lr = 0.5)
-      def vec(m: org.apache.spark.sql.DataFrame, n: String) = m
-        .groupBy($"w")
-        .agg(array_sort(collect_list(struct($"j", $"x"))).as("p"))
-        .select($"w", transform($"p", e => e.getField("x")).as(n))
+      // matrices are (w, x: array<double>) end-to-end now — just rename
+      def vec(m: org.apache.spark.sql.DataFrame, n: String) =
+        m.select($"w", $"x".as(n))
       val dot = (a: org.apache.spark.sql.Column,
           b: org.apache.spark.sql.Column) =>
         aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
