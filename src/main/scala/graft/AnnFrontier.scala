@@ -177,6 +177,23 @@ object AnnFrontier {
     out += measure(name, "pq_m4", pqTrainS + pqEncS, exL2, repeats)(
       () => PqIndex.adcTopK(spark, qSeq, encoded, cb, K))
 
+    // PQ at a PRODUCTION geometry (m=8, k=256 — the standard
+    // memory-tier trade, VERDICT r13 #5): the m=4/k=4 row above is
+    // the shipped q93 geometry and its 0.05 recall brands the toy
+    // CONFIGURATION, not the method — this row ranks PQ the way a
+    // deployment would size it (8 sub-quantizers, byte-sized
+    // codebooks)
+    val (cb8, pq8TrainS) = timed(PqIndex.train(
+      vecs.select(col("id"), col("v")), "id", "v", m = 8, k = 256,
+      seed = 42L))
+    val (encoded8, pq8EncS) = timed {
+      val e = PqIndex.encode(vecs.select(col("id"), col("v")), "id",
+        "v", cb8).persist()
+      e.count(); e
+    }
+    out += measure(name, "pq_m8k256", pq8TrainS + pq8EncS, exL2,
+      repeats)(() => PqIndex.adcTopK(spark, qSeq, encoded8, cb8, K))
+
     // IVF-PQ (q94 geometry: nlist=4, nprobe=2, m=4) — coarse L2 prune
     // then ADC, from PREBUILT artifacts
     val (ivfpqArts, ivfpqBuild) = timed {
@@ -261,8 +278,8 @@ object AnnFrontier {
           beam = beam, k = K, entries = nnEntries)
           .select(col("query_id"), col("node_id").as("cand_id")))
 
-    Seq(vecs, probes, cands, exL2, exCos, buckets, encoded, ivfpqIdx,
-      codes, nnGraph, nnEntries).foreach(_.unpersist())
+    Seq(vecs, probes, cands, exL2, exCos, buckets, encoded, encoded8,
+      ivfpqIdx, codes, nnGraph, nnEntries).foreach(_.unpersist())
     out.result()
   }
 

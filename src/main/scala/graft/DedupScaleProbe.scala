@@ -710,6 +710,52 @@ object DedupScaleProbe {
             f""""docs":${nBase * m},"dups":$dups,"dedupSecs":$s3%.2f,""" +
             f""""dedupDocsPerSec":${(nBase * m / s3).toLong}}"""
         }
+      } else if (args.headOption.contains("--dbscan")) {
+        // density-clustering sweep (VERDICT r13 #4): the q239 feature
+        // space replicated m× in DISJOINT spatial regions — replica r
+        // shifts x by 2.0·r (400 cell widths, so no cross-replica
+        // cell adjacency). Coordinates are DYADIC (k/2^20), so the
+        // shift is exact in IEEE and every within-replica distance is
+        // bit-equal across replicas: role counts and cluster count
+        // must be EXACTLY m× the base, wall ~linear — the grid join
+        // has no superlinear term under the dense-cell cap.
+        val evAll = Tables.events(spark, sfDir)
+        val mmod = math.max(1L, evAll.count() / 10000L)
+        val ev = evAll.filter(col("event_id") % mmod === 0)
+        val mm = ev.agg(min(col("value")).as("mnv"),
+          max(col("value")).as("mxv"))
+        val q = 1048576.0 // 2^20 — dyadic quantizer
+        val base = ev.crossJoin(broadcast(mm))
+          .select(col("event_id").as("id"),
+            (floor((col("value") - col("mnv")) / (col("mxv") - col("mnv"))
+              * q) / q).as("x"),
+            (floor((unix_millis(col("ts")) % 86400000L)
+              / lit(86400000.0) * q) / q).as("y"))
+          .persist()
+        val nb = base.count()
+        val stride = base.agg(max(col("id"))).head().getLong(0) + 1L
+        val out = Seq(1, 2, 5, 10).map { m =>
+          val t0 = System.nanoTime()
+          val rep = (0 until m).map(r => base.select(
+              (col("id") + lit(r * stride)).as("id"),
+              (col("x") + lit(2.0 * r)).as("x"), col("y")))
+            .reduce(_ unionAll _)
+          val lab = graft.operators.Dbscan.label(rep, eps = 0.005,
+            minPts = 5)
+          val agg = lab.agg(
+            sum(when(col("role") === "core", 1L).otherwise(0L)),
+            sum(when(col("role") === "border", 1L).otherwise(0L)),
+            sum(when(col("role") === "noise", 1L).otherwise(0L)),
+            countDistinct(when(col("cluster") >= 0, col("cluster"))))
+            .head()
+          lab.unpersist()
+          val secs = (System.nanoTime() - t0) / 1e9
+          f""""x$m":{"pts":${nb * m},"core":${agg.getLong(0)},""" +
+            f""""border":${agg.getLong(1)},"noise":${agg.getLong(2)},""" +
+            f""""clusters":${agg.getLong(3)},"secs":$secs%.2f}"""
+        }
+        base.unpersist()
+        out
       } else if (args.headOption.contains("--spans"))
         // span-dedup sweep: span count must be EXACTLY m× the base
         // (disjoint shingle spaces), wall ~linear — no pair term.

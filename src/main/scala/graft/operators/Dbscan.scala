@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Grid-based DBSCAN (Ester et al., KDD 1996) — density clustering in
@@ -28,23 +29,57 @@ import org.apache.spark.sql.functions._
   *    paper's first-reached assignment, which is scan-order-
   *    dependent); everything else is noise (cluster −1).
   *
+  * Dense-cell occupancy cap (VERDICT r13 #4 — the LSH `maxBucket`
+  * precedent): the grid join's volume is Σ_cell |cell|·|3×3 nbhd| —
+  * never all-pairs, but quadratic in the densest cell's population,
+  * and 100 TB of skewed data WILL present a degenerate cell. With
+  * `maxCell > 0` the NEIGHBOR side of the join keeps only each cell's
+  * `maxCell` lowest-id members (a deterministic in-cell rank), so
+  * candidate volume is ≤ 9·maxCell·N — linear — while the probe side
+  * keeps every point (each point must still be classified). Capped
+  * counts are observed in the same pass via [[CapObserver]].
+  * Degradation is ONE-SIDED, like the LSH star: capping only REMOVES
+  * candidates, so no false core, no false edge, no false border ever
+  * appears; an over-dense region can only lose labels, never invent
+  * them. Two exactness backstops keep the loss small where it
+  * matters: (a) points in an over-dense SUB-cell (side eps/2, whose
+  * diameter eps/√2 < eps certifies every member pair as ε-neighbors)
+  * with ≥ minPts members are core BY TRIANGLE INEQUALITY, no
+  * enumeration needed — so the cap cannot de-core the dense blob that
+  * triggered it; (b) every dropped member still probes the kept
+  * members of its own and neighboring cells, so it stays connected to
+  * the cluster star-wise through them. For inputs where no cell
+  * exceeds the cap the output is BIT-IDENTICAL to the exact path
+  * (DbscanSpec pins both properties; q239's 3-SF hash is the gate).
+  * `maxCell <= 0` disables the cap.
+  *
   * Exactly SQL-replayable (q239): coordinates arrive 6-dp quantized,
   * the d2 arithmetic is spelled the same on both engines, and the
-  * oracle replays the component labels by unrolled pointer-doubling
-  * min-label rounds (neighbor-min + label-of-label jump, log₂-depth)
-  * with a convergence guard that errors rather than accept a
-  * non-converged labeling.
+  * oracle replays the component labels by an exact recursive
+  * min-label closure over the bounded input.
   *
   * Reference anchor: extends the clustering surface surveyed from
   * scripts/cluster.py (SURVEY.md §2 M-rows) with the density family.
   */
 object Dbscan {
 
+  /** Default per-cell occupancy cap for the neighbor side of the grid
+    * join — bounds candidate volume at 9·maxCell·N (the LSH
+    * DefaultMaxBucket posture). */
+  val DefaultMaxCell = 1000
+
   /** Label every point: (id, x, y, role ∈ core|border|noise,
     * cluster — min core id of the component, −1 for noise).
     * `points`: (id long, x double, y double), coordinates already
-    * quantized by the caller (the q239 contract rounds to 6 dp). */
-  def label(points: DataFrame, eps: Double, minPts: Int): DataFrame = {
+    * quantized by the caller (the q239 contract rounds to 6 dp).
+    *
+    * OWNERSHIP: the returned DataFrame is PERSISTED (materialized
+    * while the intermediate caches are alive — the Dedup contract);
+    * the caller unpersists it once its downstream aggregate has
+    * materialized (q239 collects its per-cluster profile and releases
+    * the labels; DbscanSpec does the same after its assertions). */
+  def label(points: DataFrame, eps: Double, minPts: Int,
+      maxCell: Int = DefaultMaxCell): DataFrame = {
     require(eps > 0 && minPts >= 1, s"bad eps=$eps minPts=$minPts")
     val spark = points.sparkSession
     import spark.implicits._
@@ -59,11 +94,30 @@ object Dbscan {
       Seq(-1L, 0L, 1L).flatMap(a => Seq(-1L, 0L, 1L).map(b => (a, b)))
         .toDF("dx", "dy"))
     def sq(c: Column): Column = c * c
+    // neighbor side: whole cells under the cap, each over-dense
+    // cell's maxCell lowest-id members above it (rank shuffles on the
+    // cell key the join needs anyway; the size frame carries the
+    // CapObserver metrics through the same pass)
+    val nbSide =
+      if (maxCell <= 0) cell
+      else {
+        val sizes = CapObserver.observeCapped(
+          cell.groupBy(col("cx"), col("cy"))
+            .agg(count(lit(1)).as("n")),
+          "dbscan", maxCell)
+        cell
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("cx"), col("cy"))
+              .orderBy(col("id"))))
+          .join(sizes, Seq("cx", "cy"))
+          .filter(col("rk") <= maxCell)
+          .drop("rk", "n")
+      }
     val cand = cell.crossJoin(offs)
       .select(col("id"), col("x"), col("y"),
         (col("cx") + col("dx")).as("cx2"),
         (col("cy") + col("dy")).as("cy2"))
-      .join(cell.select(col("id").as("id2"), col("x").as("x2"),
+      .join(nbSide.select(col("id").as("id2"), col("x").as("x2"),
         col("y").as("y2"), col("cx").as("cx2"), col("cy").as("cy2")),
         Seq("cx2", "cy2"))
       .filter(sq(col("x") - col("x2")) + sq(col("y") - col("y2"))
@@ -71,11 +125,31 @@ object Dbscan {
       .select(col("id"), col("id2"))
       .persist()
     cand.count()
-    val core = cand.groupBy(col("id"))
+    val counted = cand.groupBy(col("id"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minPts)
       .select(col("id"))
-      .persist()
+    // exact auto-core backstop under the cap: a sub-cell of side
+    // eps/2 has diameter eps/√2 < eps, so ≥ minPts members certify
+    // every member core with no pair enumeration (decidable however
+    // over-dense the region — the verdict's "subsample the core test"
+    // alternative made exact). Under-cap inputs: auto-core ⊆ the
+    // counted set, so the union changes nothing (bit-identity).
+    val core = (
+      if (maxCell <= 0) counted
+      else {
+        val half = eps / 2.0
+        val sub = cell.select(col("id"),
+          floor(col("x") / half).cast("long").as("sx"),
+          floor(col("y") / half).cast("long").as("sy"))
+        val dense = sub.groupBy(col("sx"), col("sy"))
+          .agg(count(lit(1)).as("sn"))
+          .filter(col("sn") >= minPts)
+          .select(col("sx"), col("sy"))
+        counted.unionAll(
+            sub.join(dense, Seq("sx", "sy")).select(col("id")))
+          .distinct()
+      }).persist()
     core.count()
     val coreEdges = cand.filter(col("id") =!= col("id2"))
       .join(core, Seq("id"))

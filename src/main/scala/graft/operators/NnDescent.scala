@@ -184,6 +184,209 @@ object NnDescent {
     out
   }
 
+  /** Append a BATCH of new vectors to a BUILT graph without
+    * retraining (q240) — the ingest face IVF got with q208, closing
+    * the index-lifecycle story for the graph family: new vectors
+    * currently meant a full O(N·cap²·rounds) rebuild; this reads ONLY
+    * the two stored artifacts plus the vectors it touches.
+    *
+    * Protocol (HNSW's search-then-link insert, made replayable):
+    * each new vector (nid, qv)
+    *
+    *  1. scores the persisted entry candidates and seeds a
+    *     width-`beam` frontier from its best by (d2, id) — the same
+    *     routing q232's serve uses;
+    *  2. walks `hops` beam-search rounds over the stored neighbor
+    *     lists (frontier ∪ frontier's neighbors, keep `beam`) and
+    *     takes its `k` best over EVERYTHING the walk scored (the
+    *     visited-set return contract, same as beamTopK) → the new
+    *     node's adjacency;
+    *  3. REVERSE-links: every (old ← new) edge competes into the old
+    *     node's stored list under the same (d2, nb) total order —
+    *     old nodes whose top-k actually admits a new neighbor emit
+    *     their full updated list.
+    *
+    * TWO walk engines, ONE semantics (the greedyTrace/beamTopK
+    * precedent, now with a parity gate): a batch of ≤ `smallBatch`
+    * vectors walks DRIVER-side — per hop one job joining a literal
+    * frontier against the stored lists, the q232 serving shape,
+    * because a 9-stage relational hop chain costs more in stage
+    * scheduling than it computes for a probe-sized batch (measured
+    * 21 s vs ~4 s at sf0.1) — while a bulk batch rides the fully
+    * RELATIONAL unrolled plan (equi-joins keyed on the frontier,
+    * windows partitioned per new node), whose fixed depth amortizes
+    * over any batch size. Both paths score with the same ArrayL2Sq
+    * kernel under the same (d2, id) total orders, so their outputs
+    * are BIT-IDENTICAL (NnDescentSpec pins equality on a fixture;
+    * the q240 oracle replays the shared protocol).
+    *
+    * Returns (u, rank, nb, d2): the new nodes' lists plus the
+    * refreshed old lists. Batch-internal pairs (new-new edges) are
+    * deferred to the next full refresh — the standard append-only
+    * trade, stated here so the dataset card can say it. Cost per new
+    * vector: entryCand entry scores + hops·beam·k stored edges + one
+    * keyed merge into the affected old lists — independent of corpus
+    * size.
+    *
+    * `graph`: the persisted (u, nb, d2) edge list; `vecs`: (id, v);
+    * `newVecs`: (nid, qv) with ids disjoint from `vecs`;
+    * `entries`: the persisted (node_id, v) entry candidates.
+    *
+    * OWNERSHIP: the returned DataFrame is PERSISTED (materialized
+    * while the intermediate caches are alive); the caller unpersists
+    * once its downstream result has materialized (q240 localizes its
+    * bounded output; NnDescentSpec releases after its assertions). */
+  def appendToGraph(graph: DataFrame, vecs: DataFrame,
+      newVecs: DataFrame, k: Int, beam: Int, hops: Int,
+      entries: DataFrame, smallBatch: Int = 1024): DataFrame = {
+    val nv = newVecs.select(col("nid"), col("qv"))
+    val useDriver = nv.count() <= smallBatch
+    val temp = scala.collection.mutable.Buffer.empty[DataFrame]
+    val newAdj =
+      if (useDriver) newAdjDriver(graph, vecs, nv, k, beam, hops,
+        entries)
+      // localCheckpoint: materialized AND lineage-truncated — the
+      // unrolled walk references each frontier subtree twice per hop,
+      // so an un-truncated plan tree grows ~2^hops on top of however
+      // deep the graph's own lineage is (measured: OOM in plan
+      // stringification on a spec fixture)
+      else newAdjRelational(graph, vecs, nv, k, beam, hops, entries)
+        .localCheckpoint()
+    // stage 3: reverse-link — merge (old ← new) edges into the
+    // affected old lists under the same (d2, nb) order, emit only
+    // lists the merge actually changed. merged feeds both the
+    // admitted test and the refreshed lists — persist it.
+    val rev = newAdj.select(col("nb").as("u"), col("u").as("nb"),
+      col("d2"))
+    val merged = graph.join(rev.select(col("u")).distinct(), Seq("u"),
+        "left_semi")
+      .select(col("u"), col("nb"), col("d2"))
+      .unionByName(rev)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("u")).orderBy(col("d2"), col("nb"))))
+      .filter(col("rank") <= k)
+      .persist()
+    temp += merged
+    // "changed" = the merged top-k admitted at least one new id; the
+    // new-id test is membership in the batch, carried via a semi join
+    val admitted = merged.join(
+        nv.select(col("nid").as("nb")), Seq("nb"), "left_semi")
+      .select(col("u")).distinct()
+    val refreshed = merged.join(admitted, Seq("u"), "left_semi")
+      .select(col("u"), col("rank"), col("nb"), col("d2"))
+    // materialize while the intermediates are cached, then release
+    // them (the knnGraph pattern); the output stays persisted —
+    // caller-owned (see OWNERSHIP above)
+    val out = newAdj.unionByName(refreshed)
+    out.unpersist()
+    out.persist().count()
+    temp.foreach(_.unpersist())
+    out
+  }
+
+  /** The driver-side walk (small batches): per hop ONE job joining a
+    * literal frontier frame against the stored lists — the
+    * greedyTrace shape. Bit-identical to [[newAdjRelational]]: same
+    * kernel, same (d2, id) orders, same visited-set dedup on
+    * identical (bit-stable) triples. Returns a LOCAL (u, rank, nb,
+    * d2) frame. */
+  private def newAdjDriver(graph: DataFrame, vecs: DataFrame,
+      nv: DataFrame, k: Int, beam: Int, hops: Int,
+      entries: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val nvLocal = nv.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    // stage 1: one job scoring the entry frame (same expressions as
+    // the relational path -> bit-equal doubles)
+    val s0 = nv.crossJoin(broadcast(
+        entries.select(col("node_id").as("cand"), col("v"))))
+      .select(col("nid"), col("cand"),
+        d2(col("qv"), col("v")).as("d2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val visited =
+      scala.collection.mutable.LinkedHashSet[(Long, Long, Double)]()
+    visited ++= s0
+    def topB(rows: Seq[(Long, Long, Double)],
+        n: Int): Seq[(Long, Long, Double)] =
+      rows.groupBy(_._1).values.flatMap(
+        _.distinct.sortBy(t => (t._3, t._2)).take(n)).toSeq
+        .sortBy(t => (t._1, t._3, t._2))
+    var frontier = topB(s0, beam)
+    val qvOf = nvLocal.toMap
+    for (_ <- 1 to hops) {
+      val curDf = frontier.map { case (nid, cand, d2v) =>
+        (nid, qvOf(nid), cand, d2v)
+      }.toDF("nid", "qv", "cand", "d2")
+      val stepped = broadcast(curDf)
+        .join(graph.select(col("u").as("cand"), col("nb")), "cand")
+        .join(vecs.select(col("id").as("nb"), col("v").as("nv2")),
+          "nb")
+        .select(col("nid"), col("nb").as("cand"),
+          d2(col("qv"), col("nv2")).as("d2"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val hopSet = (stepped ++ frontier).distinct
+      visited ++= hopSet
+      frontier = topB(hopSet, beam)
+    }
+    val adj = topB(visited.toSeq, k).groupBy(_._1).values.flatMap {
+      rows =>
+        rows.sortBy(t => (t._3, t._2)).zipWithIndex.map {
+          case ((nid, cand, d2v), i) => (nid, i + 1, cand, d2v)
+        }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    adj.toDF("u", "rank", "nb", "d2")
+  }
+
+  /** The fully relational walk (bulk batches): every hop an
+    * equi-join keyed on the frontier, windows partitioned per new
+    * node — fixed plan depth however large the batch. Every hop
+    * frame is eagerly localCheckpoint'd: it feeds BOTH the next
+    * frontier and the final visited-set union (the
+    * multi-referenced-CTE trap), and checkpointing — unlike
+    * persist — also TRUNCATES the logical plan, which otherwise
+    * doubles per hop. */
+  private def newAdjRelational(graph: DataFrame, vecs: DataFrame,
+      nv: DataFrame, k: Int, beam: Int, hops: Int,
+      entries: DataFrame): DataFrame = {
+    val s0 = nv.crossJoin(broadcast(
+        entries.select(col("node_id").as("cand"), col("v"))))
+      .select(col("nid"), col("cand"),
+        d2(col("qv"), col("v")).as("d2"))
+      .localCheckpoint()
+    def topB(df: DataFrame, n: Int): DataFrame =
+      df.withColumn("rk", row_number().over(
+          Window.partitionBy(col("nid"))
+            .orderBy(col("d2"), col("cand"))))
+        .filter(col("rk") <= n)
+        .select(col("nid"), col("cand"), col("d2"))
+    val visited = scala.collection.mutable.Buffer[DataFrame](s0)
+    var frontier = topB(s0, beam)
+    for (_ <- 1 to hops) {
+      val stepped = frontier
+        .join(broadcast(nv), "nid")
+        .join(graph.select(col("u").as("cand"), col("nb")), "cand")
+        .join(vecs.select(col("id").as("nb"), col("v").as("nv2")),
+          "nb")
+        .select(col("nid"), col("nb").as("cand"),
+          d2(col("qv"), col("nv2")).as("d2"))
+        .unionByName(frontier)
+        .distinct()
+        .localCheckpoint()
+      visited += stepped
+      frontier = topB(stepped, beam)
+    }
+    visited.reduce(_ unionByName _).distinct()
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("nid"))
+          .orderBy(col("d2"), col("cand"))))
+      .filter(col("rank") <= k)
+      .select(col("nid").as("u"), col("rank"),
+        col("cand").as("nb"), col("d2"))
+  }
+
   /** Beam search over a built graph with SAMPLED entry routing — the
     * deterministic core of HNSW's ef-search plus an IVF-flavored
     * coarse stage: every probe scores `entryCand` candidates at

@@ -159,6 +159,29 @@ object AnnIndexes {
     spark.read.parquet(dir)
   }
 
+  /** NN-descent SERVING artifacts (q231/q232 geometry: k=8, cap=16,
+    * rounds=3, entryCand=32): the persisted k-NN graph under
+    * `<dir>/graph` and the rank-spaced entry candidates under
+    * `<dir>/entries`, built once per (JVM, sfDir). Shared between the
+    * q232 serve face and the bench's pre-settle pass (VERDICT r13 #2):
+    * the artifacts are a pure function of the data — same as the
+    * cache settle — so building them during the bench warm-up moves
+    * the build's GC debt out of the timed serving repeats without
+    * changing a single measured plan. */
+  def nnDescentServing(spark: SparkSession, sfDir: String): String =
+    dirFor("prep_nng_k8e", sfDir) { p =>
+      val vecs = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").cast("long").as("id"),
+          graft.operators.Similarity.asDouble(col("embedding"))
+            .as("v"))
+      val graph = graft.operators.NnDescent.knnGraph(vecs, k = 8,
+        cap = 16, rounds = 3)
+      graph.write.mode("overwrite").parquet(s"$p/graph")
+      graph.unpersist() // knnGraph returns its result persisted
+      graft.operators.NnDescent.entryCandidates(vecs, entryCand = 32)
+        .write.mode("overwrite").parquet(s"$p/entries")
+    }
+
   /** Per-JVM materialized setup artifact — a source-backlog dump or a
     * persisted screen index for the streaming replay queries
     * (q198/q202/q203/q207/q211–q213/q222). The dumped files are a pure

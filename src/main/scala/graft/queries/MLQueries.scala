@@ -394,7 +394,9 @@ object MLQueries {
           round(($"value" - $"mnv") / ($"mxv" - $"mnv"), 6).as("x"),
           round((unix_millis($"ts") % 86400000L) / lit(86400000.0), 6)
             .as("y"))
-      graft.operators.Dbscan.label(pts, eps = 0.005, minPts = 5)
+      val labeled = graft.operators.Dbscan.label(pts, eps = 0.005,
+        minPts = 5)
+      val profile = labeled
         .groupBy($"cluster")
         .agg(count(lit(1)).as("n_points"),
           sum(when($"role" === "core", 1L).otherwise(0L)).as("n_core"),
@@ -402,6 +404,14 @@ object MLQueries {
             .as("n_border"),
           min($"x").as("x_min"), max($"x").as("x_max"),
           min($"y").as("y_min"), max($"y").as("y_max"))
+        .orderBy($"cluster")
+      // caller-owned persist (ADVICE r13): materialize the cluster
+      // profile (a handful of rows) and release the corpus-sized
+      // label cache instead of leaving it pinned for the session
+      val rows = profile.collect().toSeq
+      labeled.unpersist()
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), profile.schema)
         .orderBy($"cluster")
     },
     Some(

@@ -22,7 +22,8 @@ object VectorQueries {
       q186PcaPerLabelOracled,
       q188PqOracled, q189SweepOracled, q194ScalarQuant,
       q195IvfPqOracled, q197SemanticDecon,
-      q231NnDescentOracled, q232GraphAnnServeOracled)
+      q231NnDescentOracled, q232GraphAnnServeOracled,
+      q240GraphAnnIngestOracled)
 
   /** The GROUND-TRUTH half of every cosine recall gate
     * (q47/q64/q66/q115), served through the SAME per-JVM cache those
@@ -1250,13 +1251,10 @@ object VectorQueries {
           graft.operators.Similarity.asDouble($"embedding").as("v"))
       // entry candidates persist WITH the graph (VERDICT r12 #2): the
       // serve path must not re-rank the corpus per call — it reads
-      // two stored artifacts and k vectors per hop, nothing else
-      val dir = AnnIndexes.prepared("nng_k8e", d) { p =>
-        graft.operators.NnDescent.knnGraph(vecs, k = 8, cap = 16,
-          rounds = 3).write.mode("overwrite").parquet(s"$p/graph")
-        graft.operators.NnDescent.entryCandidates(vecs, entryCand = 32)
-          .write.mode("overwrite").parquet(s"$p/entries")
-      }
+      // two stored artifacts and k vectors per hop, nothing else.
+      // The build lives in AnnIndexes.nnDescentServing so the bench's
+      // pre-settle pass shares it (VERDICT r13 #2).
+      val dir = AnnIndexes.nnDescentServing(s, d)
       val probes = Tables.embeddings(s, d).filter($"vec_id" < 5)
         .select($"vec_id".cast("long").as("query_id"),
           reverse(graft.operators.Similarity.asDouble($"embedding"))
@@ -1308,4 +1306,102 @@ object VectorQueries {
             "WHERE rn = 1")
           .mkString(" UNION ALL ") +
         ") ORDER BY query_id, hop"))
+
+  /** Graph-based ANN, face 3: APPEND-ONLY INGEST
+    * ([[graft.operators.NnDescent.appendToGraph]]) — grow the
+    * persisted graph without retraining, the lifecycle face IVF got
+    * with q208 (VERDICT r13 #6). Five new vectors (reversed stored
+    * vectors under fresh ids — the q232 probe convention) seed a
+    * width-4 beam from the persisted entry candidates, walk FOUR
+    * unrolled beam-search hops over the stored neighbor lists
+    * (ef-construction made relational — per hop an equi-join keyed
+    * on the frontier, windows partitioned per new node), and keep
+    * their 8 best over everything the walk scored; every (old ← new)
+    * edge then competes into the old node's stored list under the
+    * same (d2, nb) order. FULLY ORACLED: DuckDB re-derives the graph
+    * (the q231 unrolled replay), the entry frame, all four hops, the
+    * visited-set top-8, and the reverse-link merge — every row of
+    * the new adjacency AND every refreshed old list hashes. Cost per
+    * new vector: 32 entry scores + 4·4·8 stored edges + the keyed
+    * merge — independent of corpus size. */
+  val q240GraphAnnIngestOracled: GraftQuery = GraftQuery(
+    "q240_graph_ann_ingest_oracled",
+    (s, d) => {
+      import s.implicits._
+      val vecs = Tables.embeddings(s, d)
+        .select($"vec_id".cast("long").as("id"),
+          graft.operators.Similarity.asDouble($"embedding").as("v"))
+      val dir = AnnIndexes.nnDescentServing(s, d)
+      val newVecs = Tables.embeddings(s, d).filter($"vec_id" < 5)
+        .select(($"vec_id".cast("long") + lit(1000000000L)).as("nid"),
+          reverse(graft.operators.Similarity.asDouble($"embedding"))
+            .as("qv"))
+      val appended = graft.operators.NnDescent.appendToGraph(
+        s.read.parquet(s"$dir/graph").select($"u", $"nb", $"d2"),
+        vecs, newVecs, k = 8, beam = 4, hops = 4,
+        entries = s.read.parquet(s"$dir/entries"))
+      val res = appended
+        .select($"u", $"rank", $"nb", round($"d2", 6).as("d2"))
+        .orderBy($"u", $"rank", $"nb")
+      // caller-owned persist: this face's output is bounded (5 new
+      // vectors × k + the refreshed lists) — localize and release
+      val rows = res.collect().toSeq
+      appended.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+        .orderBy($"u", $"rank", $"nb")
+    },
+    Some(
+      nnDescentCtes(k = 8, cap = 16, rounds = 3) +
+        ", nv AS (SELECT vec_id + 1000000000 AS nid, " +
+        "list_reverse(embedding::DOUBLE[]) AS qv FROM embeddings " +
+        "WHERE vec_id < 5), " +
+        "ents AS (SELECT DISTINCT r.id, r.v FROM rkd r CROSS JOIN nn " +
+        "JOIN (SELECT unnest(generate_series(0, 31)) AS q) q " +
+        "ON r.rn = (nn.n * q.q) // 32), " +
+        // stage 1: score every entry candidate (the visited set
+        // starts with all of them), frontier = best beam=4
+        "s0 AS MATERIALIZED (SELECT nv.nid, ents.id AS cand, " +
+        s"${sqlD2("nv.qv", "ents.v")} AS d2 " +
+        "FROM nv CROSS JOIN ents), " +
+        "f0 AS (SELECT nid, cand, d2 FROM (SELECT nid, cand, d2, " +
+        "row_number() OVER (PARTITION BY nid ORDER BY d2, cand) " +
+        "AS rk FROM s0) WHERE rk <= 4)" +
+        // stage 2: four unrolled beam hops over the stored lists
+        (1 to 4).map { h =>
+          s", s$h AS MATERIALIZED (SELECT DISTINCT nid, cand, d2 " +
+            s"FROM (SELECT f.nid, e.nb AS cand, " +
+            s"${sqlD2("nv.qv", "v.v")} AS d2 " +
+            s"FROM f${h - 1} f JOIN nv ON nv.nid = f.nid " +
+            "JOIN e3 e ON e.u = f.cand JOIN vecs v ON v.id = e.nb " +
+            s"UNION ALL SELECT nid, cand, d2 FROM f${h - 1}))" +
+            s", f$h AS (SELECT nid, cand, d2 FROM (SELECT nid, " +
+            "cand, d2, row_number() OVER (PARTITION BY nid " +
+            s"ORDER BY d2, cand) AS rk FROM s$h) WHERE rk <= 4)"
+        }.mkString +
+        // the new adjacency: top-8 of the visited set
+        ", na AS MATERIALIZED (SELECT nid AS u, rk AS rank, " +
+        "cand AS nb, d2 FROM (" +
+        "SELECT nid, cand, d2, row_number() OVER (" +
+        "PARTITION BY nid ORDER BY d2, cand) AS rk FROM (" +
+        "SELECT DISTINCT nid, cand, d2 FROM (" +
+        "SELECT nid, cand, d2 FROM s0 " +
+        (1 to 4).map(h =>
+          s"UNION ALL SELECT nid, cand, d2 FROM s$h")
+          .mkString(" ") +
+        "))) WHERE rk <= 8), " +
+        // stage 3: reverse-link merge into the affected old lists
+        "rev AS (SELECT nb AS u, u AS nb, d2 FROM na), " +
+        "mgk AS MATERIALIZED (SELECT u, rk, nb, d2 FROM (" +
+        "SELECT u, nb, d2, row_number() OVER (PARTITION BY u " +
+        "ORDER BY d2, nb) AS rk FROM (" +
+        "SELECT e.u, e.nb, e.d2 FROM e3 e " +
+        "JOIN (SELECT DISTINCT u FROM rev) a USING (u) " +
+        "UNION ALL SELECT u, nb, d2 FROM rev)) WHERE rk <= 8), " +
+        "aff AS (SELECT DISTINCT u FROM mgk " +
+        "WHERE nb IN (SELECT nid FROM nv)) " +
+        "SELECT u, rank, nb, round(d2, 6) AS d2 FROM (" +
+        "SELECT u, rank, nb, d2 FROM na " +
+        "UNION ALL SELECT m.u, m.rk AS rank, m.nb, m.d2 " +
+        "FROM mgk m JOIN aff USING (u)) " +
+        "ORDER BY u, rank, nb"))
 }

@@ -6,9 +6,24 @@ import graft.operators.Dbscan
   * role and label is derivable on paper (the q239 oracle proves
   * ENGINE parity; this proves the ALGORITHM — core test counts the
   * point itself, chains connect across grid cells, border adopts the
-  * min core neighbor's cluster, isolated points are noise). */
+  * min core neighbor's cluster, isolated points are noise), plus the
+  * dense-cell occupancy cap (VERDICT r13 #4): under-cap inputs are
+  * bit-identical to the exact path, and an over-dense cell that the
+  * cap starves below minPts is rescued by the sub-cell auto-core
+  * backstop with the exact labeling preserved. */
 class DbscanSpec extends GraftSuite {
   import spark.implicits._
+
+  private def labels(df: org.apache.spark.sql.DataFrame,
+      eps: Double, minPts: Int,
+      maxCell: Int = Dbscan.DefaultMaxCell) = {
+    val out = Dbscan.label(df, eps, minPts, maxCell)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    out.unpersist() // caller-owned persist (ADVICE r13)
+    rows
+  }
 
   test("hand fixture: two clusters, a border point, a noise point — " +
       "exact roles and min-core-id labels (eps=1, minPts=3)") {
@@ -20,16 +35,16 @@ class DbscanSpec extends GraftSuite {
       (4L, 2.4, 0.0),
       (5L, 0.0, 5.0), (6L, 0.6, 5.0), (7L, 1.0, 5.0),
       (8L, 10.0, 10.0)).toDF("id", "x", "y")
-    val got = Dbscan.label(pts, eps = 1.0, minPts = 3)
-      .collect()
-      .map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
-      .sortBy(_._1)
-    assert(got.toSeq === Seq(
+    val want = Seq(
       (0L, "core", 0L), (1L, "core", 0L), (2L, "core", 0L),
       (3L, "core", 0L),
       (4L, "border", 0L),
       (5L, "core", 5L), (6L, "core", 5L), (7L, "core", 5L),
-      (8L, "noise", -1L)))
+      (8L, "noise", -1L))
+    assert(labels(pts, eps = 1.0, minPts = 3) === want)
+    // under-cap bit-identity: the capped plan must not change a
+    // single row vs the exact (cap-disabled) path
+    assert(labels(pts, eps = 1.0, minPts = 3, maxCell = 0) === want)
   }
 
   test("exactly-eps distance is INSIDE the neighborhood (<=, the " +
@@ -37,14 +52,46 @@ class DbscanSpec extends GraftSuite {
     val pts = Seq((0L, 0.0, 0.0), (1L, 1.0, 0.0)).toDF("id", "x", "y")
     // d = exactly eps: neighbors of each other -> degree 2 each, but
     // minPts=3 -> both noise
-    val got = Dbscan.label(pts, eps = 1.0, minPts = 3)
-      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
-      .sortBy(_._1)
-    assert(got.toSeq === Seq((0L, "noise", -1L), (1L, "noise", -1L)))
+    assert(labels(pts, eps = 1.0, minPts = 3) ===
+      Seq((0L, "noise", -1L), (1L, "noise", -1L)))
     // same pair with minPts=2: both core, one cluster labeled 0
-    val got2 = Dbscan.label(pts, eps = 1.0, minPts = 2)
-      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
-      .sortBy(_._1)
-    assert(got2.toSeq === Seq((0L, "core", 0L), (1L, "core", 0L)))
+    assert(labels(pts, eps = 1.0, minPts = 2) ===
+      Seq((0L, "core", 0L), (1L, "core", 0L)))
+  }
+
+  test("dense-cell cap engaged: a 50-point blob in one cell, cap=10, " +
+      "minPts=15 — capped degree alone can't reach minPts, the " +
+      "sub-cell auto-core backstop preserves the exact labeling") {
+    // 50 points inside a 0.2-radius blob at (0.25, 0.25): one grid
+    // cell (eps=1), one sub-cell (side 0.5) — every pair within eps,
+    // so EXACT DBSCAN makes all 50 core in one cluster labeled 0.
+    // With maxCell=10 each point sees only ~11 candidates (< minPts
+    // 15): the counted core test fails for EVERY point and only the
+    // auto-core rule (50 >= 15 in one eps/2 sub-cell) holds the
+    // labeling together — the cap's documented one-sided degradation
+    // being repaired by the triangle-inequality backstop.
+    val pts = (0 until 50).map { i =>
+      (i.toLong, 0.25 + 0.002 * (i % 10), 0.25 + 0.002 * (i / 10))
+    }.toDF("id", "x", "y")
+    val exact = labels(pts, eps = 1.0, minPts = 15, maxCell = 0)
+    assert(exact.forall { case (_, role, c) =>
+      role == "core" && c == 0L })
+    val capped = labels(pts, eps = 1.0, minPts = 15, maxCell = 10)
+    assert(capped === exact,
+      "capped labeling diverged from exact on the dense blob")
+  }
+
+  test("cap degrades one-sided: no false cores, no invented " +
+      "clusters — an over-dense cell plus a genuinely-noise outlier") {
+    // the blob again (cap engaged) plus an isolated point: the
+    // outlier must stay noise under the cap (capping can only REMOVE
+    // candidates, never add)
+    val pts = ((0 until 40).map { i =>
+      (i.toLong, 0.25 + 0.002 * (i % 8), 0.25 + 0.002 * (i / 8))
+    } :+ (99L, 50.0, 50.0)).toDF("id", "x", "y")
+    val capped = labels(pts, eps = 1.0, minPts = 5, maxCell = 8)
+    assert(capped.filter(_._1 == 99L) === Seq((99L, "noise", -1L)))
+    assert(capped.filter(_._1 != 99L).forall { case (_, role, c) =>
+      role == "core" && c == 0L })
   }
 }

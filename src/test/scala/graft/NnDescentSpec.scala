@@ -130,6 +130,82 @@ class NnDescentSpec extends GraftSuite {
     }
   }
 
+  test("appendToGraph (the q240 ingest face): on a planted clone the " +
+      "search-insert finds the EXACT top-8 (full-rebuild parity and " +
+      "better), the clone's original admits the new node at rank 1 " +
+      "with d2 = 0, and every refreshed old list keeps the k-ranked " +
+      "invariants") {
+    val vecs = clustered()
+    val graph = NnDescent.knnGraph(vecs, k = 8, cap = 16, rounds = 3)
+    val entries = NnDescent.entryCandidates(vecs, entryCand = 32)
+    // planted fixture: an exact clone of stored vector 5 under a
+    // fresh id — its true top-1 is the original at d2 = 0, its true
+    // top-8 is the original's cluster
+    val cloneOf = 5L
+    val nid = 100000L
+    val qv = vecs.filter($"id" === cloneOf).head().getSeq[Double](1)
+    val newVecs = Seq((nid, qv)).toDF("nid", "qv")
+    val appended = NnDescent.appendToGraph(
+      graph.select($"u", $"nb", $"d2"), vecs, newVecs, k = 8,
+      beam = 4, hops = 4, entries = entries)
+    val got = appended.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getDouble(3)))
+    appended.unpersist() // caller-owned persist
+    val newRows = got.filter(_._1 == nid).sortBy(_._2)
+    // exact brute-force top-8 of the clone against the corpus
+    val exact = vecs
+      .select($"id",
+        graft.expressions.ArrayL2Sq(typedLit(qv), $"v").as("d2"))
+      .orderBy($"d2", $"id").limit(8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(newRows.map(r => (r._3, r._4)).toSeq === exact,
+      "search-insert adjacency is not the exact top-8")
+    assert(newRows.head._3 === cloneOf && newRows.head._4 === 0.0,
+      "the original is not the clone's rank-1 neighbor at d2 = 0")
+    // reverse link: the original's refreshed list admits the clone
+    // at rank 1 (d2 = 0 beats every existing edge)
+    val origRows = got.filter(_._1 == cloneOf).sortBy(_._2)
+    assert(origRows.nonEmpty, "the clone's original was not refreshed")
+    assert(origRows.head._3 === nid && origRows.head._4 === 0.0)
+    // every refreshed list: ranks 1..8, d2 monotone, >= 1 new id
+    got.filter(_._1 != nid).groupBy(_._1).foreach { case (u, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to 8),
+        s"refreshed $u ranks ${rows.map(_._2).toSeq}")
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b },
+        s"refreshed $u d2 not monotone")
+      assert(rows.exists(_._3 == nid),
+        s"refreshed $u admitted no new id — must not have been emitted")
+    }
+  }
+
+  test("appendToGraph: the driver walk and the relational walk are " +
+      "BIT-IDENTICAL — same kernel, same total orders, so batch size " +
+      "(which selects the engine) can never change a result") {
+    val vecs = clustered(20)
+    val graph = NnDescent.knnGraph(vecs, k = 8, cap = 16, rounds = 2)
+      .select($"u", $"nb", $"d2")
+    val entries = NnDescent.entryCandidates(vecs, entryCand = 32)
+    val newVecs = Seq(
+      (9001L, (0 until 8).map(j => 0.1 * j)),
+      (9002L, (0 until 8).map(j => -0.3 + 0.05 * j)))
+      .toDF("nid", "qv")
+    def run(threshold: Int) = {
+      val a = NnDescent.appendToGraph(graph, vecs, newVecs, k = 8,
+        beam = 4, hops = 4, entries = entries,
+        smallBatch = threshold)
+      val rows = a.collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getLong(2), r.getDouble(3))).sortBy(t => (t._1, t._2, t._3))
+      a.unpersist()
+      rows.toSeq
+    }
+    val driver = run(threshold = 1024) // 2 <= 1024 -> driver walk
+    val relational = run(threshold = 0) // 2 > 0 -> relational walk
+    assert(driver.nonEmpty)
+    assert(driver === relational,
+      "walk engines diverged — the dispatch threshold is load-bearing")
+  }
+
   test("the corpus recall is recorded, not assumed: near-uniform " +
       "64-dim embeddings stall every neighbor-of-neighbor method — " +
       "assert only the measured band so a silent collapse (or a " +
