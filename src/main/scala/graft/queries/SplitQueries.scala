@@ -28,7 +28,7 @@ object SplitQueries {
     q226SlidingLateOracled, q227SessionLateOracled,
     q228UpdateModeOracled, q233StreamJoinLateOracled,
     q235OuterJoinLateOracled, q236FullOuterJoinLateOracled,
-    q238RightOuterJoinLateOracled)
+    q238RightOuterJoinLateOracled, q241StreamDensityOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -2230,4 +2230,90 @@ object SplitQueries {
         "SELECT split, 'appended' AS phase, count(*) AS n_docs FROM aapp " +
         "GROUP BY split " +
         "ORDER BY split, phase"))
+
+  /** Per-(event_id, ts, value) backlog for the streaming DENSITY face
+    * — the q225 shard protocol (ts-ordered ntile quartiles, every
+    * 37th row displaced two shards forward = the planted stragglers)
+    * carrying the `value` column the cell key needs. A separate
+    * prepared key from q225src so the two artifact schemas can never
+    * alias. */
+  private def writeSharedLateValueBacklog(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      p: String): Unit = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"ts", $"event_id")
+    val sharded = Tables.events(s, d)
+      .select($"event_id", $"ts", $"value",
+        (ntile(4).over(w) - 1).as("q"),
+        row_number().over(w).as("rn"))
+      .select($"event_id", $"ts", $"value",
+        when($"rn" % 37 === 0, least($"q" + 2, lit(3)))
+          .otherwise($"q").cast("int").as("shard"))
+    graft.streaming.EventStream.writeShardedBacklog(s, p, sharded,
+      "shard", 4)
+  }
+
+  /** STREAMING density clustering — the density axis' streaming face
+    * (batch grid DBSCAN is q239; VERDICT r13 #8): per 1-hour
+    * event-time window, a (window x ⌊value/25⌋-cell) count keyed in
+    * stream state ([[graft.streaming.EventStream.runLateCellDensity]]
+    * — cells as state keys, eviction by watermark, late rows under
+    * the q225 lagged-watermark protocol, pinned keyed-emission case
+    * in WatermarkLateSpec BEFORE this oracle), then the batch step
+    * 1-D grid DBSCAN can replay exactly: dense cells (n ≥ 5) merge
+    * with ADJACENT dense cells into value-density segments — in one
+    * dimension connected components ARE gaps-and-islands (cell −
+    * rank), so the oracle needs no recursive closure at all (the
+    * q239 lesson applied at design time). Output: one row per
+    * (window, segment): cell_lo, cell_hi, n_cells, n_points. The
+    * three SFs tell the density story unprompted: sf0.001 emits NO
+    * segments (all cells sparse), sf0.1 carpets the clock. */
+  val q241StreamDensityOracled: GraftQuery = GraftQuery(
+    "q241_stream_density_oracled",
+    (s, d) => {
+      import s.implicits._
+      val src = AnnIndexes.prepared("q241src", d)(
+        writeSharedLateValueBacklog(s, d, _))
+      val cells = graft.streaming.EventStream.runLateCellDensity(
+        s, src, "30 minutes", eps = 25.0, queryName = "graft_q241")
+      cells.filter($"n" >= 5)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"w_start_ms").orderBy($"cell")))
+        .withColumn("grp", $"cell" - $"rk")
+        .groupBy($"w_start_ms", $"grp")
+        .agg(min($"cell").as("cell_lo"), max($"cell").as("cell_hi"),
+          count(lit(1)).as("n_cells"), sum($"n").as("n_points"))
+        .select($"w_start_ms", $"cell_lo", $"cell_hi", $"n_cells",
+          $"n_points")
+        .orderBy($"w_start_ms", $"cell_lo")
+    },
+    Some(
+      "WITH ord AS (SELECT event_id, ts, value, " +
+        "ntile(4) OVER (ORDER BY ts, event_id) - 1 AS q, " +
+        "row_number() OVER (ORDER BY ts, event_id) AS rn FROM events), " +
+        "sh AS (SELECT ts, value, CASE WHEN rn % 37 = 0 " +
+        "THEN least(q + 2, 3) ELSE q END AS shard FROM ord), " +
+        "mx AS (SELECT shard, max(ts) AS mt FROM sh GROUP BY shard), " +
+        "wm AS (SELECT shard, max(mt) OVER (ORDER BY shard " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) " +
+        "- INTERVAL 30 MINUTE AS wml FROM mx), " +
+        "surv AS (SELECT sh.ts, sh.value FROM sh JOIN wm USING (shard) " +
+        "WHERE wm.wml IS NULL " +
+        "OR date_trunc('hour', sh.ts) + INTERVAL 1 HOUR > wm.wml), " +
+        "fin AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wmf FROM sh), " +
+        "cells AS (SELECT epoch_ms(date_trunc('hour', surv.ts)) " +
+        "AS w_start_ms, floor(surv.value / 25.0)::BIGINT AS cell, " +
+        "count(*) AS n FROM surv, fin " +
+        "WHERE date_trunc('hour', surv.ts) + INTERVAL 1 HOUR " +
+        "<= fin.wmf GROUP BY 1, 2), " +
+        "dense AS (SELECT * FROM cells WHERE n >= 5), " +
+        "seg AS (SELECT w_start_ms, cell, n, cell - row_number() " +
+        "OVER (PARTITION BY w_start_ms ORDER BY cell) AS grp " +
+        "FROM dense) " +
+        "SELECT w_start_ms, min(cell) AS cell_lo, " +
+        "max(cell) AS cell_hi, count(*)::BIGINT AS n_cells, " +
+        "sum(n)::BIGINT AS n_points FROM seg " +
+        "GROUP BY w_start_ms, grp ORDER BY w_start_ms, cell_lo"))
 }

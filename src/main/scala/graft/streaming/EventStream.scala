@@ -208,6 +208,41 @@ object EventStream {
       spark.table(queryName)
     }
 
+  /** Append-mode (window × grid-cell) DENSITY counts over a sharded
+    * backlog — the streaming half of the density-clustering axis
+    * (q241; batch DBSCAN is q239): cells are STATE KEYS, one count
+    * per (1-hour window, ⌊value/eps⌋ cell), evicted when the
+    * watermark passes the window end — exactly [[runLateAppend]]'s
+    * tumbling protocol with the cell as an extra grouping key (the
+    * q227 keyed-emission shape), so late rows ride the same lagged
+    * watermark filter. The emitted (w_start_ms, cell, n) rows are the
+    * per-window density histogram a downstream batch step clusters
+    * (1-D grid DBSCAN: dense cells ≥ minPts, adjacent-cell merge).
+    * State is |open windows| × |occupied cells| however large the
+    * stream. */
+  def runLateCellDensity(spark: SparkSession, srcDir: String,
+      delay: String, eps: Double,
+      queryName: String = "graft_cell_density",
+      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+    withPartitions(spark, shufflePartitions) {
+      val schema = spark.read.parquet(srcDir).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val agg = src
+        .withWatermark("ts", delay)
+        .groupBy(window(col("ts"), "1 hour"),
+          floor(col("value") / eps).cast("long").as("cell"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("window.start")).as("w_start_ms"),
+          col("cell"), col("n"))
+      val q = agg.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(queryName)
+    }
+
   /** UPDATE-mode tumbling counts over a sharded backlog — the third
     * output mode's emission protocol made checkable (q228; complete
     * mode is q41's face, append mode q225's): each micro-batch emits

@@ -2519,6 +2519,44 @@ class WatermarkLateSpec extends GraftSuite {
     assert(got.toSeq === Seq((ms("10:00"), 2L), (ms("12:00"), 1L)))
   }
 
+  test("keyed (window x grid-cell) density counts ride the SAME " +
+      "tumbling protocol: cells are extra grouping keys, eviction is " +
+      "by window end alone, a post-finalization straggler drops for " +
+      "EVERY cell of its window (the q241 protocol, pinned before " +
+      "its oracle)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_wmcell").toString
+    def ms(s: String) =
+      java.time.Instant.parse(s"2024-01-01T$s:00Z").toEpochMilli
+    val rows = Seq(
+      (1L, ms("10:05"), 12.0, 0), // win 10-11, cell 1
+      (2L, ms("10:06"), 13.0, 0), // win 10-11, cell 1
+      (3L, ms("10:07"), 27.0, 0), // win 10-11, cell 2
+      (4L, ms("13:05"), 1.0, 0),  // wm -> 12:35 after batch 1
+      (5L, ms("10:15"), 14.0, 1), // closed win, same-batch-as-
+                                  // finalization -> merges into cell 1
+      (6L, ms("13:20"), 1.0, 1),  // wm -> 12:50
+      (7L, ms("10:10"), 15.0, 2), // post-finalization -> dropped even
+                                  // though cell 1 already existed
+      (8L, ms("12:20"), 60.0, 2), // ts < wm, win 12-13 open -> kept
+      (9L, ms("13:40"), 1.0, 2))  // final wm 13:10
+      .toDF("event_id", "m", "value", "shard")
+      .select($"event_id", timestamp_millis($"m").as("ts"), $"value",
+        $"shard")
+    EventStream.writeShardedBacklog(spark, s"$root/src", rows,
+      "shard", 3)
+    val got = EventStream.runLateCellDensity(spark, s"$root/src",
+        "30 minutes", eps = 10.0, queryName = "graft_cell_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    // final wm 13:10: win 10-11 emits cell 1 (10:05, 10:06, merged
+    // 10:15 = 3) and cell 2 (10:07 = 1); the post-finalization 10:10
+    // is dropped; win 12-13 emits cell 6 (12:20); win 13-14 held
+    assert(got.toSeq === Seq(
+      (ms("10:00"), 1L, 3L), (ms("10:00"), 2L, 1L),
+      (ms("12:00"), 6L, 1L)))
+  }
+
   test("sliding windows drop late input PER (row, window): a straggler " +
       "whose earlier window is finalized still counts in its open " +
       "later window") {
