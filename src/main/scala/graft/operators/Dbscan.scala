@@ -50,7 +50,11 @@ import org.apache.spark.sql.functions._
   * members of its own and neighboring cells, so it stays connected to
   * the cluster star-wise through them. For inputs where no cell
   * exceeds the cap the output is BIT-IDENTICAL to the exact path
-  * (DbscanSpec pins both properties; q239's 3-SF hash is the gate).
+  * (DbscanSpec pins both properties; q239's 3-SF hash is the gate) —
+  * which is why the cap machinery only ENGAGES when an observed cell
+  * actually exceeds maxCell: healthy grids pay one max-occupancy
+  * aggregation, not the rank window + auto-core union (measured 3-4×
+  * of q239's whole cost on its all-under-cap input).
   * `maxCell <= 0` disables the cap.
   *
   * Exactly SQL-replayable (q239): coordinates arrive 6-dp quantized,
@@ -94,12 +98,23 @@ object Dbscan {
       Seq(-1L, 0L, 1L).flatMap(a => Seq(-1L, 0L, 1L).map(b => (a, b)))
         .toDF("dx", "dy"))
     def sq(c: Column): Column = c * c
-    // neighbor side: whole cells under the cap, each over-dense
-    // cell's maxCell lowest-id members above it (rank shuffles on the
-    // cell key the join needs anyway; the size frame carries the
-    // CapObserver metrics through the same pass)
+    // the cap ENGAGES only when a cell actually exceeds it: one tiny
+    // aggregation over the cached cell table decides (deterministic —
+    // a pure function of the data, so partition-invariance holds),
+    // and the under-cap equivalence (capping removes nothing when
+    // every rank ≤ maxCell) makes the branch bit-identical by
+    // construction. The common path (healthy grids) thus pays ONE
+    // max-occupancy job, not the rank window + size join + auto-core
+    // union (measured 3-4× on q239's all-under-cap input).
+    val capEngaged = maxCell > 0 &&
+      cell.groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head.getLong(0) > maxCell
+    // neighbor side when engaged: whole cells under the cap, each
+    // over-dense cell's maxCell lowest-id members above it (rank
+    // shuffles on the cell key the join needs anyway; the size frame
+    // carries the CapObserver metrics through the same pass)
     val nbSide =
-      if (maxCell <= 0) cell
+      if (!capEngaged) cell
       else {
         val sizes = CapObserver.observeCapped(
           cell.groupBy(col("cx"), col("cy"))
@@ -136,7 +151,7 @@ object Dbscan {
     // alternative made exact). Under-cap inputs: auto-core ⊆ the
     // counted set, so the union changes nothing (bit-identity).
     val core = (
-      if (maxCell <= 0) counted
+      if (!capEngaged) counted
       else {
         val half = eps / 2.0
         val sub = cell.select(col("id"),
