@@ -48,7 +48,15 @@ import org.apache.spark.sql.functions._
   * enumeration needed — so the cap cannot de-core the dense blob that
   * triggered it; (b) every dropped member still probes the kept
   * members of its own and neighboring cells, so it stays connected to
-  * the cluster star-wise through them. For inputs where no cell
+  * the cluster star-wise through them, and a dropped AUTO-CORE whose
+  * eps-ball kept no member reconnects through its sub-cell's min-id
+  * anchor (an exact edge by the same eps/√2 certificate — ADVICE r14:
+  * without it the cap could mint singleton clusters, i.e. SPLIT, not
+  * only lose). Residual caveat, stated rather than hidden: if the
+  * anchor itself is dropped and its sub-cell's links to the rest of
+  * the cluster all ran through dropped members, components can still
+  * come out FINER than exact — never coarser, never mislabeled roles.
+  * For inputs where no cell
   * exceeds the cap the output is BIT-IDENTICAL to the exact path
   * (DbscanSpec pins both properties; q239's 3-SF hash is the gate) —
   * which is why the cap machinery only ENGAGES when an observed cell
@@ -106,9 +114,12 @@ object Dbscan {
     // construction. The common path (healthy grids) thus pays ONE
     // max-occupancy job, not the rank window + size join + auto-core
     // union (measured 3-4× on q239's all-under-cap input).
-    val capEngaged = maxCell > 0 &&
+    // max() over ZERO rows returns NULL (ADVICE r14: unboxing it
+    // threw on legal empty input) — an empty grid has no cell to cap.
+    val capEngaged = maxCell > 0 && Option(
       cell.groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
-        .agg(max(col("n"))).head.getLong(0) > maxCell
+        .agg(max(col("n"))).head.getAs[java.lang.Long](0))
+      .exists(_.longValue > maxCell)
     // neighbor side when engaged: whole cells under the cap, each
     // over-dense cell's maxCell lowest-id members above it (rank
     // shuffles on the cell key the join needs anyway; the size frame
@@ -150,8 +161,10 @@ object Dbscan {
     // over-dense the region — the verdict's "subsample the core test"
     // alternative made exact). Under-cap inputs: auto-core ⊆ the
     // counted set, so the union changes nothing (bit-identity).
-    val core = (
-      if (!capEngaged) counted
+    // The dense-sub-cell membership is kept (engaged path only): it
+    // feeds both the core union and the anchor edges below.
+    val autoCore: Option[DataFrame] =
+      if (!capEngaged) None
       else {
         val half = eps / 2.0
         val sub = cell.select(col("id"),
@@ -161,17 +174,43 @@ object Dbscan {
           .agg(count(lit(1)).as("sn"))
           .filter(col("sn") >= minPts)
           .select(col("sx"), col("sy"))
-        counted.unionAll(
-            sub.join(dense, Seq("sx", "sy")).select(col("id")))
-          .distinct()
-      }).persist()
+        val ac = sub.join(dense, Seq("sx", "sy")).persist()
+        ac.count()
+        Some(ac)
+      }
+    val core = autoCore
+      .map(ac => counted.unionAll(ac.select(col("id"))).distinct())
+      .getOrElse(counted)
+      .persist()
     core.count()
-    val coreEdges = cand.filter(col("id") =!= col("id2"))
+    val pairEdges = cand.filter(col("id") =!= col("id2"))
       .join(core, Seq("id"))
       .join(core.select(col("id").as("id2")), Seq("id2"))
       .select(least(col("id"), col("id2")).as("id_a"),
         greatest(col("id"), col("id2")).as("id_b"))
-      .distinct()
+    // anchor edges (ADVICE r14): a cap-DROPPED auto-core whose eps-ball
+    // holds no KEPT member would otherwise reach the component step
+    // edge-less and mint a singleton cluster — the cap could SPLIT a
+    // cluster, not only lose labels. Every dense sub-cell's members
+    // are pairwise ε-neighbors (diameter eps/√2 < eps) and all core,
+    // so linking each to the sub-cell's min-id member is an EXACT
+    // core-core edge set, no enumeration: dropped auto-cores reconnect
+    // through their anchor. (The anchor itself may also be dropped
+    // from the neighbor side; its own cross-sub-cell edges then depend
+    // on kept members, so adversarial geometry can still split a
+    // cluster ACROSS sub-cells — rarer, and still one-sided: no false
+    // core/edge/border, only possibly finer components.) Under-cap:
+    // branch off, bit-identity preserved.
+    val coreEdges = autoCore
+      .map { ac =>
+        val anchors = ac
+          .withColumn("anchor", min(col("id")).over(
+            Window.partitionBy(col("sx"), col("sy"))))
+          .filter(col("id") =!= col("anchor"))
+          .select(col("anchor").as("id_a"), col("id").as("id_b"))
+        pairEdges.unionAll(anchors).distinct()
+      }
+      .getOrElse(pairEdges.distinct())
     val comp = Dedup.connectedComponents(coreEdges)
     val coreLab = core.join(comp, Seq("id"), "left_outer")
       .select(col("id"),
@@ -197,7 +236,7 @@ object Dbscan {
     // materialize while the building blocks are cached, then release
     labeled.unpersist()
     labeled.persist().count()
-    Seq(cell, cand, core, coreLab).foreach(_.unpersist())
+    (Seq(cell, cand, core, coreLab) ++ autoCore).foreach(_.unpersist())
     labeled
   }
 }

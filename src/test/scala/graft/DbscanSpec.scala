@@ -81,6 +81,37 @@ class DbscanSpec extends GraftSuite {
       "capped labeling diverged from exact on the dense blob")
   }
 
+  test("empty input returns an empty labeled frame with the cap " +
+      "enabled (ADVICE r14: max() over zero rows is NULL, not 0)") {
+    val pts = Seq.empty[(Long, Double, Double)].toDF("id", "x", "y")
+    assert(labels(pts, eps = 1.0, minPts = 3) === Seq.empty)
+  }
+
+  test("anchor edges reconnect cap-dropped auto-cores (ADVICE r14): " +
+      "a far-corner trio whose every kept-member distance exceeds " +
+      "eps must come out ONE cluster, not three singletons") {
+    // one grid cell (eps=1) holding 5 low-id points at one corner and
+    // a tight trio at the opposite corner, > eps apart. maxCell=5
+    // keeps only the low five on the neighbor side, so the trio gets
+    // ZERO candidate rows: it is core only via the sub-cell auto-core
+    // rule, and pre-fix its members reached the component step
+    // edge-less — three minted singleton clusters (the cap SPLITTING
+    // a cluster). The sub-cell anchor edges ((5,6), (5,7): exact
+    // ε-edges by the eps/√2 diameter certificate) reconnect them.
+    val pts = (
+      (0 until 5).map(i => (i.toLong, 0.05 + 0.002 * i, 0.05)) ++
+        Seq((5L, 0.93, 0.93), (6L, 0.935, 0.93), (7L, 0.93, 0.935))
+      ).toDF("id", "x", "y")
+    val exact = labels(pts, eps = 1.0, minPts = 3, maxCell = 0)
+    assert(exact === Seq(
+      (0L, "core", 0L), (1L, "core", 0L), (2L, "core", 0L),
+      (3L, "core", 0L), (4L, "core", 0L),
+      (5L, "core", 5L), (6L, "core", 5L), (7L, "core", 5L)))
+    val capped = labels(pts, eps = 1.0, minPts = 3, maxCell = 5)
+    assert(capped === exact,
+      "cap split the auto-core trio into singleton clusters")
+  }
+
   test("cap degrades one-sided: no false cores, no invented " +
       "clusters — an over-dense cell plus a genuinely-noise outlier") {
     // the blob again (cap engaged) plus an isolated point: the
