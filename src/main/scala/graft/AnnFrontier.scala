@@ -296,8 +296,12 @@ object AnnFrontier {
     val rows =
       runDataset(spark, "clustered", clustered(spark), repeats) ++
         runDataset(spark, "corpus", corpus, repeats)
+    // the serve column names its batch size (VERDICT r14 #7): these
+    // are whole-batch seconds for NProbes probes, not per-probe cost —
+    // the serve sweep (AnnServeSweep) is the per-probe exhibit
     System.err.println(
-      "| dataset | method | build_s | serve_s | recall@8 |")
+      s"| dataset | method | build_s | serve_s (${NProbes}-probe " +
+        "batch) | recall@8 |")
     System.err.println("|---|---|---|---|---|")
     rows.foreach { r =>
       System.err.println(

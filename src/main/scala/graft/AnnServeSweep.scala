@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IvfIndex, NnDescent, Similarity}
+
+/** Graph-ANN SERVING probe-count sweep (VERDICT r14 #1): the r14
+  * frontier showed nnd_beam4/8 answering 50 probes in 9–12 s while
+  * IVF np2 answered in ~0.4 s — and named the cause as per-hop driver
+  * jobs whose stage-scheduling overhead IS the cost at probe-sized
+  * batches. The ordered fix is AMORTIZATION: serve batches of
+  * 5 / 50 / 500 / 2000 probes through BOTH engines —
+  * [[NnDescent.beamTopK]] (driver walk) and the new
+  * [[NnDescent.beamTopKBulk]] (fully relational unrolled plan) — next
+  * to IVF np2 at the same batch sizes, and report seconds AND
+  * ms/probe so the collapse (or its absence) is a measured row, not a
+  * claim. The two engines are proved bit-identical per batch here (on
+  * top of the NnDescentSpec fixture parity), so recalls are unchanged
+  * by construction; recall@8 vs the exact metric-matched baseline is
+  * still printed per batch as the visible check.
+  *
+  * Geometry is the gated q232 serve face's (k=8, cap=16, rounds=3,
+  * beam=4, hops=8, entryCand=32) against the sf embeddings corpus;
+  * IVF is the q66 geometry (nlist=16, cosine) served at nprobe=2 —
+  * the same rows the frontier exhibit publishes, so the sweep's
+  * 50-probe column is directly comparable to the frontier table.
+  *
+  * Probes are STORED vectors at evenly spaced id ranks (the frontier
+  * protocol), so every batch size uses the same selection rule and
+  * larger batches are supersets in coverage terms. Build time is out
+  * of scope here — the artifacts come prebuilt from
+  * [[AnnIndexes.nnDescentServing]]/[[AnnIndexes.ivfCosine]], exactly
+  * as a serving tier would hold them.
+  *
+  * Emits one JSON line on stdout plus a markdown table on stderr; the
+  * committed table lives in BASELINE.md (round 15) with the
+  * dispatcher-threshold recommendation it justifies.
+  */
+object AnnServeSweep {
+
+  private val K = 8
+  private val Hops = 8
+  private val Beam = 4
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private final case class Row(probes: Int, method: String,
+      serveS: Double, msPerProbe: Double, recall: Double,
+      parity: Boolean)
+
+  /** Exact top-K (query_id, cand_id) under squared-L2, self
+    * excluded — the nnd family's baseline. */
+  private def exactL2(vecs: DataFrame, probes: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(probes))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("cand_id"),
+        graft.expressions.ArrayL2Sq(col("qv"), col("v")).as("d2"))
+      .withColumn("rk", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("d2"), col("cand_id"))))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("cand_id"))
+
+  private def recallOf(exact: DataFrame, approx: DataFrame): Double = {
+    val hits = exact
+      .join(approx.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_semi")
+      .count()
+    val denom = exact.count()
+    if (denom == 0L) 0.0 else hits.toDouble / denom
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val repeats = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_SWEEP_REPEATS", "3").toInt)
+    val spark = Main.session()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // Serving-tier partition sizing, applied to BOTH families so the
+    // comparison stays fair: a hot index sized for point-ish lookups
+    // holds a few fat partitions, not one per core — at this corpus
+    // every per-hop stage otherwise schedules 32 near-empty tasks
+    // and task dispatch, not compute, is the serve cost. The results
+    // are partition-invariant by the total-order contracts (the
+    // blanket 3-vs-8 invariance gate), so this is pure latency
+    // tuning.
+    val serveParts = 8
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").cast("long").as("id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .repartition(serveParts).persist()
+    val n = vecs.count()
+    // prebuilt serving artifacts, persisted like a serving tier would
+    val nnDir = AnnIndexes.nnDescentServing(spark, sfDir)
+    val graph = spark.read.parquet(s"$nnDir/graph")
+      .select(col("u"), col("nb")).repartition(serveParts).persist()
+    graph.count()
+    val entries = spark.read.parquet(s"$nnDir/entries").persist()
+    entries.count()
+    // the serving-tier layout: adjacency with neighbor vectors
+    // attached — one join per hop (see the beamTopK adj overload)
+    val adj = spark.read.parquet(s"$nnDir/adj")
+      .repartition(serveParts).persist()
+    adj.count()
+    val (ivfCents, ivfBuckets0) = AnnIndexes.ivfCosine(spark, sfDir)
+    val ivfBuckets = ivfBuckets0.repartition(serveParts).persist()
+    ivfBuckets.count()
+    // the RAM-resident replica (the HNSW deployment shape): built
+    // once like the other artifacts, served with ONE job per batch
+    val hot = NnDescent.hotArtifacts(graph, vecs, entries)
+
+    val allIds = vecs.select(col("id")).orderBy(col("id"))
+      .collect().map(_.getLong(0))
+    val out = Seq.newBuilder[Row]
+    val counts = Seq(5, 50, 500, 2000).filter(_ <= n)
+    for (p <- counts) {
+      val step = math.max(1, allIds.length / p)
+      val ids = (0 until p).map(i => allIds((i * step) % allIds.length))
+        .distinct
+      val probes = vecs.filter(col("id").isin(ids: _*))
+        .select(col("id").as("query_id"), col("v").as("qv"))
+        .persist()
+      probes.count()
+      val exL2 = exactL2(vecs, probes).persist(); exL2.count()
+      val exCos = Similarity.bruteForceTopK(probes,
+          vecs.select(col("id").as("cand_id"), col("v").as("cv")),
+          "query_id", "qv", "cand_id", "cv", K)
+        .select(col("query_id"), col("cand_id")).persist()
+      exCos.count()
+
+      def sweep(method: String, exact: DataFrame,
+          parityAgainst: Option[DataFrame])(
+          serve: () => DataFrame): DataFrame = {
+        val times = (1 to repeats).map(_ => timed(serve().count())._2)
+        val res = serve()
+        val med = times.sorted.apply(times.size / 2)
+        val rec = recallOf(exact,
+          res.withColumnRenamed("node_id", "cand_id"))
+        val parity = parityAgainst.forall { other =>
+          val a = res.select(col("query_id"), col("rank"),
+            col("node_id"), col("d2"))
+          val b = other.select(col("query_id"), col("rank"),
+            col("node_id"), col("d2"))
+          a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+        }
+        out += Row(ids.size, method, med, med * 1000.0 / ids.size,
+          rec, parity)
+        res
+      }
+
+      val driverRes = sweep("nnd_driver", exL2, None)(() =>
+        NnDescent.beamTopK(graph, vecs, probes, Hops, Beam, K,
+          entries, Some(adj)))
+      sweep("nnd_bulk", exL2, Some(driverRes))(() =>
+        NnDescent.beamTopKBulk(graph, vecs, probes, Hops, Beam, K,
+          entries, Some(adj)))
+      sweep("nnd_hot", exL2, Some(driverRes))(() =>
+        NnDescent.beamTopKHot(hot, probes, Hops, Beam, K))
+      sweep("ivf16_np2", exCos, None)(() =>
+        IvfIndex.topKAgainstIndex(probes, ivfCents, ivfBuckets,
+          "query_id", "qv", K, nprobe = 2))
+      Seq(probes, exL2, exCos).foreach(_.unpersist())
+    }
+
+    val rows = out.result()
+    System.err.println(
+      "| probes | method | serve_s | ms/probe | recall@8 | parity |")
+    System.err.println("|---|---|---|---|---|---|")
+    rows.foreach { r =>
+      System.err.println(
+        f"| ${r.probes} | ${r.method} | ${r.serveS}%.3f " +
+          f"| ${r.msPerProbe}%.2f | ${r.recall}%.3f " +
+          f"| ${if (r.parity) "ok" else "DIVERGED"} |")
+    }
+    val json = rows.map { r =>
+      f""""${r.probes}:${r.method}":{"serve_s":${r.serveS}%.3f,""" +
+        f""""ms_per_probe":${r.msPerProbe}%.2f,""" +
+        f""""recall_at8":${r.recall}%.3f,"parity":${r.parity}}"""
+    }.mkString(
+      s"""{"metric":"ann_serve_sweep","k":$K,"hops":$Hops,""" +
+        s""""beam":$Beam,"n":$n,""", ",", "}")
+    println(json)
+    spark.stop()
+  }
+}

@@ -284,6 +284,19 @@ object NnDescent {
     out
   }
 
+  /** Apply an [[appendToGraph]] result to the stored edge list: every
+    * node present in `appended` (new nodes and refreshed old ones)
+    * has its stored list REPLACED by the appended rows; everything
+    * else is carried unchanged — the keyed-merge a serving tier runs
+    * between the ingest call and the artifact rewrite. One anti-join
+    * + union, both keyed on u. */
+  def applyAppend(graph: DataFrame, appended: DataFrame): DataFrame =
+    graph.join(appended.select(col("u")).distinct(), Seq("u"),
+        "left_anti")
+      .select(col("u"), col("rank"), col("nb"), col("d2"))
+      .unionByName(appended.select(col("u"), col("rank"), col("nb"),
+        col("d2")))
+
   /** The driver-side walk (small batches): per hop ONE job joining a
     * literal frontier frame against the stored lists — the
     * greedyTrace shape. Bit-identical to [[newAdjRelational]]: same
@@ -494,9 +507,29 @@ object NnDescent {
     * by the probe contract, independent of corpus size. Returns
     * (query_id, rank 1..k, node_id, d2). */
   def beamTopK(graph: DataFrame, vecs: DataFrame, probes: DataFrame,
-      hops: Int, beam: Int, k: Int, entries: DataFrame): DataFrame = {
+      hops: Int, beam: Int, k: Int, entries: DataFrame): DataFrame =
+    beamTopK(graph, vecs, probes, hops, beam, k, entries, None)
+
+  /** [[beamTopK]] with an optional PRE-JOINED adjacency `adj`
+    * (u, nb, nv = nb's vector): the serving-tier layout (VERDICT r14
+    * #1) — storing each neighbor's vector NEXT TO the edge trades
+    * k× vector-storage inflation for HALF the per-hop join work
+    * (one equi-join instead of edge-join + vector-join), which is
+    * the dominant serve cost once the artifacts are hot. Scoring
+    * reads the same doubles through the same kernel, so results are
+    * bit-identical with and without `adj` (NnDescentSpec pins it);
+    * [[AnnIndexes.nnDescentServing]] persists the layout as the
+    * third artifact. */
+  def beamTopK(graph: DataFrame, vecs: DataFrame, probes: DataFrame,
+      hops: Int, beam: Int, k: Int, entries: DataFrame,
+      adj: Option[DataFrame]): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    val hopAdj = adj.getOrElse(
+      graph.select(col("u"), col("nb"))
+        .join(vecs.select(col("id").as("nb"), col("v").as("nv")),
+          "nb")
+        .select(col("u"), col("nb"), col("nv")))
     val pr = probes.select(col("query_id"), col("qv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     val prDf = broadcast(pr.toDF("query_id", "qv"))
@@ -518,28 +551,238 @@ object NnDescent {
       p.toDF("query_id", "node_id", "d2")
         .join(prDf, "query_id")
         .select(col("query_id"), col("qv"), col("node_id"), col("d2"))
-    for (_ <- 1 to hops) {
+    // EXACT fixed-point early exit (VERDICT r14 #1: per-hop driver
+    // jobs are the serving cost — don't pay for hops that provably
+    // change nothing): stepped is a pure function of the frontier,
+    // so once the frontier survives a hop unchanged, every remaining
+    // hop would recompute the same stepped (already in `seen`) and
+    // the same frontier — the result is decided. Bit-identity with
+    // the full-hop walk is pinned by the beamTopKBulk parity spec,
+    // whose bulk engine always runs all `hops`.
+    var h = 0
+    var fixed = false
+    while (h < hops && !fixed) {
+      h += 1
       // dedup happens DRIVER-side (the collected frame is ≤ probes ×
       // beam·k rows by contract) — a .distinct() here would spend a
       // shuffle per hop on a frame that fits in one task
       val stepped = curDf(pos)
-        .join(graph.select(col("u").as("node_id"), col("nb")),
-          "node_id")
-        .join(vecs.select(col("id").as("nb"), col("v").as("nv")), "nb")
+        .join(hopAdj.select(col("u").as("node_id"), col("nb"),
+          col("nv")), "node_id")
         .select(col("query_id"), col("nb").as("cand"),
           d2(col("qv"), col("nv")).as("d2"))
         .collect().map(r => (r.getLong(0), r.getLong(1),
           r.getDouble(2))).toSeq.distinct
       note(stepped)
-      pos = (pos.map(p => (p._1, p._2, p._3)) ++ stepped)
+      val next = (pos.map(p => (p._1, p._2, p._3)) ++ stepped)
         .distinct.groupBy(_._1).values
         .flatMap(_.sortBy(p => (p._3, p._2)).take(beam)).toSeq
+      fixed = next.sortBy(p => (p._1, p._3, p._2)) ==
+        pos.sortBy(p => (p._1, p._3, p._2))
+      pos = next
     }
     seen.toSeq.map { case ((q, c), d) => (q, c, d) }
       .groupBy(_._1).values.flatMap { rows =>
         rows.sortBy(r => (r._3, r._2)).take(k).zipWithIndex
           .map { case ((q, c, d), i) => (q, i + 1, c, d) }
       }.toSeq.sortBy(r => (r._1, r._2))
+      .toDF("query_id", "rank", "node_id", "d2")
+  }
+
+  /** [[beamTopK]] as a fully RELATIONAL unrolled plan — the BULK
+    * serving engine (VERDICT r14 #1): [[beamTopK]]'s driver walk pays
+    * one collect-job per hop whose stage-scheduling cost dominates
+    * compute for probe-sized batches AND whose driver-side visited
+    * set grows linearly in probes — fine at 5, wrong at 10⁶. This
+    * path is the [[newAdjRelational]] shape keyed on query_id: entry
+    * scoring, `hops` beam rounds (equi-joins on the frontier, windows
+    * partitioned per probe), and the visited-set top-k all ride ONE
+    * fixed-depth plan whose cost amortizes over any batch size, with
+    * per-hop `localCheckpoint` (materializes AND truncates lineage —
+    * each hop frame feeds both the next frontier and the final
+    * visited union, the multi-referenced-subtree trap).
+    *
+    * Semantics are [[beamTopK]]'s, BIT-IDENTICAL (NnDescentSpec pins
+    * equality on a fixture and the serve sweep re-checks it at sf0.1):
+    * same ArrayL2Sq kernel, same (d2, id) total orders, the walk may
+    * route THROUGH a stored probe's own node but never returns it
+    * (the self-exclusion applies to the answer set, not the beam),
+    * and dedup collapses bit-stable recomputes exactly as the
+    * driver's first-write-wins map does.
+    *
+    * Engine choice is [[beamServe]]'s job; calling this directly is
+    * for specs and sweeps. */
+  def beamTopKBulk(graph: DataFrame, vecs: DataFrame,
+      probes: DataFrame, hops: Int, beam: Int, k: Int,
+      entries: DataFrame): DataFrame =
+    beamTopKBulk(graph, vecs, probes, hops, beam, k, entries, None)
+
+  /** [[beamTopKBulk]] with the optional pre-joined adjacency — see
+    * the [[beamTopK]] `adj` overload. */
+  def beamTopKBulk(graph: DataFrame, vecs: DataFrame,
+      probes: DataFrame, hops: Int, beam: Int, k: Int,
+      entries: DataFrame, adj: Option[DataFrame]): DataFrame = {
+    val hopAdj = adj.getOrElse(
+      graph.select(col("u"), col("nb"))
+        .join(vecs.select(col("id").as("nb"), col("v").as("nv")),
+          "nb")
+        .select(col("u"), col("nb"), col("nv")))
+    val pv = probes.select(col("query_id"), col("qv"))
+    val s0 = pv.crossJoin(broadcast(
+        entries.select(col("node_id").as("cand"), col("v"))))
+      .select(col("query_id"), col("cand"),
+        d2(col("qv"), col("v")).as("d2"))
+      .localCheckpoint()
+    def topB(df: DataFrame, n: Int): DataFrame =
+      df.withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("d2"), col("cand"))))
+        .filter(col("rk") <= n)
+        .select(col("query_id"), col("cand"), col("d2"))
+    val visited = scala.collection.mutable.Buffer[DataFrame](s0)
+    var frontier = topB(s0, beam)
+    for (_ <- 1 to hops) {
+      val stepped = frontier
+        .join(pv, "query_id")
+        .join(hopAdj.select(col("u").as("cand"), col("nb"),
+          col("nv")), "cand")
+        .select(col("query_id"), col("nb").as("cand"),
+          d2(col("qv"), col("nv")).as("d2"))
+        .unionByName(frontier)
+        .distinct()
+        .localCheckpoint()
+      visited += stepped
+      frontier = topB(stepped, beam)
+    }
+    visited.reduce(_ unionByName _).distinct()
+      .filter(col("cand") =!= col("query_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("d2"), col("cand"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("cand").as("node_id"), col("d2"))
+  }
+
+  /** Beam-search top-k serving with the ENGINE CHOSEN BY BATCH SIZE —
+    * the [[appendToGraph]] dual-engine protocol applied to serving
+    * (VERDICT r14 #1): batches ≤ `smallBatch` probes walk DRIVER-side
+    * ([[beamTopK]] — per hop one lightweight job; the relational
+    * plan's fixed stage depth costs more than it computes at probe
+    * scale), larger batches ride the fully relational
+    * [[beamTopKBulk]], whose cost/probe collapses as the batch grows
+    * and whose memory stays executor-side (the driver path's visited
+    * set is probes-linear). Outputs are bit-identical by the parity
+    * spec, so the switch is invisible to every hash gate. The
+    * threshold default comes from the measured sf0.1 serve sweep
+    * (BASELINE.md r15): the driver engine stays ahead through ~500
+    * probes on local[32] where stage scheduling, not compute,
+    * dominates both engines; the bulk engine exists for the regime
+    * where the driver's O(probes) state and collect volume become the
+    * bottleneck — and for real clusters, where per-hop driver
+    * round-trips pay network latency the relational plan never
+    * sees. */
+  def beamServe(graph: DataFrame, vecs: DataFrame, probes: DataFrame,
+      hops: Int, beam: Int, k: Int, entries: DataFrame,
+      smallBatch: Int = 1024,
+      adj: Option[DataFrame] = None): DataFrame =
+    if (probes.count() <= smallBatch)
+      beamTopK(graph, vecs, probes, hops, beam, k, entries, adj)
+    else
+      beamTopKBulk(graph, vecs, probes, hops, beam, k, entries, adj)
+
+  /** RAM-RESIDENT serving artifacts: the graph's adjacency, the
+    * touched vectors, and the entry candidates collected once and
+    * broadcast to every executor — the deployment shape every
+    * production graph-ANN serving tier actually uses (HNSW replicas
+    * hold graph + vectors in memory; the walk never leaves the
+    * node). Preconditions are the caller's contract: corpus ×
+    * (k edges + dim doubles) must fit executor RAM — the envelope
+    * real HNSW deployments live in (≈10⁸ vectors on big-memory
+    * nodes). Beyond it, [[beamTopKBulk]] is the scan-tier engine.
+    * Neighbor lists are stored sorted by id (dedup insurance only —
+    * the walk's orders are all (d2, id)). */
+  final case class HotGraph(
+      adj: Map[Long, Array[Long]],
+      vec: Map[Long, Array[Double]],
+      entries: Array[(Long, Array[Double])]) extends Serializable
+
+  def hotArtifacts(graph: DataFrame, vecs: DataFrame,
+      entries: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[HotGraph] = {
+    val adj = graph.select(col("u"), col("nb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, es) =>
+        (u, es.map(_._2).distinct.sorted)
+      }
+    val vec = vecs.select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    val ent = entries.select(col("node_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    vecs.sparkSession.sparkContext.broadcast(
+      HotGraph(adj, vec, ent))
+  }
+
+  /** [[beamTopK]] against RAM-resident artifacts — ONE job, each
+    * task walking its probes locally (the hot-tier engine, VERDICT
+    * r14 #1: the per-hop jobs ARE the driver/bulk engines' cost; a
+    * RAM replica makes the whole walk one map). Scoring replicates
+    * [[graft.expressions.ArrayL2Sq]]'s exact IEEE fold (d = x−y,
+    * acc += d·d, left to right), every order is the same (d2, id)
+    * total order, dedup and self-exclusion follow the driver walk —
+    * outputs are BIT-IDENTICAL across all three engines
+    * (NnDescentSpec pins it; the serve sweep re-checks per batch).
+    * Per-probe state is O(entryCand + hops·beam·k) and the walk is a
+    * pure per-row function — partition count cannot change results. */
+  def beamTopKHot(
+      hot: org.apache.spark.broadcast.Broadcast[HotGraph],
+      probes: DataFrame, hops: Int, beam: Int, k: Int): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    probes.select(col("query_id"), col("qv"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { iter =>
+        val g = hot.value
+        def l2sq(a: Array[Double], b: Array[Double]): Double = {
+          var acc = 0.0
+          var i = 0
+          while (i < a.length) {
+            val d = a(i) - b(i)
+            acc += d * d
+            i += 1
+          }
+          acc
+        }
+        iter.flatMap { case (q, qvSeq) =>
+          val qv = qvSeq.toArray
+          val seen =
+            scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+          def note(c: Long, d: Double): Unit =
+            if (c != q && !seen.contains(c)) seen.put(c, d)
+          val s0 = g.entries.map { case (c, v) => (c, l2sq(qv, v)) }
+          s0.foreach { case (c, d) => note(c, d) }
+          var pos = s0.sortBy(p => (p._2, p._1)).take(beam).toSeq
+          var h = 0
+          var fixed = false
+          while (h < hops && !fixed) {
+            h += 1
+            val stepped = pos.flatMap { case (u, _) =>
+              g.adj.getOrElse(u, Array.empty[Long]).map { nb =>
+                (nb, l2sq(qv, g.vec(nb)))
+              }
+            }.distinct
+            stepped.foreach { case (c, d) => note(c, d) }
+            val next = (pos ++ stepped).distinct
+              .sortBy(p => (p._2, p._1)).take(beam)
+            fixed = next == pos
+            pos = next
+          }
+          seen.toSeq.map { case (c, d) => (c, d) }
+            .sortBy(p => (p._2, p._1)).take(k).zipWithIndex
+            .map { case ((c, d), i) => (q, i + 1, c, d) }
+        }
+      }
       .toDF("query_id", "rank", "node_id", "d2")
   }
 }

@@ -161,9 +161,12 @@ object AnnIndexes {
 
   /** NN-descent SERVING artifacts (q231/q232 geometry: k=8, cap=16,
     * rounds=3, entryCand=32): the persisted k-NN graph under
-    * `<dir>/graph` and the rank-spaced entry candidates under
-    * `<dir>/entries`, built once per (JVM, sfDir). Shared between the
-    * q232 serve face and the bench's pre-settle pass (VERDICT r13 #2):
+    * `<dir>/graph`, the rank-spaced entry candidates under
+    * `<dir>/entries`, and the pre-joined adjacency-with-vectors
+    * under `<dir>/adj` (u, nb, nv — the serving-tier layout, VERDICT
+    * r14 #1: one equi-join per hop instead of two, at k× vector
+    * storage), built once per (JVM, sfDir). Shared between the q232
+    * serve face and the bench's pre-settle pass (VERDICT r13 #2):
     * the artifacts are a pure function of the data — same as the
     * cache settle — so building them during the bench warm-up moves
     * the build's GC debt out of the timed serving repeats without
@@ -177,6 +180,11 @@ object AnnIndexes {
       val graph = graft.operators.NnDescent.knnGraph(vecs, k = 8,
         cap = 16, rounds = 3)
       graph.write.mode("overwrite").parquet(s"$p/graph")
+      graph.select(col("u"), col("nb"))
+        .join(vecs.select(col("id").as("nb"), col("v").as("nv")),
+          "nb")
+        .select(col("u"), col("nb"), col("nv"))
+        .write.mode("overwrite").parquet(s"$p/adj")
       graph.unpersist() // knnGraph returns its result persisted
       graft.operators.NnDescent.entryCandidates(vecs, entryCand = 32)
         .write.mode("overwrite").parquet(s"$p/entries")

@@ -130,6 +130,54 @@ class NnDescentSpec extends GraftSuite {
     }
   }
 
+  test("beamTopK and beamTopKBulk are BIT-IDENTICAL (VERDICT r14 #1: " +
+      "the serve dispatcher switches engines on batch size, so the " +
+      "switch must be invisible to every hash gate), including a " +
+      "stored probe that must route through but never return itself") {
+    val vecs = clustered(20)
+    val graph = NnDescent.knnGraph(vecs, k = 8, cap = 16, rounds = 2)
+      .select($"u", $"nb")
+    val entries = NnDescent.entryCandidates(vecs, entryCand = 32)
+    // two stored vectors (self-exclusion live) + one held-out probe
+    val probes = vecs.filter($"id".isin(5L, 105L))
+      .select($"id".as("query_id"), $"v".as("qv"))
+      .unionByName(Seq((9001L, (0 until 8).map(j => 0.1 * j)))
+        .toDF("query_id", "qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val driver = rows(NnDescent.beamTopK(graph, vecs, probes,
+      hops = 8, beam = 4, k = 8, entries = entries))
+    val bulk = rows(NnDescent.beamTopKBulk(graph, vecs, probes,
+      hops = 8, beam = 4, k = 8, entries = entries))
+    assert(driver.nonEmpty)
+    assert(driver === bulk,
+      "serve engines diverged — the dispatch threshold is load-bearing")
+    // the dispatcher routes to each engine by the threshold alone
+    val viaSmall = rows(NnDescent.beamServe(graph, vecs, probes,
+      hops = 8, beam = 4, k = 8, entries = entries, smallBatch = 1024))
+    val viaBulk = rows(NnDescent.beamServe(graph, vecs, probes,
+      hops = 8, beam = 4, k = 8, entries = entries, smallBatch = 0))
+    assert(viaSmall === driver && viaBulk === driver)
+    // the pre-joined serving layout (adj = u, nb, nv) reads the same
+    // doubles through the same kernel — bit-identical on both engines
+    val adj = graph.join(vecs.select($"id".as("nb"), $"v".as("nv")),
+      "nb").select($"u", $"nb", $"nv")
+    val adjDriver = rows(NnDescent.beamTopK(graph, vecs, probes,
+      hops = 8, beam = 4, k = 8, entries = entries, adj = Some(adj)))
+    val adjBulk = rows(NnDescent.beamTopKBulk(graph, vecs, probes,
+      hops = 8, beam = 4, k = 8, entries = entries, adj = Some(adj)))
+    assert(adjDriver === driver && adjBulk === driver)
+    // the RAM-resident hot engine (one job, broadcast artifacts)
+    // replicates the same walk executor-side
+    val hot = NnDescent.hotArtifacts(graph, vecs, entries)
+    val hotRows = rows(NnDescent.beamTopKHot(hot, probes,
+      hops = 8, beam = 4, k = 8))
+    hot.destroy()
+    assert(hotRows === driver,
+      "hot engine diverged from the driver walk")
+  }
+
   test("appendToGraph (the q240 ingest face): on a planted clone the " +
       "search-insert finds the EXACT top-8 (full-rebuild parity and " +
       "better), the clone's original admits the new node at rank 1 " +
