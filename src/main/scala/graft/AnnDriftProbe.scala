@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IvfIndex, NnDescent, Similarity}
+
+/** Append-path RECALL-DRIFT exhibit (VERDICT r14 #3): both index
+  * ingest faces are honest about what append defers — the graph
+  * (q240) postpones batch-internal new-new edges to the next full
+  * refresh, IVF-grow (q208) never retrains its centroids — but
+  * nothing measured how SERVE RECALL degrades as deferred debt
+  * accumulates over repeated appends. This probe plants k = 5 append
+  * batches of 5% of the corpus each (base = the other 75%), serves
+  * the same probe set after every batch through BOTH the
+  * append-maintained index and a from-scratch rebuild at the same
+  * corpus, and reports recall@8 side by side — the drift is the gap
+  * between the two columns, measured, not argued.
+  *
+  * Protocol details that keep the comparison honest:
+  *  - batches are RANK-INTERLEAVED (rank mod 20: 0–14 base, 15+b =
+  *    batch b), so every append batch draws from the whole data
+  *    distribution — a contiguous split would let batch 5 carry an
+  *    entire region the base index never saw and conflate coverage
+  *    with drift;
+  *  - probes are 50 rank-spaced BASE vectors, present in the index at
+  *    every stage, and the exact top-8 baseline is recomputed over
+  *    the CURRENT corpus per stage (append and rebuild grade against
+  *    the same truth);
+  *  - the append path keeps the BASE entry candidates (the graph
+  *    face's stated behavior — appends refresh adjacency, not the
+  *    entry frame); the rebuild line gets fresh entries, so the gap
+  *    also prices the stale-entry effect;
+  *  - both datasets of the frontier exhibit run (10-cluster Gaussian
+  *    where recall is meaningful, and the near-uniform embeddings
+  *    corpus where every neighbor-of-neighbor method honestly
+  *    stalls), geometries are the gated queries' own (q231/q232
+  *    k=8/cap=16/rounds=3, q240 beam=4/hops=4 ingest, q66 nlist=16
+  *    IVF at nprobe=2).
+  *
+  * Emits one JSON line on stdout plus a markdown table on stderr; the
+  * committed table lives in BASELINE.md (round 15) with the refresh
+  * thresholds it justifies, which the two ingest faces' scaladocs
+  * reference.
+  */
+object AnnDriftProbe {
+
+  private val K = 8
+  private val NProbes = 50
+  private val Batches = 5
+
+  private def exactL2(vecs: DataFrame, probes: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(probes))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("cand_id"),
+        graft.expressions.ArrayL2Sq(col("qv"), col("v")).as("d2"))
+      .withColumn("rk", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("d2"), col("cand_id"))))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("cand_id"))
+
+  private def recallOf(exact: DataFrame, approx: DataFrame): Double = {
+    val hits = exact
+      .join(approx.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_semi")
+      .count()
+    val denom = exact.count()
+    if (denom == 0L) 0.0 else hits.toDouble / denom
+  }
+
+  /** The frontier's clustered dataset (seed 7, 10 clusters, 64-dim,
+    * 2000 points) — where graph/IVF recall is meaningful. */
+  private def clustered(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(10)(Seq.fill(64)(rnd.nextGaussian()))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 200
+    } yield ((ci * 200 + j).toLong,
+      c.map(_ + rnd.nextGaussian() * 0.15))
+    rows.toDF("id", "v")
+  }
+
+  private final case class Row(dataset: String, family: String,
+      batches: Int, n: Long, recallAppend: Double,
+      recallRebuild: Double)
+
+  private def runDataset(spark: SparkSession, name: String,
+      vecs0: DataFrame): Seq[Row] = {
+    import spark.implicits._
+    val vecs = vecs0.select(col("id"), col("v")).persist()
+    vecs.count()
+    // rank-interleaved split: rank mod 20 in [0,15) = base,
+    // 15 + b = append batch b
+    val ranked = vecs.select(col("id")).orderBy(col("id"))
+      .collect().map(_.getLong(0)).zipWithIndex
+    val baseIds = ranked.filter(_._2 % 20 < 15).map(_._1)
+    val batchIds = (0 until Batches).map(b =>
+      ranked.filter(_._2 % 20 == 15 + b).map(_._1))
+    val base = vecs.filter(col("id").isin(baseIds: _*)).persist()
+    val nBase = base.count()
+    // probes: 50 rank-spaced base vectors, constant across stages
+    val step = math.max(1, baseIds.length / NProbes)
+    val probeIds = (0 until NProbes)
+      .map(i => baseIds((i * step) % baseIds.length)).distinct
+    val probes = base.filter(col("id").isin(probeIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"))
+      .persist()
+    probes.count()
+
+    val out = Seq.newBuilder[Row]
+
+    // ---- graph family (q240 ingest protocol) ----
+    val e0 = NnDescent.entryCandidates(base, entryCand = 32).persist()
+    e0.count()
+    var g = NnDescent.knnGraph(base, k = 8, cap = 16, rounds = 3)
+    var cur = base
+    def graphRecall(graph: DataFrame, corpus: DataFrame,
+        entries: DataFrame): Double = {
+      val hot = NnDescent.hotArtifacts(
+        graph.select(col("u"), col("nb")), corpus, entries)
+      val got = NnDescent.beamTopKHot(hot, probes, hops = 8,
+          beam = 4, k = K)
+        .select(col("query_id"), col("node_id").as("cand_id"))
+      val ex = exactL2(corpus, probes).persist()
+      val r = recallOf(ex, got)
+      ex.unpersist()
+      hot.destroy()
+      r
+    }
+    out += Row(name, "nnd", 0, nBase, graphRecall(g, cur, e0),
+      graphRecall(g, cur, e0))
+    for (b <- 0 until Batches) {
+      val newVecs = vecs.filter(col("id").isin(batchIds(b): _*))
+        .select(col("id").as("nid"), col("v").as("qv"))
+      val appended = NnDescent.appendToGraph(
+        g.select(col("u"), col("nb"), col("d2")), cur, newVecs,
+        k = 8, beam = 4, hops = 4, entries = e0)
+      val merged = NnDescent.applyAppend(g, appended).persist()
+      merged.count()
+      appended.unpersist() // caller-owned
+      g.unpersist()
+      g = merged
+      val grown = cur.unionByName(
+        newVecs.select(col("nid").as("id"), col("qv").as("v")))
+        .persist()
+      grown.count()
+      if (cur ne base) cur.unpersist()
+      cur = grown
+      // rebuild line: fresh graph + fresh entries at the same corpus
+      val gR = NnDescent.knnGraph(cur, k = 8, cap = 16, rounds = 3)
+      val eR = NnDescent.entryCandidates(cur, entryCand = 32)
+        .persist()
+      eR.count()
+      out += Row(name, "nnd", b + 1, cur.count(),
+        graphRecall(g, cur, e0), graphRecall(gR, cur, eR))
+      gR.unpersist()
+      eR.unpersist()
+      System.err.println(s"[drift] $name nnd batch ${b + 1} done")
+    }
+    if (cur ne base) cur.unpersist()
+    g.unpersist()
+    e0.unpersist()
+
+    // ---- IVF family (q208 grow protocol: nlist=16, cosine, np=2) --
+    val growDir = Scratch.dir(s"drift_ivf_grow_$name")
+    IvfIndex.writeIndex(base, "id", "v", growDir, nlist = 16,
+      seed = 42L)
+    def ivfRecall(dir: String, corpus: DataFrame): Double = {
+      val (cents, buckets) = IvfIndex.readIndex(spark, dir)
+      val got = IvfIndex.topKAgainstIndex(probes, cents, buckets,
+        "query_id", "qv", K, nprobe = 2)
+      val ex = Similarity.bruteForceTopK(probes,
+          corpus.select(col("id").as("cand_id"), col("v").as("cv")),
+          "query_id", "qv", "cand_id", "cv", K)
+        .select(col("query_id"), col("cand_id")).persist()
+      val r = recallOf(ex, got)
+      ex.unpersist()
+      r
+    }
+    var curIvf = base
+    out += Row(name, "ivf_grow", 0, nBase,
+      ivfRecall(growDir, curIvf), ivfRecall(growDir, curIvf))
+    for (b <- 0 until Batches) {
+      val newVecs = vecs.filter(col("id").isin(batchIds(b): _*))
+      IvfIndex.appendVectors(spark, growDir, newVecs, "id", "v")
+      val grown = curIvf.unionByName(newVecs).persist()
+      grown.count()
+      if (curIvf ne base) curIvf.unpersist()
+      curIvf = grown
+      val rebuildDir = Scratch.dir(s"drift_ivf_rb_${name}_$b")
+      IvfIndex.writeIndex(curIvf, "id", "v", rebuildDir, nlist = 16,
+        seed = 42L)
+      out += Row(name, "ivf_grow", b + 1, curIvf.count(),
+        ivfRecall(growDir, curIvf), ivfRecall(rebuildDir, curIvf))
+      System.err.println(s"[drift] $name ivf batch ${b + 1} done")
+    }
+    if (curIvf ne base) curIvf.unpersist()
+
+    Seq(vecs, base, probes).foreach(_.unpersist())
+    out.result()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = Main.session()
+    spark.sparkContext.setLogLevel("WARN")
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").cast("long").as("id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+    val rows = runDataset(spark, "clustered", clustered(spark)) ++
+      runDataset(spark, "corpus", corpus)
+    System.err.println(
+      "| dataset | family | batches appended | corpus n " +
+        "| recall@8 append | recall@8 rebuild |")
+    System.err.println("|---|---|---|---|---|---|")
+    rows.foreach { r =>
+      System.err.println(
+        f"| ${r.dataset} | ${r.family} | ${r.batches} | ${r.n} " +
+          f"| ${r.recallAppend}%.3f | ${r.recallRebuild}%.3f |")
+    }
+    val json = rows.map { r =>
+      f""""${r.dataset}:${r.family}:${r.batches}":""" +
+        f"""{"n":${r.n},"recall_append":${r.recallAppend}%.3f,""" +
+        f""""recall_rebuild":${r.recallRebuild}%.3f}"""
+    }.mkString(
+      s"""{"metric":"ann_append_drift","k":$K,"probes":$NProbes,""" +
+        s""""batch_pct":5,""", ",", "}")
+    println(json)
+    spark.stop()
+  }
+}

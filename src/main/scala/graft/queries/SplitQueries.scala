@@ -28,7 +28,8 @@ object SplitQueries {
     q226SlidingLateOracled, q227SessionLateOracled,
     q228UpdateModeOracled, q233StreamJoinLateOracled,
     q235OuterJoinLateOracled, q236FullOuterJoinLateOracled,
-    q238RightOuterJoinLateOracled, q241StreamDensityOracled)
+    q238RightOuterJoinLateOracled, q241StreamDensityOracled,
+    q242StreamDensity2dOracled)
 
   /** Frequency-sketch accuracy ([[graft.operators.Sketches
     * .countMinSketchOf]]) — the count-min twin of q134's HLL pair:
@@ -2316,4 +2317,141 @@ object SplitQueries {
         "max(cell) AS cell_hi, count(*)::BIGINT AS n_cells, " +
         "sum(n)::BIGINT AS n_points FROM seg " +
         "GROUP BY w_start_ms, grp ORDER BY w_start_ms, cell_lo"))
+
+  /** The q241 backlog writer grown a second dimension: (event_id,
+    * ts, value, user_id, shard) under the identical q225 shard
+    * protocol. A separate prepared key (q242src) so the artifact
+    * schemas can never alias. */
+  private def writeSharedLateValue2dBacklog(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      p: String): Unit = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"ts", $"event_id")
+    val sharded = Tables.events(s, d)
+      .select($"event_id", $"ts", $"value", $"user_id",
+        (ntile(4).over(w) - 1).as("q"),
+        row_number().over(w).as("rn"))
+      .select($"event_id", $"ts", $"value", $"user_id",
+        when($"rn" % 37 === 0, least($"q" + 2, lit(3)))
+          .otherwise($"q").cast("int").as("shard"))
+    graft.streaming.EventStream.writeShardedBacklog(s, p, sharded,
+      "shard", 4)
+  }
+
+  /** STREAMING density clustering in TWO dimensions — the q239
+    * bounded-closure oracle over emitted stream state (VERDICT r14
+    * #6; q241 proved the cells-as-state pattern where 1-D components
+    * are gaps-and-islands): per 1-hour window a (⌊value/50⌋ ×
+    * ⌊user_id/20⌋) cell count keyed in stream state
+    * ([[graft.streaming.EventStream.runLateCellDensity2d]], 2-key
+    * emission pinned in WatermarkLateSpec BEFORE this oracle), then
+    * the batch step merges DENSE cells (n ≥ 4) with 8-ADJACENT dense
+    * cells into per-window components — the q239 grid machinery over
+    * stream state. 2-D components need a real closure; it stays
+    * ORACLE-BOUNDED BY CONSTRUCTION because the closure runs over
+    * dense CELLS, not points — a handful per window (sf0.1: 1783
+    * dense cells across 650 windows), so the recursive reach is
+    * Σ|component|² over ≤ ~10-cell components. Cells get a synthetic
+    * id (w·8192 + (cx+1)·128 + (cy+1) — injective for cx < 62,
+    * cy < 126, both engines spell the same arithmetic) so the
+    * component label is the min encoded cell. The three SFs tell the
+    * story: sf0.001 has dense cells but NO adjacent pairs (all
+    * singleton segments), sf0.01 merges a few, sf0.1 forms real 2-D
+    * regions. Output: one row per (window, component) with the cell
+    * bounding box, cell count, and point count. */
+  val q242StreamDensity2dOracled: GraftQuery = GraftQuery(
+    "q242_stream_density2d_oracled",
+    (s, d) => {
+      import s.implicits._
+      val src = AnnIndexes.prepared("q242src", d)(
+        writeSharedLateValue2dBacklog(s, d, _))
+      val cells = graft.streaming.EventStream.runLateCellDensity2d(
+        s, src, "30 minutes", epsV = 50.0, epsU = 20.0,
+        queryName = "graft_q242")
+      val cid = ($"w_start_ms" * 8192L + ($"cx" + 1L) * 128L +
+        ($"cy" + 1L)).as("cid")
+      val dense = cells.filter($"n" >= 4)
+        .select($"w_start_ms", $"cx", $"cy", $"n", cid)
+        .persist()
+      dense.count()
+      val offs = broadcast(Seq(-1L, 0L, 1L)
+        .flatMap(a => Seq(-1L, 0L, 1L).map(b => (a, b)))
+        .toDF("dx", "dy"))
+      val right = dense.select($"w_start_ms".as("w2"),
+        $"cx".as("cx2"), $"cy".as("cy2"), $"cid".as("cid2"))
+      val edges = dense.crossJoin(offs)
+        .select($"w_start_ms".as("w1"), ($"cx" + $"dx").as("cxp"),
+          ($"cy" + $"dy").as("cyp"), $"cid")
+        .join(right, $"w1" === $"w2" && $"cxp" === $"cx2" &&
+          $"cyp" === $"cy2")
+        .filter($"cid" < $"cid2")
+        .select($"cid".as("id_a"), $"cid2".as("id_b"))
+      val comp = graft.operators.Dedup.connectedComponents(edges)
+      val res = dense
+        .join(comp.select($"id".as("cid"), $"component"),
+          Seq("cid"), "left_outer")
+        .select($"w_start_ms", $"cx", $"cy", $"n",
+          coalesce($"component", $"cid").as("comp"))
+        .groupBy($"w_start_ms", $"comp")
+        .agg(min($"cx").as("cx_lo"), max($"cx").as("cx_hi"),
+          min($"cy").as("cy_lo"), max($"cy").as("cy_hi"),
+          count(lit(1)).as("n_cells"), sum($"n").as("n_points"))
+        .select($"w_start_ms", $"cx_lo", $"cx_hi", $"cy_lo",
+          $"cy_hi", $"n_cells", $"n_points")
+        .orderBy($"w_start_ms", $"cx_lo", $"cy_lo", $"cx_hi",
+          $"cy_hi", $"n_cells", $"n_points")
+      // bounded output (one row per dense region): localize, then
+      // release the dense-cell cache and the component frame
+      val rows = res.collect().toSeq
+      comp.unpersist()
+      dense.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+          res.schema)
+        .orderBy($"w_start_ms", $"cx_lo", $"cy_lo", $"cx_hi",
+          $"cy_hi", $"n_cells", $"n_points")
+    },
+    Some(
+      "WITH RECURSIVE ord AS (SELECT event_id, ts, value, user_id, " +
+        "ntile(4) OVER (ORDER BY ts, event_id) - 1 AS q, " +
+        "row_number() OVER (ORDER BY ts, event_id) AS rn FROM events), " +
+        "sh AS (SELECT ts, value, user_id, CASE WHEN rn % 37 = 0 " +
+        "THEN least(q + 2, 3) ELSE q END AS shard FROM ord), " +
+        "mx AS (SELECT shard, max(ts) AS mt FROM sh GROUP BY shard), " +
+        "wm AS (SELECT shard, max(mt) OVER (ORDER BY shard " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) " +
+        "- INTERVAL 30 MINUTE AS wml FROM mx), " +
+        "surv AS (SELECT sh.ts, sh.value, sh.user_id FROM sh " +
+        "JOIN wm USING (shard) WHERE wm.wml IS NULL " +
+        "OR date_trunc('hour', sh.ts) + INTERVAL 1 HOUR > wm.wml), " +
+        "fin AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wmf FROM sh), " +
+        "cells AS (SELECT epoch_ms(date_trunc('hour', surv.ts)) " +
+        "AS w_start_ms, floor(surv.value / 50.0)::BIGINT AS cx, " +
+        "floor(surv.user_id / 20.0)::BIGINT AS cy, " +
+        "count(*) AS n FROM surv, fin " +
+        "WHERE date_trunc('hour', surv.ts) + INTERVAL 1 HOUR " +
+        "<= fin.wmf GROUP BY 1, 2, 3), " +
+        "dense AS MATERIALIZED (SELECT w_start_ms, cx, cy, n, " +
+        "w_start_ms * 8192 + (cx + 1) * 128 + (cy + 1) AS cid " +
+        "FROM cells WHERE n >= 4), " +
+        "e AS MATERIALIZED (SELECT a.cid AS src, b.cid AS dst " +
+        "FROM dense a JOIN dense b ON a.w_start_ms = b.w_start_ms " +
+        "AND abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 " +
+        "AND a.cid != b.cid), " +
+        // exact transitive min-label closure over dense CELLS — the
+        // q239 pattern with the bound built in (cells, not points)
+        "reach(id, lbl) AS (SELECT src, src FROM e " +
+        "UNION SELECT e2.dst, r.lbl FROM reach r " +
+        "JOIN e e2 ON e2.src = r.id), " +
+        "comp AS (SELECT id, min(lbl) AS component FROM reach " +
+        "GROUP BY id), " +
+        "lab AS (SELECT d.w_start_ms, d.cx, d.cy, d.n, " +
+        "coalesce(c.component, d.cid) AS comp FROM dense d " +
+        "LEFT JOIN comp c ON c.id = d.cid) " +
+        "SELECT w_start_ms, min(cx) AS cx_lo, max(cx) AS cx_hi, " +
+        "min(cy) AS cy_lo, max(cy) AS cy_hi, " +
+        "count(*)::BIGINT AS n_cells, sum(n)::BIGINT AS n_points " +
+        "FROM lab GROUP BY w_start_ms, comp " +
+        "ORDER BY w_start_ms, cx_lo, cy_lo, cx_hi, cy_hi, " +
+        "n_cells, n_points"))
 }

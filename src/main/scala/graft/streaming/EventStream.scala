@@ -243,6 +243,43 @@ object EventStream {
       spark.table(queryName)
     }
 
+  /** 2-D sibling of [[runLateCellDensity]] (q242; VERDICT r14 #6):
+    * per (1-hour window, ⌊value/epsV⌋ × ⌊user_id/epsU⌋ grid cell)
+    * count, cells as state keys, eviction by window end alone — the
+    * SAME keyed tumbling protocol (WatermarkLateSpec pins the 2-key
+    * case next to q241's), so the dimensionality of the cell key is
+    * provably irrelevant to late-data semantics. The emitted
+    * (w_start_ms, cx, cy, n) state is what a downstream batch step
+    * clusters with the q239 grid machinery (dense cells ≥ minPts,
+    * 8-adjacent merge); 2-D components need a real closure, which
+    * q242's oracle replays RECURSIVELY over the bounded dense-cell
+    * set (a handful of cells per window — the q239 bounded-input
+    * lesson, applied by construction this time). State is
+    * |open windows| × |occupied cells| however large the stream. */
+  def runLateCellDensity2d(spark: SparkSession, srcDir: String,
+      delay: String, epsV: Double, epsU: Double,
+      queryName: String = "graft_cell_density_2d",
+      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+    withPartitions(spark, shufflePartitions) {
+      val schema = spark.read.parquet(srcDir).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val agg = src
+        .withWatermark("ts", delay)
+        .groupBy(window(col("ts"), "1 hour"),
+          floor(col("value") / epsV).cast("long").as("cx"),
+          floor(col("user_id") / epsU).cast("long").as("cy"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("window.start")).as("w_start_ms"),
+          col("cx"), col("cy"), col("n"))
+      val q = agg.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(queryName)
+    }
+
   /** UPDATE-mode tumbling counts over a sharded backlog — the third
     * output mode's emission protocol made checkable (q228; complete
     * mode is q41's face, append mode q225's): each micro-batch emits

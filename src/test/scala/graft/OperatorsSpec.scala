@@ -2557,6 +2557,46 @@ class WatermarkLateSpec extends GraftSuite {
       (ms("12:00"), 6L, 1L)))
   }
 
+  test("2-D (window x cx x cy) density counts ride the SAME keyed " +
+      "tumbling protocol (the q242 pin, before its oracle): the cell " +
+      "key's dimensionality is irrelevant to eviction — a " +
+      "post-finalization straggler drops for every cell of its " +
+      "window, an open window keeps sub-watermark rows") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_wmcell2d").toString
+    def ms(s: String) =
+      java.time.Instant.parse(s"2024-01-01T$s:00Z").toEpochMilli
+    val rows = Seq(
+      (1L, ms("10:05"), 12.0, 3L, 0),  // win 10-11, cell (1, 0)
+      (2L, ms("10:06"), 13.0, 14L, 0), // win 10-11, cell (1, 1)
+      (3L, ms("10:07"), 13.5, 14L, 0), // merges into cell (1, 1)
+      (4L, ms("13:05"), 1.0, 0L, 0),   // wm -> 12:35 after batch 1
+      (5L, ms("10:15"), 14.0, 3L, 1),  // same-batch-as-finalization
+                                       // -> merges into cell (1, 0)
+      (6L, ms("13:20"), 1.0, 0L, 1),   // wm -> 12:50
+      (7L, ms("10:10"), 15.0, 3L, 2),  // post-finalization -> dropped
+      (8L, ms("12:20"), 60.0, 25L, 2), // ts < wm, win 12-13 open
+      (9L, ms("13:40"), 1.0, 0L, 2))   // final wm 13:10
+      .toDF("event_id", "m", "value", "user_id", "shard")
+      .select($"event_id", timestamp_millis($"m").as("ts"), $"value",
+        $"user_id", $"shard")
+    EventStream.writeShardedBacklog(spark, s"$root/src", rows,
+      "shard", 3)
+    val got = EventStream.runLateCellDensity2d(spark, s"$root/src",
+        "30 minutes", epsV = 10.0, epsU = 10.0,
+        queryName = "graft_cell2d_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    // final wm 13:10: win 10-11 emits cell (1,0) with 10:05 + the
+    // merged 10:15 (2) and cell (1,1) with 10:06 + 10:07 (2); the
+    // post-finalization 10:10 is dropped; win 12-13 emits (6,2);
+    // win 13-14 held
+    assert(got.toSeq === Seq(
+      (ms("10:00"), 1L, 0L, 2L), (ms("10:00"), 1L, 1L, 2L),
+      (ms("12:00"), 6L, 2L, 1L)))
+  }
+
   test("sliding windows drop late input PER (row, window): a straggler " +
       "whose earlier window is finalized still counts in its open " +
       "later window") {
