@@ -114,10 +114,28 @@ object AnnDriftProbe {
     val out = Seq.newBuilder[Row]
 
     // ---- graph family (q240 ingest protocol) ----
+    // every long-lived frame in the batch loop is localCheckpoint'd
+    // (materialized AND lineage-truncated): persist alone leaves the
+    // logical plan growing per batch — knnGraph's unrolled rounds
+    // plus five keyed merges re-analyzed inside every appendToGraph
+    // hop OOM'd the driver at 16g before this (the q240
+    // multi-referenced-subtree lesson, bitten again)
     val e0 = NnDescent.entryCandidates(base, entryCand = 32).persist()
     e0.count()
-    var g = NnDescent.knnGraph(base, k = 8, cap = 16, rounds = 3)
-    var cur = base
+    def freshGraph(corpus: DataFrame): DataFrame = {
+      val built = NnDescent.knnGraph(corpus, k = 8, cap = 16,
+        rounds = 3)
+      val flat = built.localCheckpoint()
+      built.unpersist()
+      flat
+    }
+    var g = freshGraph(base)
+    // the growing corpus is re-derived from the one persisted vecs
+    // table by id set — a filter, not a union chain
+    var curIds = baseIds
+    def corpusOf(ids: Array[Long]): DataFrame =
+      vecs.filter(col("id").isin(ids: _*))
+    var cur = corpusOf(curIds)
     def graphRecall(graph: DataFrame, corpus: DataFrame,
         entries: DataFrame): Double = {
       val hot = NnDescent.hotArtifacts(
@@ -139,30 +157,20 @@ object AnnDriftProbe {
       val appended = NnDescent.appendToGraph(
         g.select(col("u"), col("nb"), col("d2")), cur, newVecs,
         k = 8, beam = 4, hops = 4, entries = e0)
-      val merged = NnDescent.applyAppend(g, appended).persist()
-      merged.count()
+      g = NnDescent.applyAppend(g, appended).localCheckpoint()
       appended.unpersist() // caller-owned
-      g.unpersist()
-      g = merged
-      val grown = cur.unionByName(
-        newVecs.select(col("nid").as("id"), col("qv").as("v")))
-        .persist()
-      grown.count()
-      if (cur ne base) cur.unpersist()
-      cur = grown
+      curIds = curIds ++ batchIds(b)
+      cur = corpusOf(curIds)
       // rebuild line: fresh graph + fresh entries at the same corpus
-      val gR = NnDescent.knnGraph(cur, k = 8, cap = 16, rounds = 3)
+      val gR = freshGraph(cur)
       val eR = NnDescent.entryCandidates(cur, entryCand = 32)
         .persist()
       eR.count()
       out += Row(name, "nnd", b + 1, cur.count(),
         graphRecall(g, cur, e0), graphRecall(gR, cur, eR))
-      gR.unpersist()
       eR.unpersist()
       System.err.println(s"[drift] $name nnd batch ${b + 1} done")
     }
-    if (cur ne base) cur.unpersist()
-    g.unpersist()
     e0.unpersist()
 
     // ---- IVF family (q208 grow protocol: nlist=16, cosine, np=2) --
@@ -181,16 +189,15 @@ object AnnDriftProbe {
       ex.unpersist()
       r
     }
-    var curIvf = base
+    var ivfIds = baseIds
+    var curIvf = corpusOf(ivfIds)
     out += Row(name, "ivf_grow", 0, nBase,
       ivfRecall(growDir, curIvf), ivfRecall(growDir, curIvf))
     for (b <- 0 until Batches) {
       val newVecs = vecs.filter(col("id").isin(batchIds(b): _*))
       IvfIndex.appendVectors(spark, growDir, newVecs, "id", "v")
-      val grown = curIvf.unionByName(newVecs).persist()
-      grown.count()
-      if (curIvf ne base) curIvf.unpersist()
-      curIvf = grown
+      ivfIds = ivfIds ++ batchIds(b)
+      curIvf = corpusOf(ivfIds)
       val rebuildDir = Scratch.dir(s"drift_ivf_rb_${name}_$b")
       IvfIndex.writeIndex(curIvf, "id", "v", rebuildDir, nlist = 16,
         seed = 42L)
@@ -198,7 +205,6 @@ object AnnDriftProbe {
         ivfRecall(growDir, curIvf), ivfRecall(rebuildDir, curIvf))
       System.err.println(s"[drift] $name ivf batch ${b + 1} done")
     }
-    if (curIvf ne base) curIvf.unpersist()
 
     Seq(vecs, base, probes).foreach(_.unpersist())
     out.result()

@@ -228,6 +228,19 @@ object NnDescent {
     * keyed merge into the affected old lists — independent of corpus
     * size.
     *
+    * MEASURED drift (AnnDriftProbe, BASELINE.md r15): through 5
+    * append batches of 5% each (25% total growth), base-probe
+    * recall@8 against the GROWN corpus never drops below the
+    * same-geometry full rebuild — search-insert places each new node
+    * near-exactly over the already-converged graph, while a fresh
+    * 3-round build re-pays ring-init convergence (clustered: append
+    * 0.67→0.63 vs rebuild 0.57→0.54). Refresh guidance: a full
+    * rebuild buys nothing at ≤ 25% growth under this geometry;
+    * schedule refreshes by ENTRY-FRAME staleness (the entry
+    * candidates are not updated by appends) or when cumulative
+    * growth passes ~25%, and re-measure with the probe when the data
+    * distribution shifts.
+    *
     * `graph`: the persisted (u, nb, d2) edge list; `vecs`: (id, v);
     * `newVecs`: (nid, qv) with ids disjoint from `vecs`;
     * `entries`: the persisted (node_id, v) entry candidates.
