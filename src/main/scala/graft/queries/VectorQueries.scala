@@ -23,7 +23,7 @@ object VectorQueries {
       q188PqOracled, q189SweepOracled, q194ScalarQuant,
       q195IvfPqOracled, q197SemanticDecon,
       q231NnDescentOracled, q232GraphAnnServeOracled,
-      q240GraphAnnIngestOracled)
+      q240GraphAnnIngestOracled, q243GraphAnnServeTopKOracled)
 
   /** The GROUND-TRUTH half of every cosine recall gate
     * (q47/q64/q66/q115), served through the SAME per-JVM cache those
@@ -1404,4 +1404,78 @@ object VectorQueries {
         "UNION ALL SELECT m.u, m.rk AS rank, m.nb, m.d2 " +
         "FROM mgk m JOIN aff USING (u)) " +
         "ORDER BY u, rank, nb"))
+
+  /** Graph-based ANN, face 4: beam-search TOP-K SERVING from the
+    * persisted artifacts ([[graft.operators.NnDescent.beamTopKBulk]]
+    * — the ef-search RETURN contract: each probe's k best DISTINCT
+    * non-self nodes across EVERYTHING the walk scored, not the final
+    * beam q232's trace shows). Runs the fully RELATIONAL engine so
+    * the r15 serving ladder's scan-tier path sits behind the oracle
+    * gate directly; the driver walk and the RAM-resident hot engine
+    * are proved bit-identical to it (NnDescentSpec parity + the
+    * AnnServeSweep per-batch checks), so this one hash gates all
+    * three. Five reversed-stored-vector probes (the q232 convention),
+    * hops=8, beam=4, k=8; the oracle re-derives the graph, the entry
+    * frame, all eight visited-set hops, and the self-excluded top-8
+    * (the q240 CTE shape pointed at probes instead of new ids). */
+  val q243GraphAnnServeTopKOracled: GraftQuery = GraftQuery(
+    "q243_graph_ann_serve_topk_oracled",
+    (s, d) => {
+      import s.implicits._
+      val vecs = Tables.embeddings(s, d)
+        .select($"vec_id".cast("long").as("id"),
+          graft.operators.Similarity.asDouble($"embedding").as("v"))
+      val dir = AnnIndexes.nnDescentServing(s, d)
+      val probes = Tables.embeddings(s, d).filter($"vec_id" < 5)
+        .select($"vec_id".cast("long").as("query_id"),
+          reverse(graft.operators.Similarity.asDouble($"embedding"))
+            .as("qv"))
+      graft.operators.NnDescent.beamTopKBulk(
+          s.read.parquet(s"$dir/graph").select($"u", $"nb"), vecs,
+          probes, hops = 8, beam = 4, k = 8,
+          entries = s.read.parquet(s"$dir/entries"))
+        .select($"query_id", $"rank", $"node_id",
+          round($"d2", 6).as("d2"))
+        .orderBy($"query_id", $"rank")
+    },
+    Some(
+      nnDescentCtes(k = 8, cap = 16, rounds = 3) +
+        ", pr AS (SELECT vec_id AS query_id, " +
+        "list_reverse(embedding::DOUBLE[]) AS qv FROM embeddings " +
+        "WHERE vec_id < 5), " +
+        "ents AS (SELECT DISTINCT r.id, r.v FROM rkd r CROSS JOIN nn " +
+        "JOIN (SELECT unnest(generate_series(0, 31)) AS q) q " +
+        "ON r.rn = (nn.n * q.q) // 32), " +
+        // s0: every entry candidate scored (the visited set's seed);
+        // f0: frontier = best beam=4 (self rows may route)
+        "s0 AS MATERIALIZED (SELECT pr.query_id, ents.id AS cand, " +
+        s"${sqlD2("pr.qv", "ents.v")} AS d2 " +
+        "FROM pr CROSS JOIN ents), " +
+        "f0 AS (SELECT query_id, cand, d2 FROM (SELECT query_id, " +
+        "cand, d2, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY d2, cand) AS rk FROM s0) WHERE rk <= 4)" +
+        (1 to 8).map { h =>
+          s", s$h AS MATERIALIZED (SELECT DISTINCT query_id, cand, " +
+            s"d2 FROM (SELECT f.query_id, e.nb AS cand, " +
+            s"${sqlD2("pr.qv", "v.v")} AS d2 " +
+            s"FROM f${h - 1} f JOIN pr ON pr.query_id = f.query_id " +
+            "JOIN e3 e ON e.u = f.cand JOIN vecs v ON v.id = e.nb " +
+            s"UNION ALL SELECT query_id, cand, d2 FROM f${h - 1}))" +
+            s", f$h AS (SELECT query_id, cand, d2 FROM (SELECT " +
+            "query_id, cand, d2, row_number() OVER (PARTITION BY " +
+            s"query_id ORDER BY d2, cand) AS rk FROM s$h) " +
+            "WHERE rk <= 4)"
+        }.mkString +
+        // the answer: self-excluded top-8 of the whole visited set
+        " SELECT query_id, rk AS rank, cand AS node_id, " +
+        "round(d2, 6) AS d2 FROM (" +
+        "SELECT query_id, cand, d2, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY d2, cand) AS rk FROM (" +
+        "SELECT DISTINCT query_id, cand, d2 FROM (" +
+        "SELECT query_id, cand, d2 FROM s0 " +
+        (1 to 8).map(h =>
+          s"UNION ALL SELECT query_id, cand, d2 FROM s$h")
+          .mkString(" ") +
+        ") WHERE cand != query_id)) WHERE rk <= 8 " +
+        "ORDER BY query_id, rank"))
 }
