@@ -76,6 +76,66 @@ object AnnServeSweep {
     if (denom == 0L) 0.0 else hits.toDouble / denom
   }
 
+  /** The frontier's clustered dataset (seed 7) — the structure where
+    * recall is meaningful; the quality sweep runs on both. */
+  private def clustered(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(10)(Seq.fill(64)(rnd.nextGaussian()))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 200
+    } yield ((ci * 200 + j).toLong,
+      c.map(_ + rnd.nextGaussian() * 0.15))
+    rows.toDF("id", "v")
+  }
+
+  /** QUALITY-KNOB sweep: with the hot engine's serve cost collapsed
+    * (0.07–0.12 s whatever the knobs), beam/hops stop being a latency
+    * trade and become a pure recall dial — this section measures how
+    * far the dial goes at 500 probes: beam 4→16, hops 8→12, on both
+    * datasets. The ceiling is the GRAPH's own quality (knnGraph
+    * k=8/cap=16/rounds=3 reaches ~0.91 edge recall on clustered
+    * data — serving cannot return neighbors the graph never linked),
+    * so the gap between beam=16 and that ceiling prices the walk,
+    * and the gap between the ceiling and 1.0 prices the build. */
+  private def qualitySweep(spark: SparkSession, name: String,
+      vecs0: DataFrame, repeats: Int): Seq[String] = {
+    val vecs = vecs0.select(col("id"), col("v"))
+      .repartition(8).persist()
+    vecs.count()
+    val built = NnDescent.knnGraph(vecs, k = 8, cap = 16, rounds = 3)
+    val graph = built.select(col("u"), col("nb")).localCheckpoint()
+    built.unpersist()
+    val entries = NnDescent.entryCandidates(vecs, entryCand = 32)
+      .persist()
+    entries.count()
+    val hot = NnDescent.hotArtifacts(graph, vecs, entries)
+    val allIds = vecs.select(col("id")).orderBy(col("id"))
+      .collect().map(_.getLong(0))
+    val step = math.max(1, allIds.length / 500)
+    val ids = (0 until 500).map(i => allIds((i * step) % allIds.length))
+      .distinct
+    val probes = vecs.filter(col("id").isin(ids: _*))
+      .select(col("id").as("query_id"), col("v").as("qv")).persist()
+    probes.count()
+    val exL2 = exactL2(vecs, probes).persist(); exL2.count()
+    val out = for ((beam, hops) <- Seq((4, 8), (8, 8), (16, 8),
+        (16, 12))) yield {
+      val times = (1 to repeats).map(_ =>
+        timed(NnDescent.beamTopKHot(hot, probes, hops, beam, K)
+          .count())._2)
+      val med = times.sorted.apply(times.size / 2)
+      val rec = recallOf(exL2,
+        NnDescent.beamTopKHot(hot, probes, hops, beam, K)
+          .withColumnRenamed("node_id", "cand_id"))
+      f"| $name | $beam | $hops | $med%.3f | ${med * 2}%.2f | $rec%.3f |"
+    }
+    hot.destroy()
+    Seq(vecs, entries, probes, exL2).foreach(_.unpersist())
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
@@ -188,6 +248,20 @@ object AnnServeSweep {
       s"""{"metric":"ann_serve_sweep","k":$K,"hops":$Hops,""" +
         s""""beam":$Beam,"n":$n,""", ",", "}")
     println(json)
+
+    // quality-knob section (hot engine, 500 probes)
+    Seq(graph, entries, adj, ivfBuckets, vecs).foreach(_.unpersist())
+    hot.destroy()
+    System.err.println(
+      "| dataset | beam | hops | serve_s (500 probes) | ms/probe " +
+        "| recall@8 |")
+    System.err.println("|---|---|---|---|---|---|")
+    (qualitySweep(spark, "clustered", clustered(spark), repeats) ++
+      qualitySweep(spark, "corpus",
+        Tables.embeddings(spark, sfDir)
+          .select(col("vec_id").cast("long").as("id"),
+            Similarity.asDouble(col("embedding")).as("v")), repeats))
+      .foreach(System.err.println)
     spark.stop()
   }
 }
