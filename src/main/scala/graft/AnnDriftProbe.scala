@@ -50,39 +50,9 @@ object AnnDriftProbe {
   private val NProbes = 50
   private val Batches = 5
 
+  import AnnProbeUtil.{clustered, recallOf}
   private def exactL2(vecs: DataFrame, probes: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(probes))
-      .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id").as("cand_id"),
-        graft.expressions.ArrayL2Sq(col("qv"), col("v")).as("d2"))
-      .withColumn("rk", row_number().over(Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("d2"), col("cand_id"))))
-      .filter(col("rk") <= K)
-      .select(col("query_id"), col("cand_id"))
-
-  private def recallOf(exact: DataFrame, approx: DataFrame): Double = {
-    val hits = exact
-      .join(approx.select(col("query_id"), col("cand_id")),
-        Seq("query_id", "cand_id"), "left_semi")
-      .count()
-    val denom = exact.count()
-    if (denom == 0L) 0.0 else hits.toDouble / denom
-  }
-
-  /** The frontier's clustered dataset (seed 7, 10 clusters, 64-dim,
-    * 2000 points) — where graph/IVF recall is meaningful. */
-  private def clustered(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val rnd = new scala.util.Random(7)
-    val centers = Seq.fill(10)(Seq.fill(64)(rnd.nextGaussian()))
-    val rows = for {
-      (c, ci) <- centers.zipWithIndex
-      j <- 0 until 200
-    } yield ((ci * 200 + j).toLong,
-      c.map(_ + rnd.nextGaussian() * 0.15))
-    rows.toDF("id", "v")
-  }
+    AnnProbeUtil.exactL2(vecs, probes, K)
 
   private final case class Row(dataset: String, family: String,
       batches: Int, n: Long, recallAppend: Double,
@@ -149,8 +119,9 @@ object AnnDriftProbe {
       hot.destroy()
       r
     }
-    out += Row(name, "nnd", 0, nBase, graphRecall(g, cur, e0),
-      graphRecall(g, cur, e0))
+    // batch 0: append == rebuild by construction — compute once
+    val r0 = graphRecall(g, cur, e0)
+    out += Row(name, "nnd", 0, nBase, r0, r0)
     for (b <- 0 until Batches) {
       val newVecs = vecs.filter(col("id").isin(batchIds(b): _*))
         .select(col("id").as("nid"), col("v").as("qv"))
@@ -191,8 +162,8 @@ object AnnDriftProbe {
     }
     var ivfIds = baseIds
     var curIvf = corpusOf(ivfIds)
-    out += Row(name, "ivf_grow", 0, nBase,
-      ivfRecall(growDir, curIvf), ivfRecall(growDir, curIvf))
+    val ivfR0 = ivfRecall(growDir, curIvf)
+    out += Row(name, "ivf_grow", 0, nBase, ivfR0, ivfR0)
     for (b <- 0 until Batches) {
       val newVecs = vecs.filter(col("id").isin(batchIds(b): _*))
       IvfIndex.appendVectors(spark, growDir, newVecs, "id", "v")

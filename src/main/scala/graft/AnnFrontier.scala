@@ -42,50 +42,12 @@ object AnnFrontier {
   private val K = 8
   private val NProbes = 50
 
-  private def timed[T](f: => T): (T, Double) = {
-    val t0 = System.nanoTime()
-    val r = f
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
-
-  /** Exact top-K (query_id, cand_id) under squared-L2, self excluded. */
+  // shared recall-protocol kernel (AnnProbeUtil, r15): one definition
+  // of the exact baseline, denominator rule, fixture, and timer
+  // across the three ANN exhibits
+  import AnnProbeUtil.{clustered, recallOf, timed}
   private def exactL2(vecs: DataFrame, probes: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(probes))
-      .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id").as("cand_id"),
-        graft.expressions.ArrayL2Sq(col("qv"), col("v")).as("d2"))
-      .withColumn("rk", row_number().over(Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("d2"), col("cand_id"))))
-      .filter(col("rk") <= K)
-      .select(col("query_id"), col("cand_id"))
-
-  private def recallOf(exact: DataFrame, approx: DataFrame): Double = {
-    val hits = exact
-      .join(approx.select(col("query_id"), col("cand_id")),
-        Seq("query_id", "cand_id"), "left_semi")
-      .count()
-    // denominator = the exact baseline's OWN row count, not K·NProbes
-    // (ADVICE r13): a probe set smaller than NProbes (id gaps, tiny
-    // corpora) would otherwise deflate every recall, flat included
-    val denom = exact.count()
-    if (denom == 0L) 0.0 else hits.toDouble / denom
-  }
-
-  /** 10 tight clusters in 64-dim, 2000 points — the NnDescentSpec
-    * fixture grown to the corpus's dimensionality and size so the two
-    * datasets differ ONLY in structure. Deterministic (seed 7). */
-  private def clustered(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val rnd = new scala.util.Random(7)
-    val centers = Seq.fill(10)(Seq.fill(64)(rnd.nextGaussian()))
-    val rows = for {
-      (c, ci) <- centers.zipWithIndex
-      j <- 0 until 200
-    } yield ((ci * 200 + j).toLong,
-      c.map(_ + rnd.nextGaussian() * 0.15))
-    rows.toDF("id", "v")
-  }
+    AnnProbeUtil.exactL2(vecs, probes, K)
 
   /** One frontier row: build once, serve `repeats` times (median),
     * recall against the metric-matched exact baseline. */

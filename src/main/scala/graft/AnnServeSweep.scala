@@ -44,51 +44,13 @@ object AnnServeSweep {
   private val Hops = 8
   private val Beam = 4
 
-  private def timed[T](f: => T): (T, Double) = {
-    val t0 = System.nanoTime()
-    val r = f
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
+  import AnnProbeUtil.{clustered, recallOf, timed}
+  private def exactL2(vecs: DataFrame, probes: DataFrame): DataFrame =
+    AnnProbeUtil.exactL2(vecs, probes, K)
 
   private final case class Row(probes: Int, method: String,
       serveS: Double, msPerProbe: Double, recall: Double,
       parity: Boolean)
-
-  /** Exact top-K (query_id, cand_id) under squared-L2, self
-    * excluded — the nnd family's baseline. */
-  private def exactL2(vecs: DataFrame, probes: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(probes))
-      .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id").as("cand_id"),
-        graft.expressions.ArrayL2Sq(col("qv"), col("v")).as("d2"))
-      .withColumn("rk", row_number().over(Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("d2"), col("cand_id"))))
-      .filter(col("rk") <= K)
-      .select(col("query_id"), col("cand_id"))
-
-  private def recallOf(exact: DataFrame, approx: DataFrame): Double = {
-    val hits = exact
-      .join(approx.select(col("query_id"), col("cand_id")),
-        Seq("query_id", "cand_id"), "left_semi")
-      .count()
-    val denom = exact.count()
-    if (denom == 0L) 0.0 else hits.toDouble / denom
-  }
-
-  /** The frontier's clustered dataset (seed 7) — the structure where
-    * recall is meaningful; the quality sweep runs on both. */
-  private def clustered(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val rnd = new scala.util.Random(7)
-    val centers = Seq.fill(10)(Seq.fill(64)(rnd.nextGaussian()))
-    val rows = for {
-      (c, ci) <- centers.zipWithIndex
-      j <- 0 until 200
-    } yield ((ci * 200 + j).toLong,
-      c.map(_ + rnd.nextGaussian() * 0.15))
-    rows.toDF("id", "v")
-  }
 
   /** QUALITY-KNOB sweep: with the hot engine's serve cost collapsed
     * (0.07–0.12 s whatever the knobs), beam/hops stop being a latency
@@ -120,16 +82,19 @@ object AnnServeSweep {
       .select(col("id").as("query_id"), col("v").as("qv")).persist()
     probes.count()
     val exL2 = exactL2(vecs, probes).persist(); exL2.count()
+    val nProbes = ids.size
     val out = for ((beam, hops) <- Seq((4, 8), (8, 8), (16, 8),
         (16, 12))) yield {
       val times = (1 to repeats).map(_ =>
         timed(NnDescent.beamTopKHot(hot, probes, hops, beam, K)
           .count())._2)
       val med = times.sorted.apply(times.size / 2)
-      val rec = recallOf(exL2,
-        NnDescent.beamTopKHot(hot, probes, hops, beam, K)
-          .withColumnRenamed("node_id", "cand_id"))
-      f"| $name | $beam | $hops | $med%.3f | ${med * 2}%.2f | $rec%.3f |"
+      val res = NnDescent.beamTopKHot(hot, probes, hops, beam, K)
+        .withColumnRenamed("node_id", "cand_id").persist()
+      val rec = recallOf(exL2, res)
+      res.unpersist()
+      f"| $name | $beam | $hops | $med%.3f " +
+        f"| ${med * 1000.0 / nProbes}%.2f | $rec%.3f |"
     }
     hot.destroy()
     Seq(vecs, entries, probes, exL2).foreach(_.unpersist())
@@ -196,11 +161,16 @@ object AnnServeSweep {
         .select(col("query_id"), col("cand_id")).persist()
       exCos.count()
 
+      // the result frame is PERSISTED before the recall and parity
+      // reads (self-review r15): un-persisted, the recallOf join and
+      // the two exceptAll scans each re-ran the whole walk — up to 3
+      // extra serves per row on top of the timed repeats
       def sweep(method: String, exact: DataFrame,
           parityAgainst: Option[DataFrame])(
           serve: () => DataFrame): DataFrame = {
         val times = (1 to repeats).map(_ => timed(serve().count())._2)
-        val res = serve()
+        val res = serve().persist()
+        res.count()
         val med = times.sorted.apply(times.size / 2)
         val rec = recallOf(exact,
           res.withColumnRenamed("node_id", "cand_id"))
@@ -219,15 +189,16 @@ object AnnServeSweep {
       val driverRes = sweep("nnd_driver", exL2, None)(() =>
         NnDescent.beamTopK(graph, vecs, probes, Hops, Beam, K,
           entries, Some(adj)))
-      sweep("nnd_bulk", exL2, Some(driverRes))(() =>
+      val bulkRes = sweep("nnd_bulk", exL2, Some(driverRes))(() =>
         NnDescent.beamTopKBulk(graph, vecs, probes, Hops, Beam, K,
           entries, Some(adj)))
-      sweep("nnd_hot", exL2, Some(driverRes))(() =>
+      val hotRes = sweep("nnd_hot", exL2, Some(driverRes))(() =>
         NnDescent.beamTopKHot(hot, probes, Hops, Beam, K))
-      sweep("ivf16_np2", exCos, None)(() =>
+      val ivfRes = sweep("ivf16_np2", exCos, None)(() =>
         IvfIndex.topKAgainstIndex(probes, ivfCents, ivfBuckets,
           "query_id", "qv", K, nprobe = 2))
-      Seq(probes, exL2, exCos).foreach(_.unpersist())
+      Seq(probes, exL2, exCos, driverRes, bulkRes, hotRes, ivfRes)
+        .foreach(_.unpersist())
     }
 
     val rows = out.result()

@@ -116,20 +116,24 @@ object Bench {
     * host-level CPU steal is invisible to load average and JVM
     * metrics, but it inflates every query uniformly (the broad-window
     * capture class); sampling it per repeat makes that cause readable
-    * from the artifact. Busy = total − idle − iowait: subtracting
-    * this JVM's own cpu time from it yields the OTHER-PROCESS share,
-    * the co-tenant-contention signal the retry gate uses next to
-    * steal. (0,0,0) off Linux. */
+    * from the artifact. Busy = total − idle − iowait − steal:
+    * subtracting this JVM's own cpu time from it yields the
+    * OTHER-PROCESS share, the co-tenant-contention signal the retry
+    * gate uses next to steal. Steal is excluded from busy so the two
+    * signals stay DISJOINT — a pure-steal window must not read as
+    * co-tenant load too (they are the classes the per-repeat columns
+    * exist to distinguish). (0,0,0) off Linux. */
   private def cpuTicks(): (Long, Long, Long) =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
         val f = src.getLines().next().trim.split("\\s+")
           .drop(1).map(_.toLong)
+        val steal = if (f.length > 7) f(7) else 0L
         val idleIo =
           (if (f.length > 3) f(3) else 0L) +
             (if (f.length > 4) f(4) else 0L)
-        (f.sum, if (f.length > 7) f(7) else 0L, f.sum - idleIo)
+        (f.sum, steal, f.sum - idleIo - steal)
       } finally src.close()
     } catch { case _: Exception => (0L, 0L, 0L) }
 
@@ -221,10 +225,11 @@ object Bench {
     // the q232 repeats must measure SERVING, not the artifact build's
     // first-materialization GC (measured 23.3/26.1/3.1 s across
     // repeats with the build inside the timed window). q240 (ingest)
-    // reads the same artifacts, so a subset run that includes it
-    // without q232 must pre-settle too (ADVICE r14).
-    if (queries.exists(q =>
-        q._1.startsWith("q232") || q._1.startsWith("q240")))
+    // and q243 (serve top-k) read the same artifacts, so a subset
+    // run including either without q232 must pre-settle too
+    // (ADVICE r14, extended to q243 in r15).
+    if (queries.exists(q => q._1.startsWith("q232") ||
+        q._1.startsWith("q240") || q._1.startsWith("q243")))
       AnnIndexes.nnDescentServing(spark, sfDir)
     settle()
     telemetry.settleRead() // discard warm-up counters

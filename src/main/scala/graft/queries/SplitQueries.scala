@@ -2353,8 +2353,11 @@ object SplitQueries {
     * dense CELLS, not points — a handful per window (sf0.1: 1783
     * dense cells across 650 windows), so the recursive reach is
     * Σ|component|² over ≤ ~10-cell components. Cells get a synthetic
-    * id (w·8192 + (cx+1)·128 + (cy+1) — injective for cx < 62,
-    * cy < 126, both engines spell the same arithmetic) so the
+    * id (hourIdx·2²⁴ + (cx+1)·2¹² + (cy+1) with hourIdx =
+    * w_start_ms ÷ 3 600 000, exact integer division of the
+    * hour-aligned stamp — injective for cx, cy < 4095, i.e. value
+    * < ~205k and user_id < ~82k, two orders of magnitude past any
+    * generated SF; both engines spell the same arithmetic) so the
     * component label is the min encoded cell. The three SFs tell the
     * story: sf0.001 has dense cells but NO adjacent pairs (all
     * singleton segments), sf0.01 merges a few, sf0.1 forms real 2-D
@@ -2369,8 +2372,8 @@ object SplitQueries {
       val cells = graft.streaming.EventStream.runLateCellDensity2d(
         s, src, "30 minutes", epsV = 50.0, epsU = 20.0,
         queryName = "graft_q242")
-      val cid = ($"w_start_ms" * 8192L + ($"cx" + 1L) * 128L +
-        ($"cy" + 1L)).as("cid")
+      val cid = (expr("w_start_ms DIV 3600000") * 16777216L +
+        ($"cx" + 1L) * 4096L + ($"cy" + 1L)).as("cid")
       val dense = cells.filter($"n" >= 4)
         .select($"w_start_ms", $"cx", $"cy", $"n", cid)
         .persist()
@@ -2432,7 +2435,8 @@ object SplitQueries {
         "WHERE date_trunc('hour', surv.ts) + INTERVAL 1 HOUR " +
         "<= fin.wmf GROUP BY 1, 2, 3), " +
         "dense AS MATERIALIZED (SELECT w_start_ms, cx, cy, n, " +
-        "w_start_ms * 8192 + (cx + 1) * 128 + (cy + 1) AS cid " +
+        "(w_start_ms // 3600000) * 16777216 " +
+        "+ (cx + 1) * 4096 + (cy + 1) AS cid " +
         "FROM cells WHERE n >= 4), " +
         "e AS MATERIALIZED (SELECT a.cid AS src, b.cid AS dst " +
         "FROM dense a JOIN dense b ON a.w_start_ms = b.w_start_ms " +
