@@ -239,6 +239,18 @@ object AnnFrontier {
         () => NnDescent.beamTopK(nnGraph, vecs, probes, hops = 8,
           beam = beam, k = K, entries = nnEntries)
           .select(col("query_id"), col("node_id").as("cand_id")))
+    // the r15 hot engine (RAM-replica, one job per batch) next to the
+    // driver-walk rows it supersedes for serving — build cost is the
+    // graph build plus the one-time broadcast
+    val (nnHot, hotBuild) = timed(
+      NnDescent.hotArtifacts(nnGraph, vecs, nnEntries))
+    for (beam <- Seq(4, 8, 16))
+      out += measure(name, s"nnd_hot_beam$beam", nnBuild + hotBuild,
+        exL2, repeats)(() =>
+        NnDescent.beamTopKHot(nnHot, probes, hops = 8, beam = beam,
+          k = K)
+          .select(col("query_id"), col("node_id").as("cand_id")))
+    nnHot.destroy()
 
     Seq(vecs, probes, cands, exL2, exCos, buckets, encoded, encoded8,
       ivfpqIdx, codes, nnGraph, nnEntries).foreach(_.unpersist())
