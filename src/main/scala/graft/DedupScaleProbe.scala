@@ -756,6 +756,84 @@ object DedupScaleProbe {
         }
         base.unpersist()
         out
+      } else if (args.headOption.contains("--annserve")) {
+        // graph-ANN build + SERVE sweep (round 15 — the serving
+        // ladder's scale exhibit, the per-family replication sweep
+        // every other candidate-generating family already carries):
+        // the clustered fixture replicated m× in DISJOINT vector
+        // regions (replica r shifts dimension 0 by +100·r — centers
+        // are N(0,1) with σ0.15 clusters, so replicas never share a
+        // neighborhood; replica 0 is UNCHANGED, so the 50 fixed
+        // probes are constant across m). Claims measured per m:
+        // build wall ~LINEAR (candidate volume N·cap² per round),
+        // graph edges EXACTLY N·k, hot-engine serve wall FLAT
+        // (per-probe work = entryCand + hops·beam·k stored rows —
+        // corpus-independent), recall reported honestly: entryCand
+        // stays FIXED at 32 while disjoint regions grow m×, so entry
+        // coverage of the probes' region thins — the documented
+        // sizing rule (entryCand scales with region count) shown as
+        // data instead of asserted.
+        val base = AnnProbeUtil.clustered(spark).persist()
+        val nb = base.count()
+        val out = Seq(1, 2, 5, 10).map { m =>
+          val rep = (0 until m).map { r =>
+            base.select((col("id") + lit(r * 2000L)).as("id"),
+              expr(s"transform(v, (x, i) -> " +
+                s"IF(i = 0, x + ${100.0 * r}, x))").as("v"))
+          }.reduce(_ unionAll _).persist()
+          val nv = rep.count()
+          val t0 = System.nanoTime()
+          val g = graft.operators.NnDescent.knnGraph(rep, k = 8,
+            cap = 16, rounds = 3)
+          val edges = g.count()
+          val entries = graft.operators.NnDescent
+            .entryCandidates(rep, entryCand = 32).persist()
+          entries.count()
+          val hot = graft.operators.NnDescent.hotArtifacts(
+            g.select(col("u"), col("nb")), rep, entries)
+          val buildS = (System.nanoTime() - t0) / 1e9
+          val probes = rep.filter(col("id") < 2000L &&
+              col("id") % 40 === 0)
+            .select(col("id").as("query_id"), col("v").as("qv"))
+            .persist()
+          probes.count()
+          val serveTimes = (1 to 3).map { _ =>
+            val s0 = System.nanoTime()
+            graft.operators.NnDescent
+              .beamTopKHot(hot, probes, hops = 8, beam = 4, k = 8)
+              .count()
+            (System.nanoTime() - s0) / 1e9
+          }
+          val serveS = serveTimes.sorted.apply(1)
+          val ex = AnnProbeUtil.exactL2(rep, probes, 8).persist()
+          ex.count()
+          val rec = AnnProbeUtil.recallOf(ex,
+            graft.operators.NnDescent
+              .beamTopKHot(hot, probes, hops = 8, beam = 4, k = 8)
+              .withColumnRenamed("node_id", "cand_id"))
+          // the sizing rule PROVEN, not asserted: entryCand scaled
+          // with the region count (32·m) must recover the base
+          // recall — entry coverage, not the graph or the walk, is
+          // what the fixed-32 column loses
+          val entriesM = graft.operators.NnDescent
+            .entryCandidates(rep, entryCand = 32 * m).persist()
+          entriesM.count()
+          val hotM = graft.operators.NnDescent.hotArtifacts(
+            g.select(col("u"), col("nb")), rep, entriesM)
+          val recM = AnnProbeUtil.recallOf(ex,
+            graft.operators.NnDescent
+              .beamTopKHot(hotM, probes, hops = 8, beam = 4, k = 8)
+              .withColumnRenamed("node_id", "cand_id"))
+          hotM.destroy()
+          hot.destroy()
+          Seq(ex, probes, entries, entriesM, g, rep)
+            .foreach(_.unpersist())
+          f""""x$m":{"vecs":$nv,"edges":$edges,"build_s":$buildS%.2f,""" +
+            f""""serve_hot_s":$serveS%.3f,"recall":$rec%.3f,""" +
+            f""""recall_ec32m":$recM%.3f}"""
+        }
+        base.unpersist()
+        out
       } else if (args.headOption.contains("--spans"))
         // span-dedup sweep: span count must be EXACTLY m× the base
         // (disjoint shingle spaces), wall ~linear — no pair term.
