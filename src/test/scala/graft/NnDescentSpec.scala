@@ -173,9 +173,20 @@ class NnDescentSpec extends GraftSuite {
     val hot = NnDescent.hotArtifacts(graph, vecs, entries)
     val hotRows = rows(NnDescent.beamTopKHot(hot, probes,
       hops = 8, beam = 4, k = 8))
-    hot.destroy()
     assert(hotRows === driver,
       "hot engine diverged from the driver walk")
+    // parity at the QUALITY-SWEEP geometry too (beam 16, hops 12):
+    // the exhibits publish hot-engine recalls there, so the gate
+    // must cover the wide beam, not just the gated faces' beam 4
+    val driver16 = rows(NnDescent.beamTopK(graph, vecs, probes,
+      hops = 12, beam = 16, k = 8, entries = entries))
+    val hot16 = rows(NnDescent.beamTopKHot(hot, probes,
+      hops = 12, beam = 16, k = 8))
+    val bulk16 = rows(NnDescent.beamTopKBulk(graph, vecs, probes,
+      hops = 12, beam = 16, k = 8, entries = entries))
+    hot.destroy()
+    assert(hot16 === driver16 && bulk16 === driver16,
+      "engines diverged at the wide-beam geometry")
   }
 
   test("appendToGraph (the q240 ingest face): on a planted clone the " +
