@@ -102,6 +102,26 @@ object NnDescent {
       .select(col("id").as("node_id"), col("v"))
   }
 
+  /** ENTRY-FRAME REFRESH for the append path (VERDICT r15 #2) —
+    * re-derives the rank-spaced entry frame from the GROWN corpus
+    * under the build's own rule ([[entryCandidates]]: entryCand rows
+    * at projection ranks ⌊q·n/entryCand⌋). [[appendToGraph]] refreshes
+    * ADJACENCY but never the entry frame, and the measured replication
+    * sweep (DedupScaleProbe --annserve, BASELINE.md r15) showed what
+    * that costs: a fixed 32-entry frame's serve recall decays
+    * 0.540 → 0.175 as disjoint regions grow the corpus 10×, because
+    * entry COVERAGE thins — the graph and the walk are fine. This is
+    * the operator the "schedule refreshes by entry-frame staleness"
+    * guidance schedules: one O(N log N) rank pass over the grown
+    * corpus (no edge work at all), vs the O(N·cap²·rounds) rebuild.
+    * AnnDriftProbe's append+refresh column measures the effect per
+    * append stage next to the append-with-stale-entries and
+    * full-rebuild lines. Pass the grown corpus (base ∪ every appended
+    * batch); size `entryCand` with the corpus' region/cluster count
+    * (the sweep's 32·m rule held recall exactly flat). */
+  def refreshEntries(vecs: DataFrame, entryCand: Int = 32): DataFrame =
+    entryCandidates(vecs, entryCand)
+
   /** Build the k-NN graph over `vecs` (id: long, v: array<double>).
     * Returns (u, rank, nb, d2) with rank 1..k per node, d2 raw
     * (callers round for display). */
@@ -236,10 +256,11 @@ object NnDescent {
     * 3-round build re-pays ring-init convergence (clustered: append
     * 0.67→0.63 vs rebuild 0.57→0.54). Refresh guidance: a full
     * rebuild buys nothing at ≤ 25% growth under this geometry;
-    * schedule refreshes by ENTRY-FRAME staleness (the entry
-    * candidates are not updated by appends) or when cumulative
-    * growth passes ~25%, and re-measure with the probe when the data
-    * distribution shifts.
+    * schedule [[refreshEntries]] over the grown corpus by ENTRY-FRAME
+    * staleness (appends refresh adjacency, never the entry frame,
+    * and stale entries are the measured decay axis — one rank pass
+    * fixes it without touching an edge), and re-measure with the
+    * probe when the data distribution shifts.
     *
     * `graph`: the persisted (u, nb, d2) edge list; `vecs`: (id, v);
     * `newVecs`: (nid, qv) with ids disjoint from `vecs`;
@@ -698,31 +719,108 @@ object NnDescent {
   def beamServe(graph: DataFrame, vecs: DataFrame, probes: DataFrame,
       hops: Int, beam: Int, k: Int, entries: DataFrame,
       smallBatch: Int = 1024,
-      adj: Option[DataFrame] = None): DataFrame =
-    if (probes.count() <= smallBatch)
+      adj: Option[DataFrame] = None,
+      knownBatch: Option[Long] = None): DataFrame = {
+    // engine dispatch reads the batch size from the caller's hint
+    // when one is given (ADVICE r15: the unconditional count here
+    // re-evaluated the probe frame's full upstream plan once per
+    // serve, purely to pick an engine); a hint-less call still counts
+    // once — callers in a serving loop should pass knownBatch or
+    // persist the probe frame.
+    val batch = knownBatch.getOrElse(probes.count())
+    if (batch <= smallBatch)
       beamTopK(graph, vecs, probes, hops, beam, k, entries, adj)
     else
       beamTopKBulk(graph, vecs, probes, hops, beam, k, entries, adj)
+  }
 
   /** RAM-RESIDENT serving artifacts: the graph's adjacency, the
     * touched vectors, and the entry candidates collected once and
     * broadcast to every executor — the deployment shape every
     * production graph-ANN serving tier actually uses (HNSW replicas
     * hold graph + vectors in memory; the walk never leaves the
-    * node). Preconditions are the caller's contract: corpus ×
-    * (k edges + dim doubles) must fit executor RAM — the envelope
-    * real HNSW deployments live in (≈10⁸ vectors on big-memory
-    * nodes). Beyond it, [[beamTopKBulk]] is the scan-tier engine.
-    * Neighbor lists are stored sorted by id (dedup insurance only —
-    * the walk's orders are all (d2, id)). */
+    * node). The RAM precondition — corpus × (k edges + dim doubles)
+    * must fit executor memory, the envelope real HNSW deployments
+    * live in (≈10⁸ vectors on big-memory nodes) — is ENFORCED by
+    * [[hotArtifacts]], not just documented. Beyond it,
+    * [[beamTopKBulk]] is the scan-tier engine. Neighbor lists are
+    * stored sorted by id (dedup insurance only — the walk's orders
+    * are all (d2, id)). */
   final case class HotGraph(
       adj: Map[Long, Array[Long]],
       vec: Map[Long, Array[Double]],
       entries: Array[(Long, Array[Double])]) extends Serializable
 
+  /** Estimated JVM bytes of the [[HotGraph]] replica BEFORE building
+    * it, from the artifacts' own counts: per edge one boxed Long in a
+    * neighbor array plus its share of the adjacency map entry (~16 B
+    * in a Long→Array map once array headers amortize); per vector a
+    * map entry + boxed key + array header (~72 B) plus 8·dim payload;
+    * entries are entryCand vector rows (the same per-row shape). A
+    * deliberate UNDER-estimate is the failure mode this guard exists
+    * to prevent, so the constants lean high and a fixed 64 KiB covers
+    * the struct roots. */
+  private[graft] def estimateHotBytes(nVecs: Long, nEdges: Long,
+      dim: Int, nEntries: Long = 32L): Long =
+    nEdges * 16L + (nVecs + nEntries) * (8L * dim + 72L) + 65536L
+
+  /** The default replica budget: 40% of `spark.executor.memory` when
+    * set (each executor holds the whole broadcast NEXT TO its working
+    * heap — shuffle buffers, task state, the probe batch), else 40%
+    * of this JVM's max heap (local mode, where driver and executor
+    * share one heap and the driver's own collect+broadcast copy
+    * doubles the peak). */
+  private[graft] def defaultHotBudget(
+      spark: org.apache.spark.sql.SparkSession): Long = {
+    val conf = spark.conf.getOption("spark.executor.memory")
+    val bytes = conf.map { s =>
+      val t = s.trim.toLowerCase
+      val num = t.takeWhile(c => c.isDigit || c == '.')
+      val mult = t.drop(num.length) match {
+        case "k" | "kb" => 1L << 10
+        case "m" | "mb" => 1L << 20
+        case "g" | "gb" => 1L << 30
+        case "t" | "tb" => 1L << 40
+        case _          => 1L
+      }
+      (num.toDouble * mult).toLong
+    }.getOrElse(Runtime.getRuntime.maxMemory)
+    (bytes * 0.4).toLong
+  }
+
+  /** Build the broadcast RAM replica — with the RAM contract ENFORCED
+    * (VERDICT r15 #3: this was the one operator in the repo whose
+    * failure mode at 100× scale was an unexplained OOM rather than a
+    * slow plan). Before collecting anything, the replica size is
+    * estimated from the artifacts' own counts ([[estimateHotBytes]] —
+    * three cheap count jobs over the stored frames) and checked
+    * against `maxBytes` (default [[defaultHotBudget]]: 40% of
+    * executor memory); past the budget the call REFUSES with the
+    * numbers and the fallback engine named, instead of OOMing inside
+    * a collect. After collecting, every neighbor id the adjacency
+    * references must resolve in `vecs` (ADVICE r15: a stale corpus
+    * after appends used to surface as a bare NoSuchElementException
+    * inside an executor task mid-walk) — the mismatch fails fast
+    * here, naming the missing ids. */
   def hotArtifacts(graph: DataFrame, vecs: DataFrame,
-      entries: DataFrame)
+      entries: DataFrame, maxBytes: Option[Long] = None)
       : org.apache.spark.broadcast.Broadcast[HotGraph] = {
+    val nVecs = vecs.count()
+    val nEdges = graph.count()
+    val nEntries = entries.count()
+    val dim =
+      if (nVecs == 0L) 0
+      else vecs.select(size(col("v"))).head().getInt(0)
+    val est = estimateHotBytes(nVecs, nEdges, dim, nEntries)
+    val budget = maxBytes.getOrElse(defaultHotBudget(vecs.sparkSession))
+    require(est <= budget,
+      f"hotArtifacts: estimated replica size $est%,d bytes " +
+        f"($nVecs%,d vectors x dim $dim + $nEdges%,d edges) exceeds " +
+        f"the RAM budget $budget%,d bytes (40%% of executor memory, " +
+        "or the explicit maxBytes arg). The hot tier is for corpora " +
+        "that fit executor RAM; past it serve with beamTopKBulk (the " +
+        "scan-tier relational engine, same results bit-for-bit) or " +
+        "raise maxBytes deliberately.")
     val adj = graph.select(col("u"), col("nb")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).map { case (u, es) =>
@@ -730,6 +828,15 @@ object NnDescent {
       }
     val vec = vecs.select(col("id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    val missing = adj.valuesIterator.flatten
+      .filter(id => !vec.contains(id)).toSet
+    require(missing.isEmpty,
+      s"hotArtifacts: the adjacency references ${missing.size} " +
+        s"neighbor id(s) absent from vecs (e.g. " +
+        s"${missing.toSeq.sorted.take(10).mkString(", ")}) — the " +
+        "corpus is stale relative to the graph (appended batches " +
+        "missing from vecs?). Pass the grown corpus the graph was " +
+        "built/appended over.")
     val ent = entries.select(col("node_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)

@@ -265,6 +265,109 @@ class NnDescentSpec extends GraftSuite {
       "walk engines diverged — the dispatch threshold is load-bearing")
   }
 
+  test("hotArtifacts enforces the RAM contract (VERDICT r15 #3): an " +
+      "over-budget corpus REFUSES with the estimate, the budget, and " +
+      "the bulk engine named — not an OOM inside a collect — and an " +
+      "under-budget corpus builds exactly as before") {
+    val vecs = clustered(20)
+    val graph = NnDescent.knnGraph(vecs, k = 8, cap = 16, rounds = 2)
+      .select($"u", $"nb")
+    val entries = NnDescent.entryCandidates(vecs, entryCand = 32)
+    // over-budget: 200 vectors x 8-dim estimate far past 10 KB
+    val e = intercept[IllegalArgumentException] {
+      NnDescent.hotArtifacts(graph, vecs, entries,
+        maxBytes = Some(10 * 1024L))
+    }
+    assert(e.getMessage.contains("beamTopKBulk"),
+      s"refusal must name the fallback engine: ${e.getMessage}")
+    assert(e.getMessage.contains("exceeds"), e.getMessage)
+    // the estimate never undercounts the real payload floor
+    // (edges*8 + vecs*dim*8), the failure mode the guard exists for
+    assert(NnDescent.estimateHotBytes(200, 1600, 8) >
+      1600 * 8L + 200 * 8 * 8L)
+    // under-budget (the default budget): unchanged behavior — same
+    // rows as the driver walk (the existing parity contract)
+    val probes = vecs.filter($"id".isin(5L, 105L))
+      .select($"id".as("query_id"), $"v".as("qv"))
+    val hot = NnDescent.hotArtifacts(graph, vecs, entries)
+    val hotRows = NnDescent.beamTopKHot(hot, probes, hops = 8,
+      beam = 4, k = 8).collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    hot.destroy()
+    val driver = NnDescent.beamTopK(graph, vecs, probes, hops = 8,
+      beam = 4, k = 8, entries = entries).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(hotRows === driver)
+  }
+
+  test("hotArtifacts fails fast on a stale corpus (ADVICE r15): an " +
+      "adjacency neighbor id absent from vecs raises AT BUILD TIME, " +
+      "naming the missing ids — not a bare NoSuchElementException " +
+      "inside an executor task mid-walk") {
+    val vecs = clustered(20)
+    val graph = NnDescent.knnGraph(vecs, k = 8, cap = 16, rounds = 2)
+      .select($"u", $"nb")
+    val entries = NnDescent.entryCandidates(vecs, entryCand = 32)
+    // simulate the append-then-serve-stale-corpus mistake: the graph
+    // gains an edge to an id the passed corpus doesn't carry
+    val staleGraph = graph.unionByName(
+      Seq((5L, 777777L)).toDF("u", "nb"))
+    val e = intercept[IllegalArgumentException] {
+      NnDescent.hotArtifacts(staleGraph, vecs, entries)
+    }
+    assert(e.getMessage.contains("777777"),
+      s"refusal must name the missing id: ${e.getMessage}")
+    assert(e.getMessage.contains("stale"), e.getMessage)
+  }
+
+  test("refreshEntries (the append path's entry-frame refresh, " +
+      "VERDICT r15 #2) re-derives the build's own rank-spaced frame " +
+      "from the GROWN corpus: identical to what a fresh build would " +
+      "persist, and serving with it is identical to serving a fresh " +
+      "build's entries") {
+    val vecs = clustered(20)
+    val grown = vecs.unionByName(Seq(
+      (9001L, (0 until 8).map(j => 0.1 * j)),
+      (9002L, (0 until 8).map(j => -0.3 + 0.05 * j)))
+      .toDF("id", "v"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+    // the refresh IS the build rule applied to the grown corpus
+    assert(rows(NnDescent.refreshEntries(grown, entryCand = 32)) ===
+      rows(NnDescent.entryCandidates(grown, entryCand = 32)))
+    // and it differs from the stale frame when growth moved the ranks
+    // (the decay axis the replication sweep measured)
+    assert(rows(NnDescent.refreshEntries(grown, entryCand = 32)) !==
+      rows(NnDescent.entryCandidates(vecs, entryCand = 32)))
+  }
+
+  test("beamServe takes the caller's batch-size hint (ADVICE r15: no " +
+      "per-call probes.count() dispatch job) and the hint changes " +
+      "only the engine, never the rows") {
+    val vecs = clustered(20)
+    val graph = NnDescent.knnGraph(vecs, k = 8, cap = 16, rounds = 2)
+      .select($"u", $"nb")
+    val entries = NnDescent.entryCandidates(vecs, entryCand = 32)
+    val probes = vecs.filter($"id".isin(5L, 105L))
+      .select($"id".as("query_id"), $"v".as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val base = rows(NnDescent.beamServe(graph, vecs, probes, hops = 8,
+      beam = 4, k = 8, entries = entries))
+    // hint routes to the driver engine (2 <= 1024)
+    val hinted = rows(NnDescent.beamServe(graph, vecs, probes,
+      hops = 8, beam = 4, k = 8, entries = entries,
+      knownBatch = Some(2L)))
+    // a hint past the threshold routes to bulk — same rows by parity
+    val hintedBulk = rows(NnDescent.beamServe(graph, vecs, probes,
+      hops = 8, beam = 4, k = 8, entries = entries,
+      knownBatch = Some(5000L)))
+    assert(hinted === base && hintedBulk === base)
+  }
+
   test("the corpus recall is recorded, not assumed: near-uniform " +
       "64-dim embeddings stall every neighbor-of-neighbor method — " +
       "assert only the measured band so a silent collapse (or a " +
