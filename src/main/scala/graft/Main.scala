@@ -74,6 +74,14 @@ object Main {
       runAnnQueryPq(loadConf(rest), indexDir, queries, outDir)
     case "ann-query-ivfpq" :: indexDir :: queries :: outDir :: rest =>
       runAnnQueryIvfPq(loadConf(rest), indexDir, queries, outDir)
+    case "graph-ann-build" :: input :: indexDir :: rest =>
+      runGraphAnnBuild(input, indexDir, rest)
+    case "graph-ann-ingest" :: batch :: indexDir :: rest =>
+      runGraphAnnIngest(batch, indexDir, rest)
+    case "graph-ann-serve" :: indexDir :: queries :: outDir :: rest =>
+      runGraphAnnServe(indexDir, queries, outDir, rest)
+    case "graph-ann-stream" :: srcDir :: indexDir :: chkDir :: rest =>
+      runGraphAnnStream(srcDir, indexDir, chkDir, rest)
     case "sketch-ingest" :: batch :: sketchDir :: rest =>
       runSketchIngest(batch, sketchDir,
         rest.headOption.map(_.toLong).getOrElse(1L))
@@ -145,6 +153,10 @@ object Main {
            |       graft.Main ann-query <indexDir> <queriesParquet> <outDir> [conf.json]
            |       graft.Main ann-query-pq <indexDir> <queriesParquet> <outDir> [conf.json]
            |       graft.Main ann-query-ivfpq <indexDir> <queriesParquet> <outDir> [conf.json]
+           |       graft.Main graph-ann-build <embeddingsParquet> <indexDir> [--k n] [--cap n] [--rounds n] [--entries n]
+           |       graft.Main graph-ann-ingest <batchParquet> <indexDir> [--refresh-entries] [--beam n] [--hops n]
+           |       graft.Main graph-ann-serve <indexDir> <queriesParquet> <outDir> [--engine auto|driver|bulk|hot] [--beam n] [--hops n]
+           |       graft.Main graph-ann-stream <srcDir> <indexDir> <chkDir> [--refresh-entries]
            |       graft.Main sketch-ingest <batchParquet> <sketchDir> [batchId]
            |       graft.Main sketch-report <sketchDir> <outDir>
            |       graft.Main snapshot-diff <oldParquet> <newParquet> <outDir>
@@ -287,6 +299,72 @@ object Main {
         loadQueryVectors(spark, queries), centroids, buckets, cb, codes,
         nprobe = gc.annNprobe, topK = 10),
       outDir)
+    spark.stop()
+  }
+
+  /** Graph-ANN index lifecycle from the command line (VERDICT r15 #1
+    * — the serving ladder as a user surface, mirroring the IVF trio):
+    * build persists graph/vectors/entries/adj/meta, ingest appends a
+    * batch without retraining (`--refresh-entries` re-derives the
+    * entry frame from the grown corpus), serve answers a query
+    * parquet through any engine of the r15 ladder. All three compose
+    * the gated operators unchanged — GraphAnnCliSpec pins the CLI
+    * path hash-equal to the q243/q244 oracle faces. */
+  private def flagOpt(rest: List[String], flag: String): Option[String] =
+    rest.sliding(2).collectFirst { case List(`flag`, v) => v }
+
+  private def runGraphAnnBuild(input: String, indexDir: String,
+      rest: List[String]): Unit = {
+    val spark = session()
+    val (n, e) = graft.operators.GraphAnnIndex.build(spark, input,
+      indexDir,
+      k = flagOpt(rest, "--k").map(_.toInt).getOrElse(8),
+      cap = flagOpt(rest, "--cap").map(_.toInt).getOrElse(16),
+      rounds = flagOpt(rest, "--rounds").map(_.toInt).getOrElse(3),
+      entryCand = flagOpt(rest, "--entries").map(_.toInt).getOrElse(32))
+    println(s">>> [graph-ann-build] vectors=$n edges=$e dir=$indexDir")
+    spark.stop()
+  }
+
+  private def runGraphAnnIngest(batch: String, indexDir: String,
+      rest: List[String]): Unit = {
+    val spark = session()
+    val (nNew, nRefreshed) = graft.operators.GraphAnnIndex.ingest(
+      spark, batch, indexDir,
+      beam = flagOpt(rest, "--beam").map(_.toInt).getOrElse(4),
+      hops = flagOpt(rest, "--hops").map(_.toInt).getOrElse(4),
+      refreshEntries = rest.contains("--refresh-entries"))
+    println(s">>> [graph-ann-ingest] appended=$nNew " +
+      s"refreshed_old_lists=$nRefreshed" +
+      (if (rest.contains("--refresh-entries")) " entries=refreshed"
+      else ""))
+    spark.stop()
+  }
+
+  private def runGraphAnnServe(indexDir: String, queries: String,
+      outDir: String, rest: List[String]): Unit = {
+    val spark = session()
+    val engine = flagOpt(rest, "--engine").getOrElse("auto")
+    val (n, rows) = graft.operators.GraphAnnIndex.serve(spark,
+      indexDir, queries, outDir, engine,
+      beam = flagOpt(rest, "--beam").map(_.toInt).getOrElse(4),
+      hops = flagOpt(rest, "--hops").map(_.toInt).getOrElse(8))
+    println(s">>> [graph-ann-serve] engine=$engine probes=$n " +
+      s"results=$rows")
+    spark.stop()
+  }
+
+  /** Streaming graph-ANN ingest: drain the embedding backlog in
+    * `srcDir` into the persisted index via the q240 append protocol,
+    * batch-replay idempotent ([[graft.streaming.GraphAnnStream]]). */
+  private def runGraphAnnStream(srcDir: String, indexDir: String,
+      chkDir: String, rest: List[String]): Unit = {
+    val spark = session()
+    graft.streaming.GraphAnnStream.runToCompletion(spark, srcDir,
+      indexDir, chkDir,
+      refreshEntries = rest.contains("--refresh-entries"))
+    println(s">>> [graph-ann-stream] indexed=" +
+      s"${graft.streaming.GraphAnnStream.indexedVectors(spark, indexDir).count()}")
     spark.stop()
   }
 

@@ -190,6 +190,35 @@ object AnnIndexes {
         .write.mode("overwrite").parquet(s"$p/entries")
     }
 
+  private val hotReplicas = new ConcurrentHashMap[String,
+    org.apache.spark.broadcast.Broadcast[
+      graft.operators.NnDescent.HotGraph]]()
+
+  /** The RAM-resident graph-ANN serving replica (q244): the
+    * [[nnDescentServing]] artifacts collected once per (JVM, sfDir)
+    * and broadcast — exactly the deployment shape
+    * [[graft.operators.NnDescent.beamTopKHot]] serves from (an HNSW
+    * replica holds graph + vectors in memory for its lifetime; it is
+    * not rebuilt per query). Build-once ≡ build-per-query: the
+    * replica is a pure function of the stored artifacts, and the hot
+    * walk is bit-identical to the oracle-gated bulk engine
+    * (NnDescentSpec parity), so caching changes no result. The RAM
+    * guard inside hotArtifacts runs at build time with the default
+    * executor-memory budget. */
+  def hotReplica(spark: SparkSession, sfDir: String)
+      : org.apache.spark.broadcast.Broadcast[
+        graft.operators.NnDescent.HotGraph] =
+    hotReplicas.computeIfAbsent(sfDir, { _ =>
+      val dir = nnDescentServing(spark, sfDir)
+      val vecs = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").cast("long").as("id"),
+          graft.operators.Similarity.asDouble(col("embedding"))
+            .as("v"))
+      graft.operators.NnDescent.hotArtifacts(
+        spark.read.parquet(s"$dir/graph").select(col("u"), col("nb")),
+        vecs, spark.read.parquet(s"$dir/entries"))
+    })
+
   /** Per-JVM materialized setup artifact — a source-backlog dump or a
     * persisted screen index for the streaming replay queries
     * (q198/q202/q203/q207/q211–q213/q222). The dumped files are a pure
@@ -252,5 +281,7 @@ object AnnIndexes {
   private[graft] def reset(): Unit = {
     dirs.clear(); exactTops.clear(); pcaModels.clear()
     jacEdges.clear(); spanTables.clear()
+    hotReplicas.values.forEach(_.destroy())
+    hotReplicas.clear()
   }
 }

@@ -23,7 +23,8 @@ object VectorQueries {
       q188PqOracled, q189SweepOracled, q194ScalarQuant,
       q195IvfPqOracled, q197SemanticDecon,
       q231NnDescentOracled, q232GraphAnnServeOracled,
-      q240GraphAnnIngestOracled, q243GraphAnnServeTopKOracled)
+      q240GraphAnnIngestOracled, q243GraphAnnServeTopKOracled,
+      q244GraphAnnServeHotOracled)
 
   /** The GROUND-TRUTH half of every cosine recall gate
     * (q47/q64/q66/q115), served through the SAME per-JVM cache those
@@ -1438,8 +1439,17 @@ object VectorQueries {
           round($"d2", 6).as("d2"))
         .orderBy($"query_id", $"rank")
     },
-    Some(
-      nnDescentCtes(k = 8, cap = 16, rounds = 3) +
+    Some(graphAnnServeTopKSql))
+
+  /** The beam-serve top-k oracle SHARED by q243 (bulk engine) and
+    * q244 (hot engine): the engines are bit-identical by the
+    * NnDescentSpec parity gate, so ONE DuckDB re-derivation — graph
+    * build, entry frame, all eight visited-set hops, self-excluded
+    * top-8 — is the spec both faces hash against. Reusing the string
+    * verbatim (VERDICT r15 #4) makes the shared contract syntactic:
+    * the two faces can never drift onto different oracles. */
+  private lazy val graphAnnServeTopKSql: String =
+    nnDescentCtes(k = 8, cap = 16, rounds = 3) +
         ", pr AS (SELECT vec_id AS query_id, " +
         "list_reverse(embedding::DOUBLE[]) AS qv FROM embeddings " +
         "WHERE vec_id < 5), " +
@@ -1477,5 +1487,33 @@ object VectorQueries {
           s"UNION ALL SELECT query_id, cand, d2 FROM s$h")
           .mkString(" ") +
         ") WHERE cand != query_id)) WHERE rk <= 8 " +
-        "ORDER BY query_id, rank"))
+        "ORDER BY query_id, rank"
+
+  /** Graph-based ANN, face 5: the HOT engine behind its OWN oracle
+    * gate (VERDICT r15 #4) — q243 hash-gates the relational bulk
+    * engine and the parity specs carry that gate to the other two
+    * engines transitively; this face runs the PRODUCTION serving
+    * tier itself ([[graft.operators.NnDescent.beamTopKHot]]: the
+    * [[AnnIndexes.hotReplica]] broadcast RAM replica, the whole walk
+    * ONE job) on the SAME probes against the SAME DuckDB SQL (shared
+    * verbatim — see [[graphAnnServeTopKSql]]), so the serving tier's
+    * correctness is first-class, not transitive. Identical output to
+    * q243 by the bit-identity contract; the RAM guard inside
+    * hotArtifacts is live on this path. */
+  val q244GraphAnnServeHotOracled: GraftQuery = GraftQuery(
+    "q244_graph_ann_serve_hot_oracled",
+    (s, d) => {
+      import s.implicits._
+      val probes = Tables.embeddings(s, d).filter($"vec_id" < 5)
+        .select($"vec_id".cast("long").as("query_id"),
+          reverse(graft.operators.Similarity.asDouble($"embedding"))
+            .as("qv"))
+      graft.operators.NnDescent.beamTopKHot(
+          AnnIndexes.hotReplica(s, d), probes,
+          hops = 8, beam = 4, k = 8)
+        .select($"query_id", $"rank", $"node_id",
+          round($"d2", 6).as("d2"))
+        .orderBy($"query_id", $"rank")
+    },
+    Some(graphAnnServeTopKSql))
 }
