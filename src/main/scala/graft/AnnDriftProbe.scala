@@ -54,9 +54,15 @@ object AnnDriftProbe {
   private def exactL2(vecs: DataFrame, probes: DataFrame): DataFrame =
     AnnProbeUtil.exactL2(vecs, probes, K)
 
+  /** `recallAppendRefresh` (r16, VERDICT r15 #2): the append line
+    * re-served with [[NnDescent.refreshEntries]] over the GROWN
+    * corpus — same appended graph, fresh entry frame — so the column
+    * isolates how much of the append-vs-rebuild gap is STALE ENTRIES
+    * (the one rank pass the refresh operator buys) vs the graph
+    * itself. NaN for the IVF family (no entry frame). */
   private final case class Row(dataset: String, family: String,
       batches: Int, n: Long, recallAppend: Double,
-      recallRebuild: Double)
+      recallAppendRefresh: Double, recallRebuild: Double)
 
   private def runDataset(spark: SparkSession, name: String,
       vecs0: DataFrame): Seq[Row] = {
@@ -119,9 +125,10 @@ object AnnDriftProbe {
       hot.destroy()
       r
     }
-    // batch 0: append == rebuild by construction — compute once
+    // batch 0: append == refresh == rebuild by construction —
+    // compute once
     val r0 = graphRecall(g, cur, e0)
-    out += Row(name, "nnd", 0, nBase, r0, r0)
+    out += Row(name, "nnd", 0, nBase, r0, r0, r0)
     for (b <- 0 until Batches) {
       val newVecs = vecs.filter(col("id").isin(batchIds(b): _*))
         .select(col("id").as("nid"), col("v").as("qv"))
@@ -132,13 +139,26 @@ object AnnDriftProbe {
       appended.unpersist() // caller-owned
       curIds = curIds ++ batchIds(b)
       cur = corpusOf(curIds)
-      // rebuild line: fresh graph + fresh entries at the same corpus
-      val gR = freshGraph(cur)
+      // append+refresh line (VERDICT r15 #2): same appended graph,
+      // entry frame re-derived from the grown corpus — the operator
+      // the "schedule by entry-frame staleness" guidance schedules
+      val eF = NnDescent.refreshEntries(cur, entryCand = 32).persist()
+      eF.count()
+      // rebuild line: fresh graph + fresh entries at the same corpus.
+      // knnGraph's persisted output is used ONCE here and explicitly
+      // released after its recall read (ADVICE r15: the
+      // localCheckpoint'd rebuild graphs accumulated cached blocks
+      // across the 2×5 loop; only the APPEND line's graph is
+      // iterated and needs lineage truncation)
+      val gR = NnDescent.knnGraph(cur, k = 8, cap = 16, rounds = 3)
       val eR = NnDescent.entryCandidates(cur, entryCand = 32)
         .persist()
       eR.count()
       out += Row(name, "nnd", b + 1, cur.count(),
-        graphRecall(g, cur, e0), graphRecall(gR, cur, eR))
+        graphRecall(g, cur, e0), graphRecall(g, cur, eF),
+        graphRecall(gR, cur, eR))
+      gR.unpersist()
+      eF.unpersist()
       eR.unpersist()
       System.err.println(s"[drift] $name nnd batch ${b + 1} done")
     }
@@ -163,7 +183,7 @@ object AnnDriftProbe {
     var ivfIds = baseIds
     var curIvf = corpusOf(ivfIds)
     val ivfR0 = ivfRecall(growDir, curIvf)
-    out += Row(name, "ivf_grow", 0, nBase, ivfR0, ivfR0)
+    out += Row(name, "ivf_grow", 0, nBase, ivfR0, Double.NaN, ivfR0)
     for (b <- 0 until Batches) {
       val newVecs = vecs.filter(col("id").isin(batchIds(b): _*))
       IvfIndex.appendVectors(spark, growDir, newVecs, "id", "v")
@@ -173,7 +193,12 @@ object AnnDriftProbe {
       IvfIndex.writeIndex(curIvf, "id", "v", rebuildDir, nlist = 16,
         seed = 42L)
       out += Row(name, "ivf_grow", b + 1, curIvf.count(),
-        ivfRecall(growDir, curIvf), ivfRecall(rebuildDir, curIvf))
+        ivfRecall(growDir, curIvf), Double.NaN,
+        ivfRecall(rebuildDir, curIvf))
+      // the per-batch rebuild scratch is read once for its recall —
+      // release the disk now instead of letting 2×5 stale indexes
+      // accumulate until the JVM-exit sweep (ADVICE r15)
+      Scratch.drop(rebuildDir)
       System.err.println(s"[drift] $name ivf batch ${b + 1} done")
     }
 
@@ -193,16 +218,23 @@ object AnnDriftProbe {
       runDataset(spark, "corpus", corpus)
     System.err.println(
       "| dataset | family | batches appended | corpus n " +
-        "| recall@8 append | recall@8 rebuild |")
-    System.err.println("|---|---|---|---|---|---|")
+        "| recall@8 append | recall@8 append+refreshEntries " +
+        "| recall@8 rebuild |")
+    System.err.println("|---|---|---|---|---|---|---|")
+    def fmt(d: Double): String =
+      if (d.isNaN) "—" else f"$d%.3f"
     rows.foreach { r =>
       System.err.println(
         f"| ${r.dataset} | ${r.family} | ${r.batches} | ${r.n} " +
-          f"| ${r.recallAppend}%.3f | ${r.recallRebuild}%.3f |")
+          f"| ${fmt(r.recallAppend)} | ${fmt(r.recallAppendRefresh)} " +
+          f"| ${fmt(r.recallRebuild)} |")
     }
     val json = rows.map { r =>
       f""""${r.dataset}:${r.family}:${r.batches}":""" +
         f"""{"n":${r.n},"recall_append":${r.recallAppend}%.3f,""" +
+        (if (r.recallAppendRefresh.isNaN) ""
+        else
+          f""""recall_append_refresh":${r.recallAppendRefresh}%.3f,""") +
         f""""recall_rebuild":${r.recallRebuild}%.3f}"""
     }.mkString(
       s"""{"metric":"ann_append_drift","k":$K,"probes":$NProbes,""" +

@@ -101,6 +101,90 @@ object AnnServeSweep {
     out
   }
 
+  /** CROSSOVER sweep (VERDICT r15 #6): the r15 sweep stopped at 2000
+    * probes with the driver walk still AHEAD of the bulk engine
+    * (1.15 vs 1.9 ms/probe) — so beamServe's >1024-probe dispatch to
+    * bulk encoded a crossover nobody had observed. This mode pushes
+    * the batch axis to 6k/20k probes (replicating the stored vectors
+    * under fresh ids — replica r gets query_id = r·10⁷ + id, same
+    * vector; per-probe work is id-independent so replicas measure
+    * batch-size cost, nothing else) and times all three engines,
+    * with driver↔bulk and driver↔hot parity re-checked per batch.
+    * The committed table (BASELINE.md r16) is what the shipped
+    * smallBatch default cites. */
+  private def crossoverSweep(spark: SparkSession, sfDir: String,
+      repeats: Int): Unit = {
+    import spark.implicits._
+    val serveParts = 8
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").cast("long").as("id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .repartition(serveParts).persist()
+    val n = vecs.count()
+    val nnDir = AnnIndexes.nnDescentServing(spark, sfDir)
+    val graph = spark.read.parquet(s"$nnDir/graph")
+      .select(col("u"), col("nb")).repartition(serveParts).persist()
+    graph.count()
+    val entries = spark.read.parquet(s"$nnDir/entries").persist()
+    entries.count()
+    val adj = spark.read.parquet(s"$nnDir/adj")
+      .repartition(serveParts).persist()
+    adj.count()
+    val hot = NnDescent.hotArtifacts(graph, vecs, entries)
+    val out = Seq.newBuilder[Row]
+    for (m <- Seq(1, 3, 10)) {
+      val reps = spark.range(m).select(col("id").as("r"))
+      val probes = vecs.crossJoin(broadcast(reps))
+        .select((col("r") * 10000000L + col("id")).as("query_id"),
+          col("v").as("qv"))
+        .repartition(serveParts).persist()
+      val p = probes.count()
+      def one(method: String, parityAgainst: Option[DataFrame])(
+          serve: () => DataFrame): DataFrame = {
+        val times = (1 to repeats).map(_ => timed(serve().count())._2)
+        val res = serve().persist()
+        res.count()
+        val med = times.sorted.apply(times.size / 2)
+        val parity = parityAgainst.forall { other =>
+          res.exceptAll(other).isEmpty && other.exceptAll(res).isEmpty
+        }
+        out += Row(p.toInt, method, med, med * 1000.0 / p, Double.NaN,
+          parity)
+        res
+      }
+      val driverRes = one("nnd_driver", None)(() =>
+        NnDescent.beamTopK(graph, vecs, probes, Hops, Beam, K,
+          entries, Some(adj)))
+      val bulkRes = one("nnd_bulk", Some(driverRes))(() =>
+        NnDescent.beamTopKBulk(graph, vecs, probes, Hops, Beam, K,
+          entries, Some(adj)))
+      val hotRes = one("nnd_hot", Some(driverRes))(() =>
+        NnDescent.beamTopKHot(hot, probes, Hops, Beam, K))
+      Seq(probes, driverRes, bulkRes, hotRes).foreach(_.unpersist())
+      System.err.println(s"[crossover] batch $p done")
+    }
+    hot.destroy()
+    val rows = out.result()
+    System.err.println(
+      "| probes | method | serve_s | ms/probe | parity |")
+    System.err.println("|---|---|---|---|---|")
+    rows.foreach { r =>
+      System.err.println(
+        f"| ${r.probes} | ${r.method} | ${r.serveS}%.3f " +
+          f"| ${r.msPerProbe}%.3f " +
+          f"| ${if (r.parity) "ok" else "DIVERGED"} |")
+    }
+    val json = rows.map { r =>
+      f""""${r.probes}:${r.method}":{"serve_s":${r.serveS}%.3f,""" +
+        f""""ms_per_probe":${r.msPerProbe}%.3f,"parity":${r.parity}}"""
+    }.mkString(
+      s"""{"metric":"ann_serve_crossover","k":$K,"hops":$Hops,""" +
+        s""""beam":$Beam,"n":$n,""", ",", "}")
+    println(json)
+    Seq(vecs, graph, entries, adj).foreach(_.unpersist())
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
@@ -108,6 +192,10 @@ object AnnServeSweep {
       sys.env.getOrElse("SPARK_GRAFT_SWEEP_REPEATS", "3").toInt)
     val spark = Main.session()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("--crossover")) {
+      crossoverSweep(spark, sfDir, repeats)
+      return
+    }
     import spark.implicits._
     // Serving-tier partition sizing, applied to BOTH families so the
     // comparison stays fair: a hot index sized for point-ish lookups

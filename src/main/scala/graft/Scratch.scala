@@ -19,6 +19,16 @@ object Scratch {
   def dir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(root, prefix).toString
 
+  /** Release one scratch directory NOW (probes that loop over
+    * per-stage scratch artifacts — e.g. the drift probe's per-batch
+    * rebuild indexes — release each as soon as it is read, instead
+    * of accumulating until the exit sweep). Best-effort, and only
+    * paths under the self-cleaning root are touched. */
+  def drop(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.normalize.startsWith(root.normalize)) delete(p)
+  }
+
   private def delete(p: java.nio.file.Path): Unit =
     try {
       import java.nio.file.{Files, Path}

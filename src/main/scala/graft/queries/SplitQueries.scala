@@ -2372,8 +2372,20 @@ object SplitQueries {
       val cells = graft.streaming.EventStream.runLateCellDensity2d(
         s, src, "30 minutes", epsV = 50.0, epsU = 20.0,
         queryName = "graft_q242")
-      val cid = (expr("w_start_ms DIV 3600000") * 16777216L +
-        ($"cx" + 1L) * 4096L + ($"cy" + 1L)).as("cid")
+      // the packed encoding is injective ONLY for cx, cy in
+      // [-1, 4094] ((cx+1)·4096 + (cy+1) < 2²⁴) — outside it two
+      // cells could alias and silently merge components, and the
+      // oracle shares the arithmetic so the hash gate could not see
+      // it (ADVICE r15). Generated data sits at cx ≤ 9 / cy ≤ 7;
+      // out-of-domain input now FAILS FAST instead of mislabeling.
+      val cid = when(
+          $"cx" < -1L || $"cx" > 4094L || $"cy" < -1L || $"cy" > 4094L,
+          raise_error(format_string(
+            "q242 cell (%d,%d) outside the injective encoding " +
+              "domain [-1,4094] — key components on " +
+              "(w_start_ms,cx,cy) for wider grids", $"cx", $"cy")))
+        .otherwise(expr("w_start_ms DIV 3600000") * 16777216L +
+          ($"cx" + 1L) * 4096L + ($"cy" + 1L)).as("cid")
       val dense = cells.filter($"n" >= 4)
         .select($"w_start_ms", $"cx", $"cy", $"n", cid)
         .persist()
