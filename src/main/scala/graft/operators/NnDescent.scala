@@ -131,14 +131,16 @@ object NnDescent {
     val n = vv.count()
     val ranked = projRanked(vv).persist()
     ranked.count()
-    // every round's edge state stays persisted until the final graph
-    // materializes: unpersisting round r-1 inside the loop re-compiles
-    // round r's dependent cache entry and DROPS its materialized
-    // buffers, so each round recomputes the whole chain (measured
-    // 0.5/0.8/3.1 s over 3 rounds before this — compounding). The
-    // kept states are N·k rows each and LRU-evictable, so holding
-    // them is safe at any scale.
-    val kept = scala.collection.mutable.Buffer.empty[DataFrame]
+    // every round's edge state is localCheckpoint'd: materialized
+    // (unpersisting round r-1 inside a persist chain re-compiled and
+    // recomputed the whole chain — measured 0.5/0.8/3.1 s over 3
+    // rounds) AND lineage-truncated — round r's plan references round
+    // r-1's tree TWICE (undirect + keep-k union), so an untruncated
+    // chain grows ~2^rounds and OOMs in plan stringification from
+    // rounds ≥ 5 (hit by AnnBuildKnobProbe's geometry sweep, r16;
+    // persist alone cannot fix it — the q240/AnnDriftProbe lesson).
+    // The checkpointed states are N·k rows each; the context cleaner
+    // releases rounds that fall out of scope.
     var edges = ranked
       .select(col("id").as("u"), col("v").as("uv"), col("rn"),
         explode(expr(s"sequence(1, $k)")).as("o"))
@@ -147,8 +149,7 @@ object NnDescent {
       .join(ranked.select(col("rn").as("rn2"), col("id").as("nb"),
         col("v").as("nv")), "rn2")
       .select(col("u"), col("nb"), d2(col("uv"), col("nv")).as("d2"))
-      .persist()
-    kept += edges
+      .localCheckpoint()
     for (_ <- 1 to rounds) {
       // capped co-neighbor lists in ONE aggregation per node: undirect
       // (d2 is exactly symmetric — (a-b)^2 == (b-a)^2 in IEEE, same
@@ -179,26 +180,22 @@ object NnDescent {
         .join(vv.select(col("id").as("nb"), col("v").as("nv")), "nb")
         .select(col("u"), col("nb"), d2(col("uv"), col("nv")).as("d2"))
       // keep-k: the same one-aggregation shape (sort, dedup, cap)
-      val next = edges.unionAll(cd)
+      edges = edges.unionAll(cd)
         .select(col("u"), struct(col("d2"), col("nb")).as("e"))
         .groupBy(col("u"))
         .agg(slice(array_distinct(sort_array(collect_list(col("e")))),
           1, k).as("es"))
         .select(col("u"), explode(col("es")).as("e"))
         .select(col("u"), col("e.nb").as("nb"), col("e.d2").as("d2"))
-        .persist()
-      kept += next
-      edges = next
+        .localCheckpoint()
     }
-    // evict any stale entry from a previous plan-identical call, then
-    // materialize while the round states are cached and release them
-    // (the triangleCounts pattern)
+    // the ranked output reads the final checkpointed round — a
+    // shallow plan whatever `rounds` was; persisted for the caller
+    // (the OWNERSHIP contract is unchanged)
     val out = edges.withColumn("rank", row_number().over(
         Window.partitionBy(col("u")).orderBy(col("d2"), col("nb"))))
       .select(col("u"), col("rank"), col("nb"), col("d2"))
-    out.unpersist()
     out.persist().count()
-    kept.foreach(_.unpersist())
     ranked.unpersist()
     vv.unpersist()
     out
@@ -708,17 +705,21 @@ object NnDescent {
     * and whose memory stays executor-side (the driver path's visited
     * set is probes-linear). Outputs are bit-identical by the parity
     * spec, so the switch is invisible to every hash gate. The
-    * threshold default comes from the measured sf0.1 serve sweep
-    * (BASELINE.md r15): the driver engine stays ahead through ~500
-    * probes on local[32] where stage scheduling, not compute,
-    * dominates both engines; the bulk engine exists for the regime
-    * where the driver's O(probes) state and collect volume become the
-    * bottleneck — and for real clusters, where per-hop driver
-    * round-trips pay network latency the relational plan never
-    * sees. */
+    * threshold default sits at the MEASURED crossover (VERDICT r15
+    * #6; the r15 sweep stopped at 2000 probes with the driver still
+    * ahead, so the old 1024 default encoded a crossover nobody had
+    * observed — the r16 `AnnServeSweep --crossover` run extended the
+    * axis and found it): on local[32] at sf0.1 the driver walk keeps
+    * a shrinking edge through 2000 probes (1.20 vs 1.30 ms/probe),
+    * the bulk engine wins from 6000 (0.68 vs 0.88) and widens at
+    * 20000 (0.38 vs 0.88 — the driver's per-hop collect volume and
+    * O(probes) visited state are the bend), parity ok at every batch
+    * (BASELINE.md r16). On a real cluster the driver's per-hop
+    * round-trips also pay network latency, so the measured local
+    * crossover is the CONSERVATIVE (driver-favoring) bound. */
   def beamServe(graph: DataFrame, vecs: DataFrame, probes: DataFrame,
       hops: Int, beam: Int, k: Int, entries: DataFrame,
-      smallBatch: Int = 1024,
+      smallBatch: Int = 2048,
       adj: Option[DataFrame] = None,
       knownBatch: Option[Long] = None): DataFrame = {
     // engine dispatch reads the batch size from the caller's hint
