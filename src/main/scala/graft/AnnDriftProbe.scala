@@ -99,7 +99,7 @@ object AnnDriftProbe {
     val e0 = NnDescent.entryCandidates(base, entryCand = 32).persist()
     e0.count()
     def freshGraph(corpus: DataFrame): DataFrame = {
-      val built = NnDescent.knnGraph(corpus, k = 8, cap = 16,
+      val built = NnDescent.knnGraph(corpus, k = 16, cap = 32,
         rounds = 3)
       val flat = built.localCheckpoint()
       built.unpersist()
@@ -134,7 +134,7 @@ object AnnDriftProbe {
         .select(col("id").as("nid"), col("v").as("qv"))
       val appended = NnDescent.appendToGraph(
         g.select(col("u"), col("nb"), col("d2")), cur, newVecs,
-        k = 8, beam = 4, hops = 4, entries = e0)
+        k = 16, beam = 4, hops = 4, entries = e0)
       g = NnDescent.applyAppend(g, appended).localCheckpoint()
       appended.unpersist() // caller-owned
       curIds = curIds ++ batchIds(b)
@@ -150,7 +150,7 @@ object AnnDriftProbe {
       // localCheckpoint'd rebuild graphs accumulated cached blocks
       // across the 2×5 loop; only the APPEND line's graph is
       // iterated and needs lineage truncation)
-      val gR = NnDescent.knnGraph(cur, k = 8, cap = 16, rounds = 3)
+      val gR = NnDescent.knnGraph(cur, k = 16, cap = 32, rounds = 3)
       val eR = NnDescent.entryCandidates(cur, entryCand = 32)
         .persist()
       eR.count()

@@ -221,11 +221,11 @@ object AnnFrontier {
           .filter(col("rk") <= K)
     }
 
-    // NN-descent graph + beam serving (q231/q232 geometry: k=8,
-    // cap=16, rounds=3; entries persisted with the graph), beam
-    // sweeping the serve-side knob
+    // NN-descent graph + beam serving (q231/q232 geometry since r16:
+    // k=16, cap=32, rounds=3; entries persisted with the graph),
+    // beam sweeping the serve-side knob
     val (nnArts, nnBuild) = timed {
-      val g = NnDescent.knnGraph(vecs, k = 8, cap = 16, rounds = 3)
+      val g = NnDescent.knnGraph(vecs, k = 16, cap = 32, rounds = 3)
         .select(col("u"), col("nb")).persist()
       g.count()
       val e = NnDescent.entryCandidates(vecs, entryCand = 32)

@@ -21,8 +21,13 @@ import graft.operators.{IvfIndex, NnDescent, Similarity}
   * by construction; recall@8 vs the exact metric-matched baseline is
   * still printed per batch as the visible check.
   *
-  * Geometry is the gated q232 serve face's (k=8, cap=16, rounds=3,
-  * beam=4, hops=8, entryCand=32) against the sf embeddings corpus;
+  * Geometry is pinned at (k=8, cap=16, rounds=3, beam=4, hops=8,
+  * entryCand=32) — the r15-gated geometry every recorded sweep and
+  * crossover table (BASELINE.md r15/r16) was measured at, kept so
+  * those rows stay comparable across rounds (the gated faces moved
+  * to k=16/cap=32 in r16; engine dispatch and batch-size behavior,
+  * this sweep's subject, are geometry-independent) — against the sf
+  * embeddings corpus;
   * IVF is the q66 geometry (nlist=16, cosine) served at nprobe=2 —
   * the same rows the frontier exhibit publishes, so the sweep's
   * 50-probe column is directly comparable to the frontier table.
@@ -60,7 +65,10 @@ object AnnServeSweep {
     * k=8/cap=16/rounds=3 reaches ~0.91 edge recall on clustered
     * data — serving cannot return neighbors the graph never linked),
     * so the gap between beam=16 and that ceiling prices the walk,
-    * and the gap between the ceiling and 1.0 prices the build. */
+    * and the gap between the ceiling and 1.0 prices the build —
+    * the observation AnnBuildKnobProbe turned into the r16 geometry
+    * upgrade (this sweep keeps the r15 geometry for row-to-row
+    * comparability with the recorded tables). */
   private def qualitySweep(spark: SparkSession, name: String,
       vecs0: DataFrame, repeats: Int): Seq[String] = {
     val vecs = vecs0.select(col("id"), col("v"))

@@ -783,8 +783,8 @@ object DedupScaleProbe {
           }.reduce(_ unionAll _).persist()
           val nv = rep.count()
           val t0 = System.nanoTime()
-          val g = graft.operators.NnDescent.knnGraph(rep, k = 8,
-            cap = 16, rounds = 3)
+          val g = graft.operators.NnDescent.knnGraph(rep, k = 16,
+            cap = 32, rounds = 3)
           val edges = g.count()
           val entries = graft.operators.NnDescent
             .entryCandidates(rep, entryCand = 32).persist()

@@ -155,7 +155,7 @@ object Main {
            |       graft.Main ann-query-ivfpq <indexDir> <queriesParquet> <outDir> [conf.json]
            |       graft.Main graph-ann-build <embeddingsParquet> <indexDir> [--k n] [--cap n] [--rounds n] [--entries n]
            |       graft.Main graph-ann-ingest <batchParquet> <indexDir> [--refresh-entries] [--beam n] [--hops n]
-           |       graft.Main graph-ann-serve <indexDir> <queriesParquet> <outDir> [--engine auto|driver|bulk|hot] [--beam n] [--hops n]
+           |       graft.Main graph-ann-serve <indexDir> <queriesParquet> <outDir> [--engine auto|driver|bulk|hot] [--beam n] [--hops n] [--topk n]
            |       graft.Main graph-ann-stream <srcDir> <indexDir> <chkDir> [--refresh-entries]
            |       graft.Main sketch-ingest <batchParquet> <sketchDir> [batchId]
            |       graft.Main sketch-report <sketchDir> <outDir>
@@ -318,8 +318,8 @@ object Main {
     val spark = session()
     val (n, e) = graft.operators.GraphAnnIndex.build(spark, input,
       indexDir,
-      k = flagOpt(rest, "--k").map(_.toInt).getOrElse(8),
-      cap = flagOpt(rest, "--cap").map(_.toInt).getOrElse(16),
+      k = flagOpt(rest, "--k").map(_.toInt).getOrElse(16),
+      cap = flagOpt(rest, "--cap").map(_.toInt).getOrElse(32),
       rounds = flagOpt(rest, "--rounds").map(_.toInt).getOrElse(3),
       entryCand = flagOpt(rest, "--entries").map(_.toInt).getOrElse(32))
     println(s">>> [graph-ann-build] vectors=$n edges=$e dir=$indexDir")
@@ -348,7 +348,8 @@ object Main {
     val (n, rows) = graft.operators.GraphAnnIndex.serve(spark,
       indexDir, queries, outDir, engine,
       beam = flagOpt(rest, "--beam").map(_.toInt).getOrElse(4),
-      hops = flagOpt(rest, "--hops").map(_.toInt).getOrElse(8))
+      hops = flagOpt(rest, "--hops").map(_.toInt).getOrElse(8),
+      k = flagOpt(rest, "--topk").map(_.toInt).getOrElse(8))
     println(s">>> [graph-ann-serve] engine=$engine probes=$n " +
       s"results=$rows")
     spark.stop()

@@ -90,7 +90,7 @@ object GraphAnnIndex {
     * corpus copy, persisted under `indexDir` (the q231/q232 build
     * protocol). Returns (nVectors, nEdges). */
   def build(spark: SparkSession, input: String, indexDir: String,
-      k: Int = 8, cap: Int = 16, rounds: Int = 3,
+      k: Int = 16, cap: Int = 32, rounds: Int = 3,
       entryCand: Int = 32): (Long, Long) = {
     val vecs = asVecs(spark.read.parquet(input)).persist()
     val n = vecs.count()
@@ -185,11 +185,13 @@ object GraphAnnIndex {
     * ([[NnDescent.beamServe]]'s batch-size dispatch, fed the batch
     * size counted ONCE here — ADVICE r15). Writes (query_id, rank,
     * node_id, d2) parquet to `outDir` and returns (nProbes, nRows).
-    * Geometry: k from the stored meta; beam 4 / hops 8 are the gated
-    * q243/q244 serve defaults. */
+    * Geometry: `k` is the ANSWER count per probe (the ef-search
+    * return contract), independent of the stored graph's adjacency
+    * width (meta.k) — beam 4 / hops 8 / k 8 are the gated q243/q244
+    * serve defaults. */
   def serve(spark: SparkSession, indexDir: String, queries: String,
       outDir: String, engine: String = "auto", beam: Int = 4,
-      hops: Int = 8): (Long, Long) = {
+      hops: Int = 8, k: Int = 8): (Long, Long) = {
     val meta = readMeta(spark, indexDir)
     val graph = spark.read.parquet(s"$indexDir/graph")
       .select(col("u"), col("nb"))
@@ -204,17 +206,17 @@ object GraphAnnIndex {
     val res = engine match {
       case "driver" =>
         NnDescent.beamTopK(graph, vectors, probes, hops, beam,
-          meta.k, entries, Some(adj))
+          k, entries, Some(adj))
       case "bulk" =>
         NnDescent.beamTopKBulk(graph, vectors, probes, hops, beam,
-          meta.k, entries, Some(adj))
+          k, entries, Some(adj))
       case "hot" =>
         val h = NnDescent.hotArtifacts(graph, vectors, entries)
         hot = Some(h)
-        NnDescent.beamTopKHot(h, probes, hops, beam, meta.k)
+        NnDescent.beamTopKHot(h, probes, hops, beam, k)
       case "auto" =>
         NnDescent.beamServe(graph, vectors, probes, hops, beam,
-          meta.k, entries, adj = Some(adj), knownBatch = Some(n))
+          k, entries, adj = Some(adj), knownBatch = Some(n))
       case other => throw new IllegalArgumentException(
         s"unknown engine '$other' — use auto|driver|bulk|hot")
     }

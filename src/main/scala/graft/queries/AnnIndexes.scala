@@ -159,8 +159,11 @@ object AnnIndexes {
     spark.read.parquet(dir)
   }
 
-  /** NN-descent SERVING artifacts (q231/q232 geometry: k=8, cap=16,
-    * rounds=3, entryCand=32): the persisted k-NN graph under
+  /** NN-descent SERVING artifacts (q231/q232 geometry: k=16, cap=32,
+    * rounds=3, entryCand=32 — upgraded from k=8/cap=16 per the r16
+    * build-knob frontier: clustered serve recall 0.527→0.822 at
+    * beam 4, 0.808→0.964 at beam 16, for ≤2× build wall, VERDICT r15
+    * #5): the persisted k-NN graph under
     * `<dir>/graph`, the rank-spaced entry candidates under
     * `<dir>/entries`, and the pre-joined adjacency-with-vectors
     * under `<dir>/adj` (u, nb, nv — the serving-tier layout, VERDICT
@@ -172,13 +175,13 @@ object AnnIndexes {
     * the build's GC debt out of the timed serving repeats without
     * changing a single measured plan. */
   def nnDescentServing(spark: SparkSession, sfDir: String): String =
-    dirFor("prep_nng_k8e", sfDir) { p =>
+    dirFor("prep_nng_k16e", sfDir) { p =>
       val vecs = Tables.embeddings(spark, sfDir)
         .select(col("vec_id").cast("long").as("id"),
           graft.operators.Similarity.asDouble(col("embedding"))
             .as("v"))
-      val graph = graft.operators.NnDescent.knnGraph(vecs, k = 8,
-        cap = 16, rounds = 3)
+      val graph = graft.operators.NnDescent.knnGraph(vecs, k = 16,
+        cap = 32, rounds = 3)
       graph.write.mode("overwrite").parquet(s"$p/graph")
       graph.select(col("u"), col("nb"))
         .join(vecs.select(col("id").as("nb"), col("v").as("nv")),

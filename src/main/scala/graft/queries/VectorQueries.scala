@@ -1211,7 +1211,11 @@ object VectorQueries {
     * to LSH/IVF/PQ/IVF-PQ/SQ8 (VERDICT r11 #4), FULLY ORACLED: DuckDB
     * re-derives the ring init and all three unrolled refinement
     * rounds, so every (node, rank, neighbor, distance) row of the
-    * built graph hashes. */
+    * built graph hashes. Geometry k=16/cap=32/rounds=3 since r16 —
+    * the build-knob frontier (BASELINE.md r16, VERDICT r15 #5)
+    * showed it buys clustered serve recall 0.527→0.822 at beam 4
+    * for ≤2× build wall over the old k=8/cap=16, and the serve
+    * faces keep their k=8 answer contract unchanged. */
   val q231NnDescentOracled: GraftQuery = GraftQuery(
     "q231_nndescent_graph_oracled",
     (s, d) => {
@@ -1219,13 +1223,13 @@ object VectorQueries {
       val vecs = Tables.embeddings(s, d)
         .select($"vec_id".cast("long").as("id"),
           graft.operators.Similarity.asDouble($"embedding").as("v"))
-      graft.operators.NnDescent.knnGraph(vecs, k = 8, cap = 16,
+      graft.operators.NnDescent.knnGraph(vecs, k = 16, cap = 32,
           rounds = 3)
         .select($"u", $"rank", $"nb", round($"d2", 6).as("d2"))
         .orderBy($"u", $"rank")
     },
     Some(
-      nnDescentCtes(k = 8, cap = 16, rounds = 3) +
+      nnDescentCtes(k = 16, cap = 32, rounds = 3) +
         " SELECT u, rk AS rank, nb, round(d2, 6) AS d2 FROM (" +
         "SELECT u, nb, d2, row_number() OVER (PARTITION BY u " +
         "ORDER BY d2, nb) AS rk FROM e3) ORDER BY u, rank"))
@@ -1269,7 +1273,7 @@ object VectorQueries {
         .orderBy($"query_id", $"hop")
     },
     Some(
-      nnDescentCtes(k = 8, cap = 16, rounds = 3) +
+      nnDescentCtes(k = 16, cap = 32, rounds = 3) +
         ", pr AS (SELECT vec_id AS query_id, " +
         "list_reverse(embedding::DOUBLE[]) AS qv FROM embeddings " +
         "WHERE vec_id < 5), " +
@@ -1317,13 +1321,15 @@ object VectorQueries {
     * unrolled beam-search hops over the stored neighbor lists
     * (ef-construction made relational — per hop an equi-join keyed
     * on the frontier, windows partitioned per new node), and keep
-    * their 8 best over everything the walk scored; every (old ← new)
-    * edge then competes into the old node's stored list under the
-    * same (d2, nb) order. FULLY ORACLED: DuckDB re-derives the graph
-    * (the q231 unrolled replay), the entry frame, all four hops, the
-    * visited-set top-8, and the reverse-link merge — every row of
-    * the new adjacency AND every refreshed old list hashes. Cost per
-    * new vector: 32 entry scores + 4·4·8 stored edges + the keyed
+    * their 16 best over everything the walk scored (k = the stored
+    * graph's list width, so appended nodes are first-class graph
+    * rows); every (old ← new) edge then competes into the old
+    * node's stored list under the same (d2, nb) order. FULLY
+    * ORACLED: DuckDB re-derives the graph (the q231 unrolled
+    * replay), the entry frame, all four hops, the visited-set
+    * top-16, and the reverse-link merge — every row of the new
+    * adjacency AND every refreshed old list hashes. Cost per new
+    * vector: 32 entry scores + 4·4·16 stored edges + the keyed
     * merge — independent of corpus size. */
   val q240GraphAnnIngestOracled: GraftQuery = GraftQuery(
     "q240_graph_ann_ingest_oracled",
@@ -1339,7 +1345,7 @@ object VectorQueries {
             .as("qv"))
       val appended = graft.operators.NnDescent.appendToGraph(
         s.read.parquet(s"$dir/graph").select($"u", $"nb", $"d2"),
-        vecs, newVecs, k = 8, beam = 4, hops = 4,
+        vecs, newVecs, k = 16, beam = 4, hops = 4,
         entries = s.read.parquet(s"$dir/entries"))
       val res = appended
         .select($"u", $"rank", $"nb", round($"d2", 6).as("d2"))
@@ -1352,7 +1358,7 @@ object VectorQueries {
         .orderBy($"u", $"rank", $"nb")
     },
     Some(
-      nnDescentCtes(k = 8, cap = 16, rounds = 3) +
+      nnDescentCtes(k = 16, cap = 32, rounds = 3) +
         ", nv AS (SELECT vec_id + 1000000000 AS nid, " +
         "list_reverse(embedding::DOUBLE[]) AS qv FROM embeddings " +
         "WHERE vec_id < 5), " +
@@ -1379,7 +1385,8 @@ object VectorQueries {
             "cand, d2, row_number() OVER (PARTITION BY nid " +
             s"ORDER BY d2, cand) AS rk FROM s$h) WHERE rk <= 4)"
         }.mkString +
-        // the new adjacency: top-8 of the visited set
+        // the new adjacency: top-16 (the graph's list width) of the
+        // visited set
         ", na AS MATERIALIZED (SELECT nid AS u, rk AS rank, " +
         "cand AS nb, d2 FROM (" +
         "SELECT nid, cand, d2, row_number() OVER (" +
@@ -1389,7 +1396,7 @@ object VectorQueries {
         (1 to 4).map(h =>
           s"UNION ALL SELECT nid, cand, d2 FROM s$h")
           .mkString(" ") +
-        "))) WHERE rk <= 8), " +
+        "))) WHERE rk <= 16), " +
         // stage 3: reverse-link merge into the affected old lists
         "rev AS (SELECT nb AS u, u AS nb, d2 FROM na), " +
         "mgk AS MATERIALIZED (SELECT u, rk, nb, d2 FROM (" +
@@ -1397,7 +1404,7 @@ object VectorQueries {
         "ORDER BY d2, nb) AS rk FROM (" +
         "SELECT e.u, e.nb, e.d2 FROM e3 e " +
         "JOIN (SELECT DISTINCT u FROM rev) a USING (u) " +
-        "UNION ALL SELECT u, nb, d2 FROM rev)) WHERE rk <= 8), " +
+        "UNION ALL SELECT u, nb, d2 FROM rev)) WHERE rk <= 16), " +
         "aff AS (SELECT DISTINCT u FROM mgk " +
         "WHERE nb IN (SELECT nid FROM nv)) " +
         "SELECT u, rank, nb, round(d2, 6) AS d2 FROM (" +
@@ -1449,7 +1456,7 @@ object VectorQueries {
     * verbatim (VERDICT r15 #4) makes the shared contract syntactic:
     * the two faces can never drift onto different oracles. */
   private lazy val graphAnnServeTopKSql: String =
-    nnDescentCtes(k = 8, cap = 16, rounds = 3) +
+    nnDescentCtes(k = 16, cap = 32, rounds = 3) +
         ", pr AS (SELECT vec_id AS query_id, " +
         "list_reverse(embedding::DOUBLE[]) AS qv FROM embeddings " +
         "WHERE vec_id < 5), " +

@@ -32,7 +32,7 @@ class GraphAnnCliSpec extends GraftSuite {
     val idx = dir("graft_gann_idx") + "/idx"
     val (n, e) = GraphAnnIndex.build(spark,
       s"$sf/embeddings.parquet", idx)
-    assert(n === 500L && e === n * 8)
+    assert(n === 500L && e === n * 16)
     // the q243 probe convention (vec_id < 5, reversed embedding) as a
     // parquet the CLI reads — reverse commutes with the per-element
     // float→double cast, so the probe doubles are bit-equal
@@ -72,7 +72,8 @@ class GraphAnnCliSpec extends GraftSuite {
     val (nNew, nRefreshed) = GraphAnnIndex.ingest(spark, bDir, idx,
       refreshEntries = true)
     assert(nNew === 5L)
-    // corpus copy grew; every new id carries ranks 1..8
+    // corpus copy grew; every new id carries ranks 1..16 (the
+    // stored graph's list width)
     val v2 = spark.read.parquet(s"$idx/vectors")
     assert(v2.count() === 505L)
     val g2 = spark.read.parquet(s"$idx/graph")
@@ -81,7 +82,7 @@ class GraphAnnCliSpec extends GraftSuite {
       .collect()
     assert(newLists.length === 5)
     newLists.foreach(r =>
-      assert(r.getSeq[Int](1) === (1 to 8), s"node ${r.getLong(0)}"))
+      assert(r.getSeq[Int](1) === (1 to 16), s"node ${r.getLong(0)}"))
     // the artifacts-only path == the gated q240 face: applyAppend
     // REPLACED exactly the appended nodes' lists, so the stored graph
     // restricted to those nodes must be the face's rows bit-for-bit
