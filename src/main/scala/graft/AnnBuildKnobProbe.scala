@@ -68,6 +68,11 @@ object AnnBuildKnobProbe {
     val nProbes = probes.count()
     val exProbes = AnnProbeUtil.exactL2(vecs, probes, ServeK).persist()
     exProbes.count()
+    // the entry frame depends only on the corpus, not the build
+    // geometry — one rank pass shared by every geometry in the loop
+    val entries = NnDescent.entryCandidates(vecs, entryCand = 32)
+      .persist()
+    entries.count()
     val out = Seq.newBuilder[Row]
     val geos = Seq((8, 16, 3), (8, 16, 5), (8, 32, 3), (8, 32, 5),
       (16, 32, 3), (16, 32, 5))
@@ -81,9 +86,6 @@ object AnnBuildKnobProbe {
         graph.select(col("u"), col("nb").as("cand_id")),
         Seq("u", "cand_id"), "left_semi").count()
       val edgeRecall = edgeHits.toDouble / nExact
-      val entries = NnDescent.entryCandidates(vecs, entryCand = 32)
-        .persist()
-      entries.count()
       val hot = NnDescent.hotArtifacts(
         graph.select(col("u"), col("nb")), vecs, entries)
       for (beam <- Seq(4, 16)) {
@@ -100,13 +102,13 @@ object AnnBuildKnobProbe {
           med, rec)
       }
       hot.destroy()
-      entries.unpersist()
       graph.unpersist()
       System.err.println(
         s"[buildknob] $name k=$k cap=$cap rounds=$rounds done " +
           f"(build $buildS%.1f s)")
     }
-    Seq(vecs, exEdges, probes, exProbes).foreach(_.unpersist())
+    Seq(vecs, exEdges, probes, exProbes, entries)
+      .foreach(_.unpersist())
     out.result()
   }
 

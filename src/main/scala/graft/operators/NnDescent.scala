@@ -122,6 +122,24 @@ object NnDescent {
   def refreshEntries(vecs: DataFrame, entryCand: Int = 32): DataFrame =
     entryCandidates(vecs, entryCand)
 
+  /** Best-effort release of a DEAD localCheckpoint state's storage
+    * blocks. `Dataset.unpersist` only talks to the cache manager and
+    * never touches checkpoint blocks, and the context cleaner frees
+    * them only on a periodic driver-GC sweep — so a loop that
+    * checkpoints per iteration must drop the previous iteration's
+    * blocks itself once nothing can read them again. The checkpointed
+    * Dataset's analyzed plan is a LogicalRDD over exactly the
+    * persisted RDD; unpersisting that RDD frees the blocks. MUST only
+    * be called on states no later plan will re-read (checkpoint
+    * blocks are the sole copy — a post-release read would fail, not
+    * recompute). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Build the k-NN graph over `vecs` (id: long, v: array<double>).
     * Returns (u, rank, nb, d2) with rank 1..k per node, d2 raw
     * (callers round for display). */
@@ -139,8 +157,13 @@ object NnDescent {
     // chain grows ~2^rounds and OOMs in plan stringification from
     // rounds ≥ 5 (hit by AnnBuildKnobProbe's geometry sweep, r16;
     // persist alone cannot fix it — the q240/AnnDriftProbe lesson).
-    // The checkpointed states are N·k rows each; the context cleaner
-    // releases rounds that fall out of scope.
+    // DEAD round states (N·k rows each) are released explicitly as
+    // soon as the next round materializes — checkpoint blocks are the
+    // data's ONLY copy (not LRU-evictable like a persist), so leaving
+    // rounds+1 of them per build to the periodic context-cleaner
+    // sweep would accumulate storage across multi-build runs (the
+    // knob probe runs 12 builds per dataset). Only the FINAL round's
+    // blocks stay: they back the returned output's recompute path.
     var edges = ranked
       .select(col("id").as("u"), col("v").as("uv"), col("rn"),
         explode(expr(s"sequence(1, $k)")).as("o"))
@@ -151,6 +174,7 @@ object NnDescent {
       .select(col("u"), col("nb"), d2(col("uv"), col("nv")).as("d2"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
+      val prevRound = edges
       // capped co-neighbor lists in ONE aggregation per node: undirect
       // (d2 is exactly symmetric — (a-b)^2 == (b-a)^2 in IEEE, same
       // index order both ways, so duplicates are bit-equal), then
@@ -188,6 +212,7 @@ object NnDescent {
         .select(col("u"), explode(col("es")).as("e"))
         .select(col("u"), col("e.nb").as("nb"), col("e.d2").as("d2"))
         .localCheckpoint()
+      releaseCheckpoint(prevRound)
     }
     // the ranked output reads the final checkpointed round — a
     // shallow plan whatever `rounds` was; persisted for the caller
@@ -774,19 +799,27 @@ object NnDescent {
   private[graft] def defaultHotBudget(
       spark: org.apache.spark.sql.SparkSession): Long = {
     val conf = spark.conf.getOption("spark.executor.memory")
-    val bytes = conf.map { s =>
-      val t = s.trim.toLowerCase
-      val num = t.takeWhile(c => c.isDigit || c == '.')
-      val mult = t.drop(num.length) match {
-        case "k" | "kb" => 1L << 10
-        case "m" | "mb" => 1L << 20
-        case "g" | "gb" => 1L << 30
-        case "t" | "tb" => 1L << 40
-        case _          => 1L
-      }
-      (num.toDouble * mult).toLong
-    }.getOrElse(Runtime.getRuntime.maxMemory)
+    val bytes = conf.map(parseMemoryString)
+      .getOrElse(Runtime.getRuntime.maxMemory)
     (bytes * 0.4).toLong
+  }
+
+  /** `spark.executor.memory`-style size string → bytes. A UNIT-LESS
+    * value means MiB (Spark's JVM-memory convention: the conf is
+    * bytesConf(ByteUnit.MiB)) — reading it as bytes would shrink the
+    * budget ~10⁶× and spuriously refuse every replica. */
+  private[graft] def parseMemoryString(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val num = t.takeWhile(c => c.isDigit || c == '.')
+    val mult = t.drop(num.length) match {
+      case "k" | "kb" => 1L << 10
+      case "m" | "mb" => 1L << 20
+      case "g" | "gb" => 1L << 30
+      case "t" | "tb" => 1L << 40
+      case ""         => 1L << 20
+      case _          => 1L
+    }
+    (num.toDouble * mult).toLong
   }
 
   /** Build the broadcast RAM replica — with the RAM contract ENFORCED

@@ -9,23 +9,30 @@ import graft.operators.GraphAnnIndex
   * without a streaming face): embedding batch files land in a
   * directory and every micro-batch is search-then-link appended into
   * the persisted graph-ANN index
-  * ([[GraphAnnIndex.ingestBatch]] — the q240 protocol: entry-frame
+  * ([[GraphAnnIndex.ingestOutcome]] — the q240 protocol: entry-frame
   * routing, beam-search placement, reverse-link merge, serving-layout
   * refresh), exactly what `ann-ingest`'s streaming twins (DocIngest /
-  * VecIngest) do for the dedup and IVF/PQ families. Per arriving
-  * batch the cost is the append face's: entryCand entry scores +
-  * hops·beam·k stored edges per new vector + one keyed merge —
-  * independent of how large the already-indexed corpus has grown.
+  * VecIngest) do for the dedup and IVF/PQ families. Per-batch COMPUTE
+  * is the append face's — entryCand entry scores + hops·beam·k stored
+  * edges per new vector + one keyed merge, independent of corpus
+  * size — but the ARTIFACT REWRITE is not: each drained batch
+  * rewrites the corpus copy, the merged edge list and the pre-joined
+  * adjacency (O(N·k) parquet I/O), so micro-batches must be sized to
+  * amortize it — at a large indexed corpus, drain accumulated files
+  * per trigger rather than one-file-per-batch (`oneFilePerBatch`
+  * exists for deterministic replay in specs, not as the production
+  * cadence).
   *
   * Idempotence: foreachBatch is at-least-once, and this sink MUTATES
   * the index rather than writing batch-keyed partition dirs, so the
-  * replay key is the data itself — batch ids are disjoint from the
-  * corpus by the ingest contract, so a replayed batch whose ids are
-  * ALL already indexed is recognized as committed and skipped (the
-  * same observable end state as never replaying). A PARTIALLY present
-  * batch can only mean a crash inside the multi-artifact swap
-  * sequence — state the strict contract cannot repair — and fails
-  * fast with that diagnosis instead of double-linking the remainder
+  * replay key is the data itself, adjudicated by
+  * [[GraphAnnIndex.ingestOutcome]]'s commit protocol (adj is the
+  * commit marker; presence is monotone down the swap chain): a
+  * committed batch is SKIPPED (the no-replay end state), a
+  * crash-interrupted apply is COMPLETED from the already-swapped
+  * prefix without re-running the walk (re-running would double-link
+  * the reverse edges), and genuinely partial id overlap — state the
+  * protocol cannot produce — fails fast with the diagnosis
   * (GraphAnnCliSpec pins skip, equality to sequential batch ingests,
   * and checkpoint-replay no-ops). */
 object GraphAnnStream {
@@ -41,30 +48,19 @@ object GraphAnnStream {
     FileIngest.drain(
       FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
         (batch, batchId) =>
-          val ids = batch.select(col("vec_id").cast("long").as("id"))
-            .persist()
-          val nBatch = ids.count()
-          val nPresent = ids.join(
-            spark.read.parquet(s"$indexDir/vectors").select(col("id")),
-            Seq("id"), "left_semi").count()
-          if (nPresent == nBatch && nBatch > 0L)
-            // at-least-once replay of a committed batch: every id is
-            // already indexed — skipping reproduces exactly the
-            // no-replay end state
-            System.err.println(s"[graph-ann-stream] batch $batchId " +
-              s"already applied ($nBatch ids) — skipped")
-          else {
-            require(nPresent == 0L,
-              s"batch $batchId is PARTIALLY indexed ($nPresent of " +
-                s"$nBatch ids) — a crash inside a previous apply's " +
-                "artifact-swap sequence; rebuild the index " +
-                "(graph-ann-build) before resuming the stream")
-            val (nNew, _) = GraphAnnIndex.ingestBatch(spark, batch,
-              indexDir, beam, hops, refreshEntries)
-            System.err.println(s"[graph-ann-stream] batch $batchId " +
-              s"appended $nNew vectors")
+          GraphAnnIndex.ingestOutcome(spark, batch, indexDir, beam,
+              hops, refreshEntries) match {
+            case GraphAnnIndex.AlreadyApplied(n) =>
+              System.err.println(s"[graph-ann-stream] batch $batchId " +
+                s"already applied ($n ids) — skipped")
+            case GraphAnnIndex.Completed(n, r) =>
+              System.err.println(s"[graph-ann-stream] batch $batchId " +
+                s"completed a crash-interrupted apply ($n vectors, " +
+                s"$r refreshed old lists)")
+            case GraphAnnIndex.Appended(n, _) =>
+              System.err.println(s"[graph-ann-stream] batch $batchId " +
+                s"appended $n vectors")
           }
-          ids.unpersist()
       })
   }
 

@@ -195,6 +195,75 @@ class GraphAnnCliSpec extends GraftSuite {
     assert(artifact(idxS, "vectors", Seq("id")).size === 510)
   }
 
+  test("crash-consistent ingest (r16 self-review): every interrupted " +
+      "swap prefix — graph only, graph+vectors — is recognized and " +
+      "COMPLETED to the committed end state bit-for-bit, a replay of " +
+      "the completed batch is AlreadyApplied, and the walk is never " +
+      "re-run against its own reverse links") {
+    // reference: a clean build + ingest whose artifacts define the
+    // committed end state every recovery path must reproduce
+    val idxRef = dir("graft_gann_cref") + "/idx"
+    GraphAnnIndex.build(spark, s"$sf/embeddings.parquet", idxRef)
+    val bDir = dir("graft_gann_cb")
+    Tables.embeddings(spark, sf).filter($"vec_id" < 5)
+      .select(($"vec_id" + 1000000000L).cast("int").as("vec_id"),
+        reverse($"embedding").as("embedding"))
+      .write.mode("overwrite").parquet(bDir)
+    val (nRef, rRef) = GraphAnnIndex.ingest(spark, bDir, idxRef)
+    assert(nRef === 5L)
+    def art(idx: String, sub: String, cols: Seq[String]) =
+      spark.read.parquet(s"$idx/$sub")
+        .select(cols.map(c => round(col(c), 6).as(c)): _*).collect()
+        .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    def allArts(idx: String) = Seq(
+      ("graph", Seq("u", "rank", "nb", "d2")),
+      ("vectors", Seq("id")),
+      ("adj", Seq("u", "nb"))).map { case (s, c) => art(idx, s, c) }
+    // a crash window is a fresh pre-append index with the reference's
+    // already-swapped artifacts copied over — exactly the on-disk
+    // prefix an interrupted apply leaves (builds are deterministic,
+    // so the untouched artifacts equal the pre-crash state)
+    def crashState(copied: Seq[String]): String = {
+      val idx = dir("graft_gann_c" + copied.mkString("_")) + "/idx"
+      GraphAnnIndex.build(spark, s"$sf/embeddings.parquet", idx)
+      copied.foreach(s => spark.read.parquet(s"$idxRef/$s")
+        .write.mode("overwrite").parquet(s"$idx/$s"))
+      idx
+    }
+    for (prefix <- Seq(Seq("graph"), Seq("graph", "vectors"))) {
+      val idx = crashState(prefix)
+      GraphAnnIndex.ingestOutcome(spark,
+          spark.read.parquet(bDir), idx) match {
+        case GraphAnnIndex.Completed(n, r) =>
+          assert(n === 5L && r === rRef, s"prefix $prefix")
+        case other => fail(s"prefix $prefix: expected Completed, " +
+          s"got $other")
+      }
+      assert(allArts(idx) === allArts(idxRef),
+        s"completion from prefix $prefix diverged from the " +
+          "committed end state")
+      // the completed index treats the batch as committed from now on
+      GraphAnnIndex.ingestOutcome(spark,
+          spark.read.parquet(bDir), idx) match {
+        case GraphAnnIndex.AlreadyApplied(n) => assert(n === 5L)
+        case other => fail(s"expected AlreadyApplied, got $other")
+      }
+    }
+    // genuinely partial id overlap (state the protocol cannot have
+    // produced) still fails fast with the diagnosis
+    val idxP = crashState(Seq("graph"))
+    val mixed = Tables.embeddings(spark, sf)
+      .filter($"vec_id" === 2 || $"vec_id" === 3)
+      .select((when($"vec_id" === 2, $"vec_id" + 1000000000L)
+          .otherwise($"vec_id" + 3000000000L)).cast("long")
+          .as("vec_id"),
+        reverse($"embedding").as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      GraphAnnIndex.ingestOutcome(spark, mixed, idxP)
+    }
+    assert(e.getMessage.contains("PARTIALLY indexed"))
+  }
+
   test("serve and ingest refuse a directory with no built index, " +
       "naming the build verb") {
     val e = intercept[IllegalArgumentException] {

@@ -357,7 +357,7 @@ class NnDescentSpec extends GraftSuite {
         r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
     val base = rows(NnDescent.beamServe(graph, vecs, probes, hops = 8,
       beam = 4, k = 8, entries = entries))
-    // hint routes to the driver engine (2 <= 1024)
+    // hint routes to the driver engine (2 <= the 2048 default)
     val hinted = rows(NnDescent.beamServe(graph, vecs, probes,
       hops = 8, beam = 4, k = 8, entries = entries,
       knownBatch = Some(2L)))
@@ -366,6 +366,18 @@ class NnDescentSpec extends GraftSuite {
       hops = 8, beam = 4, k = 8, entries = entries,
       knownBatch = Some(5000L)))
     assert(hinted === base && hintedBulk === base)
+  }
+
+  test("hot-budget memory parsing (r16 self-review): a unit-less " +
+      "spark.executor.memory is MiB per Spark's JVM-memory " +
+      "convention, not bytes — misreading it would shrink the " +
+      "budget a million-fold and refuse every replica") {
+    assert(NnDescent.parseMemoryString("4096") === 4096L << 20)
+    assert(NnDescent.parseMemoryString("4g") === 4L << 30)
+    assert(NnDescent.parseMemoryString("512m") === 512L << 20)
+    assert(NnDescent.parseMemoryString("1.5g") ===
+      (1.5 * (1L << 30)).toLong)
+    assert(NnDescent.parseMemoryString("262144k") === 262144L << 10)
   }
 
   test("the corpus recall is recorded, not assumed: near-uniform " +
