@@ -133,7 +133,7 @@ object EventStream {
   def runAppend(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame,
       queryName: String,
-      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+      shufflePartitions: Option[Int] = Some(2)): DataFrame =
     withPartitions(spark, shufflePartitions) {
       val q = transform(source(spark, dir)).writeStream
         .outputMode(OutputMode.Append)
@@ -187,7 +187,7 @@ object EventStream {
 
   def runLateAppend(spark: SparkSession, srcDir: String, delay: String,
       queryName: String = "graft_late",
-      shufflePartitions: Option[Int] = Some(8),
+      shufflePartitions: Option[Int] = Some(2),
       windowDur: String = "1 hour",
       slide: Option[String] = None): DataFrame =
     withPartitions(spark, shufflePartitions) {
@@ -223,7 +223,7 @@ object EventStream {
   def runLateCellDensity(spark: SparkSession, srcDir: String,
       delay: String, eps: Double,
       queryName: String = "graft_cell_density",
-      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+      shufflePartitions: Option[Int] = Some(2)): DataFrame =
     withPartitions(spark, shufflePartitions) {
       val schema = spark.read.parquet(srcDir).schema
       val src = spark.readStream.schema(schema)
@@ -259,7 +259,7 @@ object EventStream {
   def runLateCellDensity2d(spark: SparkSession, srcDir: String,
       delay: String, epsV: Double, epsU: Double,
       queryName: String = "graft_cell_density_2d",
-      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+      shufflePartitions: Option[Int] = Some(2)): DataFrame =
     withPartitions(spark, shufflePartitions) {
       val schema = spark.read.parquet(srcDir).schema
       val src = spark.readStream.schema(schema)
@@ -294,7 +294,7 @@ object EventStream {
     * the (window, shard) survivor matrix. */
   def runUpdateCounts(spark: SparkSession, srcDir: String,
       delay: String, queryName: String = "graft_update_late",
-      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+      shufflePartitions: Option[Int] = Some(2)): DataFrame =
     withPartitions(spark, shufflePartitions) {
       val schema = spark.read.parquet(srcDir).schema
       val src = spark.readStream.schema(schema)
@@ -326,7 +326,7 @@ object EventStream {
   def runSessionAppend(spark: SparkSession, srcDir: String,
       delay: String, gap: String, keyCol: String = "k",
       queryName: String = "graft_session_late",
-      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+      shufflePartitions: Option[Int] = Some(2)): DataFrame =
     withPartitions(spark, shufflePartitions) {
       val schema = spark.read.parquet(srcDir).schema
       val src = spark.readStream.schema(schema)
@@ -364,7 +364,7 @@ object EventStream {
     * Returns (p_event_id, c_event_id, p_ms, c_ms). */
   def runLateJoin(spark: SparkSession, srcDir: String, delay: String,
       queryName: String = "graft_late_join",
-      shufflePartitions: Option[Int] = Some(8),
+      shufflePartitions: Option[Int] = Some(2),
       joinType: String = "inner"): DataFrame =
     withPartitions(spark, shufflePartitions) {
       val schema = spark.read.parquet(srcDir).schema
@@ -408,7 +408,7 @@ object EventStream {
   def runToCompletion(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame,
       queryName: String = "graft_stream",
-      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+      shufflePartitions: Option[Int] = Some(2)): DataFrame =
     withPartitions(spark, shufflePartitions) {
       val q = transform(source(spark, dir)).writeStream
         .outputMode(OutputMode.Complete)
@@ -427,7 +427,7 @@ object EventStream {
     * which is what q95's DuckDB oracle checks. */
   def runSessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30,
       queryName: String = "graft_sessions",
-      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+      shufflePartitions: Option[Int] = Some(2)): DataFrame =
     withPartitions(spark, shufflePartitions) {
       import spark.implicits._
       implicit val sp: SparkSession = spark
@@ -526,7 +526,7 @@ object EventStream {
     * is filtered from the output. */
   def runSessionizeFlush(spark: SparkSession, dir: String,
       gapMinutes: Int = 30, queryName: String = "graft_sessions_flush",
-      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+      shufflePartitions: Option[Int] = Some(2)): DataFrame =
     withPartitions(spark, shufflePartitions) {
       import spark.implicits._
       implicit val sp: SparkSession = spark
@@ -577,7 +577,7 @@ object EventStream {
     * watermark evicts ids older than that bound, keeping state finite. */
   def runExactlyOnce(spark: SparkSession, dir: String,
       queryName: String = "graft_exactly_once",
-      shufflePartitions: Option[Int] = Some(8)): DataFrame =
+      shufflePartitions: Option[Int] = Some(2)): DataFrame =
     withPartitions(spark, shufflePartitions) {
       val delivered = source(spark, dir).unionByName(source(spark, dir))
       val q = delivered.dropDuplicates("event_id").writeStream
