@@ -906,6 +906,7 @@ object Main {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Scratch.sparkLocalDir)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -46,9 +46,24 @@ object DistributedLogReg {
     * fit's evidence of learning is the RANKING separation (AUC ≈ 0.64
     * at 6 rounds vs 0.5 chance — spec-gated), not an accuracy
     * headline. */
+  /** The per-doc probability frame's broadcast budget (r16
+    * optimization round, guide §3.1): each GD round joins the
+    * DOC-sized (id, p, y) frame back onto the persisted feature frame
+    * to form the gradient. Planned cold, the post-aggregation frame
+    * has no size statistics, so Catalyst picks sort-merge and every
+    * round exchanges the feature frame before AQE flips to broadcast
+    * at runtime. The doc count `m` is already measured for the
+    * gradient divisor — reusing it to HINT the broadcast statically
+    * removes the feature-side exchange from all `iters` rounds; past
+    * the budget (~48 bytes/row, a few hundred million docs) the hint
+    * stays off and the plan degrades to today's shuffle join. */
+  val DefaultProbBroadcastBytes: Long = 256L << 20
+
   def fitScoreReplayable(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 64, iters: Int = 6,
-      lr: Double = 6.0, roundDp: Int = 6): DataFrame = {
+      lr: Double = 6.0, roundDp: Int = 6,
+      probBroadcastBudgetBytes: Long = DefaultProbBroadcastBytes)
+      : DataFrame = {
     require(buckets > 1 && iters >= 1)
     val spark = df.sparkSession
     val marked = df.select(col(idCol), col(textCol),
@@ -94,9 +109,12 @@ object DistributedLogReg {
           round(lit(1.0) / (lit(1.0) + exp(-col("z"))), roundDp)
             .as("p"))
     }
+    val hintP: DataFrame => DataFrame =
+      if (48L * m.toLong <= probBroadcastBudgetBytes) broadcast(_)
+      else identity
     for (_ <- 1 to iters) {
-      val g = fx.join(withP(w).select(col(idCol), col("p"),
-          col("y").as("__y")), idCol)
+      val g = fx.join(hintP(withP(w).select(col(idCol), col("p"),
+          col("y").as("__y"))), idCol)
         .groupBy(col("bucket"))
         .agg((sum((col("p") - col("__y")) * col("x")) / lit(m)).as("g"))
         .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap

@@ -40,7 +40,10 @@ object Graph extends Serializable {
     * (GraphSpec asserts the bound). */
   def pageRankUndirected(pairs: DataFrame, idA: String, idB: String,
       iterations: Int = 10, damping: Double = 0.85,
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 5,
+      broadcastRanks: Option[Boolean] = None,
+      broadcastBudgetBytes: Long = DefaultRankBroadcastBytes)
+      : DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val und = pairs.select(col(idA).as("src"), col(idB).as("dst"))
@@ -54,7 +57,9 @@ object Graph extends Serializable {
     val n = nodes.count()
     val init = nodes.select(col("id"), lit(1.0 / n).as("rank"))
     powerRounds(undDeg, nodes, init, _ => lit((1 - damping) / n),
-      iterations, damping, checkpointEvery)
+      iterations, damping, checkpointEvery,
+      broadcastRanks.getOrElse(
+        ranksFitBroadcast(n, broadcastBudgetBytes)))
   }
 
   /** PERSONALIZED PageRank: identical power iteration, but the restart
@@ -67,7 +72,10 @@ object Graph extends Serializable {
     * [[pageRankUndirected]]. */
   def personalizedPageRank(pairs: DataFrame, idA: String, idB: String,
       seeds: Seq[Long], iterations: Int = 10, damping: Double = 0.85,
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 5,
+      broadcastRanks: Option[Boolean] = None,
+      broadcastBudgetBytes: Long = DefaultRankBroadcastBytes)
+      : DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     require(seeds.nonEmpty, "seed set must be non-empty")
@@ -78,6 +86,7 @@ object Graph extends Serializable {
       .select(col("src"), col("dst"), col("deg"))
       .persist()
     val nodes = deg.select(col("src").as("id")).persist()
+    val n = nodes.count()
     val k = seeds.size
     val tele = (id: org.apache.spark.sql.Column) =>
       when(id.isin(seeds: _*), lit((1 - damping) / k)).otherwise(lit(0.0))
@@ -85,7 +94,9 @@ object Graph extends Serializable {
       when(col("id").isin(seeds: _*), lit(1.0 / k)).otherwise(lit(0.0))
         .as("rank"))
     powerRounds(undDeg, nodes, init, tele, iterations, damping,
-      checkpointEvery)
+      checkpointEvery,
+      broadcastRanks.getOrElse(
+        ranksFitBroadcast(n, broadcastBudgetBytes)))
   }
 
   /** Shared power-iteration core: ONE join + one aggregation per round
@@ -96,15 +107,41 @@ object Graph extends Serializable {
     * never fire its coalesce). `teleport` maps the node-id column to
     * that node's restart mass: a constant for classic PageRank, a
     * seed-set indicator for the personalized variant. */
+  /** The rank-state broadcast budget (r16 optimization round, guide
+    * §3.1): each power round joins the NODE-sized rank state against
+    * the persisted edge operand. Planned cold, the post-aggregation
+    * rank frame has no size statistics, so Catalyst picks sort-merge
+    * and every round materializes an EDGE-sized exchange before AQE
+    * flips the join to broadcast at runtime (measured on q120 at
+    * sf0.1: a reused 1.18M-row / 36 MiB exchange of undDeg feeding
+    * each round's BroadcastHashJoin). Hinting the broadcast statically
+    * removes the big-side exchange from every round: per round ONE
+    * exchange (the contribution aggregation) remains — the shuffle
+    * power iteration fundamentally needs. The hint is SIZED, not
+    * hardcoded (the triangleCounts auto-broadcast pattern): ~48 bytes
+    * per (id, rank) row against this budget, decided from the node
+    * count the callers already measure — a billion-node 100 TB graph
+    * blows the budget and auto-degrades to today's shuffle plan. */
+  val DefaultRankBroadcastBytes: Long = 256L << 20
+
+  /** Size model for the auto choice: n (id, rank) rows at ~48 bytes of
+    * row + hash-relation overhead each. Public so the crossover is
+    * spec-able without a giant graph in CI. */
+  def ranksFitBroadcast(n: Long,
+      budgetBytes: Long = DefaultRankBroadcastBytes): Boolean =
+    48L * n <= budgetBytes
+
   private def powerRounds(undDeg: DataFrame, nodes: DataFrame,
       init: DataFrame,
       teleport: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-      iterations: Int, damping: Double, checkpointEvery: Int)
+      iterations: Int, damping: Double, checkpointEvery: Int,
+      broadcastRanks: Boolean = false)
       : DataFrame = {
     var ranks = init
     for (round <- 1 to iterations) {
+      val rhs = if (broadcastRanks) broadcast(ranks) else ranks
       ranks = undDeg
-        .join(ranks, undDeg("src") === ranks("id"))
+        .join(rhs, undDeg("src") === rhs("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("id"))
         .agg((teleport(col("id")) +
