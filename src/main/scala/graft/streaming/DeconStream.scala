@@ -29,18 +29,22 @@ object DeconStream {
   def runToCompletion(spark: SparkSession, srcDir: String,
       indexDir: String, outDir: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",
-      oneFilePerBatch: Boolean = true): Unit = {
+      oneFilePerBatch: Boolean = true,
+      shufflePartitions: Option[Int] = Some(2)): Unit = {
     // read the index ONCE (w + the gram set), not per micro-batch;
     // overlapCore broadcasts the gram set itself when a batch runs
     val w = spark.read.parquet(s"$indexDir/meta").head().getInt(0)
     val evalGrams = spark.read.parquet(s"$indexDir/grams")
-    FileIngest.drain(
-      FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
-        (batch, batchId) =>
-          FileIngest.writeBatchExactlyOnce(
-            Decontaminate.overlapCore(batch, evalGrams, idCol, textCol, w),
-            outDir, batchId)
-      })
+    FileIngest.withPartitions(spark, shufflePartitions) {
+      FileIngest.drain(
+        FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
+          (batch, batchId) =>
+            FileIngest.writeBatchExactlyOnce(
+              Decontaminate.overlapCore(batch, evalGrams, idCol, textCol,
+                w),
+              outDir, batchId)
+        })
+    }
   }
 
   /** Read the accumulated screen output (drops the batch_id layout

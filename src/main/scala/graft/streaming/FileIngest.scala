@@ -34,6 +34,27 @@ private[streaming] object FileIngest {
   def drain(q: StreamingQuery): Unit =
     try q.awaitTermination() finally if (q.isActive) q.stop()
 
+  /** Scoped stateful/batch-body shuffle-partition override — the
+    * [[EventStream]] runner contract applied to the foreachBatch
+    * family (r16 optimization round, guide §2.2): each micro-batch
+    * body plans its joins/aggregations at the LIVE session partition
+    * count, so a 100 k-row replay batch at the bench's 32 partitions
+    * pays 32 tasks + 32 shuffle files per exchange per batch. The
+    * replay runners default to a small count sized to the replay
+    * corpus; a production ingest sizes it to its own volume (pass
+    * None to inherit the session default). Partition count never
+    * changes emitted rows — the registry's blanket 3-vs-8
+    * partition-invariance gate is exactly this contract. */
+  def withPartitions[A](spark: SparkSession, n: Option[Int])(
+      body: => A): A = n match {
+    case None => body
+    case Some(parts) =>
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, parts.toString)
+      try body finally spark.conf.set(key, prev)
+  }
+
   /** Exactly-once batch output for foreachBatch sinks: foreachBatch is
     * only at-least-once (a crash between the sink write and the
     * checkpoint offset commit replays the batch), so a blind append

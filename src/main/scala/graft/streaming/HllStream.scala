@@ -18,10 +18,13 @@ object HllStream {
 
   def runToCompletion(spark: SparkSession, srcDir: String,
       hllDir: String, checkpointDir: String, keyCol: String,
-      p: Int = 8, oneFilePerBatch: Boolean = true): Unit =
-    FileIngest.drain(
-      FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
-        (batch, batchId) =>
-          Sketches.upsertHllBatch(batch, keyCol, hllDir, batchId, p)
-      })
+      p: Int = 8, oneFilePerBatch: Boolean = true,
+      shufflePartitions: Option[Int] = Some(2)): Unit =
+    FileIngest.withPartitions(spark, shufflePartitions) {
+      FileIngest.drain(
+        FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
+          (batch, batchId) =>
+            Sketches.upsertHllBatch(batch, keyCol, hllDir, batchId, p)
+        })
+    }
 }

@@ -22,10 +22,14 @@ object MomentsStream {
   def runToCompletion(spark: SparkSession, srcDir: String,
       momentsDir: String, checkpointDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = 64, oneFilePerBatch: Boolean = true): Unit =
-    FileIngest.drain(
-      FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
-        (batch, batchId) =>
-          Pca.upsertMomentsBatch(batch, vecCol, dim, momentsDir, batchId)
-      })
+      dim: Int = 64, oneFilePerBatch: Boolean = true,
+      shufflePartitions: Option[Int] = Some(2)): Unit =
+    FileIngest.withPartitions(spark, shufflePartitions) {
+      FileIngest.drain(
+        FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
+          (batch, batchId) =>
+            Pca.upsertMomentsBatch(batch, vecCol, dim, momentsDir,
+              batchId)
+        })
+    }
 }

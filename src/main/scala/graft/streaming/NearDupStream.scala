@@ -29,7 +29,8 @@ object NearDupStream {
   def runToCompletion(spark: SparkSession, srcDir: String,
       indexDir: String, outDir: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 0.5, oneFilePerBatch: Boolean = true): Unit = {
+      threshold: Double = 0.5, oneFilePerBatch: Boolean = true,
+      shufflePartitions: Option[Int] = Some(2)): Unit = {
     // read the index ONCE (geometry + bands + shingle sets), not per
     // micro-batch
     val meta = spark.read.parquet(s"$indexDir/meta").head()
@@ -37,14 +38,16 @@ object NearDupStream {
       (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val corpusBands = spark.read.parquet(s"$indexDir/bands")
     val corpusSh = spark.read.parquet(s"$indexDir/sh")
-    FileIngest.drain(
-      FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
-        (batch, batchId) =>
-          FileIngest.writeBatchExactlyOnce(
-            Dedup.minhashScreenReplayable(corpusBands, corpusSh, batch,
-              idCol, textCol, numHashes, bands, threshold, shingleN),
-            outDir, batchId)
-      })
+    FileIngest.withPartitions(spark, shufflePartitions) {
+      FileIngest.drain(
+        FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
+          (batch, batchId) =>
+            FileIngest.writeBatchExactlyOnce(
+              Dedup.minhashScreenReplayable(corpusBands, corpusSh, batch,
+                idCol, textCol, numHashes, bands, threshold, shingleN),
+              outDir, batchId)
+        })
+    }
   }
 
   /** Read the accumulated screen output (drops the batch_id layout

@@ -42,7 +42,10 @@ object QualityMonitor {
   def runToCompletion(spark: SparkSession, srcDir: String,
       reportDir: String, checkpointDir: String,
       rules: Seq[Profiler.Rule],
-      oneFilePerBatch: Boolean = true): Unit =
-    FileIngest.drain(start(spark, srcDir, reportDir, checkpointDir,
-      rules, oneFilePerBatch))
+      oneFilePerBatch: Boolean = true,
+      shufflePartitions: Option[Int] = Some(2)): Unit =
+    FileIngest.withPartitions(spark, shufflePartitions) {
+      FileIngest.drain(start(spark, srcDir, reportDir, checkpointDir,
+        rules, oneFilePerBatch))
+    }
 }

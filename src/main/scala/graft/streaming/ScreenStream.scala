@@ -24,13 +24,16 @@ object ScreenStream {
   def runToCompletion(spark: SparkSession, srcDir: String,
       outDir: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",
-      oneFilePerBatch: Boolean = true): Unit =
-    FileIngest.drain(
-      FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
-        (batch, batchId) =>
-          FileIngest.writeBatchExactlyOnce(
-            PiiRedact.redact(batch, idCol, textCol), outDir, batchId)
-      })
+      oneFilePerBatch: Boolean = true,
+      shufflePartitions: Option[Int] = Some(2)): Unit =
+    FileIngest.withPartitions(spark, shufflePartitions) {
+      FileIngest.drain(
+        FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
+          (batch, batchId) =>
+            FileIngest.writeBatchExactlyOnce(
+              PiiRedact.redact(batch, idCol, textCol), outDir, batchId)
+        })
+    }
 
   /** Read the accumulated screen output (drops the batch_id layout
     * column — consumers see the per-batch schema). */

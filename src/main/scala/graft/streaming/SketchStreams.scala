@@ -29,24 +29,30 @@ object SketchStreams {
   def runBloomToCompletion(spark: SparkSession, srcDir: String,
       bloomDir: String, checkpointDir: String, keyCol: String,
       mBits: Int = 4096, k: Int = 3,
-      oneFilePerBatch: Boolean = true): Unit =
-    FileIngest.drain(
-      FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
-        (batch, batchId) =>
-          Sketches.upsertBloomBatch(batch, keyCol, bloomDir, batchId,
-            mBits, k)
-      })
+      oneFilePerBatch: Boolean = true,
+      shufflePartitions: Option[Int] = Some(2)): Unit =
+    FileIngest.withPartitions(spark, shufflePartitions) {
+      FileIngest.drain(
+        FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
+          (batch, batchId) =>
+            Sketches.upsertBloomBatch(batch, keyCol, bloomDir, batchId,
+              mBits, k)
+        })
+    }
 
   /** Drain `srcDir` into a count-min counter artifact at `cmsDir`: one
     * sum-mergeable counter batch per micro-batch. */
   def runCmsToCompletion(spark: SparkSession, srcDir: String,
       cmsDir: String, checkpointDir: String, keyCol: String,
-      d: Int = 4, w: Int = 512, oneFilePerBatch: Boolean = true): Unit =
-    FileIngest.drain(
-      FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
-        (batch, batchId) =>
-          Sketches.upsertCmsBatch(batch, keyCol, cmsDir, batchId, d, w)
-      })
+      d: Int = 4, w: Int = 512, oneFilePerBatch: Boolean = true,
+      shufflePartitions: Option[Int] = Some(2)): Unit =
+    FileIngest.withPartitions(spark, shufflePartitions) {
+      FileIngest.drain(
+        FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
+          (batch, batchId) =>
+            Sketches.upsertCmsBatch(batch, keyCol, cmsDir, batchId, d, w)
+        })
+    }
 
   /** Drain `srcDir` into a histogram artifact at `histDir`: one
     * sum-mergeable bin-count batch per micro-batch — the quantile
@@ -54,11 +60,14 @@ object SketchStreams {
     * while the data streams in). */
   def runHistToCompletion(spark: SparkSession, srcDir: String,
       histDir: String, checkpointDir: String, valueCol: String,
-      width: Long, nbins: Int, oneFilePerBatch: Boolean = true): Unit =
-    FileIngest.drain(
-      FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
-        (batch, batchId) =>
-          Sketches.upsertHistBatch(batch, valueCol, histDir, batchId,
-            width, nbins)
-      })
+      width: Long, nbins: Int, oneFilePerBatch: Boolean = true,
+      shufflePartitions: Option[Int] = Some(2)): Unit =
+    FileIngest.withPartitions(spark, shufflePartitions) {
+      FileIngest.drain(
+        FileIngest.stream(spark, srcDir, checkpointDir, oneFilePerBatch) {
+          (batch, batchId) =>
+            Sketches.upsertHistBatch(batch, valueCol, histDir, batchId,
+              width, nbins)
+        })
+    }
 }
