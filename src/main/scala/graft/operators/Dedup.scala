@@ -817,6 +817,16 @@ object Dedup extends Serializable {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
       shingleN: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // NOT cached (r16 optimization round, measured): the index feeds
+    // three consumers, but each consumer's plan prunes the aggregation
+    // to just the columns it reads (candidates: the 32 cheap xxhash64
+    // mins; each verification join: only the hash set), so the
+    // "recompute" is three PRUNED passes — persisting the full index
+    // materializes the collect_set arrays through the columnar cache
+    // encode/decode both ways and measured SLOWER (q44 focused A/B,
+    // 5 repeats: 2.2 s → 2.7 s median). Contrast
+    // [[minhashNearDupsReplayable]], where the per-pass cost is 8
+    // salted md5 string passes and the cache wins decisively.
     val idx = minhashIndex(df, idCol, textCol, numHashes, shingleN)
     val cands = lshCandidates(idx, bands, numHashes, maxBucket)
     cands
@@ -840,8 +850,17 @@ object Dedup extends Serializable {
   def minhashNearDupsReplayable(df: DataFrame, idCol: String,
       textCol: String, numHashes: Int = 8, bands: Int = 4,
       threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
-    val (sh, banded) = replayableShinglesAndBands(df, idCol, textCol,
+    // same multi-consumer shapes as [[minhashNearDups]] (r16
+    // optimization round): the shingle frame feeds the band derivation
+    // plus both verification joins, and the banded frame self-joins —
+    // uncached, the md5 signature pipeline (8 salted md5 passes over
+    // every shingle) would run once per self-join side and the
+    // tokenize+shingle pass twice more. Persist both, materialize the
+    // bounded pair output, release (triangleCounts ownership pattern).
+    val (sh0, banded0) = replayableShinglesAndBands(df, idCol, textCol,
       numHashes, bands, shingleN)
+    val sh = sh0.persist()
+    val banded = banded0.persist()
     val cands = banded.select(col("band"), col("key"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("key"), col("id").as("id_b")),
         Seq("band", "key"))
@@ -849,9 +868,15 @@ object Dedup extends Serializable {
       .select(col("id_a"), col("id_b")).distinct()
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-    cands.select(col("id_a"), col("id_b"),
+    val out = cands.select(col("id_a"), col("id_b"),
         shingleSetJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    out.unpersist()
+    val res = out.persist()
+    res.count()
+    banded.unpersist()
+    sh.unpersist()
+    res
   }
 
   /** The md5-family building blocks shared by [[minhashNearDupsReplayable]]
@@ -1048,12 +1073,26 @@ object Dedup extends Serializable {
     // negative chunk counts. Neither is a meaningful 64-bit threshold.
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64) for 64-bit signatures, got $maxHamming")
+    // persist the NARROW (id, sig) frame: the plan below consumes the
+    // banded expansion through several exchanges (bucket sizing, the
+    // size join, both self-join sides), and Spark does not share
+    // common subtrees across operators — without the cache the
+    // caller's signature expression (a perceptual WAV/PNG decode for
+    // q167/q170, simhash over the token stream for q45/q174) is
+    // re-evaluated once PER EXCHANGE (r16 optimization round: q170's
+    // registry run measured 8.2 s per repeat vs ~1 s with signatures
+    // cached — the decode was the whole gap). 16 bytes/row at any
+    // corpus size; MEMORY_AND_DISK spills rather than OOMs at 100 TB.
+    // The returned pair frame is materialized below while this cache
+    // is alive, then ownership follows the triangleCounts contract
+    // (returned frame persisted; the caller/bench settle releases it).
+    val sp = sigs.select(col("id"), col("sig")).persist()
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     val chunkVals = array((0 until chunks).map(c =>
       shiftright(col("sig"), c * bitsPer)
         .bitwiseAND(lit((1L << bitsPer) - 1))): _*)
-    val banded = sigs.select(col("id"), col("sig"), posexplode(chunkVals))
+    val banded = sp.select(col("id"), col("sig"), posexplode(chunkVals))
       .select(col("id"), col("sig"), col("pos").as("chunk"),
         col("col").as("chunk_val"))
     val pairs =
@@ -1091,7 +1130,15 @@ object Dedup extends Serializable {
             bit_count(col("rep_sig").bitwiseXOR(col("sig"))).as("hamming"))
         smallPairs.union(starPairs)
       }
-    pairs.distinct().filter(col("hamming") <= maxHamming)
+    val out = pairs.distinct().filter(col("hamming") <= maxHamming)
+    // evict any stale entry from a previous plan-identical call, then
+    // materialize while the signature cache is alive and release it
+    // (the triangleCounts eager-ownership pattern)
+    out.unpersist()
+    val res = out.persist()
+    res.count()
+    sp.unpersist()
+    res
   }
 
   // -------------------------------------------------- dedup finalization
