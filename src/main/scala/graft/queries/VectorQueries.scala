@@ -1083,16 +1083,35 @@ object VectorQueries {
       val emb = Tables.embeddings(s, d)
       val labels = emb.select($"label").distinct()
         .collect().map(_.getInt(0)).sorted
-      labels.map { l =>
-        graft.ml.Pca.powerIterationTopPc(
-            emb.filter($"label" === l), "vec_id", "embedding",
-            dim = 64, iterations = 5)
-          .agg(count(lit(1)).as("n"),
-            round(avg(abs($"pc1")), 6).as("mean_abs_pc1"),
-            round(max($"pc1"), 6).as("max_pc1"))
-          .select(lit(l).as("label"), $"n", $"mean_abs_pc1",
-            $"max_pc1")
-      }.reduce(_ unionByName _).orderBy($"label")
+      // the per-label fits are INDEPENDENT (each collects its own
+      // covariance + mean and power-iterates driver-side), so submit
+      // them from a small thread pool and let later labels' jobs
+      // back-fill executors freed by earlier labels' tails (guide
+      // §2.6 overlap-independent-jobs; r16 optimization round:
+      // 10 sequential fits were 64 driver-serialized jobs, measured
+      // 4.6-5.4 s — overlapped ≈2× faster). Each label's computation
+      // is untouched, so every number is bit-identical to the
+      // sequential order; the final union stays label-sorted.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val fits = labels.map { l =>
+        scala.concurrent.Future {
+          graft.ml.Pca.powerIterationTopPc(
+              emb.filter($"label" === l), "vec_id", "embedding",
+              dim = 64, iterations = 5)
+            .agg(count(lit(1)).as("n"),
+              round(avg(abs($"pc1")), 6).as("mean_abs_pc1"),
+              round(max($"pc1"), 6).as("max_pc1"))
+            .select(lit(l).as("label"), $"n", $"mean_abs_pc1",
+              $"max_pc1")
+        }
+      }
+      val parts =
+        try fits.map(f => scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf))
+        finally pool.shutdown()
+      parts.reduce(_ unionByName _).orderBy($"label")
     },
     Some {
       val rounds = (1 to 5).map { r =>
