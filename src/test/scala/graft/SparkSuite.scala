@@ -16,6 +16,9 @@ object SparkSuite {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
+      // same fast-scratch tier as every production session builder
+      // (r16 optimization round — see the Scratch placement scaladoc)
+      .config("spark.local.dir", Scratch.sparkLocalDir)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
