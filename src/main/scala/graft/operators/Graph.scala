@@ -251,15 +251,23 @@ object Graph extends Serializable {
         when(aFirst, col("b")).otherwise(col("a")).as("dst"))
       .persist() // consumed thrice (adjacency build + two join sides)
     // out-adjacency arrays: one row per node, array length ≤ O(√m) by
-    // the orientation — bounded, never a hub-sized blob
+    // the orientation — bounded, never a hub-sized blob. SORTED at
+    // build (one per-node sort) so the per-edge closure can run as a
+    // merge scan instead of array_intersect's per-row hash-set build
+    // (r16 optimization round: the closure stage's dominant allocation
+    // on a 1.2M-edge graph — see [[graft.expressions
+    // .SortedLongIntersect]]; the intersection SET is identical, and
+    // on these duplicate-free inputs so is the emitted order, which
+    // the downstream sum aggregation ignores anyway)
     val adj = o.groupBy(col("src"))
-      .agg(collect_list(col("dst")).as("nbrs"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     val closed = o
       .join(side(adj.select(col("src"), col("nbrs").as("nu"))), Seq("src"))
       .join(side(adj.select(col("src").as("dst"), col("nbrs").as("nv"))),
         Seq("dst"))
       .select(col("src").as("u"), col("dst").as("v"),
-        array_intersect(col("nu"), col("nv")).as("ws"))
+        graft.expressions.SortedLongIntersect(col("nu"), col("nv"))
+          .as("ws"))
       .filter(size(col("ws")) > 0)
     // corner attribution: each w in the intersection is one triangle —
     // +1 to w, and +|ws| to both u and v. ONE explode over the fused
