@@ -201,6 +201,11 @@ object Bench {
       // Scratch placement scaladoc — measured 31× file-create gap on
       // this host; parameterised via SPARK_GRAFT_SCRATCH_DIR)
       .config("spark.local.dir", Scratch.sparkLocalDir)
+      // serialized sort writer for every exchange (the 100 TB writer;
+      // see SparkTuning — bypass's per-reduce file concat mmap-thrashed
+      // 32-core runs)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        SparkTuning.bypassMergeThreshold)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def load1: Double =

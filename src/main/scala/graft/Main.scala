@@ -907,6 +907,11 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", Scratch.sparkLocalDir)
+      // serialized sort writer for every exchange (the 100 TB writer;
+      // see SparkTuning — bypass's per-reduce file concat mmap-thrashed
+      // 32-core runs)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        SparkTuning.bypassMergeThreshold)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -24,6 +24,11 @@ object Profile {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", Scratch.sparkLocalDir)
+      // serialized sort writer for every exchange (the 100 TB writer;
+      // see SparkTuning — bypass's per-reduce file concat mmap-thrashed
+      // 32-core runs)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        SparkTuning.bypassMergeThreshold)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

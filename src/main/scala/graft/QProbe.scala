@@ -40,6 +40,11 @@ object QProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", Scratch.sparkLocalDir)
+      // serialized sort writer for every exchange (the 100 TB writer;
+      // see SparkTuning — bypass's per-reduce file concat mmap-thrashed
+      // 32-core runs)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        SparkTuning.bypassMergeThreshold)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("SPARK_GRAFT_PROBE_CONF").foreach { spec =>
@@ -70,6 +75,8 @@ object QProbe {
     val sampleOn = new java.util.concurrent.atomic.AtomicBoolean(false)
     val frameCounts = new java.util.concurrent.ConcurrentHashMap[String,
       java.util.concurrent.atomic.AtomicLong]()
+    val fullStacks =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
     if (sys.env.get("SPARK_GRAFT_PROBE_SAMPLE").contains("1")) {
       val t = new Thread(() => {
         while (true) {
@@ -85,16 +92,37 @@ object QProbe {
               if (busy && (n.startsWith("Executor task launch") ||
                   n == "main" || n.startsWith("broadcast") ||
                   n.contains("QueryStage"))) {
+                // a JDK head frame (mmap/write/classload) is attributed
+                // to its nearest Spark/graft caller, however deep — the
+                // 10-frame cap hid every mmap call site in r17's q187
+                // adjudication (map0/unmap0 dominated with no caller)
                 val sig = frames.take(10).map(_.toString)
                   .find(f => f.startsWith("org.apache.spark") ||
                     f.startsWith("graft") || f.startsWith("scala")) match {
                   case Some(f) => f.takeWhile(_ != '(')
-                  case None => frames.head.toString.takeWhile(_ != '(')
+                  case None =>
+                    val head = frames.head.toString.takeWhile(_ != '(')
+                    frames.drop(1).map(_.toString)
+                      .find(f => f.startsWith("org.apache.spark") ||
+                        f.startsWith("graft")) match {
+                      case Some(f) =>
+                        head + " <- " + f.takeWhile(_ != '(')
+                      case None => head
+                    }
                 }
                 frameCounts.computeIfAbsent(
                   (if (n == "main") "D " else "E ") + sig,
                   _ => new java.util.concurrent.atomic.AtomicLong)
                   .incrementAndGet()
+                // one FULL stack per distinct head frame on demand —
+                // for callers the signature heuristic can't name
+                if (sys.env.get("SPARK_GRAFT_PROBE_STACKS").exists(
+                      p => p == "1" || sig.contains(p))
+                    && fullStacks.size < 12 &&
+                    !fullStacks.containsKey(sig)) {
+                  fullStacks.put(sig,
+                    frames.take(24).mkString("\n    "))
+                }
               }
             }
           }
@@ -142,6 +170,10 @@ object QProbe {
           .sortBy(-_._1).take(18).foreach { case (c, f) =>
             println(f"[qprobe]   $c%5d  $f")
           }
+        fullStacks.asScala.foreach { case (sig, st) =>
+          println(s"[qprobe] STACK $sig\n    $st")
+        }
+        fullStacks.clear()
       }
     }
     spark.stop()

@@ -23,8 +23,46 @@ package graft
   * shutdown-hook cleanup bounds tmpfs growth (and [[sparkLocalDir]]
   * lives under the same self-cleaning root, so block-manager dirs
   * from a killed run can't leak RAM across runs). Placement changes
-  * WHERE bytes land, never what any query computes. */
+  * WHERE bytes land, never what any query computes.
+  *
+  * SCALE SAFETY (r17, VERDICT r16 #2): tmpfs is only the right tier
+  * when the host has RAM to spare — shuffle SPILL exists precisely
+  * because memory ran out, so a RAM-backed spill tier on a
+  * memory-tight executor is self-defeating (it evicts page cache and
+  * courts the OOM killer). The unconditional r16 default is therefore
+  * gated on measured headroom: /dev/shm is picked only when
+  * MemAvailable ≥ [[TmpfsHeadroomFactor]] × the JVM max heap
+  * ([[tmpfsHeadroomOk]]) — this 128 GiB sandbox with an 8 GiB heap
+  * passes easily, a production executor whose heap is sized to most
+  * of its container does not and lands on disk. The env override
+  * stays the explicit switch either way (`SPARK_GRAFT_SCRATCH_DIR` =
+  * path | `off`). */
 object Scratch {
+
+  /** tmpfs is chosen only when available RAM ≥ this × max heap: the
+    * scratch tier must never compete with the heap (or the page
+    * cache) for memory the workload itself needs. 4× the heap leaves
+    * room for the heap itself, the shuffle/artifact bytes, and OS
+    * cache — conservative by design (the fallback is merely disk). */
+  val TmpfsHeadroomFactor: Long = 4L
+
+  /** MemAvailable from /proc/meminfo in bytes (-1 off Linux / on
+    * read failure — which fails the gate, the conservative side). */
+  def memAvailableBytes(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines()
+        .find(_.startsWith("MemAvailable:"))
+        .map(_.split("\\s+")(1).toLong * 1024L)
+        .getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Exception => -1L }
+
+  /** The headroom gate, parameterized for the spec: does a host with
+    * `availBytes` of reclaimable RAM have room for a tmpfs scratch
+    * tier next to a `maxHeapBytes` JVM? */
+  def tmpfsHeadroomOk(availBytes: Long, maxHeapBytes: Long): Boolean =
+    availBytes >= TmpfsHeadroomFactor * maxHeapBytes
 
   private lazy val root: java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
@@ -33,7 +71,9 @@ object Scratch {
       case Some(dir) => Some(Paths.get(dir))
       case None =>
         Some(Paths.get("/dev/shm")).filter(p =>
-          Files.isDirectory(p) && Files.isWritable(p))
+          Files.isDirectory(p) && Files.isWritable(p) &&
+            tmpfsHeadroomOk(memAvailableBytes(),
+              Runtime.getRuntime.maxMemory))
     }
     val r = base match {
       case Some(b) => Files.createTempDirectory(b, "graft_scratch_")

@@ -31,6 +31,11 @@ object StreamProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", Scratch.sparkLocalDir)
+      // serialized sort writer for every exchange (the 100 TB writer;
+      // see SparkTuning — bypass's per-reduce file concat mmap-thrashed
+      // 32-core runs)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        SparkTuning.bypassMergeThreshold)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     confs.foreach { case (k, v) =>

@@ -528,24 +528,27 @@ object NnDescent {
     trace ++= best(pos).map(p => (p._1, 0, p._2, p._3))
     for (h <- 1 to hops) {
       val cur = curDf(pos)
-      val stepped = cur.join(graph.select(col("u").as("node_id"),
+      // the hop collects the scored neighbor expansion in ONE job and
+      // dedups + beam-cuts DRIVER-side (r17, VERDICT r16 #5 — the
+      // pattern beamTopK already uses): the frame is bounded at
+      // probes·beam·k rows by the walk contract, so an in-plan
+      // DISTINCT + row_number window spent two keyed shuffles per hop
+      // on data that fits in one task. d2 recomputes are bit-stable,
+      // so Seq.distinct collapses exactly what DISTINCT did (a
+      // candidate reached from two beam nodes, or already in the
+      // beam, spends one slot), and sortBy (d2, cand) is the same
+      // total order the window ranked by — the kept set is identical.
+      val expanded = cur.join(graph.select(col("u").as("node_id"),
           col("nb")), "node_id")
         .join(vecs.select(col("id").as("nb"), col("v").as("nv")), "nb")
         .select(col("query_id"), col("nb").as("cand"),
           d2(col("qv"), col("nv")).as("d2"))
-        .unionByName(cur.select(col("query_id"),
-          col("node_id").as("cand"), col("d2")))
-        // frontier dedup: a candidate reached from two beam nodes (or
-        // already in the beam) must spend ONE beam slot — d2 rows are
-        // bit-stable recomputes, so DISTINCT collapses them
-        .distinct()
-      pos = stepped.withColumn("rk", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("d2"), col("cand"))))
-        .filter(col("rk") <= beam)
-        .select(col("query_id"), col("cand").as("node_id"), col("d2"))
         .collect().map(r => (r.getLong(0), r.getLong(1),
-          r.getDouble(2))).toSeq.sortBy(p => (p._1, p._3, p._2))
+          r.getDouble(2))).toSeq
+      pos = (expanded ++ pos).distinct
+        .groupBy(_._1).values
+        .flatMap(_.sortBy(t => (t._3, t._2)).take(beam))
+        .toSeq.sortBy(p => (p._1, p._3, p._2))
       trace ++= best(pos).map(p => (p._1, h, p._2, p._3))
     }
     trace.result().toDF("query_id", "hop", "node_id", "d2")

@@ -47,15 +47,39 @@ class ScratchPlacementSpec extends AnyFunSuite {
   }
 
   test("the scratch root prefers a writable /dev/shm when no override " +
-      "is set (this host has one), and stays usable either way") {
+      "is set AND the RAM-headroom gate passes, and stays usable " +
+      "either way") {
     val d = java.nio.file.Paths.get(Scratch.dir("placement_tier_"))
     assert(java.nio.file.Files.isWritable(d))
     val shm = java.nio.file.Paths.get("/dev/shm")
     if (sys.env.get("SPARK_GRAFT_SCRATCH_DIR").isEmpty &&
         java.nio.file.Files.isDirectory(shm) &&
-        java.nio.file.Files.isWritable(shm)) {
+        java.nio.file.Files.isWritable(shm) &&
+        Scratch.tmpfsHeadroomOk(Scratch.memAvailableBytes(),
+          Runtime.getRuntime.maxMemory)) {
       assert(d.toAbsolutePath.toString.startsWith("/dev/shm/"),
         s"expected tmpfs-backed scratch, got $d")
     }
+  }
+
+  test("tmpfs headroom gate (r17, VERDICT r16 #2): RAM-rich hosts " +
+      "pass, heap-sized-to-container executors land on disk") {
+    val g = 1L << 30
+    // this sandbox: ~120 GiB available next to an 8 GiB heap — tmpfs
+    assert(Scratch.tmpfsHeadroomOk(120 * g, 8 * g))
+    // a production executor: 56 GiB heap in a 64 GiB container — the
+    // gate refuses (shuffle spill exists because memory ran out;
+    // RAM-backed spill there would evict page cache / court the
+    // OOM killer)
+    assert(!Scratch.tmpfsHeadroomOk(8 * g, 56 * g))
+    // boundary: exactly factor × heap passes, one byte less fails
+    assert(Scratch.tmpfsHeadroomOk(
+      Scratch.TmpfsHeadroomFactor * 8 * g, 8 * g))
+    assert(!Scratch.tmpfsHeadroomOk(
+      Scratch.TmpfsHeadroomFactor * 8 * g - 1, 8 * g))
+    // a /proc/meminfo read failure reads as -1 → conservative (disk)
+    assert(!Scratch.tmpfsHeadroomOk(-1L, 8 * g))
+    // the live read on this Linux host yields a positive number
+    assert(Scratch.memAvailableBytes() > 0)
   }
 }

@@ -19,6 +19,11 @@ object SparkSuite {
       // same fast-scratch tier as every production session builder
       // (r16 optimization round — see the Scratch placement scaladoc)
       .config("spark.local.dir", Scratch.sparkLocalDir)
+      // serialized sort writer for every exchange (the 100 TB writer;
+      // see SparkTuning — bypass's per-reduce file concat mmap-thrashed
+      // 32-core runs)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        SparkTuning.bypassMergeThreshold)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
