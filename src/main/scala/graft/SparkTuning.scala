@@ -31,8 +31,18 @@ package graft
   * 200 reduce partitions, where Spark never picks the bypass writer —
   * this makes local mode exercise the same serialized sort writer the
   * cluster uses. Env-overridable for A/B (`SPARK_GRAFT_BYPASS_MERGE`,
-  * e.g. `200` restores Spark's default). */
+  * e.g. `200` restores Spark's default).
+  *
+  * The default is 4, not 0: the stateful streaming replays run their
+  * micro-batch shuffles at 2 partitions (the EventStream runner
+  * contract), and a same-window A/B on the stream-join family read
+  * threshold 0 ≈ +0.6 s/query vs 4 ≈ Spark's default — the serialized
+  * writer's fixed per-task setup (page allocation + in-memory sort)
+  * outweighs a 2-file concat, whose mmap churn is negligible at that
+  * width (the pathology scales with files × concurrent writers). Any
+  * exchange at ≥ 5 partitions — batch plans at every bench core count
+  * — still takes the serialized writer. */
 object SparkTuning {
   lazy val bypassMergeThreshold: String =
-    sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "0")
+    sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "4")
 }

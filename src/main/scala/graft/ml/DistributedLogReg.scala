@@ -92,15 +92,15 @@ object DistributedLogReg {
       .setScale(roundDp, BigDecimal.RoundingMode.HALF_UP).toDouble
     var w = Array.fill(buckets + 1)(0.0)
     def withP(wNow: Array[Double]): DataFrame = {
-      val wDf = broadcast(spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          wNow.zipWithIndex.map { case (v, i) =>
-            org.apache.spark.sql.Row(i.toLong, v) }.toSeq, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("bucket",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("w",
-            org.apache.spark.sql.types.DoubleType)))))
+      // LocalRelation, not parallelize (r17, the DistributedWord2Vec
+      // matDf lesson): an RDD-backed weight frame schedules a cluster
+      // job per broadcast build — once per GD round plus the final
+      // scoring pass — while a LocalTableScan collects on the driver
+      // thread with no job. Same (bucket, w) rows either way.
+      import spark.implicits._
+      val wDf = broadcast(
+        wNow.zipWithIndex.toSeq
+          .map { case (v, i) => (i.toLong, v) }.toDF("bucket", "w"))
       fx.join(wDf, "bucket")
         .groupBy(col(idCol))
         .agg(round(sum(col("w") * col("x")), roundDp).as("z"),
