@@ -189,8 +189,15 @@ object NnDescent {
         .unionAll(edges.select(col("nb").as("x"),
           struct(col("d2"), col("u").as("y")).as("e")))
         .groupBy(col("x"))
-        .agg(slice(array_distinct(sort_array(collect_list(col("e")))),
-          1, cap).as("ns"))
+        // fused sort+distinct+cap kernel (r17): the generic
+        // slice(array_distinct(sort_array(..))) chain was the build's
+        // dominant executor cost — interpreted struct ordering plus a
+        // per-element boxed copy in Slice; same (d2, id) total order,
+        // same ordering-equivalence dedup, identical output
+        // (SortedStructTopKSpec pins parity, q231/q232/q240/q243/q244
+        // hash-gate it end-to-end)
+        .agg(graft.expressions.SortedStructTopK(
+          collect_list(col("e")), cap).as("ns"))
       // co-neighbor pairs explode MAP-SIDE from the capped array —
       // no self-join; duplicate (u, nb) pairs across hub nodes just
       // recompute a bit-identical d2 and collapse in the final dedup
@@ -207,8 +214,8 @@ object NnDescent {
       edges = edges.unionAll(cd)
         .select(col("u"), struct(col("d2"), col("nb")).as("e"))
         .groupBy(col("u"))
-        .agg(slice(array_distinct(sort_array(collect_list(col("e")))),
-          1, k).as("es"))
+        .agg(graft.expressions.SortedStructTopK(
+          collect_list(col("e")), k).as("es"))
         .select(col("u"), explode(col("es")).as("e"))
         .select(col("u"), col("e.nb").as("nb"), col("e.d2").as("d2"))
         .localCheckpoint()
