@@ -86,7 +86,18 @@ object DistributedLogReg {
       .select(col(idCol), lit(buckets.toLong).as("bucket"),
         lit(1.0).as("x"),
         when(col("__tgt"), lit(1.0)).otherwise(lit(0.0)).as("y"))
-    val fx = feat.unionByName(bias).persist()
+    // persisted ALREADY hash-partitioned by doc id (r17, guide §2.4
+    // reuse-the-exchange): every GD round's z-aggregation groups by
+    // idCol, so a pre-partitioned cache satisfies the aggregation's
+    // required distribution and the per-round exchange disappears —
+    // one exchange at build time instead of one per round plus one at
+    // scoring. The per-doc sum's operand set is unchanged (grouping
+    // is exact); z is round()ed at 6 dp before the sigmoid, the same
+    // quantization boundary the registry's 3-vs-8 partition-invariance
+    // gate already certifies, and q187's 3-SF oracle hash re-gates the
+    // end-to-end scores.
+    val fx = feat.unionByName(bias)
+      .repartition(col(idCol)).persist()
     val m = totals.count().toDouble
     def rq(x: Double): Double = BigDecimal.valueOf(x)
       .setScale(roundDp, BigDecimal.RoundingMode.HALF_UP).toDouble
